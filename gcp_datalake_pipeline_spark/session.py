@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Reference parity note: the reference stores audit timestamps as
+``now() AT TIME ZONE 'UTC'`` (model.sql:18), so the session timezone is UTC.
+
+Scale stance: AQE on (runtime coalescing + skew-join splitting), shuffle
+partitions sized for the local harness but overridable via env for cluster
+runs; Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gcp_datalake_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Defaults target the local[N] test harness; on a real cluster pass
+    ``master=None`` with an external spark-submit master and a larger
+    ``shuffle_partitions`` (rule of thumb: 2-3x total cores, or let AQE
+    coalesce from a high initial number).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ETL parity: lenient casts/date-parses map malformed -> NULL, like
+        # the reference's `|| null` coercions. Engine code still prefers
+        # try_* functions so it stays correct under ANSI sessions too.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

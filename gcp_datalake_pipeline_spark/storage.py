@@ -1,0 +1,189 @@
+"""Parquet-backed table storage with MERGE semantics.
+
+The reference's canonical store is PostgreSQL with per-row upserts
+(`model.sql`, `services/*.ts`). This engine's canonical store is a lakehouse
+directory of Parquet tables. Delta Lake is not available in this
+environment, so MERGE is implemented as a set-based
+read -> combine -> overwrite; the write path is factored behind
+:class:`Catalog` so a Delta/Iceberg backend can slot in (it would use a real
+``MERGE INTO`` and keep everything else unchanged).
+
+Scale note: overwrite-merge rewrites the whole table, which is fine for
+dimension/entity tables (small relative to fact history) but would not be the
+100 TB-scale choice for large tables — there you'd use Delta MERGE with
+partition pruning on the natural-key hash, which this API is shaped for.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class Catalog:
+    """A directory of named Parquet tables."""
+
+    spark: SparkSession
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        if not self.exists(table):
+            if schema is None:
+                raise FileNotFoundError(self.path(table))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        # Write to a temp location first so a failed job never destroys the
+        # current table (poor-man's ACID; Delta would give this for real).
+        tmp = self.path(table) + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        update_cols: list[str] | None = None,
+        order_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """Last-wins upsert of ``source`` into ``table`` on ``key_cols``.
+
+        Semantics (reference parity, SURVEY.md §2.5 U1-U3 + A2):
+        - duplicate natural keys within ``source``: the *later* row wins
+          (ordered by ``order_col``, typically a captured arrival index) —
+          the reference re-upserts per row so the last row sticks;
+        - matched target rows: only ``update_cols`` are overwritten
+          (``None`` = all non-key source columns). `date_updated` is bumped
+          only on matches, `date_created` set only on inserts — mirroring
+          the BEFORE UPDATE trigger at `model.sql:1-11`;
+        - unmatched source rows are inserted, with a surrogate key assigned
+          when ``id_col`` is given (SERIAL parity: max(existing)+row_number
+          over natural-key order, deterministic — SURVEY.md §7.3.2);
+        - existing rows keep their surrogate id and ``date_created``.
+
+        Returns the new table state (also persisted).
+        """
+        from pyspark.sql import Window as W
+
+        src = dedup_last_wins(source, key_cols, order_col)
+        # Provenance/order metadata is not part of the silver schema.
+        src = src.drop("_row_idx", "_source_file")
+        now = F.current_timestamp()
+        if "date_created" not in src.columns:
+            src = src.withColumn("date_created", now)
+        if "date_updated" not in src.columns:
+            src = src.withColumn("date_updated", now)
+
+        id_window = W.orderBy(*[F.col(k) for k in key_cols])
+
+        if not self.exists(table):
+            if id_col is not None and id_col not in src.columns:
+                src = src.select(
+                    F.row_number().over(id_window).cast("long").alias(id_col),
+                    *src.columns,
+                )
+            self.overwrite(src, table)
+            return self.read(table)
+
+        target = self.read(table)
+        if update_cols is None:
+            update_cols = [
+                c
+                for c in src.columns
+                if c not in key_cols
+                and c != id_col
+                and c not in ("date_created", "date_updated")
+            ]
+
+        t = target.alias("t")
+        s = src.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+
+        # Matched target rows: take updated cols from source, bump
+        # date_updated, keep surrogate ids / frozen cols / date_created.
+        joined = t.join(s, cond, "left")
+        matched_flag = F.col(f"s.{key_cols[0]}").isNotNull()
+        updated_target = joined.select(
+            *[
+                (
+                    F.when(matched_flag, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    if c in update_cols
+                    else (
+                        F.when(matched_flag, now)
+                        .otherwise(F.col("t.date_updated"))
+                        .alias(c)
+                        if c == "date_updated"
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                )
+                for c in target.columns
+            ]
+        )
+
+        inserts = s.join(t, cond, "left_anti")
+        if id_col is not None:
+            max_id = target.agg(F.max(id_col)).first()[0] or 0
+            inserts = inserts.withColumn(
+                id_col,
+                (F.row_number().over(id_window) + F.lit(max_id)).cast("long"),
+            )
+        inserts = inserts.select(
+            *[
+                F.col(c).alias(c)
+                if c in inserts.columns
+                else F.lit(None).alias(c)
+                for c in target.columns
+            ]
+        )
+        self.overwrite(updated_target.unionByName(inserts), table)
+        return self.read(table)
+
+
+def dedup_last_wins(
+    df: DataFrame, key_cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """A2 — keep the last row per natural key (reference re-upserts per row,
+    so within one file the last occurrence wins; `services/empresa.ts:101-106`).
+
+    ``order_col`` should be a stable arrival index captured at read time
+    (the bronze reader adds ``_row_idx``); falls back to an internal
+    monotonic id when absent.
+    """
+    from pyspark.sql import Window as W
+
+    if order_col is None:
+        if "_row_idx" in df.columns:
+            order_col = "_row_idx"
+        else:
+            df = df.withColumn("__arrival", F.monotonically_increasing_id())
+            order_col = "__arrival"
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return out.drop("__arrival") if "__arrival" in out.columns else out
