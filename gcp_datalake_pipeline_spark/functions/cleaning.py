@@ -48,9 +48,9 @@ def safe_parse_date(c: Column | str) -> Column:
     """
     head = F.trim(F.split(_col(c), ",").getItem(0))
     return F.coalesce(
-        F.try_to_date(head, F.lit("yyyy-M-d")),
-        F.try_to_date(head, F.lit("d-M-yyyy")),
-        F.try_to_date(head, F.lit("d/M/yyyy")),
+        F.try_to_date(head, "yyyy-M-d"),
+        F.try_to_date(head, "d-M-yyyy"),
+        F.try_to_date(head, "d/M/yyyy"),
     )
 
 
@@ -84,7 +84,7 @@ def parse_int_or_null(c: Column | str) -> Column:
     is a faithful quirk (``0 || null === null`` in JS).
     """
     lead = F.regexp_extract(F.trim(_col(c)), r"^[-+]?\d+", 0)
-    return F.nullif(F.try_cast(F.nullif(lead, F.lit("")), "int"), F.lit(0))
+    return F.nullif(F.nullif(lead, F.lit("")).try_cast("int"), F.lit(0))
 
 
 def parse_float_or_null(c: Column | str) -> Column:
@@ -96,4 +96,4 @@ def parse_float_or_null(c: Column | str) -> Column:
     lead = F.regexp_extract(
         F.trim(_col(c)), r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", 0
     )
-    return F.nullif(F.try_cast(F.nullif(lead, F.lit("")), "double"), F.lit(0.0))
+    return F.nullif(F.nullif(lead, F.lit("")).try_cast("double"), F.lit(0.0))

@@ -1,0 +1,55 @@
+"""Batch runner: route landing files and run processors in dependency order.
+
+Parity: entry points 1+2 (SURVEY.md §3.1-3.2). The Drive->GCS hop is pure
+orchestration; here "landing" is a directory of CSVs. Every processed file
+gets a manifest row (load_date + source file — the metadata Function 1
+attaches as GCS object metadata, `ingesta-drive-gcs/src/index.ts:100-107`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.pipelines.conductor import process_conductores
+from gcp_datalake_pipeline_spark.pipelines.empresa import process_empresas
+from gcp_datalake_pipeline_spark.pipelines.vehiculo import process_vehiculos
+from gcp_datalake_pipeline_spark.sources.router import plan_batch
+from gcp_datalake_pipeline_spark.storage import Catalog
+
+_PROCESSORS = {
+    "empresa": process_empresas,
+    "conductor": process_conductores,
+    "vehiculo": process_vehiculos,
+}
+
+
+def ingest(catalog: Catalog, paths_or_glob: list[str] | str) -> dict[str, dict]:
+    """Process a batch of landing files. Returns per-file run counters."""
+    if isinstance(paths_or_glob, str):
+        paths = sorted(glob.glob(paths_or_glob))
+    else:
+        paths = list(paths_or_glob)
+    results: dict[str, dict] = {}
+    for processor, path in plan_batch(paths):
+        counters = _PROCESSORS[processor](catalog, path)
+        results[path] = {"processor": processor, **counters}
+        manifest = catalog.spark.createDataFrame(
+            [
+                (
+                    os.path.basename(path),
+                    processor,
+                    counters["rowCount"],
+                    counters["processedCount"],
+                    counters["errorCount"],
+                )
+            ],
+            "source_file string, processor string, row_count long, "
+            "processed_count long, error_count long",
+        ).withColumn("load_date", F.current_date()).withColumn(
+            "load_ts", F.current_timestamp()
+        )
+        catalog.append(manifest, "ingestion_manifest")
+    return results
