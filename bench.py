@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink (full compute, no driver transfer, no
+disk write) so timings measure the plan, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from gcp_datalake_pipeline_spark.plans import QUERIES
+from gcp_datalake_pipeline_spark.session import get_spark
+
+# Headline set: scan-agg, join-heavy, window, JSON, sessionization, text,
+# dedup (LSH scale path), similarity. The quadratic exact-jaccard verifier
+# is excluded from the headline (it exists for correctness, not throughput).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_top_returning_customers",
+    "orders_by_month",
+    "latest_order_per_customer",
+    "customer_running_revenue",
+    "lineitem_distinct_parts",
+    "events_hourly",
+    "events_json_props",
+    "user_sessions",
+    "doc_text_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/codegen with one tiny action so q1 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, shingle-Jaccard, MinHash+LSH, SimHash.
+
+All set-based DataFrame plans (no Python row path). Near-dup detection uses
+3-word shingles (standard for document dedup: shingle sets are sparse, so
+candidate joins stay selective even when the token vocabulary is tiny).
+MinHash/LSH is the 100 TB path — candidate generation is linear in corpus
+size x bands; the exact shingle-Jaccard self-join is its verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.operators.text import TOKEN_SPLIT_RE
+
+SHINGLE_N = 3
+
+
+def exact_dedup(df: DataFrame) -> DataFrame:
+    """Exact dedup by full text: canonical id = min doc_id per identical
+    text. Output: (doc_id, canonical_id, is_dup).
+
+    Scale: one shuffle on a text hash. We group on md5(text) rather than
+    the raw text so 100 TB of document bodies never ride the shuffle."""
+    key = F.md5(F.col("text"))
+    w = Window.partitionBy(key)
+    return df.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+
+
+def doc_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct n-word shingles per document: (doc_id, shingle).
+
+    Built with posexplode + lead windows (one shuffle on doc_id); the
+    equivalent construction exists in the DuckDB oracle SQL."""
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id", F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_last")
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+    """Shared tail: exact Jaccard over shingle sets, optionally restricted
+    to a candidate pair set. Output: (doc_a, doc_b, jaccard >= threshold)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if pairs is None:
+        a, b = shingles.alias("a"), shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        ta = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+        tb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            pairs.join(ta, "doc_a")
+            .join(tb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4.
+    Scale: the shingle equi-join only pairs documents sharing a shingle —
+    selective because shingle space is sparse. Still quadratic in the worst
+    case; minhash_lsh_pairs is the linear-ish scale path, this is its
+    ground-truth verifier.
+    """
+    return _pair_jaccard(doc_shingles(df), None, threshold)
+
+
+def jaccard_pairs_oracle_sql(threshold: float = 0.8) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
+    """
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 32) -> DataFrame:
+    """MinHash signatures over shingle sets.
+
+    Permutation i is simulated with xxhash64(shingle, seed=i); the signature
+    element is the min hash per seed. Output: (doc_id, sig: array<bigint>).
+
+    Scale: shingles x num_perm rows flow through one groupBy(doc_id, seed)
+    with map-side partial min — linear in corpus shingle count.
+    """
+    hashed = shingles.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id", "seed", F.xxhash64(F.col("shingle"), F.col("seed")).alias("h")
+    )
+    return (
+        hashed.groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("s"))
+        .select("doc_id", F.expr("transform(s, x -> x.mh)").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding candidate generation, verified with exact
+    shingle Jaccard. Output: (doc_a, doc_b, jaccard) — the LSH-accelerated
+    equivalent of :func:`jaccard_pairs` (recall < 1 by design; with 8 bands
+    of 4 rows, P[candidate] ~ 1-(1-j^4)^8, >99% at j=0.8).
+
+    Scale: the only pair-producing join is on (band_id, band_hash) buckets;
+    bucket collisions require 4 simultaneous minhash matches, so random
+    pairs almost never collide and candidate count stays near-linear.
+    """
+    rows_per_band = num_perm // bands
+    shingles = doc_shingles(df)
+    sigs = minhash_signatures(shingles, num_perm)
+    band = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band_id",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.col("sig"),
+                    F.col("band_id") * rows_per_band + 1,
+                    rows_per_band,
+                ).cast("array<string>"),
+            )
+        ).alias("band_hash"),
+    )
+    a, b = band.alias("a"), band.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(shingles, candidates, threshold)
+
+
+def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash document fingerprints from shingle xxhash64 values.
+
+    For each bit position, sum +1/-1 votes across the doc's shingles; the
+    fingerprint sets bits with a positive vote. Output: (doc_id, simhash).
+
+    Scale: shingles x bits intermediate rows, one groupBy(doc_id, bit) with
+    partial sums then a bit-assembly groupBy(doc_id) — all JVM-side.
+    """
+    sh = doc_shingles(df).select("doc_id", F.xxhash64("shingle").alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = sh.select("doc_id", bit, "h").select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    return (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
+    (pigeonhole: any pair differing in <= 3 of the 4 chunks collides on at
+    least one exact chunk; max_hamming <= 12 spread across >= 4 chunks can
+    miss — accepted approximation, documented recall tradeoff).
+
+    Output: (doc_a, doc_b, hamming).
+    """
+    sh = simhash(df)
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_id")
+    chunks = sh.select("doc_id", "simhash", chunk).select(
+        "doc_id",
+        "simhash",
+        "chunk_id",
+        F.expr("shiftright(simhash, chunk_id * 16) & 65535").alias("chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (oracle-checkable); random
+hyperplane LSH bucketing is the approximate scale path.
+
+All vector math is JVM-side via higher-order functions (zip_with/aggregate)
+on double-cast arrays — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c) -> Column:
+    return F.transform(c if isinstance(c, Column) else F.col(c), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic addition order, so
+    results are bit-identical across runs (and across engines that fold
+    left-to-right in double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the given query vectors.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank 1..k, ordered by
+    rounded similarity with id tiebreak (deterministic under float jitter).
+
+    Scale: |queries| x |corpus| partial products, computed as a broadcast
+    nested-loop join of the (tiny) query set against the corpus — embarrassing
+    parallelism, no shuffle until the per-query top-k (which AQE keeps tiny).
+    For standing workloads use lsh_topk.
+    """
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, c.v) /
+                   (sqrt(list_inner_product(q.v, q.v)) *
+                    sqrt(list_inner_product(c.v, c.v))), 6) AS cosine_sim
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({ids})
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within the same label block.
+
+    Output: (vec_a, vec_b, cosine_sim), vec_a < vec_b, sim >= threshold.
+    Scale: label blocking bounds the self-join; for unlabeled corpora use
+    lsh bucketing as the blocker instead.
+    """
+    e = df.select("vec_id", "label", _as_double("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_oracle_sql(threshold: float = 0.3) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) *
+                  sqrt(list_inner_product(b.v, b.v))), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_inner_product(a.v, b.v) /
+                (sqrt(list_inner_product(a.v, a.v)) *
+                 sqrt(list_inner_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing.
+
+    Vectors hash to an n_planes-bit bucket (sign of dot with each plane);
+    candidates are corpus vectors sharing a query's bucket OR differing in
+    exactly one bit (multi-probe radius 1), then exact cosine ranks them.
+    Recall < 1 by design; the exact variant is brute_force_topk.
+
+    Scale: bucketing is a linear scan; the candidate join is on bucket ids,
+    so work is proportional to bucket occupancy, not corpus^2. Planes are a
+    deterministic literal array (seeded) — no data-dependent fitting step.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    planes = [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    planes_col = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in planes]
+    )
+
+    def bucket_bits(vec: Column) -> Column:
+        # bit i = sign(dot(plane_i, vec)); 2^i via double pow is exact for
+        # the small n_planes used here.
+        return F.aggregate(
+            F.zip_with(
+                planes_col,
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda p, i: F.when(
+                    dot(p, vec) > 0, F.pow(F.lit(2.0), i).cast("int")
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    bucketed = e.withColumn("bucket", bucket_bits(F.col("v")))
+
+    q = bucketed.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # multi-probe: original bucket + all 1-bit flips
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.concat(
+                F.array(F.col("qbucket")),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda i: F.col("qbucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), i).cast("int")
+                    ),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    cand = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vid").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

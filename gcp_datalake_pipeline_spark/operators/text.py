@@ -1,0 +1,138 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure Column/DataFrame expressions (JVM-side): tokenization, quality
+stats, stopword-based language ID, document fingerprinting. The stopword
+lists live here so the Spark plans and the DuckDB oracle SQL are generated
+from the same source of truth.
+
+Scale: every operator is a single explode + groupBy (one shuffle on doc_id
+or none); no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small and deterministic — the oracle SQL embeds the same sets.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode whitespace tokens: (id_col, tok)."""
+    return df.select(
+        id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("tok")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, TOKEN_SPLIT_RE))
+
+
+def text_stats(df: DataFrame) -> DataFrame:
+    """Per-document stats: token count, avg token length, stopword ratio
+    (English list), char count."""
+    en = STOPWORDS["en"]
+    toks = tokens(df)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.length("tok")), 4).alias("avg_token_len"),
+            F.round(
+                F.avg(F.when(F.col("tok").isin(en), 1.0).otherwise(0.0)), 4
+            ).alias("stopword_ratio"),
+        )
+        .join(df.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_ratio")
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: per doc, the language whose stopword list
+    matches the most tokens wins (ties and zero votes -> 'und').
+
+    Output: (doc_id, predicted_lang, lang, is_match).
+    Scale: explode + broadcast join against a ~20-row stopword table, one
+    groupBy on doc_id.
+    """
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+        "cand_lang string, tok string",
+    )
+    toks = tokens(df)
+    votes = (
+        toks.join(F.broadcast(sw), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w_best = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("votes").desc(), F.col("cand_lang")
+        )
+    )
+    best = (
+        votes.withColumn("rn", w_best)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    return (
+        df.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+            "lang",
+            (F.coalesce("predicted_lang", F.lit("und")) == F.col("lang")).alias(
+                "is_match"
+            ),
+        )
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint (md5 of the raw text) — the
+    exact-dedup key. Output: (doc_id, fingerprint)."""
+    return df.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+
+
+def lang_id_oracle_sql() -> str:
+    """DuckDB SQL equivalent of :func:`lang_id`, generated from the same
+    STOPWORDS source."""
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    return f"""
+    WITH sw(cand_lang, tok) AS (VALUES {values}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, cand_lang, COUNT(*) AS votes
+      FROM toks JOIN sw USING (tok)
+      GROUP BY doc_id, cand_lang
+    ),
+    best AS (
+      SELECT doc_id, cand_lang AS predicted_lang
+      FROM (SELECT doc_id, cand_lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY votes DESC, cand_lang) rn
+            FROM votes) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           COALESCE(b.predicted_lang, 'und') AS predicted_lang,
+           d.lang,
+           COALESCE(b.predicted_lang, 'und') = d.lang AS is_match
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """

@@ -1,0 +1,7 @@
+"""Query plan library: the engine's generic relational surface, exposed as
+(name -> DataFrame builder) plus a DuckDB oracle SQL string per query."""
+
+from gcp_datalake_pipeline_spark.plans.queries import QUERIES, Query, load_table
+from gcp_datalake_pipeline_spark.plans import data_queries  # noqa: F401  (registers)
+
+__all__ = ["QUERIES", "Query", "load_table"]

@@ -1,0 +1,129 @@
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare:
+row count + column names + order-insensitive value comparison.
+
+Stricter than a hash: cells are canonicalized to exact strings (floats via
+repr), so any float-association drift fails loudly here first — queries must
+round identically on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return "0.0"  # normalize -0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str
+    spark_rows: int
+    oracle_rows: int
+
+
+def compare_query(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    name: str,
+    df: DataFrame,
+    oracle_sql: str,
+) -> CompareResult:
+    spark_cols = sorted(df.columns)
+    spark_rows = df.select(*spark_cols).collect()
+
+    rel = con.execute(oracle_sql)
+    oracle_cols_raw = [d[0] for d in rel.description]
+    oracle_data = rel.fetchall()
+    order = sorted(range(len(oracle_cols_raw)), key=lambda i: oracle_cols_raw[i])
+    oracle_cols = [oracle_cols_raw[i] for i in order]
+
+    if spark_cols != oracle_cols:
+        return CompareResult(
+            name, False, f"schema mismatch: {spark_cols} vs {oracle_cols}",
+            len(spark_rows), len(oracle_data),
+        )
+    if len(spark_rows) != len(oracle_data):
+        return CompareResult(
+            name, False, "row count mismatch", len(spark_rows), len(oracle_data)
+        )
+
+    s_canon = sorted(tuple(_canon(v) for v in row) for row in spark_rows)
+    o_canon = sorted(
+        tuple(_canon(row[i]) for i in order) for row in oracle_data
+    )
+    if s_canon != o_canon:
+        # report first differing row for debugging
+        diff = next(
+            (i for i, (a, b) in enumerate(zip(s_canon, o_canon)) if a != b), -1
+        )
+        detail = (
+            f"value mismatch at sorted row {diff}:\n"
+            f"  spark : {s_canon[diff] if diff >= 0 else '?'}\n"
+            f"  oracle: {o_canon[diff] if diff >= 0 else '?'}"
+        )
+        return CompareResult(name, False, detail, len(spark_rows), len(oracle_data))
+    return CompareResult(name, True, "ok", len(spark_rows), len(oracle_data))
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    from gcp_datalake_pipeline_spark.plans import QUERIES
+
+    con = duckdb_connection(sf_dir)
+    results = []
+    for qname, q in QUERIES.items():
+        if names and qname not in names:
+            continue
+        df = q.fn(spark, sf_dir)
+        if q.oracle is None:
+            n = df.count()
+            results.append(CompareResult(qname, n >= 0, "rows-only", n, -1))
+            continue
+        results.append(compare_query(spark, con, qname, df, q.oracle))
+    con.close()
+    return results

@@ -1,0 +1,138 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis) —
+registered alongside the relational core in the same QUERIES registry.
+
+Non-SQL-expressible operators (MinHash/LSH, SimHash — they depend on
+xxhash64, which DuckDB lacks) register with oracle=None: the driver records
+a rows-only check and the pytest suite verifies their semantics against the
+exact operators instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_datalake_pipeline_spark.operators import dedup, similarity, text
+from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+@register(
+    "doc_text_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(AVG(LENGTH(tok)), 4) AS avg_token_len,
+             ROUND(AVG(CASE WHEN tok IN ('the','a','of','and','to')
+                            THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars, s.n_tokens, s.avg_token_len, s.stopword_ratio
+    FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+    """,
+    doc="Per-document quality stats: token count, avg token length, stopword ratio.",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_lang_id",
+    text.lang_id_oracle_sql(),
+    doc="Stopword-vote language ID vs the labeled lang column.",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    doc="Deterministic md5 content fingerprint per document.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+    doc="Exact dedup: canonical min-doc_id per identical text (hash-grouped).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard",
+    dedup.jaccard_pairs_oracle_sql(threshold=0.8),
+    doc="""Exact token-set Jaccard near-dup pairs (lang-blocked self-join).
+    The verifier for the MinHash/LSH approximate path.""",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based; DuckDB cannot reproduce — rows-only + pytest
+    doc="""MinHash(32) + LSH(8 bands) candidates verified by exact Jaccard
+    >= 0.8. Approximate-recall scale path for dedup_jaccard.""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based
+    doc="64-bit SimHash near-dup pairs, 16-bit-chunk blocked, hamming<=12.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_near_dup",
+    similarity.embedding_near_dup_oracle_sql(threshold=0.3),
+    doc="Embedding-cosine near-dup pairs within label blocks.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@register(
+    "ann_topk",
+    similarity.brute_force_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="Exact brute-force cosine top-5 neighbors for 10 query vectors.",
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate (recall<1): verified against ann_topk in pytest
+    doc="Hyperplane-LSH bucketed approximate top-5 (multi-probe radius 1).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
