@@ -1,0 +1,104 @@
+"""Engine CLI.
+
+  python -m gcp_datalake_pipeline_spark.cli ingest  --catalog DIR GLOB...
+  python -m gcp_datalake_pipeline_spark.cli stream  --catalog DIR --landing DIR --checkpoint DIR
+  python -m gcp_datalake_pipeline_spark.cli query   --catalog DIR "SELECT ..."
+  python -m gcp_datalake_pipeline_spark.cli tables  --catalog DIR
+
+`query` registers every silver/quarantine table in the catalog as a temp
+view, plus the testdata parquet tables when --testdata is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from gcp_datalake_pipeline_spark.session import get_spark
+from gcp_datalake_pipeline_spark.storage import Catalog
+
+
+def _catalog(args) -> Catalog:
+    return Catalog(get_spark(), args.catalog)
+
+
+def cmd_ingest(args) -> None:
+    from gcp_datalake_pipeline_spark.pipelines.runner import ingest
+
+    cat = _catalog(args)
+    paths = args.paths if len(args.paths) > 1 else args.paths[0]
+    results = ingest(cat, paths)
+    print(json.dumps(results, indent=2))
+
+
+def cmd_stream(args) -> None:
+    from gcp_datalake_pipeline_spark.streaming.ingest import run_streaming_ingest
+
+    cat = _catalog(args)
+    processed = run_streaming_ingest(cat, args.landing, args.checkpoint)
+    print(json.dumps({"processed": processed}, indent=2))
+
+
+def _register_views(cat: Catalog, testdata: str | None) -> None:
+    for entry in sorted(os.listdir(cat.root)):
+        if os.path.isdir(cat.path(entry)) and not entry.endswith("__tmp"):
+            cat.read(entry).createOrReplaceTempView(entry)
+    if testdata:
+        for f in sorted(os.listdir(testdata)):
+            if f.endswith(".parquet"):
+                name = f[: -len(".parquet")]
+                cat.spark.read.parquet(os.path.join(testdata, f)).createOrReplaceTempView(name)
+
+
+def cmd_query(args) -> None:
+    cat = _catalog(args)
+    _register_views(cat, args.testdata)
+    df = cat.spark.sql(args.sql)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+
+
+def cmd_tables(args) -> None:
+    cat = _catalog(args)
+    for entry in sorted(os.listdir(cat.root)):
+        if os.path.isdir(cat.path(entry)) and not entry.endswith("__tmp"):
+            df = cat.read(entry)
+            print(f"{entry}\t{df.count()} rows\t({', '.join(df.columns)})")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="gcp_datalake_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="batch-process landing CSVs")
+    pi.add_argument("--catalog", required=True)
+    pi.add_argument("paths", nargs="+")
+    pi.set_defaults(fn=cmd_ingest)
+
+    ps = sub.add_parser("stream", help="streaming ingest (availableNow)")
+    ps.add_argument("--catalog", required=True)
+    ps.add_argument("--landing", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.set_defaults(fn=cmd_stream)
+
+    pq = sub.add_parser("query", help="SQL over the catalog")
+    pq.add_argument("--catalog", required=True)
+    pq.add_argument("--testdata", default=None)
+    pq.add_argument("--limit", type=int, default=50)
+    pq.add_argument("--explain", action="store_true")
+    pq.add_argument("sql")
+    pq.set_defaults(fn=cmd_query)
+
+    pt = sub.add_parser("tables", help="list catalog tables")
+    pt.add_argument("--catalog", required=True)
+    pt.set_defaults(fn=cmd_tables)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

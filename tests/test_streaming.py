@@ -1,0 +1,138 @@
+"""Streaming surface tests: checkpointed file-stream ingest (exactly-once),
+watermarked windowed aggregation, stateful sessionization."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.plans.queries import load_table
+from gcp_datalake_pipeline_spark.streaming.events import (
+    hourly_event_counts,
+    sessionize_stream,
+)
+from gcp_datalake_pipeline_spark.streaming.ingest import run_streaming_ingest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="engine_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_ingest_exactly_once(catalog, tmpdir):
+    landing = os.path.join(tmpdir, "landing")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(landing)
+    shutil.copy("tests/fixtures/empresas_20251001.csv", landing)
+
+    p1 = run_streaming_ingest(catalog, landing, ckpt)
+    assert len(p1) == 1
+    assert catalog.read("empresa").count() == 3
+
+    # Re-run with no new files: checkpoint prevents reprocessing.
+    p2 = run_streaming_ingest(catalog, landing, ckpt)
+    assert p2 == []
+
+    # Drop the dependent files; only they get processed, in order.
+    shutil.copy("tests/fixtures/conductores_20251001.csv", landing)
+    shutil.copy("tests/fixtures/vehiculos_20251001.csv", landing)
+    p3 = run_streaming_ingest(catalog, landing, ckpt)
+    assert [os.path.basename(p) for p in p3] == [
+        "vehiculos_20251001.csv",
+        "conductores_20251001.csv",
+    ]
+    assert catalog.read("conductor").count() == 4
+    assert catalog.read("vehiculo").count() == 3
+
+
+def test_hourly_event_counts_stream_matches_batch(spark, tmpdir):
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batch = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_event_counts(events).collect()
+    }
+
+    src_dir = os.path.join(tmpdir, "events_src")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly
+    emitted = spark.sql("select * from hourly_test").collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        key = (r["hour_start"], r["event_type"])
+        assert batch[key] == (r["n_events"], r["total_value"])
+
+
+def test_sessionize_stream_matches_batch_session_count(spark, tmpdir):
+    """Stateful sessionization over an availableNow stream; closed sessions
+    must agree with the batch gap-based definition (user_sessions query)."""
+    events = load_table(spark, SF_DIR, "events").select("user_id", "ts", "ts_ns")
+
+    src_dir = os.path.join(tmpdir, "events_src")
+    events.select("user_id", "ts").write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src_dir)
+    q = (
+        sessionize_stream(stream, timeout_ms=1000)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    # availableNow + processing-time timeout keeps running cleanup batches
+    # to drain state; the data pass itself completes quickly. Wait for the
+    # data batches, then stop — tail sessions legitimately stay open.
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from sessions_test").first()["c"] > 0 and (
+            not q.status["isDataAvailable"]
+        ):
+            break
+        time.sleep(2)
+    q.stop()
+    streamed = spark.sql(
+        "select user_id, count(*) closed from sessions_test group by user_id"
+    ).collect()
+
+    # batch truth: sessions per user (closed + the open tail one)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    prev = F.lag("ts_ns").over(w)
+    batch = {
+        r["user_id"]: r["n"]
+        for r in events.withColumn(
+            "new_s",
+            F.when(prev.isNull() | (F.col("ts_ns") - prev > 1800 * 10**9), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n"))
+        .collect()
+    }
+    assert len(streamed) > 0
+    for r in streamed:
+        # the tail session may still be open in state (closed = batch - 1)
+        # or flushed by a cleanup batch before the stop (closed = batch)
+        assert r["closed"] in (batch[r["user_id"]] - 1, batch[r["user_id"]])
