@@ -55,13 +55,19 @@ def brute_force_topk(
     parallelism, no shuffle until the per-query top-k (which AQE keeps tiny).
     For standing workloads use lsh_topk.
     """
+    # Norms are computed once per row on each side (not per pair): the
+    # N x Q inner loop then runs a single zip_with/aggregate per pair
+    # instead of three — ~3x fewer interpreted HOF evaluations — while the
+    # dot/(|q|*|c|) arithmetic stays bit-identical to the naive form.
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -103,9 +109,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3) -> DataFrame
     Scale: label blocking bounds the self-join; for unlabeled corpora use
     lsh bucketing as the blocker instead.
     """
-    e = df.select("vec_id", "label", _as_double("embedding").alias("v"))
+    e = df.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("n", norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
     return (
         a.join(
             b,
