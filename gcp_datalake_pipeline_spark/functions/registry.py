@@ -1,39 +1,81 @@
-"""Register the scalar library for use from ``spark.sql``.
+"""Expose the scalar library to ``spark.sql`` as SQL UDFs (Spark 4
+``CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN <expr>``).
 
-The functions are Column-expression helpers, so registration is done by
-wrapping them as SQL-callable UDFs only for interactive SQL convenience —
-engine pipelines always call the Column forms directly (no UDF overhead).
+Each SQL body mirrors the Column helper exactly, so DataFrame pipelines and
+ad-hoc SQL share one semantics. SQL UDFs are inlined by Catalyst (no
+black-box UDF cost).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from gcp_datalake_pipeline_spark.functions import cleaning, rut
+_RUT_DV_BODY = r"""
+    CASE 11 - ((
+        2 * CAST(substring(lpad(body, 8, '0'), 8, 1) AS INT) +
+        3 * CAST(substring(lpad(body, 8, '0'), 7, 1) AS INT) +
+        4 * CAST(substring(lpad(body, 8, '0'), 6, 1) AS INT) +
+        5 * CAST(substring(lpad(body, 8, '0'), 5, 1) AS INT) +
+        6 * CAST(substring(lpad(body, 8, '0'), 4, 1) AS INT) +
+        7 * CAST(substring(lpad(body, 8, '0'), 3, 1) AS INT) +
+        2 * CAST(substring(lpad(body, 8, '0'), 2, 1) AS INT) +
+        3 * CAST(substring(lpad(body, 8, '0'), 1, 1) AS INT)) % 11)
+    WHEN 11 THEN '0' WHEN 10 THEN 'K'
+    ELSE CAST(11 - ((
+        2 * CAST(substring(lpad(body, 8, '0'), 8, 1) AS INT) +
+        3 * CAST(substring(lpad(body, 8, '0'), 7, 1) AS INT) +
+        4 * CAST(substring(lpad(body, 8, '0'), 6, 1) AS INT) +
+        5 * CAST(substring(lpad(body, 8, '0'), 5, 1) AS INT) +
+        6 * CAST(substring(lpad(body, 8, '0'), 4, 1) AS INT) +
+        7 * CAST(substring(lpad(body, 8, '0'), 3, 1) AS INT) +
+        2 * CAST(substring(lpad(body, 8, '0'), 2, 1) AS INT) +
+        3 * CAST(substring(lpad(body, 8, '0'), 1, 1) AS INT)) % 11) AS STRING)
+    END
+"""
 
-_EXPRS = {
-    "normalize_spaces": cleaning.normalize_spaces,
-    "empty_to_null": cleaning.empty_to_null,
-    "safe_parse_date": cleaning.safe_parse_date,
-    "status_to_boolean": cleaning.status_to_boolean,
-    "string_to_boolean": cleaning.string_to_boolean,
-    "parse_int_or_null": cleaning.parse_int_or_null,
-    "parse_float_or_null": cleaning.parse_float_or_null,
-    "rut_is_valid": rut.rut_is_valid,
-    "format_rut": rut.format_rut,
-}
+_DEFS: list[str] = [
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION normalize_spaces(s STRING)
+        RETURNS STRING RETURN trim(regexp_replace(s, '\\s+', ' '))""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION empty_to_null(s STRING)
+        RETURNS STRING RETURN nullif(trim(s), '')""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION safe_parse_date(s STRING)
+        RETURNS DATE RETURN coalesce(
+            try_to_date(trim(split(s, ',')[0]), 'yyyy-M-d'),
+            try_to_date(trim(split(s, ',')[0]), 'd-M-yyyy'),
+            try_to_date(trim(split(s, ',')[0]), 'd/M/yyyy'))""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION status_to_boolean(s STRING)
+        RETURNS BOOLEAN RETURN coalesce(
+            lower(trim(regexp_replace(s, '\\s+', ' '))) = 'aprobada', false)""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION string_to_boolean(s STRING)
+        RETURNS BOOLEAN RETURN coalesce(
+            lower(trim(s)) IN ('true', 'verdadero', 'si'), false)""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION parse_int_or_null(s STRING)
+        RETURNS INT RETURN nullif(
+            try_cast(nullif(regexp_extract(trim(s), '^[-+]?\\d+', 0), '')
+                     AS INT), 0)""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION parse_float_or_null(s STRING)
+        RETURNS DOUBLE RETURN nullif(
+            try_cast(nullif(regexp_extract(trim(s),
+                '^[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?', 0), '')
+                     AS DOUBLE), 0.0d)""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION rut_check_digit(body STRING)
+        RETURNS STRING RETURN {_RUT_DV_BODY}""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION rut_is_valid(s STRING)
+        RETURNS BOOLEAN RETURN coalesce(
+            trim(s) RLIKE '^(\\d{1,3}(\\.\\d{3}){0,2}|\\d{7,8})-[0-9Kk]$'
+            AND length(regexp_replace(split(trim(s), '-')[0], '\\.', ''))
+                BETWEEN 7 AND 8
+            AND upper(split(trim(s), '-')[1]) = rut_check_digit(
+                regexp_replace(split(trim(s), '-')[0], '\\.', '')), false)""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION format_rut(s STRING)
+        RETURNS STRING RETURN CASE WHEN rut_is_valid(s)
+            THEN concat_ws('-',
+                 regexp_replace(split(trim(s), '-')[0], '\\.', ''),
+                 upper(split(trim(s), '-')[1])) END""",
+]
 
 
 def register_all(spark: SparkSession) -> None:
-    """Expose each helper to SQL as a single-arg function over a column.
-
-    Uses temp-view-free SQL function registration via
-    ``spark.udf.register`` on a Column-building lambda is not possible, so we
-    register SQL macros through ``CREATE TEMPORARY FUNCTION`` equivalents:
-    Spark has no SQL macros pre-4.0, so we fall back to selectExpr-compatible
-    helper views only when needed. For now pipelines use the Python API; SQL
-    users can apply the same logic inline.
-    """
-    # Spark SQL lacks lightweight SQL macros; the Column helpers are the
-    # canonical interface. Kept as a hook for future SQL UDF exposure.
-    _ = spark
+    """Create the temporary SQL functions in the session."""
+    for ddl in _DEFS:
+        spark.sql(ddl)
