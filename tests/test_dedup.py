@@ -37,7 +37,7 @@ def test_minhash_signature_estimates_jaccard(spark, docs):
     """Signature agreement fraction approximates true Jaccard for the
     planted near-dup pairs."""
     pairs = dedup.jaccard_pairs(docs, threshold=0.8)
-    sigs = dedup.minhash_signatures(dedup.doc_shingles(docs), num_perm=32)
+    sigs = dedup.minhash_signatures(docs, num_perm=32)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
