@@ -29,7 +29,7 @@ def cmd_ingest(args) -> None:
 
     cat = _catalog(args)
     paths = args.paths if len(args.paths) > 1 else args.paths[0]
-    results = ingest(cat, paths)
+    results = ingest(cat, paths, idempotent=args.idempotent)
     print(json.dumps(results, indent=2))
 
 
@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> None:
 
     pi = sub.add_parser("ingest", help="batch-process landing CSVs")
     pi.add_argument("--catalog", required=True)
+    pi.add_argument(
+        "--idempotent",
+        action="store_true",
+        help="skip files already in the ingestion manifest (default: replay "
+        "re-appends history, matching the reference)",
+    )
     pi.add_argument("paths", nargs="+")
     pi.set_defaults(fn=cmd_ingest)
 

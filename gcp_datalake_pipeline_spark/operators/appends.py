@@ -23,7 +23,10 @@ def append_with_id(
     """Append ``df`` to ``table`` assigning ``id_col`` = max+row_number.
 
     Adds audit timestamps (date_created/date_updated) like every reference
-    table (`model.sql:18-19`). No-op on an empty batch.
+    table (`model.sql:18-19`), plus a ``load_date`` partition column:
+    history tables accumulate forever, so at scale they are laid out by
+    ingestion day — time-range queries prune partitions and compaction has
+    a natural unit (SURVEY.md §7.1.8). No-op on an empty batch.
     """
     if df.limit(1).count() == 0:
         return
@@ -37,9 +40,10 @@ def append_with_id(
         *df.columns,
         now.alias("date_created"),
         now.alias("date_updated"),
+        F.current_date().alias("load_date"),
     )
     if catalog.exists(table):
         out = out.select(*catalog.read(table).columns)
-        catalog.append(out, table)
+        catalog.append(out, table, partition_cols=["load_date"])
     else:
-        catalog.overwrite(out, table)
+        catalog.overwrite(out, table, partition_cols=["load_date"])

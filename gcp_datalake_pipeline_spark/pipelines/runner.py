@@ -26,14 +26,39 @@ _PROCESSORS = {
 }
 
 
-def ingest(catalog: Catalog, paths_or_glob: list[str] | str) -> dict[str, dict]:
-    """Process a batch of landing files. Returns per-file run counters."""
+def ingest(
+    catalog: Catalog,
+    paths_or_glob: list[str] | str,
+    idempotent: bool = False,
+) -> dict[str, dict]:
+    """Process a batch of landing files. Returns per-file run counters.
+
+    ``idempotent=False`` (default) replays a re-submitted file exactly like
+    the reference: entities re-upsert (no-op), history tables append again
+    (SURVEY.md §2.9 — duplicate-on-replay is the reference's semantics).
+    ``idempotent=True`` skips files already recorded in the ingestion
+    manifest (by basename), the documented improvement mode.
+    """
     if isinstance(paths_or_glob, str):
         paths = sorted(glob.glob(paths_or_glob))
     else:
         paths = list(paths_or_glob)
+
+    seen: set[str] = set()
+    if idempotent and catalog.exists("ingestion_manifest"):
+        seen = {
+            r["source_file"]
+            for r in catalog.read("ingestion_manifest")
+            .select("source_file")
+            .distinct()
+            .collect()
+        }
+
     results: dict[str, dict] = {}
     for processor, path in plan_batch(paths):
+        if os.path.basename(path) in seen:
+            results[path] = {"processor": processor, "skipped": True}
+            continue
         counters = _PROCESSORS[processor](catalog, path)
         results[path] = {"processor": processor, **counters}
         manifest = catalog.spark.createDataFrame(

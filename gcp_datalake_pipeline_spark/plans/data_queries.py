@@ -10,6 +10,7 @@ exact operators instead (tests/test_dedup.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.operators import dedup, similarity, text
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
@@ -103,6 +104,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="""Fuzzy entity matching via edit distance — the capability the
+    reference staged but never wired (`etl-gcs-cloudsql/package.json:26,30`
+    ships unused fast-levenshtein/fuse.js deps; SURVEY.md §2.10). Built-in
+    levenshtein, distinct-name self-join (distinct values are few even when
+    the fact table is huge; for true at-scale fuzzy joins, block on a
+    q-gram LSH like dedup_minhash_lsh).""",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
 
 
 @register(

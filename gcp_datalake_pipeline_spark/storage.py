@@ -45,18 +45,28 @@ class Catalog:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path(table))
 
-    def overwrite(self, df: DataFrame, table: str) -> None:
+    def overwrite(
+        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+    ) -> None:
         # Write to a temp location first so a failed job never destroys the
         # current table (poor-man's ACID; Delta would give this for real).
         tmp = self.path(table) + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(tmp)
         final = self.path(table)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
 
-    def append(self, df: DataFrame, table: str) -> None:
-        df.write.mode("append").parquet(self.path(table))
+    def append(
+        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+    ) -> None:
+        w = df.write.mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self.path(table))
 
     def merge_upsert(
         self,
