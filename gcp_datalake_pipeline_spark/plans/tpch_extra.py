@@ -1,0 +1,210 @@
+"""Additional TPC-H-shaped queries adapted to the testdata schema:
+correlated EXISTS/IN subqueries, HAVING over grouped facts, disjunctive
+multi-column predicates, scalar-subquery thresholds, and an HLL sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+
+
+@register(
+    "q4_priority_with_late_items",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="""TPC-H Q4 shape: correlated EXISTS -> left_semi join.
+    Scale: the semi join shuffles both sides on orderkey once; the date
+    filter prunes the probe side at the scan.""",
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q14_red_part_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_name LIKE 'red%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS red_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    doc="""TPC-H Q14 shape: conditional-aggregate ratio over a dim join.
+    Scale: part broadcasts; single scan of the date-pruned lineitem.""",
+)
+def q14_red_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    red = F.when(F.col("p_name").like("red%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(red) / F.sum(rev), 4).alias("red_share_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice, qty_sum
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS qty_sum FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 100
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY qty_sum DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="""TPC-H Q18 shape: HAVING over a grouped fact feeding joins + top-k.
+    Scale: the groupBy(orderkey) pre-aggregates lineitem down before any
+    join; quantity sums are integral doubles so the HAVING threshold and
+    sort are exact.""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 100)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "qty_sum",
+        )
+        .orderBy(F.col("qty_sum").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity >= 5)
+       OR (p_name LIKE 'small%' AND l_discount > 0.05)
+    """,
+    doc="""TPC-H Q19 shape: disjunctive mixed-table predicates on a join.
+    Scale: part broadcasts; the disjunction evaluates post-join (no
+    pushdown possible across tables) inside one codegen stage.""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & (F.col("l_quantity") >= 5)
+        )
+        | (F.col("p_name").like("small%") & (F.col("l_discount") > 0.05))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_wealthy_inactive_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="""TPC-H Q22 shape: scalar-subquery threshold + anti join.
+    Scale: the avg is one tiny aggregate broadcast as a literal; the anti
+    join prunes with the date filter first.""",
+)
+def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .first()[0]
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users_hll",
+    None,  # HLL estimates are engine-specific; pytest bounds it vs exact
+    doc="""HyperLogLog sketch: approx_count_distinct users per event_type —
+    the 100 TB substitute for exact multi-distinct (fixed-size sketch,
+    map-side mergeable). Verified within rsd bounds against the exact count
+    in pytest.""",
+)
+def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -107,3 +107,22 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"ANN-LSH recall {recall}"
     # every approx neighbor's similarity must be <= the exact rank-1 sim
     assert len(approx) == len(qids) * 5
+
+
+def test_hll_within_rsd_bounds(spark):
+    """approx_count_distinct (rsd=0.02) must land within ~5x rsd of exact."""
+    from gcp_datalake_pipeline_spark.plans import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users_hll"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.1 * exact[k]), (k, est, exact[k])
