@@ -172,6 +172,25 @@ class Catalog:
         return self.read(table)
 
 
+def compact_table(
+    catalog: Catalog,
+    table: str,
+    target_files: int = 1,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Rewrite a table into ``target_files`` files (per partition when
+    ``partition_cols`` is given) — the small-files remedy for append-heavy
+    history tables (SURVEY.md §7.1.8). At 100 TB this runs per recent
+    load_date partition, not whole-table.
+    """
+    df = catalog.read(table)
+    if partition_cols:
+        df = df.repartition(target_files, *[F.col(c) for c in partition_cols])
+    else:
+        df = df.coalesce(target_files)
+    catalog.overwrite(df, table, partition_cols=partition_cols)
+
+
 def dedup_last_wins(
     df: DataFrame, key_cols: list[str], order_col: str | None = None
 ) -> DataFrame:

@@ -49,3 +49,19 @@ def test_idempotent_ingest_skips_processed(catalog):
     # default mode still replays (reference parity)
     ingest(catalog, FIXTURES)
     assert catalog.read("revision_tecnica").count() == n_hist * 2
+
+
+def test_compact_table(catalog):
+    import glob as g
+
+    ingest(catalog, FIXTURES)
+    ingest(catalog, FIXTURES)
+    from gcp_datalake_pipeline_spark.storage import compact_table
+
+    before = catalog.read("revision_tecnica").count()
+    n_files_before = len(g.glob(catalog.path("revision_tecnica") + "/**/*.parquet", recursive=True))
+    compact_table(catalog, "revision_tecnica", target_files=1,
+                  partition_cols=["load_date"])
+    assert catalog.read("revision_tecnica").count() == before
+    n_files_after = len(g.glob(catalog.path("revision_tecnica") + "/**/*.parquet", recursive=True))
+    assert n_files_after <= n_files_before
