@@ -1,0 +1,49 @@
+"""End-to-end CLI smoke: ingest fixtures into a catalog via subprocess,
+then list tables and run a SQL query."""
+
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="engine_cli_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "gcp_datalake_pipeline_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+        cwd="/root/repo",
+    )
+
+
+def test_cli_ingest_tables_query(workdir):
+    cat = f"{workdir}/lake"
+    r = run_cli("ingest", "--catalog", cat, "tests/fixtures/*.csv")
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert len(payload) == 3
+
+    r = run_cli("tables", "--catalog", cat)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "empresa\t3 rows" in r.stdout
+    assert "revision_tecnica\t3 rows" in r.stdout
+
+    r = run_cli(
+        "query", "--catalog", cat,
+        "SELECT carrier_bp, carrier_name FROM empresa ORDER BY carrier_bp",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EMPRESA UNO RENOMBRADA" in r.stdout

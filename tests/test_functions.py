@@ -137,3 +137,60 @@ def test_normalize_spaces_and_empty_to_null(spark):
     assert got == ["a b c", "x", None]
     got = apply_fn(spark, empty_to_null, ["  ", "", "x", None])
     assert got == [None, None, "x", None]
+
+
+def test_date_roundtrip_property(spark):
+    """SURVEY §5.5: property-based round-trip — any calendar date rendered
+    in each accepted format must reparse to itself (hypothesis-generated,
+    batched into one Spark job)."""
+    from hypothesis import given, settings, strategies as st
+
+    collected: list[datetime.date] = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.dates(min_value=datetime.date(1900, 1, 1),
+                    max_value=datetime.date(2099, 12, 31)))
+    def collect(d):
+        collected.append(d)
+
+    collect()
+    rows = [
+        (d.strftime("%d-%m-%Y"), d.strftime("%Y-%m-%d"),
+         d.strftime("%d/%m/%Y"), f"{d.strftime('%d-%m-%Y')}, 09:21", d)
+        for d in collected
+    ]
+    df = spark.createDataFrame(
+        rows, "dmy string, ymd string, slash string, with_time string, want date"
+    )
+    bad = df.filter(
+        (safe_parse_date("dmy") != F.col("want"))
+        | (safe_parse_date("ymd") != F.col("want"))
+        | (safe_parse_date("slash") != F.col("want"))
+        | (safe_parse_date("with_time") != F.col("want"))
+    ).count()
+    assert bad == 0
+
+
+def test_rut_property_hypothesis(spark):
+    """Random 7-8 digit bodies: engine validity must equal an independent
+    mod-11 oracle for every candidate DV 0-9/K."""
+    from hypothesis import given, settings, strategies as st
+
+    def dv(body):
+        s = sum(int(d) * [2, 3, 4, 5, 6, 7][i % 6]
+                for i, d in enumerate(reversed(body)))
+        r = 11 - s % 11
+        return "0" if r == 11 else "K" if r == 10 else str(r)
+
+    cases: list[tuple[str, bool]] = []
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=1000000, max_value=99999999),
+           st.sampled_from(list("0123456789K")))
+    def collect(body_int, candidate):
+        body = str(body_int)
+        cases.append((f"{body}-{candidate}", candidate == dv(body)))
+
+    collect()
+    got = apply_fn(spark, rut_is_valid, [c[0] for c in cases])
+    assert got == [c[1] for c in cases]
