@@ -23,20 +23,29 @@ from gcp_datalake_pipeline_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_priority_with_late_items",
     "q5_local_supplier_volume",
     "q10_top_returning_customers",
+    "q14_red_part_revenue_share",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
     "orders_by_month",
     "latest_order_per_customer",
     "customer_running_revenue",
     "lineitem_distinct_parts",
     "events_hourly",
     "events_json_props",
+    "events_moving_avg",
     "user_sessions",
     "doc_text_stats",
     "doc_fingerprint",
+    "doc_lang_id",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_name_match",
     "ann_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Bronze CSV reader parity (reference csv-parse options at
+`services/empresa.ts:42-49`): UTF-8 BOM, ragged rows, quoted fields with
+embedded delimiters, empty lines, trimmed values."""
+
+import os
+import tempfile
+
+import pytest
+
+from gcp_datalake_pipeline_spark.schemas import EMPRESA_CSV_SCHEMA
+from gcp_datalake_pipeline_spark.sources.csv_bronze import read_bronze_csv
+
+
+@pytest.fixture()
+def tmpcsv():
+    d = tempfile.mkdtemp(prefix="engine_csv_")
+    yield os.path.join(d, "empresas_test.csv")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write(path: str, content: bytes):
+    with open(path, "wb") as f:
+        f.write(content)
+
+
+def test_bom_and_trim(spark, tmpcsv):
+    _write(
+        tmpcsv,
+        "﻿carrier_bp;carrier_name;carrier_tin;carrier_type\n"
+        "  111  ;  NAME  ;11111111-1;T1\n".encode("utf-8"),
+    )
+    rows = read_bronze_csv(spark, tmpcsv, EMPRESA_CSV_SCHEMA).collect()
+    assert len(rows) == 1
+    # BOM must not corrupt the first header/value; fields are trimmed
+    assert rows[0]["carrier_bp"] == "111"
+    assert rows[0]["carrier_name"] == "NAME"
+
+
+def test_ragged_rows_tolerated(spark, tmpcsv):
+    _write(
+        tmpcsv,
+        b"carrier_bp;carrier_name;carrier_tin;carrier_type\n"
+        b"111;ONLY-TWO\n"  # missing trailing columns -> NULLs
+        b"222;FULL;22222222-2;T2\n",
+    )
+    rows = {r["carrier_bp"]: r for r in
+            read_bronze_csv(spark, tmpcsv, EMPRESA_CSV_SCHEMA).collect()}
+    assert rows["111"]["carrier_tin"] is None
+    assert rows["111"]["carrier_type"] is None
+    assert rows["222"]["carrier_type"] == "T2"
+
+
+def test_quoted_delimiter_and_empty_lines(spark, tmpcsv):
+    _write(
+        tmpcsv,
+        b"carrier_bp;carrier_name;carrier_tin;carrier_type\n"
+        b"\n"
+        b'111;"NAME; WITH SEMI";11111111-1;T1\n'
+        b"\n",
+    )
+    rows = read_bronze_csv(spark, tmpcsv, EMPRESA_CSV_SCHEMA).collect()
+    assert len(rows) == 1
+    assert rows[0]["carrier_name"] == "NAME; WITH SEMI"
+
+
+def test_row_idx_is_file_order(spark, tmpcsv):
+    _write(
+        tmpcsv,
+        b"carrier_bp;carrier_name;carrier_tin;carrier_type\n"
+        + b"".join(f"{i};N{i};x;T\n".encode() for i in range(50)),
+    )
+    rows = read_bronze_csv(spark, tmpcsv, EMPRESA_CSV_SCHEMA).collect()
+    idx = [(r["_row_idx"], int(r["carrier_bp"])) for r in rows]
+    by_arrival = sorted(idx)
+    assert [b for _, b in by_arrival] == list(range(50))  # monotone file order
