@@ -9,8 +9,6 @@ on double-cast arrays — no Python in the row path.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 

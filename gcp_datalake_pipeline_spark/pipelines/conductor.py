@@ -22,7 +22,7 @@ subtree is simply skipped.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.functions import (

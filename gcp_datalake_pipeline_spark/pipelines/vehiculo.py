@@ -18,7 +18,7 @@ quarantined (reference: JSON.parse throw rolls back the row's transaction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.functions import (
