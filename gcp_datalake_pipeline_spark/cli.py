@@ -20,7 +20,9 @@ from gcp_datalake_pipeline_spark.session import get_spark
 from gcp_datalake_pipeline_spark.storage import Catalog
 
 
-def _catalog(args) -> Catalog:
+def _catalog(args, must_exist: bool = False) -> Catalog:
+    if must_exist and not os.path.isdir(args.catalog):
+        sys.exit(f"error: catalog directory not found: {args.catalog}")
     return Catalog(get_spark(), args.catalog)
 
 
@@ -53,7 +55,7 @@ def _register_views(cat: Catalog, testdata: str | None) -> None:
 
 
 def cmd_query(args) -> None:
-    cat = _catalog(args)
+    cat = _catalog(args, must_exist=True)
     _register_views(cat, args.testdata)
     df = cat.spark.sql(args.sql)
     if args.explain:
@@ -62,7 +64,7 @@ def cmd_query(args) -> None:
 
 
 def cmd_tables(args) -> None:
-    cat = _catalog(args)
+    cat = _catalog(args, must_exist=True)
     for entry in sorted(os.listdir(cat.root)):
         if os.path.isdir(cat.path(entry)) and not entry.endswith("__tmp"):
             df = cat.read(entry)
