@@ -56,6 +56,54 @@ def make_fake_image(width: int, height: int, channels: int = 3) -> bytes:
     return f"IMG|{width}|{height}|{channels}|".encode() + payload
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def make_fake_audio(sample_rate: int, n_samples: int) -> bytes:
+    payload = bytes((n_samples + i) % 251 for i in range(16))
+    return f"AUD|{sample_rate}|{n_samples}|".encode() + payload
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """STUB audio decode: parse the synthetic AUD header into typed
+    metadata (sample rate, sample count, duration). Same Arrow-batched
+    plumbing as image_metadata; a real build swaps in soundfile/ffprobe."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for b in pdf["content"]:
+                if b is None or not b.startswith(b"AUD|"):
+                    out.append(None)
+                    continue
+                try:
+                    _, sr, n, _rest = b.split(b"|", 3)
+                    out.append((int(sr), int(n)))
+                except (ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [d[0] if d else None for d in out],
+                    "n_samples": [d[1] if d else None for d in out],
+                    "duration_s": [
+                        d[1] / d[0] if d and d[0] else None for d in out
+                    ],
+                    "decode_ok": [d is not None for d in out],
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
 def _decode_image_header(content: bytes):
     """STUB decode: parse the synthetic header. A real build replaces this
     with PIL.Image.open; everything around it stays identical."""

@@ -192,6 +192,81 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "order_value_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="""Exact interpolated percentiles per status (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-equal). The sketch-based
+    approx_percentile is the 100 TB variant.""",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "nations_per_region_agg",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (collect_list -> sort -> join).",
+)
+def nations_per_region_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "customer_balance_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6) AS bal_pr,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS bal_quartile
+    FROM customer
+    """,
+    doc="Rank-family windows: percent_rank + ntile within segment.",
+)
+def customer_balance_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pr"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@register(
     "approx_distinct_users_hll",
     None,  # HLL estimates are engine-specific; pytest bounds it vs exact
     doc="""HyperLogLog sketch: approx_count_distinct users per event_type —

@@ -53,3 +53,19 @@ def test_frame_sample_plan(spark, media):
     frames = [r["frame_index"] for r in plan.collect()]
     assert frames == sorted(frames)
     assert all(f % 10 == 0 for f in frames)
+
+
+def test_audio_metadata(spark):
+    rows = [
+        (10, "audio/fake", mm.make_fake_audio(16000, 48000)),
+        (11, "audio/fake", mm.make_fake_audio(44100, 441000)),
+        (12, "audio/fake", None),
+        (13, "audio/fake", b"not audio"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in mm.audio_metadata(media).collect()}
+    assert meta[10]["sample_rate"] == 16000
+    assert meta[10]["duration_s"] == 3.0
+    assert meta[11]["duration_s"] == 10.0
+    assert meta[12]["decode_ok"] is False
+    assert meta[13]["decode_ok"] is False
