@@ -1,0 +1,119 @@
+"""Temporal joins Spark lacks natively: as-of join and bounded range join,
+built as compositions of DataFrame ops (SURVEY-mandated custom-operator
+pattern: composition first, never a Python row path).
+
+as_of_join: for each left row, the most recent right row with
+``right.ts <= left.ts`` per key — implemented with the union + last_value
+(ignore nulls) trick: ONE shuffle on (key), no join blow-up, no per-key
+driver loop. This is the standard scalable formulation (a sort-merge
+within each key partition).
+
+range_join_within: pairs within a time tolerance — implemented by
+bucketing time to tolerance-sized bins and equi-joining on (key, bin)
+with each left row probing its own and the two adjacent bins, then exact
+filtering. Turns an inequality join (O(n^2) nested loop) into an
+equi-join Catalyst can hash — the standard bucketed range-join rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: columns of the latest right row at-or-before its
+    timestamp, per ``key`` (NULLs when no right row precedes it).
+
+    Scale: one shuffle on ``key``; within each partition an ordered scan
+    carries the last-seen right values forward (last_value IGNORE NULLS
+    over rows unbounded-preceding..current). Ties on timestamp: the right
+    row is visible to left rows with the same timestamp (<=), and among
+    same-ts right rows the last by arrival wins.
+    """
+    lhs = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    rhs = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            lhs.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    # Right rows sort before left rows at equal timestamps so <= semantics
+    # hold (right value becomes visible to same-ts left rows).
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "_is_left",
+        "_lrow",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: int,
+    how_filter=None,
+) -> DataFrame:
+    """Pairs (left, right) with the same ``key`` whose timestamps differ by
+    at most ``tolerance`` (same integer unit as the ts columns).
+
+    Scale: both sides bucket to floor(ts / tolerance); left probes buckets
+    {b-1, b, b+1} via a 3-element explode, so the join is a pure equi-join
+    on (key, bucket) followed by the exact |dt| <= tolerance filter —
+    no O(n^2) nested loop, and bucket skew follows key skew (saltable).
+    ``how_filter``: optional extra Column predicate evaluated post-join.
+    Right-side columns come back suffixed ``_r``.
+    """
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                (F.col(left_ts) / tolerance).cast("long") - 1,
+                (F.col(left_ts) / tolerance).cast("long"),
+                (F.col(left_ts) / tolerance).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    ).withColumn("_bucket_r", (F.col(f"{right_ts}_r") / tolerance).cast("long"))
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col("_bucket") == F.col("_bucket_r"))
+        & (F.abs(F.col(left_ts) - F.col(f"{right_ts}_r")) <= tolerance)
+    )
+    if how_filter is not None:
+        cond = cond & how_filter
+    return lb.join(rb, cond).drop("_bucket", "_bucket_r")
