@@ -106,6 +106,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
+from gcp_datalake_pipeline_spark.operators.corpus import (  # noqa: E402
+    curate_corpus,
+    curation_oracle_sql,
+)
+
+
+@register(
+    "corpus_curation",
+    curation_oracle_sql(jaccard_threshold=0.8, min_tokens=50),
+    doc="""End-to-end corpus curation disposition per document: exact_dup /
+    near_dup (shingle-Jaccard, keep-lowest-id) / too_short / kept. The
+    composite LLM-training-data pipeline; the 'lsh' backend is the
+    near-linear scale path (verified consistent in pytest).""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "fuzzy_name_match",
     """

@@ -126,3 +126,21 @@ def test_hll_within_rsd_bounds(spark):
     }
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(3, 0.1 * exact[k]), (k, est, exact[k])
+
+
+def test_corpus_curation_lsh_consistent_with_exact(spark, docs):
+    """The LSH backend may only differ from exact by missing near-dups
+    (recall < 1): every difference must be lsh='kept'/'too_short' where
+    exact said 'near_dup' — never the other way."""
+    from gcp_datalake_pipeline_spark.operators.corpus import curate_corpus
+
+    exact = {r["doc_id"]: r["disposition"]
+             for r in curate_corpus(docs, near_dup_backend="exact").collect()}
+    lsh = {r["doc_id"]: r["disposition"]
+           for r in curate_corpus(docs, near_dup_backend="lsh").collect()}
+    assert set(exact) == set(lsh)
+    for d, e_disp in exact.items():
+        if lsh[d] != e_disp:
+            assert e_disp == "near_dup" and lsh[d] in ("kept", "too_short")
+    # dispositions are exhaustive
+    assert set(exact.values()) <= {"kept", "exact_dup", "near_dup", "too_short"}
