@@ -51,6 +51,40 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct,
+           ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 4)
+             AS distinct_ratio
+    FROM toks GROUP BY doc_id
+    """,
+    doc="""Repetition-based quality signal: distinct-token ratio per doc
+    (low ratio ~ boilerplate/repetitive text — a standard training-data
+    quality filter input).""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.text import tokens
+
+    return (
+        tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.round(
+                F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 4
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+@register(
     "doc_fingerprint",
     "SELECT doc_id, md5(text) AS fingerprint FROM documents",
     doc="Deterministic md5 content fingerprint per document.",

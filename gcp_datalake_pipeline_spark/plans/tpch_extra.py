@@ -192,6 +192,91 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "q6_revenue_forecast",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="""TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown
+    benchmark — every predicate reaches the parquet reader.""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        )
+    )
+
+
+@register(
+    "q2_cheapest_part_per_type",
+    """
+    SELECT p.p_type, p.p_partkey, ROUND(p.p_retailprice, 2) AS price
+    FROM part p
+    JOIN (SELECT p_type, MIN(p_retailprice) AS mn FROM part GROUP BY p_type) m
+      ON p.p_type = m.p_type AND p.p_retailprice = m.mn
+    """,
+    doc="""TPC-H Q2 shape: correlated-min subquery -> groupBy + self-join
+    back on (key, min). Ties keep all achieving rows (same in both
+    engines; no LIMIT so no tie-break needed).""",
+)
+def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").alias("p")
+    mins = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("mt"))
+        .agg(F.min("p_retailprice").alias("mn"))
+    )
+    return (
+        part.join(
+            mins,
+            (F.col("p.p_type") == F.col("mt"))
+            & (F.col("p.p_retailprice") == F.col("mn")),
+        )
+        .select(
+            F.col("p.p_type").alias("p_type"),
+            "p_partkey",
+            F.round(F.col("p.p_retailprice"), 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "building_and_urgent_customers_intersect",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="INTERSECT set op (distinct semantics both sides).",
+)
+def building_and_urgent_customers_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return urgent.intersect(building)
+
+
+@register(
     "order_value_percentiles",
     """
     SELECT o_orderstatus,
