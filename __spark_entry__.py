@@ -12,11 +12,19 @@ this module just adapts it to the driver's calling convention.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gcp_datalake_pipeline_spark.plans import QUERIES
+# Make the engine importable regardless of the caller's cwd (the driver may
+# load this file by path from anywhere).
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from gcp_datalake_pipeline_spark.plans import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
