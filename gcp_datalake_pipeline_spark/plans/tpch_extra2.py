@@ -1,0 +1,201 @@
+"""Second batch of TPC-H-shaped adaptations: nation-pair volume (q7),
+profit by nation x year (q9), customer order-count histogram (q13), top
+supplier by revenue (q15), small-quantity revenue (q17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+
+
+@register(
+    "q7_nation_pair_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name != sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="""TPC-H Q7 shape: cross-nation trade volume, nation dim joined
+    twice under different roles. Scale: both nation aliases broadcast;
+    one orderkey shuffle.""",
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = ["NATION_1", "NATION_2"]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
+        .filter(
+            F.col("cust_nation").isin(pair)
+            & F.col("supp_nation").isin(pair)
+            & (F.col("cust_nation") != F.col("supp_nation"))
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
+             AS profit_proxy
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="""TPC-H Q9 shape (no partsupp table in the schema, so cost is a
+    tax-based proxy): profit per supplier nation per order year.""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 - F.col("l_tax"))
+                ),
+                2,
+            ).alias("profit_proxy")
+        )
+    )
+
+
+@register(
+    "q13_customer_order_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority != '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="""TPC-H Q13 shape: two-level aggregation — orders per customer
+    (left join keeps order-less customers at 0) then the distribution.""",
+)
+def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="""TPC-H Q15 shape: top supplier via scalar-max subquery (keeps
+    ties, so no LIMIT nondeterminism). Rounded revenue on both sides
+    before the equality compare.""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue")).first()[0]
+    return (
+        rev.filter(F.col("total_revenue") == max_rev)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN (
+      SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON l_partkey = pk
+    WHERE l_quantity < threshold
+    """,
+    doc="""TPC-H Q17 shape: correlated per-part average threshold.
+    Float-compare note: the 0.2*avg threshold and l_quantity are compared
+    raw in both engines; avg over doubles is summed in arbitrary order, but
+    quantities are integers 1..50 stored as doubles, so the sum (and
+    threshold) is exact in both engines.""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
