@@ -51,6 +51,33 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_token_counts_bpe_ish",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="""Token counting two ways (SURVEY north-star): whitespace split and
+    a BPE-ish regex lexer (letter runs / digit runs / single punctuation) —
+    the standard pre-tokenizer shape. Pattern restricted to constructs with
+    identical Java-regex / RE2 semantics.""",
+)
+def doc_token_counts_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.text import TOKEN_SPLIT_RE
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
     "doc_repetition_ratio",
     """
     WITH toks AS (
