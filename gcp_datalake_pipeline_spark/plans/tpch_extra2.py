@@ -174,6 +174,84 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q21_sole_latest_shipper",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             MAX(supp_last) AS order_last,
+             COUNT(*) AS n_supps
+      FROM per_supp GROUP BY l_orderkey
+    ),
+    latest AS (
+      SELECT p.l_orderkey, p.l_suppkey
+      FROM per_supp p JOIN per_order o ON p.l_orderkey = o.l_orderkey
+      WHERE o.n_supps >= 2 AND p.supp_last = o.order_last
+        AND 1 = (SELECT COUNT(*) FROM per_supp q
+                 WHERE q.l_orderkey = p.l_orderkey AND q.supp_last = o.order_last)
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM latest JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    doc="""TPC-H Q21 shape (adapted: no commit dates in schema): for
+    multi-supplier orders, the unique supplier who shipped last — a
+    double-correlated exists/uniqueness condition, expressed with grouped
+    maxima + a uniqueness count instead of correlated subqueries.""",
+)
+def q21_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.max("supp_last").alias("order_last"),
+        F.count(F.lit(1)).alias("n_supps"),
+    )
+    joined = per_supp.join(per_order, "l_orderkey").filter(
+        (F.col("n_supps") >= 2) & (F.col("supp_last") == F.col("order_last"))
+    )
+    # uniqueness: exactly one supplier at the order max
+    uniq = (
+        joined.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_at_max"))
+        .filter(F.col("n_at_max") == 1)
+        .select("l_orderkey")
+    )
+    latest = joined.join(uniq, "l_orderkey")
+    return (
+        latest.join(F.broadcast(supp), latest.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (status-only, priority-only, grand total).",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "q17_small_quantity_revenue",
     """
     SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
