@@ -114,18 +114,7 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 def jaccard_pairs_oracle_sql(threshold: float = 0.8) -> str:
     return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(text, '\\s+')) AS tok,
-             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
-      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
-    ),
+    WITH {_SHINGLE_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -140,29 +129,105 @@ def jaccard_pairs_oracle_sql(threshold: float = 0.8) -> str:
     """
 
 
-def minhash_signatures(df: DataFrame, num_perm: int = 32) -> DataFrame:
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+    )"""
+
+
+def minhash_lsh_oracle_sql(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB oracle reproducing minhash_lsh_pairs(hash_mode="md5")
+    VALUE-FOR-VALUE: both engines take the lexicographic min of
+    md5(shingle||':'||seed) hex per seed, md5 the comma-joined band slice,
+    join on (band_id, band_hash), and verify candidates with exact Jaccard.
+    """
+    rows_per_band = num_perm // bands
+    return f"""
+    WITH {_SHINGLE_CTE},
+    perms AS (SELECT unnest(range(0, {num_perm})) AS seed),
+    sigel AS (
+      SELECT doc_id, seed, MIN(md5(shingle || ':' || seed::VARCHAR)) AS mh
+      FROM sh CROSS JOIN perms GROUP BY doc_id, seed
+    ),
+    bandhash AS (
+      SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band_id,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+      FROM sigel GROUP BY doc_id, seed // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandhash a JOIN bandhash b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
+    """
+
+
+def minhash_signatures(
+    df: DataFrame, num_perm: int = 32, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """MinHash signatures over shingle sets.
 
-    Permutation i is simulated with xxhash64(shingle, seed=i); the signature
-    element is the min hash per seed. Output: (doc_id, sig: array<bigint>).
+    Permutation i is simulated with a seeded hash of the shingle; the
+    signature element is the min hash per seed. Output: (doc_id, sig).
+
+    ``hash_mode``:
+    - "xxhash64" (production): sig is array<bigint> of min xxhash64(shingle,
+      seed) — fastest JVM hash.
+    - "md5" (oracle parity): sig is array<string> of the lexicographic-min
+      md5 hex of shingle||':'||seed. md5 hex strings are identical in Spark
+      and DuckDB and compare identically under binary collation, making the
+      whole MinHash+LSH pipeline value-level oracle-checkable
+      (:func:`minhash_lsh_oracle_sql`). Same plan shape, same scale story.
 
     Computed as a fully narrow fold — per document, ONE pass over the
     shingle array updating a num_perm-wide running-min vector:
     ``aggregate(shingles, [MAX..], (acc, x) -> zip_with(acc, seeds,
-    (a, s) -> least(a, xxhash64(x, s))))``. Zero shuffles, embarrassingly
+    (a, s) -> least(a, hash(x, s))))``. Zero shuffles, embarrassingly
     parallel over input partitions, and the shingle array is referenced
     exactly once so Catalyst's project-collapsing cannot duplicate its
     construction (the seeds-outer formulation rebuilt it per seed —
     measured 70x slower).
     """
-    max_long = (1 << 63) - 1
-    seeds_arr = F.array(*[F.lit(i) for i in range(num_perm)])
-    init = F.array_repeat(F.lit(max_long), num_perm)
+    if hash_mode == "md5":
+        # "~" (0x7e) sorts after every hex char, so it never survives a min
+        # against a real hash; shingle-less docs are filtered below anyway.
+        seeds_arr = F.array(*[F.lit(str(i)) for i in range(num_perm)])
+        init = F.array_repeat(F.lit("~"), num_perm)
+        hash_fn = lambda x, s: F.md5(F.concat(x, F.lit(":"), s))  # noqa: E731
+    else:
+        max_long = (1 << 63) - 1
+        seeds_arr = F.array(*[F.lit(i) for i in range(num_perm)])
+        init = F.array_repeat(F.lit(max_long), num_perm)
+        hash_fn = lambda x, s: F.xxhash64(x, s)  # noqa: E731
     sig = F.aggregate(
         F.col("_sh"),
         init,
         lambda acc, x: F.zip_with(
-            acc, seeds_arr, lambda a, s: F.least(a, F.xxhash64(x, s))
+            acc, seeds_arr, lambda a, s: F.least(a, hash_fn(x, s))
         ),
     )
     return (
@@ -177,11 +242,15 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding candidate generation, verified with exact
     shingle Jaccard. Output: (doc_a, doc_b, jaccard) — the LSH-accelerated
     equivalent of :func:`jaccard_pairs` (recall < 1 by design; with 8 bands
     of 4 rows, P[candidate] ~ 1-(1-j^4)^8, >99% at j=0.8).
+
+    ``hash_mode="md5"`` swaps the hash for the DuckDB-reproducible variant
+    (see minhash_signatures) — identical plan shape, value-level oracle.
 
     Scale: the only pair-producing join is on (band_id, band_hash) buckets;
     bucket collisions require 4 simultaneous minhash matches, so random
@@ -189,25 +258,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     shingles = doc_shingles(df)
-    sigs = minhash_signatures(df, num_perm)
+    sigs = minhash_signatures(df, num_perm, hash_mode)
+    band_slice = F.concat_ws(
+        ",",
+        F.slice(
+            F.col("sig"), F.col("band_id") * rows_per_band + 1, rows_per_band
+        ).cast("array<string>"),
+    )
+    band_hash = (
+        F.md5(band_slice) if hash_mode == "md5" else F.xxhash64(band_slice)
+    )
     band = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
         "sig",
-    ).select(
-        "doc_id",
-        "band_id",
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.slice(
-                    F.col("sig"),
-                    F.col("band_id") * rows_per_band + 1,
-                    rows_per_band,
-                ).cast("array<string>"),
-            )
-        ).alias("band_hash"),
-    )
+    ).select("doc_id", "band_id", band_hash.alias("band_hash"))
     a, b = band.alias("a"), band.alias("b")
     candidates = (
         a.join(
@@ -224,11 +289,18 @@ def minhash_lsh_pairs(
     return _pair_jaccard(shingles, candidates, threshold)
 
 
-def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
-    """SimHash document fingerprints from shingle xxhash64 values.
+def simhash(
+    df: DataFrame, bits: int = 64, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """SimHash document fingerprints from hashed shingles.
 
     For each bit position, sum +1/-1 votes across the doc's shingles; the
     fingerprint sets bits with a positive vote. Output: (doc_id, simhash).
+
+    ``hash_mode="md5"`` uses a 60-bit hash parsed from the first 15 md5 hex
+    chars (fits a signed BIGINT without overflow in either engine), which
+    DuckDB can reproduce nibble-by-nibble — see simhash_pairs_oracle_sql.
+    xxhash64 (production) keeps the full 64 bits.
 
     Formulation note: explode(shingle x bit) + two groupBys looks heavy but
     is the FAST and scale-safe shape — the explode pipelines into a
@@ -237,7 +309,12 @@ def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
     fold over binary strings was measured 4x slower: higher-order lambdas
     are interpreted, codegen'd explode+hash-agg is not.)
     """
-    sh = doc_shingles(df).select("doc_id", F.xxhash64("shingle").alias("h"))
+    if hash_mode == "md5":
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("shingle")
+    sh = doc_shingles(df).select("doc_id", h.alias("h"))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     votes = sh.select("doc_id", bit, "h").select(
         "doc_id",
@@ -258,21 +335,28 @@ def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 12) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
-    (pigeonhole: any pair differing in <= 3 of the 4 chunks collides on at
-    least one exact chunk; max_hamming <= 12 spread across >= 4 chunks can
-    miss — accepted approximation, documented recall tradeoff).
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 12, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 4 equal-width
+    bit chunks (pigeonhole: any pair differing in <= 3 of the 4 chunks
+    collides on at least one exact chunk; max_hamming spread across >= 4
+    chunks can miss — accepted approximation, documented recall tradeoff).
 
-    Output: (doc_a, doc_b, hamming).
+    Chunk width is 16 bits (xxhash64 mode, 64-bit fingerprints) or 15 bits
+    (md5 mode, 60-bit). Output: (doc_a, doc_b, hamming).
     """
-    sh = simhash(df)
+    width = 15 if hash_mode == "md5" else 16
+    mask = (1 << width) - 1
+    sh = simhash(df, hash_mode=hash_mode)
     chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_id")
     chunks = sh.select("doc_id", "simhash", chunk).select(
         "doc_id",
         "simhash",
         "chunk_id",
-        F.expr("shiftright(simhash, chunk_id * 16) & 65535").alias("chunk_val"),
+        F.expr(f"shiftright(simhash, chunk_id * {width}) & {mask}").alias(
+            "chunk_val"
+        ),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -290,7 +374,52 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 12) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 12) -> str:
+    """DuckDB oracle reproducing simhash_near_pairs(hash_mode="md5")
+    VALUE-FOR-VALUE: the 60-bit hash is rebuilt nibble-by-nibble from the
+    md5 hex (strpos against the hex alphabet), then identical vote /
+    fingerprint / 15-bit-chunk blocking arithmetic on BIGINTs."""
+    return f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (SELECT doc_id, shingle, md5(shingle) AS hx FROM sh),
+    pos AS (SELECT unnest(range(1, 16)) AS i),
+    hvals AS (
+      SELECT doc_id, shingle,
+             SUM((strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1)
+                 * (1::BIGINT << CAST(4 * (15 - i) AS INT))) AS h
+      FROM hv CROSS JOIN pos GROUP BY doc_id, shingle
+    ),
+    bits AS (SELECT unnest(range(0, 60)) AS bit),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN ((h >> CAST(bit AS INT)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM hvals CROSS JOIN bits GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INT))
+                      ELSE 0::BIGINT END) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    cs AS (SELECT unnest(range(0, 4)) AS c),
+    chunks AS (
+      SELECT doc_id, simhash, c,
+             (simhash >> CAST(c * 15 AS INT)) & 32767 AS chunk_val
+      FROM fp CROSS JOIN cs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """

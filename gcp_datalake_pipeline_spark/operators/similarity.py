@@ -143,6 +143,26 @@ def embedding_near_dup_oracle_sql(threshold: float = 0.3) -> str:
     """
 
 
+def lsh_planes(n_planes: int = 6, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes, shared by the Spark operator and
+    the DuckDB oracle generator so both engines hash into identical buckets."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def probe_masks(n_planes: int = 6, probe_radius: int = 2) -> list[int]:
+    """XOR masks for every bucket within probe_radius bit flips (incl. 0)."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -167,18 +187,8 @@ def lsh_topk(
     so work is proportional to bucket occupancy, not corpus^2. Planes are a
     deterministic literal array (seeded) — no data-dependent fitting step.
     """
-    import itertools
-    import random
-
-    rnd = random.Random(seed)
-    planes = [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
-    # Pre-computed XOR masks for every bucket within probe_radius bit flips.
-    masks = [0]
-    for r in range(1, probe_radius + 1):
-        for bits in itertools.combinations(range(n_planes), r):
-            masks.append(sum(1 << b for b in bits))
+    planes = lsh_planes(n_planes, dim, seed)
+    masks = probe_masks(n_planes, probe_radius)
     planes_col = F.array(
         *[F.array(*[F.lit(x) for x in p]) for p in planes]
     )
@@ -232,3 +242,55 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def lsh_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle reproducing lsh_topk VALUE-FOR-VALUE: the hyperplanes
+    are deterministic (seeded) Python floats embedded as literals, so both
+    engines compute identical sign-of-dot bucket bits, probe the same
+    buckets, and rank the same candidates. Sign-of-dot is robust to the
+    float-summation-order differences that rounded comparisons tolerate."""
+    ids = ", ".join(str(i) for i in query_ids)
+    planes = lsh_planes(n_planes, dim, seed)
+    plane_rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    mask_rows = ", ".join(f"({m})" for m in probe_masks(n_planes, probe_radius))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(plane_id, pv) AS (VALUES
+      {plane_rows}),
+    masks(m) AS (VALUES {mask_rows}),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_inner_product(p.pv, e.v) > 0
+                           THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+    probes AS (
+      SELECT b.vec_id AS query_id, xor(b.bucket, masks.m) AS bucket
+      FROM buckets b CROSS JOIN masks WHERE b.vec_id IN ({ids})),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN buckets c ON c.bucket = p.bucket
+      WHERE c.vec_id != p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_inner_product(q.v, c.v) /
+                   (sqrt(list_inner_product(q.v, q.v)) *
+                    sqrt(list_inner_product(c.v, c.v))), 6) AS cosine_sim
+      FROM cand JOIN e q ON q.vec_id = cand.query_id
+                JOIN e c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -148,23 +148,30 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based; DuckDB cannot reproduce — rows-only + pytest
+    dedup.minhash_lsh_oracle_sql(num_perm=32, bands=8, threshold=0.8),
     doc="""MinHash(32) + LSH(8 bands) candidates verified by exact Jaccard
-    >= 0.8. Approximate-recall scale path for dedup_jaccard.""",
+    >= 0.8. Approximate-recall scale path for dedup_jaccard. Gate runs the
+    md5-parity hash mode so the ENTIRE pipeline (signatures, banding,
+    bucket join, verification) is value-level oracled in DuckDB; production
+    default stays xxhash64 (same plan shape, faster hash).""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+        load_table(spark, sf_dir, "documents"), threshold=0.8, hash_mode="md5"
     )
 
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based
-    doc="64-bit SimHash near-dup pairs, 16-bit-chunk blocked, hamming<=12.",
+    dedup.simhash_pairs_oracle_sql(max_hamming=12),
+    doc="""SimHash near-dup pairs, 4-chunk blocked, hamming<=12. Gate runs
+    the md5-parity 60-bit mode so fingerprints, blocking and hamming are
+    value-level oracled; production default stays 64-bit xxhash64.""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), hash_mode="md5"
+    )
 
 
 from gcp_datalake_pipeline_spark.operators.corpus import (  # noqa: E402
@@ -240,8 +247,11 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    None,  # approximate (recall<1): verified against ann_topk in pytest
-    doc="Hyperplane-LSH bucketed approximate top-5 (multi-probe radius 1).",
+    similarity.lsh_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""Hyperplane-LSH bucketed approximate top-5 (multi-probe radius 2).
+    Fully oracled: the seeded plane literals are embedded in the DuckDB SQL,
+    so bucket bits, probes, candidates and ranks match value-for-value.
+    (Recall vs the exact ann_topk is bounded separately in pytest.)""",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
