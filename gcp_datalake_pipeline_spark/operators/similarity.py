@@ -163,6 +163,23 @@ def probe_masks(n_planes: int = 6, probe_radius: int = 2) -> list[int]:
     return masks
 
 
+def bucket_bits(vec: Column, planes: list[list[float]], n_planes: int) -> Column:
+    """LSH bucket id of a vector: bit i = sign(dot(plane_i, vec)). 2^i via
+    double pow is exact for the small n_planes used here."""
+    planes_col = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    return F.aggregate(
+        F.zip_with(
+            planes_col,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p, i: F.when(
+                dot(p, vec) > 0, F.pow(F.lit(2.0), i).cast("int")
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -189,27 +206,10 @@ def lsh_topk(
     """
     planes = lsh_planes(n_planes, dim, seed)
     masks = probe_masks(n_planes, probe_radius)
-    planes_col = F.array(
-        *[F.array(*[F.lit(x) for x in p]) for p in planes]
-    )
-
-    def bucket_bits(vec: Column) -> Column:
-        # bit i = sign(dot(plane_i, vec)); 2^i via double pow is exact for
-        # the small n_planes used here.
-        return F.aggregate(
-            F.zip_with(
-                planes_col,
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                lambda p, i: F.when(
-                    dot(p, vec) > 0, F.pow(F.lit(2.0), i).cast("int")
-                ).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-
     e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
-    bucketed = e.withColumn("bucket", bucket_bits(F.col("v")))
+    bucketed = e.withColumn(
+        "bucket", bucket_bits(F.col("v"), planes, n_planes)
+    )
 
     q = bucketed.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("query_id"),
@@ -242,6 +242,115 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs for UNLABELED corpora: hyperplane-LSH
+    buckets replace the label column as the self-join blocker.
+
+    A pair is a candidate iff their buckets differ in <= probe_radius bits
+    (realized as an equi-join of XOR-probed buckets — never an all-pairs
+    join); candidates are verified with exact cosine >= threshold. Output:
+    (vec_a, vec_b, cosine_sim), vec_a < vec_b. Recall < 1 by design
+    (pairs whose buckets differ in > probe_radius bits are missed);
+    bounded in pytest against the exact all-pairs set.
+
+    Scale: this is the 100 TB embedding-dedup story — bucketing is one
+    linear scan, the join fans out |masks| probes per vector and touches
+    only same-bucket occupancy, and verification cost is proportional to
+    the candidate count.
+    """
+    planes = lsh_planes(n_planes, dim, seed)
+    masks = probe_masks(n_planes, probe_radius)
+    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    bucketed = e.withColumn(
+        "bucket", bucket_bits(F.col("v"), planes, n_planes)
+    ).withColumn("nrm", norm(F.col("v")))
+    probes = bucketed.select(
+        F.col("vid").alias("vec_a"),
+        F.explode(
+            F.transform(
+                F.array(*[F.lit(m) for m in masks]),
+                lambda m: F.col("bucket").bitwiseXOR(m),
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.join(
+            bucketed.select(F.col("vid").alias("vec_b"), "bucket"), "bucket"
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = bucketed.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = bucketed.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh_oracle_sql(
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle reproducing embedding_near_dup_lsh value-for-value
+    (same embedded plane literals — see lsh_topk_oracle_sql)."""
+    planes = lsh_planes(n_planes, dim, seed)
+    plane_rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    mask_rows = ", ".join(f"({m})" for m in probe_masks(n_planes, probe_radius))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(plane_id, pv) AS (VALUES
+      {plane_rows}),
+    masks(m) AS (VALUES {mask_rows}),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_inner_product(p.pv, e.v) > 0
+                           THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+    probes AS (
+      SELECT b.vec_id AS vec_a, xor(b.bucket, masks.m) AS bucket
+      FROM buckets b CROSS JOIN masks),
+    cand AS (
+      SELECT DISTINCT p.vec_a, c.vec_id AS vec_b
+      FROM probes p JOIN buckets c ON c.bucket = p.bucket
+      WHERE p.vec_a < c.vec_id)
+    SELECT cand.vec_a, cand.vec_b,
+           ROUND(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) *
+                  sqrt(list_inner_product(b.v, b.v))), 6) AS cosine_sim
+    FROM cand JOIN e a ON a.vec_id = cand.vec_a
+              JOIN e b ON b.vec_id = cand.vec_b
+    WHERE ROUND(list_inner_product(a.v, b.v) /
+                (sqrt(list_inner_product(a.v, a.v)) *
+                 sqrt(list_inner_product(b.v, b.v))), 6) >= {threshold}
+    """
 
 
 def lsh_topk_oracle_sql(

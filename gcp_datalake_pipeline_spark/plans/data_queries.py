@@ -235,6 +235,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_lsh",
+    similarity.embedding_near_dup_lsh_oracle_sql(threshold=0.3),
+    doc="""Embedding-cosine near-dup pairs for UNLABELED corpora: LSH
+    buckets (6 planes, probe radius 2) replace the label column as the
+    self-join blocker; exact-cosine verification. The 100 TB embedding
+    dedup path; fully value-level oracled via embedded plane literals.""",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@register(
     "ann_topk",
     similarity.brute_force_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="Exact brute-force cosine top-5 neighbors for 10 query vectors.",

@@ -109,6 +109,54 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert len(approx) == len(qids) * 5
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    """LSH-blocked near-dup pairs must be a subset of the exact all-pairs
+    set at the same threshold (verification is exact cosine), with nonzero
+    recall even on uniform-random vectors (LSH's worst case)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(
+        similarity.dot(F.col("a.v"), F.col("b.v"))
+        / (similarity.norm(F.col("a.v")) * similarity.norm(F.col("b.v"))),
+        6,
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+        .collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_lsh(emb, threshold=0.3).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.2, f"embedding LSH near-dup recall {recall}"
+
+
+def test_md5_parity_modes_consistent_with_production(spark, docs):
+    """The md5-parity hash modes (gate/oracle) must agree with the xxhash64
+    production modes on the verified OUTPUT pairs they both confirm — the
+    hash only changes candidate generation, never verification truth."""
+    x = {(r["doc_a"], r["doc_b"]) for r in
+         dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    m = {(r["doc_a"], r["doc_b"]) for r in
+         dedup.minhash_lsh_pairs(docs, threshold=0.8, hash_mode="md5").collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert x <= exact and m <= exact
+    if exact:
+        assert len(m) / len(exact) >= 0.8
+
+
 def test_hll_within_rsd_bounds(spark):
     """approx_count_distinct (rsd=0.02) must land within ~5x rsd of exact."""
     from gcp_datalake_pipeline_spark.plans import QUERIES
