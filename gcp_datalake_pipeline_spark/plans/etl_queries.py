@@ -108,6 +108,123 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_quarantine_reasons",
+    """
+    WITH dirty AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END AS c_name,
+             CASE WHEN c_custkey % 17 = 0 THEN '' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN 'missing_name'
+                WHEN c_mktsegment IS NULL OR trim(c_mktsegment) = ''
+                     THEN 'missing_segment'
+                WHEN c_acctbal IS NULL THEN 'missing_acctbal'
+                ELSE 'valid' END AS disposition
+    FROM dirty
+    """,
+    doc="""§2.11 validate-then-split under the oracle gate: deterministic
+    dirt (keys divisible by 13/17/19 lose a required field) is pushed
+    through the REAL quarantine operator (operators/quarantine.py
+    validate_split — ordered rules, first failing rule wins, the
+    reference's per-row error accounting) and the valid/quarantine streams
+    are recombined as per-row dispositions. Scale: pure narrow CASE logic,
+    zero shuffles.""",
+)
+def etl_quarantine_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.quarantine import (
+        Rule,
+        validate_split,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 17 == 0, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 19 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    blankish = lambda c: F.col(c).isNull() | (F.trim(F.col(c)) == "")  # noqa: E731
+    rules = [
+        Rule("missing_name", blankish("c_name")),
+        Rule("missing_segment", blankish("c_mktsegment")),
+        Rule("missing_acctbal", F.col("c_acctbal").isNull()),
+    ]
+    valid, quar = validate_split(dirty, rules)
+    return valid.select(
+        "c_custkey", F.lit("valid").alias("disposition")
+    ).unionByName(
+        quar.select("c_custkey", F.col("error_reason").alias("disposition"))
+    )
+
+
+@register(
+    "gold_current_state",
+    """
+    WITH latest AS (
+      SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus
+      FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           l.o_orderdate AS last_order_date,
+           l.o_totalprice AS last_order_price,
+           l.o_orderstatus AS last_order_status
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+    """,
+    doc="""Gold current-state view under the oracle gate: the REAL
+    pipelines/gold.py _latest_per helper (window dedup, rank 1) plus a
+    broadcast dim join — the exact shape of vehicle_current_state over the
+    driver-visible star schema. Scale: one shuffle on the entity key for
+    the window; dims broadcast; history deduped BEFORE the join so the
+    entity table never fans out.""",
+)
+def gold_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.pipelines.gold import _latest_per
+
+    latest = _latest_per(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+    ).select("o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        cust.join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(latest, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("o_orderdate").alias("last_order_date"),
+            F.col("o_totalprice").alias("last_order_price"),
+            F.col("o_orderstatus").alias("last_order_status"),
+        )
+    )
+
+
+@register(
     "orders_cube",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
