@@ -22,6 +22,59 @@ from pyspark.sql import functions as F
 from gcp_datalake_pipeline_spark.storage import Catalog
 
 
+def assign_dense_ids(
+    vals: DataFrame,
+    value_cols: list[str],
+    id_col: str,
+    start: int = 0,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Deterministic dense surrogate ids: ``id = start + rank in the global
+    value order`` — WITHOUT the single-task global ``Window.orderBy``.
+
+    Sharded assignment: range-repartition on the value order (shard i holds
+    smaller values than shard i+1), per-shard row_number (num_shards
+    parallel window groups), then add exclusive-scan offsets computed from
+    the tiny per-shard count list (driver-side, bounded by num_shards).
+    Ids depend only on the value SET: shard boundaries move rows between
+    shards but never change a row's global rank.
+
+    The input is persisted so the two passes (counts, final ids) see the
+    same partitioning; callers materialize the result immediately (dim
+    append), after which Spark may evict the cache.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    order = [F.col(c) for c in value_cols]
+    local = (
+        vals.repartitionByRange(num_shards, *order)
+        .withColumn("_shard", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_shard").orderBy(*order)),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (r["_shard"], r["cnt"])
+        for r in local.groupBy("_shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, start
+    for shard, cnt in counts:
+        offsets[shard] = acc
+        acc += cnt
+    if offsets:
+        offset_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("_shard")]
+    else:  # empty batch: no rows survive, keep the expression typed
+        offset_expr = F.lit(0)
+    return local.select(
+        (offset_expr + F.col("_rn")).cast("long").alias(id_col),
+        *vals.columns,
+    )
+
+
 def get_or_create_dim(
     catalog: Catalog,
     dim_table: str,
@@ -46,10 +99,11 @@ def get_or_create_dim(
         max_id = 0
         new_vals = vals
 
-    w = Window.orderBy(*[F.col(c) for c in value_cols])
     now = F.current_timestamp()
-    new_rows = new_vals.select(
-        (F.row_number().over(w) + F.lit(max_id)).cast("long").alias(id_col),
+    new_rows = assign_dense_ids(
+        new_vals, value_cols, id_col, start=max_id
+    ).select(
+        id_col,
         *value_cols,
         now.alias("date_created"),
         now.alias("date_updated"),

@@ -21,16 +21,18 @@ from gcp_datalake_pipeline_spark.plans.queries import load_table, register
     """,
     doc="""J4 core: deterministic surrogate-key assignment for a dimension —
     distinct values ordered by natural key, ids dense from 1 (SURVEY.md
-    §7.3.2: ids depend only on the value set, not partitioning).""",
+    §7.3.2: ids depend only on the value set, not partitioning). Runs the
+    SHARDED assigner (operators/dims.py assign_dense_ids: range-partition +
+    per-shard row_number + exclusive-scan offsets — no single-task global
+    window), which must reproduce the global ROW_NUMBER oracle exactly.""",
 )
 def etl_dim_surrogate_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
+
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy("p_brand")
-    return (
-        part.select("p_brand")
-        .distinct()
-        .select("p_brand", F.row_number().over(w).cast("long").alias("brand_id"))
-    )
+    return assign_dense_ids(
+        part.select("p_brand").distinct(), ["p_brand"], "brand_id"
+    ).select("p_brand", "brand_id")
 
 
 @register(

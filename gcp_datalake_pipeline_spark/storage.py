@@ -94,7 +94,7 @@ class Catalog:
 
         Returns the new table state (also persisted).
         """
-        from pyspark.sql import Window as W
+        from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
 
         src = dedup_last_wins(source, key_cols, order_col)
         # Provenance/order metadata is not part of the silver schema.
@@ -105,14 +105,10 @@ class Catalog:
         if "date_updated" not in src.columns:
             src = src.withColumn("date_updated", now)
 
-        id_window = W.orderBy(*[F.col(k) for k in key_cols])
-
         if not self.exists(table):
             if id_col is not None and id_col not in src.columns:
-                src = src.select(
-                    F.row_number().over(id_window).cast("long").alias(id_col),
-                    *src.columns,
-                )
+                # Sharded deterministic dense ids (no single-task window).
+                src = assign_dense_ids(src, key_cols, id_col)
             self.overwrite(src, table)
             return self.read(table)
 
@@ -156,9 +152,8 @@ class Catalog:
         inserts = s.join(t, cond, "left_anti")
         if id_col is not None:
             max_id = target.agg(F.max(id_col)).first()[0] or 0
-            inserts = inserts.withColumn(
-                id_col,
-                (F.row_number().over(id_window) + F.lit(max_id)).cast("long"),
+            inserts = assign_dense_ids(
+                inserts.drop(id_col), key_cols, id_col, start=max_id
             )
         inserts = inserts.select(
             *[

@@ -68,3 +68,27 @@ def test_salted_left_join(spark):
     out = salted_join(li, orders, "l_orderkey", salt_buckets=4, how="left")
     assert out.count() == li.count()
     assert out.filter(F.col("o_totalprice").isNotNull()).count() > 0
+
+
+def test_assign_dense_ids_matches_global_rank_and_is_sharded(spark):
+    """Sharded surrogate assignment must equal the global-window dense rank
+    while keeping the id-assigning window partitioned (no single-task
+    Exchange SinglePartition feeding a row_number over the whole set)."""
+    from pyspark.sql import Window
+
+    from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
+
+    vals = load_table(spark, SF_DIR, "part").select("p_brand").distinct()
+    sharded = assign_dense_ids(vals, ["p_brand"], "id", start=100)
+    expected = vals.select(
+        "p_brand",
+        (F.row_number().over(Window.orderBy("p_brand")) + 100)
+        .cast("long")
+        .alias("id"),
+    )
+    got = {(r["p_brand"], r["id"]) for r in sharded.collect()}
+    want = {(r["p_brand"], r["id"]) for r in expected.collect()}
+    assert got == want
+
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
