@@ -48,17 +48,28 @@ class Catalog:
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
     ) -> None:
-        # Write to a temp location first so a failed job never destroys the
-        # current table (poor-man's ACID; Delta would give this for real).
+        # Write to a temp location first so a failed JOB never destroys the
+        # current table; then swap via two renames (current -> backup,
+        # tmp -> current, drop backup). The crash window is two metadata
+        # ops, and a crash inside it leaves a recoverable __old backup
+        # rather than no table at all. Assumes tmp/backup share the
+        # table's filesystem (they are siblings under the catalog root —
+        # os.rename is atomic only within one fs). Delta/Iceberg would make
+        # this a real atomic commit; the API is shaped for that swap-in.
         tmp = self.path(table) + "__tmp"
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(tmp)
         final = self.path(table)
+        backup = final + "__old"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.rename(final, backup)
         os.rename(tmp, final)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
 
     def append(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
@@ -123,13 +134,16 @@ class Catalog:
             ]
 
         t = target.alias("t")
-        s = src.alias("s")
+        # Sentinel match flag: detecting a match via source-key nullability
+        # breaks under eqNullSafe (a NULL-keyed source row that null-safe-
+        # matches would look unmatched and its update silently dropped).
+        s = src.withColumn("_matched", F.lit(True)).alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
 
         # Matched target rows: take updated cols from source, bump
         # date_updated, keep surrogate ids / frozen cols / date_created.
         joined = t.join(s, cond, "left")
-        matched_flag = F.col(f"s.{key_cols[0]}").isNotNull()
+        matched_flag = F.col("s._matched").isNotNull()
         updated_target = joined.select(
             *[
                 (
