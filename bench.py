@@ -57,13 +57,24 @@ def main() -> None:
     # Warm the JVM/codegen with one tiny action so q1 doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    # Two passes per suite: the first (cold) pass absorbs parquet-footer /
+    # codegen / shuffle-service warmup, the second (warm) pass is the
+    # round-over-round comparable number.
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        cold[name] = run(name)
+        print(f"# cold {name}: {cold[name]}s", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = QUERIES[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        timings[name] = run(name)
+        print(f"# warm {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
         )
