@@ -150,6 +150,14 @@ def sessionize_stream(
     flushes (state GC). Use a small value with availableNow triggers so the
     final cleanup batch fires promptly instead of idling a full gap.
 
+    LIMITATION (loud, by design): under trigger(availableNow=True) a
+    ProcessingTimeTimeout query does NOT self-terminate — after the input
+    exhausts, Spark keeps running empty cleanup batches (which is also what
+    lets the timeouts fire and the tail sessions flush). For batch-style
+    runs, pair with :func:`drain_available_now`, which watches the state
+    store and stops the query once every session has flushed. A continuous
+    deployment never hits this: the query is meant to stay up.
+
     Scale: state is one tiny tuple per active user, partitioned by user_id;
     timeouts bound state growth.
     """
@@ -164,3 +172,32 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def drain_available_now(query, poll_s: float = 1.0, max_wait_s: float = 600.0) -> bool:
+    """Explicit drain for availableNow runs of a stateful query: wait until
+    all input is processed AND the state store is empty (every timeout has
+    fired, every tail session flushed), then stop the query.
+
+    Progress-driven, not sleep-calibrated: polls
+    ``lastProgress.stateOperators[].numRowsTotal`` — the authoritative
+    count of live state rows. Returns True when drained (or the query
+    terminated by itself), False if ``max_wait_s`` elapsed first (the query
+    is stopped either way).
+    """
+    import time
+
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        if query.awaitTermination(poll_s):
+            return True
+        progress = query.lastProgress
+        if not progress:
+            continue
+        ops = progress.get("stateOperators") or []
+        state_rows = sum(o.get("numRowsTotal", 0) for o in ops)
+        if ops and state_rows == 0 and not query.status.get("isDataAvailable", True):
+            query.stop()
+            return True
+    query.stop()
+    return False

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.plans.queries import load_table
 from gcp_datalake_pipeline_spark.streaming.events import (
+    drain_available_now,
     hourly_event_counts,
     sessionize_stream,
 )
@@ -99,19 +100,9 @@ def test_sessionize_stream_matches_batch_session_count(spark, tmpdir):
         .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
         .start()
     )
-    # availableNow + processing-time timeout keeps running cleanup batches
-    # to drain state; the data pass itself completes quickly. Wait for the
-    # data batches, then stop — tail sessions legitimately stay open.
-    import time
-
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.sql("select count(*) c from sessions_test").first()["c"] > 0 and (
-            not q.status["isDataAvailable"]
-        ):
-            break
-        time.sleep(2)
-    q.stop()
+    # drain_available_now watches the state store and stops the query once
+    # every session (including tails) has flushed via the 1 s timeout.
+    assert drain_available_now(q, poll_s=1.0, max_wait_s=240.0)
     streamed = spark.sql(
         "select user_id, count(*) closed from sessions_test group by user_id"
     ).collect()
@@ -132,7 +123,5 @@ def test_sessionize_stream_matches_batch_session_count(spark, tmpdir):
         .collect()
     }
     assert len(streamed) > 0
-    for r in streamed:
-        # the tail session may still be open in state (closed = batch - 1)
-        # or flushed by a cleanup batch before the stop (closed = batch)
-        assert r["closed"] in (batch[r["user_id"]] - 1, batch[r["user_id"]])
+    # a full drain means EVERY session flushed, tails included
+    assert {r["user_id"]: r["closed"] for r in streamed} == batch
