@@ -169,38 +169,75 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields) + [T.StructField("decode_ok", T.BooleanType())]
+)
+
+
+def _pil_module():
+    """Real-codec hook: PIL if installed in the cluster image, else None
+    (this environment ships no image libraries — import-gated, never a
+    hard dependency)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def resize_images(media: DataFrame, max_dim: int) -> DataFrame:
-    """STUB resize: rewrites the synthetic header with clamped dimensions
-    (aspect-preserving), payload untouched. Raises NotImplementedError for
-    real image formats — the stub only understands FAKE_CODEC."""
+    """Aspect-preserving resize to ``max_dim``. FAKE_CODEC binaries get
+    their synthetic header rewritten (payload untouched); real formats use
+    PIL when the cluster image ships it. Undecodable rows — real formats
+    with no codec installed, truncated bytes, NULLs — pass through
+    UNCHANGED with ``decode_ok=false`` instead of failing the job: a mixed
+    100 TB corpus always contains garbage, and a resize job must report it,
+    not die on it.
+
+    Scale: mapInPandas (Arrow-batched); binary content stays in its input
+    partition — no shuffle.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _pil_module()
         for pdf in it:
-            out = []
+            out, ok = [], []
             for b in pdf["content"]:
                 hdr = _decode_image_header(b)
-                if hdr is None:
-                    if b is not None and len(b) > 4 and not b.startswith(b"IMG|"):
-                        raise NotImplementedError(
-                            "real image decoding not available in this "
-                            "environment; only FAKE_CODEC binaries supported"
-                        )
-                    out.append(None)
+                if hdr is not None:
+                    w, h, c = hdr
+                    scale = min(1.0, max_dim / max(w, h))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    payload = b.split(b"|", 4)[4]
+                    out.append(f"IMG|{nw}|{nh}|{c}|".encode() + payload)
+                    ok.append(True)
                     continue
-                w, h, c = hdr
-                scale = min(1.0, max_dim / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                payload = b.split(b"|", 4)[4]
-                out.append(f"IMG|{nw}|{nh}|{c}|".encode() + payload)
+                if b is not None and pil is not None:
+                    try:
+                        import io
+
+                        img = pil.open(io.BytesIO(b))
+                        img.thumbnail((max_dim, max_dim))
+                        buf = io.BytesIO()
+                        img.save(buf, format=img.format or "PNG")
+                        out.append(buf.getvalue())
+                        ok.append(True)
+                        continue
+                    except Exception:
+                        pass  # fall through to pass-through-with-flag
+                out.append(b)
+                ok.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "content": out,
+                    "decode_ok": ok,
                 }
             )
 
-    return media.mapInPandas(batches, MEDIA_SCHEMA)
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

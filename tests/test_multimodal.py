@@ -44,8 +44,22 @@ def test_resize_images(spark, media):
     assert resized[2].startswith(b"IMG|960|540|4|")  # 1920x1080 -> 960x540
     assert resized[3] is None
 
-    with pytest.raises(Exception):  # real formats -> NotImplementedError
-        mm.resize_images(media, max_dim=960).collect()
+
+def test_resize_images_mixed_corpus_survives(spark):
+    """Real-format rows (JPEG magic bytes, with no codec installed) must
+    pass through unchanged with decode_ok=false — never kill the job."""
+    jpeg_bytes = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + bytes(32)
+    rows = [
+        (1, "image/fake", mm.make_fake_image(1920, 1080)),
+        (2, "image/jpeg", jpeg_bytes),
+        (3, "image/fake", None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.resize_images(media, 960).collect()}
+    assert out[1]["decode_ok"] and out[1]["content"].startswith(b"IMG|960|540|")
+    assert out[2]["decode_ok"] is False
+    assert out[2]["content"] == jpeg_bytes  # passed through, not destroyed
+    assert out[3]["decode_ok"] is False and out[3]["content"] is None
 
 
 def test_frame_sample_plan(spark, media):
