@@ -327,6 +327,127 @@ def minhash_lsh_pairs(
     return _pair_jaccard(shingles, candidates, threshold)
 
 
+CHUNK_TOKENS = 10
+
+
+def doc_chunks(df: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Non-overlapping ``chunk_tokens``-token chunks per document — the
+    'line' unit for cross-document boilerplate removal (the corpus has no
+    newlines; fixed-token chunks are the segmentation analog of C4's
+    line-level dedup). Output: (doc_id, chunk_id, chunk_text).
+
+    Shape note: posexplode + groupBy (codegen'd, partial-agg before the
+    shuffle) rather than a transform(sequence...) lambda over the token
+    array — Catalyst's project-collapsing would inline the split() into
+    every chunk slice (the HOF trap documented on shingle_array), making
+    chunking quadratic in document length.
+    """
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias(
+            "pos", "tok"
+        ),
+    )
+    return (
+        toks.groupBy(
+            "doc_id",
+            F.floor(F.col("pos") / chunk_tokens).cast("long").alias("chunk_id"),
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text")
+        )
+    )
+
+
+def chunk_boilerplate_report(
+    df: DataFrame, chunk_tokens: int = CHUNK_TOKENS, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document chunk-level dedup report: per document, how many of
+    its chunks are corpus boilerplate (appear in >= min_docs distinct
+    docs). Output: (doc_id, n_chunks, n_boilerplate, kept_ratio).
+
+    Scale: the global chunk-frequency groupBy and the flag join both carry
+    md5(chunk) — 16 bytes per chunk on the shuffle, never the text (the
+    exact_dedup trick). This is the pretraining-corpus 'remove duplicated
+    lines' pass; see strip_boilerplate_chunks for the rewrite."""
+    chunks = doc_chunks(df, chunk_tokens).withColumn(
+        "h", F.md5("chunk_text")
+    )
+    counts = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    boiler = (F.col("dfreq") >= min_docs).cast("int")
+    return (
+        chunks.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(boiler).alias("n_boilerplate"),
+            F.round(
+                1.0 - F.sum(boiler).cast("double") / F.count(F.lit(1)), 4
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+def strip_boilerplate_chunks(
+    df: DataFrame, chunk_tokens: int = CHUNK_TOKENS, min_docs: int = 2
+) -> DataFrame:
+    """Rewrite each document with its boilerplate chunks removed (chunk
+    order preserved). Output: (doc_id, text). Documents made entirely of
+    boilerplate come back with empty text — downstream length filters (see
+    operators/corpus.py) then drop them, mirroring real curation stacks."""
+    chunks = doc_chunks(df, chunk_tokens).withColumn("h", F.md5("chunk_text"))
+    counts = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("dfreq"))
+    kept = chunks.join(counts, "h").filter(F.col("dfreq") < min_docs)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("text")
+    )
+
+
+def chunk_boilerplate_oracle_sql(
+    chunk_tokens: int = CHUNK_TOKENS, min_docs: int = 2
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, (pos - 1) // {chunk_tokens} AS chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM toks GROUP BY doc_id, (pos - 1) // {chunk_tokens}
+    ),
+    counts AS (
+      SELECT md5(chunk_text) AS h, COUNT(DISTINCT doc_id) AS dfreq
+      FROM chunks GROUP BY md5(chunk_text)
+    ),
+    flagged AS (
+      SELECT c.doc_id,
+             CASE WHEN dfreq >= {min_docs} THEN 1 ELSE 0 END AS boiler
+      FROM chunks c JOIN counts ON md5(c.chunk_text) = counts.h
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(boiler) AS BIGINT) AS n_boilerplate,
+           ROUND(1.0 - SUM(boiler) * 1.0 / COUNT(*), 4) AS kept_ratio
+    FROM flagged GROUP BY doc_id
+    """
+
+
 def simhash(
     df: DataFrame, bits: int = 64, hash_mode: str = "xxhash64"
 ) -> DataFrame:

@@ -174,6 +174,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_boilerplate",
+    dedup.chunk_boilerplate_oracle_sql(chunk_tokens=10, min_docs=2),
+    doc="""Cross-document chunk-level dedup (C4-style line dedup over
+    10-token chunks): per doc, chunks appearing in >=2 distinct docs are
+    boilerplate. Shuffles carry md5(chunk), never chunk text.""",
+)
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.chunk_boilerplate_report(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=10, min_docs=2
+    )
+
+
 from gcp_datalake_pipeline_spark.operators.corpus import (  # noqa: E402
     curate_corpus,
     curation_oracle_sql,

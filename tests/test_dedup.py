@@ -157,6 +157,33 @@ def test_md5_parity_modes_consistent_with_production(spark, docs):
         assert len(m) / len(exact) >= 0.8
 
 
+def test_chunk_boilerplate_strip(spark):
+    """Chunks shared across docs are flagged and stripped; unique chunks
+    survive in order."""
+    shared = " ".join(f"s{i}" for i in range(10))  # one exact 10-token chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),
+            (2, shared + " " + uniq_b),
+            (3, uniq_b.replace("b", "c")),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in
+           dedup.chunk_boilerplate_report(docs, min_docs=2).collect()}
+    assert rep[1]["n_chunks"] == 2 and rep[1]["n_boilerplate"] == 1
+    assert rep[2]["n_boilerplate"] == 1
+    assert rep[3]["n_boilerplate"] == 0 and rep[3]["kept_ratio"] == 1.0
+
+    stripped = {r["doc_id"]: r["text"] for r in
+                dedup.strip_boilerplate_chunks(docs, min_docs=2).collect()}
+    assert stripped[1] == uniq_a
+    assert stripped[2] == uniq_b
+    assert stripped[3] == uniq_b.replace("b", "c")
+
+
 def test_hll_within_rsd_bounds(spark):
     """approx_count_distinct (rsd=0.02) must land within ~5x rsd of exact."""
     from gcp_datalake_pipeline_spark.plans import QUERIES
