@@ -106,6 +106,65 @@ def fingerprint(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
 
 
+# Ordered PII patterns (order matters: emails carry digit runs, so they
+# redact first; phones before bare id runs). Restricted to regex constructs
+# with identical Java-regex / RE2 / DuckDB semantics.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\d{3}-\d{3}-\d{4}"),
+    ("id_number", r"\d{9,}"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Training-data PII scrub: sequentially count-then-redact each pattern
+    (counts are taken on the text as already redacted by earlier patterns,
+    so an email's digits are never double-counted as an id). Output:
+    (id_col, n_<pattern>..., redacted).
+
+    Scale: pure narrow regexp_replace/regexp_extract_all column expressions
+    inside whole-stage codegen — zero shuffles, embarrassingly parallel.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    cols = []
+    for name, pat in patterns:
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return df.select(id_col, *cols, cur.alias("redacted"))
+
+
+def redact_pii_sql(
+    base_cte: str,
+    id_col: str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`redact_pii`: the same sequential
+    count-then-redact staged as one CTE per pattern. ``base_cte`` must
+    define ``base(<id_col>, t)``."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    sql = f"WITH {base_cte}"
+    prev = "base"
+    for i, (name, pat) in enumerate(patterns):
+        sql += f""",
+    s{i} AS (
+      SELECT {id_col}, {', '.join(f'n_{n}' for n, _ in patterns[:i])}{',' if i else ''}
+             len(regexp_extract_all(t, '{pat}')) AS n_{name},
+             regexp_replace(t, '{pat}', '<{name.upper()}>', 'g') AS t
+      FROM {prev}
+    )"""
+        prev = f"s{i}"
+    counts = ", ".join(f"n_{n}" for n, _ in patterns)
+    return sql + f"\n    SELECT {id_col}, {counts}, t AS redacted FROM {prev}"
+
+
 def lang_id_oracle_sql() -> str:
     """DuckDB SQL equivalent of :func:`lang_id`, generated from the same
     STOPWORDS source."""

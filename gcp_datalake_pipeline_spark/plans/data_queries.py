@@ -174,6 +174,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_BASE_CTE = (
+    "base AS (SELECT c_custkey, c_name || ' <' || lower(c_mktsegment) || "
+    "c_custkey::VARCHAR || '@mail.example.com> tel 600-' || "
+    "lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' || "
+    "lpad(((c_custkey * 7) % 10000)::VARCHAR, 4, '0') || ' ref ' || "
+    "lpad((c_custkey * 13)::VARCHAR, 9, '0') AS t FROM customer)"
+)
+
+
+@register(
+    "pii_redaction",
+    text.redact_pii_sql(_PII_BASE_CTE, id_col="c_custkey"),
+    doc="""Training-data PII scrub under the oracle gate: deterministic
+    synthetic PII (email/phone/id built from customer fields on BOTH
+    sides) through the REAL redact_pii operator — sequential
+    count-then-redact, narrow codegen'd regex, zero shuffles.""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    t = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.col("c_mktsegment")),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com> tel 600-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.lpad((F.col("c_custkey") * 13).cast("string"), 9, "0"),
+    )
+    return text.redact_pii(
+        cust.select("c_custkey", t.alias("text")), id_col="c_custkey"
+    )
+
+
 @register(
     "chunk_boilerplate",
     dedup.chunk_boilerplate_oracle_sql(chunk_tokens=10, min_docs=2),

@@ -219,3 +219,23 @@ def test_corpus_curation_lsh_consistent_with_exact(spark, docs):
             assert e_disp == "near_dup" and lsh[d] in ("kept", "too_short")
     # dispositions are exhaustive
     assert set(exact.values()) <= {"kept", "exact_dup", "near_dup", "too_short"}
+
+
+def test_redact_pii_sequential_counts(spark):
+    from gcp_datalake_pipeline_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and 123-456-7890 plus id 987654321"),
+            (2, "no pii here at all"),
+            (3, "double a@b.co c@d.io"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["n_id_number"] == 1  # email digits NOT double-counted
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "987654321" not in out[1]["redacted"]
+    assert out[2]["n_email"] == 0 and out[2]["redacted"] == "no pii here at all"
+    assert out[3]["n_email"] == 2
