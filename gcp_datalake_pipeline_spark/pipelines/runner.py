@@ -28,10 +28,15 @@ _PROCESSORS = {
 
 def ingest(
     catalog: Catalog,
-    paths_or_glob: list[str] | str,
+    paths_or_glob: "list[str] | str | object",
     idempotent: bool = False,
 ) -> dict[str, dict]:
     """Process a batch of landing files. Returns per-file run counters.
+
+    ``paths_or_glob`` may be a glob string, an explicit path list, or any
+    :class:`~gcp_datalake_pipeline_spark.sources.listing.Lister` (the
+    pluggable remote-source hook — GCS/Drive listers slot in without
+    touching the runner).
 
     ``idempotent=False`` (default) replays a re-submitted file exactly like
     the reference: entities re-upsert (no-op), history tables append again
@@ -41,6 +46,8 @@ def ingest(
     """
     if isinstance(paths_or_glob, str):
         paths = sorted(glob.glob(paths_or_glob))
+    elif hasattr(paths_or_glob, "list"):  # a Lister
+        paths = [f.path for f in paths_or_glob.list()]
     else:
         paths = list(paths_or_glob)
 

@@ -75,3 +75,42 @@ def test_row_idx_is_file_order(spark, tmpcsv):
     idx = [(r["_row_idx"], int(r["carrier_bp"])) for r in rows]
     by_arrival = sorted(idx)
     assert [b for _, b in by_arrival] == list(range(50))  # monotone file order
+
+
+def test_lister_sync_and_ingest(spark, catalog, tmp_path_factory):
+    """Pluggable lister: sync a 'remote' dir into landing (copy, then move
+    originals to procesados — the reference's processed marker), then run
+    the batch ingest off a GlobLister over the landing dir."""
+    import os
+    import shutil
+
+    from gcp_datalake_pipeline_spark.pipelines.runner import ingest
+    from gcp_datalake_pipeline_spark.sources.listing import (
+        GlobLister,
+        StaticLister,
+        sync_landing,
+    )
+
+    base = str(tmp_path_factory.mktemp("lister"))
+    remote, landing, procesados = (
+        os.path.join(base, d) for d in ("remote", "landing", "procesados")
+    )
+    os.makedirs(remote)
+    for f in os.listdir("tests/fixtures"):
+        if f.endswith(".csv"):
+            shutil.copy(os.path.join("tests/fixtures", f), remote)
+
+    landed = sync_landing(
+        GlobLister(os.path.join(remote, "*.csv")), landing, procesados
+    )
+    assert len(landed) == 3
+    assert os.listdir(remote) == []  # originals moved = processed marker
+    assert len(os.listdir(procesados)) == 3
+
+    results = ingest(catalog, GlobLister(os.path.join(landing, "*.csv")))
+    assert len(results) == 3
+    assert catalog.read("empresa").count() == 3
+
+    # StaticLister = the reference's one-file-per-event shape
+    one = StaticLister((landed[0],))
+    assert [f.path for f in one.list()] == [landed[0]]
