@@ -273,6 +273,120 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_join_qgram",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    grams AS (
+      SELECT p_name,
+             unnest(list_transform(range(1, greatest(len(p_name) - 1, 2)),
+                                   i -> substr(p_name, CAST(i AS INT), 3))) AS g
+      FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM grams a JOIN grams b ON a.g = b.g AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS edit_dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    """,
+    doc="""At-scale fuzzy join: char-3-gram blocking (names pair only when
+    they share a q-gram — an equi-join, never all-pairs) + levenshtein
+    verification. The scale path fuzzy_name_match's docstring promises;
+    blocking is replicated exactly in the oracle, so parity is value-level.
+    Scale: |grams| ~ L per name; candidate count ~ bucket occupancy.""",
+)
+def fuzzy_join_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    grams = names.select(
+        "p_name",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("p_name") - 2, F.lit(1))
+                ),
+                lambda i: F.col("p_name").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.select("name_a", "name_b", dist.alias("edit_dist")).filter(
+        F.col("edit_dist") <= 2
+    )
+
+
+@register(
+    "doc_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.dfreq), 4) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="""Top-3 TF-IDF terms per document — the classic keyword/feature
+    extraction pass. Scale: tf is one (doc, tok) shuffle with map-side
+    partial agg; dfreq aggregates the already-small tf table; the corpus
+    size N broadcasts; rank is a per-doc window.""",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gcp_datalake_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokens(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") * 1.0 / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
+@register(
     "embedding_near_dup",
     similarity.embedding_near_dup_oracle_sql(threshold=0.3),
     doc="Embedding-cosine near-dup pairs within label blocks.",
