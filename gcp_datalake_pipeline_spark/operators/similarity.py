@@ -353,6 +353,136 @@ def embedding_near_dup_lsh_oracle_sql(
     """
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: partition the corpus into ``nlist``
+    inverted cells (nearest centroid by cosine), probe the ``nprobe``
+    cells nearest to each query, exact-rank within the probed cells.
+
+    Centroids here are the first ``nlist`` corpus vectors (deterministic,
+    oracle-reproducible); a production build would k-means them — the IVF
+    machinery (cell assignment join, probe pruning, within-cell exact
+    ranking) is identical either way and is what this operator exercises.
+
+    Scale: assignment is a broadcast join vs nlist centroids (linear scan);
+    a query touches ~nprobe/nlist of the corpus instead of all of it.
+    Output: (query_id, neighbor_id, cosine_sim, rank). Recall < 1 by
+    design (the true neighbor may live in an unprobed cell);
+    brute_force_topk is the exact baseline.
+    """
+    e = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cent = e.filter(F.col("vid") < nlist).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    csim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    # cell assignment: rank-1 centroid per vector (cid tiebreak)
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vid", "v", "nrm", "cid", csim.alias("csim"))
+        .withColumn("arnk", F.row_number().over(w_assign))
+        .filter(F.col("arnk") == 1)
+        .select("vid", "v", "nrm", "cid")
+    )
+    # probe list: nprobe nearest centroids per query vector
+    q = e.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qsim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "qn", "cid", qsim.alias("qsim"))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vid").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_oracle_sql(
+    query_ids: list[int], k: int = 5, nlist: int = 16, nprobe: int = 4
+) -> str:
+    """DuckDB oracle reproducing ivf_topk value-for-value (deterministic
+    first-nlist centroids; identical rounded-cosine cell assignment, probe
+    ranking, and within-cell top-k)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist}),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cent.cv) /
+                          (sqrt(list_inner_product(e.v, e.v)) *
+                           sqrt(list_inner_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cid) AS arnk
+        FROM e CROSS JOIN cent
+      ) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cent.cv) /
+                          (sqrt(list_inner_product(e.v, e.v)) *
+                           sqrt(list_inner_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cid) AS prnk
+        FROM e CROSS JOIN cent WHERE e.vec_id IN ({ids})
+      ) WHERE prnk <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, c.v) /
+                   (sqrt(list_inner_product(q.v, q.v)) *
+                    sqrt(list_inner_product(c.v, c.v))), 6) AS cosine_sim
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def lsh_topk_oracle_sql(
     query_ids: list[int],
     k: int = 5,

@@ -423,6 +423,20 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    similarity.ivf_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""IVF-Flat approximate top-5: inverted cells by nearest centroid,
+    nprobe-cell pruning, exact rank within probed cells — the second ANN
+    scale path next to hyperplane LSH. Fully value-level oracled
+    (deterministic centroid choice).""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
     "ann_lsh_topk",
     similarity.lsh_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""Hyperplane-LSH bucketed approximate top-5 (multi-probe radius 2).

@@ -239,3 +239,22 @@ def test_redact_pii_sequential_counts(spark):
     assert "987654321" not in out[1]["redacted"]
     assert out[2]["n_email"] == 0 and out[2]["redacted"] == "no pii here at all"
     assert out[3]["n_email"] == 2
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF results must be a subset of valid neighbors and carry exact
+    sims; recall vs brute force bounded below (uniform vectors, nprobe 4
+    of 16 cells)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall}"
+    assert len(approx) == len(qids) * 5
