@@ -90,3 +90,45 @@ def test_overwrite_swaps_and_cleans_up(spark, catalog):
     assert sorted(r["x"] for r in catalog.read("t").collect()) == [2, 3]
     assert not os.path.exists(catalog.path("t") + "__tmp")
     assert not os.path.exists(catalog.path("t") + "__old")
+
+
+def test_merge_upsert_bucketed_prunes_partitions(spark, catalog):
+    """Bucketed merge must (a) produce the same state as a full merge and
+    (b) physically rewrite ONLY the partitions holding the source's key
+    buckets — untouched bucket directories keep their exact files."""
+    import glob as g
+
+    base = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(200)], "k string, v double"
+    )
+    catalog.merge_upsert_bucketed(base, "big", key_cols=["k"], num_buckets=8,
+                                  id_col="bid")
+    files_before = {
+        d: set(g.glob(os.path.join(d, "*.parquet")))
+        for d in g.glob(os.path.join(catalog.path("big"), "_kb=*"))
+    }
+    assert len(files_before) > 1  # spread over several buckets
+
+    delta = spark.createDataFrame(
+        [("k3", 300.0), ("k7", 700.0), ("knew", -1.0)], "k string, v double"
+    )
+    out = catalog.merge_upsert_bucketed(delta, "big", key_cols=["k"],
+                                        num_buckets=8, id_col="bid")
+    rows = {r["k"]: r for r in out.collect()}
+    assert len(rows) == 201
+    assert rows["k3"]["v"] == 300.0 and rows["k7"]["v"] == 700.0
+    assert rows["k5"]["v"] == 5.0  # untouched
+    assert rows["knew"]["bid"] == 201  # max+1 surrogate
+
+    touched = {r["_kb"] for r in out.filter("k in ('k3','k7','knew')")
+               .select("_kb").distinct().collect()}
+    files_after = {
+        d: set(g.glob(os.path.join(d, "*.parquet")))
+        for d in g.glob(os.path.join(catalog.path("big"), "_kb=*"))
+    }
+    for d, before in files_before.items():
+        kb = int(d.rsplit("=", 1)[1])
+        if kb in touched:
+            assert files_after[d] != before  # rewritten
+        else:
+            assert files_after[d] == before  # not even opened for write
