@@ -71,6 +71,46 @@ def cmd_tables(args) -> None:
             print(f"{entry}\t{df.count()} rows\t({', '.join(df.columns)})")
 
 
+def cmd_run(args) -> None:
+    from gcp_datalake_pipeline_spark.plans import QUERIES
+
+    if args.name not in QUERIES:
+        sys.exit(
+            f"error: unknown query {args.name!r}; known: "
+            + ", ".join(sorted(QUERIES))
+        )
+    spark = get_spark()
+    df = QUERIES[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+
+
+def cmd_verify(args) -> None:
+    from gcp_datalake_pipeline_spark.plans import QUERIES
+    from gcp_datalake_pipeline_spark.plans.compare import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    spark = get_spark()
+    con = duckdb_connection(args.sf_dir)
+    names = args.names or [n for n, q in sorted(QUERIES.items()) if q.oracle]
+    results = {}
+    for name in names:
+        q = QUERIES.get(name)
+        if q is None:
+            sys.exit(f"error: unknown query {name!r}")
+        if not q.oracle:
+            results[name] = "no_oracle (rows-only operator)"
+            continue
+        r = compare_query(spark, con, name, q.fn(spark, args.sf_dir), q.oracle)
+        results[name] = "ok" if r.ok else f"MISMATCH: {r.detail[:200]}"
+    print(json.dumps(results, indent=2))
+    if any(v.startswith("MISMATCH") for v in results.values()):
+        sys.exit(1)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="gcp_datalake_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -103,6 +143,20 @@ def main(argv: list[str] | None = None) -> None:
     pt = sub.add_parser("tables", help="list catalog tables")
     pt.add_argument("--catalog", required=True)
     pt.set_defaults(fn=cmd_tables)
+
+    pr = sub.add_parser("run", help="run a named registry query on testdata")
+    pr.add_argument("name")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pr.add_argument("--limit", type=int, default=20)
+    pr.add_argument("--explain", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pv = sub.add_parser(
+        "verify", help="compare registry queries against their DuckDB oracles"
+    )
+    pv.add_argument("names", nargs="*")
+    pv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pv.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     args.fn(args)
