@@ -44,6 +44,28 @@ def hourly_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first event per key, with state
+    bounded by the watermark horizon (dropDuplicatesWithinWatermark —
+    duplicates arriving within the watermark window are suppressed, state
+    for older keys is GC'd; an unbounded dropDuplicates would grow state
+    forever at 100 TB/day rates).
+
+    The streaming twin of operators/dedup.exact_dedup; works on batch
+    DataFrames too (plain dropDuplicates, same result set).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -125,3 +125,40 @@ def test_sessionize_stream_matches_batch_session_count(spark, tmpdir):
     assert len(streamed) > 0
     # a full drain means EVERY session flushed, tails included
     assert {r["user_id"]: r["closed"] for r in streamed} == batch
+
+
+def test_dedup_stream_matches_batch_distinct(spark, tmpdir):
+    """Streaming dedup (watermark-bounded state) must surface each
+    (user_id, event_type) key exactly once — same key set as batch
+    dropDuplicates."""
+    from gcp_datalake_pipeline_spark.streaming.events import dedup_stream
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src = os.path.join(tmpdir, "dd_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    q = (
+        dedup_stream(stream, ["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "dd_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("select user_id, event_type from dedup_test").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_stream(events, ["user_id", "event_type"]).collect()
+    }
+    assert got == want
+    n = spark.sql("select count(*) c from dedup_test").first()["c"]
+    assert n == len(want)  # exactly once per key
