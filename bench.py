@@ -20,6 +20,17 @@ from gcp_datalake_pipeline_spark.session import get_spark
 # Headline set: scan-agg, join-heavy, window, JSON, sessionization, text,
 # dedup (LSH scale path), similarity. The quadratic exact-jaccard verifier
 # is excluded from the headline (it exists for correctness, not throughput).
+# Round-2 operators, timed separately so the headline list stays stable
+# round-over-round (reported under "queries_extended").
+EXTENDED = [
+    "chunk_boilerplate",
+    "embedding_near_dup_lsh",
+    "ann_ivf_topk",
+    "pii_redaction",
+    "fuzzy_join_qgram",
+    "doc_tfidf_topk",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -76,6 +87,12 @@ def main() -> None:
         timings[name] = run(name)
         print(f"# warm {name}: {timings[name]}s", file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        run(name)  # cold
+        extended[name] = run(name)
+        print(f"# warm(ext) {name}: {extended[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +102,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
+                "queries_extended": extended,
                 "sf": float(sf),
             }
         )
