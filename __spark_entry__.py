@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query; non-SQL-expressible ops (MinHash/LSH,
-    SimHash — xxhash64-based) are omitted -> rows-only check."""
+    """DuckDB oracle SQL per query. Everything is oracled except the HLL
+    sketch (approximate by nature -> rows-only); the MinHash/SimHash/
+    ANN-LSH/IVF approximate family is value-level oracled via md5-parity
+    hash modes and constants embedded in the SQL."""
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -258,3 +258,20 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"IVF recall {recall}"
     assert len(approx) == len(qids) * 5
+
+
+def test_redact_pii_idempotent(spark):
+    """Redacting an already-redacted corpus is a no-op (the replacement
+    tokens must not themselves match any PII pattern)."""
+    from gcp_datalake_pipeline_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "a@b.co and 111-222-3333 and 123456789 end")],
+        "doc_id long, text string",
+    )
+    once = redact_pii(docs).select("doc_id", F.col("redacted").alias("text"))
+    twice = {r["doc_id"]: r for r in redact_pii(once).collect()}
+    assert twice[1]["n_email"] == 0
+    assert twice[1]["n_phone"] == 0
+    assert twice[1]["n_id_number"] == 0
+    assert twice[1]["redacted"] == "<EMAIL> and <PHONE> and <ID_NUMBER> end"
