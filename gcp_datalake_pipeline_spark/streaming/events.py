@@ -44,6 +44,37 @@ def hourly_event_counts(
     )
 
 
+def correlate_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    tolerance_s: int = 60,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pairs with the same ``key`` whose event
+    times differ by at most ``tolerance_s`` — the streaming twin of
+    operators/temporal.range_join_within. Right-side columns come back
+    suffixed ``_r``.
+
+    Both sides get watermarks and the join carries an event-time range
+    condition, which is exactly what lets Spark bound the join state: a
+    buffered row is dropped once the other side's watermark passes its
+    ts + tolerance. Works on batch DataFrames too (plain equi+range join).
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r = r.select(*[F.col(c).alias(f"{c}_r") for c in r.columns])
+    tol = F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts) - tol)
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts) + tol)
+    )
+    return l.join(r, cond)
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

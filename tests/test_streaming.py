@@ -162,3 +162,49 @@ def test_dedup_stream_matches_batch_distinct(spark, tmpdir):
     assert got == want
     n = spark.sql("select count(*) c from dedup_test").first()["c"]
     assert n == len(want)  # exactly once per key
+
+
+def test_correlate_streams_within_matches_batch(spark, tmpdir):
+    """Stream-stream interval join (clicks x errors within 60 s per user,
+    watermark-bounded state) must produce exactly the batch pair set."""
+    from gcp_datalake_pipeline_spark.streaming.events import (
+        correlate_streams_within,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    clicks = events.filter("event_type = 'click'")
+    errors = events.filter("event_type = 'error'")
+    want = {
+        (r["event_id"], r["event_id_r"])
+        for r in correlate_streams_within(
+            clicks, errors, "user_id", tolerance_s=86400, watermark="2 days"
+        ).collect()
+    }
+
+    cdir, edir = os.path.join(tmpdir, "c"), os.path.join(tmpdir, "e")
+    clicks.write.parquet(cdir)
+    errors.write.parquet(edir)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    es = spark.readStream.schema(schema).parquet(edir)
+    q = (
+        correlate_streams_within(
+            cs, es, "user_id", tolerance_s=86400, watermark="2 days"
+        )
+        .select("event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("corr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "corr_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("select * from corr_test").collect()
+    }
+    assert len(want) > 0
+    assert got == want
