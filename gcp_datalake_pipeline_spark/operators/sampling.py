@@ -1,0 +1,100 @@
+"""Deterministic hash-based sampling / splitting for training-data
+pipelines.
+
+Random sampling (df.sample / sampleBy) is seed-reproducible within Spark
+but not portable or stable under repartitioning of inputs across engines.
+Training pipelines instead split on a HASH of a stable id: the assignment
+of any given document never changes as the corpus grows, is identical on
+every engine that can compute the hash (md5 here — Spark == DuckDB), and
+requires no coordination. This is how production train/val/test splits and
+reproducible subsamples are done at 100 TB: a narrow, shuffle-free column
+expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Stable bucket in [0, SPLIT_BUCKETS): first 8 md5 hex chars of
+    ``id:salt`` as a 32-bit int, mod the bucket count. Changing the salt
+    re-rolls every assignment (fresh independent split)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % SPLIT_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label. ``splits`` maps label
+    -> fraction (must sum to <= 1; remainder falls into the last label).
+    Output: input columns + ``split``.
+
+    Fractions are honored in expectation (each id lands in a uniform
+    bucket of 1/SPLIT_BUCKETS); the assignment is a pure function of
+    (id, salt) — stable across runs, engines, and corpus growth.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    labels = list(splits.items())
+    for label, frac in labels[:-1]:
+        acc += frac
+        cond = bucket < int(round(acc * SPLIT_BUCKETS))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ``fraction`` subsample by id hash — reproducible and
+    consistent across engines/runs (unlike df.sample under repartition)."""
+    return df.filter(
+        _hash_bucket(F.col(id_col), salt) < int(round(fraction * SPLIT_BUCKETS))
+    )
+
+
+def hash_split_oracle_sql(
+    splits: dict[str, float] | None = None, salt: str = "split"
+) -> str:
+    """DuckDB oracle for hash_split over the documents table: the same
+    8-hex-nibble md5 bucket rebuilt via strpos arithmetic."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    nibble_sum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1) "
+        f"* (1::BIGINT << {4 * (8 - i)})"
+        for i in range(1, 9)
+    )
+    case = "CASE"
+    acc = 0.0
+    labels = list(splits.items())
+    for label, frac in labels[:-1]:
+        acc += frac
+        case += f" WHEN bucket < {int(round(acc * SPLIT_BUCKETS))} THEN '{label}'"
+    case += f" ELSE '{labels[-1][0]}' END"
+    return f"""
+    WITH hx AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR || ':{salt}') AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ({nibble_sum}) % {SPLIT_BUCKETS} AS bucket FROM hx
+    )
+    SELECT doc_id, {case} AS split FROM b
+    """

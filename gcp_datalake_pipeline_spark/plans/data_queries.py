@@ -174,6 +174,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from gcp_datalake_pipeline_spark.operators import sampling  # noqa: E402
+
+
+@register(
+    "train_val_test_split",
+    sampling.hash_split_oracle_sql(),
+    doc="""Deterministic hash-based train/val/test split (90/5/5): the
+    standard reproducible-split mechanism for training corpora —
+    assignment is a pure function of (doc_id, salt), stable across runs,
+    engines and corpus growth. Narrow md5 bucket expression, no shuffle.""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
 _PII_BASE_CTE = (
     "base AS (SELECT c_custkey, c_name || ' <' || lower(c_mktsegment) || "
     "c_custkey::VARCHAR || '@mail.example.com> tel 600-' || "

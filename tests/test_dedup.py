@@ -275,3 +275,31 @@ def test_redact_pii_idempotent(spark):
     assert twice[1]["n_phone"] == 0
     assert twice[1]["n_id_number"] == 0
     assert twice[1]["redacted"] == "<EMAIL> and <PHONE> and <ID_NUMBER> end"
+
+
+def test_hash_split_and_sample_properties(spark):
+    """Split is exhaustive, disjoint, stable across runs, and roughly honors
+    fractions; hash_sample(f) is a subset consistent with its bucket rule."""
+    from gcp_datalake_pipeline_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs).collect()}
+    assert s1 == s2  # deterministic
+    n = len(s1)
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n > 0.8  # 90% nominal, loose bound at small n
+
+    # growing the corpus never reassigns an existing id
+    half = docs.filter("doc_id % 2 = 0")
+    sh = {r["doc_id"]: r["split"] for r in sampling.hash_split(half).collect()}
+    assert all(s1[k] == v for k, v in sh.items())
+
+    sample = {r["doc_id"] for r in sampling.hash_sample(docs, 0.2).collect()}
+    assert 0.05 < len(sample) / n < 0.4
+    # different salt -> different (independent) subsample
+    other = {r["doc_id"] for r in sampling.hash_sample(docs, 0.2, salt="s2").collect()}
+    assert sample != other
