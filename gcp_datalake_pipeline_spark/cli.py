@@ -71,6 +71,28 @@ def cmd_tables(args) -> None:
             print(f"{entry}\t{df.count()} rows\t({', '.join(df.columns)})")
 
 
+def cmd_export(args) -> None:
+    cat = _catalog(args, must_exist=True)
+    tables = args.tables or [
+        e
+        for e in sorted(os.listdir(cat.root))
+        if os.path.isdir(cat.path(e)) and not e.endswith(("__tmp", "__old"))
+    ]
+    out = {}
+    for t in tables:
+        df = cat.read(t)
+        cat.to_jdbc(
+            df,
+            t,
+            args.url,
+            mode=args.mode,
+            driver=args.driver,
+            num_partitions=args.connections,
+        )
+        out[t] = df.count()
+    print(json.dumps({"exported": out, "url": args.url}))
+
+
 def cmd_run(args) -> None:
     from gcp_datalake_pipeline_spark.plans import QUERIES
 
@@ -157,6 +179,20 @@ def main(argv: list[str] | None = None) -> None:
     pv.add_argument("names", nargs="*")
     pv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pv.set_defaults(fn=cmd_verify)
+
+    pe = sub.add_parser(
+        "export", help="export catalog tables to a JDBC database (S8 sink)"
+    )
+    pe.add_argument("--catalog", required=True)
+    pe.add_argument("--url", required=True, help="JDBC url, e.g. jdbc:postgresql://...")
+    pe.add_argument("--driver", default=None)
+    pe.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
+    pe.add_argument(
+        "--connections", type=int, default=5,
+        help="max concurrent connections (reference pool parity: 5)",
+    )
+    pe.add_argument("tables", nargs="*")
+    pe.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     args.fn(args)
