@@ -174,6 +174,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bigram_fluency",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tok || ' ' || LEAD(tok) OVER w AS bigram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY LEAD(tok) OVER w IS NOT NULL
+    ),
+    counts AS (SELECT md5(bigram) AS h, COUNT(*) AS cnt FROM bg GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(cnt)), 4) AS avg_log_freq
+    FROM bg JOIN counts ON md5(bg.bigram) = counts.h
+    GROUP BY doc_id
+    """,
+    doc="""Corpus-typicality fluency score: mean log corpus-frequency of a
+    document's bigrams — a cheap statistical LM proxy used as a quality
+    filter signal (gibberish scores low, boilerplate scores high; combine
+    with distinct_ratio). Scale: bigrams built as a narrow zip_with (no
+    window shuffle); the frequency groupBy and join carry md5(bigram).""",
+)
+def doc_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.text import TOKEN_SPLIT_RE
+
+    toks = F.split(F.col("text"), TOKEN_SPLIT_RE)
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bg = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("h", F.md5("bigram"))
+    )
+    counts = bg.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bg.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("cnt")), 4).alias("avg_log_freq"),
+        )
+    )
+
+
 from gcp_datalake_pipeline_spark.operators import sampling  # noqa: E402
 
 
