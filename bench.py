@@ -29,6 +29,8 @@ EXTENDED = [
     "pii_redaction",
     "fuzzy_join_qgram",
     "doc_tfidf_topk",
+    "doc_bigram_fluency",
+    "train_val_test_split",
 ]
 
 HEADLINE = [
