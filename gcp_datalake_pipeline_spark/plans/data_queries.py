@@ -1,10 +1,14 @@
-"""Training-data pipeline queries (dedup / similarity / text analysis) —
-registered alongside the relational core in the same QUERIES registry.
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+sampling) — registered alongside the relational core in the same QUERIES
+registry.
 
-Non-SQL-expressible operators (MinHash/LSH, SimHash — they depend on
-xxhash64, which DuckDB lacks) register with oracle=None: the driver records
-a rows-only check and the pytest suite verifies their semantics against the
-exact operators instead (tests/test_dedup.py).
+Every query here is value-level oracled, including the approximate family:
+MinHash/SimHash gates run md5-parity hash modes DuckDB reproduces exactly,
+and the ANN gates embed their deterministic plane/centroid constants in the
+oracle SQL. The only rows-only entry in the whole registry is the HLL
+sketch (approximate by nature; bounds are pytest-checked). Approximation
+QUALITY (recall vs the exact operators) is bounded separately in
+tests/test_dedup.py.
 """
 
 from __future__ import annotations
