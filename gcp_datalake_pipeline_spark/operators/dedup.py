@@ -236,42 +236,34 @@ def minhash_signatures(
       pipeline becomes value-level oracle-checkable
       (:func:`minhash_lsh_oracle_sql`). Same plan shape, same scale story.
 
-    Computed as a fully narrow fold — per document, hash the shingle array
-    once (transform), then ONE pass updating a num_perm-wide running-min
-    vector. Zero shuffles, embarrassingly parallel over input partitions,
-    and the shingle array is referenced exactly once so Catalyst's
-    project-collapsing cannot duplicate its construction (the seeds-outer
-    formulation rebuilt it per seed — measured 70x slower).
+    Shape: explode shingles, hash each ONCE, then one groupBy(doc_id) with
+    num_perm codegen'd min() aggregates (assembled into the sig array).
+    The min aggs run inside whole-stage codegen with map-side partial
+    aggregation, so the shuffle carries one num_perm-wide partial row per
+    doc per map partition (~256 B/doc) — measured 2x faster than the
+    narrow interpreted aggregate/zip_with fold, which Spark cannot
+    codegen. (And never hash per (shingle, seed): 32 full hashes per
+    shingle was another 3x on top; the seeds-outer array formulation that
+    rebuilt the shingle array per seed was 70x.)
     """
     params = minhash_perm_params(num_perm)
-    # Constant-folded literal arrays: element_at on them is O(1) per probe.
-    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in params])
-    b_lit = F.array(*[F.lit(b).cast("long") for _, b in params])
-    idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
     if hash_mode == "md5":
-        base = lambda x: F.conv(  # noqa: E731
-            F.substring(F.md5(x), 1, 15), 16, 10
-        ).cast("long")
+        base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     else:
-        base = lambda x: F.xxhash64(x)  # noqa: E731
-    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_perm)
-    sig = F.aggregate(
-        F.transform(F.col("_sh"), lambda x: F.pmod(base(x), F.lit(MINHASH_P))),
-        init,
-        lambda acc, hm: F.zip_with(
-            acc,
-            idx,
-            lambda m, i: F.least(
-                m,
-                (F.element_at(a_lit, i + 1) * hm + F.element_at(b_lit, i + 1))
-                % MINHASH_P,
-            ),
-        ),
+        base = F.xxhash64("shingle")
+    sh = doc_shingles(df).select(
+        "doc_id", F.pmod(base, F.lit(MINHASH_P)).alias("_hm")
     )
-    return (
-        df.select("doc_id", shingle_array(F.col("text")).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select("doc_id", sig.alias("sig"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a).cast("long") * F.col("_hm") + F.lit(b)) % MINHASH_P
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
     )
 
 

@@ -205,7 +205,7 @@ class Catalog:
         Same semantics as merge_upsert (last-wins dedup, frozen columns,
         date_created/date_updated, sharded surrogate ids).
         """
-        from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids  # noqa: F401
+        from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
 
         src = dedup_last_wins(source, key_cols, order_col)
         src = src.drop("_row_idx", "_source_file")
