@@ -453,37 +453,43 @@ def simhash(
     DuckDB can reproduce nibble-by-nibble — see simhash_pairs_oracle_sql.
     xxhash64 (production) keeps the full 64 bits.
 
-    Formulation note: explode(shingle x bit) + two groupBys looks heavy but
-    is the FAST and scale-safe shape — the explode pipelines into a
-    map-side partial sum inside whole-stage codegen, so the shuffle only
-    carries |docs| x 64 partially-aggregated rows. (A narrow nested-HOF
-    fold over binary strings was measured 4x slower: higher-order lambdas
-    are interpreted, codegen'd explode+hash-agg is not.)
+    Formulation note: ONE groupBy(doc_id) carrying ``bits`` codegen'd
+    conditional-sum aggregates (vote per bit), then a single projection
+    packs the sign bits into the fingerprint. No row multiplication: the
+    input to the aggregation is |shingles| rows, each evaluating 64 cheap
+    bit-test expressions inside whole-stage codegen, and the shuffle
+    carries one 64-column partial row per doc per map partition. Measured
+    ~2x faster than the explode(shingle x bit) + two-groupBy shape, which
+    itself was 4x faster than a narrow interpreted-HOF fold.
     """
+    from functools import reduce
+
     if hash_mode == "md5":
         bits = min(bits, 60)
         h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64("shingle")
     sh = doc_shingles(df).select("doc_id", h.alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = sh.select("doc_id", bit, "h").select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    return (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
+    votes = sh.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(shiftright(h, {b}) & 1)") == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
+    # bit 63 as a signed-long literal wraps to Long.MIN_VALUE (same bit).
+    bitval = lambda b: F.lit((1 << b) if b < 63 else -(2**63)).cast("long")  # noqa: E731
+    fp = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"_v{b}") > 0, bitval(b)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(bits)
+        ],
+    )
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
