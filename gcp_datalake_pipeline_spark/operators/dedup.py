@@ -440,6 +440,109 @@ def chunk_boilerplate_oracle_sql(
     """
 
 
+def near_dup_clusters(
+    df: DataFrame, pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over a near-dup pair set: every document gets a
+    ``cluster_id`` (the min doc_id reachable through pair edges; singletons
+    cluster with themselves) and ``is_canonical`` (the keeper). This is the
+    step that turns PAIRS into the keep/drop decision a curation pipeline
+    actually executes.
+
+    Algorithm: iterative min-label propagation — each round, every node
+    takes the min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — pairs and
+    small chains — so a handful of rounds at any scale; the loop exits
+    early on a converged round). The driver-side loop is the sanctioned
+    iterative-algorithm exception: each iteration is a set-based join +
+    groupBy, and the only driver values are the per-round change counts.
+
+    Scale: edges shuffle on node id; labels are (id, label) longs. For
+    pathological diameters switch to pointer-doubling (label-of-label
+    joins, O(log n) rounds) — not needed for dedup graphs.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = df.select("doc_id").withColumn("label", F.col("doc_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+            .select(F.col("src").alias("doc_id"), "nmin")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def near_dup_clusters_oracle_sql(threshold: float = 0.8) -> str:
+    """DuckDB oracle for near_dup_clusters over jaccard_pairs(threshold):
+    recursive-CTE transitive closure, component label = min reachable id."""
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
 def simhash(
     df: DataFrame, bits: int = 64, hash_mode: str = "xxhash64"
 ) -> DataFrame:

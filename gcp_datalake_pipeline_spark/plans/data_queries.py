@@ -286,6 +286,22 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    dedup.near_dup_clusters_oracle_sql(threshold=0.8),
+    doc="""Connected components over the exact near-dup pairs: cluster_id =
+    min reachable doc_id, is_canonical marks the keeper — the step that
+    turns pairs into keep/drop decisions. Spark: iterative min-label
+    propagation (O(diameter) set-based rounds); oracle: recursive-CTE
+    transitive closure.""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        docs, dedup.jaccard_pairs(docs, threshold=0.8)
+    )
+
+
+@register(
     "chunk_boilerplate",
     dedup.chunk_boilerplate_oracle_sql(chunk_tokens=10, min_docs=2),
     doc="""Cross-document chunk-level dedup (C4-style line dedup over

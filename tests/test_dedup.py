@@ -303,3 +303,19 @@ def test_hash_split_and_sample_properties(spark):
     # different salt -> different (independent) subsample
     other = {r["doc_id"] for r in sampling.hash_sample(docs, 0.2, salt="s2").collect()}
     assert sample != other
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A chain a-b, b-c, c-d must collapse into ONE cluster labeled by the
+    min id, with exactly one canonical row; isolated docs are singletons."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [5, 9, 2, 7, 42]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(5, 9), (2, 9), (2, 7)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.near_dup_clusters(docs, pairs).collect()}
+    assert {out[i]["cluster_id"] for i in (5, 9, 2, 7)} == {2}
+    assert out[2]["is_canonical"] and not out[5]["is_canonical"]
+    assert out[42]["cluster_id"] == 42 and out[42]["is_canonical"]
