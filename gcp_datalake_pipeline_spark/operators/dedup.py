@@ -495,7 +495,7 @@ def near_dup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
