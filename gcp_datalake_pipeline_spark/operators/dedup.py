@@ -392,13 +392,15 @@ def strip_boilerplate_chunks(
     df: DataFrame, chunk_tokens: int = CHUNK_TOKENS, min_docs: int = 2
 ) -> DataFrame:
     """Rewrite each document with its boilerplate chunks removed (chunk
-    order preserved). Output: (doc_id, text). Documents made entirely of
-    boilerplate come back with empty text — downstream length filters (see
-    operators/corpus.py) then drop them, mirroring real curation stacks."""
+    order preserved). Output: (doc_id, text) — one row per INPUT document:
+    documents made entirely of boilerplate come back with empty text (the
+    aggregation is left-joined back to the full doc_id set, so no row is
+    silently lost). Downstream length filters (see operators/corpus.py)
+    then drop the empties, mirroring real curation stacks."""
     chunks = doc_chunks(df, chunk_tokens).withColumn("h", F.md5("chunk_text"))
     counts = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("dfreq"))
     kept = chunks.join(counts, "h").filter(F.col("dfreq") < min_docs)
-    return kept.groupBy("doc_id").agg(
+    rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -406,6 +408,14 @@ def strip_boilerplate_chunks(
                 lambda s: s["chunk_text"],
             ),
         ).alias("text")
+    )
+    # All-boilerplate docs have zero kept chunks; restore them with empty
+    # text so the output is keyed 1:1 with the input corpus.
+    return (
+        df.select("doc_id")
+        .distinct()
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )
 
 
@@ -441,7 +451,10 @@ def chunk_boilerplate_oracle_sql(
 
 
 def near_dup_clusters(
-    df: DataFrame, pairs: DataFrame, max_iter: int = 15
+    df: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 15,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-dup pair set: every document gets a
     ``cluster_id`` (the min doc_id reachable through pair edges; singletons
@@ -460,7 +473,14 @@ def near_dup_clusters(
     Scale: edges shuffle on node id; labels are (id, label) longs. For
     pathological diameters switch to pointer-doubling (label-of-label
     joins, O(log n) rounds) — not needed for dedup graphs.
+
+    If a component's diameter exceeds ``max_iter`` the labels would be
+    WRONG (multiple is_canonical rows per real cluster), so exhausting the
+    loop with changes still pending raises RuntimeError by default; pass
+    ``on_unconverged="warn"`` to log and return the partial labels instead.
     """
+    if on_unconverged not in ("raise", "warn"):
+        raise ValueError("on_unconverged must be 'raise' or 'warn'")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -499,6 +519,17 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"near_dup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); a component's diameter "
+            "exceeds max_iter — raise max_iter or use pointer-doubling."
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

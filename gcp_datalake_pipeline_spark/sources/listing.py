@@ -76,8 +76,22 @@ def sync_landing(
     os.makedirs(landing_dir, exist_ok=True)
     if processed_dir:
         os.makedirs(processed_dir, exist_ok=True)
+    files = lister.list()
+    # Landing is keyed by basename: two listed files sharing one would
+    # silently overwrite each other (and collide again in processed_dir).
+    # That is data loss before ingest, so fail loudly instead.
+    by_base: dict[str, list[str]] = {}
+    for f in files:
+        by_base.setdefault(os.path.basename(f.path), []).append(f.path)
+    collisions = {b: ps for b, ps in by_base.items() if len(ps) > 1}
+    if collisions:
+        detail = "; ".join(f"{b}: {ps}" for b, ps in sorted(collisions.items()))
+        raise ValueError(
+            f"sync_landing: basename collisions in listing ({detail}); "
+            "disambiguate sources before landing"
+        )
     landed = []
-    for f in lister.list():
+    for f in files:
         dest = os.path.join(landing_dir, os.path.basename(f.path))
         shutil.copy2(f.path, dest)
         landed.append(dest)

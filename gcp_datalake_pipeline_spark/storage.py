@@ -35,6 +35,60 @@ class Catalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _bucket_meta_path(self, table: str) -> str:
+        # Sibling of the table dir (NOT inside it): the overwrite rename
+        # dance and dynamic partition overwrite never touch it.
+        return self.path(table) + ".buckets.json"
+
+    def _write_bucket_meta(
+        self, table: str, num_buckets: int, key_cols: list[str]
+    ) -> None:
+        import json
+
+        with open(self._bucket_meta_path(table), "w") as f:
+            json.dump({"num_buckets": num_buckets, "key_cols": key_cols}, f)
+
+    def _check_bucket_meta(
+        self, table: str, num_buckets: int, key_cols: list[str]
+    ) -> None:
+        """A merge with a different bucket count than the table was created
+        with hashes keys to different _kb partitions — existing rows are
+        never matched and every update silently becomes a duplicate-key
+        insert. Persisted metadata makes that a hard error instead."""
+        import json
+
+        meta_path = self._bucket_meta_path(table)
+        if not os.path.exists(meta_path):
+            # Legacy table without metadata: the listed _kb partitions are
+            # the only evidence; any value >= num_buckets proves a mismatch.
+            kbs = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.path(table))
+                if d.startswith("_kb=")
+            ]
+            if kbs and max(kbs) >= num_buckets:
+                raise ValueError(
+                    f"table {table!r} has partition _kb={max(kbs)} but this "
+                    f"merge was called with num_buckets={num_buckets}; "
+                    "re-merge with the bucket count the table was created with"
+                )
+            self._write_bucket_meta(table, num_buckets, key_cols)
+            return
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"table {table!r} was bucketed with num_buckets="
+                f"{meta['num_buckets']} but this merge passed "
+                f"{num_buckets}; mismatched bucketing would turn updates "
+                "into silent duplicate inserts"
+            )
+        if meta.get("key_cols") not in (None, key_cols):
+            raise ValueError(
+                f"table {table!r} was bucketed on keys {meta['key_cols']} "
+                f"but this merge passed {key_cols}"
+            )
+
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
 
@@ -221,8 +275,10 @@ class Catalog:
             if id_col is not None and id_col not in src.columns:
                 src = assign_dense_ids(src, key_cols, id_col)
             self.overwrite(src, table, partition_cols=["_kb"])
+            self._write_bucket_meta(table, num_buckets, key_cols)
             return self.read(table)
 
+        self._check_bucket_meta(table, num_buckets, key_cols)
         buckets = [r["_kb"] for r in src.select("_kb").distinct().collect()]
         # Partition-pruned target scan: only the touched buckets are read.
         target_subset = self.read(table).filter(F.col("_kb").isin(buckets))

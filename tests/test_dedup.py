@@ -319,3 +319,84 @@ def test_near_dup_clusters_transitive_chain(spark):
     assert {out[i]["cluster_id"] for i in (5, 9, 2, 7)} == {2}
     assert out[2]["is_canonical"] and not out[5]["is_canonical"]
     assert out[42]["cluster_id"] == 42 and out[42]["is_canonical"]
+
+
+def test_strip_boilerplate_keeps_all_boilerplate_docs_as_empty(spark):
+    """A document made ENTIRELY of boilerplate must still come back — with
+    empty text — so the output stays keyed 1:1 with the input corpus
+    (ADVICE r2: the pre-fix groupBy silently dropped such docs)."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + uniq), (2, shared), (3, shared)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_boilerplate_chunks(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}  # no silent row loss
+    assert out[1] == uniq
+    assert out[2] == "" and out[3] == ""
+
+
+def test_near_dup_clusters_unconverged_raises_or_warns(spark):
+    """A component whose diameter exceeds max_iter must NOT return wrong
+    labels silently: default raises, on_unconverged='warn' warns."""
+    import warnings
+
+    n = 8  # path graph 0-1-2-...-7: diameter 7, needs several rounds
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(docs, pairs, max_iter=2).collect()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.near_dup_clusters(
+            docs, pairs, max_iter=2, on_unconverged="warn"
+        )
+        rows = out.collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert len(rows) == n
+    # and with enough iterations the same graph converges to one cluster
+    ok = {r["doc_id"]: r["cluster_id"] for r in
+          dedup.near_dup_clusters(docs, pairs, max_iter=15).collect()}
+    assert set(ok.values()) == {0}
+
+
+def test_shingle_oracle_parity_with_in_doc_repeats(spark):
+    """Spark doc_shingles dedupes shingles per doc (array_distinct); the
+    DuckDB _SHINGLE_CTE must match via SELECT DISTINCT even when a 3-gram
+    repeats INSIDE one document (ADVICE r2 flagged this as divergent — the
+    synthetic corpus never exercises it, so pin it here)."""
+    import duckdb
+
+    # 'a b c' appears twice in doc 1; doc 2 has it once plus extra tokens.
+    rows = [
+        (1, "a b c x a b c"),
+        (2, "a b c y z w"),
+        (3, "q r s t u v"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle_pairs = {
+        (a, b, round(j, 4))
+        for a, b, j in con.execute(
+            dedup.jaccard_pairs_oracle_sql(threshold=0.0)
+        ).fetchall()
+    }
+    con.close()
+    assert spark_pairs == oracle_pairs
+    # sanity: the repeated in-doc shingle was actually deduped (4 distinct
+    # shingles in doc 1, not 5 positional ones)
+    n1 = dedup.doc_shingles(docs).filter("doc_id = 1").count()
+    assert n1 == 4

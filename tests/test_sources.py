@@ -114,3 +114,24 @@ def test_lister_sync_and_ingest(spark, catalog, tmp_path_factory):
     # StaticLister = the reference's one-file-per-event shape
     one = StaticLister((landed[0],))
     assert [f.path for f in one.list()] == [landed[0]]
+
+
+def test_sync_landing_rejects_basename_collisions(tmp_path):
+    """Two listed files with the same basename from different dirs would
+    silently overwrite each other in landing — must raise (ADVICE r2)."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.sources.listing import (
+        StaticLister,
+        sync_landing,
+    )
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    (d1 / "f.csv").write_text("x;y\n1;2\n")
+    (d2 / "f.csv").write_text("x;y\n3;4\n")
+    lister = StaticLister(paths=(str(d1 / "f.csv"), str(d2 / "f.csv")))
+    with pytest.raises(ValueError, match="basename collision"):
+        sync_landing(lister, str(tmp_path / "landing"))
+    # both originals untouched (no partial copy/move happened)
+    assert (d1 / "f.csv").exists() and (d2 / "f.csv").exists()

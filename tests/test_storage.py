@@ -132,3 +132,25 @@ def test_merge_upsert_bucketed_prunes_partitions(spark, catalog):
             assert files_after[d] != before  # rewritten
         else:
             assert files_after[d] == before  # not even opened for write
+
+
+def test_merge_upsert_bucketed_rejects_bucket_count_mismatch(spark, catalog):
+    """Re-merging with a different num_buckets than the table was created
+    with would hash keys into different _kb partitions (updates become
+    silent duplicate inserts) — must raise instead (ADVICE r2)."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(50)], "k string, v double"
+    )
+    catalog.merge_upsert_bucketed(base, "bt", key_cols=["k"], num_buckets=8)
+    assert os.path.exists(catalog.path("bt") + ".buckets.json")
+    delta = spark.createDataFrame([("k3", 300.0)], "k string, v double")
+    with pytest.raises(ValueError, match="num_buckets"):
+        catalog.merge_upsert_bucketed(delta, "bt", key_cols=["k"], num_buckets=16)
+    with pytest.raises(ValueError, match="keys"):
+        catalog.merge_upsert_bucketed(delta, "bt", key_cols=["v"], num_buckets=8)
+    # matching bucket count still merges fine
+    out = catalog.merge_upsert_bucketed(delta, "bt", key_cols=["k"], num_buckets=8)
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows["k3"] == 300.0 and len(rows) == 50
