@@ -8,5 +8,6 @@ from gcp_datalake_pipeline_spark.plans import function_queries  # noqa: F401  (r
 from gcp_datalake_pipeline_spark.plans import temporal_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import tpch_extra  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import tpch_extra2  # noqa: F401  (registers)
+from gcp_datalake_pipeline_spark.plans import tpch_extra3  # noqa: F401  (registers)
 
 __all__ = ["QUERIES", "Query", "load_table"]
