@@ -69,6 +69,60 @@ def hash_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: each stratum keeps its own
+    fraction (e.g. downsample dominant languages, keep all of a rare one).
+    Strata missing from ``fractions`` are dropped (fraction 0). Like
+    hash_sample, membership is a pure function of (id, salt) — a narrow
+    filter expression, no shuffle, stable as the corpus grows.
+    """
+    bucket = _hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        val = F.lit(int(round(frac * SPLIT_BUCKETS)))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = F.lit(0) if thresh is None else thresh.otherwise(F.lit(0))
+    return df.filter(bucket < thresh)
+
+
+def _nibble_sum_sql(hx: str = "hx") -> str:
+    """DuckDB expression: first 8 md5 hex chars of ``hx`` as a long —
+    the oracle twin of _hash_bucket's conv(substring(md5, 1, 8), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i}, 1)) - 1) "
+        f"* (1::BIGINT << {4 * (8 - i)})"
+        for i in range(1, 9)
+    )
+
+
+def stratified_sample_oracle_sql(
+    strata_col: str, fractions: dict[str, float], salt: str = "strat"
+) -> str:
+    """DuckDB oracle for stratified_sample over the documents table."""
+    case = "CASE"
+    for stratum, frac in fractions.items():
+        case += (
+            f" WHEN {strata_col} = '{stratum}'"
+            f" THEN {int(round(frac * SPLIT_BUCKETS))}"
+        )
+    case += " ELSE 0 END"
+    return f"""
+    WITH h AS (
+      SELECT *, md5(doc_id::VARCHAR || ':{salt}') AS hx FROM documents
+    )
+    SELECT doc_id, {strata_col}
+    FROM h
+    WHERE ({_nibble_sum_sql()}) % {SPLIT_BUCKETS} < {case}
+    """
+
+
 def hash_split_oracle_sql(
     splits: dict[str, float] | None = None, salt: str = "split"
 ) -> str:

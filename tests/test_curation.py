@@ -1,0 +1,93 @@
+"""Unit semantics for the batch-3 curation operators: contamination,
+sequence packing, stratified sampling (oracle parity is covered by the
+gate rehearsal in test_queries.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.operators.contamination import (
+    ngram_contamination,
+)
+from gcp_datalake_pipeline_spark.operators.packing import pack_sequences
+from gcp_datalake_pipeline_spark.operators.sampling import stratified_sample
+
+
+def test_ngram_contamination_flags_shared_5gram(spark):
+    """A doc embedding a benchmark 5-gram is flagged; a clean doc and a
+    too-short doc are not (and both still appear in the output)."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix quick brown fox jumps over suffix words here"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, bench).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 contains exactly one benchmark 5-gram: 'quick brown fox jumps over'
+    assert out[1]["contaminated"] and out[1]["n_hit_ngrams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hit_ngrams"] == 0
+    assert out[3]["n_doc_ngrams"] == 0 and not out[3]["contaminated"]
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    """Hand-checked concat-and-chop: 3 docs of 3/4/5 tokens, budget 4 ->
+    token stream cut at 4 and 8; doc 2 straddles the first cut."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i j k l")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, max_tokens=4).collect()}
+    assert out[1]["start_tok"] == 0 and out[1]["seq_first"] == 0
+    assert out[1]["seq_last"] == 0 and out[1]["n_seqs"] == 1
+    # doc 2: tokens 3..6 -> sequences 0 and 1
+    assert out[2]["start_tok"] == 3
+    assert (out[2]["seq_first"], out[2]["seq_last"], out[2]["n_seqs"]) == (0, 1, 2)
+    # doc 3: tokens 7..11 -> sequences 1 and 2
+    assert out[3]["start_tok"] == 7
+    assert (out[3]["seq_first"], out[3]["seq_last"], out[3]["n_seqs"]) == (1, 2, 3 - 1)
+
+
+def test_pack_sequences_scan_is_sharded_not_single_partition(spark):
+    """The global prefix sum must run as the sharded two-pass scan — the
+    executed plan may not contain a SinglePartition exchange."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("w x y z").alias("text")
+    )
+    out = pack_sequences(docs, max_tokens=16, num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # and the scan is still correct: 4 tokens per doc, contiguous stream
+    rows = sorted(
+        ((r["doc_id"], r["start_tok"]) for r in out.collect())
+    )
+    assert rows[0] == (0, 0) and rows[999] == (999, 3996)
+
+
+def test_stratified_sample_respects_fractions_and_drops_unknown(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise(
+            F.when(F.col("id") % 4 == 1, "fr").otherwise("xx")
+        ).alias("lang"),
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.5, "fr": 0.1})
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "xx" not in counts  # unlisted stratum dropped entirely
+    assert 800 < counts["en"] < 1200  # ~1000 of 2000
+    assert 50 < counts["fr"] < 200  # ~100 of 1000
+    # deterministic: same call, same rows
+    again = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", {"en": 0.5, "fr": 0.1}).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_pack_sequences_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(docs, max_tokens=8).count() == 0
