@@ -353,6 +353,66 @@ def embedding_near_dup_lsh_oracle_sql(
     """
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids: seed with the first ``nlist`` corpus
+    vectors, then run ``n_iter`` k-means steps (assign every vector to its
+    nearest centroid by rounded cosine, replace each centroid with the
+    elementwise mean of its cell). Output: (cid, cv).
+
+    Deterministic by construction — deterministic seeds, rounded-cosine
+    assignment with cid tiebreak, and means ROUNDED to 6 decimals each
+    iteration so cross-engine float-summation-order differences cannot
+    leak into the next assignment. Cells that empty out keep their
+    previous centroid (the standard Lloyd fallback).
+
+    Scale: each iteration is one broadcast nested-loop assign (corpus x
+    nlist) plus a (cid, pos) mean — nlist*dim groups, map-side partial.
+    The iteration count is a fixed small constant, so the whole refinement
+    is a static Catalyst plan (no driver-side loop state), n_iter deep.
+    """
+    e = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cent = e.filter(F.col("vid") < nlist).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iter):
+        centn = cent.withColumn("cn", norm(F.col("cv")))
+        csim = F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid"))
+        assigned = (
+            e.crossJoin(F.broadcast(centn))
+            .select("vid", "v", "cid", csim.alias("csim"))
+            .withColumn("arnk", F.row_number().over(w))
+            .filter(F.col("arnk") == 1)
+            .select("cid", "v")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("newcv")
+            )
+        )
+        cent = cent.join(means, "cid", "left").select(
+            "cid", F.coalesce("newcv", "cv").alias("cv")
+        )
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -361,15 +421,17 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: partition the corpus into ``nlist``
     inverted cells (nearest centroid by cosine), probe the ``nprobe``
     cells nearest to each query, exact-rank within the probed cells.
 
-    Centroids here are the first ``nlist`` corpus vectors (deterministic,
-    oracle-reproducible); a production build would k-means them — the IVF
+    Default centroids are the first ``nlist`` corpus vectors
+    (deterministic, oracle-reproducible); pass ``centroids`` (cid, cv) —
+    e.g. from :func:`kmeans_centroids` — for refined cells. The IVF
     machinery (cell assignment join, probe pruning, within-cell exact
-    ranking) is identical either way and is what this operator exercises.
+    ranking) is identical either way.
 
     Scale: assignment is a broadcast join vs nlist centroids (linear scan);
     a query touches ~nprobe/nlist of the corpus instead of all of it.
@@ -380,9 +442,16 @@ def ivf_topk(
     e = df.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    cent = e.filter(F.col("vid") < nlist).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    if centroids is None:
+        cent = e.filter(F.col("vid") < nlist).select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    else:
+        cent = centroids.select(
+            "cid", "cv", norm(F.col("cv")).alias("cn")
+        )
     csim = F.round(
         dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
     )
@@ -470,6 +539,89 @@ def ivf_topk_oracle_sql(
              ROUND(list_inner_product(q.v, c.v) /
                    (sqrt(list_inner_product(q.v, q.v)) *
                     sqrt(list_inner_product(c.v, c.v))), 6) AS cosine_sim
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def ivf_kmeans_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+) -> str:
+    """DuckDB oracle for ivf_topk over kmeans_centroids, value-for-value:
+    the ``n_iter`` Lloyd steps are UNROLLED as CTE pairs (assignment by
+    rounded cosine with cid tiebreak, then elementwise means rounded to 6
+    decimals — the same rounding that makes the Spark side cross-engine
+    stable), ending in the identical probe/rank tail as ivf_topk_oracle_sql
+    against the refined centroids."""
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def _csim(v: str, cv: str) -> str:
+        return (
+            f"ROUND(list_inner_product({v}, {cv}) /"
+            f" (sqrt(list_inner_product({v}, {v})) *"
+            f" sqrt(list_inner_product({cv}, {cv}))), 6)"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist})",
+    ]
+    for t in range(n_iter):
+        ctes.append(f"""
+    asg{t} AS (
+      SELECT cid, v FROM (
+        SELECT c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN cent{t} c
+      ) WHERE arnk = 1
+    ),
+    mean{t} AS (
+      SELECT cid, list(ROUND(m, 6) ORDER BY pos) AS newcv FROM (
+        SELECT cid, pos, AVG(x) AS m FROM (
+          SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM asg{t}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    ),
+    cent{t + 1} AS (
+      SELECT c.cid, COALESCE(m.newcv, c.cv) AS cv
+      FROM cent{t} c LEFT JOIN mean{t} m USING (cid)
+    )""")
+    cent = f"cent{n_iter}"
+    return f"""
+    WITH {",".join(ctes)},
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim("e.v", "c.cv")} DESC, c.cid) AS prnk
+        FROM e CROSS JOIN {cent} c WHERE e.vec_id IN ({ids})
+      ) WHERE prnk <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_csim("q.v", "c.v")} AS cosine_sim
       FROM probes p
       JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
       JOIN e q ON q.vec_id = p.query_id

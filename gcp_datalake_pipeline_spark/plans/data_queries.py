@@ -528,6 +528,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans_topk",
+    similarity.ivf_kmeans_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""IVF-Flat top-5 over Lloyd-REFINED centroids (2 k-means steps on
+    the deterministic seeds): the production centroid path. Fully
+    value-level oracled — the Lloyd steps are unrolled in the DuckDB SQL
+    with the same rounded-cosine assignment and 6-decimal-rounded means,
+    so both engines derive identical cells, probes, and ranks.""",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(emb, nlist=16, n_iter=2)
+    return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=5, centroids=cent)
+
+
+@register(
     "ann_lsh_topk",
     similarity.lsh_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""Hyperplane-LSH bucketed approximate top-5 (multi-probe radius 2).

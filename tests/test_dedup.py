@@ -400,3 +400,29 @@ def test_shingle_oracle_parity_with_in_doc_repeats(spark):
     # shingles in doc 1, not 5 positional ones)
     n1 = dedup.doc_shingles(docs).filter("doc_id = 1").count()
     assert n1 == 4
+
+
+def test_kmeans_centroids_refine_and_search(spark):
+    """Lloyd refinement: still nlist centroids, means actually move off
+    the seed vectors, and the refined-IVF search stays a valid top-k
+    (exact sims, k rows per query) with sane recall vs brute force."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = {r["cid"]: r["cv"] for r in
+            similarity.kmeans_centroids(emb, nlist=16, n_iter=2).collect()}
+    assert len(cent) == 16
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in
+             emb.filter("vec_id < 16").collect()}
+    moved = sum(1 for cid, cv in cent.items()
+                if [round(x, 3) for x in cv] != [round(x, 3) for x in seeds[cid]])
+    assert moved >= 12  # nearly every cell mean moved off its seed
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+    refined = similarity.ivf_topk(
+        emb, qids, k=5,
+        centroids=similarity.kmeans_centroids(emb, nlist=16, n_iter=2),
+    ).collect()
+    assert len(refined) == len(qids) * 5
+    approx = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    assert len(exact & approx) / len(exact) >= 0.2
