@@ -188,6 +188,7 @@ class Catalog:
         update_cols: list[str] | None = None,
         order_col: str | None = None,
         id_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> DataFrame:
         """Last-wins upsert of ``source`` into ``table`` on ``key_cols``.
 
@@ -231,7 +232,8 @@ class Catalog:
             else 0
         )
         merged = _combine_merge(
-            target, src, key_cols, update_cols, id_col, max_id, now
+            target, src, key_cols, update_cols, id_col, max_id, now,
+            evolve_schema=evolve_schema,
         )
         self.overwrite(merged, table)
         return self.read(table)
@@ -245,6 +247,7 @@ class Catalog:
         update_cols: list[str] | None = None,
         order_col: str | None = None,
         id_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> DataFrame:
         """merge_upsert for LARGE tables: the table is stored partitioned by
         a key-hash bucket (``_kb = pmod(xxhash64(keys), num_buckets)``), and
@@ -279,9 +282,17 @@ class Catalog:
             return self.read(table)
 
         self._check_bucket_meta(table, num_buckets, key_cols)
-        buckets = [r["_kb"] for r in src.select("_kb").distinct().collect()]
-        # Partition-pruned target scan: only the touched buckets are read.
-        target_subset = self.read(table).filter(F.col("_kb").isin(buckets))
+        full = self.read(table)
+        if evolve_schema and any(c not in full.columns for c in src.columns):
+            # Schema widening must rewrite EVERY partition: parquet files
+            # in untouched buckets would keep the narrow schema and the new
+            # column would not survive later reads (no global metadata to
+            # reconcile them, unlike Delta). One-off full rewrite.
+            target_subset = full
+        else:
+            buckets = [r["_kb"] for r in src.select("_kb").distinct().collect()]
+            # Partition-pruned target scan: only touched buckets are read.
+            target_subset = full.filter(F.col("_kb").isin(buckets))
         max_id = (
             self.read(table).agg(F.max(id_col)).first()[0] or 0
             if id_col is not None
@@ -289,7 +300,7 @@ class Catalog:
         )
         merged = _combine_merge(
             target_subset, src, key_cols, update_cols, id_col, max_id, now,
-            never_update=("_kb",),
+            never_update=("_kb",), evolve_schema=evolve_schema,
         )
         # Dynamic partition overwrite: only partitions present in `merged`
         # (exactly the touched buckets) are replaced; others are untouched.
@@ -311,14 +322,35 @@ def _combine_merge(
     max_id: int,
     now,
     never_update: tuple[str, ...] = (),
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Shared MERGE combine: updated target rows + inserts, one DataFrame.
 
     Matched target rows take ``update_cols`` from the source and bump
     date_updated; surrogate ids / frozen columns / date_created survive.
     Unmatched source rows insert with sharded dense ids from ``max_id``.
+
+    Source columns the target doesn't have are an error unless
+    ``evolve_schema`` is set (then the target schema widens and existing
+    rows read NULL for the new columns — Delta's autoMerge behavior;
+    silent column drop is never an option).
     """
     from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
+
+    extra = [c for c in src.columns if c not in target.columns]
+    # date_created/date_updated are merge-managed (injected into src by the
+    # upsert itself) — always widen a target that predates them.
+    strict_extra = [
+        c for c in extra if c not in ("date_created", "date_updated")
+    ]
+    if strict_extra and not evolve_schema:
+        raise ValueError(
+            f"source has columns not in the target table: {strict_extra}; "
+            "pass evolve_schema=True to widen the table (existing rows "
+            "read NULL), or drop them from the source"
+        )
+    for c in extra:
+        target = target.withColumn(c, F.lit(None).cast(src.schema[c].dataType))
 
     if update_cols is None:
         update_cols = [

@@ -154,3 +154,44 @@ def test_merge_upsert_bucketed_rejects_bucket_count_mismatch(spark, catalog):
     out = catalog.merge_upsert_bucketed(delta, "bt", key_cols=["k"], num_buckets=8)
     rows = {r["k"]: r["v"] for r in out.collect()}
     assert rows["k3"] == 300.0 and len(rows) == 50
+
+
+def test_merge_upsert_schema_evolution(spark, catalog):
+    """New source columns: hard error by default (never silent drop);
+    evolve_schema=True widens the table and existing rows read NULL."""
+    import pytest
+
+    base = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    catalog.merge_upsert(base, "ev", key_cols=["k"])
+    delta = spark.createDataFrame(
+        [("b", 20.0, "extra-b"), ("c", 3.0, "extra-c")],
+        "k string, v double, note string",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        catalog.merge_upsert(delta, "ev", key_cols=["k"])
+    out = catalog.merge_upsert(delta, "ev", key_cols=["k"], evolve_schema=True)
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["a"]["note"] is None  # widened, not rewritten
+    assert rows["b"]["v"] == 20.0 and rows["b"]["note"] == "extra-b"
+    assert rows["c"]["note"] == "extra-c"
+
+
+def test_merge_upsert_bucketed_schema_evolution_rewrites_all(spark, catalog):
+    """Widening a bucketed table must rewrite every partition — a narrow
+    parquet file left in an untouched bucket would drop the new column on
+    later reads."""
+    base = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(100)], "k string, v double"
+    )
+    catalog.merge_upsert_bucketed(base, "evb", key_cols=["k"], num_buckets=8)
+    delta = spark.createDataFrame([("k3", 300.0, "n3")], "k string, v double, note string")
+    out = catalog.merge_upsert_bucketed(
+        delta, "evb", key_cols=["k"], num_buckets=8, evolve_schema=True
+    )
+    assert "note" in out.columns
+    rows = {r["k"]: r for r in out.collect()}
+    assert len(rows) == 100
+    assert rows["k3"]["note"] == "n3" and rows["k5"]["note"] is None
+    # fresh read sees the widened schema for every row (all files rewritten)
+    again = catalog.read("evb")
+    assert "note" in again.columns and again.filter("note is not null").count() == 1
