@@ -31,6 +31,16 @@ EXTENDED = [
     "doc_tfidf_topk",
     "doc_bigram_fluency",
     "train_val_test_split",
+    # round 3
+    "q8_nation_market_share",
+    "q11_part_value_concentration",
+    "q12_priority_by_returnflag",
+    "q16_part_supplier_variety",
+    "q20_excess_shippers",
+    "benchmark_contamination",
+    "pack_sequences_map",
+    "stratified_sample_by_lang",
+    "ann_ivf_kmeans_topk",
 ]
 
 HEADLINE = [
