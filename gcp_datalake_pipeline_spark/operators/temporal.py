@@ -13,6 +13,11 @@ bucketing time to tolerance-sized bins and equi-joining on (key, bin)
 with each left row probing its own and the two adjacent bins, then exact
 filtering. Turns an inequality join (O(n^2) nested loop) into an
 equi-join Catalyst can hash — the standard bucketed range-join rewrite.
+
+gapfill: regularize an irregular per-key time series onto a fixed step
+grid (the hypertable `time_bucket_gapfill` + LOCF shape) — per-key spine
+generation via sequence()+explode, one co-partitioned join, one ordered
+window for the carry-forward.
 """
 
 from __future__ import annotations
@@ -117,3 +122,63 @@ def range_join_within(
     if how_filter is not None:
         cond = cond & how_filter
     return lb.join(rb, cond).drop("_bucket", "_bucket_r")
+
+
+def gapfill(
+    df: DataFrame,
+    key: str,
+    bucket_col: str,
+    step: str,
+    value_cols: list[str],
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a per-key bucketed series: emit one row per ``key`` per
+    ``step`` between that key's first and last observed bucket, zero-filling
+    ``value_cols`` on generated rows and carrying ``locf_cols`` forward
+    (last observation carried forward).
+
+    ``df`` must already be aggregated to one row per (key, bucket) —
+    ``bucket_col`` is a timestamp column on a regular grid (e.g. the output
+    of ``date_trunc``). ``step`` is a SQL interval literal body such as
+    ``'1 day'``.
+
+    Scale: the spine is generated per key with sequence()+explode — narrow,
+    no driver loop, proportional to each key's own span (never global
+    min..max, so one long-lived key cannot explode every key's series).
+    The spine⋈df join and the LOCF window both hash on ``key``, so the
+    whole densification is ONE shuffle; AQE coalesces the tiny spine side.
+    """
+    locf_cols = locf_cols or []
+    spans = df.groupBy(key).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+    )
+    spine = spans.select(
+        key,
+        F.explode(
+            F.sequence("_b0", "_b1", F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col),
+    )
+    joined = spine.join(df, [key, bucket_col], "left")
+    out = joined.select(
+        key,
+        bucket_col,
+        *[F.coalesce(F.col(c), F.lit(0).cast(df.schema[c].dataType)).alias(c)
+          for c in value_cols],
+        *[F.col(c) for c in locf_cols],
+    )
+    if locf_cols:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            key,
+            bucket_col,
+            *value_cols,
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c)
+                for c in locf_cols
+            ],
+        )
+    return out

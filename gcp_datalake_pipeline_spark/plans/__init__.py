@@ -2,6 +2,7 @@
 (name -> DataFrame builder) plus a DuckDB oracle SQL string per query."""
 
 from gcp_datalake_pipeline_spark.plans.queries import QUERIES, Query, load_table
+from gcp_datalake_pipeline_spark.plans import analytics_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import curation_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import data_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import etl_queries  # noqa: F401  (registers)

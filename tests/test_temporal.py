@@ -1,9 +1,12 @@
-"""Edge cases for the as-of / range join compositions."""
+"""Edge cases for the as-of / range join / gapfill compositions."""
+
+import datetime
 
 from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.operators.temporal import (
     as_of_join,
+    gapfill,
     range_join_within,
 )
 
@@ -48,3 +51,46 @@ def test_range_join_boundary_inclusive(spark):
         ).collect()
     }
     assert got == {"in", "edge"}  # inclusive bound, key-blocked
+
+
+def _d(day):
+    return datetime.datetime(2024, 1, day)
+
+
+def test_gapfill_zero_fill_and_locf(spark):
+    agg = spark.createDataFrame(
+        [
+            (1, _d(1), 2, 10.0),
+            (1, _d(4), 1, 7.0),  # gap: Jan 2, Jan 3 missing
+            (2, _d(2), 5, 3.0),  # single-day key -> no generated rows
+        ],
+        "k long, day timestamp, n long, v double",
+    )
+    rows = {
+        (r["k"], r["day"].day): (r["n"], r["v"])
+        for r in gapfill(
+            agg, key="k", bucket_col="day", step="1 day",
+            value_cols=["n"], locf_cols=["v"],
+        ).collect()
+    }
+    # key 1 spans Jan 1..4 inclusive; key 2 is a single day
+    assert set(rows) == {(1, 1), (1, 2), (1, 3), (1, 4), (2, 2)}
+    assert rows[(1, 1)] == (2, 10.0)
+    assert rows[(1, 2)] == (0, 10.0)  # generated: zero n, carried v
+    assert rows[(1, 3)] == (0, 10.0)
+    assert rows[(1, 4)] == (1, 7.0)  # observed row overrides the carry
+    assert rows[(2, 2)] == (5, 3.0)
+
+
+def test_gapfill_span_is_per_key_not_global(spark):
+    # key 2's span must not be widened by key 1's longer range
+    agg = spark.createDataFrame(
+        [(1, _d(1), 1), (1, _d(10), 1), (2, _d(5), 1), (2, _d(6), 1)],
+        "k long, day timestamp, n long",
+    )
+    out = gapfill(agg, key="k", bucket_col="day", step="1 day", value_cols=["n"])
+    per_key = {
+        r["k"]: r["cnt"]
+        for r in out.groupBy("k").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_key == {1: 10, 2: 2}
