@@ -288,3 +288,60 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w_avg), 4).alias("moving_avg"),
         F.round(F.lag("value").over(w_lag), 4).alias("prev_value"),
     )
+
+
+@register(
+    "etl_scd2_history",
+    """
+    WITH snap AS (
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment
+      FROM customer
+    )
+    SELECT c_custkey, c_name, acctbal, c_mktsegment,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-02-01'
+                ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+           c_custkey % 7 <> 0 AS is_current
+    FROM snap
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal + 100.0, c_mktsegment,
+           TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM snap WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, acctbal, c_mktsegment,
+           TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM snap WHERE c_custkey % 13 = 0
+    """,
+    doc="""SCD Type-2 historization (operators/scd.py scd2_apply): two
+    snapshot batches applied from empty — batch 2 changes acctbal for
+    custkey%7 keys (+100.0) and introduces custkey%13 new keys. History
+    must show: one closed row per changed key (valid_to = batch-2 stamp),
+    one open row with the new value, untouched open rows for unchanged
+    keys, and fresh open rows for new keys. The oracle states the expected
+    history declaratively; the engine derives it through two real
+    full-outer-join + conditional-explode merge passes — per batch ONE
+    hash join on the business key (the same exchange a plain upsert
+    needs), never a MERGE loop or per-row path.""",
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+    keys, tracked = ["c_custkey"], ["c_name", "acctbal", "c_mktsegment"]
+    batch2 = cust.withColumn(
+        "acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("acctbal") + 100.0).otherwise(
+            F.col("acctbal")
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    h1 = scd2_apply(None, cust, keys, tracked, "2024-01-01")
+    return scd2_apply(h1, batch2, keys, tracked, "2024-02-01")
