@@ -1,0 +1,63 @@
+"""Incremental aggregate maintenance: refresh a materialized partial-agg
+table from a delta batch WITHOUT recomputing untouched groups.
+
+The 100 TB pattern: a nightly delta is orders of magnitude smaller than
+the accumulated fact table, so a maintained aggregate must cost
+O(delta + affected groups), not O(history). Decomposable aggregates
+(SUM/COUNT, and anything derivable from them: AVG, plus MIN/MAX under
+insert-only) merge by summing partial states per group.
+
+`refresh_aggregate` splits the existing aggregate into untouched groups
+(left_anti vs the delta's group keys — pass through verbatim, no
+recompute) and affected groups (union with the delta's partials, one
+combine groupBy). Both joins/groupBys hash on the group keys, and the
+delta side is broadcast when small, so the refresh never reshuffles the
+full aggregate table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_aggregate(
+    df: DataFrame, keys: list[str], sum_cols: dict[str, str], count_col: str
+) -> DataFrame:
+    """Build the partial-agg state: per group, SUM of each source column
+    (``sum_cols`` maps output name -> source column) and a row COUNT."""
+    return df.groupBy(*keys).agg(
+        *[F.sum(src).alias(out) for out, src in sum_cols.items()],
+        F.count(F.lit(1)).alias(count_col),
+    )
+
+
+def refresh_aggregate(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Merge a delta partial-agg table into an existing one.
+
+    ``existing`` and ``delta`` must both be in partial-agg form (same
+    schema: keys + sum_cols + count_col). Groups absent from the delta are
+    passed through without touching their values; affected groups combine
+    by summing partials. New-in-delta groups appear automatically.
+    """
+    delta_keys = delta.select(*keys).distinct()
+    if broadcast_delta:
+        delta_keys = F.broadcast(delta_keys)
+    untouched = existing.join(delta_keys, keys, "left_anti")
+    affected = (
+        existing.join(delta_keys, keys, "left_semi")
+        .unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).alias(count_col),
+        )
+    )
+    return untouched.unionByName(affected)

@@ -152,3 +152,106 @@ def hash_split_oracle_sql(
     )
     SELECT doc_id, {case} AS split FROM b
     """
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> tuple[DataFrame, DataFrame]:
+    """Rebalance a corpus to a target mixture over ``strata_col`` (the
+    domain/language-weighting step of training-data pipelines): find the
+    LARGEST total corpus size S such that every stratum can supply its
+    target share (S = floor(min_l n_l / T_l)), then deterministically
+    hash-sample each stratum down to share T_l of S.
+
+    Returns ``(sampled_df, plan_df)`` where plan_df is one row per target
+    stratum: (strata_col, n_rows, keep_buckets) — keep_buckets / 10000 is
+    the keep fraction actually applied.
+
+    Scale: the plan is a per-stratum aggregate (map-side combined, a few
+    rows) broadcast back onto the corpus; membership is then the same
+    narrow md5-bucket filter as stratified_sample — no corpus shuffle at
+    any point, and the whole computation stays on the cluster (no driver
+    collect). Strata absent from ``target_shares`` are dropped.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    for stratum, share in target_shares.items():
+        if share <= 0:
+            raise ValueError(f"share for {stratum!r} must be > 0")
+    share_map = F.create_map(
+        *[
+            lit
+            for k, v in target_shares.items()
+            for lit in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    counts = (
+        df.filter(F.col(strata_col).isin(list(target_shares)))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("_share", share_map[F.col(strata_col)])
+    )
+    s = counts.agg(
+        F.min(F.floor(F.col("n_rows") / F.col("_share")))
+        .cast("long")
+        .alias("_s")
+    )
+    plan = counts.crossJoin(F.broadcast(s)).withColumn(
+        "keep_buckets",
+        F.floor(
+            F.col("_share") * F.col("_s") / F.col("n_rows") * SPLIT_BUCKETS
+        ).cast("long"),
+    )
+    sampled = df.join(
+        F.broadcast(plan.select(strata_col, "keep_buckets")), strata_col
+    ).filter(_hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
+    return sampled.drop("keep_buckets"), plan.select(
+        strata_col, "n_rows", "keep_buckets"
+    )
+
+
+def mixture_rebalance_oracle_sql(
+    strata_col: str, target_shares: dict[str, float], salt: str = "mix"
+) -> str:
+    """DuckDB oracle for the mixture_rebalance PLAN + realized kept counts
+    over the documents table: same floor arithmetic, same md5 buckets."""
+    strata_list = ", ".join(f"'{k}'" for k in target_shares)
+    share_case = "CASE " + " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {float(v)!r}"
+        for k, v in target_shares.items()
+    ) + " END"
+    return f"""
+    WITH counts AS (
+      SELECT {strata_col}, COUNT(*) AS n_rows, {share_case} AS share
+      FROM documents
+      WHERE {strata_col} IN ({strata_list})
+      GROUP BY {strata_col}
+    ),
+    smax AS (
+      SELECT MIN(CAST(FLOOR(n_rows / share) AS BIGINT)) AS s FROM counts
+    ),
+    plan AS (
+      SELECT {strata_col}, n_rows,
+             CAST(FLOOR(share * s / n_rows * {SPLIT_BUCKETS}) AS BIGINT)
+               AS keep_buckets
+      FROM counts, smax
+    ),
+    h AS (
+      SELECT doc_id, {strata_col},
+             md5(doc_id::VARCHAR || ':{salt}') AS hx
+      FROM documents
+    ),
+    kept AS (
+      SELECT h.{strata_col}, COUNT(*) AS kept_rows
+      FROM h JOIN plan USING ({strata_col})
+      WHERE ({_nibble_sum_sql()}) % {SPLIT_BUCKETS} < plan.keep_buckets
+      GROUP BY h.{strata_col}
+    )
+    SELECT p.{strata_col}, p.n_rows, p.keep_buckets,
+           COALESCE(k.kept_rows, 0) AS kept_rows
+    FROM plan p LEFT JOIN kept k USING ({strata_col})
+    """

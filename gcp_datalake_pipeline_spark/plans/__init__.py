@@ -9,6 +9,7 @@ from gcp_datalake_pipeline_spark.plans import etl_queries  # noqa: F401  (regist
 from gcp_datalake_pipeline_spark.plans import function_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import temporal_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import tpch_extra  # noqa: F401  (registers)
+from gcp_datalake_pipeline_spark.plans import training_queries  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import tpch_extra2  # noqa: F401  (registers)
 from gcp_datalake_pipeline_spark.plans import tpch_extra3  # noqa: F401  (registers)
 
