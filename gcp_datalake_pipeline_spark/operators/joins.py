@@ -79,7 +79,19 @@ def salted_join(
     execution plan, no RNG. Prefer AQE skew-join or broadcast when
     applicable; this is the fallback with a replication-factor cost on the
     right side.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
+    right side is replicated ``salt_buckets``×, so an unmatched right row
+    would surface ``salt_buckets`` times under ``right``/``full`` — those
+    modes raise rather than silently over-count.
     """
+    normalized = how.lower().replace("outer", "").strip("_")
+    if normalized in ("right", "full", "rightouter", "fullouter"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side would emit unmatched right rows salt_buckets "
+            "times; use AQE skew-join handling for right/full joins"
+        )
     salt = (
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
         .cast("int")

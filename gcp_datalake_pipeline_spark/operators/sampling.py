@@ -175,25 +175,30 @@ def mixture_rebalance(
     rows) broadcast back onto the corpus; membership is then the same
     narrow md5-bucket filter as stratified_sample — no corpus shuffle at
     any point, and the whole computation stays on the cluster (no driver
-    collect). Strata absent from ``target_shares`` are dropped.
+    collect). Corpus strata absent from ``target_shares`` are dropped; a
+    TARGET stratum with zero corpus rows forces S = 0 (empty sample) and
+    shows up in plan_df with n_rows = 0, keep_buckets = 0 — the target
+    mixture is unattainable and the operator says so rather than silently
+    shipping a corpus that misses a requested domain.
     """
     if not target_shares:
         raise ValueError("target_shares must be non-empty")
     for stratum, share in target_shares.items():
         if share <= 0:
             raise ValueError(f"share for {stratum!r} must be > 0")
-    share_map = F.create_map(
-        *[
-            lit
-            for k, v in target_shares.items()
-            for lit in (F.lit(k), F.lit(float(v)))
-        ]
+    # Left-join observed counts onto the target list (not vice versa) so a
+    # stratum with zero corpus rows participates in the min() with n=0.
+    targets = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        schema=f"{strata_col} string, _share double",
     )
-    counts = (
+    observed = (
         df.filter(F.col(strata_col).isin(list(target_shares)))
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("_share", share_map[F.col(strata_col)])
+    )
+    counts = targets.join(observed, strata_col, "left").withColumn(
+        "n_rows", F.coalesce("n_rows", F.lit(0).cast("long"))
     )
     s = counts.agg(
         F.min(F.floor(F.col("n_rows") / F.col("_share")))
@@ -202,9 +207,11 @@ def mixture_rebalance(
     )
     plan = counts.crossJoin(F.broadcast(s)).withColumn(
         "keep_buckets",
-        F.floor(
-            F.col("_share") * F.col("_s") / F.col("n_rows") * SPLIT_BUCKETS
-        ).cast("long"),
+        F.when(F.col("n_rows") > 0,
+               F.floor(F.col("_share") * F.col("_s") / F.col("n_rows")
+                       * SPLIT_BUCKETS))
+        .otherwise(F.lit(0))
+        .cast("long"),
     )
     sampled = df.join(
         F.broadcast(plan.select(strata_col, "keep_buckets")), strata_col
@@ -220,24 +227,29 @@ def mixture_rebalance_oracle_sql(
     """DuckDB oracle for the mixture_rebalance PLAN + realized kept counts
     over the documents table: same floor arithmetic, same md5 buckets."""
     strata_list = ", ".join(f"'{k}'" for k in target_shares)
-    share_case = "CASE " + " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {float(v)!r}"
-        for k, v in target_shares.items()
-    ) + " END"
+    target_values = ", ".join(
+        f"('{k}', {float(v)!r})" for k, v in target_shares.items()
+    )
     return f"""
-    WITH counts AS (
-      SELECT {strata_col}, COUNT(*) AS n_rows, {share_case} AS share
+    WITH targets({strata_col}, share) AS (VALUES {target_values}),
+    observed AS (
+      SELECT {strata_col}, COUNT(*) AS n_rows
       FROM documents
       WHERE {strata_col} IN ({strata_list})
       GROUP BY {strata_col}
+    ),
+    counts AS (
+      SELECT t.{strata_col}, COALESCE(o.n_rows, 0) AS n_rows, t.share
+      FROM targets t LEFT JOIN observed o USING ({strata_col})
     ),
     smax AS (
       SELECT MIN(CAST(FLOOR(n_rows / share) AS BIGINT)) AS s FROM counts
     ),
     plan AS (
       SELECT {strata_col}, n_rows,
-             CAST(FLOOR(share * s / n_rows * {SPLIT_BUCKETS}) AS BIGINT)
-               AS keep_buckets
+             CASE WHEN n_rows > 0 THEN
+               CAST(FLOOR(share * s / n_rows * {SPLIT_BUCKETS}) AS BIGINT)
+             ELSE 0 END AS keep_buckets
       FROM counts, smax
     ),
     h AS (

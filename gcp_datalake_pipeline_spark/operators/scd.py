@@ -59,6 +59,9 @@ def scd2_apply(
     o = open_rows.select(
         *[F.col(c).alias(f"_o_{c}") for c in cols + META_COLS],
         *[F.col(k) for k in keys],
+        # Explicit presence marker: detecting "no open row" via a nullable
+        # data column (_o_valid_from) would misclassify a null-valued row.
+        F.lit(True).alias("_has_open"),
     )
     u = upd.select(
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
@@ -96,7 +99,7 @@ def scd2_apply(
     emitted = joined.select(
         F.explode(
             F.when(F.col("_has_update").isNull(), F.array(_row("old")))
-            .when(F.col("_o_valid_from").isNull(), F.array(_row("new")))
+            .when(F.col("_has_open").isNull(), F.array(_row("new")))
             .when(changed, F.array(_row("old", closing=True), _row("new")))
             .otherwise(F.array(_row("old")))
         ).alias("_r")

@@ -131,11 +131,15 @@ def gapfill(
     step: str,
     value_cols: list[str],
     locf_cols: list[str] | None = None,
+    observed_col: str | None = None,
 ) -> DataFrame:
     """Densify a per-key bucketed series: emit one row per ``key`` per
     ``step`` between that key's first and last observed bucket, zero-filling
     ``value_cols`` on generated rows and carrying ``locf_cols`` forward
-    (last observation carried forward).
+    (last observation carried forward). If ``observed_col`` is given, the
+    output carries a boolean column of that name marking rows that existed
+    in the input (True) vs spine-generated rows (False) — callers should
+    use it rather than inferring observedness from a zero-filled count.
 
     ``df`` must already be aggregated to one row per (key, bucket) —
     ``bucket_col`` is a timestamp column on a regular grid (e.g. the output
@@ -158,13 +162,20 @@ def gapfill(
             F.sequence("_b0", "_b1", F.expr(f"INTERVAL {step}"))
         ).alias(bucket_col),
     )
-    joined = spine.join(df, [key, bucket_col], "left")
+    obs = [observed_col] if observed_col else []
+    right = df.withColumn("_gf_observed", F.lit(True)) if observed_col else df
+    joined = spine.join(right, [key, bucket_col], "left")
     out = joined.select(
         key,
         bucket_col,
         *[F.coalesce(F.col(c), F.lit(0).cast(df.schema[c].dataType)).alias(c)
           for c in value_cols],
         *[F.col(c) for c in locf_cols],
+        *(
+            [F.coalesce("_gf_observed", F.lit(False)).alias(observed_col)]
+            if observed_col
+            else []
+        ),
     )
     if locf_cols:
         w = (
@@ -180,5 +191,6 @@ def gapfill(
                 F.last(c, ignorenulls=True).over(w).alias(c)
                 for c in locf_cols
             ],
+            *obs,
         )
     return out

@@ -61,28 +61,23 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("day_value"),
         )
     )
+    # Thread the raw daily value through value_cols (zero-filled, exactly
+    # the oracle's COALESCE(a.day_value, 0)) separately from the LOCF copy,
+    # so an observed day whose SUM were NULL reads 0.0 — never the carried
+    # value — without inferring observedness from n_events.
     filled = gapfill(
-        agg,
+        agg.withColumn("_day_value_raw", F.col("day_value")),
         key="user_id",
         bucket_col="day",
         step="1 day",
-        value_cols=["n_events"],
+        value_cols=["n_events", "_day_value_raw"],
         locf_cols=["day_value"],
     )
-    w = F.expr(
-        "last(day_value, true) OVER (PARTITION BY user_id ORDER BY day "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )
-    # gapfill LOCF-fills day_value; the zero-filled "observed" column and
-    # the carried column are both part of the contract, so recompute the
-    # coalesced view here: day_value 0.0 on generated rows, locf carried.
     return filled.select(
         "user_id",
         "day",
         "n_events",
-        F.coalesce(
-            F.when(F.col("n_events") > 0, F.col("day_value")), F.lit(0.0)
-        ).alias("day_value"),
+        F.col("_day_value_raw").alias("day_value"),
         F.col("day_value").alias("locf_value"),
     )
 

@@ -164,11 +164,11 @@ def pricing_summary_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_orders_by_month",
     """
-    SELECT date_trunc('month', o_orderdate) AS month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            ROUND(SUM(o_totalprice), 2)      AS revenue,
            COUNT(*)                         AS n_orders
     FROM orders
-    GROUP BY date_trunc('month', o_orderdate)
+    GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
     """,
     doc="""Incremental aggregate maintenance (operators/incremental.py):
     the engine materializes the monthly aggregate over orders BEFORE
@@ -182,7 +182,9 @@ def pricing_summary_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cut = F.lit("1998-01-01").cast("timestamp")
-    month = F.date_trunc("month", "o_orderdate")
+    # DATE on both sides: Spark's date_trunc returns TIMESTAMP while
+    # DuckDB's returns DATE — cast, exactly as orders_by_month does.
+    month = F.date_trunc("month", "o_orderdate").cast("date")
     base = partial_aggregate(
         orders.filter(F.col("o_orderdate") < cut).withColumn("month", month),
         ["month"],

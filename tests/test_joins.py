@@ -70,6 +70,18 @@ def test_salted_left_join(spark):
     assert out.filter(F.col("o_totalprice").isNotNull()).count() > 0
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full would emit unmatched right rows salt_buckets times —
+    the guard must refuse rather than silently over-count."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "full_outer", "rightouter", "FULL"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, orders, "l_orderkey", how=how)
+
+
 def test_assign_dense_ids_matches_global_rank_and_is_sharded(spark):
     """Sharded surrogate assignment must equal the global-window dense rank
     while keeping the id-assigning window partitioned (no single-task
