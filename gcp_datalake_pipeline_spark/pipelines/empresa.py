@@ -82,6 +82,16 @@ def process_empresas(
         update_cols=["carrier_name", "carrier_type_id", "carrier_rut"],
         id_col="carrier_id",
     )
+    # SCD2 history alongside the current-state dim: `empresa` answers
+    # "what is this carrier now", `empresa_history` answers "what was it at
+    # time T" (valid_from/valid_to/is_current version chains). The
+    # warehouse upgrade of the reference's upsert+append split.
+    catalog.scd2_upsert(
+        batch,
+        "empresa_history",
+        key_cols=["carrier_bp"],
+        tracked_cols=["carrier_name", "carrier_rut", "carrier_type_id"],
+    )
     if quarantine.limit(1).count() > 0:
         catalog.append(quarantine, "quarantine_empresa")
     return run_counters(valid, quarantine)

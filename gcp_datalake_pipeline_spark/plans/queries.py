@@ -33,13 +33,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     expose both ``ts`` (microsecond timestamp, for calendar ops) and
     ``ts_ns`` (exact nanos, for order/gap arithmetic that must match a
     nanosecond-precision oracle bit-for-bit).
+
+    Handles both testdata vintages: TIMESTAMP(NANOS) (read as a raw
+    nanosecond long via the legacy conf) and TIMESTAMP(MICROS) (read
+    natively; ``ts_ns`` derived as ``unix_micros * 1000``). The session
+    timezone is UTC (session.py), so the NTZ->LTZ cast is wall-clock
+    preserving and matches DuckDB's naive reading of the same parquet.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) file under legacy conf
+            return df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        ts = F.col("ts").cast("timestamp")
+        return df.withColumn(
+            "ts_ns", (F.unix_micros(ts) * F.lit(1000)).cast("long")
+        ).withColumn("ts", ts)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

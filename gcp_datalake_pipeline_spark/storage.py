@@ -238,6 +238,60 @@ class Catalog:
         self.overwrite(merged, table)
         return self.read(table)
 
+    def scd2_upsert(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        tracked_cols: list[str],
+        effective_ts=None,
+        order_col: str | None = None,
+    ) -> DataFrame:
+        """Maintain ``table`` as an SCD Type-2 history from snapshot batches.
+
+        The warehouse upgrade of the reference's upsert+append split
+        (`model.sql:27-42` current-state upsert, `model.sql:194-219`
+        unconditional history append): ONE table answering "what did this
+        row look like at time T" via (valid_from, valid_to, is_current).
+
+        ``source`` is one batch (last-wins deduped on ``key_cols`` by
+        ``order_col``/arrival, same as merge_upsert); ``effective_ts`` is
+        the batch's effective time (default: current_timestamp). Cost per
+        batch is a single hash join on the business key (scd2_apply) plus
+        the table rewrite — same exchange shape as merge_upsert.
+
+        Returns the new history state (also persisted).
+        """
+        from gcp_datalake_pipeline_spark.operators.scd import (
+            META_COLS,
+            scd2_apply,
+        )
+
+        src = dedup_last_wins(source, key_cols, order_col)
+        src = src.drop("_row_idx", "_source_file")
+        eff = (
+            effective_ts
+            if effective_ts is not None
+            else F.current_timestamp()
+        )
+        current = None
+        if self.exists(table):
+            current = self.read(table)
+            missing = [
+                c
+                for c in key_cols + tracked_cols + META_COLS
+                if c not in current.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"table {table!r} is not an SCD2 history for "
+                    f"keys={key_cols} tracked={tracked_cols}: missing "
+                    f"columns {missing}"
+                )
+        hist = scd2_apply(current, src, key_cols, tracked_cols, eff)
+        self.overwrite(hist, table)
+        return self.read(table)
+
     def merge_upsert_bucketed(
         self,
         source: DataFrame,

@@ -195,3 +195,63 @@ def test_merge_upsert_bucketed_schema_evolution_rewrites_all(spark, catalog):
     # fresh read sees the widened schema for every row (all files rewritten)
     again = catalog.read("evb")
     assert "note" in again.columns and again.filter("note is not null").count() == 1
+
+
+def test_scd2_upsert_version_chains_in_storage(spark, catalog):
+    """Catalog.scd2_upsert maintains a queryable SCD2 history table:
+    batches -> version chains with contiguous valid ranges, persisted."""
+    import datetime
+
+    b1 = spark.createDataFrame([("k1", "a"), ("k2", "x")], "k string, v string")
+    catalog.scd2_upsert(
+        b1, "hist", ["k"], ["v"], effective_ts=datetime.datetime(2024, 1, 1)
+    )
+    b2 = spark.createDataFrame([("k1", "b")], "k string, v string")
+    catalog.scd2_upsert(
+        b2, "hist", ["k"], ["v"], effective_ts=datetime.datetime(2024, 2, 1)
+    )
+    b3 = spark.createDataFrame([("k1", "c"), ("k2", "x")], "k string, v string")
+    out = catalog.scd2_upsert(
+        b3, "hist", ["k"], ["v"], effective_ts=datetime.datetime(2024, 3, 1)
+    )
+
+    k1 = sorted(
+        out.filter(out.k == "k1").collect(), key=lambda r: r["valid_from"]
+    )
+    assert [r["v"] for r in k1] == ["a", "b", "c"]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    # k2 unchanged across batches -> single open row from batch 1
+    k2 = out.filter(out.k == "k2").collect()
+    assert len(k2) == 1 and k2[0]["is_current"]
+    assert k2[0]["valid_from"] == datetime.datetime(2024, 1, 1)
+    # persisted: a fresh read sees the same history
+    assert catalog.read("hist").count() == 4
+
+
+def test_scd2_upsert_last_wins_within_batch(spark, catalog):
+    """Duplicate business keys inside one batch collapse last-wins (by
+    _row_idx arrival order) before the SCD2 join, like merge_upsert."""
+    import datetime
+
+    batch = spark.createDataFrame(
+        [("k1", "first", 0), ("k1", "last", 1)], "k string, v string, _row_idx long"
+    )
+    out = catalog.scd2_upsert(
+        batch, "h2", ["k"], ["v"], effective_ts=datetime.datetime(2024, 1, 1)
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == "last"
+    assert "_row_idx" not in out.columns
+
+
+def test_scd2_upsert_rejects_non_history_table(spark, catalog):
+    """Pointing scd2_upsert at a plain table (no META_COLS) is a hard
+    error, not silent corruption."""
+    import pytest as _pytest
+
+    plain = spark.createDataFrame([("k1", "a")], "k string, v string")
+    catalog.overwrite(plain, "plain")
+    with _pytest.raises(ValueError, match="not an SCD2 history"):
+        catalog.scd2_upsert(plain, "plain", ["k"], ["v"])
