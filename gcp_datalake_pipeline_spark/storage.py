@@ -35,6 +35,12 @@ class Catalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _data_dirs(self, table: str) -> list[str]:
+        """Directories holding the table's current data files. The plain
+        catalog stores one dir per table; the transactional subclass
+        resolves this through the manifest pointer instead."""
+        return [self.path(table)]
+
     def _bucket_meta_path(self, table: str) -> str:
         # Sibling of the table dir (NOT inside it): the overwrite rename
         # dance and dynamic partition overwrite never touch it.
@@ -63,7 +69,8 @@ class Catalog:
             # the only evidence; any value >= num_buckets proves a mismatch.
             kbs = [
                 int(d.split("=", 1)[1])
-                for d in os.listdir(self.path(table))
+                for data_dir in self._data_dirs(table)
+                for d in os.listdir(data_dir)
                 if d.startswith("_kb=")
             ]
             if kbs and max(kbs) >= num_buckets:
@@ -97,7 +104,7 @@ class Catalog:
             if schema is None:
                 raise FileNotFoundError(self.path(table))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.path(table))
+        return self.spark.read.parquet(*self._data_dirs(table))
 
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
@@ -356,6 +363,10 @@ class Catalog:
             target_subset, src, key_cols, update_cols, id_col, max_id, now,
             never_update=("_kb",), evolve_schema=evolve_schema,
         )
+        self._write_bucketed_merge(merged, table)
+        return self.read(table)
+
+    def _write_bucketed_merge(self, merged: DataFrame, table: str) -> None:
         # Dynamic partition overwrite: only partitions present in `merged`
         # (exactly the touched buckets) are replaced; others are untouched.
         (
@@ -364,7 +375,6 @@ class Catalog:
             .partitionBy("_kb")
             .parquet(self.path(table))
         )
-        return self.read(table)
 
 
 def _combine_merge(

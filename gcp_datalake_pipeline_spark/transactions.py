@@ -1,0 +1,278 @@
+"""Atomic multi-table commits over the plain-Parquet catalog.
+
+The reference commits each parent/child family inside one PostgreSQL
+transaction (`etl-gcs-cloudsql/src/db.ts:24-46` — per-batch BEGIN/COMMIT
+around the service upserts), so a crashed load never leaves a vehiculo
+without its revision_tecnica rows. The plain :class:`~.storage.Catalog`
+relaxes that (SURVEY.md §2.11): each table swap is atomic but a crash
+BETWEEN two table writes leaves the first visible and the second missing.
+
+:class:`TransactionalCatalog` closes the gap without Delta/Iceberg using
+the manifest-pointer design those formats use underneath:
+
+- every write STAGES its files under ``root/_loads/<load_id>/<table>.<n>``
+  — staged data is invisible to readers;
+- ``commit()`` publishes ALL tables of the load with ONE atomic
+  ``os.replace`` of ``root/_MANIFEST.json`` (tmp-write + fsync + rename,
+  the same single-filesystem rename contract the base overwrite swap
+  already relies on);
+- readers resolve ``table -> [data dirs]`` through the manifest, so they
+  observe either the whole load or none of it. A crash mid-load leaves
+  the previous manifest intact; orphaned staged dirs are garbage, not
+  data, and ``vacuum()`` reclaims them.
+
+At 100 TB this is exactly the lakehouse commit protocol: appends publish
+new files by adding pointer entries (no data rewrite), and the bucketed
+MERGE rewrites only touched ``_kb`` partitions, re-linking untouched
+partition files into the new version (hardlinks locally; object-store
+copies-by-reference / manifest reuse on GCS).
+
+Inside an open transaction the catalog reads its own staged writes
+(read-your-writes), so multi-step pipelines (get-or-create dim, then
+back-join, then merge) run unchanged within one atomic load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from gcp_datalake_pipeline_spark.storage import Catalog
+
+_MANIFEST = "_MANIFEST.json"
+_LOADS = "_loads"
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` via hardlinks (fallback: copy).
+
+    Metadata-only on one filesystem — this is how an untouched MERGE
+    partition is carried into the next table version without rewriting
+    its bytes.
+    """
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+@dataclass
+class TransactionalCatalog(Catalog):
+    """Catalog whose writes are staged and published atomically.
+
+    Drop-in for :class:`Catalog`: outside an explicit transaction every
+    write auto-commits (stage + immediate pointer swap), so existing
+    pipelines run unchanged; wrap a load in :meth:`transaction` to make
+    its table writes all-or-nothing.
+    """
+
+    _pending: dict[str, list[str]] | None = field(default=None, repr=False)
+    _load_id: str | None = field(default=None, repr=False)
+    _stage_seq: int = field(default=0, repr=False)
+    _txn_dirs: list[str] = field(default_factory=list, repr=False)
+
+    # -- manifest pointer ---------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, _MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "tables": {}}
+
+    def _swap_manifest(self, manifest: dict) -> None:
+        # tmp-write + fsync + atomic rename: the ONLY mutation readers can
+        # observe. A crash anywhere before os.replace leaves the previous
+        # pointer (and therefore the previous snapshot) fully intact.
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    # -- read resolution ----------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        if self._pending is not None and table in self._pending:
+            return True
+        return table in self._read_manifest()["tables"]
+
+    def _data_dirs(self, table: str) -> list[str]:
+        if self._pending is not None and table in self._pending:
+            rels = self._pending[table]
+        else:
+            rels = self._read_manifest()["tables"].get(table)
+            if rels is None:
+                raise FileNotFoundError(f"{table!r} not in manifest")
+        return [os.path.join(self.root, r) for r in rels]
+
+    # -- staged writes ------------------------------------------------------
+
+    def _stage_dir(self, table: str) -> str:
+        rel = os.path.join(_LOADS, self._load_id, f"{table}.{self._stage_seq}")
+        self._stage_seq += 1
+        self._txn_dirs.append(rel)
+        return rel
+
+    def _require_txn(self):
+        """Auto-commit context: wrap a bare write in its own transaction."""
+        if self._pending is not None:
+            return None  # caller is inside an explicit transaction
+        return self.transaction(f"auto-{uuid.uuid4().hex[:12]}")
+
+    def overwrite(
+        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+    ) -> None:
+        auto = self._require_txn()
+        if auto is not None:
+            with auto:
+                self.overwrite(df, table, partition_cols)
+            return
+        rel = self._stage_dir(table)
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(os.path.join(self.root, rel))
+        self._pending[table] = [rel]
+
+    def append(
+        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+    ) -> None:
+        # An append publishes NEW files only — the pointer list grows by
+        # one staged dir and existing data is never rewritten (the 100 TB
+        # append path; compact_table folds the list back to one dir).
+        auto = self._require_txn()
+        if auto is not None:
+            with auto:
+                self.append(df, table, partition_cols)
+            return
+        if self._pending is not None and table in self._pending:
+            prev = list(self._pending[table])
+        else:
+            prev = list(self._read_manifest()["tables"].get(table, []))
+        rel = self._stage_dir(table)
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(os.path.join(self.root, rel))
+        self._pending[table] = prev + [rel]
+
+    def _write_bucketed_merge(self, merged: DataFrame, table: str) -> None:
+        """Versioned replacement for dynamic partition overwrite: touched
+        ``_kb`` partitions are written to the new staged version, untouched
+        partitions are hardlinked in from the current version. Readers flip
+        to the complete new version at commit."""
+        auto = self._require_txn()
+        if auto is not None:
+            with auto:
+                self._write_bucketed_merge(merged, table)
+            return
+        prev = self._data_dirs(table) if self.exists(table) else []
+        if len(prev) > 1:
+            raise ValueError(
+                f"bucketed table {table!r} has {len(prev)} data dirs "
+                "(appended without merge); run compact_table first"
+            )
+        rel = self._stage_dir(table)
+        stage = os.path.join(self.root, rel)
+        merged.write.mode("overwrite").partitionBy("_kb").parquet(stage)
+        if prev:
+            written = {d for d in os.listdir(stage) if d.startswith("_kb=")}
+            for d in os.listdir(prev[0]):
+                if d.startswith("_kb=") and d not in written:
+                    _link_tree(os.path.join(prev[0], d), os.path.join(stage, d))
+        self._pending[table] = [rel]
+
+    # -- transaction lifecycle ----------------------------------------------
+
+    def begin(self, load_id: str | None = None) -> "TransactionalCatalog":
+        if self._pending is not None:
+            raise RuntimeError(
+                f"transaction {self._load_id!r} already open; nested "
+                "transactions are not supported"
+            )
+        self._pending = {}
+        self._load_id = load_id or f"load-{uuid.uuid4().hex[:12]}"
+        self._stage_seq = 0
+        self._txn_dirs = []
+        return self
+
+    def commit(self) -> None:
+        if self._pending is None:
+            raise RuntimeError("no open transaction to commit")
+        manifest = self._read_manifest()
+        manifest["version"] += 1
+        manifest["load_id"] = self._load_id
+        manifest["tables"].update(self._pending)
+        self._swap_manifest(manifest)
+        self._pending = None
+        self._load_id = None
+
+    def rollback(self) -> None:
+        if self._pending is None:
+            return
+        for rel in self._txn_dirs:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+        load_dir = os.path.join(self.root, _LOADS, self._load_id)
+        if os.path.isdir(load_dir) and not os.listdir(load_dir):
+            os.rmdir(load_dir)
+        self._pending = None
+        self._load_id = None
+
+    @contextmanager
+    def transaction(self, load_id: str | None = None):
+        """``with catalog.transaction("load-2025-10-01"):`` — every write
+        inside the block becomes visible atomically at block exit; an
+        exception rolls back (staged files deleted, pointer untouched)."""
+        self.begin(load_id)
+        try:
+            yield self
+        except BaseException:
+            self.rollback()
+            raise
+        self.commit()
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete staged dirs no manifest entry references — leftovers of
+        crashed (never-committed) or superseded loads. Never runs inside an
+        open transaction (pending dirs are not yet referenced)."""
+        if self._pending is not None:
+            raise RuntimeError("cannot vacuum inside an open transaction")
+        live = {
+            rel
+            for rels in self._read_manifest()["tables"].values()
+            for rel in rels
+        }
+        removed: list[str] = []
+        loads_root = os.path.join(self.root, _LOADS)
+        if not os.path.isdir(loads_root):
+            return removed
+        for load_id in os.listdir(loads_root):
+            load_dir = os.path.join(loads_root, load_id)
+            for d in os.listdir(load_dir):
+                rel = os.path.join(_LOADS, load_id, d)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.root, rel))
+                    removed.append(rel)
+            if not os.listdir(load_dir):
+                os.rmdir(load_dir)
+        return removed

@@ -1,0 +1,160 @@
+"""TransactionalCatalog: atomic multi-table commit via manifest pointer.
+
+Closes SURVEY.md §2.11's cross-table atomicity relaxation: the reference
+wraps each parent/child load in one PostgreSQL transaction
+(etl-gcs-cloudsql/src/db.ts:24-46); here a crashed load must leave the
+reader seeing either ALL the load's tables or NONE of them.
+"""
+
+import os
+
+import pytest
+
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+
+@pytest.fixture()
+def tcat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def _fresh_reader(tcat):
+    """A separate catalog object on the same root — what a concurrent (or
+    post-crash) reader resolves through the manifest."""
+    return TransactionalCatalog(spark=tcat.spark, root=tcat.root)
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_commit_publishes_all_tables_at_once(spark, tcat):
+    reader = _fresh_reader(tcat)
+    with tcat.transaction("load1"):
+        tcat.overwrite(_df(spark, [(1, "p")]), "parent")
+        # mid-transaction: a reader sees NEITHER table...
+        assert not reader.exists("parent")
+        tcat.overwrite(_df(spark, [(1, "c")]), "child")
+        assert not reader.exists("child")
+        # ...while the writer reads its own staged rows
+        assert tcat.read("parent").count() == 1
+    # after commit: both visible, atomically
+    assert reader.read("parent").count() == 1
+    assert reader.read("child").count() == 1
+
+
+def test_crash_recovery_reader_and_vacuum(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    writer = TransactionalCatalog(spark=spark, root=root)
+    # a prior committed load
+    writer.overwrite(_df(spark, [(1, "old")]), "parent")  # auto-commit
+    # crashed load: parent v2 staged, child never written, no commit
+    writer.begin("crashed")
+    writer.overwrite(_df(spark, [(2, "new")]), "parent")
+    staged = [d for d in writer._txn_dirs]
+    del writer  # SIGKILL
+
+    reader = TransactionalCatalog(spark=spark, root=root)
+    # reader sees the LAST COMMITTED snapshot: old parent, no child
+    assert [r["v"] for r in reader.read("parent").collect()] == ["old"]
+    assert not reader.exists("child")
+    # staged orphans are garbage on disk until vacuum reclaims them
+    assert all(os.path.exists(os.path.join(root, d)) for d in staged)
+    removed = reader.vacuum()
+    assert set(removed) == set(staged)
+    assert not any(os.path.exists(os.path.join(root, d)) for d in staged)
+    # vacuum never touches live data
+    assert [r["v"] for r in reader.read("parent").collect()] == ["old"]
+
+
+def test_exception_rolls_back_and_keeps_previous_version(spark, tcat):
+    tcat.overwrite(_df(spark, [(1, "v1")]), "t")
+    with pytest.raises(RuntimeError, match="boom"):
+        with tcat.transaction():
+            tcat.overwrite(_df(spark, [(2, "v2")]), "t")
+            raise RuntimeError("boom")
+    assert [r["v"] for r in tcat.read("t").collect()] == ["v1"]
+    # rollback deleted the staged files: every dir left under _loads is
+    # referenced by the manifest (i.e. vacuum finds nothing to reclaim)
+    assert tcat.vacuum() == []
+
+
+def test_append_publishes_new_files_only(spark, tcat):
+    tcat.append(_df(spark, [(1, "a")]), "log")
+    first_dirs = tcat._data_dirs("log")
+    first_files = {
+        os.path.join(r, f)
+        for d in first_dirs
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    mtimes = {f: os.path.getmtime(f) for f in first_files}
+    tcat.append(_df(spark, [(2, "b")]), "log")
+    # union visible; the original files were never rewritten
+    assert sorted(r["v"] for r in tcat.read("log").collect()) == ["a", "b"]
+    assert len(tcat._data_dirs("log")) == 2
+    assert {f: os.path.getmtime(f) for f in first_files} == mtimes
+
+
+def test_merge_upsert_runs_unchanged_on_txn_catalog(spark, tcat):
+    base = _df(spark, [(1, "a"), (2, "b")])
+    tcat.merge_upsert(base, "m", key_cols=["k"], id_col="mid")
+    out = tcat.merge_upsert(
+        _df(spark, [(2, "B"), (3, "c")]), "m", key_cols=["k"], id_col="mid"
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[2]["v"] == "B" and rows[3]["v"] == "c"
+    assert rows[2]["mid"] == 2 and rows[3]["mid"] == 3  # stable + dense
+
+
+def test_bucketed_merge_links_untouched_partitions(spark, tcat):
+    base = _df(spark, [(i, f"v{i}") for i in range(20)])
+    tcat.merge_upsert_bucketed(base, "big", key_cols=["k"], num_buckets=8)
+    v1_dir = tcat._data_dirs("big")[0]
+    v1_inodes = {
+        os.path.relpath(os.path.join(r, f), v1_dir): os.stat(
+            os.path.join(r, f)
+        ).st_ino
+        for r, _, fs in os.walk(v1_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    out = tcat.merge_upsert_bucketed(
+        _df(spark, [(1, "V1")]), "big", key_cols=["k"], num_buckets=8
+    )
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows[1] == "V1" and rows[19] == "v19" and len(rows) == 20
+    v2_dir = tcat._data_dirs("big")[0]
+    assert v2_dir != v1_dir
+    v2_inodes = {
+        os.path.relpath(os.path.join(r, f), v2_dir): os.stat(
+            os.path.join(r, f)
+        ).st_ino
+        for r, _, fs in os.walk(v2_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # at least one untouched _kb partition was carried over as a hardlink
+    # (same inode), and the touched bucket's files are new inodes
+    shared = set(v1_inodes.values()) & set(v2_inodes.values())
+    assert shared, "untouched partitions should be hardlinked, not rewritten"
+    assert set(v2_inodes.values()) - set(v1_inodes.values()), (
+        "the touched bucket must have new files"
+    )
+
+
+def test_full_pipeline_load_is_atomic(spark, tmp_path):
+    """The reference's db.ts transaction shape: one ingest batch =
+    one atomic load across empresa + tipo_empresa + history + quarantine."""
+    from gcp_datalake_pipeline_spark.pipelines.empresa import process_empresas
+
+    tcat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    with tcat.transaction("load-20251001"):
+        counters = process_empresas(tcat, "tests/fixtures/empresas_20251001.csv")
+    assert counters["processedCount"] == 4
+    reader = _fresh_reader(tcat)
+    assert reader.read("empresa").count() == 3
+    assert reader.read("empresa_history").count() == 3
+    assert reader.read("quarantine_empresa").count() == 2
+    assert reader.read("tipo_empresa").count() == 2
