@@ -99,8 +99,12 @@ def main() -> None:
         timings[name] = run(name)
         print(f"# warm {name}: {timings[name]}s", file=sys.stderr)
 
+    # Full-registry coverage: every registry query not already timed runs
+    # in the extended suite too, so a regression anywhere in the 92-query
+    # surface is visible round-over-round (not just in the headline 25).
+    rest = [n for n in QUERIES if n not in HEADLINE and n not in EXTENDED]
     extended: dict[str, float] = {}
-    for name in EXTENDED:
+    for name in EXTENDED + rest:
         run(name)  # cold
         extended[name] = run(name)
         print(f"# warm(ext) {name}: {extended[name]}s", file=sys.stderr)

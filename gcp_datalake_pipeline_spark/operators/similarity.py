@@ -36,6 +36,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _pack_centroids(centn: DataFrame) -> DataFrame:
+    """Collapse a (cid, cv, cn) centroid table into ONE row holding the
+    whole list — the broadcastable shape for shuffle-free assignment.
+    The collect_list exchange moves nlist rows, nothing corpus-scale."""
+    return centn.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cid").cast("long").alias("cid"), "cv", "cn"
+            )
+        ).alias("_cents")
+    )
+
+
+def _nearest_cid(v: Column, nrm: Column, cents: Column) -> Column:
+    """Nearest-centroid id by rounded cosine (lowest-cid tiebreak), as a
+    score-then-max over the packed centroid array.
+
+    Replaces the crossJoin + row_number() formulation: a window on vid
+    must hash-shuffle the whole corpus TIMES nlist (every pair row carries
+    the full vector), while this runs inside the scan stage — ZERO corpus
+    exchanges for assignment. Each centroid's dot product is evaluated
+    exactly once (transform pass); array_max compares (s, -cid) structs
+    lexicographically, so the max is the highest similarity with the
+    lowest cid — order-independent, so the nondeterministic collect_list
+    order cannot leak into results.
+    """
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(dot(v, c["cv"]) / (nrm * c["cn"]), 6).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    return -F.array_max(scored)["negcid"]
+
+
 def brute_force_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -371,10 +407,12 @@ def kmeans_centroids(
     leak into the next assignment. Cells that empty out keep their
     previous centroid (the standard Lloyd fallback).
 
-    Scale: each iteration is one broadcast nested-loop assign (corpus x
-    nlist) plus a (cid, pos) mean — nlist*dim groups, map-side partial.
-    The iteration count is a fixed small constant, so the whole refinement
-    is a static Catalyst plan (no driver-side loop state), n_iter deep.
+    Scale: the ONLY corpus-scale exchange per iteration is the (cid, pos)
+    mean — and its map-side partial agg reduces the shuffle to nlist*dim
+    rows per task. Assignment is a fold over the broadcast packed-centroid
+    list (zero corpus exchanges — see :func:`_nearest_cid`); the iteration
+    count is a fixed small constant, so the whole refinement is a static
+    Catalyst plan (no driver-side loop state), n_iter deep.
     """
     e = df.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
@@ -384,16 +422,13 @@ def kmeans_centroids(
     )
     for _ in range(n_iter):
         centn = cent.withColumn("cn", norm(F.col("cv")))
-        csim = F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
-        )
-        w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid"))
-        assigned = (
-            e.crossJoin(F.broadcast(centn))
-            .select("vid", "v", "cid", csim.alias("csim"))
-            .withColumn("arnk", F.row_number().over(w))
-            .filter(F.col("arnk") == 1)
-            .select("cid", "v")
+        assigned = e.crossJoin(
+            F.broadcast(_pack_centroids(centn))
+        ).select(
+            _nearest_cid(F.col("v"), F.col("nrm"), F.col("_cents")).alias(
+                "cid"
+            ),
+            "v",
         )
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -407,7 +442,7 @@ def kmeans_centroids(
                 ).alias("newcv")
             )
         )
-        cent = cent.join(means, "cid", "left").select(
+        cent = cent.join(F.broadcast(means), "cid", "left").select(
             "cid", F.coalesce("newcv", "cv").alias("cv")
         )
     return cent
@@ -433,8 +468,9 @@ def ivf_topk(
     machinery (cell assignment join, probe pruning, within-cell exact
     ranking) is identical either way.
 
-    Scale: assignment is a broadcast join vs nlist centroids (linear scan);
-    a query touches ~nprobe/nlist of the corpus instead of all of it.
+    Scale: assignment is a fold over the broadcast packed-centroid list —
+    zero corpus exchanges (see :func:`_nearest_cid`); a query touches
+    ~nprobe/nlist of the corpus instead of all of it.
     Output: (query_id, neighbor_id, cosine_sim, rank). Recall < 1 by
     design (the true neighbor may live in an unprobed cell);
     brute_force_topk is the exact baseline.
@@ -452,19 +488,12 @@ def ivf_topk(
         cent = centroids.select(
             "cid", "cv", norm(F.col("cv")).alias("cn")
         )
-    csim = F.round(
-        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
-    )
     # cell assignment: rank-1 centroid per vector (cid tiebreak)
-    w_assign = Window.partitionBy("vid").orderBy(
-        F.col("csim").desc(), F.col("cid")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vid", "v", "nrm", "cid", csim.alias("csim"))
-        .withColumn("arnk", F.row_number().over(w_assign))
-        .filter(F.col("arnk") == 1)
-        .select("vid", "v", "nrm", "cid")
+    assigned = e.crossJoin(F.broadcast(_pack_centroids(cent))).select(
+        "vid",
+        "v",
+        "nrm",
+        _nearest_cid(F.col("v"), F.col("nrm"), F.col("_cents")).alias("cid"),
     )
     # probe list: nprobe nearest centroids per query vector
     q = e.filter(F.col("vid").isin(query_ids)).select(

@@ -146,39 +146,51 @@ def gapfill(
     of ``date_trunc``). ``step`` is a SQL interval literal body such as
     ``'1 day'``.
 
-    Scale: the spine is generated per key with sequence()+explode — narrow,
-    no driver loop, proportional to each key's own span (never global
-    min..max, so one long-lived key cannot explode every key's series).
-    The spine⋈df join and the LOCF window both hash on ``key``, so the
-    whole densification is ONE shuffle; AQE coalesces the tiny spine side.
+    Scale: ONE Exchange on ``key``, total. Each observed row emits its own
+    micro-spine — ``explode(sequence(bucket, next_bucket - step))`` where
+    ``next_bucket`` comes from ``lead()`` — so there is no spans
+    aggregation, no spine⋈df join, and never a global min..max (one
+    long-lived key cannot inflate every key's series). The lead window and
+    the LOCF window share the same hash partitioning, so Catalyst plans a
+    single shuffle (locked CI-hard by tests/test_plans.py).
     """
     locf_cols = locf_cols or []
-    spans = df.groupBy(key).agg(
-        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
-    )
-    spine = spans.select(
+    step_i = F.expr(f"INTERVAL {step}")
+    w = Window.partitionBy(key).orderBy(bucket_col)
+    base = df.withColumn("_gf_next", F.lead(bucket_col).over(w))
+    exploded = base.select(
         key,
+        *value_cols,
+        *locf_cols,
+        F.col(bucket_col).alias("_gf_obs_b"),
+        # [bucket, next) on the step grid; the last row emits itself only.
         F.explode(
-            F.sequence("_b0", "_b1", F.expr(f"INTERVAL {step}"))
+            F.sequence(
+                F.col(bucket_col),
+                F.coalesce(F.col("_gf_next") - step_i, F.col(bucket_col)),
+                step_i,
+            )
         ).alias(bucket_col),
     )
-    obs = [observed_col] if observed_col else []
-    right = df.withColumn("_gf_observed", F.lit(True)) if observed_col else df
-    joined = spine.join(right, [key, bucket_col], "left")
-    out = joined.select(
+    is_obs = F.col(bucket_col) == F.col("_gf_obs_b")
+    out = exploded.select(
         key,
         bucket_col,
-        *[F.coalesce(F.col(c), F.lit(0).cast(df.schema[c].dataType)).alias(c)
-          for c in value_cols],
-        *[F.col(c) for c in locf_cols],
-        *(
-            [F.coalesce("_gf_observed", F.lit(False)).alias(observed_col)]
-            if observed_col
-            else []
-        ),
+        # Zero-fill covers generated rows AND an observed NULL (parity with
+        # the pre-rewrite left-join + coalesce formulation).
+        *[
+            F.coalesce(
+                F.when(is_obs, F.col(c)), F.lit(0).cast(df.schema[c].dataType)
+            ).alias(c)
+            for c in value_cols
+        ],
+        # Mask gap rows to NULL; the LOCF window below carries the last
+        # non-null observation across both gap rows and observed NULLs.
+        *[F.when(is_obs, F.col(c)).alias(c) for c in locf_cols],
+        *([is_obs.alias(observed_col)] if observed_col else []),
     )
     if locf_cols:
-        w = (
+        w2 = (
             Window.partitionBy(key)
             .orderBy(bucket_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -188,9 +200,9 @@ def gapfill(
             bucket_col,
             *value_cols,
             *[
-                F.last(c, ignorenulls=True).over(w).alias(c)
+                F.last(c, ignorenulls=True).over(w2).alias(c)
                 for c in locf_cols
             ],
-            *obs,
+            *([observed_col] if observed_col else []),
         )
     return out

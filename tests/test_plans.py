@@ -60,3 +60,65 @@ def test_no_accidental_cartesian_products(spark):
 def test_surrogate_assignment_not_single_partition(spark):
     plan = _plan(spark, "etl_dim_surrogate_assignment")
     assert "SinglePartition" not in plan
+
+
+def test_gapfill_is_single_exchange_no_global_spine(spark):
+    """gapfill: ONE hash exchange on the key, total — the lead() spine and
+    the LOCF window share the same partitioning; never a global sequence
+    (SinglePartition) and never a spine⋈df join."""
+    import datetime
+
+    from gcp_datalake_pipeline_spark.operators.temporal import gapfill
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1), 1.0, 2.0),
+            ("a", datetime.datetime(2024, 1, 4), 2.0, 3.0),
+        ],
+        "k string, day timestamp, v double, l double",
+    )
+    out = gapfill(df, "k", "day", "1 day", ["v"], locf_cols=["l"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_scd2_apply_is_one_join_no_python(spark):
+    """scd2_apply: exactly one join (the full-outer on the business key)
+    per batch, no per-row Python path, no single-partition funnel."""
+    import datetime
+    import re
+
+    from gcp_datalake_pipeline_spark.operators.scd import scd2_apply
+
+    cur = spark.createDataFrame(
+        [("k1", "a", datetime.datetime(2024, 1, 1), None, True)],
+        "k string, v string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    upd = spark.createDataFrame([("k1", "b")], "k string, v string")
+    h = scd2_apply(cur, upd, ["k"], ["v"], datetime.datetime(2024, 2, 1))
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct",
+        plan,
+    )
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("name", ["ann_ivf_topk", "ann_ivf_kmeans_topk"])
+def test_ivf_assignment_never_shuffles_corpus_joins(spark, name):
+    """IVF cell assignment is a fold over the broadcast packed-centroid
+    list: every join in the plan must be broadcast-side (the old
+    crossJoin + vid-window formulation shuffled corpus x nlist rows,
+    each carrying the full vector, per Lloyd step)."""
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the only SinglePartition exchanges are the nlist-row centroid packs
+    assert "WindowGroupLimit" in plan or "Window" in plan  # final top-k only
