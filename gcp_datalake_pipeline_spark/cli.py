@@ -23,6 +23,15 @@ from gcp_datalake_pipeline_spark.storage import Catalog
 def _catalog(args, must_exist: bool = False) -> Catalog:
     if must_exist and not os.path.isdir(args.catalog):
         sys.exit(f"error: catalog directory not found: {args.catalog}")
+    # A catalog created with `ingest --atomic` carries a manifest pointer;
+    # every later command must resolve reads through it.
+    manifest = os.path.join(args.catalog, "_MANIFEST.json")
+    if getattr(args, "atomic", False) or os.path.exists(manifest):
+        from gcp_datalake_pipeline_spark.transactions import (
+            TransactionalCatalog,
+        )
+
+        return TransactionalCatalog(get_spark(), args.catalog)
     return Catalog(get_spark(), args.catalog)
 
 
@@ -44,9 +53,8 @@ def cmd_stream(args) -> None:
 
 
 def _register_views(cat: Catalog, testdata: str | None) -> None:
-    for entry in sorted(os.listdir(cat.root)):
-        if os.path.isdir(cat.path(entry)) and not entry.endswith("__tmp"):
-            cat.read(entry).createOrReplaceTempView(entry)
+    for entry in cat.tables():
+        cat.read(entry).createOrReplaceTempView(entry)
     if testdata:
         for f in sorted(os.listdir(testdata)):
             if f.endswith(".parquet"):
@@ -65,19 +73,14 @@ def cmd_query(args) -> None:
 
 def cmd_tables(args) -> None:
     cat = _catalog(args, must_exist=True)
-    for entry in sorted(os.listdir(cat.root)):
-        if os.path.isdir(cat.path(entry)) and not entry.endswith("__tmp"):
-            df = cat.read(entry)
-            print(f"{entry}\t{df.count()} rows\t({', '.join(df.columns)})")
+    for entry in cat.tables():
+        df = cat.read(entry)
+        print(f"{entry}\t{df.count()} rows\t({', '.join(df.columns)})")
 
 
 def cmd_export(args) -> None:
     cat = _catalog(args, must_exist=True)
-    tables = args.tables or [
-        e
-        for e in sorted(os.listdir(cat.root))
-        if os.path.isdir(cat.path(e)) and not e.endswith(("__tmp", "__old"))
-    ]
+    tables = args.tables or cat.tables()
     out = {}
     for t in tables:
         df = cat.read(t)
@@ -144,6 +147,14 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="skip files already in the ingestion manifest (default: replay "
         "re-appends history, matching the reference)",
+    )
+    pi.add_argument(
+        "--atomic",
+        action="store_true",
+        help="use the transactional catalog: every table a file touches "
+        "(entities, dims, history, quarantine, manifest row) publishes in "
+        "one atomic manifest-pointer commit; a crash mid-load is invisible "
+        "to readers",
     )
     pi.add_argument("paths", nargs="+")
     pi.set_defaults(fn=cmd_ingest)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import glob
 import os
+from contextlib import nullcontext
 
 from pyspark.sql import functions as F
 
@@ -66,22 +67,30 @@ def ingest(
         if os.path.basename(path) in seen:
             results[path] = {"processor": processor, "skipped": True}
             continue
-        counters = _PROCESSORS[processor](catalog, path)
-        results[path] = {"processor": processor, **counters}
-        manifest = catalog.spark.createDataFrame(
-            [
-                (
-                    os.path.basename(path),
-                    processor,
-                    counters["rowCount"],
-                    counters["processedCount"],
-                    counters["errorCount"],
-                )
-            ],
-            "source_file string, processor string, row_count long, "
-            "processed_count long, error_count long",
-        ).withColumn("load_date", F.current_date()).withColumn(
-            "load_ts", F.current_timestamp()
-        )
-        catalog.append(manifest, "ingestion_manifest")
+        # On a TransactionalCatalog every table a file touches — entities,
+        # dims, history, quarantine, AND its manifest row — publishes in
+        # one atomic commit (the reference's per-batch BEGIN/COMMIT,
+        # etl-gcs-cloudsql/src/db.ts:24-46). A plain Catalog runs the
+        # same code with per-table swaps (§2.11's documented relaxation).
+        txn = getattr(catalog, "transaction", None)
+        scope = txn(f"ingest-{os.path.basename(path)}") if txn else nullcontext()
+        with scope:
+            counters = _PROCESSORS[processor](catalog, path)
+            results[path] = {"processor": processor, **counters}
+            manifest = catalog.spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(path),
+                        processor,
+                        counters["rowCount"],
+                        counters["processedCount"],
+                        counters["errorCount"],
+                    )
+                ],
+                "source_file string, processor string, row_count long, "
+                "processed_count long, error_count long",
+            ).withColumn("load_date", F.current_date()).withColumn(
+                "load_ts", F.current_timestamp()
+            )
+            catalog.append(manifest, "ingestion_manifest")
     return results

@@ -99,6 +99,18 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
 
+    def tables(self) -> list[str]:
+        """Names of all tables in the catalog (no internals/leftovers)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            e
+            for e in os.listdir(self.root)
+            if os.path.isdir(self.path(e))
+            and not e.startswith("_")
+            and not e.endswith(("__tmp", "__old"))
+        )
+
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         if not self.exists(table):
             if schema is None:

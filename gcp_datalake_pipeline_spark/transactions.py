@@ -80,6 +80,7 @@ class TransactionalCatalog(Catalog):
 
     _pending: dict[str, list[str]] | None = field(default=None, repr=False)
     _load_id: str | None = field(default=None, repr=False)
+    _stage_token: str | None = field(default=None, repr=False)
     _stage_seq: int = field(default=0, repr=False)
     _txn_dirs: list[str] = field(default_factory=list, repr=False)
 
@@ -114,6 +115,12 @@ class TransactionalCatalog(Catalog):
             return True
         return table in self._read_manifest()["tables"]
 
+    def tables(self) -> list[str]:
+        names = set(self._read_manifest()["tables"])
+        if self._pending is not None:
+            names |= set(self._pending)
+        return sorted(names)
+
     def _data_dirs(self, table: str) -> list[str]:
         if self._pending is not None and table in self._pending:
             rels = self._pending[table]
@@ -126,7 +133,12 @@ class TransactionalCatalog(Catalog):
     # -- staged writes ------------------------------------------------------
 
     def _stage_dir(self, table: str) -> str:
-        rel = os.path.join(_LOADS, self._load_id, f"{table}.{self._stage_seq}")
+        # _stage_token (not the raw load_id) names the staging dir: two
+        # transactions reusing one load_id (e.g. the same file re-ingested)
+        # must never stage into — and overwrite — a committed dir.
+        rel = os.path.join(
+            _LOADS, self._stage_token, f"{table}.{self._stage_seq}"
+        )
         self._stage_seq += 1
         self._txn_dirs.append(rel)
         return rel
@@ -210,6 +222,7 @@ class TransactionalCatalog(Catalog):
             )
         self._pending = {}
         self._load_id = load_id or f"load-{uuid.uuid4().hex[:12]}"
+        self._stage_token = f"{self._load_id}.{uuid.uuid4().hex[:8]}"
         self._stage_seq = 0
         self._txn_dirs = []
         return self
@@ -230,7 +243,7 @@ class TransactionalCatalog(Catalog):
             return
         for rel in self._txn_dirs:
             shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
-        load_dir = os.path.join(self.root, _LOADS, self._load_id)
+        load_dir = os.path.join(self.root, _LOADS, self._stage_token)
         if os.path.isdir(load_dir) and not os.listdir(load_dir):
             os.rmdir(load_dir)
         self._pending = None

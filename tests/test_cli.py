@@ -47,3 +47,28 @@ def test_cli_ingest_tables_query(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "EMPRESA UNO RENOMBRADA" in r.stdout
+
+
+def test_cli_atomic_ingest_and_query(workdir):
+    """--atomic routes through TransactionalCatalog: manifest-pointer
+    catalog, later commands auto-detect it and resolve reads through the
+    manifest."""
+    import os
+
+    cat = f"{workdir}/atomic_lake"
+    r = run_cli("ingest", "--atomic", "--catalog", cat, "tests/fixtures/*.csv")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(f"{cat}/_MANIFEST.json")
+
+    r = run_cli("tables", "--catalog", cat)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "empresa\t3 rows" in r.stdout
+    assert "empresa_history\t3 rows" in r.stdout
+    assert "_loads" not in r.stdout  # internals never listed as tables
+
+    r = run_cli(
+        "query", "--catalog", cat,
+        "SELECT carrier_bp, carrier_name FROM empresa ORDER BY carrier_bp",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EMPRESA UNO RENOMBRADA" in r.stdout
