@@ -136,6 +136,27 @@ def cmd_verify(args) -> None:
         sys.exit(1)
 
 
+def _txn_catalog(args):
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = _catalog(args, must_exist=True)
+    if not isinstance(cat, TransactionalCatalog):
+        sys.exit(
+            "error: not a transactional catalog (create one with "
+            "`ingest --atomic`)"
+        )
+    return cat
+
+
+def cmd_versions(args) -> None:
+    print(json.dumps(_txn_catalog(args).versions(), indent=2))
+
+
+def cmd_vacuum(args) -> None:
+    removed = _txn_catalog(args).vacuum(retain_versions=args.retain)
+    print(json.dumps({"removed": removed, "retain": args.retain}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="gcp_datalake_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -204,6 +225,23 @@ def main(argv: list[str] | None = None) -> None:
     )
     pe.add_argument("tables", nargs="*")
     pe.set_defaults(fn=cmd_export)
+
+    pvs = sub.add_parser(
+        "versions", help="list committed snapshots of a transactional catalog"
+    )
+    pvs.add_argument("--catalog", required=True)
+    pvs.set_defaults(fn=cmd_versions)
+
+    pva = sub.add_parser(
+        "vacuum",
+        help="reclaim staged/superseded files beyond the time-travel horizon",
+    )
+    pva.add_argument("--catalog", required=True)
+    pva.add_argument(
+        "--retain", type=int, default=1,
+        help="snapshots to keep readable via read_at (default 1 = current)",
+    )
+    pva.set_defaults(fn=cmd_vacuum)
 
     args = p.parse_args(argv)
     args.fn(args)

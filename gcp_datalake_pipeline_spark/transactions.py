@@ -30,6 +30,11 @@ copies-by-reference / manifest reuse on GCS).
 Inside an open transaction the catalog reads its own staged writes
 (read-your-writes), so multi-step pipelines (get-or-create dim, then
 back-join, then merge) run unchanged within one atomic load.
+
+Every commit also retains its manifest under ``_versions/<n>.json``, so
+``read_at(table, n)`` serves table-level time travel ("what did the lake
+look like after load n") until ``vacuum(retain_versions=...)`` drops the
+snapshot — the table-level complement of the row-level SCD2 history.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -47,6 +53,7 @@ from gcp_datalake_pipeline_spark.storage import Catalog
 
 _MANIFEST = "_MANIFEST.json"
 _LOADS = "_loads"
+_VERSIONS = "_versions"
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -233,7 +240,16 @@ class TransactionalCatalog(Catalog):
         manifest = self._read_manifest()
         manifest["version"] += 1
         manifest["load_id"] = self._load_id
+        manifest["committed_at"] = time.time()
         manifest["tables"].update(self._pending)
+        # Retained version manifest first (enables time travel), pointer
+        # swap second. A crash between the two leaves an orphan version
+        # file that the NEXT commit (same version number, since the
+        # pointer never moved) simply overwrites — never visible data.
+        vdir = os.path.join(self.root, _VERSIONS)
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, f"{manifest['version']}.json"), "w") as f:
+            json.dump(manifest, f)
         self._swap_manifest(manifest)
         self._pending = None
         self._load_id = None
@@ -262,20 +278,86 @@ class TransactionalCatalog(Catalog):
             raise
         self.commit()
 
+    # -- time travel --------------------------------------------------------
+
+    def versions(self) -> list[dict]:
+        """Committed snapshots, oldest first: version / load_id /
+        committed_at. Every commit retains its manifest under
+        ``_versions/<n>.json`` until vacuum drops it."""
+        vdir = os.path.join(self.root, _VERSIONS)
+        if not os.path.isdir(vdir):
+            return []
+        out = []
+        for fname in sorted(
+            os.listdir(vdir), key=lambda s: int(s.split(".", 1)[0])
+        ):
+            with open(os.path.join(vdir, fname)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "load_id": m.get("load_id"),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return out
+
+    def read_at(self, table: str, version: int) -> DataFrame:
+        """Read ``table`` as of committed snapshot ``version`` — table-level
+        time travel (the SCD2 operator is the row-level complement). Raises
+        if the version manifest was vacuumed away or never existed."""
+        vpath = os.path.join(self.root, _VERSIONS, f"{version}.json")
+        try:
+            with open(vpath) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no retained snapshot for version {version} "
+                "(vacuumed or never committed)"
+            ) from None
+        rels = m["tables"].get(table)
+        if rels is None:
+            raise FileNotFoundError(
+                f"{table!r} did not exist at version {version}"
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, r) for r in rels]
+        )
+
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
-        """Delete staged dirs no manifest entry references — leftovers of
-        crashed (never-committed) or superseded loads. Never runs inside an
-        open transaction (pending dirs are not yet referenced)."""
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete staged dirs that no RETAINED manifest references —
+        leftovers of crashed (never-committed) loads and data superseded
+        beyond the time-travel horizon. ``retain_versions`` keeps the N
+        most recent snapshots readable via :meth:`read_at` (min 1: the
+        current pointer is always live). Never runs inside an open
+        transaction (pending dirs are not yet referenced)."""
         if self._pending is not None:
             raise RuntimeError("cannot vacuum inside an open transaction")
+        retain_versions = max(1, retain_versions)
+        current = self._read_manifest()
         live = {
-            rel
-            for rels in self._read_manifest()["tables"].values()
-            for rel in rels
+            rel for rels in current["tables"].values() for rel in rels
         }
         removed: list[str] = []
+        vdir = os.path.join(self.root, _VERSIONS)
+        if os.path.isdir(vdir):
+            vfiles = sorted(
+                os.listdir(vdir), key=lambda s: int(s.split(".", 1)[0])
+            )
+            keep = vfiles[-retain_versions:]
+            for fname in vfiles:
+                vpath = os.path.join(vdir, fname)
+                if fname in keep:
+                    with open(vpath) as f:
+                        m = json.load(f)
+                    live |= {
+                        rel for rels in m["tables"].values() for rel in rels
+                    }
+                else:
+                    os.remove(vpath)
+                    removed.append(os.path.join(_VERSIONS, fname))
         loads_root = os.path.join(self.root, _LOADS)
         if not os.path.isdir(loads_root):
             return removed

@@ -158,3 +158,36 @@ def test_full_pipeline_load_is_atomic(spark, tmp_path):
     assert reader.read("empresa_history").count() == 3
     assert reader.read("quarantine_empresa").count() == 2
     assert reader.read("tipo_empresa").count() == 2
+
+
+def test_time_travel_read_at_and_versions(spark, tcat):
+    tcat.overwrite(_df(spark, [(1, "v1")]), "t")          # version 1
+    with tcat.transaction("second-load"):
+        tcat.overwrite(_df(spark, [(2, "v2")]), "t")      # version 2
+        tcat.overwrite(_df(spark, [(9, "c")]), "child")
+    vs = tcat.versions()
+    assert [v["version"] for v in vs] == [1, 2]
+    assert vs[1]["load_id"] == "second-load"
+    # current read = v2; snapshot read = v1; child absent at v1
+    assert [r["v"] for r in tcat.read("t").collect()] == ["v2"]
+    assert [r["v"] for r in tcat.read_at("t", 1).collect()] == ["v1"]
+    with pytest.raises(FileNotFoundError, match="did not exist"):
+        tcat.read_at("child", 1)
+
+
+def test_vacuum_respects_time_travel_horizon(spark, tcat):
+    tcat.overwrite(_df(spark, [(1, "v1")]), "t")
+    tcat.overwrite(_df(spark, [(2, "v2")]), "t")
+    tcat.overwrite(_df(spark, [(3, "v3")]), "t")
+    # retain 2: v2 + v3 stay readable, v1's manifest and data dir go
+    removed = tcat.vacuum(retain_versions=2)
+    assert any(r.startswith("_versions/1") for r in removed)
+    assert [r["v"] for r in tcat.read_at("t", 2).collect()] == ["v2"]
+    assert [r["v"] for r in tcat.read_at("t", 3).collect()] == ["v3"]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tcat.read_at("t", 1)
+    # retain 1: only current survives
+    tcat.vacuum(retain_versions=1)
+    with pytest.raises(FileNotFoundError):
+        tcat.read_at("t", 2)
+    assert [r["v"] for r in tcat.read("t").collect()] == ["v3"]
