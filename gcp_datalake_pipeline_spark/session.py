@@ -50,6 +50,22 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Scan parallelism floor: with the default 128 MB maxPartitionBytes
+        # a small parquet file scans as ONE task, so scan-stage compute
+        # (HOF vector math, simhash sums, regex) binds to a single core no
+        # matter how many the session has. Asking for >= one split per core
+        # (with a lower file-open cost so tiny files still split) keeps the
+        # scan stage parallel at any file size. At cluster scale files
+        # exceed maxPartitionBytes anyway, so the floor is a no-op there —
+        # both knobs stay env-overridable for such deployments.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_SPLITS", cpus),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
