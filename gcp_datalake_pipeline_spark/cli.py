@@ -153,7 +153,9 @@ def cmd_versions(args) -> None:
 
 
 def cmd_vacuum(args) -> None:
-    removed = _txn_catalog(args).vacuum(retain_versions=args.retain)
+    removed = _txn_catalog(args).vacuum(
+        retain_versions=args.retain, min_age_seconds=args.min_age
+    )
     print(json.dumps({"removed": removed, "retain": args.retain}))
 
 
@@ -240,6 +242,11 @@ def main(argv: list[str] | None = None) -> None:
     pva.add_argument(
         "--retain", type=int, default=1,
         help="snapshots to keep readable via read_at (default 1 = current)",
+    )
+    pva.add_argument(
+        "--min-age", type=float, default=3600.0,
+        help="only reclaim unreferenced dirs older than this many seconds "
+        "(protects concurrent writers' staging; 0 = reclaim everything)",
     )
     pva.set_defaults(fn=cmd_vacuum)
 

@@ -39,6 +39,7 @@ snapshot — the table-level complement of the row-level SCD2 history.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -237,20 +238,33 @@ class TransactionalCatalog(Catalog):
     def commit(self) -> None:
         if self._pending is None:
             raise RuntimeError("no open transaction to commit")
-        manifest = self._read_manifest()
-        manifest["version"] += 1
-        manifest["load_id"] = self._load_id
-        manifest["committed_at"] = time.time()
-        manifest["tables"].update(self._pending)
-        # Retained version manifest first (enables time travel), pointer
-        # swap second. A crash between the two leaves an orphan version
-        # file that the NEXT commit (same version number, since the
-        # pointer never moved) simply overwrites — never visible data.
-        vdir = os.path.join(self.root, _VERSIONS)
-        os.makedirs(vdir, exist_ok=True)
-        with open(os.path.join(vdir, f"{manifest['version']}.json"), "w") as f:
-            json.dump(manifest, f)
-        self._swap_manifest(manifest)
+        # The read-modify-write of the manifest must be serialized across
+        # committers, or two concurrent commits based on the same version
+        # would each publish a manifest missing the other's tables. An
+        # exclusive flock held across read -> version-write -> swap gives
+        # optimistic writers a total order on one host (data staging stays
+        # fully concurrent — only the pointer update serializes); on an
+        # object store the equivalent is a conditional put of the pointer.
+        os.makedirs(self.root, exist_ok=True)
+        lock_path = os.path.join(self.root, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            manifest = self._read_manifest()
+            manifest["version"] += 1
+            manifest["load_id"] = self._load_id
+            manifest["committed_at"] = time.time()
+            manifest["tables"].update(self._pending)
+            # Retained version manifest first (enables time travel),
+            # pointer swap second. A crash between the two leaves an
+            # orphan version file that the NEXT commit (same version
+            # number, since the pointer never moved) simply overwrites —
+            # never visible data.
+            vdir = os.path.join(self.root, _VERSIONS)
+            os.makedirs(vdir, exist_ok=True)
+            vpath = os.path.join(vdir, f"{manifest['version']}.json")
+            with open(vpath, "w") as f:
+                json.dump(manifest, f)
+            self._swap_manifest(manifest)
         self._pending = None
         self._load_id = None
 
@@ -326,16 +340,25 @@ class TransactionalCatalog(Catalog):
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete staged dirs that no RETAINED manifest references —
         leftovers of crashed (never-committed) loads and data superseded
         beyond the time-travel horizon. ``retain_versions`` keeps the N
         most recent snapshots readable via :meth:`read_at` (min 1: the
         current pointer is always live). Never runs inside an open
-        transaction (pending dirs are not yet referenced)."""
+        transaction (pending dirs are not yet referenced).
+
+        ``min_age_seconds`` protects OTHER writers: a concurrent process
+        mid-transaction has staged dirs no manifest references yet, so
+        only unreferenced dirs older than the threshold are reclaimed
+        (same rationale as Delta's VACUUM retention window; pass 0.0 only
+        when no other writer can be active)."""
         if self._pending is not None:
             raise RuntimeError("cannot vacuum inside an open transaction")
         retain_versions = max(1, retain_versions)
+        now = time.time()
         current = self._read_manifest()
         live = {
             rel for rels in current["tables"].values() for rel in rels
@@ -365,8 +388,11 @@ class TransactionalCatalog(Catalog):
             load_dir = os.path.join(loads_root, load_id)
             for d in os.listdir(load_dir):
                 rel = os.path.join(_LOADS, load_id, d)
-                if rel not in live:
-                    shutil.rmtree(os.path.join(self.root, rel))
+                full = os.path.join(self.root, rel)
+                if rel not in live and (
+                    now - os.path.getmtime(full) >= min_age_seconds
+                ):
+                    shutil.rmtree(full)
                     removed.append(rel)
             if not os.listdir(load_dir):
                 os.rmdir(load_dir)

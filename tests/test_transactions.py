@@ -60,7 +60,7 @@ def test_crash_recovery_reader_and_vacuum(spark, tmp_path):
     assert not reader.exists("child")
     # staged orphans are garbage on disk until vacuum reclaims them
     assert all(os.path.exists(os.path.join(root, d)) for d in staged)
-    removed = reader.vacuum()
+    removed = reader.vacuum(min_age_seconds=0.0)
     assert set(removed) == set(staged)
     assert not any(os.path.exists(os.path.join(root, d)) for d in staged)
     # vacuum never touches live data
@@ -76,7 +76,7 @@ def test_exception_rolls_back_and_keeps_previous_version(spark, tcat):
     assert [r["v"] for r in tcat.read("t").collect()] == ["v1"]
     # rollback deleted the staged files: every dir left under _loads is
     # referenced by the manifest (i.e. vacuum finds nothing to reclaim)
-    assert tcat.vacuum() == []
+    assert tcat.vacuum(min_age_seconds=0.0) == []
 
 
 def test_append_publishes_new_files_only(spark, tcat):
@@ -180,14 +180,51 @@ def test_vacuum_respects_time_travel_horizon(spark, tcat):
     tcat.overwrite(_df(spark, [(2, "v2")]), "t")
     tcat.overwrite(_df(spark, [(3, "v3")]), "t")
     # retain 2: v2 + v3 stay readable, v1's manifest and data dir go
-    removed = tcat.vacuum(retain_versions=2)
+    removed = tcat.vacuum(retain_versions=2, min_age_seconds=0.0)
     assert any(r.startswith("_versions/1") for r in removed)
     assert [r["v"] for r in tcat.read_at("t", 2).collect()] == ["v2"]
     assert [r["v"] for r in tcat.read_at("t", 3).collect()] == ["v3"]
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         tcat.read_at("t", 1)
     # retain 1: only current survives
-    tcat.vacuum(retain_versions=1)
+    tcat.vacuum(retain_versions=1, min_age_seconds=0.0)
     with pytest.raises(FileNotFoundError):
         tcat.read_at("t", 2)
     assert [r["v"] for r in tcat.read("t").collect()] == ["v3"]
+
+
+def test_interleaved_commits_from_two_writers_merge(spark, tmp_path):
+    """Two writer objects staging concurrently: the later commit must not
+    clobber the earlier one's tables (commit serializes the manifest
+    read-modify-write under the flock mutex)."""
+    root = str(tmp_path / "lake")
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    a.begin("load-a")
+    b.begin("load-b")
+    a.overwrite(_df(spark, [(1, "from-a")]), "t_a")
+    b.overwrite(_df(spark, [(2, "from-b")]), "t_b")
+    a.commit()
+    b.commit()
+    reader = TransactionalCatalog(spark=spark, root=root)
+    assert [r["v"] for r in reader.read("t_a").collect()] == ["from-a"]
+    assert [r["v"] for r in reader.read("t_b").collect()] == ["from-b"]
+    assert [v["version"] for v in reader.versions()] == [1, 2]
+
+
+def test_vacuum_age_threshold_protects_fresh_staging(spark, tmp_path):
+    """Freshly staged dirs of a (possibly concurrent) uncommitted load
+    survive vacuum under the default age threshold."""
+    root = str(tmp_path / "lake")
+    w = TransactionalCatalog(spark=spark, root=root)
+    w.overwrite(_df(spark, [(1, "live")]), "t")
+    w.begin("in-flight")
+    w.overwrite(_df(spark, [(2, "staged")]), "t")
+    staged = list(w._txn_dirs)
+    del w  # other process still mid-transaction, from the vacuumer's view
+
+    v = TransactionalCatalog(spark=spark, root=root)
+    assert v.vacuum() == []  # default min_age: nothing reclaimed
+    assert all(os.path.exists(os.path.join(root, d)) for d in staged)
+    removed = v.vacuum(min_age_seconds=0.0)
+    assert set(removed) == set(staged)
