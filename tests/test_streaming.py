@@ -35,6 +35,10 @@ def test_streaming_ingest_exactly_once(catalog, tmpdir):
     p1 = run_streaming_ingest(catalog, landing, ckpt)
     assert len(p1) == 1
     assert catalog.read("empresa").count() == 3
+    # SCD2 history rides the same foreachBatch pipeline: one open version
+    # per carrier after the first load.
+    hist = catalog.read("empresa_history")
+    assert hist.count() == 3 and all(r["is_current"] for r in hist.collect())
 
     # Re-run with no new files: checkpoint prevents reprocessing.
     p2 = run_streaming_ingest(catalog, landing, ckpt)
