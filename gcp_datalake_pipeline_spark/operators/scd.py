@@ -106,3 +106,20 @@ def scd2_apply(
     ).select("_r.*")
 
     return closed_rows.select(*cols, *META_COLS).unionByName(emitted)
+
+
+def scd2_asof(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time state from an SCD2 history: the rows whose validity
+    range covers ``ts`` (``valid_from <= ts < valid_to``, open rows have
+    NULL valid_to). Returns business columns only — exactly what the
+    current-state table would have contained at ``ts``.
+
+    Scale: a narrow filter over the history scan — no join, no shuffle;
+    with the history partitioned/sorted on valid_from the scan prunes.
+    """
+    t = ts if isinstance(ts, F.Column) else F.lit(ts)
+    t = t.cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop(*META_COLS)

@@ -345,3 +345,45 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h1 = scd2_apply(None, cust, keys, tracked, "2024-01-01")
     return scd2_apply(h1, batch2, keys, tracked, "2024-02-01")
+
+
+@register(
+    "etl_scd2_asof",
+    """
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment
+    FROM customer
+    """,
+    doc="""Point-in-time read over the SCD2 history (operators/scd.py
+    scd2_asof): the same two-batch history as etl_scd2_history, queried
+    AS OF 2024-01-15 — between the batches — must reproduce the batch-1
+    snapshot exactly: changed keys show their pre-change acctbal (their
+    +100.0 row only opens at 2024-02-01), batch-2-new keys are absent,
+    and no key appears twice (the closed/open range filter must pick
+    exactly one version). The oracle is simply the original customer
+    snapshot, which is what the lake looked like at that instant. The
+    as-of read itself is a narrow filter over the history scan — no
+    join, no shuffle.""",
+)
+def etl_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.scd import scd2_apply, scd2_asof
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+    keys, tracked = ["c_custkey"], ["c_name", "acctbal", "c_mktsegment"]
+    batch2 = cust.withColumn(
+        "acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("acctbal") + 100.0).otherwise(
+            F.col("acctbal")
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    h1 = scd2_apply(None, cust, keys, tracked, "2024-01-01")
+    h2 = scd2_apply(h1, batch2, keys, tracked, "2024-02-01")
+    return scd2_asof(h2, "2024-01-15")

@@ -79,3 +79,28 @@ def test_new_key_mid_stream(spark):
     k2 = h.filter(F.col("k") == 2).collect()
     assert len(k2) == 1
     assert k2[0]["is_current"] and k2[0]["valid_from"] == datetime.datetime(2024, 2, 1)
+
+
+def test_scd2_asof_picks_exactly_one_version(spark):
+    from gcp_datalake_pipeline_spark.operators.scd import scd2_asof
+
+    h = _apply_chain(
+        spark,
+        [[(1, "a"), (2, "x")], [(1, "b")], [(1, "c"), (2, "x")]],
+    )
+
+    def state(ts):
+        return {
+            r["k"]: r["v"] for r in scd2_asof(h, ts).collect()
+        }
+
+    # between batches 1 and 2: original values everywhere
+    assert state(datetime.datetime(2024, 1, 15)) == {1: "a", 2: "x"}
+    # exactly at a transition: the NEW version is in effect (valid_from
+    # inclusive, valid_to exclusive)
+    assert state(datetime.datetime(2024, 2, 1)) == {1: "b", 2: "x"}
+    assert state(datetime.datetime(2024, 3, 5)) == {1: "c", 2: "x"}
+    # before any history: empty state
+    assert state(datetime.datetime(2023, 12, 1)) == {}
+    # meta columns are stripped from the point-in-time view
+    assert set(scd2_asof(h, datetime.datetime(2024, 1, 15)).columns) == {"k", "v"}
