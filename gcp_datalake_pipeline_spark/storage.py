@@ -311,6 +311,40 @@ class Catalog:
         self.overwrite(hist, table)
         return self.read(table)
 
+    def refresh_aggregate(
+        self,
+        delta_partials: DataFrame,
+        table: str,
+        keys: list[str],
+        sum_cols: list[str],
+        count_col: str,
+        broadcast_delta: bool = True,
+    ) -> DataFrame:
+        """Maintain ``table`` as a materialized partial aggregate from
+        delta batches — O(delta + affected groups) per refresh, never a
+        recompute of untouched groups (operators/incremental.py). First
+        call seeds the table with the delta's partials; later calls merge.
+        On a TransactionalCatalog the refresh is atomic and versioned like
+        any other write. Returns the new aggregate state (persisted).
+        """
+        from gcp_datalake_pipeline_spark.operators.incremental import (
+            refresh_aggregate as _refresh,
+        )
+
+        if not self.exists(table):
+            self.overwrite(delta_partials, table)
+            return self.read(table)
+        merged = _refresh(
+            self.read(table),
+            delta_partials,
+            keys,
+            sum_cols,
+            count_col,
+            broadcast_delta=broadcast_delta,
+        )
+        self.overwrite(merged, table)
+        return self.read(table)
+
     def merge_upsert_bucketed(
         self,
         source: DataFrame,

@@ -255,3 +255,33 @@ def test_scd2_upsert_rejects_non_history_table(spark, catalog):
     catalog.overwrite(plain, "plain")
     with _pytest.raises(ValueError, match="not an SCD2 history"):
         catalog.scd2_upsert(plain, "plain", ["k"], ["v"])
+
+
+def test_refresh_aggregate_matches_full_recompute(spark, catalog):
+    """Catalog.refresh_aggregate maintained over two deltas equals the
+    one-shot aggregate over all rows (decomposable-agg invariant)."""
+    from gcp_datalake_pipeline_spark.operators.incremental import (
+        partial_aggregate,
+    )
+
+    d1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    d2 = spark.createDataFrame(
+        [("a", 10.0), ("c", 7.0)], "g string, v double"
+    )
+    spec = dict(keys=["g"], sum_cols={"v_sum": "v"}, count_col="n")
+    catalog.refresh_aggregate(
+        partial_aggregate(d1, **spec), "agg", ["g"], ["v_sum"], "n"
+    )
+    out = catalog.refresh_aggregate(
+        partial_aggregate(d2, **spec), "agg", ["g"], ["v_sum"], "n"
+    )
+    expect = {
+        r["g"]: (r["v_sum"], r["n"])
+        for r in partial_aggregate(d1.unionByName(d2), **spec).collect()
+    }
+    got = {r["g"]: (r["v_sum"], r["n"]) for r in out.collect()}
+    assert got == expect == {"a": (13.0, 3), "b": (5.0, 1), "c": (7.0, 1)}
+    # persisted: a fresh read sees the merged state
+    assert {r["g"] for r in catalog.read("agg").collect()} == {"a", "b", "c"}
