@@ -426,3 +426,29 @@ def test_kmeans_centroids_refine_and_search(spark):
     assert len(refined) == len(qids) * 5
     approx = {(r["query_id"], r["neighbor_id"]) for r in refined}
     assert len(exact & approx) / len(exact) >= 0.2
+
+
+def test_brute_force_topk_arrow_backend_identical(spark):
+    """The Arrow/BLAS backend must produce EXACTLY the HOF path's output
+    (6-decimal rounding absorbs float-summation-order differences)."""
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(5))
+
+    def key(df):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in df.collect()
+        }
+
+    hof = key(brute_force_topk(emb, qids, k=5))
+    arrow = key(brute_force_topk(emb, qids, k=5, backend="arrow"))
+    assert hof == arrow and len(hof) == 25
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown backend"):
+        brute_force_topk(emb, qids, backend="nope")
