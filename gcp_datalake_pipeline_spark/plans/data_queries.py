@@ -489,6 +489,21 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_arrow",
+    similarity.embedding_near_dup_oracle_sql(threshold=0.3),
+    doc="""Same semantics and the SAME oracle as embedding_near_dup, via
+    the Arrow/BLAS backend: one normalized matmul per label block inside
+    applyInPandas instead of a pair-at-a-time HOF join. Measured 7.8x at
+    sf0.1 (2.14 s -> 0.28 s); gated separately so the vectorized path is
+    value-level oracle-checked, not just pytest-compared.""",
+)
+def embedding_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, backend="arrow"
+    )
+
+
+@register(
     "embedding_near_dup_lsh",
     similarity.embedding_near_dup_lsh_oracle_sql(threshold=0.3),
     doc="""Embedding-cosine near-dup pairs for UNLABELED corpora: LSH
