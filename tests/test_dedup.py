@@ -469,3 +469,20 @@ def test_embedding_near_dup_arrow_backend_identical(spark):
     hof = key(embedding_near_dup_pairs(emb, threshold=0.3))
     arrow = key(embedding_near_dup_pairs(emb, threshold=0.3, backend="arrow"))
     assert hof == arrow and len(hof) > 0
+
+
+def test_embedding_near_dup_lsh_arrow_backend_identical(spark):
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def key(df):
+        return {
+            (r["vec_a"], r["vec_b"]): r["cosine_sim"] for r in df.collect()
+        }
+
+    hof = key(embedding_near_dup_lsh(emb, threshold=0.3))
+    arrow = key(embedding_near_dup_lsh(emb, threshold=0.3, backend="arrow"))
+    assert hof == arrow and len(hof) > 0
