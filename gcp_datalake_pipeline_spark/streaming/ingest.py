@@ -64,9 +64,22 @@ def run_streaming_ingest(
     )
 
     def handle_batch(batch_df, batch_id):
+        from contextlib import nullcontext
+
         paths = [r["path"].replace("file:", "") for r in batch_df.collect()]
         for processor, path in plan_batch(paths):
-            _PROCESSORS[processor](catalog, path)
+            # Same per-file atomicity as the batch runner when the catalog
+            # is transactional: every table this file touches publishes in
+            # one commit, so a crash mid-file leaves readers on the
+            # previous snapshot and the unadvanced checkpoint replays it.
+            txn = getattr(catalog, "transaction", None)
+            scope = (
+                txn(f"stream-{os.path.basename(path)}")
+                if txn
+                else nullcontext()
+            )
+            with scope:
+                _PROCESSORS[processor](catalog, path)
             processed.append(path)
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(

@@ -228,3 +228,30 @@ def test_vacuum_age_threshold_protects_fresh_staging(spark, tmp_path):
     assert all(os.path.exists(os.path.join(root, d)) for d in staged)
     removed = v.vacuum(min_age_seconds=0.0)
     assert set(removed) == set(staged)
+
+
+def test_streaming_ingest_atomic_on_txn_catalog(spark, tmp_path):
+    """Streaming ingest over a TransactionalCatalog commits each file's
+    tables atomically (same contract as the batch runner)."""
+    import shutil
+
+    from gcp_datalake_pipeline_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy("tests/fixtures/empresas_20251001.csv", landing)
+    tcat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    processed = run_streaming_ingest(
+        tcat, str(landing), str(tmp_path / "ckpt")
+    )
+    assert len(processed) == 1
+    reader = _fresh_reader(tcat)
+    assert reader.read("empresa").count() == 3
+    assert reader.read("empresa_history").count() == 3
+    # one load commit for the file's whole table group
+    assert any(
+        v["load_id"] == "stream-empresas_20251001.csv"
+        for v in reader.versions()
+    )
