@@ -80,18 +80,41 @@ def salted_join(
     applicable; this is the fallback with a replication-factor cost on the
     right side.
 
-    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
-    right side is replicated ``salt_buckets``×, so an unmatched right row
-    would surface ``salt_buckets`` times under ``right``/``full`` — those
-    modes raise rather than silently over-count.
+    ``right``/``full`` cannot ride the replicated join directly (a right
+    row's replicas match per-salt subsets, so replicas with no same-salt
+    partner would emit spurious unmatched rows). They are built instead
+    as: salted INNER core + anti-join complements — the right-only rows
+    come from a left_anti against the left side's DISTINCT keys (the
+    map-side-combined distinct collapses every hot key to one row, so no
+    skew survives into that join), and for ``full`` the left-only rows
+    from a left_anti against the right side's keys (small side,
+    broadcastable). Each unmatched row appears exactly once.
     """
     normalized = how.lower().replace("outer", "").strip("_")
-    if normalized in ("right", "full", "rightouter", "fullouter"):
-        raise ValueError(
-            f"salted_join does not support how={how!r}: the replicated "
-            "right side would emit unmatched right rows salt_buckets "
-            "times; use AQE skew-join handling for right/full joins"
-        )
+    if normalized in ("right", "full"):
+        inner = salted_join(left, right, on, salt_buckets, "inner")
+
+        def _nulls(df: DataFrame) -> list:
+            return [
+                F.lit(None).cast(df.schema[c].dataType).alias(c)
+                for c in df.columns
+                if c != on
+            ]
+
+        right_only = right.join(
+            left.select(on).distinct(), on, "left_anti"
+        ).select(F.col(on), *_nulls(left), *[F.col(c) for c in right.columns if c != on])
+        out = inner.unionByName(right_only)
+        if normalized == "full":
+            left_only = left.join(
+                right.select(on).distinct(), on, "left_anti"
+            ).select(
+                F.col(on),
+                *[F.col(c) for c in left.columns if c != on],
+                *_nulls(right),
+            )
+            out = out.unionByName(left_only)
+        return out
     salt = (
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
         .cast("int")

@@ -70,16 +70,36 @@ def test_salted_left_join(spark):
     assert out.filter(F.col("o_totalprice").isNotNull()).count() > 0
 
 
-def test_salted_join_rejects_right_and_full(spark):
-    """Right/full would emit unmatched right rows salt_buckets times —
-    the guard must refuse rather than silently over-count."""
-    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
-    orders = load_table(spark, SF_DIR, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey")
+def _norm_rows(df, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
     )
-    for how in ("right", "full", "full_outer", "rightouter", "FULL"):
-        with pytest.raises(ValueError, match="salted_join"):
-            salted_join(li, orders, "l_orderkey", how=how)
+
+
+@pytest.mark.parametrize("how", ["right", "full", "full_outer", "rightouter"])
+def test_salted_right_and_full_match_plain_join(spark, how):
+    """Right/full ride the inner salted core + anti-join complements:
+    every unmatched row appears EXACTLY once (the naive replicated join
+    would emit unmatched right rows salt_buckets times)."""
+    left = spark.createDataFrame(
+        # skewed left: key 1 hot; key 3 unmatched-on-right side absent
+        [(1, f"l{i}") for i in range(50)] + [(2, "x"), (4, "y")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        # keys 3,5 unmatched on the left; duplicate right rows for key 2
+        [(1, 10.0), (2, 20.0), (2, 21.0), (3, 30.0), (5, 50.0)],
+        "k long, rv double",
+    )
+    cols = ["k", "lv", "rv"]
+    got = _norm_rows(
+        salted_join(left, right, "k", salt_buckets=4, how=how), cols
+    )
+    want = _norm_rows(left.join(right, "k", how), cols)
+    assert got == want
+    # unmatched right rows appear exactly once each
+    n_unmatched = sum(1 for k, lv, rv in got if lv is None)
+    assert n_unmatched == 2
 
 
 def test_assign_dense_ids_matches_global_rank_and_is_sharded(spark):
