@@ -152,6 +152,12 @@ def cmd_versions(args) -> None:
     print(json.dumps(_txn_catalog(args).versions(), indent=2))
 
 
+def cmd_restore(args) -> None:
+    cat = _txn_catalog(args)
+    cat.restore(args.version)
+    print(json.dumps({"restored_to": args.version, "tables": cat.tables()}))
+
+
 def cmd_vacuum(args) -> None:
     removed = _txn_catalog(args).vacuum(
         retain_versions=args.retain, min_age_seconds=args.min_age
@@ -233,6 +239,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     pvs.add_argument("--catalog", required=True)
     pvs.set_defaults(fn=cmd_versions)
+
+    prs = sub.add_parser(
+        "restore", help="roll the catalog back to a committed snapshot"
+    )
+    prs.add_argument("--catalog", required=True)
+    prs.add_argument("version", type=int)
+    prs.set_defaults(fn=cmd_restore)
 
     pva = sub.add_parser(
         "vacuum",

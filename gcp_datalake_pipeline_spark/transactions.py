@@ -238,6 +238,13 @@ class TransactionalCatalog(Catalog):
     def commit(self) -> None:
         if self._pending is None:
             raise RuntimeError("no open transaction to commit")
+        self._publish(self._pending, self._load_id, replace=False)
+        self._pending = None
+        self._load_id = None
+
+    def _publish(
+        self, tables: dict[str, list[str]], load_id: str, replace: bool
+    ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
         # would each publish a manifest missing the other's tables. An
@@ -251,9 +258,12 @@ class TransactionalCatalog(Catalog):
             fcntl.flock(lock, fcntl.LOCK_EX)
             manifest = self._read_manifest()
             manifest["version"] += 1
-            manifest["load_id"] = self._load_id
+            manifest["load_id"] = load_id
             manifest["committed_at"] = time.time()
-            manifest["tables"].update(self._pending)
+            if replace:
+                manifest["tables"] = dict(tables)
+            else:
+                manifest["tables"].update(tables)
             # Retained version manifest first (enables time travel),
             # pointer swap second. A crash between the two leaves an
             # orphan version file that the NEXT commit (same version
@@ -265,8 +275,6 @@ class TransactionalCatalog(Catalog):
             with open(vpath, "w") as f:
                 json.dump(manifest, f)
             self._swap_manifest(manifest)
-        self._pending = None
-        self._load_id = None
 
     def rollback(self) -> None:
         if self._pending is None:
@@ -337,6 +345,24 @@ class TransactionalCatalog(Catalog):
         return self.spark.read.parquet(
             *[os.path.join(self.root, r) for r in rels]
         )
+
+    def restore(self, version: int) -> None:
+        """Roll the catalog back to snapshot ``version`` — published as a
+        NEW commit whose table map IS the old snapshot's (tables created
+        after it disappear; the rollback itself is in the history and no
+        data is deleted — vacuum still governs reclamation). Delta's
+        RESTORE semantics, whole-catalog."""
+        if self._pending is not None:
+            raise RuntimeError("cannot restore inside an open transaction")
+        vpath = os.path.join(self.root, _VERSIONS, f"{version}.json")
+        try:
+            with open(vpath) as f:
+                old = json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no retained snapshot for version {version}"
+            ) from None
+        self._publish(old["tables"], f"restore-v{version}", replace=True)
 
     # -- maintenance --------------------------------------------------------
 

@@ -255,3 +255,21 @@ def test_streaming_ingest_atomic_on_txn_catalog(spark, tmp_path):
         v["load_id"] == "stream-empresas_20251001.csv"
         for v in reader.versions()
     )
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, tcat):
+    tcat.overwrite(_df(spark, [(1, "v1")]), "t")              # version 1
+    with tcat.transaction("bad-load"):                        # version 2
+        tcat.overwrite(_df(spark, [(2, "v2")]), "t")
+        tcat.overwrite(_df(spark, [(9, "oops")]), "extra")
+    tcat.restore(1)                                           # version 3
+    # the catalog IS snapshot 1 again: old rows, later table gone
+    assert [r["v"] for r in tcat.read("t").collect()] == ["v1"]
+    assert not tcat.exists("extra")
+    assert tcat.tables() == ["t"]
+    # history keeps all three versions; the bad load stays readable
+    assert [v["version"] for v in tcat.versions()] == [1, 2, 3]
+    assert tcat.versions()[2]["load_id"] == "restore-v1"
+    assert [r["v"] for r in tcat.read_at("t", 2).collect()] == ["v2"]
+    with pytest.raises(FileNotFoundError):
+        tcat.restore(99)
