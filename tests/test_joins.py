@@ -124,3 +124,19 @@ def test_assign_dense_ids_matches_global_rank_and_is_sharded(spark):
 
     plan = sharded._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_salted_right_full_plan_has_no_funnel(spark):
+    """The right/full composition must stay distributed: no SinglePartition
+    exchange anywhere (the left DISTINCT collapses hot keys before its
+    anti-join, map-side combined)."""
+    left = spark.createDataFrame([(1, "a")], "k long, lv string")
+    right = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, rv double")
+    for how in ("right", "full"):
+        plan = (
+            salted_join(left, right, "k", salt_buckets=4, how=how)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan, how
