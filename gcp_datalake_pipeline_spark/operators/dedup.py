@@ -455,6 +455,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     max_iter: int = 15,
     on_unconverged: str = "raise",
+    method: str = "label_prop",
 ) -> DataFrame:
     """Connected components over a near-dup pair set: every document gets a
     ``cluster_id`` (the min doc_id reachable through pair edges; singletons
@@ -470,17 +471,24 @@ def near_dup_clusters(
     iterative-algorithm exception: each iteration is a set-based join +
     groupBy, and the only driver values are the per-round change counts.
 
-    Scale: edges shuffle on node id; labels are (id, label) longs. For
-    pathological diameters switch to pointer-doubling (label-of-label
-    joins, O(log n) rounds) — not needed for dedup graphs.
+    Scale: edges shuffle on node id; labels are (id, label) longs.
+    ``method="pointer_doubling"`` adds a label-of-label lookup to each
+    round (one extra join on the label key), so labels jump to their
+    label's label and components converge in O(log diameter) rounds
+    instead of O(diameter) — the right mode when chains can be long;
+    plain ``"label_prop"`` (default) does one join less per round, which
+    wins on the shallow pair-and-small-chain graphs dedup produces.
 
-    If a component's diameter exceeds ``max_iter`` the labels would be
-    WRONG (multiple is_canonical rows per real cluster), so exhausting the
-    loop with changes still pending raises RuntimeError by default; pass
-    ``on_unconverged="warn"`` to log and return the partial labels instead.
+    If a component's diameter exceeds what ``max_iter`` rounds can cover,
+    the labels would be WRONG (multiple is_canonical rows per real
+    cluster), so exhausting the loop with changes still pending raises
+    RuntimeError by default; pass ``on_unconverged="warn"`` to log and
+    return the partial labels instead.
     """
     if on_unconverged not in ("raise", "warn"):
         raise ValueError("on_unconverged must be 'raise' or 'warn'")
+    if method not in ("label_prop", "pointer_doubling"):
+        raise ValueError("method must be 'label_prop' or 'pointer_doubling'")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -499,16 +507,25 @@ def near_dup_clusters(
             .agg(F.min("dlabel").alias("nmin"))
             .select(F.col("src").alias("doc_id"), "nmin")
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
+        candidate = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        if method == "pointer_doubling":
+            # label-of-label jump: L(v) <- min(L(v), L(L(v))). L(v) is a
+            # node in v's component, so its label is too — safe to adopt.
+            ll = labels.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("_ll")
+            )
+            candidate = candidate.join(ll, "label", "left").select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
-        )
+        new_labels = candidate.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -486,3 +486,44 @@ def test_embedding_near_dup_lsh_arrow_backend_identical(spark):
     hof = key(embedding_near_dup_lsh(emb, threshold=0.3))
     arrow = key(embedding_near_dup_lsh(emb, threshold=0.3, backend="arrow"))
     assert hof == arrow and len(hof) > 0
+
+
+def test_near_dup_clusters_pointer_doubling_log_rounds(spark):
+    """A 24-node chain needs ~23 label-prop rounds but only O(log n)
+    pointer-doubling rounds: label_prop at max_iter=3 must refuse
+    (labels would be wrong) while pointer_doubling converges within 8
+    rounds to the single component."""
+    from gcp_datalake_pipeline_spark.operators import dedup
+
+    n = 24
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(docs, pairs, max_iter=3).collect()
+    out = dedup.near_dup_clusters(
+        docs, pairs, max_iter=8, method="pointer_doubling"
+    ).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_near_dup_clusters_methods_agree(spark):
+    from gcp_datalake_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (2, 5), (9, 11)], "doc_a long, doc_b long"
+    )
+    a = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.near_dup_clusters(docs, pairs).collect()
+    }
+    b = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.near_dup_clusters(
+            docs, pairs, method="pointer_doubling"
+        ).collect()
+    }
+    assert a == b
