@@ -57,6 +57,15 @@ _LOADS = "_loads"
 _VERSIONS = "_versions"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised at commit when another writer replaced a table this
+    transaction overwrote/merged from a now-stale snapshot. Appends never
+    conflict (they are published as deltas merged under the commit lock);
+    replace-type writes use Delta-style conflict detection: re-read the
+    pointer under the lock and fail if the table moved since this
+    transaction first read it. The caller's remedy is retry-from-read."""
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Mirror ``src`` into ``dst`` via hardlinks (fallback: copy).
 
@@ -91,6 +100,15 @@ class TransactionalCatalog(Catalog):
     _stage_token: str | None = field(default=None, repr=False)
     _stage_seq: int = field(default=0, repr=False)
     _txn_dirs: list[str] = field(default_factory=list, repr=False)
+    # Per-table write intent, resolved against a RE-READ manifest inside
+    # the commit flock (the _pending list is only the read-your-writes
+    # view and may be stale by commit time):
+    #   {"mode": "append"|"replace", "base": list[str]|None, "added": [...]}
+    # append-mode publishes current+added (lost-update-free: two
+    # concurrent appenders both land); replace-mode publishes added but
+    # fails with ConcurrentWriteError if the table's dir list moved from
+    # "base" since this transaction first read it.
+    _intents: dict[str, dict] = field(default_factory=dict, repr=False)
 
     # -- manifest pointer ---------------------------------------------------
 
@@ -157,6 +175,32 @@ class TransactionalCatalog(Catalog):
             return None  # caller is inside an explicit transaction
         return self.transaction(f"auto-{uuid.uuid4().hex[:12]}")
 
+    def _committed_rels(self, table: str) -> list[str] | None:
+        """The COMMITTED dir list (ignoring this txn's pending view) —
+        the snapshot replace-mode conflict detection is anchored to."""
+        return self._read_manifest()["tables"].get(table)
+
+    def _note_replace(self, table: str, rel: str) -> None:
+        prior = self._intents.get(table)
+        # base = the committed list at FIRST touch in this txn; a later
+        # overwrite of an already-touched table keeps that anchor.
+        base = prior["base"] if prior else self._committed_rels(table)
+        self._intents[table] = {"mode": "replace", "base": base, "added": [rel]}
+
+    def _note_append(self, table: str, rel: str) -> None:
+        prior = self._intents.get(table)
+        if prior is None:
+            self._intents[table] = {
+                "mode": "append",
+                "base": self._committed_rels(table),
+                "added": [rel],
+            }
+        else:
+            # append after overwrite/merge stays replace-mode (the new
+            # dir lands on top of this txn's replacement, not the
+            # committed list); append after append accumulates the delta.
+            prior["added"].append(rel)
+
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
     ) -> None:
@@ -171,6 +215,7 @@ class TransactionalCatalog(Catalog):
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
         self._pending[table] = [rel]
+        self._note_replace(table, rel)
 
     def append(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
@@ -193,6 +238,7 @@ class TransactionalCatalog(Catalog):
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
         self._pending[table] = prev + [rel]
+        self._note_append(table, rel)
 
     def _write_bucketed_merge(self, merged: DataFrame, table: str) -> None:
         """Versioned replacement for dynamic partition overwrite: touched
@@ -219,6 +265,7 @@ class TransactionalCatalog(Catalog):
                 if d.startswith("_kb=") and d not in written:
                     _link_tree(os.path.join(prev[0], d), os.path.join(stage, d))
         self._pending[table] = [rel]
+        self._note_replace(table, rel)
 
     # -- transaction lifecycle ----------------------------------------------
 
@@ -233,17 +280,19 @@ class TransactionalCatalog(Catalog):
         self._stage_token = f"{self._load_id}.{uuid.uuid4().hex[:8]}"
         self._stage_seq = 0
         self._txn_dirs = []
+        self._intents = {}
         return self
 
     def commit(self) -> None:
         if self._pending is None:
             raise RuntimeError("no open transaction to commit")
-        self._publish(self._pending, self._load_id, replace=False)
+        self._publish(self._intents, self._load_id, replace=False)
         self._pending = None
         self._load_id = None
+        self._intents = {}
 
     def _publish(
-        self, tables: dict[str, list[str]], load_id: str, replace: bool
+        self, tables: dict, load_id: str, replace: bool
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -252,6 +301,14 @@ class TransactionalCatalog(Catalog):
         # optimistic writers a total order on one host (data staging stays
         # fully concurrent — only the pointer update serializes); on an
         # object store the equivalent is a conditional put of the pointer.
+        #
+        # With replace=False, ``tables`` is the intent map and is resolved
+        # against a manifest RE-READ inside the lock: append intents merge
+        # their delta onto whatever is committed NOW (two concurrent
+        # appenders to one table both land — no lost update), while
+        # replace intents (overwrite / bucketed merge, i.e. writes derived
+        # from a read of the table) conflict-check that the table's dir
+        # list still equals the snapshot this txn first read, Delta-style.
         os.makedirs(self.root, exist_ok=True)
         lock_path = os.path.join(self.root, "_commit.lock")
         with open(lock_path, "w") as lock:
@@ -263,7 +320,22 @@ class TransactionalCatalog(Catalog):
             if replace:
                 manifest["tables"] = dict(tables)
             else:
-                manifest["tables"].update(tables)
+                for table, intent in tables.items():
+                    cur = manifest["tables"].get(table)
+                    if intent["mode"] == "append":
+                        manifest["tables"][table] = list(cur or []) + list(
+                            intent["added"]
+                        )
+                    else:
+                        if cur != intent["base"]:
+                            raise ConcurrentWriteError(
+                                f"table {table!r} was modified by another "
+                                f"writer since this transaction read it "
+                                f"(expected dirs {intent['base']!r}, "
+                                f"found {cur!r}); retry the load from a "
+                                "fresh read"
+                            )
+                        manifest["tables"][table] = list(intent["added"])
             # Retained version manifest first (enables time travel),
             # pointer swap second. A crash between the two leaves an
             # orphan version file that the NEXT commit (same version
@@ -286,19 +358,27 @@ class TransactionalCatalog(Catalog):
             os.rmdir(load_dir)
         self._pending = None
         self._load_id = None
+        self._intents = {}
 
     @contextmanager
     def transaction(self, load_id: str | None = None):
         """``with catalog.transaction("load-2025-10-01"):`` — every write
         inside the block becomes visible atomically at block exit; an
-        exception rolls back (staged files deleted, pointer untouched)."""
+        exception rolls back (staged files deleted, pointer untouched).
+        A FAILED COMMIT (conflict, flock/IO error) also rolls back, so
+        the catalog object is never left stuck with an open transaction
+        and the staged dirs don't linger until an age-gated vacuum."""
         self.begin(load_id)
         try:
             yield self
         except BaseException:
             self.rollback()
             raise
-        self.commit()
+        try:
+            self.commit()
+        except BaseException:
+            self.rollback()
+            raise
 
     # -- time travel --------------------------------------------------------
 

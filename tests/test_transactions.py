@@ -10,7 +10,10 @@ import os
 
 import pytest
 
-from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+from gcp_datalake_pipeline_spark.transactions import (
+    ConcurrentWriteError,
+    TransactionalCatalog,
+)
 
 
 @pytest.fixture()
@@ -210,6 +213,97 @@ def test_interleaved_commits_from_two_writers_merge(spark, tmp_path):
     assert [r["v"] for r in reader.read("t_a").collect()] == ["from-a"]
     assert [r["v"] for r in reader.read("t_b").collect()] == ["from-b"]
     assert [v["version"] for v in reader.versions()] == [1, 2]
+
+
+def test_concurrent_appends_to_same_table_both_land(spark, tmp_path):
+    """The lost-update case: two writers append to ONE table from the
+    same starting snapshot. Appends are published as deltas merged onto
+    the manifest re-read inside the commit lock, so the second commit
+    must keep the first's dirs (and vacuum must reclaim neither)."""
+    root = str(tmp_path / "lake")
+    seed = TransactionalCatalog(spark=spark, root=root)
+    seed.append(_df(spark, [(0, "seed")]), "log")
+
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    a.begin("load-a")
+    b.begin("load-b")
+    a.append(_df(spark, [(1, "from-a")]), "log")
+    b.append(_df(spark, [(2, "from-b")]), "log")
+    a.commit()
+    b.commit()
+
+    reader = TransactionalCatalog(spark=spark, root=root)
+    assert sorted(r["v"] for r in reader.read("log").collect()) == [
+        "from-a",
+        "from-b",
+        "seed",
+    ]
+    dirs = reader._data_dirs("log")
+    assert len(dirs) == 3
+    # every committed dir is live: vacuum may drop old version manifests
+    # but must reclaim NO data dir of the merged table
+    reader.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert all(os.path.isdir(d) for d in dirs)
+    assert sorted(r["v"] for r in reader.read("log").collect()) == [
+        "from-a",
+        "from-b",
+        "seed",
+    ]
+
+
+def test_concurrent_replace_conflicts_second_writer_fails(spark, tmp_path):
+    """Overwrite/merge derive their output from a read of the table, so a
+    stale-snapshot replace must fail (Delta-style) rather than silently
+    clobber the interleaved commit."""
+    root = str(tmp_path / "lake")
+    seed = TransactionalCatalog(spark=spark, root=root)
+    seed.merge_upsert(_df(spark, [(1, "a")]), "m", key_cols=["k"], id_col="mid")
+
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    a.begin("load-a")
+    b.begin("load-b")
+    a.merge_upsert(_df(spark, [(2, "b")]), "m", key_cols=["k"], id_col="mid")
+    b.merge_upsert(_df(spark, [(3, "c")]), "m", key_cols=["k"], id_col="mid")
+    a.commit()
+    with pytest.raises(ConcurrentWriteError, match="modified by another"):
+        b.commit()
+    b.rollback()
+
+    # writer A's merge is intact; B's staged dirs are reclaimable garbage
+    reader = TransactionalCatalog(spark=spark, root=root)
+    assert sorted(r["k"] for r in reader.read("m").collect()) == [1, 2]
+    # retry-from-fresh-read now succeeds
+    b.merge_upsert(_df(spark, [(3, "c")]), "m", key_cols=["k"], id_col="mid")
+    assert sorted(r["k"] for r in reader.read("m").collect()) == [1, 2, 3]
+
+
+def test_failed_commit_rolls_back_inside_transaction(spark, tmp_path):
+    """transaction() must roll back when COMMIT itself fails (not only on
+    body exceptions): staged dirs deleted, no open-transaction state left
+    behind, catalog immediately reusable."""
+    root = str(tmp_path / "lake")
+    seed = TransactionalCatalog(spark=spark, root=root)
+    seed.overwrite(_df(spark, [(1, "v1")]), "t")
+
+    w = TransactionalCatalog(spark=spark, root=root)
+    other = TransactionalCatalog(spark=spark, root=root)
+    with pytest.raises(ConcurrentWriteError):
+        with w.transaction("doomed"):
+            w.overwrite(_df(spark, [(2, "v2")]), "t")
+            # interleaved writer moves the table before our commit
+            other.overwrite(_df(spark, [(9, "winner")]), "t")
+    # not stuck: _pending cleared, staged dirs deleted at rollback
+    assert w._pending is None
+    doomed = list(w._txn_dirs)
+    assert doomed and not any(
+        os.path.exists(os.path.join(root, d)) for d in doomed
+    )
+    # a new transaction opens fine
+    with w.transaction("retry"):
+        w.overwrite(_df(spark, [(3, "v3")]), "t")
+    assert [r["v"] for r in w.read("t").collect()] == ["v3"]
 
 
 def test_vacuum_age_threshold_protects_fresh_staging(spark, tmp_path):
