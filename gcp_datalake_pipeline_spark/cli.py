@@ -31,7 +31,18 @@ def _catalog(args, must_exist: bool = False) -> Catalog:
             TransactionalCatalog,
         )
 
-        return TransactionalCatalog(get_spark(), args.catalog)
+        cat = TransactionalCatalog(get_spark(), args.catalog)
+        # First transactional use of a root the plain catalog already
+        # wrote: adopt those dirs as manifest v1 instead of silently
+        # forking (which would reset seen-file dedup and surrogate ids).
+        migrated = cat.migrate_plain()
+        if migrated:
+            print(
+                "migrated plain tables into manifest v1: "
+                + ", ".join(migrated),
+                file=sys.stderr,
+            )
+        return cat
     return Catalog(get_spark(), args.catalog)
 
 

@@ -115,12 +115,57 @@ class TransactionalCatalog(Catalog):
     def _manifest_path(self) -> str:
         return os.path.join(self.root, _MANIFEST)
 
-    def _read_manifest(self) -> dict:
+    def _plain_tables(self) -> list[str]:
+        """Table dirs written by the PLAIN catalog (no manifest entry):
+        the footgun of pointing a transactional catalog at a live plain
+        root — those dirs would be invisible through the manifest."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            e
+            for e in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, e))
+            and not e.startswith("_")
+            and not e.endswith(("__tmp", "__old"))
+        )
+
+    def _read_manifest(self, strict: bool = True) -> dict:
         try:
             with open(self._manifest_path()) as f:
                 return json.load(f)
         except FileNotFoundError:
+            # No manifest + plain table dirs on disk = a live plain
+            # catalog. Starting an empty manifest beside it would fork
+            # the root: seen-file dedup resets, merges restart surrogate
+            # ids at 1, and reads stop seeing committed data even though
+            # it is still on disk. Refuse loudly; migrate_plain() adopts
+            # the dirs as the initial snapshot.
+            if strict and self._plain_tables():
+                raise RuntimeError(
+                    f"catalog root {self.root!r} contains plain table dirs "
+                    "but no manifest; call migrate_plain() first (the CLI "
+                    "does this automatically on `ingest --atomic`) so the "
+                    "existing tables become the initial snapshot instead "
+                    "of being silently shadowed"
+                ) from None
             return {"version": 0, "tables": {}}
+
+    def migrate_plain(self) -> list[str]:
+        """Adopt a plain-catalog root for transactional use: commit the
+        existing table dirs, in place (no data moved or rewritten), as
+        manifest version 1. No-op when a manifest already exists. Returns
+        the migrated table names."""
+        if os.path.exists(self._manifest_path()):
+            return []
+        plain = self._plain_tables()
+        if plain:
+            self._publish(
+                {t: [t] for t in plain},
+                "migrate-plain",
+                replace=True,
+                strict=False,
+            )
+        return plain
 
     def _swap_manifest(self, manifest: dict) -> None:
         # tmp-write + fsync + atomic rename: the ONLY mutation readers can
@@ -292,7 +337,7 @@ class TransactionalCatalog(Catalog):
         self._intents = {}
 
     def _publish(
-        self, tables: dict, load_id: str, replace: bool
+        self, tables: dict, load_id: str, replace: bool, strict: bool = True
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -313,7 +358,7 @@ class TransactionalCatalog(Catalog):
         lock_path = os.path.join(self.root, "_commit.lock")
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            manifest = self._read_manifest()
+            manifest = self._read_manifest(strict=strict)
             manifest["version"] += 1
             manifest["load_id"] = load_id
             manifest["committed_at"] = time.time()

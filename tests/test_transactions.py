@@ -351,6 +351,33 @@ def test_streaming_ingest_atomic_on_txn_catalog(spark, tmp_path):
     )
 
 
+def test_plain_root_refuses_transactional_use_until_migrated(spark, tmp_path):
+    """Pointing a transactional catalog at a live plain root must not
+    silently fork it (empty manifest shadowing committed dirs)."""
+    from gcp_datalake_pipeline_spark.storage import Catalog
+
+    root = str(tmp_path / "lake")
+    plain = Catalog(spark=spark, root=root)
+    plain.merge_upsert(_df(spark, [(1, "a"), (2, "b")]), "m", key_cols=["k"], id_col="mid")
+
+    tcat = TransactionalCatalog(spark=spark, root=root)
+    with pytest.raises(RuntimeError, match="migrate_plain"):
+        tcat.read("m")
+    with pytest.raises(RuntimeError, match="migrate_plain"):
+        tcat.append(_df(spark, [(3, "c")]), "m")
+
+    assert tcat.migrate_plain() == ["m"]
+    # adopted in place: same rows, table-level continuity
+    assert sorted(r["k"] for r in tcat.read("m").collect()) == [1, 2]
+    # surrogate ids CONTINUE (the fork would have restarted them at 1)
+    out = tcat.merge_upsert(
+        _df(spark, [(3, "c")]), "m", key_cols=["k"], id_col="mid"
+    )
+    assert {r["k"]: r["mid"] for r in out.collect()}[3] == 3
+    # idempotent second call
+    assert tcat.migrate_plain() == []
+
+
 def test_restore_rolls_back_as_a_new_commit(spark, tcat):
     tcat.overwrite(_df(spark, [(1, "v1")]), "t")              # version 1
     with tcat.transaction("bad-load"):                        # version 2
