@@ -193,7 +193,19 @@ def sync_remote_landing(source: RemoteSource, landing_dir: str) -> list[str]:
     landed = []
     for f in files:
         dest = os.path.join(landing_dir, os.path.basename(f.path))
-        source.fetch(f, dest)
+        # Fetch to a temp name and publish with an atomic rename: a crash
+        # or network failure mid-download must never leave a truncated
+        # file at the watched path — ingest would process the partial
+        # file, record its basename in the manifest/checkpoint, and then
+        # skip the complete re-fetch forever (silent data loss). Same
+        # tmp-write+rename contract as the catalog's manifest swap.
+        tmp = dest + ".part"
+        try:
+            source.fetch(f, tmp)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         landed.append(dest)
         source.mark_processed(f)
     return landed

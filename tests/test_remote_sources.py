@@ -181,6 +181,34 @@ def test_fetch_before_mark_ordering_on_failure(tmp_path):
     assert "x.csv" in bucket.blobs  # never marked processed
 
 
+def test_partial_download_never_lands_at_watched_path(tmp_path):
+    """A crash mid-download must leave NOTHING at the watched basename:
+    otherwise ingest processes the truncated file, checkpoints its name,
+    and skips the complete re-fetch forever. The fetch goes to a .part
+    temp and is published by atomic rename only on success."""
+
+    class TruncatingGCS(GCSSource):
+        def fetch(self, f, dest):
+            with open(dest, "wb") as fh:
+                fh.write(b"partial")  # bytes hit disk...
+            raise IOError("connection reset")  # ...then the stream dies
+
+    bucket = FakeBucket("b")
+    bucket.put("x.csv", b"full contents")
+    src = TruncatingGCS("b", client=FakeGCSClient(bucket))
+    landing = tmp_path / "landing"
+    with pytest.raises(IOError):
+        sync_remote_landing(src, str(landing))
+    # neither the final path nor the temp survives; original unprocessed
+    assert not (landing / "x.csv").exists()
+    assert not (landing / "x.csv.part").exists()
+    assert "x.csv" in bucket.blobs
+    # the retry (healthy network) lands the complete file
+    healthy = GCSSource("b", client=FakeGCSClient(bucket))
+    landed = sync_remote_landing(healthy, str(landing))
+    assert open(landed[0], "rb").read() == b"full contents"
+
+
 def test_basename_collision_fails_loudly(tmp_path):
     bucket = FakeBucket("b")
     bucket.put("a/dup.csv", b"1")
