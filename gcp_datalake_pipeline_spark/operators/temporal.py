@@ -164,10 +164,22 @@ def gapfill(
         *locf_cols,
         F.col(bucket_col).alias("_gf_obs_b"),
         # [bucket, next) on the step grid; the last row emits itself only.
+        # greatest() clamps the stop at the row's own bucket: a duplicate
+        # (key, bucket) — a violation of the documented one-row contract —
+        # makes lead() return an EQUAL next bucket, and without the clamp
+        # sequence(bucket, bucket - step, +step) dies deep in an executor
+        # with Spark's opaque "illegal sequence boundaries". Clamped,
+        # each duplicate emits its own row only (the old spine-join
+        # formulation's behavior).
         F.explode(
             F.sequence(
                 F.col(bucket_col),
-                F.coalesce(F.col("_gf_next") - step_i, F.col(bucket_col)),
+                F.greatest(
+                    F.coalesce(
+                        F.col("_gf_next") - step_i, F.col(bucket_col)
+                    ),
+                    F.col(bucket_col),
+                ),
                 step_i,
             )
         ).alias(bucket_col),

@@ -82,6 +82,23 @@ def test_gapfill_zero_fill_and_locf(spark):
     assert rows[(2, 2)] == (5, 3.0)
 
 
+def test_gapfill_tolerates_duplicate_key_bucket_rows(spark):
+    """The one-row-per-(key, bucket) contract violated: lead() returns an
+    EQUAL next bucket, which without the greatest() clamp raises Spark's
+    opaque 'illegal sequence boundaries' in an executor. Duplicates must
+    instead emit their own row only (old spine-join behavior)."""
+    agg = spark.createDataFrame(
+        [(1, _d(1), 2), (1, _d(1), 3), (1, _d(3), 1)],
+        "k long, day timestamp, n long",
+    )
+    out = gapfill(
+        agg, key="k", bucket_col="day", step="1 day", value_cols=["n"]
+    ).collect()
+    # both duplicate Jan-1 rows present, gap day Jan 2 filled once
+    days = sorted((r["day"].day, r["n"]) for r in out)
+    assert days == [(1, 2), (1, 3), (2, 0), (3, 1)]
+
+
 def test_gapfill_span_is_per_key_not_global(spark):
     # key 2's span must not be widened by key 1's longer range
     agg = spark.createDataFrame(
