@@ -495,7 +495,7 @@ def near_dup_clusters(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = df.select("doc_id").withColumn("label", F.col("doc_id"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -525,7 +525,17 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
             )
-        new_labels = candidate.cache()
+        # cache() alone leaves the LOGICAL plan growing ~3 joins deeper
+        # per round, so Catalyst re-analysis cost climbs superlinearly on
+        # long-running graphs. localCheckpoint (eager) truncates lineage
+        # at a bounded cadence: every round in pointer-doubling mode (it
+        # converges in <= O(log diameter) rounds, so the per-round
+        # materialization is cheap insurance), every 5th round in plain
+        # label propagation (chains can run tens of rounds).
+        if method == "pointer_doubling" or (it + 1) % 5 == 0:
+            new_labels = candidate.localCheckpoint(eager=True)
+        else:
+            new_labels = candidate.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): ``FAKE_CODEC`` parses a deterministic synthetic header so the
-Spark-side plumbing — schema, partitioning, mapInPandas batch shape,
-metadata propagation — is real and tested. Swapping in PIL/ffmpeg later
-only replaces the two ``_decode_*`` functions.
+Image METADATA decode is real for PNG and JPEG — width/height/channels
+parse from the IHDR chunk / SOF frame marker with stdlib ``struct``, no
+image library needed (see _parse_png_header/_parse_jpeg_header). FULL
+decode (pixel access: resize, feature extraction) is import-gated on PIL
+(absent in this environment); formats without a parser use the
+deterministic synthetic header so the Spark-side plumbing — schema,
+partitioning, mapInPandas batch shape, metadata propagation — stays real
+and tested end-to-end. Audio/video decode remains stubbed behind the
+same pattern (soundfile/ffmpeg hooks).
 
 Synthetic binary layout (produced by make_fake_image/make_fake_audio):
   image: b"IMG|<width>|<height>|<channels>|" + payload bytes
@@ -104,9 +108,9 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
-def _decode_image_header(content: bytes):
-    """STUB decode: parse the synthetic header. A real build replaces this
-    with PIL.Image.open; everything around it stays identical."""
+def _parse_fake_header(content: bytes):
+    """Synthetic IMG| header (the full-decode stand-in for formats beyond
+    the two real header parsers below)."""
     if content is None or not content.startswith(b"IMG|"):
         return None
     try:
@@ -114,6 +118,77 @@ def _decode_image_header(content: bytes):
         return int(w), int(h), int(c)
     except (ValueError, IndexError):
         return None
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (palette indexes as 1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png_header(content: bytes):
+    """Real PNG dimensions from the IHDR chunk — stdlib struct only, no
+    image library. The IHDR is REQUIRED to be the first chunk (PNG spec
+    §5.6 / 11.2.2): signature(8) + length(4) + b"IHDR" + width(4) +
+    height(4) + bit_depth(1) + color_type(1)."""
+    import struct
+
+    if content is None or len(content) < 26:
+        return None
+    if content[:8] != _PNG_SIG or content[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", content[16:24])
+    channels = _PNG_CHANNELS.get(content[25])
+    if channels is None or w == 0 or h == 0:
+        return None
+    return w, h, channels
+
+
+def _parse_jpeg_header(content: bytes):
+    """Real JPEG dimensions from the first SOF0/SOF1/SOF2 frame marker —
+    stdlib struct only. Walks the marker stream from SOI: each non-SOF
+    segment is skipped by its big-endian length; SOFn carries
+    precision(1) + height(2) + width(2) + n_components(1)."""
+    import struct
+
+    if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte padding
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            if seg_len < 8 or i + 10 > n:
+                return None
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            c = content[i + 9]
+            if w == 0 or h == 0 or c == 0:
+                return None
+            return w, h, c
+        if seg_len < 2:
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _decode_image_header(content: bytes):
+    """Image dimensions without a full decode: the synthetic IMG| header
+    (stand-in for full-decode formats), else REAL PNG IHDR / JPEG SOF
+    header parsing via stdlib struct. PIL remains the full-decode hook
+    (resize_images); header metadata needs no image library at all."""
+    return (
+        _parse_fake_header(content)
+        or _parse_png_header(content)
+        or _parse_jpeg_header(content)
+    )
 
 
 def image_metadata(media: DataFrame) -> DataFrame:
@@ -204,7 +279,9 @@ def resize_images(media: DataFrame, max_dim: int) -> DataFrame:
         for pdf in it:
             out, ok = [], []
             for b in pdf["content"]:
-                hdr = _decode_image_header(b)
+                # Only the synthetic format supports the header-rewrite
+                # resize; real PNG/JPEG need a full decode (PIL below).
+                hdr = _parse_fake_header(b)
                 if hdr is not None:
                     w, h, c = hdr
                     scale = min(1.0, max_dim / max(w, h))

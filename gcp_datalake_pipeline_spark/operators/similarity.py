@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
+
 
 def _as_double(c) -> Column:
     return F.transform(c if isinstance(c, Column) else F.col(c), lambda x: x.cast("double"))
@@ -78,7 +80,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    backend: str = "hof",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for the given query vectors.
 
@@ -90,14 +92,15 @@ def brute_force_topk(
     parallelism, no shuffle until the per-query top-k (which AQE keeps tiny).
     For standing workloads use lsh_topk.
 
-    ``backend="hof"`` (default) keeps every pair inside JVM higher-order
-    functions — zero Python, bit-reproducible left-fold sums, the
-    oracle-gated path. ``backend="arrow"`` computes the same pairs as one
-    BLAS matmul per Arrow batch in mapInPandas — measured 1.7x faster at
-    sf0.1/64-dim and growing with corpus size; results are IDENTICAL
-    after the 6-decimal round (pytest-asserted), but the unrounded sums
-    are float-order-dependent, so the HOF path stays the default where
-    bit-reproducibility matters more than throughput.
+    ``backend="arrow"`` (default) computes the pairs as one BLAS matmul
+    per Arrow batch in mapInPandas — measured 1.7x faster at sf0.1/64-dim
+    and growing with corpus size; it streams batches, so there is no
+    per-task memory bound to respect. ``backend="hof"`` keeps every pair
+    inside JVM higher-order functions — zero Python, bit-reproducible
+    left-fold sums — for deployments that forbid Python workers. Results
+    are IDENTICAL after the 6-decimal round (pytest-asserted and both
+    gated by the same DuckDB oracle); only the unrounded, never-exposed
+    sums are float-order-dependent.
     """
     if backend == "arrow":
         return _brute_force_topk_arrow(df, query_ids, k, id_col, vec_col)
@@ -107,6 +110,9 @@ def brute_force_topk(
     # N x Q inner loop then runs a single zip_with/aggregate per pair
     # instead of three — ~3x fewer interpreted HOF evaluations — while the
     # dot/(|q|*|c|) arithmetic stays bit-identical to the naive form.
+    # The interpreted HOF work is scan-stage compute-dense: spread tiny
+    # local scans across cores (cluster-scale no-op).
+    df = ensure_scan_parallelism(df)
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -201,7 +207,7 @@ def brute_force_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.3, backend: str = "hof"
+    df: DataFrame, threshold: float = 0.3, backend: str = "arrow"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within the same label block.
 
@@ -209,15 +215,16 @@ def embedding_near_dup_pairs(
     Scale: label blocking bounds the self-join; for unlabeled corpora use
     lsh bucketing as the blocker instead.
 
-    ``backend="arrow"`` scores each block with ONE BLAS matmul
+    ``backend="arrow"`` (default) scores each block with ONE BLAS matmul
     (applyInPandas per label) instead of a pair-at-a-time HOF join —
     measured 7.8x at sf0.1/64-dim (2.14 s -> 0.28 s), identical output
-    after the 6-decimal round (pytest + its own oracle gate,
-    embedding_near_dup_arrow). The quadratic work per block is the same;
-    BLAS just executes it at vector speed. Caveat: a whole block must fit
-    one task's memory — exactly the bound the blocking contract already
-    promises; the HOF join spreads pairs across tasks instead, so it
-    stays the default for unbounded-block safety.
+    after the 6-decimal round (pytest + the same DuckDB oracle gate).
+    The quadratic work per block is the same; BLAS just executes it at
+    vector speed. The one requirement — a whole block fits one task's
+    memory — is exactly the bound the blocking contract already promises
+    (a block too big for one task is too big to pair-verify at all; split
+    the blocker first). ``backend="hof"`` spreads pairs across tasks via
+    a JVM-only join for zero-Python deployments.
     """
     if backend == "arrow":
         return _embedding_near_dup_pairs_arrow(df, threshold)
@@ -355,7 +362,11 @@ def lsh_topk(
     """
     planes = lsh_planes(n_planes, dim, seed)
     masks = probe_masks(n_planes, probe_radius)
-    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    # bucket_bits is an interpreted HOF fold per row (n_planes x dim):
+    # compute-dense scan -> spread tiny local scans (cluster no-op).
+    e = ensure_scan_parallelism(df).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    )
     bucketed = e.withColumn(
         "bucket", bucket_bits(F.col("v"), planes, n_planes)
     )
@@ -429,7 +440,7 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    backend: str = "hof",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs for UNLABELED corpora: hyperplane-LSH
     buckets replace the label column as the self-join blocker.
@@ -446,19 +457,23 @@ def embedding_near_dup_lsh(
     only same-bucket occupancy, and verification cost is proportional to
     the candidate count.
 
-    ``backend="arrow"`` verifies candidates with the vectorized
+    ``backend="arrow"`` (default) verifies candidates with the vectorized
     pandas-UDF cosine (einsum per Arrow batch) instead of the per-pair
     HOF fold — measured 1.4x end-to-end at sf0.1 (2.41 s -> 1.67 s),
-    identical output, own oracle gate (embedding_near_dup_lsh_arrow).
-    Unlike the blocked matmul this needs NO per-task memory bound — pair
-    rows stream through in batches — so it is safe at any candidate
-    count; the HOF default remains for zero-Python deployments.
+    identical output, same oracle. It needs NO per-task memory bound —
+    pair rows stream through in batches — so it is safe at any candidate
+    count. ``backend="hof"`` keeps verification JVM-only for
+    zero-Python deployments.
     """
     if backend not in ("hof", "arrow"):
         raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
     planes = lsh_planes(n_planes, dim, seed)
     masks = probe_masks(n_planes, probe_radius)
-    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    # bucket_bits is an interpreted HOF fold per row (n_planes x dim) on
+    # BOTH backends: spread tiny local scans (cluster no-op).
+    e = ensure_scan_parallelism(df).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    )
     bucketed = e.withColumn(
         "bucket", bucket_bits(F.col("v"), planes, n_planes)
     ).withColumn("nrm", norm(F.col("v")))
@@ -543,63 +558,149 @@ def embedding_near_dup_lsh_oracle_sql(
     """
 
 
+def _literal_centroids(cents: dict[int, list[float]]) -> Column:
+    """The packed-centroid array as a pure LITERAL column — no broadcast
+    job, no centroid subtree in the plan at all. The per-centroid norm is
+    a Python left-fold of doubles, bit-identical to :func:`norm`'s
+    sequential aggregate (CPython floats ARE IEEE doubles and ``acc +=
+    x*x`` replays the same operation sequence)."""
+    import math
+
+    def _cn(cv: list[float]) -> float:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(_cn(cv)).alias("cn"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+    )
+
+
+def _assign_cells_arrow(
+    df: DataFrame, cents: dict[int, list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment as one BLAS matmul per Arrow batch:
+    input columns pass through, plus ``cid``. Column order of the score
+    matrix is ascending cid and np.argmax returns the FIRST max, so ties
+    on the rounded cosine break to the lowest cid — exactly
+    :func:`_nearest_cid`'s (score, -cid) struct-max."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cids_sorted = sorted(cents)
+    cid_arr = np.array(cids_sorted, dtype=np.int64)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cid", T.LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(Mn @ Cn.T, 6)
+            pdf = pdf.copy()
+            pdf["cid"] = cid_arr[np.argmax(S, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def kmeans_centroids(
     df: DataFrame,
     nlist: int = 16,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Lloyd-refined IVF centroids: seed with the first ``nlist`` corpus
     vectors, then run ``n_iter`` k-means steps (assign every vector to its
     nearest centroid by rounded cosine, replace each centroid with the
-    elementwise mean of its cell). Output: (cid, cv).
+    elementwise mean of its cell). Output: (cid, cv) — a driver-local
+    nlist-row DataFrame, so downstream consumers (ivf_topk) never embed
+    the refinement plan in their own.
 
     Deterministic by construction — deterministic seeds, rounded-cosine
-    assignment with cid tiebreak, and means ROUNDED to 6 decimals each
-    iteration so cross-engine float-summation-order differences cannot
-    leak into the next assignment. Cells that empty out keep their
-    previous centroid (the standard Lloyd fallback).
+    assignment with cid tiebreak, and means ROUNDED to 6 decimals (JVM
+    half-up, matching the oracle) each iteration so cross-engine
+    float-summation-order differences cannot leak into the next
+    assignment. Cells that empty out keep their previous centroid (the
+    standard Lloyd fallback).
 
-    Scale: the ONLY corpus-scale exchange per iteration is the (cid, pos)
-    mean — and its map-side partial agg reduces the shuffle to nlist*dim
-    rows per task. Assignment is a fold over the broadcast packed-centroid
-    list (zero corpus exchanges — see :func:`_nearest_cid`); the iteration
-    count is a fixed small constant, so the whole refinement is a static
-    Catalyst plan (no driver-side loop state), n_iter deep.
+    Scale: Lloyd refinement is a DRIVER-SIDE loop over bounded collects —
+    the seed collect is nlist rows and each iteration collects the
+    nlist*dim rounded cell means (the sanctioned bounded-collect shape;
+    centroid state is small by definition). Assignment is a fold over a
+    LITERAL centroid array (zero corpus exchanges, zero broadcast jobs —
+    see :func:`_nearest_cid`), and the normalized corpus is persisted
+    across the n_iter+1 passes so the parquet scan + normalization run
+    once instead of per iteration. The per-iteration mean is the only
+    corpus-scale exchange, and map-side partial agg reduces it to
+    nlist*dim rows per task. For 100 TB corpora fit the centroids on a
+    sample (kmeans needs only a representative subset) and pass them to
+    ivf_topk via ``centroids=``.
+
+    ``backend="arrow"`` (default) assigns cells with one BLAS matmul per
+    Arrow batch (see :func:`_assign_cells_arrow` for the tiebreak-
+    equivalence argument); ``backend="hof"`` keeps assignment as the
+    zero-Python JVM fold. Identical output either way (same round-6 +
+    lowest-cid contract; both covered by the ann_ivf_kmeans gate).
     """
-    e = df.select(
-        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    cent = e.filter(F.col("vid") < nlist).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    spark = df.sparkSession
+    # One spread shuffle INTO the persisted cache (tiny by construction,
+    # cluster no-op) parallelizes every per-iteration job that reads it.
+    e = (
+        ensure_scan_parallelism(df)
+        .select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .persist()
     )
-    for _ in range(n_iter):
-        centn = cent.withColumn("cn", norm(F.col("cv")))
-        assigned = e.crossJoin(
-            F.broadcast(_pack_centroids(centn))
-        ).select(
-            _nearest_cid(F.col("v"), F.col("nrm"), F.col("_cents")).alias(
-                "cid"
-            ),
-            "v",
-        )
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: F.round(s["m"], 6),
-                ).alias("newcv")
+    try:
+        seed = e.filter(F.col("vid") < nlist).select("vid", "v").collect()
+        cents = {int(r["vid"]): [float(x) for x in r["v"]] for r in seed}
+        for _ in range(n_iter):
+            if backend == "arrow":
+                assigned = _assign_cells_arrow(e.select("v"), cents)
+            else:
+                assigned = e.select(
+                    _nearest_cid(
+                        F.col("v"), F.col("nrm"), _literal_centroids(cents)
+                    ).alias("cid"),
+                    "v",
+                )
+            mean_rows = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("m"))
+                .collect()
             )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in mean_rows:
+                by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
+                    r["m"]
+                )
+            for cid, posmap in by_cid.items():
+                cents[cid] = [posmap[p] for p in range(len(posmap))]
+            # cids absent from by_cid had empty cells: previous kept
+        return spark.createDataFrame(
+            [(cid, cents[cid]) for cid in sorted(cents)],
+            "cid long, cv array<double>",
         )
-        cent = cent.join(F.broadcast(means), "cid", "left").select(
-            "cid", F.coalesce("newcv", "cv").alias("cv")
-        )
-    return cent
+    finally:
+        e.unpersist()
 
 
 def ivf_topk(
@@ -611,6 +712,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    backend: str = "arrow",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: partition the corpus into ``nlist``
     inverted cells (nearest centroid by cosine), probe the ``nprobe``
@@ -619,17 +721,32 @@ def ivf_topk(
     Default centroids are the first ``nlist`` corpus vectors
     (deterministic, oracle-reproducible); pass ``centroids`` (cid, cv) —
     e.g. from :func:`kmeans_centroids` — for refined cells. The IVF
-    machinery (cell assignment join, probe pruning, within-cell exact
+    machinery (cell assignment, probe pruning, within-cell exact
     ranking) is identical either way.
 
-    Scale: assignment is a fold over the broadcast packed-centroid list —
-    zero corpus exchanges (see :func:`_nearest_cid`); a query touches
-    ~nprobe/nlist of the corpus instead of all of it.
+    Scale: assignment never exchanges the corpus — ``backend="arrow"``
+    (default) assigns with one BLAS matmul per Arrow batch against the
+    driver-held centroid matrix (centroids are nlist rows by definition:
+    the sanctioned bounded collect) and verifies candidates with the
+    vectorized pandas-UDF cosine; ``backend="hof"`` folds over the
+    broadcast packed-centroid list, zero Python (see
+    :func:`_nearest_cid`). A query touches ~nprobe/nlist of the corpus
+    instead of all of it. Both backends satisfy the no-shuffled-join
+    plan contract (tests/test_plans.py) and the same DuckDB oracle.
     Output: (query_id, neighbor_id, cosine_sim, rank). Recall < 1 by
     design (the true neighbor may live in an unprobed cell);
     brute_force_topk is the exact baseline.
     """
-    e = df.select(
+    if backend == "arrow":
+        e = df.select(
+            F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+        )
+        return _ivf_topk_arrow(e, query_ids, k, nlist, nprobe, centroids)
+    if backend != "hof":
+        raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
+    # HOF assignment is an interpreted fold per row over nlist centroids:
+    # compute-dense scan -> spread tiny local scans (cluster no-op).
+    e = ensure_scan_parallelism(df).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     if centroids is None:
@@ -677,6 +794,66 @@ def ivf_topk(
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id", F.col("vid").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _ivf_topk_arrow(
+    e: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nlist: int,
+    nprobe: int,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """Arrow/BLAS IVF: the centroid matrix and query vectors are bounded
+    driver collects (nlist rows / |query_ids| rows); cell assignment is a
+    batched matmul (:func:`_assign_cells_arrow`); the probe list is
+    computed exactly on the driver (round-6 cosine, desc, cid tiebreak —
+    the same ordering the HOF window applies) and broadcast-joined on
+    cid; candidate verification is the vectorized pandas-UDF cosine. The
+    corpus is never exchanged."""
+    import numpy as np
+
+    spark = e.sparkSession
+    if centroids is None:
+        cent_rows = e.filter(F.col("vid") < nlist).select("vid", "v").collect()
+        cents = {int(r["vid"]): [float(x) for x in r["v"]] for r in cent_rows}
+    else:
+        cent_rows = centroids.select("cid", "cv").collect()
+        cents = {int(r["cid"]): [float(x) for x in r["cv"]] for r in cent_rows}
+    cids_sorted = sorted(cents)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    q_rows = e.filter(F.col("vid").isin(query_ids)).select("vid", "v").collect()
+    probe_tuples = []
+    for r in q_rows:
+        qv = np.array(list(r["v"]), dtype=np.float64)
+        sims = np.round((C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv)), 6)
+        order = sorted(
+            range(len(cids_sorted)), key=lambda i: (-sims[i], cids_sorted[i])
+        )
+        for i in order[:nprobe]:
+            probe_tuples.append((int(r["vid"]), cids_sorted[i], [float(x) for x in r["v"]]))
+    probes = spark.createDataFrame(
+        probe_tuples, "query_id long, cid long, qv array<double>"
+    )
+
+    assigned = _assign_cells_arrow(e.select("vid", "v"), cents)
+    sim = _cosine_pandas_udf()(F.col("qv"), F.col("v"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)

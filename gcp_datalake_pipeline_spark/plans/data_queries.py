@@ -480,7 +480,9 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     similarity.embedding_near_dup_oracle_sql(threshold=0.3),
-    doc="Embedding-cosine near-dup pairs within label blocks.",
+    doc="""Embedding-cosine near-dup pairs within label blocks, on the
+    default Arrow/BLAS backend (one normalized matmul per label block in
+    applyInPandas — 7.8x the HOF join at sf0.1).""",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
@@ -489,17 +491,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_near_dup_arrow",
+    "embedding_near_dup_hof",
     similarity.embedding_near_dup_oracle_sql(threshold=0.3),
     doc="""Same semantics and the SAME oracle as embedding_near_dup, via
-    the Arrow/BLAS backend: one normalized matmul per label block inside
-    applyInPandas instead of a pair-at-a-time HOF join. Measured 7.8x at
-    sf0.1 (2.14 s -> 0.28 s); gated separately so the vectorized path is
-    value-level oracle-checked, not just pytest-compared.""",
+    the zero-Python fallback backend: a pair-at-a-time JVM higher-order-
+    function join. Gated separately so BOTH backends stay value-level
+    oracle-checked round over round.""",
 )
-def embedding_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3, backend="arrow"
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, backend="hof"
     )
 
 
@@ -508,8 +509,10 @@ def embedding_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.embedding_near_dup_lsh_oracle_sql(threshold=0.3),
     doc="""Embedding-cosine near-dup pairs for UNLABELED corpora: LSH
     buckets (6 planes, probe radius 2) replace the label column as the
-    self-join blocker; exact-cosine verification. The 100 TB embedding
-    dedup path; fully value-level oracled via embedded plane literals.""",
+    self-join blocker; exact-cosine verification on the default Arrow
+    backend (vectorized pandas-UDF cosine, streaming pair batches). The
+    100 TB embedding dedup path; fully value-level oracled via embedded
+    plane literals.""",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_lsh(
@@ -518,23 +521,22 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_near_dup_lsh_arrow",
+    "embedding_near_dup_lsh_hof",
     similarity.embedding_near_dup_lsh_oracle_sql(threshold=0.3),
     doc="""Same semantics and the SAME oracle as embedding_near_dup_lsh,
-    with candidate verification vectorized as a pandas-UDF cosine
-    (einsum per Arrow batch) — 1.4x end-to-end at sf0.1, streaming pair
-    batches with no per-task memory bound.""",
+    with candidate verification on the zero-Python JVM HOF fallback.""",
 )
-def embedding_near_dup_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_lsh_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3, backend="arrow"
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, backend="hof"
     )
 
 
 @register(
     "ann_topk",
     similarity.brute_force_topk_oracle_sql(ANN_QUERY_IDS, k=5),
-    doc="Exact brute-force cosine top-5 neighbors for 10 query vectors.",
+    doc="""Exact brute-force cosine top-5 neighbors for 10 query vectors,
+    on the default Arrow backend (one BLAS matmul per batch).""",
 )
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
@@ -543,16 +545,44 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_hof",
+    similarity.brute_force_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""Same semantics and the SAME oracle as ann_topk, on the
+    zero-Python JVM higher-order-function fallback backend.""",
+)
+def ann_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5,
+        backend="hof",
+    )
+
+
+@register(
     "ann_ivf_topk",
     similarity.ivf_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""IVF-Flat approximate top-5: inverted cells by nearest centroid,
     nprobe-cell pruning, exact rank within probed cells — the second ANN
-    scale path next to hyperplane LSH. Fully value-level oracled
-    (deterministic centroid choice).""",
+    scale path next to hyperplane LSH. Default Arrow backend (batched
+    matmul assignment, driver-exact probe list). Fully value-level
+    oracled (deterministic centroid choice).""",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
+    "ann_ivf_topk_hof",
+    similarity.ivf_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""Same semantics and the SAME oracle as ann_ivf_topk, on the
+    zero-Python JVM fallback (packed-centroid broadcast fold assignment,
+    HOF cosine verification).""",
+)
+def ann_ivf_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5,
+        backend="hof",
     )
 
 

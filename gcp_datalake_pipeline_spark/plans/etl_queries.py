@@ -110,6 +110,64 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_merge_upsert_atomic",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    b2 AS (
+      SELECT o_orderkey, lower(o_orderstatus) AS o_orderstatus,
+             ROUND(o_totalprice + 1, 2) AS o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT COALESCE(b2.o_orderkey, b1.o_orderkey) AS o_orderkey,
+           COALESCE(b2.o_orderstatus, b1.o_orderstatus) AS status,
+           COALESCE(b2.o_totalprice, b1.o_totalprice) AS price
+    FROM b1 FULL OUTER JOIN b2 ON b1.o_orderkey = b2.o_orderkey
+    """,
+    doc="""The U1 merge run through the REAL storage engine under a REAL
+    TransactionalCatalog transaction: batch 1 seeds the table, batch 2
+    (overlapping 1996 keys, visibly mutated) merges inside a
+    transaction+commit, and the result is read back through a FRESH
+    catalog object resolving the committed manifest — so the atomic
+    commit protocol itself (staged write -> intent resolution under the
+    commit flock -> pointer swap -> manifest-resolved read) sits under
+    the driver's value-level oracle, not only pytest. The oracle is the
+    merge's relational semantics: full-outer coalesce, source wins on
+    update columns, inserts pass through.""",
+)
+def etl_merge_upsert_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    b2 = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.lower("o_orderstatus").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 1, 2).alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="etl_merge_atomic_")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    with cat.transaction("seed"):
+        cat.merge_upsert(b1, "orders_m", key_cols=["o_orderkey"])
+    with cat.transaction("merge-batch-2"):
+        cat.merge_upsert(b2, "orders_m", key_cols=["o_orderkey"])
+    reader = TransactionalCatalog(spark=spark, root=root)
+    return reader.read("orders_m").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+@register(
     "etl_quarantine_reasons",
     """
     WITH dirty AS (

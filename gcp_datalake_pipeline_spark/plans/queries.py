@@ -24,6 +24,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table.
@@ -52,7 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn(
             "ts_ns", (F.unix_micros(ts) * F.lit(1000)).cast("long")
         ).withColumn("ts", ts)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # The documents table carries compute-DENSE rows — shingling,
+        # hashing, regex all execute per row in the scan stage — unlike
+        # the column-arithmetic-light relational tables. Tiny local files
+        # scan as one split, which would bind that compute to one core;
+        # spread it (no-op with no exchange node at cluster scale —
+        # see parallelism.py). Embeddings are NOT spread here: their
+        # default consumers are Arrow/BLAS batch operators that are fast
+        # regardless of split count, and the HOF-heavy embedding paths
+        # apply the spread themselves.
+        df = ensure_scan_parallelism(df)
+    return df
 
 
 @dataclass

@@ -50,23 +50,21 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # Scan parallelism floor: with the default 128 MB maxPartitionBytes
-        # a small parquet file scans as ONE task, so scan-stage compute
-        # (HOF vector math, simhash sums, regex) binds to a single core no
-        # matter how many the session has. Asking for >= one split per core
-        # (with a lower file-open cost so tiny files still split) keeps the
-        # scan stage parallel at any file size. At cluster scale files
-        # exceed maxPartitionBytes anyway, so the floor is a no-op there —
-        # both knobs stay env-overridable for such deployments.
-        .config(
-            "spark.sql.files.minPartitionNum",
-            os.environ.get("SPARK_GRAFT_MIN_SPLITS", cpus),
-        )
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
-        )
     )
+    # Scan split sizing stays at Spark defaults: a global minPartitionNum/
+    # openCostInBytes floor (tried in an earlier round) taxes EVERY small
+    # query with per-core task scheduling to help the few compute-dense
+    # scans — adaptivity belongs at the operator layer, where
+    # ensure_scan_parallelism (plans/queries.py) spreads compute-heavy
+    # content scans only when the planned split count is actually below
+    # the session's parallelism (never on real cluster inputs). The env
+    # knobs remain for deployments that want a hard floor back.
+    for env, conf in (
+        ("SPARK_GRAFT_MIN_SPLITS", "spark.sql.files.minPartitionNum"),
+        ("SPARK_GRAFT_OPEN_COST", "spark.sql.files.openCostInBytes"),
+    ):
+        if os.environ.get(env):
+            builder = builder.config(conf, os.environ[env])
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -509,6 +509,30 @@ def test_near_dup_clusters_pointer_doubling_log_rounds(spark):
     assert sum(r["is_canonical"] for r in out) == 1
 
 
+def test_near_dup_clusters_deep_chain_no_lineage_blowup(spark):
+    """A 50-round-deep chain under plain label propagation: without the
+    periodic localCheckpoint the logical plan deepens ~3 joins per round
+    and Catalyst re-analysis cost grows superlinearly (this test would
+    crawl, then eventually StackOverflow on much deeper graphs). With
+    lineage truncated every 5 rounds it completes, labels exact."""
+    import time
+
+    from gcp_datalake_pipeline_spark.operators import dedup
+
+    n = 51  # node 50 is 50 hops from node 0 -> 50 propagation rounds
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    t0 = time.perf_counter()
+    out = dedup.near_dup_clusters(docs, pairs, max_iter=55).collect()
+    elapsed = time.perf_counter() - t0
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+    # generous wall bound: the point is superlinear blowup, not speed
+    assert elapsed < 120, f"lineage blowup suspected: {elapsed:.0f}s"
+
+
 def test_near_dup_clusters_methods_agree(spark):
     from gcp_datalake_pipeline_spark.operators import dedup
 

@@ -62,6 +62,84 @@ def test_resize_images_mixed_corpus_survives(spark):
     assert out[3]["decode_ok"] is False and out[3]["content"] is None
 
 
+def _real_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """A real, spec-valid minimal PNG built with stdlib only: signature +
+    IHDR + one zlib IDAT of zero scanlines + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = (b"\x00" + bytes(width * nch)) * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg(width: int, height: int, components: int = 3) -> bytes:
+    """A JPEG header stream with a spec-correct marker walk: SOI + APP0 +
+    a DQT segment to exercise skipping + SOF0 carrying the dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + bytes(6)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+    sof_payload = struct.pack(">BHHB", 8, height, width, components) + bytes(
+        3 * components
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_real_png_jpeg_header_decode(spark):
+    """PNG IHDR and JPEG SOF0/SOF2 dimensions are REAL (stdlib struct
+    parsing) — no image library involved; decode_ok=true with actual
+    width/height/channels. Truncated real formats stay decode_ok=false."""
+    rows = [
+        (1, "image/png", _real_png(320, 200, color_type=2)),
+        (2, "image/png", _real_png(64, 48, color_type=6)),
+        (3, "image/jpeg", _real_jpeg(800, 600, components=3)),
+        (4, "image/jpeg", _real_jpeg(123, 45, components=1)),
+        # progressive JPEG: SOF2 instead of SOF0
+        (5, "image/jpeg", _real_jpeg(99, 77).replace(b"\xff\xc0", b"\xff\xc2")),
+        (6, "image/png", _real_png(320, 200)[:20]),   # truncated IHDR
+        (7, "image/jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF" + bytes(8)),  # no SOF
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in mm.image_metadata(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"]) == (320, 200, 3)
+    assert meta[1]["decode_ok"]
+    assert (meta[2]["width"], meta[2]["height"], meta[2]["channels"]) == (64, 48, 4)
+    assert (meta[3]["width"], meta[3]["height"], meta[3]["channels"]) == (800, 600, 3)
+    assert (meta[4]["width"], meta[4]["height"], meta[4]["channels"]) == (123, 45, 1)
+    assert (meta[5]["width"], meta[5]["height"]) == (99, 77)
+    assert meta[6]["decode_ok"] is False
+    assert meta[7]["decode_ok"] is False
+
+
+def test_real_formats_resize_passthrough_without_pil(spark):
+    """Header-decodable real formats still need a FULL codec to resize:
+    without PIL they pass through unchanged, decode_ok=false (report the
+    gap, never corrupt bytes by header-rewriting a real image)."""
+    png = _real_png(2000, 1000)
+    media = spark.createDataFrame([(1, "image/png", png)], mm.MEDIA_SCHEMA)
+    (row,) = mm.resize_images(media, max_dim=960).collect()
+    if mm._pil_module() is None:
+        assert row["decode_ok"] is False and row["content"] == png
+    else:  # cluster image with PIL: actually resized
+        assert row["decode_ok"]
+
+
 def test_frame_sample_plan(spark, media):
     plan = mm.frame_sample_plan(media.filter("media_id = 1"), every_n=10)
     frames = [r["frame_index"] for r in plan.collect()]
