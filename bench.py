@@ -110,19 +110,62 @@ def main() -> None:
         print(f"# warm(ext) {name}: {extended[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_extended": extended,
-                "sf": float(sf),
-            }
+
+    # Optional decade-up section: derive a 10x key-shifted copy of the
+    # bench SF (cached) and run the headline suite once cold + once warm.
+    # Skippable via SPARK_GRAFT_SF1=0 for quick local iterations.
+    sf1: dict[str, float] = {}
+    sf1_total = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from gcp_datalake_pipeline_spark.benchdata import derive_scaled_dir
+
+        cache = os.environ.get(
+            "SPARK_GRAFT_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".benchdata")
         )
-    )
+        sf1_dir = derive_scaled_dir(
+            spark, sf_dir, os.path.join(cache, "sf1"), factor=10
+        )
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf1_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            print(
+                f"# sf1 cold {name}: {round(time.perf_counter() - t0, 3)}s",
+                file=sys.stderr,
+            )
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf1_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sf1[name] = round(time.perf_counter() - t0, 3)
+            print(f"# sf1 warm {name}: {sf1[name]}s", file=sys.stderr)
+        sf1_total = round(sum(sf1.values()), 3)
+
+    # Full detail goes to stderr (human/CI log); stdout carries ONE
+    # compact JSON line. The driver records only a bounded tail of
+    # stdout, so the final line must stay well under that window —
+    # per-query detail for the extended suite would truncate it (r04's
+    # stored bench line was cut mid-JSON for exactly this reason).
+    detail = {
+        "cold": cold,
+        "queries_extended": extended,
+        "sf1_queries": sf1,
+    }
+    print("# detail " + json.dumps(detail), file=sys.stderr)
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": float(sf),
+    }
+    if sf1_total is not None:
+        summary["sf1_total"] = sf1_total
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+"""Derived benchmark data: scale an existing testdata SF directory by an
+integer factor with FK-consistent key shifting.
+
+The driver ships sf0.001/0.01/0.1; the scale question ("which of the
+heavy queries grow linearly vs superlinearly?") needs at least one run a
+decade up. Rather than synthesizing a new generator (the brief says use
+the driver's parquet as inputs), this derives sfN from sf0.1 by unioning
+``factor`` key-shifted copies:
+
+- every PK/FK column is shifted by ``copy * (max_key + 1)`` so joins
+  match exactly one copy (join fan-out and group cardinalities scale
+  linearly, like a real SF bump);
+- ``documents.text`` gets a per-copy suffix and ``embeddings.embedding``
+  a per-copy deterministic epsilon so dedup/near-dup queries don't see an
+  artificial 10-clique of identical payloads at every key (which would
+  quadratically explode candidate pairs in a way real data growth does
+  not);
+- dimension tables ``region``/``nation`` keep their fixed TPC-H size
+  (they are constant in the real generator too), so nationkey FKs are
+  left unshifted everywhere.
+
+Output is written once to a cache dir and reused across bench runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+# table -> columns sharing that table's key space. Shifts must agree
+# across tables (l_orderkey shifts by orders' stride), so strides are
+# computed per key FAMILY, keyed by the owning table.
+_FAMILIES = {
+    "customer": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orders": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "part": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "supplier": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "events": [("events", "event_id")],
+    "events_user": [("events", "user_id")],
+    "documents": [("documents", "doc_id")],
+    "embeddings": [("embeddings", "vec_id")],
+}
+
+_FAMILY_KEY = {
+    "customer": ("customer", "c_custkey"),
+    "orders": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "events": ("events", "event_id"),
+    "events_user": ("events", "user_id"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+
+_SCALED = [
+    "customer",
+    "orders",
+    "lineitem",
+    "part",
+    "supplier",
+    "events",
+    "documents",
+    "embeddings",
+]
+_FIXED = ["region", "nation"]
+
+
+def derive_scaled_dir(
+    spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
+) -> str:
+    """Materialize ``factor``x key-shifted copies of ``src_dir`` into
+    ``out_dir`` (skipped if a ``_SUCCESS_DERIVE`` marker already exists).
+    Returns ``out_dir``."""
+    marker = os.path.join(out_dir, "_SUCCESS_DERIVE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    # One tiny max() job per key family; strides are plain ints after.
+    strides: dict[str, int] = {}
+    for fam, (tbl, col) in _FAMILY_KEY.items():
+        df = spark.read.parquet(os.path.join(src_dir, f"{tbl}.parquet"))
+        strides[fam] = int(df.agg(F.max(col)).first()[0]) + 1
+
+    shift_cols: dict[str, list[tuple[str, int]]] = {}
+    for fam, members in _FAMILIES.items():
+        for tbl, col in members:
+            shift_cols.setdefault(tbl, []).append((col, strides[fam]))
+
+    for tbl in _FIXED:
+        spark.read.parquet(
+            os.path.join(src_dir, f"{tbl}.parquet")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"{tbl}.parquet"))
+
+    for tbl in _SCALED:
+        base = spark.read.parquet(os.path.join(src_dir, f"{tbl}.parquet"))
+        copies = []
+        for i in range(factor):
+            c = base
+            for col, stride in shift_cols.get(tbl, []):
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(i * stride)).cast(base.schema[col].dataType)
+                )
+            if tbl == "documents" and i > 0:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                ).withColumn("n_chars", F.length("text"))
+            if tbl == "embeddings" and i > 0:
+                # Deterministic per-copy epsilon: keeps cosine structure
+                # (neighbors stay neighbors) without exact-duplicate vectors.
+                eps = float(i) * 1e-3
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding", lambda x: (x + F.lit(eps)).cast("float")
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{tbl}.parquet"))
+
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} src={src_dir}\n")
+    return out_dir

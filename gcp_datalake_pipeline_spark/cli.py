@@ -169,6 +169,16 @@ def cmd_restore(args) -> None:
     print(json.dumps({"restored_to": args.version, "tables": cat.tables()}))
 
 
+def cmd_compact(args) -> None:
+    cat = _txn_catalog(args)
+    done = cat.compact(
+        args.table,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+    )
+    print(json.dumps({"table": args.table, "compacted": done}))
+
+
 def cmd_vacuum(args) -> None:
     removed = _txn_catalog(args).vacuum(
         retain_versions=args.retain, min_age_seconds=args.min_age
@@ -273,6 +283,24 @@ def main(argv: list[str] | None = None) -> None:
         "(protects concurrent writers' staging; 0 = reclaim everything)",
     )
     pva.set_defaults(fn=cmd_vacuum)
+
+    pco = sub.add_parser(
+        "compact",
+        help="fold an append-grown table into size-targeted files "
+        "(published as a new snapshot; old versions stay time-travelable)",
+    )
+    pco.add_argument("--catalog", required=True)
+    pco.add_argument("table")
+    pco.add_argument(
+        "--target-mb", type=int, default=128,
+        help="target output file size in MB (default 128)",
+    )
+    pco.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated columns to range-partition + sort the "
+        "rewrite by (parquet min/max data skipping)",
+    )
+    pco.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     args.fn(args)

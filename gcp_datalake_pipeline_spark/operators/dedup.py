@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.operators.text import TOKEN_SPLIT_RE
+from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
 
 SHINGLE_N = 3
 
@@ -57,7 +58,14 @@ def doc_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
     The shingle set is built as a narrow array expression per row and only
     then exploded for the relational joins — no window shuffle. Matches the
-    lead-window construction in the DuckDB oracle SQL exactly."""
+    lead-window construction in the DuckDB oracle SQL exactly.
+
+    Shingling is the compute-DENSE scan stage shared by jaccard / minhash /
+    simhash, so the scan spread lives HERE (not at the table loader, where
+    it would tax light consumers): a tiny local input is round-robined
+    across the machine before the per-row split+hash work; a cluster-scale
+    input already plans enough splits and passes through unchanged."""
+    df = ensure_scan_parallelism(df)
     return df.select(
         "doc_id", F.explode(shingle_array(F.col("text"), n)).alias("shingle")
     )

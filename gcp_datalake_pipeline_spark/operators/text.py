@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
+
 TOKEN_SPLIT_RE = r"\s+"
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -27,7 +29,13 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Explode whitespace tokens: (id_col, tok)."""
+    """Explode whitespace tokens: (id_col, tok).
+
+    Token explosion multiplies row count ~100x, and everything downstream
+    of it (tf-idf, vocab counts, n-gram stats) inherits the scan stage's
+    split count — so spread a tiny input here (no-op at cluster scale,
+    see parallelism.py)."""
+    df = ensure_scan_parallelism(df)
     return df.select(
         id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("tok")
     )

@@ -24,7 +24,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,19 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn(
             "ts_ns", (F.unix_micros(ts) * F.lit(1000)).cast("long")
         ).withColumn("ts", ts)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # The documents table carries compute-DENSE rows — shingling,
-        # hashing, regex all execute per row in the scan stage — unlike
-        # the column-arithmetic-light relational tables. Tiny local files
-        # scan as one split, which would bind that compute to one core;
-        # spread it (no-op with no exchange node at cluster scale —
-        # see parallelism.py). Embeddings are NOT spread here: their
-        # default consumers are Arrow/BLAS batch operators that are fast
-        # regardless of split count, and the HOF-heavy embedding paths
-        # apply the spread themselves.
-        df = ensure_scan_parallelism(df)
-    return df
+    # No scan spread at the loader: only the operator knows whether its
+    # per-row work is dense enough to pay a round-robin exchange for.
+    # A loader-level documents spread (tried in r04/r05) taxed every
+    # LIGHT consumer (exact dedup, plain projections) with an exchange of
+    # full text bodies plus a physical-planning pass, and measured slower
+    # than no spread on all of them at sf0.1 — while the dense consumers
+    # (shingling, signatures) now spread themselves at their own entry
+    # points (dedup.doc_shingles, text.tokens, the HOF embedding paths).
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 @dataclass

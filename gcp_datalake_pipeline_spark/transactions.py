@@ -491,6 +491,81 @@ class TransactionalCatalog(Catalog):
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_dirs: int = 2,
+        cluster_by: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+    ) -> bool:
+        """Fold an append-grown pointer list back into ONE size-targeted
+        data dir, published as a new snapshot (Delta OPTIMIZE semantics).
+
+        Per-file atomic ingest appends one staged dir per load, so a
+        long-running landing pipeline grows the pointer list — and the
+        file count — linearly with loads; at 100 TB that is the classic
+        small-files problem (every reader opens thousands of footers).
+        Compaction rewrites the table into ``ceil(bytes /
+        target_file_bytes)`` files. Old versions stay readable via
+        :meth:`read_at` until :meth:`vacuum` reclaims them.
+
+        ``cluster_by`` additionally range-partitions + sorts the rewrite
+        on the given columns, so parquet min/max row-group stats become
+        selective for those columns (data skipping — Delta's ``ZORDER``
+        intent, single-dimension). Forces a rewrite even below
+        ``min_dirs``.
+
+        Concurrency: the commit is conflict-checked against the dir list
+        snapshotted HERE (not at the staged write), so an append landing
+        between the snapshot and the commit raises
+        :class:`ConcurrentWriteError` instead of being silently dropped
+        — compaction never wins over data.
+
+        Returns True if a compaction commit was published, False if the
+        table was already compact (fewer than ``min_dirs`` dirs and no
+        ``cluster_by``).
+        """
+        if self._pending is not None:
+            raise RuntimeError("cannot compact inside an open transaction")
+        snapshot = self._committed_rels(table)
+        if snapshot is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        if len(snapshot) < min_dirs and cluster_by is None:
+            return False
+        total_bytes = 0
+        for rel in snapshot:
+            for dirpath, _dirs, files in os.walk(os.path.join(self.root, rel)):
+                total_bytes += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        if partition_cols is None and os.path.exists(
+            self._bucket_meta_path(table)
+        ):
+            partition_cols = ["_kb"]  # preserve bucketed-merge layout
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, r) for r in snapshot]
+        )
+        if cluster_by:
+            df = df.repartitionByRange(
+                n_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        elif partition_cols:
+            df = df.repartition(n_files, *partition_cols)
+        else:
+            df = df.repartition(n_files)
+        with self.transaction(f"compact-{table}"):
+            self.overwrite(df, table, partition_cols=partition_cols)
+            # Anchor conflict detection to the pre-rewrite snapshot: the
+            # overwrite's own base was read AFTER the df plan captured
+            # `snapshot`, which would let an append in that window be
+            # replaced away without a conflict.
+            self._intents[table]["base"] = snapshot
+        return True
+
     def vacuum(
         self, retain_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:

@@ -394,3 +394,75 @@ def test_restore_rolls_back_as_a_new_commit(spark, tcat):
     assert [r["v"] for r in tcat.read_at("t", 2).collect()] == ["v2"]
     with pytest.raises(FileNotFoundError):
         tcat.restore(99)
+
+
+def test_compact_folds_append_dirs_into_one(spark, tcat):
+    for i in range(4):
+        tcat.append(_df(spark, [(i, f"v{i}")]), "t")
+    assert len(tcat._data_dirs("t")) == 4
+    pre_version = tcat._read_manifest()["version"]
+    assert tcat.compact("t") is True
+    reader = _fresh_reader(tcat)
+    assert len(reader._data_dirs("t")) == 1
+    rows = {(r.k, r.v) for r in reader.read("t").collect()}
+    assert rows == {(i, f"v{i}") for i in range(4)}
+    # the pre-compaction snapshot stays time-travelable
+    assert reader.read_at("t", pre_version).count() == 4
+    # already compact -> no-op, no new version
+    v = reader._read_manifest()["version"]
+    assert tcat.compact("t") is False
+    assert _fresh_reader(tcat)._read_manifest()["version"] == v
+
+
+def test_compact_cluster_by_sorts_rewrite(spark, tcat):
+    import pyarrow.parquet as pq
+
+    tcat.append(_df(spark, [(5, "e"), (1, "a")]), "t")
+    tcat.append(_df(spark, [(4, "d"), (2, "b"), (3, "c")]), "t")
+    assert tcat.compact("t", cluster_by=["k"]) is True
+    reader = _fresh_reader(tcat)
+    [d] = reader._data_dirs("t")
+    # each file is internally sorted on k (min/max stats are selective)
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            ks = pq.read_table(os.path.join(d, f), columns=["k"])["k"].to_pylist()
+            assert ks == sorted(ks)
+    assert {(r.k, r.v) for r in reader.read("t").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")
+    }
+
+
+def test_compact_conflicts_with_concurrent_append(spark, tmp_path):
+    """An append landing between compaction's snapshot and its commit must
+    fail the compaction, never be silently replaced away."""
+    root = str(tmp_path / "lake")
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    for i in range(3):
+        a.append(_df(spark, [(i, "x")]), "t")
+
+    orig_transaction = TransactionalCatalog.transaction
+    from contextlib import contextmanager
+
+    raced = {"done": False}
+
+    @contextmanager
+    def racing_transaction(self, load_id=None):
+        # writer b commits an append AFTER compact() snapshotted the dirs
+        # (guarded: b's own auto-commit transaction must not re-race)
+        if self is a and not raced["done"]:
+            raced["done"] = True
+            b.append(_df(spark, [(99, "late")]), "t")
+        with orig_transaction(self, load_id):
+            yield self
+
+    TransactionalCatalog.transaction = racing_transaction
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            a.compact("t")
+    finally:
+        TransactionalCatalog.transaction = orig_transaction
+    # the late append survived; nothing lost
+    reader = TransactionalCatalog(spark=spark, root=root)
+    assert reader.read("t").count() == 4
+    assert {r.k for r in reader.read("t").collect()} == {0, 1, 2, 99}
