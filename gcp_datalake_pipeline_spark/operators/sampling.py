@@ -267,3 +267,53 @@ def mixture_rebalance_oracle_sql(
            COALESCE(k.kept_rows, 0) AS kept_rows
     FROM plan p LEFT JOIN kept k USING ({strata_col})
     """
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source/domain, choosing the
+    ``cap`` smallest ``id_col`` values (deterministic, engine-portable) —
+    the standard web-corpus curation guard against a handful of mega
+    domains dominating the training mixture.
+
+    Scale: a plain per-source window serializes each source onto one
+    task, which breaks on skewed corpora (one domain with billions of
+    rows). ``salt_buckets`` enables the two-phase cap: phase 1 keeps the
+    ``cap`` smallest ids within each (source, salt) — bounded partitions
+    — so phase 2's exact window sees at most ``cap * salt_buckets`` rows
+    per source. The global answer is identical: any id among a source's
+    ``cap`` smallest is also among its salt bucket's ``cap`` smallest.
+    """
+    from pyspark.sql import Window
+
+    if salt_buckets:
+        wsalt = Window.partitionBy(source_col, "_salt").orderBy(id_col)
+        df = (
+            df.withColumn(
+                "_salt", F.crc32(F.col(id_col).cast("string")) % salt_buckets
+            )
+            .withColumn("_rn", F.row_number().over(wsalt))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn", "_salt")
+        )
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def per_source_cap_oracle_sql(
+    cap: int = 100, source_col: str = "source", id_col: str = "doc_id"
+) -> str:
+    return f"""
+    SELECT * FROM documents
+    QUALIFY row_number() OVER (PARTITION BY {source_col}
+                               ORDER BY {id_col}) <= {cap}
+    """

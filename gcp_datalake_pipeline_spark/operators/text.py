@@ -108,6 +108,88 @@ def lang_id(df: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the
+    context-window preparation step of a training pipeline (long documents
+    must fit a model's window; overlap preserves continuity at the seams).
+
+    Chunk i covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk may be shorter,
+    and a document shorter than one window yields exactly one chunk.
+
+    Everything is a narrow row-local expression: split once, derive the
+    chunk count arithmetically, explode a tiny index sequence, slice the
+    token array per chunk. No shuffle at all — at 100 TB this runs
+    entirely in the scan stage and scales with input bytes.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    df = ensure_scan_parallelism(df)
+    toks = F.split(F.col(text_col), TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    # ceil((n - overlap) / stride), min 1 — double-ceil is exact for any
+    # realistic token count and computes identically in the DuckDB oracle.
+    k = F.greatest(
+        F.lit(1),
+        F.floor(
+            ((n - F.lit(overlap)) + F.lit(stride - 1)) / F.lit(float(stride))
+        ).cast("int"),
+    )
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), k.alias("_k")
+    ).select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_tokens: int = 64, overlap: int = 16
+) -> str:
+    stride = chunk_tokens - overlap
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+             len(regexp_split_to_array(text, '\s+')) AS n
+      FROM documents
+    ), k AS (
+      SELECT doc_id, toks,
+             GREATEST(1, CAST(FLOOR((n - {overlap} + {stride - 1}) * 1.0
+                                    / {stride}) AS INT)) AS k
+      FROM t
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, k - 1)) AS chunk_id
+      FROM k
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, chunk_id * {stride} + 1,
+                                      chunk_id * {stride} + {chunk_tokens}),
+                           ' ') AS chunk_text,
+           CAST(len(list_slice(toks, chunk_id * {stride} + 1,
+                               chunk_id * {stride} + {chunk_tokens}))
+                AS BIGINT) AS chunk_len
+    FROM c
+    """
+
+
 def fingerprint(df: DataFrame) -> DataFrame:
     """Deterministic content fingerprint (md5 of the raw text) — the
     exact-dedup key. Output: (doc_id, fingerprint)."""

@@ -613,3 +613,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
     )
+
+
+@register(
+    "doc_chunking",
+    text.chunk_documents_oracle_sql(chunk_tokens=12, overlap=4),
+    doc="""Token-bounded chunking with overlap (context-window prep):
+    chunk i covers tokens [i*stride, i*stride+12) with stride 8. Pure
+    row-local expressions — split once, arithmetic chunk count, explode a
+    tiny index sequence, slice. Zero shuffles at any scale.""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=12, overlap=4
+    )
+
+
+@register(
+    "per_source_cap",
+    sampling.per_source_cap_oracle_sql(cap=50),
+    doc="""Domain cap: keep the 50 smallest doc_ids per source (mega-domain
+    guard for web corpora). Runs the two-phase salted path — phase 1 caps
+    within (source, salt) so no single skewed domain ever serializes onto
+    one task; phase 2's exact window sees <= cap*salts rows per source.
+    Value-identical to the single-window oracle.""",
+)
+def per_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.per_source_cap(
+        load_table(spark, sf_dir, "documents"), cap=50, salt_buckets=4
+    )

@@ -551,3 +551,55 @@ def test_near_dup_clusters_methods_agree(spark):
         ).collect()
     }
     assert a == b
+
+
+# -- chunking / domain cap (training-data prep; operators live in text/
+# sampling but are tested here beside the other documents operators) -----
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from gcp_datalake_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens
+            (2, "x y"),  # shorter than one window -> exactly one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=5, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.chunk_len))
+    # stride 3: chunks at 0,3,6 cover [0,5),[3,8),[6,10); start 9 would
+    # add nothing beyond overlap -> k = ceil((10-2)/3) = 3
+    assert [c[1] for c in sorted(by_doc[1])] == [
+        "a b c d e", "d e f g h", "g h i j",
+    ]
+    assert [c[2] for c in sorted(by_doc[1])] == [5, 5, 4]
+    assert by_doc[2] == [(0, "x y", 2)]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    c0, c1 = by_doc[1][0][1].split(), by_doc[1][1][1].split()
+    assert c0[-2:] == c1[:2]
+
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_per_source_cap_salted_equals_plain(spark):
+    from gcp_datalake_pipeline_spark.operators.sampling import per_source_cap
+
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [
+        (100 + i, "mega") for i in range(200)  # skewed domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = {(r.doc_id, r.source) for r in per_source_cap(df, cap=7).collect()}
+    salted = {
+        (r.doc_id, r.source)
+        for r in per_source_cap(df, cap=7, salt_buckets=5).collect()
+    }
+    assert plain == salted
+    # the cap keeps the 7 SMALLEST ids per source
+    megas = sorted(d for d, s in plain if s == "mega")
+    assert megas == list(range(100, 107))
+    assert sum(1 for _, s in plain if s == "s0") == 7
