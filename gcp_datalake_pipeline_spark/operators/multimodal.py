@@ -179,15 +179,55 @@ def _parse_jpeg_header(content: bytes):
     return None
 
 
+def _parse_gif_header(content: bytes):
+    """Real GIF dimensions from the logical screen descriptor — signature
+    GIF87a/GIF89a then width(2) + height(2), little-endian (GIF89a spec
+    §18). Channels reported as 3 (palette RGB)."""
+    import struct
+
+    if content is None or len(content) < 10:
+        return None
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", content[6:10])
+    if w == 0 or h == 0:
+        return None
+    return w, h, 3
+
+
+def _parse_bmp_header(content: bytes):
+    """Real BMP dimensions from the BITMAPINFOHEADER: b"BM" file header
+    (14 bytes) then header size(4) + width(4, signed) + height(4, signed
+    — negative means top-down). Channels from bit count (<=8 palette -> 1,
+    24 -> 3, 32 -> 4)."""
+    import struct
+
+    if content is None or len(content) < 30 or content[:2] != b"BM":
+        return None
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — not emitted by fixtures
+        return None
+    w, h = struct.unpack("<ii", content[18:26])
+    bits = struct.unpack("<H", content[28:30])[0]
+    w, h = abs(w), abs(h)
+    if w == 0 or h == 0:
+        return None
+    channels = 1 if bits <= 8 else bits // 8
+    return w, h, channels
+
+
 def _decode_image_header(content: bytes):
     """Image dimensions without a full decode: the synthetic IMG| header
-    (stand-in for full-decode formats), else REAL PNG IHDR / JPEG SOF
-    header parsing via stdlib struct. PIL remains the full-decode hook
-    (resize_images); header metadata needs no image library at all."""
+    (stand-in for full-decode formats), else REAL PNG IHDR / JPEG SOF /
+    GIF screen-descriptor / BMP info-header parsing via stdlib struct.
+    PIL remains the full-decode hook (resize_images); header metadata
+    needs no image library at all."""
     return (
         _parse_fake_header(content)
         or _parse_png_header(content)
         or _parse_jpeg_header(content)
+        or _parse_gif_header(content)
+        or _parse_bmp_header(content)
     )
 
 

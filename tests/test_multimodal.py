@@ -161,3 +161,40 @@ def test_audio_metadata(spark):
     assert meta[11]["duration_s"] == 10.0
     assert meta[12]["decode_ok"] is False
     assert meta[13]["decode_ok"] is False
+
+
+def _real_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + bytes(8)
+
+
+def _real_bmp(width: int, height: int, bits: int = 24) -> bytes:
+    import struct
+
+    file_hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    info_hdr = struct.pack("<IiiHH", 40, width, height, 1, bits) + bytes(24)
+    return file_hdr + info_hdr
+
+
+def test_real_gif_bmp_header_decode(spark):
+    """GIF screen descriptor and BMP info header parse with stdlib struct:
+    little-endian dims, top-down (negative height) BMPs normalized,
+    palette BMPs report 1 channel."""
+    rows = [
+        (1, "image/gif", _real_gif(640, 350)),
+        (2, "image/bmp", _real_bmp(1024, 768, bits=24)),
+        (3, "image/bmp", _real_bmp(16, -16, bits=32)),  # top-down
+        (4, "image/bmp", _real_bmp(32, 8, bits=8)),     # palette
+        (5, "image/gif", b"GIF89a" + bytes(2)),          # truncated
+        (6, "image/bmp", b"BM" + bytes(10)),             # truncated
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in mm.image_metadata(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"]) == (640, 350, 3)
+    assert meta[1]["decode_ok"]
+    assert (meta[2]["width"], meta[2]["height"], meta[2]["channels"]) == (1024, 768, 3)
+    assert (meta[3]["width"], meta[3]["height"], meta[3]["channels"]) == (16, 16, 4)
+    assert (meta[4]["width"], meta[4]["height"], meta[4]["channels"]) == (32, 8, 1)
+    assert meta[5]["decode_ok"] is False
+    assert meta[6]["decode_ok"] is False
