@@ -502,7 +502,20 @@ def near_dup_clusters(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = df.select("doc_id").withColumn("label", F.col("doc_id"))
+    # Materialize the edge list ONCE: `pairs` is typically an expensive
+    # candidate generator (shingle self-join, LSH bucket join) and the
+    # loop would otherwise re-evaluate it from scratch every round. The
+    # pair list is bounded (near-dup output, not corpus-sized).
+    edges = edges.localCheckpoint(eager=True)
+    # Propagate over the edge SUBGRAPH only: a node with no edges can
+    # never change its label, so the (at 100 TB, overwhelming) singleton
+    # majority stays out of every per-round join and rides back in via
+    # one left join at the end.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
     for it in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -565,10 +578,14 @@ def near_dup_clusters(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    return (
+        df.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
     )
 
 
