@@ -618,6 +618,64 @@ def _assign_cells_arrow(
     return df.mapInPandas(assign, out_schema)
 
 
+def _cell_partial_sums_arrow(
+    df: DataFrame, cents: dict[int, list[float]]
+) -> DataFrame:
+    """Fused Lloyd step map side: nearest-centroid assignment AND per-cell
+    (sum, count) partials in ONE Arrow pass. Emits at most nlist*dim rows
+    per batch — so the per-iteration mean exchange carries
+    nlist*dim*tasks partial rows instead of corpus*dim exploded rows,
+    which is what makes a Lloyd step affordable on a 100 TB corpus (the
+    classic dense map-side combine). Same assignment contract as
+    :func:`_assign_cells_arrow` (round-6 cosine, lowest-cid tiebreak via
+    first-argmax over ascending-cid columns); the final mean is
+    sum/count — bitwise the same partial-merge shape Spark's own avg
+    uses, rounded to 6 decimals before re-entering the next assignment."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cids_sorted = sorted(cents)
+    cid_arr = np.array(cids_sorted, dtype=np.int64)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(Mn @ Cn.T, 6)
+            a = np.argmax(S, axis=1)
+            dim = M.shape[1]
+            sums = np.zeros((len(cids_sorted), dim))
+            counts = np.zeros(len(cids_sorted), dtype=np.int64)
+            np.add.at(sums, a, M)
+            np.add.at(counts, a, 1)
+            idx = np.nonzero(counts > 0)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(cid_arr[idx], dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(idx)),
+                    "s": sums[idx].ravel(),
+                    "c": np.repeat(counts[idx], dim),
+                }
+            )
+
+    return df.mapInPandas(partials, schema)
+
+
 def kmeans_centroids(
     df: DataFrame,
     nlist: int = 16,
@@ -673,7 +731,16 @@ def kmeans_centroids(
         cents = {int(r["vid"]): [float(x) for x in r["v"]] for r in seed}
         for _ in range(n_iter):
             if backend == "arrow":
-                assigned = _assign_cells_arrow(e.select("v"), cents)
+                # Fused assign + map-side partial sums: the shuffle
+                # carries nlist*dim*tasks partial rows, never corpus*dim.
+                mean_rows = (
+                    _cell_partial_sums_arrow(e.select("v"), cents)
+                    .groupBy("cid", "pos")
+                    .agg(
+                        F.round(F.sum("s") / F.sum("c"), 6).alias("m")
+                    )
+                    .collect()
+                )
             else:
                 assigned = e.select(
                     _nearest_cid(
@@ -681,12 +748,12 @@ def kmeans_centroids(
                     ).alias("cid"),
                     "v",
                 )
-            mean_rows = (
-                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.round(F.avg("x"), 6).alias("m"))
-                .collect()
-            )
+                mean_rows = (
+                    assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                    .groupBy("cid", "pos")
+                    .agg(F.round(F.avg("x"), 6).alias("m"))
+                    .collect()
+                )
             by_cid: dict[int, dict[int, float]] = {}
             for r in mean_rows:
                 by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(

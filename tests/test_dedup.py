@@ -603,3 +603,18 @@ def test_per_source_cap_salted_equals_plain(spark):
     megas = sorted(d for d, s in plain if s == "mega")
     assert megas == list(range(100, 107))
     assert sum(1 for _, s in plain if s == "s0") == 7
+
+
+def test_kmeans_centroids_arrow_hof_identical(spark):
+    """The fused Arrow partial-sum Lloyd step must produce EXACTLY the
+    HOF posexplode/avg path's centroids (same round-6 + lowest-cid
+    contract; sum/count is the same partial-merge shape as avg)."""
+    from gcp_datalake_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = lambda df: sorted(
+        (r["cid"], tuple(round(x, 6) for x in r["cv"])) for r in df.collect()
+    )
+    a = key(similarity.kmeans_centroids(emb, nlist=8, n_iter=2, backend="arrow"))
+    h = key(similarity.kmeans_centroids(emb, nlist=8, n_iter=2, backend="hof"))
+    assert a == h
