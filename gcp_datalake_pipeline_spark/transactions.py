@@ -57,6 +57,31 @@ _LOADS = "_loads"
 _VERSIONS = "_versions"
 
 
+def _merge_schema_json(old: dict | None, new: dict | None) -> dict | None:
+    """Additive schema evolution over schema ``jsonValue()`` dicts: new
+    columns append after existing ones; an existing column arriving with
+    a DIFFERENT type fails the write (Delta-style enforcement — silent
+    widening or reordering would corrupt readers). Nullability changes
+    are tolerated (parquet files legitimately disagree on it)."""
+    if old is None:
+        return new
+    if new is None:
+        return old
+    by_name = {f["name"]: f for f in old["fields"]}
+    fields = list(old["fields"])
+    for f in new["fields"]:
+        prev = by_name.get(f["name"])
+        if prev is None:
+            fields.append(f)
+        elif prev["type"] != f["type"]:
+            raise ValueError(
+                f"schema conflict on column {f['name']!r}: committed type "
+                f"{prev['type']!r} vs incoming {f['type']!r}; appends may "
+                "add columns but never change an existing column's type"
+            )
+    return {**old, "fields": fields}
+
+
 class ConcurrentWriteError(RuntimeError):
     """Raised at commit when another writer replaced a table this
     transaction overwrote/merged from a now-stale snapshot. Appends never
@@ -201,6 +226,46 @@ class TransactionalCatalog(Catalog):
                 raise FileNotFoundError(f"{table!r} not in manifest")
         return [os.path.join(self.root, r) for r in rels]
 
+    def _stored_schema(self, table: str):
+        """The committed (or, inside a txn, pending) schema for ``table``
+        as a StructType, or None for pre-schema-tracking manifests."""
+        from pyspark.sql import types as T
+
+        sj = None
+        if self._pending is not None and table in self._intents:
+            intent = self._intents[table]
+            if intent["mode"] == "append":
+                sj = _merge_schema_json(
+                    self._read_manifest().get("schemas", {}).get(table),
+                    intent.get("schema"),
+                )
+            else:
+                sj = intent.get("schema")
+        if sj is None:
+            sj = self._read_manifest().get("schemas", {}).get(table)
+        return T.StructType.fromJson(sj) if sj is not None else None
+
+    def read(self, table: str, schema=None) -> DataFrame:
+        """Read through the manifest. The COMMITTED schema (recorded at
+        every write, additively merged across appends) drives the scan:
+        appends that added columns project correctly (missing columns in
+        older files read as NULL) instead of silently losing them to
+        whichever footer Spark sampled — and no footer merging is ever
+        needed, which at 100 TB is the difference between an O(1)
+        metadata read and opening every file's footer. Manifests from
+        before schema tracking fall back to mergeSchema across dirs."""
+        if not self.exists(table):
+            if schema is None:
+                raise FileNotFoundError(table)
+            return self.spark.createDataFrame([], schema)
+        dirs = self._data_dirs(table)
+        stored = self._stored_schema(table)
+        if stored is not None:
+            return self.spark.read.schema(stored).parquet(*dirs)
+        if len(dirs) > 1:
+            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return self.spark.read.parquet(*dirs)
+
     # -- staged writes ------------------------------------------------------
 
     def _stage_dir(self, table: str) -> str:
@@ -225,26 +290,35 @@ class TransactionalCatalog(Catalog):
         the snapshot replace-mode conflict detection is anchored to."""
         return self._read_manifest()["tables"].get(table)
 
-    def _note_replace(self, table: str, rel: str) -> None:
+    def _note_replace(self, table: str, rel: str, schema=None) -> None:
         prior = self._intents.get(table)
         # base = the committed list at FIRST touch in this txn; a later
         # overwrite of an already-touched table keeps that anchor.
         base = prior["base"] if prior else self._committed_rels(table)
-        self._intents[table] = {"mode": "replace", "base": base, "added": [rel]}
+        self._intents[table] = {
+            "mode": "replace",
+            "base": base,
+            "added": [rel],
+            "schema": schema.jsonValue() if schema is not None else None,
+        }
 
-    def _note_append(self, table: str, rel: str) -> None:
+    def _note_append(self, table: str, rel: str, schema=None) -> None:
+        sj = schema.jsonValue() if schema is not None else None
         prior = self._intents.get(table)
         if prior is None:
             self._intents[table] = {
                 "mode": "append",
                 "base": self._committed_rels(table),
                 "added": [rel],
+                "schema": sj,
             }
         else:
             # append after overwrite/merge stays replace-mode (the new
             # dir lands on top of this txn's replacement, not the
             # committed list); append after append accumulates the delta.
             prior["added"].append(rel)
+            if sj is not None:
+                prior["schema"] = _merge_schema_json(prior.get("schema"), sj)
 
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
@@ -260,7 +334,7 @@ class TransactionalCatalog(Catalog):
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
         self._pending[table] = [rel]
-        self._note_replace(table, rel)
+        self._note_replace(table, rel, schema=df.schema)
 
     def append(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
@@ -283,7 +357,7 @@ class TransactionalCatalog(Catalog):
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
         self._pending[table] = prev + [rel]
-        self._note_append(table, rel)
+        self._note_append(table, rel, schema=df.schema)
 
     def _write_bucketed_merge(self, merged: DataFrame, table: str) -> None:
         """Versioned replacement for dynamic partition overwrite: touched
@@ -310,7 +384,7 @@ class TransactionalCatalog(Catalog):
                 if d.startswith("_kb=") and d not in written:
                     _link_tree(os.path.join(prev[0], d), os.path.join(stage, d))
         self._pending[table] = [rel]
-        self._note_replace(table, rel)
+        self._note_replace(table, rel, schema=merged.schema)
 
     # -- transaction lifecycle ----------------------------------------------
 
@@ -337,7 +411,12 @@ class TransactionalCatalog(Catalog):
         self._intents = {}
 
     def _publish(
-        self, tables: dict, load_id: str, replace: bool, strict: bool = True
+        self,
+        tables: dict,
+        load_id: str,
+        replace: bool,
+        strict: bool = True,
+        schemas: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -364,13 +443,23 @@ class TransactionalCatalog(Catalog):
             manifest["committed_at"] = time.time()
             if replace:
                 manifest["tables"] = dict(tables)
+                if schemas is not None:
+                    manifest["schemas"] = dict(schemas)
             else:
+                mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
                     cur = manifest["tables"].get(table)
                     if intent["mode"] == "append":
                         manifest["tables"][table] = list(cur or []) + list(
                             intent["added"]
                         )
+                        if intent.get("schema") is not None:
+                            # committed-schema merge under the lock: two
+                            # concurrent appends with different NEW
+                            # columns both land, like the dir lists.
+                            mschemas[table] = _merge_schema_json(
+                                mschemas.get(table), intent["schema"]
+                            )
                     else:
                         if cur != intent["base"]:
                             raise ConcurrentWriteError(
@@ -381,6 +470,8 @@ class TransactionalCatalog(Catalog):
                                 "fresh read"
                             )
                         manifest["tables"][table] = list(intent["added"])
+                        if intent.get("schema") is not None:
+                            mschemas[table] = intent["schema"]
             # Retained version manifest first (enables time travel),
             # pointer swap second. A crash between the two leaves an
             # orphan version file that the NEXT commit (same version
@@ -467,9 +558,17 @@ class TransactionalCatalog(Catalog):
             raise FileNotFoundError(
                 f"{table!r} did not exist at version {version}"
             )
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, r) for r in rels]
-        )
+        paths = [os.path.join(self.root, r) for r in rels]
+        sj = m.get("schemas", {}).get(table)
+        if sj is not None:
+            from pyspark.sql import types as T
+
+            return self.spark.read.schema(T.StructType.fromJson(sj)).parquet(
+                *paths
+            )
+        if len(paths) > 1:
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     def restore(self, version: int) -> None:
         """Roll the catalog back to snapshot ``version`` — published as a
@@ -487,7 +586,12 @@ class TransactionalCatalog(Catalog):
             raise FileNotFoundError(
                 f"no retained snapshot for version {version}"
             ) from None
-        self._publish(old["tables"], f"restore-v{version}", replace=True)
+        self._publish(
+            old["tables"],
+            f"restore-v{version}",
+            replace=True,
+            schemas=old.get("schemas", {}),
+        )
 
     # -- maintenance --------------------------------------------------------
 
@@ -546,9 +650,16 @@ class TransactionalCatalog(Catalog):
             self._bucket_meta_path(table)
         ):
             partition_cols = ["_kb"]  # preserve bucketed-merge layout
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, r) for r in snapshot]
-        )
+        paths = [os.path.join(self.root, r) for r in snapshot]
+        stored = self._stored_schema(table)
+        if stored is not None:
+            # the committed schema, not a sampled footer — a compaction
+            # must never narrow an evolved table
+            df = self.spark.read.schema(stored).parquet(*paths)
+        elif len(paths) > 1:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
         if cluster_by:
             df = df.repartitionByRange(
                 n_files, *cluster_by

@@ -466,3 +466,44 @@ def test_compact_conflicts_with_concurrent_append(spark, tmp_path):
     reader = TransactionalCatalog(spark=spark, root=root)
     assert reader.read("t").count() == 4
     assert {r.k for r in reader.read("t").collect()} == {0, 1, 2, 99}
+
+
+def test_schema_evolution_append_adds_column(spark, tcat):
+    tcat.append(_df(spark, [(1, "a")]), "t")
+    pre_version = tcat._read_manifest()["version"]
+    tcat.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"),
+        "t",
+    )
+    reader = _fresh_reader(tcat)
+    rows = {(r.k, r.v, r.score) for r in reader.read("t").collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    # time travel renders the OLD schema (no score column)
+    assert reader.read_at("t", pre_version).columns == ["k", "v"]
+    # compaction keeps the evolved schema and the null back-fill
+    assert tcat.compact("t") is True
+    rows2 = {(r.k, r.v, r.score) for r in _fresh_reader(tcat).read("t").collect()}
+    assert rows2 == rows
+
+
+def test_schema_evolution_type_conflict_rejected(spark, tcat):
+    tcat.append(_df(spark, [(1, "a")]), "t")
+    with pytest.raises(ValueError, match="schema conflict"):
+        tcat.append(
+            spark.createDataFrame([(2, 3)], "k long, v long"), "t"
+        )
+    # the failed append rolled back: data intact, no orphan pointer
+    reader = _fresh_reader(tcat)
+    assert reader.read("t").count() == 1
+    assert reader.read("t").columns == ["k", "v"]
+
+
+def test_schema_evolution_read_your_writes_in_txn(spark, tcat):
+    tcat.append(_df(spark, [(1, "a")]), "t")
+    with tcat.transaction("evolve"):
+        tcat.append(
+            spark.createDataFrame([(2, "b", 1.5)], "k long, v string, score double"),
+            "t",
+        )
+        assert set(tcat.read("t").columns) == {"k", "v", "score"}
+    assert set(_fresh_reader(tcat).read("t").columns) == {"k", "v", "score"}
