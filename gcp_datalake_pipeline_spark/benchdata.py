@@ -72,7 +72,7 @@ def derive_scaled_dir(
     """Materialize ``factor``x key-shifted copies of ``src_dir`` into
     ``out_dir`` (skipped if a ``_SUCCESS_DERIVE`` marker already exists).
     Returns ``out_dir``."""
-    marker = os.path.join(out_dir, "_SUCCESS_DERIVE")
+    marker = os.path.join(out_dir, "_SUCCESS_DERIVE_V2")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -103,8 +103,29 @@ def derive_scaled_dir(
                     col, (F.col(col) + F.lit(i * stride)).cast(base.schema[col].dataType)
                 )
             if tbl == "documents" and i > 0:
+                # Per-copy POSITIONAL token perturbation: every 4th token
+                # (offset by copy index) gets a copy tag. Two docs in the
+                # SAME copy receive the same positional rewrite, so
+                # within-copy near-dup structure (what dedup queries
+                # measure) is preserved and scales linearly; the SAME doc
+                # across two copies loses ~60% of its 3-shingles, so
+                # cross-copy jaccard falls below candidate thresholds —
+                # a plain " suffix" tag changed only ONE shingle and made
+                # every doc a 10-clique of near-dups (quadratic candidate
+                # blowup real corpus growth does not have).
+                toks = F.split(F.col("text"), r"\s+")
                 c = c.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            toks,
+                            lambda x, pos: F.when(
+                                (pos + F.lit(i)) % 4 == 0,
+                                F.concat(x, F.lit(f"_c{i}")),
+                            ).otherwise(x),
+                        ),
+                        " ",
+                    ),
                 ).withColumn("n_chars", F.length("text"))
             if tbl == "embeddings" and i > 0:
                 # Deterministic per-copy epsilon: keeps cosine structure

@@ -73,9 +73,16 @@ def doc_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
     """Shared tail: exact Jaccard over shingle sets, optionally restricted
-    to a candidate pair set. Output: (doc_a, doc_b, jaccard >= threshold)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    to a candidate pair set. Output: (doc_a, doc_b, jaccard >= threshold).
+
+    Candidate mode never touches non-candidate documents: the pair list
+    (bounded — near-linear LSH output) is materialized once so its true
+    size is visible to AQE and its generator plan isn't re-evaluated per
+    join, and the corpus-scale shingle set is SEMI-JOINED down to pair
+    members before any intersection work. At 100 TB the verifier's joins
+    therefore scale with the candidate set, not the corpus."""
     if pairs is None:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = shingles.alias("a"), shingles.alias("b")
         inter = (
             a.join(
@@ -89,8 +96,16 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None, threshold: float
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
-        ta = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-        tb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        pairs = pairs.localCheckpoint(eager=True)
+        members = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = shingles.join(members, "doc_id", "semi")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
             pairs.join(ta, "doc_a")
             .join(tb, ["doc_b", "shingle"])

@@ -122,3 +122,21 @@ def test_ivf_assignment_never_shuffles_corpus_joins(spark, name):
     assert "ShuffledHashJoin" not in plan
     # the only SinglePartition exchanges are the nlist-row centroid packs
     assert "WindowGroupLimit" in plan or "Window" in plan  # final top-k only
+
+
+def test_chunking_has_no_aggregation_exchange(spark):
+    """doc_chunking is pure row-local work (split/arithmetic/explode/
+    slice): no hash-partitioning exchange may appear — at 100 TB it must
+    run entirely in the scan stage. (The tiny-local-input spread is a
+    round-robin exchange and only fires below the session's parallelism.)"""
+    plan = _plan(spark, "doc_chunking")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_per_source_cap_windows_stay_partitioned(spark):
+    """Both window phases of the salted domain cap partition on their
+    keys — never a SinglePartition exchange (the skew-safety claim)."""
+    plan = _plan(spark, "per_source_cap")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Window") >= 2  # salted phase + exact phase
