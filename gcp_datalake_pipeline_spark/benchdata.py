@@ -72,7 +72,7 @@ def derive_scaled_dir(
     """Materialize ``factor``x key-shifted copies of ``src_dir`` into
     ``out_dir`` (skipped if a ``_SUCCESS_DERIVE`` marker already exists).
     Returns ``out_dir``."""
-    marker = os.path.join(out_dir, "_SUCCESS_DERIVE_V2")
+    marker = os.path.join(out_dir, "_SUCCESS_DERIVE_V3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -128,13 +128,25 @@ def derive_scaled_dir(
                     ),
                 ).withColumn("n_chars", F.length("text"))
             if tbl == "embeddings" and i > 0:
-                # Deterministic per-copy epsilon: keeps cosine structure
-                # (neighbors stay neighbors) without exact-duplicate vectors.
-                eps = float(i) * 1e-3
+                # Per-copy circular DIMENSION shift — an orthogonal
+                # transform, so every within-copy cosine (what the ANN /
+                # near-dup queries measure) is preserved EXACTLY while
+                # cross-copy vectors decorrelate. An additive epsilon
+                # (tried first) left copies of the same vector at
+                # cosine ~0.99999: LSH bucket occupancy grew 10x and
+                # candidate joins ~100x — a blowup real corpus growth
+                # does not have.
+                dim = len(
+                    spark.read.parquet(
+                        os.path.join(src_dir, "embeddings.parquet")
+                    ).first()["embedding"]
+                )
+                k = (i * 7) % dim or 1
                 c = c.withColumn(
                     "embedding",
-                    F.transform(
-                        "embedding", lambda x: (x + F.lit(eps)).cast("float")
+                    F.concat(
+                        F.slice("embedding", k + 1, dim - k),
+                        F.slice("embedding", 1, k),
                     ),
                 )
             copies.append(c)

@@ -474,9 +474,13 @@ def embedding_near_dup_lsh(
     e = ensure_scan_parallelism(df).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
-    bucketed = e.withColumn(
-        "bucket", bucket_bits(F.col("v"), planes, n_planes)
-    ).withColumn("nrm", norm(F.col("v")))
+    base = e.withColumn("nrm", norm(F.col("v")))
+    # The bucket fold (n_planes x dim interpreted HOF per row) lives on a
+    # NARROW (vid, bucket) projection that only the candidate generator
+    # reads — the verification side never recomputes it.
+    bucketed = e.select(
+        "vid", bucket_bits(F.col("v"), planes, n_planes).alias("bucket")
+    )
     probes = bucketed.select(
         F.col("vid").alias("vec_a"),
         F.explode(
@@ -494,10 +498,15 @@ def embedding_near_dup_lsh(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    a = bucketed.select(
+    # Materialize the bounded candidate list once: AQE sees its true
+    # (small) size and broadcasts it into both vector joins, so the
+    # verification stage never shuffles the corpus — candidate-
+    # proportional cost, the same contract as the minhash verifier.
+    cand = cand.localCheckpoint(eager=True)
+    a = base.select(
         F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    b = bucketed.select(
+    b = base.select(
         F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     if backend == "arrow":
