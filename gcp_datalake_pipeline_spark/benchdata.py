@@ -10,11 +10,13 @@ the driver's parquet as inputs), this derives sfN from sf0.1 by unioning
 - every PK/FK column is shifted by ``copy * (max_key + 1)`` so joins
   match exactly one copy (join fan-out and group cardinalities scale
   linearly, like a real SF bump);
-- ``documents.text`` gets a per-copy suffix and ``embeddings.embedding``
-  a per-copy deterministic epsilon so dedup/near-dup queries don't see an
-  artificial 10-clique of identical payloads at every key (which would
-  quadratically explode candidate pairs in a way real data growth does
-  not);
+- ``documents.text`` gets a per-copy POSITIONAL token rewrite and
+  ``embeddings.embedding`` a per-copy circular dimension shift: both
+  transforms preserve WITHIN-copy similarity structure exactly (the same
+  rewrite applies to every doc of a copy; a dimension permutation is
+  orthogonal) while pushing cross-copy similarity below candidate
+  thresholds — so near-dup candidate sets grow linearly like real data,
+  instead of every payload forming a cross-copy 10-clique;
 - dimension tables ``region``/``nation`` keep their fixed TPC-H size
   (they are constant in the real generator too), so nationkey FKs are
   left unshifted everywhere.
