@@ -140,3 +140,20 @@ def test_per_source_cap_windows_stay_partitioned(spark):
     plan = _plan(spark, "per_source_cap")
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Window") >= 2  # salted phase + exact phase
+
+
+def test_minhash_verifier_semi_joins_candidates(spark):
+    """The exact-Jaccard verification of LSH candidates must semi-join
+    the corpus shingle set down to pair members (candidate-proportional
+    verification, never corpus-scale joins against a small pair list)."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "LeftSemi" in plan
+
+
+def test_embedding_lsh_verification_broadcasts_candidates(spark):
+    """The checkpointed candidate list's true (small) size must drive
+    broadcast joins in verification — zero SortMergeJoins in the whole
+    plan means the corpus is never shuffled to verify candidates."""
+    plan = _plan(spark, "embedding_near_dup_lsh")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
