@@ -5,7 +5,7 @@ supplier by revenue (q15), small-quantity revenue (q17).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
@@ -208,21 +208,24 @@ def q21_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_last")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.max("supp_last").alias("order_last"),
-        F.count(F.lit(1)).alias("n_supps"),
-    )
-    joined = per_supp.join(per_order, "l_orderkey").filter(
+    # Window formulation: order_last / n_supps / n_at_max all ride ONE
+    # exchange on l_orderkey (same partitioning -> Catalyst reuses it),
+    # where the agg+self-join shape re-shuffled the per-supplier rows a
+    # second time and joined them back — 2 lineitem-scale exchanges
+    # total instead of 3.
+    w = Window.partitionBy("l_orderkey")
+    x = per_supp.select(
+        "*",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+    ).filter(
         (F.col("n_supps") >= 2) & (F.col("supp_last") == F.col("order_last"))
     )
-    # uniqueness: exactly one supplier at the order max
-    uniq = (
-        joined.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_at_max"))
-        .filter(F.col("n_at_max") == 1)
-        .select("l_orderkey")
+    # uniqueness: exactly one supplier at the order max (same
+    # partitioning again -> still no new exchange)
+    latest = x.withColumn("n_at_max", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_at_max") == 1
     )
-    latest = joined.join(uniq, "l_orderkey")
     return (
         latest.join(F.broadcast(supp), latest.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
