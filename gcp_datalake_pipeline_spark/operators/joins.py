@@ -51,7 +51,9 @@ def bucketed_join_is_shuffle_free(
     broadcast and never consult bucketing; the property under test is the
     big-big layout where broadcast is impossible.
     """
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # default mirrors Spark's own (10MB) so restore works even on a
+    # session where the conf was never set explicitly
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = spark.table(left_table).join(spark.table(right_table), on)
