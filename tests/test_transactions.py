@@ -507,3 +507,23 @@ def test_schema_evolution_read_your_writes_in_txn(spark, tcat):
         )
         assert set(tcat.read("t").columns) == {"k", "v", "score"}
     assert set(_fresh_reader(tcat).read("t").columns) == {"k", "v", "score"}
+
+
+def test_compact_then_vacuum_reclaims_fragments(spark, tcat):
+    """After compaction, vacuum past the horizon reclaims the small
+    pre-compaction dirs; the compacted table and its history behave."""
+    for i in range(3):
+        tcat.append(_df(spark, [(i, "x")]), "t")
+    pre = tcat._data_dirs("t")
+    assert tcat.compact("t") is True
+    removed = tcat.vacuum(retain_versions=1, min_age_seconds=0.0)
+    # every pre-compaction fragment dir was reclaimed, on disk and in
+    # the vacuum report
+    pre_rels = {os.path.relpath(p, tcat.root) for p in pre}
+    assert pre_rels <= set(removed)
+    assert not any(os.path.exists(p) for p in pre)
+    # data still reads; pre-compaction snapshots are gone from the
+    # time-travel horizon
+    assert tcat.read("t").count() == 3
+    with pytest.raises(FileNotFoundError):
+        tcat.read_at("t", 1)
