@@ -445,3 +445,73 @@ def etl_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = scd2_apply(None, cust, keys, tracked, "2024-01-01")
     h2 = scd2_apply(h1, batch2, keys, tracked, "2024-02-01")
     return scd2_asof(h2, "2024-01-15")
+
+
+# -- data-quality auditing (deequ-style, declarative) ----------------------
+
+from gcp_datalake_pipeline_spark.operators import quality  # noqa: E402
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@register(
+    "dq_profile_orders",
+    quality.profile_oracle_sql("orders", _PROFILE_COLS),
+    doc="""Single-pass table profile (nulls / exact distincts / min/max
+    as strings) for four orders columns: every statistic rides ONE
+    aggregation's map-side partials; the report itself is bounded (one
+    row per column).""",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.profile_table(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+@register(
+    "dq_orders_constraints",
+    """
+    SELECT 'o_custkey_not_null' AS "check",
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           COALESCE((SELECT SUM(c) FROM (
+               SELECT COUNT(*) AS c FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0)
+    UNION ALL
+    SELECT 'o_totalprice_nonneg',
+           SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+               THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_fk',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    """,
+    doc="""Declarative constraint audit over orders: not-null, key
+    uniqueness, value range, FK into customer. Row-local checks fuse
+    into one aggregation pass; unique adds one keyed groupBy; the FK
+    check broadcasts the referenced key set into an anti-join.""",
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return quality.validate_constraints(
+        orders,
+        [
+            quality.Check("o_custkey_not_null", "not_null", col="o_custkey"),
+            quality.Check("o_orderkey_unique", "unique", cols=("o_orderkey",)),
+            quality.Check(
+                "o_totalprice_nonneg", "in_range", col="o_totalprice", lo=0.0
+            ),
+            quality.Check(
+                "o_custkey_fk",
+                "fk",
+                col="o_custkey",
+                ref=customer,
+                ref_col="c_custkey",
+            ),
+        ],
+    )
