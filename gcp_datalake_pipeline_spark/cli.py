@@ -169,6 +169,16 @@ def cmd_restore(args) -> None:
     print(json.dumps({"restored_to": args.version, "tables": cat.tables()}))
 
 
+def cmd_audit(args) -> None:
+    from gcp_datalake_pipeline_spark.operators.quality import profile_table
+
+    cat = _catalog(args, must_exist=True)
+    df = cat.read(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    rows = [r.asDict() for r in profile_table(df, cols).collect()]
+    print(json.dumps({"table": args.table, "profile": rows}, indent=2))
+
+
 def cmd_compact(args) -> None:
     cat = _txn_catalog(args)
     done = cat.compact(
@@ -301,6 +311,19 @@ def main(argv: list[str] | None = None) -> None:
         "rewrite by (parquet min/max data skipping)",
     )
     pco.set_defaults(fn=cmd_compact)
+
+    pau = sub.add_parser(
+        "audit",
+        help="single-pass data-quality profile of a catalog table "
+        "(nulls, exact distincts, min/max per column)",
+    )
+    pau.add_argument("--catalog", required=True)
+    pau.add_argument("table")
+    pau.add_argument(
+        "--columns", default=None,
+        help="comma-separated subset (default: all columns)",
+    )
+    pau.set_defaults(fn=cmd_audit)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -72,6 +72,8 @@ class Check:
     - unique: the column list ``cols`` must be key-unique
     - in_range: ``col`` within [lo, hi] (None = unbounded side)
     - fk: every non-null ``col`` exists in ``ref`` table's ``ref_col``
+    - in_set: every non-null ``col`` is one of ``values``
+    - matches: every non-null ``col`` fully matches regex ``pattern``
     """
 
     name: str
@@ -82,6 +84,8 @@ class Check:
     hi: float | None = None
     ref: DataFrame | None = None
     ref_col: str | None = None
+    values: tuple = ()
+    pattern: str | None = None
 
 
 def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
@@ -103,6 +107,22 @@ def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
             if ch.hi is not None:
                 cond = cond | (F.col(ch.col) > F.lit(ch.hi))
             rowlocal.append((ch.name, F.col(ch.col).isNotNull() & cond))
+        elif ch.kind == "in_set":
+            rowlocal.append(
+                (
+                    ch.name,
+                    F.col(ch.col).isNotNull()
+                    & ~F.col(ch.col).isin(*ch.values),
+                )
+            )
+        elif ch.kind == "matches":
+            rowlocal.append(
+                (
+                    ch.name,
+                    F.col(ch.col).isNotNull()
+                    & ~F.col(ch.col).rlike(f"^(?:{ch.pattern})$"),
+                )
+            )
         elif ch.kind == "unique":
             dup_rows = (
                 df.groupBy(*ch.cols)

@@ -67,3 +67,26 @@ def test_validate_constraints_all_green_and_unknown_kind(spark):
     assert all(r["n_violations"] == 0 for r in out)
     with pytest.raises(ValueError, match="unknown check kind"):
         validate_constraints(df, [Check("zz", "regex", col="x")])
+
+
+def test_in_set_and_matches_checks(spark):
+    df = spark.createDataFrame(
+        [("A", "12.345-6"), ("B", "nope"), ("Z", None), (None, "1-2")],
+        "status string, rut string",
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in validate_constraints(
+            df,
+            [
+                Check("status_set", "in_set", col="status", values=("A", "B")),
+                Check(
+                    "rut_format", "matches", col="rut",
+                    pattern=r"[0-9.]+-[0-9kK]",
+                ),
+            ],
+        ).collect()
+    }
+    # 'Z' violates the set (NULL ignored); 'nope' violates the regex
+    # (NULL ignored; partial matches don't pass the anchored pattern)
+    assert out == {"status_set": 1, "rut_format": 1}
