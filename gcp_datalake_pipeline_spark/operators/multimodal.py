@@ -1,19 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-Image METADATA decode is real for PNG and JPEG — width/height/channels
-parse from the IHDR chunk / SOF frame marker with stdlib ``struct``, no
-image library needed (see _parse_png_header/_parse_jpeg_header). FULL
-decode (pixel access: resize, feature extraction) is import-gated on PIL
-(absent in this environment); formats without a parser use the
-deterministic synthetic header so the Spark-side plumbing — schema,
-partitioning, mapInPandas batch shape, metadata propagation — stays real
-and tested end-to-end. Audio/video decode remains stubbed behind the
-same pattern (soundfile/ffmpeg hooks).
+METADATA decode is real, stdlib-``struct``-only, for the common
+containers: PNG IHDR / JPEG SOF / GIF screen descriptor / BMP info
+header (images), WAV RIFF chunks (audio), MP4/MOV mvhd (video duration).
+FULL decode (pixel/sample/frame access: resize, features, frame
+extraction) is import-gated on PIL / soundfile / ffmpeg (absent in this
+environment); formats without a parser use the deterministic synthetic
+header so the Spark-side plumbing — schema, partitioning, mapInPandas
+batch shape, metadata propagation — stays real and tested end-to-end.
 
-Synthetic binary layout (produced by make_fake_image/make_fake_audio):
+Synthetic binary layout (make_fake_image/make_fake_audio/make_fake_video):
   image: b"IMG|<width>|<height>|<channels>|" + payload bytes
   audio: b"AUD|<sample_rate>|<n_samples>|" + payload bytes
+  video: b"VID|<n_frames>|<fps>|" + payload bytes
 """
 
 from __future__ import annotations
@@ -76,23 +76,55 @@ def make_fake_audio(sample_rate: int, n_samples: int) -> bytes:
     return f"AUD|{sample_rate}|{n_samples}|".encode() + payload
 
 
+def _parse_wav_header(content: bytes):
+    """Real WAV metadata from the RIFF chunk stream — stdlib struct only.
+    RIFF(4) + size(4) + WAVE(4), then chunks of [id(4) + size(4)]: the
+    ``fmt `` chunk carries channels/sample_rate/block_align, the ``data``
+    chunk's size / block_align is the sample-frame count."""
+    import struct
+
+    if content is None or len(content) < 36:
+        return None
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(content)
+    sample_rate = block_align = data_size = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        csize = struct.unpack("<I", content[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            _fmt, _ch, sample_rate = struct.unpack(
+                "<HHI", content[i + 8 : i + 16]
+            )
+            block_align = struct.unpack("<H", content[i + 20 : i + 22])[0]
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not sample_rate or not block_align or data_size is None:
+        return None
+    return sample_rate, data_size // block_align
+
+
 def audio_metadata(media: DataFrame) -> DataFrame:
-    """STUB audio decode: parse the synthetic AUD header into typed
-    metadata (sample rate, sample count, duration). Same Arrow-batched
-    plumbing as image_metadata; a real build swaps in soundfile/ffprobe."""
+    """Audio metadata: the synthetic AUD header (full-decode stand-in),
+    else REAL WAV/RIFF parsing via stdlib struct (sample rate + frame
+    count from the fmt/data chunks — no audio library). Same
+    Arrow-batched plumbing as image_metadata; sample ACCESS (resampling,
+    features) remains behind the soundfile/ffmpeg hooks."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for b in pdf["content"]:
-                if b is None or not b.startswith(b"AUD|"):
-                    out.append(None)
-                    continue
-                try:
-                    _, sr, n, _rest = b.split(b"|", 3)
-                    out.append((int(sr), int(n)))
-                except (ValueError, IndexError):
-                    out.append(None)
+                if b is not None and b.startswith(b"AUD|"):
+                    try:
+                        _, sr, n, _rest = b.split(b"|", 3)
+                        out.append((int(sr), int(n)))
+                        continue
+                    except (ValueError, IndexError):
+                        out.append(None)
+                        continue
+                out.append(_parse_wav_header(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -377,3 +409,101 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_index"),
         )
     )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def make_fake_video(n_frames: int, fps: int = 24) -> bytes:
+    payload = bytes((n_frames + i) % 251 for i in range(24))
+    return f"VID|{n_frames}|{fps}|".encode() + payload
+
+
+def _parse_mp4_mvhd(content: bytes):
+    """Real MP4/MOV duration from the movie header box — stdlib struct
+    only. ISO BMFF is a stream of [size(4) + type(4)] boxes; ``moov``
+    contains ``mvhd`` whose version selects 32- vs 64-bit fields:
+    v0: creation(4) mod(4) timescale(4) duration(4); v1: 8/8/4/8.
+    Returns duration seconds (frame count needs a track parse — None)."""
+    import struct
+
+    if content is None or len(content) < 16:
+        return None
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        i = lo
+        while i + 8 <= hi:
+            size, btype = struct.unpack(">I4s", content[i : i + 8])
+            if size < 8:
+                return None
+            if btype == b"moov" and depth == 0:
+                return walk(i + 8, min(i + size, hi), 1)
+            if btype == b"mvhd" and depth == 1:
+                v = content[i + 8]
+                if v == 1 and i + 8 + 4 + 28 <= hi:
+                    timescale, duration = struct.unpack(
+                        ">IQ", content[i + 28 : i + 40]
+                    )
+                elif v == 0 and i + 8 + 4 + 16 <= hi:
+                    timescale, duration = struct.unpack(
+                        ">II", content[i + 20 : i + 28]
+                    )
+                else:
+                    return None
+                return (duration / timescale) if timescale else None
+            i += size
+        return None
+
+    # sanity: a real BMFF stream starts with a well-known box type
+    first = content[4:8]
+    if first not in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip"):
+        return None
+    return walk(0, len(content))
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Video metadata: the synthetic VID header (full-decode stand-in:
+    frame count + fps), else REAL MP4/MOV duration from the mvhd box via
+    stdlib struct. Frame ACCESS (decode, sampling execution) stays behind
+    the ffmpeg hook; :func:`frame_sample_plan` plans the fan-out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dur, nfr, ok = [], [], []
+            for b in pdf["content"]:
+                if b is not None and bytes(b).startswith(b"VID|"):
+                    try:
+                        _, n, fps, _rest = bytes(b).split(b"|", 3)
+                        n, fps = int(n), int(fps)
+                        dur.append(n / fps if fps else None)
+                        nfr.append(n)
+                        ok.append(True)
+                        continue
+                    except (ValueError, IndexError):
+                        pass
+                d = _parse_mp4_mvhd(bytes(b) if b is not None else None)
+                dur.append(d)
+                nfr.append(None)
+                ok.append(d is not None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_s": pd.array(dur, dtype="float64"),
+                    "n_frames": pd.array(nfr, dtype="Int64"),
+                    "n_bytes": [
+                        len(b) if b is not None else None
+                        for b in pdf["content"]
+                    ],
+                    "decode_ok": ok,
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_META_SCHEMA)

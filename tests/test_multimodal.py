@@ -198,3 +198,66 @@ def test_real_gif_bmp_header_decode(spark):
     assert (meta[4]["width"], meta[4]["height"], meta[4]["channels"]) == (32, 8, 1)
     assert meta[5]["decode_ok"] is False
     assert meta[6]["decode_ok"] is False
+
+
+def _real_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+    import struct
+
+    block_align = channels * bits // 8
+    data = bytes(n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _real_mp4(timescale: int, duration: int, version: int = 0) -> bytes:
+    import struct
+
+    if version:
+        mvhd_body = b"\x01\x00\x00\x00" + struct.pack(
+            ">QQIQ", 0, 0, timescale, duration
+        ) + bytes(80)
+    else:
+        mvhd_body = b"\x00\x00\x00\x00" + struct.pack(
+            ">IIII", 0, 0, timescale, duration
+        ) + bytes(80)
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_real_wav_header_decode(spark):
+    rows = [
+        (1, "audio/wav", _real_wav(44100, 44100 * 2)),          # 2.0 s stereo-less
+        (2, "audio/wav", _real_wav(16000, 8000, channels=2)),   # 0.5 s stereo
+        (3, "audio/wav", b"RIFF" + bytes(8)),                   # truncated
+        (4, "audio/x-fake", mm.make_fake_audio(22050, 11025)),  # stub path intact
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in mm.audio_metadata(media).collect()}
+    assert (meta[1]["sample_rate"], meta[1]["n_samples"]) == (44100, 88200)
+    assert meta[1]["duration_s"] == 2.0
+    assert (meta[2]["sample_rate"], meta[2]["n_samples"]) == (16000, 8000)
+    assert meta[2]["duration_s"] == 0.5
+    assert meta[3]["decode_ok"] is False
+    assert meta[4]["duration_s"] == 0.5 and meta[4]["decode_ok"]
+
+
+def test_real_mp4_mvhd_decode(spark):
+    rows = [
+        (1, "video/mp4", _real_mp4(600, 9000)),               # 15 s, v0
+        (2, "video/mp4", _real_mp4(90000, 90000 * 7, version=1)),  # 7 s, v1
+        (3, "video/mp4", b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"),  # no moov
+        (4, "video/x-fake", mm.make_fake_video(240, fps=24)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in mm.video_metadata(media).collect()}
+    assert meta[1]["duration_s"] == 15.0 and meta[1]["decode_ok"]
+    assert meta[2]["duration_s"] == 7.0
+    assert meta[3]["decode_ok"] is False
+    assert meta[4]["n_frames"] == 240 and meta[4]["duration_s"] == 10.0
