@@ -36,7 +36,12 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
     One job, one aggregation: all statistics for all columns are
     computed in a single pass and assembled driver-side from ONE
-    collected row (bounded: 4 scalars per profiled column)."""
+    collected row (bounded: 4 scalars per profiled column).
+
+    Scale note: N exact count_distinct aggregates plan as an Expand of
+    N+1 rows per input row (Spark's multi-distinct strategy). Cheap for
+    a handful of audited columns; for very wide tables profile in column
+    batches via ``cols`` or swap to approx_count_distinct."""
     cols = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
