@@ -169,6 +169,12 @@ def cmd_restore(args) -> None:
     print(json.dumps({"restored_to": args.version, "tables": cat.tables()}))
 
 
+def cmd_clone(args) -> None:
+    cat = _txn_catalog(args)
+    dst = cat.clone_to(args.dst)
+    print(json.dumps({"cloned_to": args.dst, "tables": dst.tables()}))
+
+
 def cmd_audit(args) -> None:
     from gcp_datalake_pipeline_spark.operators.quality import profile_table
 
@@ -324,6 +330,15 @@ def main(argv: list[str] | None = None) -> None:
         help="comma-separated subset (default: all columns)",
     )
     pau.set_defaults(fn=cmd_audit)
+
+    pcl = sub.add_parser(
+        "clone",
+        help="zero-copy writable branch of the current snapshot "
+        "(hardlinked data, fresh manifest)",
+    )
+    pcl.add_argument("--catalog", required=True)
+    pcl.add_argument("dst")
+    pcl.set_defaults(fn=cmd_clone)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -677,6 +677,56 @@ class TransactionalCatalog(Catalog):
             self._intents[table]["base"] = snapshot
         return True
 
+    def clone_to(self, dst_root: str) -> "TransactionalCatalog":
+        """Zero-copy writable branch of the CURRENT snapshot (Delta
+        shallow-clone analog): every referenced data dir is hardlinked
+        into ``dst_root`` (copy fallback across filesystems) and a fresh
+        manifest (version 1, same table map and schemas) is committed
+        there. Instant even for huge tables — no data bytes move — and
+        fully isolated: parquet files are immutable by construction in
+        this engine (writers only ever create new dirs), so linked
+        blocks are never mutated by either side; each catalog's writes
+        land in its own root and its own manifest. The clone starts its
+        own version history; the source's history and retention are
+        untouched. Use cases: CI against a production snapshot, dev
+        branches, blue/green reprocessing.
+
+        Taken under the source's commit lock, so the cloned table map is
+        one consistent committed snapshot."""
+        if self._pending is not None:
+            raise RuntimeError("cannot clone inside an open transaction")
+        dst = TransactionalCatalog(spark=self.spark, root=dst_root)
+        if os.path.exists(dst._manifest_path()):
+            raise FileExistsError(
+                f"{dst_root!r} already holds a transactional catalog"
+            )
+        os.makedirs(self.root, exist_ok=True)
+        lock_path = os.path.join(self.root, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            manifest = self._read_manifest()
+        for rels in manifest["tables"].values():
+            for rel in rels:
+                src_dir = os.path.join(self.root, rel)
+                dst_dir = os.path.join(dst_root, rel)
+                if not os.path.exists(dst_dir):
+                    _link_tree(src_dir, dst_dir)
+        # bucket metadata sidecars (plain files next to nothing in the
+        # manifest) ride along so bucketed merges keep their contract
+        if os.path.isdir(self.root):
+            for e in os.listdir(self.root):
+                if e.endswith(".buckets.json"):
+                    shutil.copy2(
+                        os.path.join(self.root, e), os.path.join(dst_root, e)
+                    )
+        dst._publish(
+            manifest["tables"],
+            f"clone-of-v{manifest['version']}",
+            replace=True,
+            schemas=manifest.get("schemas", {}),
+        )
+        return dst
+
     def vacuum(
         self, retain_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:

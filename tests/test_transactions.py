@@ -527,3 +527,48 @@ def test_compact_then_vacuum_reclaims_fragments(spark, tcat):
     assert tcat.read("t").count() == 3
     with pytest.raises(FileNotFoundError):
         tcat.read_at("t", 1)
+
+
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    src = TransactionalCatalog(spark=spark, root=str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]), "t")
+    src.overwrite(_df(spark, [(9, "z")]), "dim")
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert sorted(clone.tables()) == ["dim", "t"]
+    assert clone.read("t").count() == 2
+    # zero-copy: shared inodes, no bytes duplicated
+    [sd] = src._data_dirs("dim")
+    [cd] = clone._data_dirs("dim")
+    src_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(sd) for f in fs if f.endswith(".parquet")
+    }
+    clone_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(cd) for f in fs if f.endswith(".parquet")
+    }
+    assert src_inodes == clone_inodes
+
+    # divergence: each side's writes are invisible to the other
+    clone.append(_df(spark, [(3, "c")]), "t")
+    src.append(_df(spark, [(4, "d")]), "t")
+    assert {r.k for r in clone.read("t").collect()} == {1, 2, 3}
+    assert {r.k for r in src.read("t").collect()} == {1, 2, 4}
+
+    # source vacuum past its horizon never breaks the clone (hardlinked
+    # inodes survive the source unlinking its names)
+    src.overwrite(_df(spark, [(0, "n")]), "t")
+    src.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert {r.k for r in clone.read("t").collect()} == {1, 2, 3}
+
+    # schema history rides along
+    clone.append(
+        spark.createDataFrame([(5, "e", 1.0)], "k long, v string, x double"),
+        "t",
+    )
+    assert set(clone.read("t").columns) == {"k", "v", "x"}
+
+    # refuses to clone onto an existing catalog
+    with pytest.raises(FileExistsError):
+        src.clone_to(str(tmp_path / "clone"))
