@@ -157,3 +157,11 @@ def test_embedding_lsh_verification_broadcasts_candidates(spark):
     plan = _plan(spark, "embedding_near_dup_lsh")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_orderkey_exchange(spark):
+    """The window formulation must keep all three per-order statistics on
+    ONE l_orderkey exchange (plus the (orderkey,suppkey) pre-agg and the
+    tiny s_name final agg) — never the agg+self-join's extra reshuffle."""
+    plan = _plan(spark, "q21_sole_latest_shipper")
+    assert plan.count("Exchange hashpartitioning") <= 3
