@@ -309,23 +309,7 @@ def minhash_lsh_pairs(
     bucket collisions require 4 simultaneous minhash matches, so random
     pairs almost never collide and candidate count stays near-linear.
     """
-    rows_per_band = num_perm // bands
-    shingles = doc_shingles(df)
-    sigs = minhash_signatures(df, num_perm, hash_mode)
-    band_slice = F.concat_ws(
-        ",",
-        F.slice(
-            F.col("sig"), F.col("band_id") * rows_per_band + 1, rows_per_band
-        ).cast("array<string>"),
-    )
-    band_hash = (
-        F.md5(band_slice) if hash_mode == "md5" else F.xxhash64(band_slice)
-    )
-    band = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-        "sig",
-    ).select("doc_id", "band_id", band_hash.alias("band_hash"))
+    band = minhash_bands(df, num_perm, bands, hash_mode)
     a, b = band.alias("a"), band.alias("b")
     candidates = (
         a.join(
@@ -339,7 +323,80 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _pair_jaccard(shingles, candidates, threshold)
+    return _pair_jaccard(doc_shingles(df), candidates, threshold)
+
+
+def minhash_bands(
+    df: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The LSH band INDEX of a corpus: (doc_id, band_id, band_hash), one
+    row per document per band. This is the table a production pipeline
+    PERSISTS (e.g. ``catalog.append`` per ingest batch): new batches
+    probe it instead of re-banding the whole corpus — see
+    :func:`incremental_near_dups`."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, hash_mode)
+    band_slice = F.concat_ws(
+        ",",
+        F.slice(
+            F.col("sig"), F.col("band_id") * rows_per_band + 1, rows_per_band
+        ).cast("array<string>"),
+    )
+    band_hash = (
+        F.md5(band_slice) if hash_mode == "md5" else F.xxhash64(band_slice)
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        "sig",
+    ).select("doc_id", "band_id", band_hash.alias("band_hash"))
+
+
+def incremental_near_dups(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+    existing_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an already-deduped corpus —
+    the production dedup shape at 100 TB: the existing corpus is never
+    re-paired against itself; only the new batch's bands probe the stored
+    band index (pass ``existing_bands`` to skip re-banding the corpus —
+    that is the whole point of persisting :func:`minhash_bands`; it is
+    recomputed from ``existing`` only when not supplied).
+
+    Candidates = (new x existing) ∪ (new x new) band collisions; exact
+    shingle-Jaccard verification then touches candidate members only
+    (the semi-join contract of :func:`_pair_jaccard`). Output:
+    (doc_a, doc_b, jaccard), doc_a < doc_b — identical values to running
+    :func:`minhash_lsh_pairs` on the full corpus and keeping pairs with
+    at least one new member.
+    """
+    if existing_bands is None:
+        existing_bands = minhash_bands(existing, num_perm, bands, hash_mode)
+    new_bands = minhash_bands(new, num_perm, bands, hash_mode)
+    probe = existing_bands.unionByName(new_bands).alias("a")
+    cand = (
+        probe.join(
+            new_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    shingles = doc_shingles(existing.unionByName(new))
+    return _pair_jaccard(shingles, cand, threshold)
 
 
 CHUNK_TOKENS = 10

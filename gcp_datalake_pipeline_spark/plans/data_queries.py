@@ -642,3 +642,28 @@ def per_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.per_source_cap(
         load_table(spark, sf_dir, "documents"), cap=50, salt_buckets=4
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    SELECT * FROM ({dedup.minhash_lsh_oracle_sql(threshold=0.8)})
+    WHERE doc_b >= (SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT)
+                    FROM documents)
+    """,
+    doc="""Incremental near-dup detection — the production dedup shape:
+    the corpus is split at the median doc_id into an already-deduped
+    'existing' half and a 'new' batch; only the new bands probe the band
+    index (existing x existing pairs are never generated) and exact
+    verification touches candidate members only. Values = the full-corpus
+    LSH pairs restricted to pairs with a new member.""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = (docs.agg((F.floor((F.max("doc_id") + 1) / 2)).cast("long")).first()[0])
+    return dedup.incremental_near_dups(
+        docs.filter(F.col("doc_id") < k),
+        docs.filter(F.col("doc_id") >= k),
+        threshold=0.8,
+        hash_mode="md5",
+    )

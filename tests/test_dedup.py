@@ -618,3 +618,43 @@ def test_kmeans_centroids_arrow_hof_identical(spark):
     a = key(similarity.kmeans_centroids(emb, nlist=8, n_iter=2, backend="arrow"))
     h = key(similarity.kmeans_centroids(emb, nlist=8, n_iter=2, backend="hof"))
     assert a == h
+
+
+def test_incremental_near_dups_equals_full_run_new_pairs(spark):
+    """Incremental (new batch probes the band index) must equal the
+    full-corpus LSH pairs restricted to pairs with >=1 new member — and
+    never emit an existing x existing pair. The persisted-bands path
+    (existing_bands=) must equal the recompute path."""
+    from gcp_datalake_pipeline_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = (docs.agg(F.floor((F.max("doc_id") + 1) / 2)).first()[0])
+    existing = docs.filter(F.col("doc_id") < k)
+    new = docs.filter(F.col("doc_id") >= k)
+
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    expected = {(a, b, j) for (a, b, j) in full if b >= k}
+    assert expected, "fixture must produce at least one incremental pair"
+
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_near_dups(existing, new).collect()
+    }
+    assert inc == expected
+    assert all(b >= k for (_, b, _) in inc)  # no existing x existing
+
+    stored = minhash_bands(existing)
+    inc2 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_near_dups(
+            existing, new, existing_bands=stored
+        ).collect()
+    }
+    assert inc2 == expected
