@@ -1121,3 +1121,99 @@ def lsh_topk_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def embedding_buckets(
+    df: DataFrame,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The hyperplane-LSH bucket INDEX of an embedding corpus:
+    (vid, bucket). This is the table a production pipeline PERSISTS —
+    new batches probe it instead of re-bucketing the corpus (see
+    :func:`incremental_embedding_near_dups`)."""
+    planes = lsh_planes(n_planes, dim, seed)
+    e = ensure_scan_parallelism(df).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    )
+    return e.select("vid", bucket_bits(F.col("v"), planes, n_planes).alias("bucket"))
+
+
+def incremental_embedding_near_dups(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "arrow",
+    existing_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs for a NEW batch against an already-deduped
+    corpus: only the new batch's XOR-probed buckets join the (persisted +
+    new) bucket index — existing x existing pairs are never generated —
+    and exact-cosine verification broadcasts the bounded candidate list
+    into the vector joins, exactly like :func:`embedding_near_dup_lsh`.
+    Values = the full-corpus LSH pairs restricted to pairs with at least
+    one new member. Pass ``existing_buckets`` (from
+    :func:`embedding_buckets`, persisted) to skip re-bucketing the corpus.
+    """
+    if backend not in ("hof", "arrow"):
+        raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
+    masks = probe_masks(n_planes, probe_radius)
+    if existing_buckets is None:
+        existing_buckets = embedding_buckets(
+            existing, n_planes, dim, seed, id_col, vec_col
+        )
+    new_buckets = embedding_buckets(new, n_planes, dim, seed, id_col, vec_col)
+    all_buckets = existing_buckets.unionByName(new_buckets)
+    probes = new_buckets.select(
+        F.col("vid").alias("vec_a"),
+        F.explode(
+            F.transform(
+                F.array(*[F.lit(m) for m in masks]),
+                lambda m: F.col("bucket").bitwiseXOR(m),
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.join(
+            all_buckets.select(F.col("vid").alias("vec_b"), "bucket"), "bucket"
+        )
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least(F.col("vec_a"), F.col("vec_b")).alias("vec_a"),
+            F.greatest(F.col("vec_a"), F.col("vec_b")).alias("vec_b"),
+        )
+        .distinct()
+    )
+    cand = cand.localCheckpoint(eager=True)
+    base = (
+        ensure_scan_parallelism(existing.unionByName(new))
+        .select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    if backend == "arrow":
+        sim = _cosine_pandas_udf()(F.col("va"), F.col("vb"))
+    else:
+        sim = F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

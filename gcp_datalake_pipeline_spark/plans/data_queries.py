@@ -667,3 +667,26 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         hash_mode="md5",
     )
+
+
+@register(
+    "embedding_near_dup_incremental",
+    f"""
+    SELECT * FROM ({similarity.embedding_near_dup_lsh_oracle_sql(threshold=0.3)})
+    WHERE vec_b >= (SELECT CAST(FLOOR((MAX(vec_id) + 1) / 2.0) AS BIGINT)
+                    FROM embeddings)
+    """,
+    doc="""Incremental embedding near-dup: the corpus splits at the median
+    vec_id into an existing half and a new batch; only the new batch's
+    XOR-probed buckets join the bucket index (existing x existing never
+    re-paired), verification broadcasts the bounded candidate list.
+    Values = full-corpus LSH pairs restricted to pairs with a new member.""",
+)
+def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = emb.agg((F.floor((F.max("vec_id") + 1) / 2)).cast("long")).first()[0]
+    return similarity.incremental_embedding_near_dups(
+        emb.filter(F.col("vec_id") < k),
+        emb.filter(F.col("vec_id") >= k),
+        threshold=0.3,
+    )

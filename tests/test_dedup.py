@@ -658,3 +658,41 @@ def test_incremental_near_dups_equals_full_run_new_pairs(spark):
         ).collect()
     }
     assert inc2 == expected
+
+
+def test_incremental_embedding_near_dups_equals_restricted_full(spark):
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        embedding_buckets,
+        embedding_near_dup_lsh,
+        incremental_embedding_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = emb.agg(F.floor((F.max("vec_id") + 1) / 2)).first()[0]
+    existing = emb.filter(F.col("vec_id") < k)
+    new = emb.filter(F.col("vec_id") >= k)
+
+    full = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in embedding_near_dup_lsh(emb, threshold=0.3).collect()
+    }
+    expected = {(a, b, s) for (a, b, s) in full if b >= k}
+    assert expected, "fixture must produce at least one incremental pair"
+
+    inc = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in incremental_embedding_near_dups(
+            existing, new, threshold=0.3
+        ).collect()
+    }
+    assert inc == expected
+    assert all(b >= k for (_, b, _) in inc)
+
+    stored = embedding_buckets(existing)
+    inc2 = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in incremental_embedding_near_dups(
+            existing, new, threshold=0.3, existing_buckets=stored
+        ).collect()
+    }
+    assert inc2 == expected
