@@ -99,3 +99,65 @@ def curation_oracle_sql(jaccard_threshold: float = 0.8, min_tokens: int = 50) ->
                 ELSE 'kept' END AS disposition
     FROM base b LEFT JOIN near_losers n ON b.doc_id = n.doc_id
     """
+
+
+def dedup_ingest_batch(
+    catalog,
+    batch: DataFrame,
+    docs_table: str = "corpus_docs",
+    bands_table: str = "corpus_minhash_bands",
+    pairs_table: str = "corpus_near_dup_pairs",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """One round of the production corpus-dedup loop: flag the incoming
+    batch's near-dups against everything ingested so far, then append the
+    batch's documents, its LSH band-index rows, and the flagged pairs to
+    the catalog — all in ONE transaction when the catalog is
+    transactional (a crash leaves either the whole round or none of it).
+
+    The existing corpus is NEVER re-banded or re-paired: the stored band
+    index (:func:`~gcp_datalake_pipeline_spark.operators.dedup.minhash_bands`,
+    append-only) is probed by the new batch's bands, and exact
+    verification reads only candidate members' texts (semi-join). Per
+    round the work is O(batch + candidates), independent of corpus size
+    — the loop a 100 TB corpus actually runs on every ingest.
+
+    Returns the batch's near-dup pairs (doc_a, doc_b, jaccard), also
+    appended to ``pairs_table``.
+    """
+    from gcp_datalake_pipeline_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_bands,
+    )
+
+    has_existing = catalog.exists(docs_table)
+    existing = (
+        catalog.read(docs_table)
+        if has_existing
+        else batch.sparkSession.createDataFrame([], batch.schema)
+    )
+    existing_bands = catalog.read(bands_table) if has_existing else None
+    pairs = incremental_near_dups(
+        existing,
+        batch,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        hash_mode=hash_mode,
+        existing_bands=existing_bands,
+    ).localCheckpoint(eager=True)  # compute BEFORE the appends change state
+    new_bands = minhash_bands(batch, num_perm, bands, hash_mode)
+    txn = getattr(catalog, "transaction", None)
+    if txn is not None:
+        with txn(f"dedup-ingest-{docs_table}"):
+            catalog.append(batch, docs_table)
+            catalog.append(new_bands, bands_table)
+            catalog.append(pairs, pairs_table)
+    else:
+        catalog.append(batch, docs_table)
+        catalog.append(new_bands, bands_table)
+        catalog.append(pairs, pairs_table)
+    return pairs

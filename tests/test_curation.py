@@ -91,3 +91,47 @@ def test_stratified_sample_respects_fractions_and_drops_unknown(spark):
 def test_pack_sequences_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(docs, max_tokens=8).count() == 0
+
+
+def test_dedup_ingest_batch_loop_matches_full_corpus(spark, tmp_path):
+    """Three ingest rounds through the catalog: every near-dup pair is
+    flagged exactly once (in the round its later member arrives), the
+    union over rounds equals the full-corpus LSH pairs, and on a
+    transactional catalog each round commits docs+bands+pairs atomically."""
+    import pyspark.sql.functions as F
+
+    from gcp_datalake_pipeline_spark.operators.corpus import dedup_ingest_batch
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, n // 3, 2 * n // 3, n]
+    batches = [
+        docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        for i in range(3)
+    ]
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert full
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    flagged = set()
+    for b in batches:
+        rows = dedup_ingest_batch(cat, b).collect()
+        new = {(r.doc_a, r.doc_b, r.jaccard) for r in rows}
+        assert not (new & flagged), "no pair may be flagged twice"
+        flagged |= new
+    assert flagged == full
+    # catalog state: all docs landed, pairs table matches, atomic rounds
+    assert cat.read("corpus_docs").count() == docs.count()
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full
+    assert len(cat.versions()) == 3  # one commit per round
