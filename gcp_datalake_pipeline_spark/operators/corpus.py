@@ -101,6 +101,60 @@ def curation_oracle_sql(jaccard_threshold: float = 0.8, min_tokens: int = 50) ->
     """
 
 
+def _key_bucket(col: str, num_buckets: int):
+    """The ingest loop's bucket expression: ``pmod(xxhash64(id), B)`` —
+    the same key-hash layout :meth:`~gcp_datalake_pipeline_spark.storage.Catalog.merge_upsert_bucketed`
+    uses, so a bucketed corpus table composes with the bucketed MERGE and
+    the compactor (which preserves ``_kb`` when bucket metadata exists)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+
+
+def _bucket_pruned_members(
+    catalog, table: str, id_col: str, num_buckets: int, member_ids: DataFrame
+) -> DataFrame:
+    """Read ONLY the ``_kb`` partitions of a bucketed corpus table that can
+    hold the given member ids — the candidate-proportional verification
+    read. The bucket list is collected on the driver (bounded by
+    ``num_buckets``, never by corpus or candidate size) and becomes a
+    partition-pruning ``isin`` filter: untouched buckets' files are never
+    opened. Returns the member rows with ``_kb`` dropped."""
+    buckets = [
+        r["b"]
+        for r in member_ids.select(
+            _key_bucket(id_col, num_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return (
+        catalog.read(table).filter(F.col("_kb").isin(buckets)).drop("_kb")
+    )
+
+
+def _conflict_anchor_bands(catalog, bands_table: str, base_rels) -> None:
+    """Convert this transaction's append intent on the index table into a
+    REPLACE intent anchored at the dir list committed when this round READ
+    its snapshot. Two concurrent ingest rounds each dedup against a
+    snapshot missing the other's batch — appends alone would let both
+    commit and silently never flag pairs BETWEEN the batches. With the
+    anchor, the second committer raises
+    :class:`~gcp_datalake_pipeline_spark.transactions.ConcurrentWriteError`
+    (every round appends the index table, so any concurrent round moves
+    it) and the caller retries against the fresh index — the same
+    retry-from-read remedy the transactional catalog's replace writes use.
+    No-op on catalogs without intent tracking (plain catalogs have no
+    transactions to conflict)."""
+    intents = getattr(catalog, "_intents", None)
+    if intents is None or bands_table not in intents:
+        return
+    intent = intents[bands_table]
+    if intent["mode"] != "append":
+        return
+    intent["mode"] = "replace"
+    intent["added"] = list(base_rels or []) + list(intent["added"])
+    intent["base"] = base_rels
+
+
 def dedup_ingest_batch(
     catalog,
     batch: DataFrame,
@@ -111,6 +165,7 @@ def dedup_ingest_batch(
     num_perm: int = 32,
     bands: int = 8,
     hash_mode: str = "xxhash64",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """One round of the production corpus-dedup loop: flag the incoming
     batch's near-dups against everything ingested so far, then append the
@@ -121,9 +176,23 @@ def dedup_ingest_batch(
     The existing corpus is NEVER re-banded or re-paired: the stored band
     index (:func:`~gcp_datalake_pipeline_spark.operators.dedup.minhash_bands`,
     append-only) is probed by the new batch's bands, and exact
-    verification reads only candidate members' texts (semi-join). Per
-    round the work is O(batch + candidates), independent of corpus size
-    — the loop a 100 TB corpus actually runs on every ingest.
+    verification reads only candidate members' texts. Per round the work
+    — compute AND I/O — is O(batch + candidates), independent of corpus
+    size: the docs table is stored hash-partitioned on
+    ``_kb = pmod(xxhash64(doc_id), num_buckets)``, and the verification
+    read is partition-pruned to the candidate members' buckets
+    (:func:`_bucket_pruned_members`), so a round against a 100 TB corpus
+    opens only the handful of buckets its candidates live in, never the
+    full table. (A docs table created before bucketing — no ``_kb``
+    column — falls back to the full-scan read, same values.)
+
+    Concurrency: rounds against one corpus must be serialized — each
+    dedups against the snapshot it read, so two concurrent rounds would
+    miss pairs between their batches. On a transactional catalog this is
+    ENFORCED, not assumed: the commit is conflict-anchored on the band
+    index (:func:`_conflict_anchor_bands`), so a concurrent round raises
+    ``ConcurrentWriteError`` and the caller retries against the fresh
+    index instead of silently losing pairs.
 
     Returns the batch's near-dup pairs (doc_a, doc_b, jaccard), also
     appended to ``pairs_table``.
@@ -133,13 +202,35 @@ def dedup_ingest_batch(
         minhash_bands,
     )
 
-    has_existing = catalog.exists(docs_table)
-    existing = (
-        catalog.read(docs_table)
-        if has_existing
-        else batch.sparkSession.createDataFrame([], batch.schema)
+    committed_rels = getattr(catalog, "_committed_rels", None)
+    # Conflict anchor captured BEFORE the snapshot reads: a commit landing
+    # between anchor and read makes this round fail conservatively (retry)
+    # rather than miss the concurrent batch's pairs.
+    base_bands = committed_rels(bands_table) if committed_rels else None
+    has_docs = catalog.exists(docs_table)
+    bucketed = True  # fresh tables adopt the bucketed layout
+    fetch_texts = None
+    if has_docs:
+        stored = catalog.read(docs_table)
+        bucketed = "_kb" in stored.columns
+        existing = stored.drop("_kb")
+        if bucketed:
+
+            def fetch_texts(member_ids, _b=batch):
+                return _bucket_pruned_members(
+                    catalog, docs_table, "doc_id", num_buckets, member_ids
+                ).unionByName(_b)
+
+    else:
+        existing = batch.sparkSession.createDataFrame([], batch.schema)
+    # Bands gated on their own existence: a docs table populated by
+    # another path (no index yet) degrades to recomputing the bands from
+    # the stored docs instead of failing the round.
+    existing_bands = (
+        catalog.read(bands_table)
+        if has_docs and catalog.exists(bands_table)
+        else None
     )
-    existing_bands = catalog.read(bands_table) if has_existing else None
     pairs = incremental_near_dups(
         existing,
         batch,
@@ -148,16 +239,125 @@ def dedup_ingest_batch(
         bands=bands,
         hash_mode=hash_mode,
         existing_bands=existing_bands,
+        fetch_texts=fetch_texts,
     ).localCheckpoint(eager=True)  # compute BEFORE the appends change state
     new_bands = minhash_bands(batch, num_perm, bands, hash_mode)
+    batch_out = (
+        batch.withColumn("_kb", _key_bucket("doc_id", num_buckets))
+        if bucketed
+        else batch
+    )
+    doc_parts = ["_kb"] if bucketed else None
+
+    def _writes():
+        catalog.append(batch_out, docs_table, partition_cols=doc_parts)
+        catalog.append(new_bands, bands_table)
+        catalog.append(pairs, pairs_table)
+        _conflict_anchor_bands(catalog, bands_table, base_bands)
+
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
         with txn(f"dedup-ingest-{docs_table}"):
-            catalog.append(batch, docs_table)
-            catalog.append(new_bands, bands_table)
-            catalog.append(pairs, pairs_table)
+            _writes()
     else:
-        catalog.append(batch, docs_table)
-        catalog.append(new_bands, bands_table)
+        _writes()
+    if bucketed and not has_docs and hasattr(catalog, "_write_bucket_meta"):
+        # sidecar so compact() preserves the _kb layout
+        catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
+    return pairs
+
+
+def embedding_ingest_batch(
+    catalog,
+    batch: DataFrame,
+    vectors_table: str = "corpus_embeddings",
+    buckets_table: str = "corpus_embedding_buckets",
+    pairs_table: str = "corpus_embedding_near_dup_pairs",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "arrow",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """The embedding twin of :func:`dedup_ingest_batch`: flag the incoming
+    batch's embedding near-dups against everything ingested so far, then
+    append the batch's vectors, its hyperplane-LSH bucket-index rows, and
+    the flagged pairs — one atomic commit per round on a transactional
+    catalog, conflict-anchored on the bucket index so concurrent rounds
+    raise instead of silently missing cross-batch pairs.
+
+    Vectors are stored hash-partitioned on ``pmod(xxhash64(vec_id), B)``
+    and exact-cosine verification fetches candidate members through a
+    partition-pruned read — per-round I/O is O(batch + candidates), not
+    corpus size. Returns (vec_a, vec_b, cosine_sim), also appended to
+    ``pairs_table``.
+    """
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        embedding_buckets,
+        incremental_embedding_near_dups,
+    )
+
+    committed_rels = getattr(catalog, "_committed_rels", None)
+    base_buckets = committed_rels(buckets_table) if committed_rels else None
+    has_vecs = catalog.exists(vectors_table)
+    bucketed = True
+    fetch_vectors = None
+    if has_vecs:
+        stored = catalog.read(vectors_table)
+        bucketed = "_kb" in stored.columns
+        existing = stored.drop("_kb")
+        if bucketed:
+
+            def fetch_vectors(member_ids, _b=batch):
+                return _bucket_pruned_members(
+                    catalog, vectors_table, "vid", num_buckets, member_ids
+                ).unionByName(_b)
+
+    else:
+        existing = batch.sparkSession.createDataFrame([], batch.schema)
+    existing_buckets = (
+        catalog.read(buckets_table)
+        if has_vecs and catalog.exists(buckets_table)
+        else None
+    )
+    pairs = incremental_embedding_near_dups(
+        existing,
+        batch,
+        threshold=threshold,
+        n_planes=n_planes,
+        probe_radius=probe_radius,
+        dim=dim,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        backend=backend,
+        existing_buckets=existing_buckets,
+        fetch_vectors=fetch_vectors,
+    ).localCheckpoint(eager=True)
+    new_buckets = embedding_buckets(batch, n_planes, dim, seed, id_col, vec_col)
+    batch_out = (
+        batch.withColumn("_kb", _key_bucket(id_col, num_buckets))
+        if bucketed
+        else batch
+    )
+    vec_parts = ["_kb"] if bucketed else None
+
+    def _writes():
+        catalog.append(batch_out, vectors_table, partition_cols=vec_parts)
+        catalog.append(new_buckets, buckets_table)
         catalog.append(pairs, pairs_table)
+        _conflict_anchor_bands(catalog, buckets_table, base_buckets)
+
+    txn = getattr(catalog, "transaction", None)
+    if txn is not None:
+        with txn(f"embedding-ingest-{vectors_table}"):
+            _writes()
+    else:
+        _writes()
+    if bucketed and not has_vecs and hasattr(catalog, "_write_bucket_meta"):
+        catalog._write_bucket_meta(vectors_table, num_buckets, [id_col])
     return pairs

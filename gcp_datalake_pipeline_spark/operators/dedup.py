@@ -71,7 +71,29 @@ def doc_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
-def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+def _pair_members(pairs: DataFrame) -> DataFrame:
+    """Distinct doc_ids appearing in a candidate pair list."""
+    return (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+
+
+def _member_shingles(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The corpus shingle set SEMI-JOINED down to candidate-pair members —
+    the verifier's only touch of document text. Split out (and separately
+    plan-contract-tested) because :func:`_pair_jaccard` materializes its
+    result, which hides the LeftSemi from the final plan."""
+    return shingles.join(_pair_members(pairs), "doc_id", "semi")
+
+
+def _pair_jaccard(
+    shingles: DataFrame,
+    pairs: DataFrame | None,
+    threshold: float,
+    pairs_materialized: bool = False,
+) -> DataFrame:
     """Shared tail: exact Jaccard over shingle sets, optionally restricted
     to a candidate pair set. Output: (doc_a, doc_b, jaccard >= threshold).
 
@@ -79,8 +101,13 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None, threshold: float
     (bounded — near-linear LSH output) is materialized once so its true
     size is visible to AQE and its generator plan isn't re-evaluated per
     join, and the corpus-scale shingle set is SEMI-JOINED down to pair
-    members before any intersection work. At 100 TB the verifier's joins
-    therefore scale with the candidate set, not the corpus."""
+    members before any intersection work — then MATERIALIZED once, so the
+    three consumers (sizes and both intersection arms) read the bounded
+    member-shingle set instead of each re-running the shingle explode over
+    the corpus (one text scan per verification, not four). At 100 TB the
+    verifier's joins therefore scale with the candidate set, not the
+    corpus. ``pairs_materialized=True`` promises the caller already
+    checkpointed ``pairs`` (skips a redundant second materialization)."""
     if pairs is None:
         sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = shingles.alias("a"), shingles.alias("b")
@@ -96,13 +123,9 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None, threshold: float
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
-        pairs = pairs.localCheckpoint(eager=True)
-        members = (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        sh = shingles.join(members, "doc_id", "semi")
+        if not pairs_materialized:
+            pairs = pairs.localCheckpoint(eager=True)
+        sh = _member_shingles(shingles, pairs).localCheckpoint(eager=True)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -363,6 +386,7 @@ def incremental_near_dups(
     bands: int = 8,
     hash_mode: str = "xxhash64",
     existing_bands: DataFrame | None = None,
+    fetch_texts=None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against an already-deduped corpus —
     the production dedup shape at 100 TB: the existing corpus is never
@@ -377,6 +401,18 @@ def incremental_near_dups(
     (doc_a, doc_b, jaccard), doc_a < doc_b — identical values to running
     :func:`minhash_lsh_pairs` on the full corpus and keeping pairs with
     at least one new member.
+
+    ``fetch_texts`` closes the remaining I/O gap at corpus scale: without
+    it, verification COMPUTE is candidate-proportional but the plan still
+    SCANS the whole ``existing`` table to find member texts. Pass a
+    callable ``(member_ids: DataFrame[doc_id]) -> DataFrame[doc_id, text]``
+    that fetches candidate members' documents directly (e.g. a
+    partition-pruned read of a doc_id-bucketed store — see
+    :func:`~gcp_datalake_pipeline_spark.operators.corpus.dedup_ingest_batch`)
+    and the round's verification I/O becomes candidate-proportional too:
+    only the members' buckets are opened, never the full corpus. The
+    member-id list is materialized (bounded — LSH candidate output)
+    before the fetch, so the fetcher may safely collect bucket ids.
     """
     if existing_bands is None:
         existing_bands = minhash_bands(existing, num_perm, bands, hash_mode)
@@ -394,9 +430,14 @@ def incremental_near_dups(
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    shingles = doc_shingles(existing.unionByName(new))
-    return _pair_jaccard(shingles, cand, threshold)
+    if fetch_texts is not None:
+        docs = fetch_texts(_pair_members(cand))
+    else:
+        docs = existing.unionByName(new)
+    shingles = doc_shingles(docs)
+    return _pair_jaccard(shingles, cand, threshold, pairs_materialized=True)
 
 
 CHUNK_TOKENS = 10

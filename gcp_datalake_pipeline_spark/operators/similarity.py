@@ -1154,6 +1154,7 @@ def incremental_embedding_near_dups(
     vec_col: str = "embedding",
     backend: str = "arrow",
     existing_buckets: DataFrame | None = None,
+    fetch_vectors=None,
 ) -> DataFrame:
     """Embedding near-dup pairs for a NEW batch against an already-deduped
     corpus: only the new batch's XOR-probed buckets join the (persisted +
@@ -1163,6 +1164,17 @@ def incremental_embedding_near_dups(
     Values = the full-corpus LSH pairs restricted to pairs with at least
     one new member. Pass ``existing_buckets`` (from
     :func:`embedding_buckets`, persisted) to skip re-bucketing the corpus.
+
+    ``fetch_vectors`` makes verification I/O candidate-proportional at
+    corpus scale: without it the exact-cosine arm scans the whole
+    ``existing`` table for member vectors. Pass a callable
+    ``(member_ids: DataFrame[vid]) -> DataFrame[id_col, vec_col]`` that
+    fetches candidate members' vectors directly (e.g. a partition-pruned
+    read of a vec_id-bucketed store — see
+    :func:`~gcp_datalake_pipeline_spark.operators.corpus.embedding_ingest_batch`);
+    only the members' buckets are then opened, never the full corpus.
+    The candidate list is materialized before the fetch, so the fetcher
+    may safely collect bucket ids.
     """
     if backend not in ("hof", "arrow"):
         raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
@@ -1194,8 +1206,17 @@ def incremental_embedding_near_dups(
         .distinct()
     )
     cand = cand.localCheckpoint(eager=True)
+    if fetch_vectors is not None:
+        members = (
+            cand.select(F.col("vec_a").alias("vid"))
+            .unionByName(cand.select(F.col("vec_b").alias("vid")))
+            .distinct()
+        )
+        src = fetch_vectors(members)
+    else:
+        src = existing.unionByName(new)
     base = (
-        ensure_scan_parallelism(existing.unionByName(new))
+        ensure_scan_parallelism(src)
         .select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
     )

@@ -245,6 +245,37 @@ class TransactionalCatalog(Catalog):
             sj = self._read_manifest().get("schemas", {}).get(table)
         return T.StructType.fromJson(sj) if sj is not None else None
 
+    def _read_dirs(self, dirs: list[str], stored) -> DataFrame:
+        """Scan a manifest dir list with the committed schema. Hive-
+        partitioned dirs (the bucketed corpus layout: ``_kb=N`` subdirs
+        per staged append) cannot share one multi-path partition
+        discovery in Spark — each root is read separately and unioned;
+        filters on the partition column still push into EVERY child scan
+        (PartitionFilters per FileScan), so bucket pruning survives the
+        union."""
+
+        def one(d: str) -> DataFrame:
+            r = self.spark.read
+            return (r.schema(stored) if stored is not None else r).parquet(d)
+
+        partitioned = any(
+            "=" in e
+            for d in dirs
+            if os.path.isdir(d)
+            for e in os.listdir(d)
+            if os.path.isdir(os.path.join(d, e))
+        )
+        if partitioned and len(dirs) > 1:
+            out = one(dirs[0])
+            for d in dirs[1:]:
+                out = out.unionByName(one(d), allowMissingColumns=True)
+            return out
+        if stored is not None:
+            return self.spark.read.schema(stored).parquet(*dirs)
+        if len(dirs) > 1:
+            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return self.spark.read.parquet(*dirs)
+
     def read(self, table: str, schema=None) -> DataFrame:
         """Read through the manifest. The COMMITTED schema (recorded at
         every write, additively merged across appends) drives the scan:
@@ -258,13 +289,7 @@ class TransactionalCatalog(Catalog):
             if schema is None:
                 raise FileNotFoundError(table)
             return self.spark.createDataFrame([], schema)
-        dirs = self._data_dirs(table)
-        stored = self._stored_schema(table)
-        if stored is not None:
-            return self.spark.read.schema(stored).parquet(*dirs)
-        if len(dirs) > 1:
-            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-        return self.spark.read.parquet(*dirs)
+        return self._read_dirs(self._data_dirs(table), self._stored_schema(table))
 
     # -- staged writes ------------------------------------------------------
 
@@ -563,12 +588,8 @@ class TransactionalCatalog(Catalog):
         if sj is not None:
             from pyspark.sql import types as T
 
-            return self.spark.read.schema(T.StructType.fromJson(sj)).parquet(
-                *paths
-            )
-        if len(paths) > 1:
-            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        return self.spark.read.parquet(*paths)
+            return self._read_dirs(paths, T.StructType.fromJson(sj))
+        return self._read_dirs(paths, None)
 
     def restore(self, version: int) -> None:
         """Roll the catalog back to snapshot ``version`` — published as a
@@ -651,15 +672,9 @@ class TransactionalCatalog(Catalog):
         ):
             partition_cols = ["_kb"]  # preserve bucketed-merge layout
         paths = [os.path.join(self.root, r) for r in snapshot]
-        stored = self._stored_schema(table)
-        if stored is not None:
-            # the committed schema, not a sampled footer — a compaction
-            # must never narrow an evolved table
-            df = self.spark.read.schema(stored).parquet(*paths)
-        elif len(paths) > 1:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        else:
-            df = self.spark.read.parquet(*paths)
+        # the committed schema, not a sampled footer — a compaction
+        # must never narrow an evolved table
+        df = self._read_dirs(paths, self._stored_schema(table))
         if cluster_by:
             df = df.repartitionByRange(
                 n_files, *cluster_by

@@ -145,9 +145,26 @@ def test_per_source_cap_windows_stay_partitioned(spark):
 def test_minhash_verifier_semi_joins_candidates(spark):
     """The exact-Jaccard verification of LSH candidates must semi-join
     the corpus shingle set down to pair members (candidate-proportional
-    verification, never corpus-scale joins against a small pair list)."""
+    verification, never corpus-scale joins against a small pair list).
+    The member-shingle set is then materialized ONCE, so the final plan's
+    three consumers (sizes + both intersection arms) read the checkpoint
+    instead of re-running the shingle explode over the corpus: the final
+    plan must contain NO corpus FileScan and no re-derived semi-join —
+    all text I/O happened exactly once, in the materialization step."""
+    from gcp_datalake_pipeline_spark.operators.dedup import (
+        _member_shingles,
+        doc_shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    pre = _member_shingles(doc_shingles(docs), pairs)
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in pre_plan  # the candidate-proportional semi-join
+
     plan = _plan(spark, "dedup_minhash_lsh")
-    assert "LeftSemi" in plan
+    assert "ExistingRDD" in plan  # verification reads the materialization
+    assert "FileScan" not in plan  # ...and never the corpus again
 
 
 def test_embedding_lsh_verification_broadcasts_candidates(spark):
