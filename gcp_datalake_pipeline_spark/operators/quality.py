@@ -7,11 +7,13 @@ Both produce small reports from corpus-scale inputs with the right
 - :func:`profile_table` is ONE aggregation over the table — every
   per-column statistic (nulls, distincts, min/max) rides the same
   map-side partial aggregate; the exchange carries one partial row per
-  task, never data rows.
-- :func:`validate_constraints` evaluates row-local predicates in the
-  scan stage and aggregates violation counts; `unique` adds one groupBy
-  on the key (the unavoidable shuffle), `fk` an anti-join against the
-  (broadcastable) referenced key set.
+  task, never data rows. ``approx=True`` trades exact distincts for
+  HyperLogLog so wide tables avoid the multi-distinct Expand.
+- :func:`validate_constraints` evaluates the WHOLE suite in one Spark
+  action (union of one-row count branches): row-local predicates fuse
+  into the scan stage, `unique` adds one groupBy on the key (the
+  unavoidable shuffle), `fk` an anti-join against the referenced key
+  set (AQE-sized broadcast by default, forceable per Check).
 
 Reference boundary: the reference pipeline enforces required-field and
 FK rules imperatively per row during ingest
@@ -28,26 +30,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct,
     min_value, max_value) — min/max rendered as strings so one report
-    schema covers every column type. Exact distincts (profiling is a
-    correctness audit; for a quick look use approx_count_distinct).
+    schema covers every column type. Exact distincts by default
+    (profiling is a correctness audit).
 
     One job, one aggregation: all statistics for all columns are
     computed in a single pass and assembled driver-side from ONE
     collected row (bounded: 4 scalars per profiled column).
 
     Scale note: N exact count_distinct aggregates plan as an Expand of
-    N+1 rows per input row (Spark's multi-distinct strategy). Cheap for
-    a handful of audited columns; for very wide tables profile in column
-    batches via ``cols`` or swap to approx_count_distinct."""
+    N+1 rows per input row (Spark's multi-distinct strategy) — cheap for
+    a handful of audited columns, rows x columns at 100 TB x wide.
+    ``approx=True`` swaps in ``approx_count_distinct`` (HyperLogLog++,
+    relative error ``rsd``): every statistic becomes a plain partial
+    aggregate — NO Expand, one map-side pass regardless of column count
+    — the mode to point at a wide 100 TB table."""
     cols = cols or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(F.col(c), rsd))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            distinct(c).alias(f"{c}__distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
@@ -91,17 +106,30 @@ class Check:
     ref_col: str | None = None
     values: tuple = ()
     pattern: str | None = None
+    # fk only: True forces a broadcast hint (known-small dimension);
+    # None (default) lets AQE decide from runtime stats — the safe
+    # default when the referenced table may be too large to collect
+    # onto the driver (a forced broadcast of a big ref is an OOM, not
+    # a plan choice).
+    broadcast: bool | None = None
 
 
 def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate ``checks`` against ``df``: (check, n_violations), one row
-    per check in input order, 0 = passing. Row-local checks (not_null,
-    in_range) fuse into ONE aggregation pass; each unique adds a groupBy
-    on its key; each fk adds an anti-join (broadcast when the referenced
-    key set is small, as dimension keys are)."""
+    per check in input order, 0 = passing.
+
+    ONE Spark action for the whole suite: every check's violation count
+    is a one-row DataFrame branch and the report is their union,
+    collected once — a 50-check suite costs one job, not 50 (branches
+    over the same scan also share it via exchange/subquery reuse).
+    Row-local checks (not_null, in_range, in_set, matches) additionally
+    fuse into a single aggregation pass; each unique adds a groupBy on
+    its key (the unavoidable shuffle); each fk an anti-join against the
+    referenced key set (per-Check ``broadcast``: None = AQE decides
+    from stats, True = force the hint for a known-small dimension)."""
     spark = df.sparkSession
     rowlocal: list[tuple[str, F.Column]] = []
-    results: dict[str, int] = {}
+    branches: dict[str, DataFrame] = {}
     for ch in checks:
         if ch.kind == "not_null":
             rowlocal.append((ch.name, F.col(ch.col).isNull()))
@@ -129,33 +157,60 @@ def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
                 )
             )
         elif ch.kind == "unique":
-            dup_rows = (
+            branches[ch.name] = (
                 df.groupBy(*ch.cols)
                 .agg(F.count(F.lit(1)).alias("__c"))
                 .filter(F.col("__c") > 1)
-                .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("v"))
-                .first()["v"]
+                .agg(
+                    F.coalesce(F.sum("__c"), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
             )
-            results[ch.name] = int(dup_rows)
         elif ch.kind == "fk":
             keys = ch.ref.select(F.col(ch.ref_col).alias(ch.col)).distinct()
-            results[ch.name] = (
+            if ch.broadcast:
+                keys = F.broadcast(keys)
+            branches[ch.name] = (
                 df.filter(F.col(ch.col).isNotNull())
-                .join(F.broadcast(keys), ch.col, "left_anti")
-                .count()
+                .join(keys, ch.col, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
             )
         else:
             raise ValueError(f"unknown check kind {ch.kind!r}")
+    parts: list[DataFrame] = []
     if rowlocal:
-        agg_row = df.agg(
+        # positional aliases: check names are user strings, not columns
+        agg = df.agg(
             *[
-                F.sum(F.when(cond, 1).otherwise(0)).alias(name)
-                for name, cond in rowlocal
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"__v{i}")
+                for i, (_name, cond) in enumerate(rowlocal)
             ]
-        ).first()
-        for name, _ in rowlocal:
-            results[name] = int(agg_row[name] or 0)
-    out = [(ch.name, results[ch.name]) for ch in checks]
+        )
+        parts.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("check"),
+                                F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                                .cast("long")
+                                .alias("n_violations"),
+                            )
+                            for i, (name, _cond) in enumerate(rowlocal)
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.*")
+        )
+    for name, b in branches.items():
+        parts.append(b.select(F.lit(name).alias("check"), "n_violations"))
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    got = {r["check"]: int(r["n_violations"]) for r in report.collect()}
+    out = [(ch.name, got[ch.name]) for ch in checks]
     return spark.createDataFrame(out, "check string, n_violations long")
 
 

@@ -491,9 +491,10 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
     """,
     doc="""Declarative constraint audit over orders: not-null, key
-    uniqueness, value range, FK into customer. Row-local checks fuse
-    into one aggregation pass; unique adds one keyed groupBy; the FK
-    check broadcasts the referenced key set into an anti-join.""",
+    uniqueness, value range, FK into customer. The whole suite runs as
+    ONE Spark action (union of one-row count branches); row-local checks
+    fuse into one aggregation pass; unique adds one keyed groupBy; the
+    FK anti-join's broadcast is AQE-sized (customer is small here).""",
 )
 def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

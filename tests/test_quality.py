@@ -69,6 +69,91 @@ def test_validate_constraints_all_green_and_unknown_kind(spark):
         validate_constraints(df, [Check("zz", "regex", col="x")])
 
 
+def test_profile_table_approx_mode(spark):
+    """approx=True swaps exact distincts for HyperLogLog: same report
+    schema, every non-distinct statistic identical, distincts within the
+    HLL tolerance (exact on tiny inputs), and the plan carries NO Expand
+    node (the wide-table scale mode)."""
+    df = spark.createDataFrame(
+        [(i, f"c{i % 7}", float(i % 13)) for i in range(1000)],
+        "id long, cat string, x double",
+    )
+    exact = {r["column"]: r for r in profile_table(df).collect()}
+    approx = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    for c in ("id", "cat", "x"):
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_value"] == exact[c]["min_value"]
+        assert approx[c]["max_value"] == exact[c]["max_value"]
+        assert (
+            abs(approx[c]["n_distinct"] - exact[c]["n_distinct"])
+            <= 0.1 * exact[c]["n_distinct"] + 1
+        )
+    from pyspark.sql import functions as F
+
+    approx_agg = df.agg(F.approx_count_distinct("id"), F.approx_count_distinct("cat"))
+    assert "Expand" not in approx_agg._jdf.queryExecution().executedPlan().toString()
+    exact_agg = df.agg(F.count_distinct("id"), F.count_distinct("cat"))
+    assert "Expand" in exact_agg._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fk_broadcast_flag_parity(spark):
+    """broadcast=None (AQE-sized) and broadcast=True (forced hint) give
+    identical violation counts — the flag is a plan choice, never a
+    semantic one."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, ref_id long"
+    )
+    ref = spark.createDataFrame([(10,), (11,)], "k long")
+    for flag in (None, True):
+        out = {
+            r["check"]: r["n_violations"]
+            for r in validate_constraints(
+                df,
+                [
+                    Check(
+                        "fk", "fk", col="ref_id", ref=ref, ref_col="k",
+                        broadcast=flag,
+                    )
+                ],
+            ).collect()
+        }
+        assert out == {"fk": 1}, flag
+
+
+def test_constraint_suite_is_one_spark_action(spark):
+    """The whole check suite (row-local + unique + fk) must collect as
+    ONE action: a large suite may not cost one job per check."""
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, -2.0)], "id long, ref_id long, x double"
+    )
+    ref = spark.createDataFrame([(10,), (11,)], "k long")
+    checks = [
+        Check("nn", "not_null", col="ref_id"),
+        Check("uq", "unique", cols=("id",)),
+        Check("rg", "in_range", col="x", lo=0.0),
+        Check("fk", "fk", col="ref_id", ref=ref, ref_col="k"),
+    ]
+    calls = {"n": 0}
+    orig = type(df).collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    type(df).collect = counting_collect
+    try:
+        out = {
+            r["check"]: r["n_violations"]
+            for r in validate_constraints(df, checks).collect()
+        }
+    finally:
+        type(df).collect = orig
+    assert out == {"nn": 0, "uq": 2, "rg": 1, "fk": 0}
+    # one collect inside validate_constraints + the one in this test
+    assert calls["n"] == 2
+
+
 def test_in_set_and_matches_checks(spark):
     df = spark.createDataFrame(
         [("A", "12.345-6"), ("B", "nope"), ("Z", None), (None, "1-2")],
