@@ -4,8 +4,14 @@ with typed metadata, processed by Arrow-batched pandas iterators.
 METADATA decode is real, stdlib-``struct``-only, for the common
 containers: PNG IHDR / JPEG SOF / GIF screen descriptor / BMP info
 header (images), WAV RIFF chunks (audio), MP4/MOV mvhd (video duration).
-FULL decode (pixel/sample/frame access: resize, features, frame
-extraction) is import-gated on PIL / soundfile / ffmpeg (absent in this
+
+FULL decode is real, dependency-free, for the two formats whose payloads
+need no codec: uncompressed BMP (BI_RGB, 8/24/32-bit) pixel rows and WAV
+PCM sample frames decode with ``struct`` + numpy —
+:func:`image_pixel_stats` / :func:`audio_sample_stats` compute true
+mean-pixel / RMS-amplitude from the actual bytes. Compressed formats
+(PNG/JPEG pixel access, MP3/AAC samples, video frames) stay behind the
+import-gated PIL / soundfile / ffmpeg hooks (absent in this
 environment); formats without a parser use the deterministic synthetic
 header so the Spark-side plumbing — schema, partitioning, mapInPandas
 batch shape, metadata propagation — stays real and tested end-to-end.
@@ -246,6 +252,220 @@ def _parse_bmp_header(content: bytes):
         return None
     channels = 1 if bits <= 8 else bits // 8
     return w, h, channels
+
+
+def _decode_bmp_pixels(content: bytes):
+    """REAL pixel decode for uncompressed BMP (BI_RGB, 8/24/32-bit) —
+    stdlib struct + numpy, no image library. Rows are 4-byte aligned and
+    bottom-up unless height is negative (top-down); 24/32-bit samples are
+    stored BGR(A) and reordered to RGB(A). Returns an (h, w, channels)
+    uint8 array, or None for anything that needs a codec (compressed BMP,
+    other bit depths, truncated bytes)."""
+    import struct
+
+    import numpy as np
+
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", content[18:26])
+    bits = struct.unpack("<H", content[28:30])[0]
+    comp = struct.unpack("<I", content[30:34])[0]
+    if comp != 0 or bits not in (8, 24, 32):
+        return None
+    top_down = h < 0
+    w, h = abs(w), abs(h)
+    if w == 0 or h == 0:
+        return None
+    ch = 1 if bits == 8 else bits // 8
+    row_bytes = ((w * bits + 31) // 32) * 4
+    if len(content) < data_off + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    arr = rows[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        arr = arr[::-1]
+    if ch >= 3:  # BGR(A) -> RGB(A)
+        arr = arr[:, :, [2, 1, 0, 3][:ch]]
+    return arr
+
+
+def _decode_wav_samples(content: bytes):
+    """REAL sample decode for WAV PCM (format code 1; 8/16/32-bit) —
+    stdlib struct + numpy. Returns (sample_rate, channels, samples) with
+    samples normalized to [-1, 1] float64 (8-bit is unsigned, centered at
+    128; 16/32-bit signed), or None for non-PCM/compressed audio (the
+    soundfile/ffmpeg hook territory)."""
+    import struct
+
+    import numpy as np
+
+    if content is None or len(content) < 36:
+        return None
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(content)
+    fmt_code = channels = sample_rate = bits = None
+    data_off = data_size = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        csize = struct.unpack("<I", content[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            fmt_code, channels, sample_rate = struct.unpack(
+                "<HHI", content[i + 8 : i + 16]
+            )
+            bits = struct.unpack("<H", content[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_off, data_size = i + 8, csize
+        i += 8 + csize + (csize & 1)
+    if fmt_code != 1 or not sample_rate or not channels:
+        return None
+    if bits not in (8, 16, 32) or data_off is None:
+        return None
+    if data_off + data_size > n:
+        return None
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+    count = data_size // (bits // 8)
+    raw = np.frombuffer(content, dtype=dtype, count=count, offset=data_off)
+    if bits == 8:
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        samples = raw.astype(np.float64) / float(2 ** (bits - 1))
+    return sample_rate, channels, samples
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """TRUE pixel statistics from the binary column: mean pixel intensity
+    in [0, 1] over all samples. Uncompressed BMP decodes dependency-free
+    (:func:`_decode_bmp_pixels`); other real formats decode when PIL is
+    installed in the cluster image; everything else (synthetic headers,
+    compressed formats without a codec) reports ``decode_ok=false`` and
+    NULL stats instead of failing the job.
+
+    Scale: mapInPandas, Arrow-batched; pixels never leave their scan
+    partition — only the bounded stats projection is emitted."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _pil_module()
+        for pdf in it:
+            rows = []
+            for b in pdf["content"]:
+                b = bytes(b) if b is not None else None
+                arr = _decode_bmp_pixels(b)
+                if arr is None and b is not None and pil is not None:
+                    try:
+                        import io
+
+                        import numpy as np
+
+                        img = pil.open(io.BytesIO(b))
+                        arr = np.asarray(img.convert("RGB"))
+                    except Exception:
+                        arr = None
+                if arr is None:
+                    rows.append((None, None, None, None, False))
+                else:
+                    h, w, c = arr.shape
+                    rows.append(
+                        (w, h, c, float(arr.mean()) / 255.0, True)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "mean_pixel": pd.array(
+                        [r[3] for r in rows], dtype="float64"
+                    ),
+                    "decode_ok": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+SAMPLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms_amplitude", T.DoubleType()),
+        T.StructField("peak_amplitude", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """TRUE sample statistics from the binary column: RMS and peak
+    amplitude over normalized [-1, 1] samples. WAV PCM decodes
+    dependency-free (:func:`_decode_wav_samples`); compressed audio
+    reports ``decode_ok=false`` (soundfile/ffmpeg hook territory). Same
+    Arrow-batched, shuffle-free shape as :func:`image_pixel_stats`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for b in pdf["content"]:
+                d = _decode_wav_samples(
+                    bytes(b) if b is not None else None
+                )
+                if d is None or d[2].size == 0:
+                    rows.append((None, None, None, None, None, False))
+                else:
+                    sr, ch, s = d
+                    rows.append(
+                        (
+                            sr,
+                            ch,
+                            s.size // ch,
+                            float(np.sqrt(np.mean(s * s))),
+                            float(np.max(np.abs(s))),
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(
+                        [r[0] for r in rows], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "n_frames": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "rms_amplitude": pd.array(
+                        [r[3] for r in rows], dtype="float64"
+                    ),
+                    "peak_amplitude": pd.array(
+                        [r[4] for r in rows], dtype="float64"
+                    ),
+                    "decode_ok": [r[5] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, SAMPLE_STATS_SCHEMA)
 
 
 def _decode_image_header(content: bytes):

@@ -261,3 +261,122 @@ def test_real_mp4_mvhd_decode(spark):
     assert meta[2]["duration_s"] == 7.0
     assert meta[3]["decode_ok"] is False
     assert meta[4]["n_frames"] == 240 and meta[4]["duration_s"] == 10.0
+
+
+# -- real pixel/sample decode (round 6): dependency-free BMP/WAV ------------
+
+
+def _full_bmp(pixel_rows, bits=24, top_down=False) -> bytes:
+    """Complete uncompressed BMP: pixel_rows is top-to-bottom, each row a
+    list of (r,g,b[,a]) tuples (or ints for 8-bit). Rows padded to 4
+    bytes, stored bottom-up unless top_down."""
+    import struct
+
+    h, w = len(pixel_rows), len(pixel_rows[0])
+    row_bytes = ((w * bits + 31) // 32) * 4
+    data = bytearray()
+    for row in pixel_rows if top_down else pixel_rows[::-1]:
+        rb = bytearray()
+        for px in row:
+            if bits == 8:
+                rb.append(px)
+            elif bits == 24:
+                rb += bytes([px[2], px[1], px[0]])
+            else:
+                rb += bytes([px[2], px[1], px[0], px[3]])
+        rb += b"\x00" * (row_bytes - len(rb))
+        data += rb
+    off = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bits, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    return file_hdr + info + bytes(data)
+
+
+def _full_wav(raw, sample_rate=8000, bits=16, channels=1) -> bytes:
+    """Complete WAV PCM with actual sample words (raw ints)."""
+    import struct
+
+    fmt_char = {8: "B", 16: "<h", 32: "<i"}[bits]
+    data = (
+        bytes(raw)
+        if bits == 8
+        else b"".join(struct.pack(fmt_char, v) for v in raw)
+    )
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_pixel_stats_real_decode(spark):
+    """Uncompressed BMP pixel rows decode end-to-end through the Arrow
+    batch: true mean intensity, padded rows handled, top-down and 32-bit
+    variants, undecodable rows flagged not failed."""
+    white_black = [[(255, 255, 255), (0, 0, 0), (255, 255, 255)],
+                   [(0, 0, 0), (255, 255, 255), (0, 0, 0)]]  # 3x2, mean 127.5
+    solid = [[(10, 20, 30, 40)] * 2] * 2  # 32-bit, mean (10+20+30+40)/4=25
+    rows = [
+        (1, "image/bmp", _full_bmp(white_black)),
+        (2, "image/bmp", _full_bmp(solid, bits=32)),
+        (3, "image/bmp", _full_bmp(white_black, top_down=True)),
+        (4, "image/png", _real_png(4, 4)),  # compressed: codec-gated
+        (5, "image/bmp", None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(2)
+    out = {r["media_id"]: r for r in mm.image_pixel_stats(media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (3, 2, 3)
+    assert out[1]["decode_ok"] and abs(out[1]["mean_pixel"] - 0.5) < 1e-9
+    assert out[2]["channels"] == 4
+    assert abs(out[2]["mean_pixel"] - 25.0 / 255.0) < 1e-9
+    assert abs(out[3]["mean_pixel"] - 0.5) < 1e-9  # top-down same pixels
+    assert out[4]["decode_ok"] is False and out[4]["mean_pixel"] is None
+    assert out[5]["decode_ok"] is False
+
+
+def test_bmp_pixel_decode_channel_order_and_rows(spark):
+    """The decoder must un-BGR and un-flip: a red-top/blue-bottom image
+    comes back red-top in RGB order."""
+    img = [[(255, 0, 0)], [(0, 0, 255)]]  # top red, bottom blue
+    arr = mm._decode_bmp_pixels(_full_bmp(img))
+    assert arr.shape == (2, 1, 3)
+    assert list(arr[0, 0]) == [255, 0, 0]
+    assert list(arr[1, 0]) == [0, 0, 255]
+
+
+def test_wav_sample_stats_real_decode(spark):
+    """WAV PCM frames decode end-to-end through the Arrow batch: true
+    RMS/peak on normalized samples for 16-bit and 8-bit, non-PCM formats
+    flagged."""
+    import struct
+
+    s16 = [16384, -16384, 16384, -16384]  # |0.5| each -> rms 0.5
+    s8 = [128, 255, 128, 1]  # -> 0, 0.9921875, 0, -0.9921875
+    nonpcm = _full_wav(s16)
+    nonpcm = nonpcm.replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1
+    )  # fmt code 3 = IEEE float: not our PCM path
+    rows = [
+        (1, "audio/wav", _full_wav(s16)),
+        (2, "audio/wav", _full_wav(s8, bits=8)),
+        (3, "audio/wav", _full_wav(s16, channels=2)),
+        (4, "audio/wav", nonpcm),
+        (5, "audio/x-fake", mm.make_fake_audio(22050, 100)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(2)
+    out = {r["media_id"]: r for r in mm.audio_sample_stats(media).collect()}
+    assert out[1]["decode_ok"] and out[1]["n_frames"] == 4
+    assert abs(out[1]["rms_amplitude"] - 0.5) < 1e-12
+    assert abs(out[1]["peak_amplitude"] - 0.5) < 1e-12
+    expect8 = (2 * (127 / 128) ** 2 / 4) ** 0.5
+    assert abs(out[2]["rms_amplitude"] - expect8) < 1e-12
+    assert out[3]["n_channels"] == 2 and out[3]["n_frames"] == 2
+    assert out[4]["decode_ok"] is False
+    assert out[5]["decode_ok"] is False  # synthetic header has no samples
