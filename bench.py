@@ -80,6 +80,22 @@ def main() -> None:
     # Warm the JVM/codegen with one tiny action so q1 doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def canary() -> float:
+        """Host-speed calibration kernel: a FIXED pure-codegen arithmetic
+        sum over range(5e8) — no I/O, no shuffle, no engine code — so
+        round-over-round BENCH comparisons can be normalized against the
+        machine's speed window (+/-30% host swings have repeatedly
+        masqueraded as regressions). Median of 3."""
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(500_000_000).selectExpr("sum(id * 3 + 7)").collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
+    canary_start = canary()
+    print(f"# canary(start): {canary_start}s", file=sys.stderr)
+
     def run(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
@@ -154,6 +170,8 @@ def main() -> None:
         "sf1_queries": sf1,
     }
     print("# detail " + json.dumps(detail), file=sys.stderr)
+    canary_end = canary()
+    print(f"# canary(end): {canary_end}s", file=sys.stderr)
     summary = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -161,6 +179,8 @@ def main() -> None:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "extended_total": round(sum(extended.values()), 3),
+        "canary_sec": canary_start,
+        "canary_sec_end": canary_end,
         "sf": float(sf),
     }
     if sf1_total is not None:

@@ -72,11 +72,16 @@ def derive_scaled_dir(
     spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
 ) -> str:
     """Materialize ``factor``x key-shifted copies of ``src_dir`` into
-    ``out_dir`` (skipped if a ``_SUCCESS_DERIVE`` marker already exists).
-    Returns ``out_dir``."""
+    ``out_dir``. Skipped only when the existing ``_SUCCESS_DERIVE`` marker
+    records the SAME factor and source — a marker from a different
+    derivation must not short-circuit to stale data (it is validated, and
+    a mismatch re-derives). Returns ``out_dir``."""
     marker = os.path.join(out_dir, "_SUCCESS_DERIVE_V3")
+    stamp = f"factor={factor} src={src_dir}\n"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     # One tiny max() job per key family; strides are plain ints after.
@@ -94,6 +99,13 @@ def derive_scaled_dir(
         spark.read.parquet(
             os.path.join(src_dir, f"{tbl}.parquet")
         ).write.mode("overwrite").parquet(os.path.join(out_dir, f"{tbl}.parquet"))
+
+    # embedding width probed ONCE (not per copy in the loop below)
+    emb_dim = len(
+        spark.read.parquet(
+            os.path.join(src_dir, "embeddings.parquet")
+        ).first()["embedding"]
+    )
 
     for tbl in _SCALED:
         base = spark.read.parquet(os.path.join(src_dir, f"{tbl}.parquet"))
@@ -138,11 +150,7 @@ def derive_scaled_dir(
                 # cosine ~0.99999: LSH bucket occupancy grew 10x and
                 # candidate joins ~100x — a blowup real corpus growth
                 # does not have.
-                dim = len(
-                    spark.read.parquet(
-                        os.path.join(src_dir, "embeddings.parquet")
-                    ).first()["embedding"]
-                )
+                dim = emb_dim
                 k = (i * 7) % dim or 1
                 c = c.withColumn(
                     "embedding",
@@ -158,5 +166,5 @@ def derive_scaled_dir(
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{tbl}.parquet"))
 
     with open(marker, "w") as fh:
-        fh.write(f"factor={factor} src={src_dir}\n")
+        fh.write(stamp)
     return out_dir

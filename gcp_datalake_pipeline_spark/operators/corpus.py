@@ -166,6 +166,7 @@ def dedup_ingest_batch(
     bands: int = 8,
     hash_mode: str = "xxhash64",
     num_buckets: int = 64,
+    load_id: str | None = None,
 ) -> DataFrame:
     """One round of the production corpus-dedup loop: flag the incoming
     batch's near-dups against everything ingested so far, then append the
@@ -257,7 +258,9 @@ def dedup_ingest_batch(
 
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
-        with txn(f"dedup-ingest-{docs_table}"):
+        # load_id names the commit in the version history — replay guards
+        # (streaming foreachBatch) key idempotence on it.
+        with txn(load_id or f"dedup-ingest-{docs_table}"):
             _writes()
     else:
         _writes()

@@ -29,7 +29,21 @@ TABLES = [
 ]
 
 
-def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+_CON_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duckdb_connection(
+    sf_dir: str, cached: bool = False
+) -> duckdb.DuckDBPyConnection:
+    """Oracle connection with the testdata views registered. With
+    ``cached=True`` the connection is memoized per sf_dir for the life of
+    the process (views over immutable testdata parquet) — repeated
+    verification sweeps skip re-registering; callers must not close it."""
+    if cached:
+        con = _CON_CACHE.get(sf_dir)
+        if con is None:
+            con = _CON_CACHE[sf_dir] = duckdb_connection(sf_dir)
+        return con
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -114,7 +128,7 @@ def compare_query(
 def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     from gcp_datalake_pipeline_spark.plans import QUERIES
 
-    con = duckdb_connection(sf_dir)
+    con = duckdb_connection(sf_dir, cached=True)
     results = []
     for qname, q in QUERIES.items():
         if names and qname not in names:
@@ -125,5 +139,4 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
             results.append(CompareResult(qname, n >= 0, "rows-only", n, -1))
             continue
         results.append(compare_query(spark, con, qname, df, q.oracle))
-    con.close()
     return results

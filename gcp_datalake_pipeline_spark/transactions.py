@@ -720,12 +720,17 @@ class TransactionalCatalog(Catalog):
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             manifest = self._read_manifest()
-        for rels in manifest["tables"].values():
-            for rel in rels:
-                src_dir = os.path.join(self.root, rel)
-                dst_dir = os.path.join(dst_root, rel)
-                if not os.path.exists(dst_dir):
-                    _link_tree(src_dir, dst_dir)
+            # Link WHILE holding the source's commit lock: links are cheap
+            # metadata ops, and releasing first would let a concurrent
+            # commit + zero-age vacuum delete snapshot dirs mid-loop,
+            # leaving a partial clone. No source commit can supersede
+            # these dirs until the loop finishes.
+            for rels in manifest["tables"].values():
+                for rel in rels:
+                    src_dir = os.path.join(self.root, rel)
+                    dst_dir = os.path.join(dst_root, rel)
+                    if not os.path.exists(dst_dir):
+                        _link_tree(src_dir, dst_dir)
         # bucket metadata sidecars (plain files next to nothing in the
         # manifest) ride along so bucketed merges keep their contract
         if os.path.isdir(self.root):

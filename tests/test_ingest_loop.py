@@ -192,3 +192,109 @@ def test_embedding_ingest_loop_matches_full_corpus(spark, tmp_path):
     }
     assert stored == full
     assert len(cat.versions()) == 3
+
+
+def _landing_files(df, id_col, out_dir, n_files=3):
+    """Write n single-file parquets (pandas/pyarrow — real FILES, not
+    Spark part-dirs) splitting df by id range, top-level in out_dir."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, b in enumerate(_batches(df, id_col, n_files)):
+        p = os.path.join(out_dir, f"batch{i}.parquet")
+        b.toPandas().to_parquet(p, index=False)
+        paths.append(p)
+    return paths
+
+
+def test_streaming_dedup_ingest_loop(spark, tmp_path):
+    """The streaming form of the dedup-ingest loop: landed document files
+    stream through atomic rounds (one file per trigger); the union of
+    flagged pairs equals the full-corpus run; a re-run on the same
+    checkpoint processes nothing; and a LOST checkpoint still produces no
+    duplicates (rounds are content-addressed in the version history)."""
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    _landing_files(docs, "doc_id", str(tmp_path / "landing"))
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+    rounds = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    )
+    assert len(rounds) == 3  # one round per file
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full
+    assert cat.read("corpus_docs").count() == docs.count()
+
+    # same checkpoint: nothing new to process
+    again = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    )
+    assert again == []
+    assert cat.read("corpus_docs").count() == docs.count()
+
+    # checkpoint LOST: the file source re-lists everything, but every
+    # round's load_id is already in the version history -> all skipped
+    fresh = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt2")
+    )
+    assert fresh == []
+    assert cat.read("corpus_docs").count() == docs.count()
+    assert {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    } == full
+
+
+def test_compacted_corpus_still_prunes_and_ingests(spark, tmp_path):
+    """Long-run maintenance interop: after compact() folds the
+    append-grown bucketed corpus into one dir, the _kb layout survives
+    (bucket-meta sidecar) and the next ingest round still verifies
+    through a partition-pruned read and flags the right pairs."""
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(DOCS)
+    b1, b2, b3 = _batches(docs, "doc_id")
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    corpus.dedup_ingest_batch(cat, b1)
+    corpus.dedup_ingest_batch(cat, b2)
+    assert cat.compact("corpus_docs")
+    assert len(cat._data_dirs("corpus_docs")) == 1
+    assert "_kb" in cat.read("corpus_docs").columns
+
+    calls = []
+    orig = corpus._bucket_pruned_members
+
+    def spy(catalog, table, id_col, nb, member_ids):
+        out = orig(catalog, table, id_col, nb, member_ids)
+        calls.append(out._jdf.queryExecution().executedPlan().toString())
+        return out
+
+    corpus._bucket_pruned_members = spy
+    try:
+        corpus.dedup_ingest_batch(cat, b3)
+    finally:
+        corpus._bucket_pruned_members = orig
+    assert calls and all("PartitionFilters: [" in p for p in calls)
+
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full

@@ -572,3 +572,117 @@ def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
     # refuses to clone onto an existing catalog
     with pytest.raises(FileExistsError):
         src.clone_to(str(tmp_path / "clone"))
+
+
+_WORKER_SRC = '''
+"""Cross-process commit-protocol worker: stages parquet via pyarrow (no
+JVM) and drives the REAL _publish path — flock serialization, append
+delta-merge, replace conflict detection — from its own OS process."""
+import json
+import os
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gcp_datalake_pipeline_spark.transactions import (
+    ConcurrentWriteError,
+    TransactionalCatalog,
+)
+
+root, wid, n_rounds = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+cat = TransactionalCatalog(spark=None, root=root)
+
+def stage(table, r):
+    rel = os.path.join("_loads", f"w{wid}", f"{table}.{r}")
+    os.makedirs(os.path.join(root, rel), exist_ok=True)
+    pq.write_table(
+        pa.table({"id": [wid * 1000 + r], "worker": [wid]}),
+        os.path.join(root, rel, "part-0.parquet"),
+    )
+    return rel
+
+# phase 1: concurrent appends — every one must land (no lost updates)
+for r in range(n_rounds):
+    rel = stage("app", r)
+    cat._publish(
+        {"app": {"mode": "append", "base": None, "added": [rel],
+                 "schema": None}},
+        f"w{wid}-r{r}", replace=False,
+    )
+
+# phase 2: forced replace-vs-replace race — both workers read the same
+# committed snapshot of "rep" BEFORE either publishes; exactly one may win
+open(os.path.join(root, f"_ready{wid}"), "w").close()
+deadline = time.time() + 30
+while not all(
+    os.path.exists(os.path.join(root, f"_ready{w}")) for w in (0, 1)
+):
+    if time.time() > deadline:
+        sys.exit(3)
+    time.sleep(0.01)
+base = cat._committed_rels("rep")
+rel = stage("rep", 0)
+time.sleep(0.5)  # hold the stale snapshot so the commits overlap
+try:
+    cat._publish(
+        {"rep": {"mode": "replace", "base": base, "added": [rel],
+                 "schema": None}},
+        f"rep-w{wid}", replace=False,
+    )
+    outcome = "ok"
+except ConcurrentWriteError:
+    outcome = "conflict"
+print(json.dumps({"worker": wid, "rep": outcome}))
+'''
+
+
+def test_commit_protocol_across_os_processes(spark, tmp_path):
+    """The on-disk protocol everything routes through, pinned across REAL
+    process boundaries (flock is per-host, not per-object): two spawned
+    workers interleave 20 appends each — all 40 land, version numbering
+    is contiguous — then race replace-mode commits anchored at the same
+    snapshot: exactly one wins, the other raises ConcurrentWriteError."""
+    import json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "lake")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER_SRC)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), root, str(w), "20"],
+            cwd="/root/repo",
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    outcomes = sorted(o["rep"] for o in outs)
+    assert outcomes == ["conflict", "ok"], outs
+
+    cat = TransactionalCatalog(spark=spark, root=root)
+    # no lost updates: every append from both processes is visible
+    rows = cat.read("app").collect()
+    assert len(rows) == 40
+    assert {r["worker"] for r in rows} == {0, 1}
+    assert {r["id"] for r in rows} == {
+        w * 1000 + r for w in (0, 1) for r in range(20)
+    }
+    # the losing replace published nothing; the winner's single dir is live
+    assert len(cat._data_dirs("rep")) == 1
+    assert cat.read("rep").count() == 1
+    # contiguous version history: 40 appends + 1 replace, no gaps
+    versions = [v["version"] for v in cat.versions()]
+    assert versions == list(range(1, 42))
