@@ -1,0 +1,82 @@
+"""Persisted IVF index: value parity with the recompute path, frozen-
+centroid incremental extension, and the partition-pruned probe scan."""
+
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.operators import ann_index, similarity
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+QIDS = [3, 57, 111]
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in df.collect()
+    }
+
+
+def test_index_query_matches_recompute_path(spark, tmp_path):
+    """ivf_index_topk over the persisted index == ivf_topk given the same
+    centroids — the persisted path changes WHERE assignment lives, never
+    the values (which is why it shares the kmeans gate's oracle)."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, emb)
+    got = _rows(ann_index.ivf_index_topk(cat, QIDS, k=5))
+    want = _rows(
+        similarity.ivf_topk(emb, QIDS, k=5, centroids=cents)
+    )
+    assert got == want and got
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The candidate scan must carry PartitionFilters on cid (probed
+    cells only) — the on-disk nprobe/nlist contract."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+    out = ann_index.ivf_index_topk(cat, QIDS, k=5, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    cand_scans = [l for l in scans if "PartitionFilters: [cid" in l]
+    assert cand_scans, plan
+    # the pruning list is at most |queries| * nprobe cells, never all 16
+    pf = cand_scans[0].split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    n_cells = pf.count(",") + 1
+    assert n_cells <= len(QIDS) * 4
+
+
+def test_extend_index_matches_full_build_under_frozen_centroids(
+    spark, tmp_path
+):
+    """Build on the first half, extend with the second: queries must
+    equal ivf_topk over the FULL corpus with the index's (half-trained)
+    centroids — extension assigns against frozen centroids and rewrites
+    nothing."""
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, first)
+    n_dirs_before = len(cat._data_dirs("ann_ivf_cells"))
+    ann_index.extend_ivf_index(cat, rest)
+    # append-only: one new staged dir, stored data untouched
+    assert len(cat._data_dirs("ann_ivf_cells")) == n_dirs_before + 1
+    assert cat.read("ann_ivf_cells").count() == emb.count()
+    got = _rows(ann_index.ivf_index_topk(cat, QIDS, k=5))
+    want = _rows(similarity.ivf_topk(emb, QIDS, k=5, centroids=cents))
+    assert got == want and got
+
+
+def test_registry_query_matches_kmeans_gate(spark):
+    """The registry entry (process-cached index in tmp) must produce the
+    same rows as ann_ivf_kmeans_topk — they share one oracle."""
+    from gcp_datalake_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = _rows(QUERIES["ann_ivf_index_topk"].fn(spark, sf))
+    want = _rows(QUERIES["ann_ivf_kmeans_topk"].fn(spark, sf))
+    assert got == want and got
