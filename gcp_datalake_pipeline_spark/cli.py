@@ -2,6 +2,7 @@
 
   python -m gcp_datalake_pipeline_spark.cli ingest  --catalog DIR GLOB...
   python -m gcp_datalake_pipeline_spark.cli stream  --catalog DIR --landing DIR --checkpoint DIR
+  python -m gcp_datalake_pipeline_spark.cli corpus-ingest --catalog DIR --landing DIR --checkpoint DIR [--atomic]
   python -m gcp_datalake_pipeline_spark.cli query   --catalog DIR "SELECT ..."
   python -m gcp_datalake_pipeline_spark.cli tables  --catalog DIR
 
@@ -61,6 +62,41 @@ def cmd_stream(args) -> None:
     cat = _catalog(args)
     processed = run_streaming_ingest(cat, args.landing, args.checkpoint)
     print(json.dumps({"processed": processed}, indent=2))
+
+
+def cmd_corpus_ingest(args) -> None:
+    """Streaming corpus dedup-ingest: newly landed document parquet files
+    run one atomic dedup round per micro-batch (near-dup pairs flagged
+    against the stored band index; docs + bands + pairs commit together)."""
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    cat = _catalog(args)
+    rounds = run_streaming_dedup_ingest(
+        cat,
+        args.landing,
+        args.checkpoint,
+        threshold=args.threshold,
+        num_buckets=args.buckets,
+    )
+    n_pairs = (
+        cat.read("corpus_near_dup_pairs").count()
+        if cat.exists("corpus_near_dup_pairs")
+        else 0
+    )
+    print(
+        json.dumps(
+            {
+                "rounds": rounds,
+                "docs": cat.read("corpus_docs").count()
+                if cat.exists("corpus_docs")
+                else 0,
+                "near_dup_pairs": n_pairs,
+            },
+            indent=2,
+        )
+    )
 
 
 def _register_views(cat: Catalog, testdata: str | None) -> None:
@@ -230,6 +266,27 @@ def main(argv: list[str] | None = None) -> None:
     ps.add_argument("--landing", required=True)
     ps.add_argument("--checkpoint", required=True)
     ps.set_defaults(fn=cmd_stream)
+
+    pc = sub.add_parser(
+        "corpus-ingest",
+        help="streaming corpus dedup-ingest: one atomic near-dup round "
+        "per landed document parquet file",
+    )
+    pc.add_argument("--catalog", required=True)
+    pc.add_argument("--landing", required=True)
+    pc.add_argument("--checkpoint", required=True)
+    pc.add_argument("--threshold", type=float, default=0.8)
+    pc.add_argument(
+        "--buckets", type=int, default=64,
+        help="doc_id hash buckets for the stored corpus (partition-pruned "
+        "verification reads)",
+    )
+    pc.add_argument(
+        "--atomic", action="store_true",
+        help="use the transactional catalog (one commit per round; "
+        "replayed batches are skipped via the version history)",
+    )
+    pc.set_defaults(fn=cmd_corpus_ingest)
 
     pq = sub.add_parser("query", help="SQL over the catalog")
     pq.add_argument("--catalog", required=True)

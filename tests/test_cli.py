@@ -72,3 +72,45 @@ def test_cli_atomic_ingest_and_query(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "EMPRESA UNO RENOMBRADA" in r.stdout
+
+
+def test_cli_corpus_ingest(workdir):
+    """corpus-ingest streams landed document parquet files through atomic
+    dedup rounds; a second invocation on the same checkpoint is a no-op."""
+    import os
+
+    import duckdb
+
+    land = f"{workdir}/corpus_landing"
+    os.makedirs(land, exist_ok=True)
+    duckdb.sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 250) TO "
+        f"'{land}/a.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id >= 250) TO "
+        f"'{land}/b.parquet' (FORMAT PARQUET)"
+    )
+    cat = f"{workdir}/corpus_lake"
+    r = run_cli(
+        "corpus-ingest", "--atomic", "--catalog", cat,
+        "--landing", land, "--checkpoint", f"{workdir}/corpus_ckpt",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert len(payload["rounds"]) == 2
+    assert payload["docs"] == 500
+    assert payload["near_dup_pairs"] > 0
+
+    # replay on the same checkpoint: no new rounds, counts unchanged
+    r = run_cli(
+        "corpus-ingest", "--atomic", "--catalog", cat,
+        "--landing", land, "--checkpoint", f"{workdir}/corpus_ckpt",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload2 = json.loads(r.stdout[r.stdout.index("{"):])
+    assert payload2["rounds"] == []
+    assert payload2["docs"] == 500
+    assert payload2["near_dup_pairs"] == payload["near_dup_pairs"]
