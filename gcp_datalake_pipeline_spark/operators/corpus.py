@@ -285,6 +285,7 @@ def embedding_ingest_batch(
     vec_col: str = "embedding",
     backend: str = "arrow",
     num_buckets: int = 64,
+    load_id: str | None = None,
 ) -> DataFrame:
     """The embedding twin of :func:`dedup_ingest_batch`: flag the incoming
     batch's embedding near-dups against everything ingested so far, then
@@ -357,7 +358,7 @@ def embedding_ingest_batch(
 
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
-        with txn(f"embedding-ingest-{vectors_table}"):
+        with txn(load_id or f"embedding-ingest-{vectors_table}"):
             _writes()
     else:
         _writes()

@@ -2,11 +2,12 @@
 Structured Streaming (SURVEY.md §2.9 trigger/foreachBatch pattern, same
 shape as :mod:`gcp_datalake_pipeline_spark.streaming.ingest`).
 
-Newly landed document files stream through
+Newly landed document (or embedding) files stream through
 :func:`~gcp_datalake_pipeline_spark.operators.corpus.dedup_ingest_batch`
+/ :func:`~gcp_datalake_pipeline_spark.operators.corpus.embedding_ingest_batch`
 one micro-batch per round: flag the batch's near-dups against the stored
-band index, then commit docs + bands + pairs atomically. At 100 TB this
-IS the production corpus pipeline — documents arrive continuously, each
+band/bucket index, then commit docs + index + pairs atomically. At 100 TB
+this IS the production corpus pipeline — data arrives continuously, each
 round's work is O(batch + candidates) (bucket-pruned verification reads),
 and the corpus is never re-deduped.
 
@@ -21,7 +22,7 @@ snapshot also forgets its replay marker, so retain at least the
 checkpoint-replay window.)
 
 A concurrent external ingest round conflicts at commit
-(ConcurrentWriteError via the band-index anchor), failing the micro-batch
+(ConcurrentWriteError via the index-table anchor), failing the micro-batch
 WITHOUT advancing the checkpoint: the stream restarts the batch against
 the fresh index — the retry-from-read remedy, automated.
 """
@@ -32,33 +33,24 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.operators.corpus import dedup_ingest_batch
+from gcp_datalake_pipeline_spark.operators.corpus import (
+    dedup_ingest_batch,
+    embedding_ingest_batch,
+)
 
 
-def run_streaming_dedup_ingest(
+def _run_streaming_rounds(
     catalog,
     landing_dir: str,
     checkpoint_dir: str,
-    docs_table: str = "corpus_docs",
-    bands_table: str = "corpus_minhash_bands",
-    pairs_table: str = "corpus_near_dup_pairs",
-    available_now: bool = True,
-    max_files_per_trigger: int = 1,
-    threshold: float = 0.8,
-    num_perm: int = 32,
-    bands: int = 8,
-    hash_mode: str = "xxhash64",
-    num_buckets: int = 64,
+    round_fn,
+    available_now: bool,
+    max_files_per_trigger: int,
 ) -> list[dict]:
-    """Run dedup-ingest rounds over newly landed ``*.parquet`` document
-    files. Returns one record per round actually committed this run:
-    ``{"load_id", "paths", "n_pairs"}`` (replayed/already-committed
-    batches are skipped and not listed).
-
-    The listing stream reads paths only (binaryFile metadata); each
-    round re-reads its files with the parquet reader so document text
-    stays columnar.
-    """
+    """Shared trigger/foreachBatch runner: list newly landed ``*.parquet``
+    files (binaryFile metadata only — content is re-read columnar per
+    round), run ``round_fn(batch_df, load_id)`` once per micro-batch, skip
+    batches whose content-addressed load_id is already committed."""
     spark = catalog.spark
     rounds: list[dict] = []
 
@@ -92,20 +84,7 @@ def run_streaming_dedup_ingest(
             v.get("load_id") == lid for v in versions()
         ):
             return  # replayed batch: round already committed atomically
-        batch = spark.read.parquet(*paths)
-        pairs = dedup_ingest_batch(
-            catalog,
-            batch,
-            docs_table=docs_table,
-            bands_table=bands_table,
-            pairs_table=pairs_table,
-            threshold=threshold,
-            num_perm=num_perm,
-            bands=bands,
-            hash_mode=hash_mode,
-            num_buckets=num_buckets,
-            load_id=lid,
-        )
+        pairs = round_fn(spark.read.parquet(*paths), lid)
         rounds.append(
             {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
         )
@@ -119,3 +98,93 @@ def run_streaming_dedup_ingest(
     else:
         q = writer.start()
     return rounds
+
+
+def run_streaming_dedup_ingest(
+    catalog,
+    landing_dir: str,
+    checkpoint_dir: str,
+    docs_table: str = "corpus_docs",
+    bands_table: str = "corpus_minhash_bands",
+    pairs_table: str = "corpus_near_dup_pairs",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+    num_buckets: int = 64,
+) -> list[dict]:
+    """Run text dedup-ingest rounds over newly landed ``*.parquet``
+    document files. Returns one record per round actually committed this
+    run: ``{"load_id", "paths", "n_pairs"}`` (replayed/already-committed
+    batches are skipped and not listed)."""
+
+    def round_fn(batch, lid):
+        return dedup_ingest_batch(
+            catalog,
+            batch,
+            docs_table=docs_table,
+            bands_table=bands_table,
+            pairs_table=pairs_table,
+            threshold=threshold,
+            num_perm=num_perm,
+            bands=bands,
+            hash_mode=hash_mode,
+            num_buckets=num_buckets,
+            load_id=lid,
+        )
+
+    return _run_streaming_rounds(
+        catalog, landing_dir, checkpoint_dir, round_fn,
+        available_now, max_files_per_trigger,
+    )
+
+
+def run_streaming_embedding_ingest(
+    catalog,
+    landing_dir: str,
+    checkpoint_dir: str,
+    vectors_table: str = "corpus_embeddings",
+    buckets_table: str = "corpus_embedding_buckets",
+    pairs_table: str = "corpus_embedding_near_dup_pairs",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "arrow",
+    num_buckets: int = 64,
+) -> list[dict]:
+    """The embedding twin: newly landed ``*.parquet`` vector files run one
+    atomic embedding-near-dup round per micro-batch (new batch probes the
+    stored hyperplane-LSH bucket index; vectors + buckets + pairs commit
+    together). Same replay/conflict semantics as the text loop."""
+
+    def round_fn(batch, lid):
+        return embedding_ingest_batch(
+            catalog,
+            batch,
+            vectors_table=vectors_table,
+            buckets_table=buckets_table,
+            pairs_table=pairs_table,
+            threshold=threshold,
+            n_planes=n_planes,
+            probe_radius=probe_radius,
+            dim=dim,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            backend=backend,
+            num_buckets=num_buckets,
+            load_id=lid,
+        )
+
+    return _run_streaming_rounds(
+        catalog, landing_dir, checkpoint_dir, round_fn,
+        available_now, max_files_per_trigger,
+    )

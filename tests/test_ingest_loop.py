@@ -298,3 +298,38 @@ def test_compacted_corpus_still_prunes_and_ingests(spark, tmp_path):
         for r in cat.read("corpus_near_dup_pairs").collect()
     }
     assert stored == full
+
+
+def test_streaming_embedding_ingest_loop(spark, tmp_path):
+    """Embedding twin of the streaming loop: landed vector files stream
+    through atomic rounds; pairs equal the full-corpus LSH run; replay on
+    the same checkpoint is a no-op."""
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_embedding_ingest,
+    )
+
+    emb = spark.read.parquet(EMB)
+    _landing_files(emb, "vec_id", str(tmp_path / "landing"))
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rounds = run_streaming_embedding_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    )
+    assert len(rounds) == 3
+    full = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in embedding_near_dup_lsh(emb, threshold=0.3).collect()
+    }
+    stored = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in cat.read("corpus_embedding_near_dup_pairs").collect()
+    }
+    assert stored == full and full
+    assert cat.read("corpus_embeddings").count() == emb.count()
+    again = run_streaming_embedding_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    )
+    assert again == []
+    assert cat.read("corpus_embeddings").count() == emb.count()
