@@ -111,10 +111,11 @@ def extend_ivf_index(
 
 def ivf_index_topk(
     catalog,
-    query_ids: list[int],
+    query_ids: list[int] | None = None,
     k: int = 5,
     nprobe: int = 4,
     index_table: str = "ann_ivf",
+    query_vectors: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Top-k over the PERSISTED index: rank the stored centroids per
     query on the driver (bounded — nlist rows), then scan ONLY the probed
@@ -123,11 +124,16 @@ def ivf_index_topk(
     The candidate FileScan is partition-pruned (``PartitionFilters:
     [cid IN (...)]``, plan-contract-tested): at 100 TB a k-NN query
     opens ~nprobe/nlist of the corpus files instead of all of them.
-    Query vectors are fetched by id with a pushed-down vid filter
-    (row-group stats skipping; vectors of query ids are a bounded
-    collect). Output: (query_id, neighbor_id, cosine_sim, rank) — the
-    same ordering contract as ``ivf_topk`` (round-6 cosine desc,
-    neighbor_id tiebreak).
+
+    Queries come either as ``query_ids`` (self-query: vectors fetched by
+    id with a pushed-down vid filter — row-group stats skipping, bounded
+    collect) or as ``query_vectors`` — external ``(query_id, vector)``
+    pairs, the ANN SERVING input shape, which touches no corpus data at
+    all outside the probed cells. Output: (query_id, neighbor_id,
+    cosine_sim, rank) — the same ordering contract as ``ivf_topk``
+    (round-6 cosine desc, neighbor_id tiebreak); with external queries,
+    neighbor_id == query_id rows are not excluded (ids live in different
+    spaces).
     """
     import numpy as np
 
@@ -137,12 +143,19 @@ def ivf_index_topk(
     cids_sorted = sorted(cents)
     C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
 
-    q_rows = (
-        catalog.read(cells_table)
-        .filter(F.col("vid").isin(query_ids))
-        .select("vid", "v")
-        .collect()
-    )
+    if (query_ids is None) == (query_vectors is None):
+        raise ValueError("pass exactly one of query_ids / query_vectors")
+    if query_vectors is not None:
+        q_rows = [{"vid": int(q), "v": list(v)} for q, v in query_vectors]
+        self_query = False
+    else:
+        q_rows = (
+            catalog.read(cells_table)
+            .filter(F.col("vid").isin(query_ids))
+            .select("vid", "v")
+            .collect()
+        )
+        self_query = True
     probe_tuples = []
     for r in q_rows:
         qv = np.array(list(r["v"]), dtype=np.float64)
@@ -166,10 +179,11 @@ def ivf_index_topk(
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
+    out = cand.join(F.broadcast(probes), "cid")
+    if self_query:
+        out = out.filter(F.col("vid") != F.col("query_id"))
     return (
-        cand.join(F.broadcast(probes), "cid")
-        .filter(F.col("vid") != F.col("query_id"))
-        .select(
+        out.select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             sim.alias("cosine_sim"),

@@ -80,3 +80,27 @@ def test_registry_query_matches_kmeans_gate(spark):
     got = _rows(QUERIES["ann_ivf_index_topk"].fn(spark, sf))
     want = _rows(QUERIES["ann_ivf_kmeans_topk"].fn(spark, sf))
     assert got == want and got
+
+
+def test_external_query_vectors(spark, tmp_path):
+    """Serving shape: external (query_id, vector) pairs probe the index
+    without touching any corpus data outside the probed cells. A query
+    vector equal to a stored vector must rank that vector first with
+    cosine 1.0."""
+    import pytest
+
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+    stored = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(50).collect()}
+    qv = [(9001, stored[3]), (9002, stored[17])]
+    out = ann_index.ivf_index_topk(cat, query_vectors=qv, k=3)
+    rows = {r["query_id"]: [] for r in out.collect()}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        rows[r["query_id"]].append((r["neighbor_id"], r["cosine_sim"]))
+    assert rows[9001][0] == (3, 1.0)
+    assert rows[9002][0] == (17, 1.0)
+    with pytest.raises(ValueError, match="exactly one"):
+        ann_index.ivf_index_topk(cat, query_ids=[1], query_vectors=qv)
+    with pytest.raises(ValueError, match="exactly one"):
+        ann_index.ivf_index_topk(cat)
