@@ -29,6 +29,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
+
 
 def profile_table(
     df: DataFrame,
@@ -53,6 +55,11 @@ def profile_table(
     aggregate — NO Expand, one map-side pass regardless of column count
     — the mode to point at a wide 100 TB table."""
     cols = cols or df.columns
+    # The multi-distinct Expand multiplies rows by n_cols+1 — compute-
+    # dense relative to the scan, so a tiny-local input (one split) must
+    # not bind the whole profile to one core. Cluster-scale inputs pass
+    # through unchanged (see parallelism.py).
+    df = ensure_scan_parallelism(df)
     distinct = (
         (lambda c: F.approx_count_distinct(F.col(c), rsd))
         if approx
@@ -128,6 +135,11 @@ def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
     referenced key set (per-Check ``broadcast``: None = AQE decides
     from stats, True = force the hint for a known-small dimension)."""
     spark = df.sparkSession
+    # NO scan spread here (unlike profile_table): constraint predicates
+    # are cheap row-local work, and a measured attempt showed the
+    # round-robin exchange re-executing per count branch — 2x slower on
+    # tiny-local inputs, pure tax. The checks bind to the input's own
+    # parallelism, which at cluster scale is already right.
     rowlocal: list[tuple[str, F.Column]] = []
     branches: dict[str, DataFrame] = {}
     for ch in checks:

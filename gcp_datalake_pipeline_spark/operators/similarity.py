@@ -455,7 +455,13 @@ def embedding_near_dup_lsh(
     Scale: this is the 100 TB embedding-dedup story — bucketing is one
     linear scan, the join fans out |masks| probes per vector and touches
     only same-bucket occupancy, and verification cost is proportional to
-    the candidate count.
+    the candidate count. The candidate count, in turn, is governed by
+    ``n_planes``: size it so 2^n_planes ~ corpus_size / desired_bucket_
+    occupancy (e.g. ~20-24 planes for 10^9 vectors), or bucket collisions
+    degrade toward all-pairs — at the test SF the pinned default of 6
+    planes over 2k vectors deliberately over-fills buckets (bench shows
+    ~35% of all pairs as candidates), which exercises the verifier, not
+    the blocking; recall/probe math is unchanged by the plane count.
 
     ``backend="arrow"`` (default) verifies candidates with the vectorized
     pandas-UDF cosine (einsum per Arrow batch) instead of the per-pair
