@@ -101,6 +101,32 @@ def curation_oracle_sql(jaccard_threshold: float = 0.8, min_tokens: int = 50) ->
     """
 
 
+def _effective_buckets(
+    catalog, table: str, key_cols: list[str], requested: int
+) -> int:
+    """The bucket count to USE for an existing bucketed table: the
+    persisted sidecar's value wins over the caller's argument — hashing
+    members with a different modulus than the table was written with
+    would prune to the WRONG partitions and silently drop near-dup
+    pairs (and appending with it would mix two moduli in one table).
+    Without a sidecar (legacy layout), the caller's value is validated
+    against the observed ``_kb`` partitions via ``_check_bucket_meta``
+    (hard error on provable mismatch)."""
+    import json
+    import os
+
+    meta_path = getattr(catalog, "_bucket_meta_path", None)
+    if meta_path is not None and os.path.exists(meta_path(table)):
+        with open(meta_path(table)) as f:
+            meta = json.load(f)
+        if meta.get("key_cols") == key_cols:
+            return int(meta["num_buckets"])
+    check = getattr(catalog, "_check_bucket_meta", None)
+    if check is not None:
+        check(table, requested, key_cols)
+    return requested
+
+
 def _key_bucket(col: str, num_buckets: int):
     """The ingest loop's bucket expression: ``pmod(xxhash64(id), B)`` —
     the same key-hash layout :meth:`~gcp_datalake_pipeline_spark.storage.Catalog.merge_upsert_bucketed`
@@ -216,10 +242,13 @@ def dedup_ingest_batch(
         bucketed = "_kb" in stored.columns
         existing = stored.drop("_kb")
         if bucketed:
+            num_buckets = _effective_buckets(
+                catalog, docs_table, ["doc_id"], num_buckets
+            )
 
-            def fetch_texts(member_ids, _b=batch):
+            def fetch_texts(member_ids, _b=batch, _nb=num_buckets):
                 return _bucket_pruned_members(
-                    catalog, docs_table, "doc_id", num_buckets, member_ids
+                    catalog, docs_table, "doc_id", _nb, member_ids
                 ).unionByName(_b)
 
     else:
@@ -256,6 +285,13 @@ def dedup_ingest_batch(
         catalog.append(pairs, pairs_table)
         _conflict_anchor_bands(catalog, bands_table, base_bands)
 
+    if bucketed and not has_docs and hasattr(catalog, "_write_bucket_meta"):
+        # Sidecar so compact() preserves the _kb layout and later rounds
+        # recover the modulus. Written BEFORE the commit: a crash in the
+        # window leaves a sidecar for a not-yet-existing table (harmless,
+        # rewritten next round) — the reverse order left a committed
+        # bucketed table with no recorded bucket count.
+        catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
         # load_id names the commit in the version history — replay guards
@@ -264,9 +300,6 @@ def dedup_ingest_batch(
             _writes()
     else:
         _writes()
-    if bucketed and not has_docs and hasattr(catalog, "_write_bucket_meta"):
-        # sidecar so compact() preserves the _kb layout
-        catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
     return pairs
 
 
@@ -315,10 +348,13 @@ def embedding_ingest_batch(
         bucketed = "_kb" in stored.columns
         existing = stored.drop("_kb")
         if bucketed:
+            num_buckets = _effective_buckets(
+                catalog, vectors_table, [id_col], num_buckets
+            )
 
-            def fetch_vectors(member_ids, _b=batch):
+            def fetch_vectors(member_ids, _b=batch, _nb=num_buckets):
                 return _bucket_pruned_members(
-                    catalog, vectors_table, "vid", num_buckets, member_ids
+                    catalog, vectors_table, "vid", _nb, member_ids
                 ).unionByName(_b)
 
     else:
@@ -356,12 +392,13 @@ def embedding_ingest_batch(
         catalog.append(pairs, pairs_table)
         _conflict_anchor_bands(catalog, buckets_table, base_buckets)
 
+    if bucketed and not has_vecs and hasattr(catalog, "_write_bucket_meta"):
+        # sidecar before the commit — see dedup_ingest_batch
+        catalog._write_bucket_meta(vectors_table, num_buckets, [id_col])
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
         with txn(load_id or f"embedding-ingest-{vectors_table}"):
             _writes()
     else:
         _writes()
-    if bucketed and not has_vecs and hasattr(catalog, "_write_bucket_meta"):
-        catalog._write_bucket_meta(vectors_table, num_buckets, [id_col])
     return pairs

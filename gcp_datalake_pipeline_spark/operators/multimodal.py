@@ -258,9 +258,12 @@ def _decode_bmp_pixels(content: bytes):
     """REAL pixel decode for uncompressed BMP (BI_RGB, 8/24/32-bit) —
     stdlib struct + numpy, no image library. Rows are 4-byte aligned and
     bottom-up unless height is negative (top-down); 24/32-bit samples are
-    stored BGR(A) and reordered to RGB(A). Returns an (h, w, channels)
-    uint8 array, or None for anything that needs a codec (compressed BMP,
-    other bit depths, truncated bytes)."""
+    stored BGR(A) and reordered to RGB(A). 8-bit pixels are PALETTE
+    INDICES, not intensities: they are mapped through the mandatory
+    BGRA color table to an (h, w, 3) RGB array (raw indices would give
+    wrong statistics for any non-identity palette). Returns an
+    (h, w, channels) uint8 array, or None for anything that needs a
+    codec (compressed BMP, other bit depths, truncated bytes/palette)."""
     import struct
 
     import numpy as np
@@ -284,13 +287,28 @@ def _decode_bmp_pixels(content: bytes):
     row_bytes = ((w * bits + 31) // 32) * 4
     if len(content) < data_off + row_bytes * h:
         return None
+    palette = None
+    if bits == 8:
+        n_colors = struct.unpack("<I", content[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        if pal_off + n_colors * 4 > min(len(content), data_off):
+            return None  # palette truncated/overlaps data: codec territory
+        quads = np.frombuffer(
+            content, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)
+        palette = quads[:, [2, 1, 0]]  # BGRA quads -> RGB
     rows = np.frombuffer(
         content, dtype=np.uint8, count=row_bytes * h, offset=data_off
     ).reshape(h, row_bytes)
     arr = rows[:, : w * ch].reshape(h, w, ch)
     if not top_down:
         arr = arr[::-1]
-    if ch >= 3:  # BGR(A) -> RGB(A)
+    if palette is not None:
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None  # index out of palette range: corrupt
+        arr = palette[idx]
+    elif ch >= 3:  # BGR(A) -> RGB(A)
         arr = arr[:, :, [2, 1, 0, 3][:ch]]
     return arr
 
@@ -353,11 +371,14 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """TRUE pixel statistics from the binary column: mean pixel intensity
-    in [0, 1] over all samples. Uncompressed BMP decodes dependency-free
-    (:func:`_decode_bmp_pixels`); other real formats decode when PIL is
-    installed in the cluster image; everything else (synthetic headers,
-    compressed formats without a codec) reports ``decode_ok=false`` and
-    NULL stats instead of failing the job.
+    in [0, 1] over all stored samples (for 32-bit BMPs that includes the
+    alpha channel — the stat is over the decoded array as stored, not an
+    RGB re-projection). Uncompressed BMP decodes dependency-free
+    (:func:`_decode_bmp_pixels`; 8-bit palettes resolved to RGB); other
+    real formats decode when PIL is installed in the cluster image;
+    everything else (synthetic headers, compressed formats without a
+    codec) reports ``decode_ok=false`` and NULL stats instead of failing
+    the job.
 
     Scale: mapInPandas, Arrow-batched; pixels never leave their scan
     partition — only the bounded stats projection is emitted."""

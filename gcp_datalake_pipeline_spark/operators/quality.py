@@ -190,6 +190,8 @@ def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
             )
         else:
             raise ValueError(f"unknown check kind {ch.kind!r}")
+    if not checks:  # empty suite: a valid empty report, not an error
+        return spark.createDataFrame([], "check string, n_violations long")
     parts: list[DataFrame] = []
     if rowlocal:
         # positional aliases: check names are user strings, not columns

@@ -602,12 +602,14 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_index_catalog(spark: SparkSession, sf_dir: str):
-    """Process-cached PERSISTED IVF index for the registry query: built
-    once per (process, sf_dir) into a tmp transactional catalog, then
-    only queried. Deterministic by construction (same centroids/assign
-    contract as ann_ivf_kmeans_topk), so a concurrent builder racing on
-    the same root produces identical data — a ConcurrentWriteError just
-    means the other build won, and we read its result."""
+    """Machine-cached PERSISTED IVF index for the registry query: built
+    once per embeddings FINGERPRINT (path + mtime + size — regenerated
+    testdata at the same path gets a fresh cache dir, never a stale
+    index) into a tmp transactional catalog, then only queried.
+    Deterministic by construction (same centroids/assign contract as
+    ann_ivf_kmeans_topk), so a concurrent builder racing on the same
+    root produces identical data — a ConcurrentWriteError just means
+    the other build won, and we read its result."""
     import hashlib
     import os
     import tempfile
@@ -618,7 +620,11 @@ def _ann_index_catalog(spark: SparkSession, sf_dir: str):
         TransactionalCatalog,
     )
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb_path)
+    key = hashlib.md5(
+        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
+    ).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_ivf_{key}")
     cat = TransactionalCatalog(spark=spark, root=root)
     if not cat.exists("ann_ivf_cells"):

@@ -51,6 +51,10 @@ class Catalog:
     ) -> None:
         import json
 
+        # May run before the table's first write lands (the ingest loop
+        # records the modulus ahead of its transaction), so the root may
+        # not exist yet.
+        os.makedirs(self.root, exist_ok=True)
         with open(self._bucket_meta_path(table), "w") as f:
             json.dump({"num_buckets": num_buckets, "key_cols": key_cols}, f)
 

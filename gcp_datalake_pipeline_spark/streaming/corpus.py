@@ -14,9 +14,10 @@ and the corpus is never re-deduped.
 Exactly-once across replays: the file-source checkpoint advances only
 after ``foreachBatch`` returns, so a crash between the round's commit and
 the checkpoint write replays the batch. Each round's transactional commit
-is named by a content hash of the batch's file list; a replayed batch
-finds its load_id already in the catalog's version history and skips —
-committed-or-absent, never doubled. (The guard's horizon is the retained
+is named by a hash of the batch's file identities (path + mtime +
+length, per loop namespace); a replayed batch finds its load_id already
+in the catalog's version history and skips — committed-or-absent, never
+doubled — while an overwritten file (new mtime/length) is a NEW round. (The guard's horizon is the retained
 version history: a ``vacuum(retain_versions=N)`` that drops a round's
 snapshot also forgets its replay marker, so retain at least the
 checkpoint-replay window.)
@@ -31,12 +32,23 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import functions as F
-
 from gcp_datalake_pipeline_spark.operators.corpus import (
     dedup_ingest_batch,
     embedding_ingest_batch,
 )
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile emits file URIs (scheme + percent-encoding). Strip ONLY
+    a leading file: scheme and unquote — a blanket replace('file:', '')
+    mangled any path containing that substring and left %20-style
+    escapes undecoded."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme == "file":
+        return unquote(parsed.path)
+    return uri
 
 
 def _run_streaming_rounds(
@@ -46,11 +58,25 @@ def _run_streaming_rounds(
     round_fn,
     available_now: bool,
     max_files_per_trigger: int,
-) -> list[dict]:
+    lid_prefix: str,
+):
     """Shared trigger/foreachBatch runner: list newly landed ``*.parquet``
     files (binaryFile metadata only — content is re-read columnar per
     round), run ``round_fn(batch_df, load_id)`` once per micro-batch, skip
-    batches whose content-addressed load_id is already committed."""
+    batches whose load_id is already committed.
+
+    The load_id hashes each file's (path, modificationTime, length) under
+    a per-loop ``lid_prefix`` namespace: a checkpoint replay (same
+    listing-log entries) reproduces it, a file OVERWRITTEN with new
+    content gets a new id (mtime/length change) and is re-ingested, and
+    the text and embedding loops sharing one catalog can never skip each
+    other's batches.
+
+    Returns the committed-round records (availableNow mode, after the
+    drain) — or, with ``available_now=False``, the live StreamingQuery
+    handle so the caller can awaitTermination()/stop() it (per-round
+    records are not meaningful for an unbounded query).
+    """
     spark = catalog.spark
     rounds: list[dict] = []
 
@@ -63,22 +89,21 @@ def _run_streaming_rounds(
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(landing_dir)
-        .select(F.col("path"))
+        .select("path", "modificationTime", "length")
     )
 
     def handle_batch(batch_df, batch_id):
-        paths = sorted(
-            r["path"].replace("file:", "") for r in batch_df.collect()
+        files = sorted(
+            (r["path"], str(r["modificationTime"]), r["length"])
+            for r in batch_df.collect()
         )
-        if not paths:
+        if not files:
             return
-        # Content-addressed round id: stable across checkpoint replays
-        # (and even checkpoint loss, as long as batch composition — here
-        # one file per trigger — is reproduced).
-        lid = (
-            "stream-dedup-"
-            + hashlib.md5(";".join(paths).encode()).hexdigest()[:12]
-        )
+        paths = [_local_path(p) for p, _m, _n in files]
+        digest = hashlib.md5(
+            ";".join(f"{p}@{m}#{n}" for p, m, n in files).encode()
+        ).hexdigest()[:12]
+        lid = f"{lid_prefix}-{digest}"
         versions = getattr(catalog, "versions", None)
         if versions is not None and any(
             v.get("load_id") == lid for v in versions()
@@ -95,9 +120,8 @@ def _run_streaming_rounds(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:
-        q = writer.start()
-    return rounds
+        return rounds
+    return writer.start()
 
 
 def run_streaming_dedup_ingest(
@@ -114,11 +138,12 @@ def run_streaming_dedup_ingest(
     bands: int = 8,
     hash_mode: str = "xxhash64",
     num_buckets: int = 64,
-) -> list[dict]:
+):
     """Run text dedup-ingest rounds over newly landed ``*.parquet``
     document files. Returns one record per round actually committed this
     run: ``{"load_id", "paths", "n_pairs"}`` (replayed/already-committed
-    batches are skipped and not listed)."""
+    batches are skipped and not listed); with ``available_now=False``,
+    returns the live StreamingQuery instead."""
 
     def round_fn(batch, lid):
         return dedup_ingest_batch(
@@ -137,7 +162,7 @@ def run_streaming_dedup_ingest(
 
     return _run_streaming_rounds(
         catalog, landing_dir, checkpoint_dir, round_fn,
-        available_now, max_files_per_trigger,
+        available_now, max_files_per_trigger, "stream-dedup",
     )
 
 
@@ -159,11 +184,12 @@ def run_streaming_embedding_ingest(
     vec_col: str = "embedding",
     backend: str = "arrow",
     num_buckets: int = 64,
-) -> list[dict]:
+):
     """The embedding twin: newly landed ``*.parquet`` vector files run one
     atomic embedding-near-dup round per micro-batch (new batch probes the
     stored hyperplane-LSH bucket index; vectors + buckets + pairs commit
-    together). Same replay/conflict semantics as the text loop."""
+    together). Same replay/conflict semantics and return contract as the
+    text loop (own load_id namespace, so both loops can share a catalog)."""
 
     def round_fn(batch, lid):
         return embedding_ingest_batch(
@@ -186,5 +212,5 @@ def run_streaming_embedding_ingest(
 
     return _run_streaming_rounds(
         catalog, landing_dir, checkpoint_dir, round_fn,
-        available_now, max_files_per_trigger,
+        available_now, max_files_per_trigger, "stream-embdedup",
     )

@@ -66,7 +66,9 @@ def run_streaming_ingest(
     def handle_batch(batch_df, batch_id):
         from contextlib import nullcontext
 
-        paths = [r["path"].replace("file:", "") for r in batch_df.collect()]
+        from gcp_datalake_pipeline_spark.streaming.corpus import _local_path
+
+        paths = [_local_path(r["path"]) for r in batch_df.collect()]
         for processor, path in plan_batch(paths):
             # Same per-file atomicity as the batch runner when the catalog
             # is transactional: every table this file touches publishes in

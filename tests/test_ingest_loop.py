@@ -333,3 +333,35 @@ def test_streaming_embedding_ingest_loop(spark, tmp_path):
     )
     assert again == []
     assert cat.read("corpus_embeddings").count() == emb.count()
+
+
+def test_bucket_count_mismatch_uses_sidecar(spark, tmp_path):
+    """A later round passing a DIFFERENT num_buckets must use the
+    table's persisted bucket count (pruning with the wrong modulus would
+    silently drop near-dup pairs and mix two moduli in one table)."""
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(DOCS)
+    b1, b2, _ = _batches(docs, "doc_id")
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    corpus.dedup_ingest_batch(cat, b1, num_buckets=32)
+    corpus.dedup_ingest_batch(cat, b2, num_buckets=64)  # sidecar says 32
+    import os
+
+    kb_vals = {
+        int(d.split("=", 1)[1])
+        for dd in cat._data_dirs("corpus_docs")
+        for d in os.listdir(dd)
+        if d.startswith("_kb=")
+    }
+    assert max(kb_vals) < 32, "second round must keep the mod-32 layout"
+    both = b1.unionByName(b2)
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(both).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full  # no silently dropped pairs

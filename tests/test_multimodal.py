@@ -380,3 +380,41 @@ def test_wav_sample_stats_real_decode(spark):
     assert out[3]["n_channels"] == 2 and out[3]["n_frames"] == 2
     assert out[4]["decode_ok"] is False
     assert out[5]["decode_ok"] is False  # synthetic header has no samples
+
+
+def test_bmp_8bit_palette_resolved(spark):
+    """8-bit BMP pixels are palette INDICES: an all-index-0 image whose
+    palette maps 0 -> white must read as mean 1.0, not 0.0; an inverted
+    ramp palette must invert the stats."""
+    import struct
+
+    def bmp8(indices_rows, palette_rgb):
+        h, w = len(indices_rows), len(indices_rows[0])
+        row_bytes = ((w * 8 + 31) // 32) * 4
+        pal = b"".join(
+            bytes([b_, g, r, 0]) for (r, g, b_) in palette_rgb
+        )
+        data = bytearray()
+        for row in indices_rows[::-1]:
+            rb = bytearray(row) + b"\x00" * (row_bytes - w)
+            data += rb
+        off = 14 + 40 + len(pal)
+        hdrs = (
+            b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data),
+                2835, 2835, len(palette_rgb), 0,
+            )
+        )
+        return hdrs + pal + bytes(data)
+
+    white_pal = [(255, 255, 255)] + [(0, 0, 0)] * 255
+    rows = [
+        (1, "image/bmp", bmp8([[0, 0], [0, 0]], white_pal)),
+        (2, "image/bmp", bmp8([[1, 1], [1, 1]], white_pal)),  # black
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.image_pixel_stats(media).collect()}
+    assert out[1]["decode_ok"] and abs(out[1]["mean_pixel"] - 1.0) < 1e-9
+    assert out[2]["decode_ok"] and out[2]["mean_pixel"] == 0.0
+    assert out[1]["channels"] == 3  # palette resolved to RGB

@@ -175,3 +175,9 @@ def test_in_set_and_matches_checks(spark):
     # 'Z' violates the set (NULL ignored); 'nope' violates the regex
     # (NULL ignored; partial matches don't pass the anchored pattern)
     assert out == {"status_set": 1, "rut_format": 1}
+
+
+def test_validate_constraints_empty_suite(spark):
+    """An empty checks list is a valid (empty) report, not an error."""
+    df = spark.createDataFrame([(1,)], "id long")
+    assert validate_constraints(df, []).collect() == []
