@@ -79,6 +79,8 @@ def cmd_corpus_ingest(args) -> None:
         args.checkpoint,
         threshold=args.threshold,
         num_buckets=args.buckets,
+        file_format=args.format,
+        schema=args.schema,
     )
     n_pairs = (
         cat.read("corpus_near_dup_pairs").count()
@@ -285,6 +287,15 @@ def main(argv: list[str] | None = None) -> None:
         "--atomic", action="store_true",
         help="use the transactional catalog (one commit per round; "
         "replayed batches are skipped via the version history)",
+    )
+    pc.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl"],
+        help="landed file format (jsonl = one JSON document per line)",
+    )
+    pc.add_argument(
+        "--schema", default=None,
+        help='DDL schema for jsonl, e.g. "doc_id long, text string" '
+        "(skips per-file inference)",
     )
     pc.set_defaults(fn=cmd_corpus_ingest)
 

@@ -51,6 +51,17 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+_FORMATS = {
+    # file_format -> (glob, reader)
+    "parquet": ("*.parquet", lambda spark, paths, schema: (
+        spark.read.schema(schema) if schema else spark.read
+    ).parquet(*paths)),
+    "jsonl": ("*.json*", lambda spark, paths, schema: (
+        spark.read.schema(schema) if schema else spark.read
+    ).json(list(paths))),
+}
+
+
 def _run_streaming_rounds(
     catalog,
     landing_dir: str,
@@ -59,6 +70,8 @@ def _run_streaming_rounds(
     available_now: bool,
     max_files_per_trigger: int,
     lid_prefix: str,
+    file_format: str = "parquet",
+    schema=None,
 ):
     """Shared trigger/foreachBatch runner: list newly landed ``*.parquet``
     files (binaryFile metadata only — content is re-read columnar per
@@ -72,6 +85,11 @@ def _run_streaming_rounds(
     the text and embedding loops sharing one catalog can never skip each
     other's batches.
 
+    ``file_format``: "parquet" (default) or "jsonl" (one JSON document
+    per line — the common text-corpus landing format; pass ``schema`` to
+    pin column types instead of per-file inference, strongly recommended
+    for jsonl at scale: schema inference re-reads every file).
+
     Returns the committed-round records (availableNow mode, after the
     drain) — or, with ``available_now=False``, the live StreamingQuery
     handle so the caller can awaitTermination()/stop() it (per-round
@@ -79,6 +97,12 @@ def _run_streaming_rounds(
     """
     spark = catalog.spark
     rounds: list[dict] = []
+    if file_format not in _FORMATS:
+        raise ValueError(
+            f"unknown file_format {file_format!r}; use one of "
+            f"{sorted(_FORMATS)}"
+        )
+    glob, reader = _FORMATS[file_format]
 
     stream = (
         spark.readStream.format("binaryFile")
@@ -86,7 +110,7 @@ def _run_streaming_rounds(
             "path STRING, modificationTime TIMESTAMP, length BIGINT, "
             "content BINARY"
         )
-        .option("pathGlobFilter", "*.parquet")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(landing_dir)
         .select("path", "modificationTime", "length")
@@ -109,7 +133,7 @@ def _run_streaming_rounds(
             v.get("load_id") == lid for v in versions()
         ):
             return  # replayed batch: round already committed atomically
-        pairs = round_fn(spark.read.parquet(*paths), lid)
+        pairs = round_fn(reader(spark, paths, schema), lid)
         rounds.append(
             {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
         )
@@ -138,12 +162,17 @@ def run_streaming_dedup_ingest(
     bands: int = 8,
     hash_mode: str = "xxhash64",
     num_buckets: int = 64,
+    file_format: str = "parquet",
+    schema=None,
 ):
-    """Run text dedup-ingest rounds over newly landed ``*.parquet``
-    document files. Returns one record per round actually committed this
-    run: ``{"load_id", "paths", "n_pairs"}`` (replayed/already-committed
-    batches are skipped and not listed); with ``available_now=False``,
-    returns the live StreamingQuery instead."""
+    """Run text dedup-ingest rounds over newly landed document files
+    (``*.parquet`` by default; ``file_format="jsonl"`` for
+    one-JSON-document-per-line corpora — pass ``schema`` like
+    ``"doc_id long, text string"`` to skip per-file inference). Returns
+    one record per round actually committed this run: ``{"load_id",
+    "paths", "n_pairs"}`` (replayed/already-committed batches are
+    skipped and not listed); with ``available_now=False``, returns the
+    live StreamingQuery instead."""
 
     def round_fn(batch, lid):
         return dedup_ingest_batch(
@@ -163,6 +192,7 @@ def run_streaming_dedup_ingest(
     return _run_streaming_rounds(
         catalog, landing_dir, checkpoint_dir, round_fn,
         available_now, max_files_per_trigger, "stream-dedup",
+        file_format=file_format, schema=schema,
     )
 
 
@@ -184,6 +214,8 @@ def run_streaming_embedding_ingest(
     vec_col: str = "embedding",
     backend: str = "arrow",
     num_buckets: int = 64,
+    file_format: str = "parquet",
+    schema=None,
 ):
     """The embedding twin: newly landed ``*.parquet`` vector files run one
     atomic embedding-near-dup round per micro-batch (new batch probes the
@@ -213,4 +245,5 @@ def run_streaming_embedding_ingest(
     return _run_streaming_rounds(
         catalog, landing_dir, checkpoint_dir, round_fn,
         available_now, max_files_per_trigger, "stream-embdedup",
+        file_format=file_format, schema=schema,
     )

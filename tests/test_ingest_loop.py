@@ -365,3 +365,39 @@ def test_bucket_count_mismatch_uses_sidecar(spark, tmp_path):
         for r in cat.read("corpus_near_dup_pairs").collect()
     }
     assert stored == full  # no silently dropped pairs
+
+
+def test_streaming_dedup_ingest_jsonl(spark, tmp_path):
+    """JSONL landing format (one JSON document per line, the common text-
+    corpus shape): same rounds, same pairs as the parquet path."""
+    import json
+    import os
+
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for i, b in enumerate(_batches(docs, "doc_id", 2)):
+        with open(os.path.join(land, f"b{i}.jsonl"), "w") as f:
+            for r in b.collect():
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rounds = run_streaming_dedup_ingest(
+        cat, land, str(tmp_path / "ckpt"),
+        file_format="jsonl", schema="doc_id long, text string",
+    )
+    assert len(rounds) == 2
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full and full
+    assert cat.read("corpus_docs").count() == docs.count()

@@ -418,3 +418,61 @@ def test_bmp_8bit_palette_resolved(spark):
     assert out[1]["decode_ok"] and abs(out[1]["mean_pixel"] - 1.0) < 1e-9
     assert out[2]["decode_ok"] and out[2]["mean_pixel"] == 0.0
     assert out[1]["channels"] == 3  # palette resolved to RGB
+
+
+def test_bmp_decode_roundtrip_property():
+    """Hypothesis round-trip: encode random pixel grids at 24/32-bit and
+    random top_down, decode, and require EXACT pixel equality (incl. row
+    padding and BGR/vertical-flip handling) — no Spark needed, the
+    decoder is a pure function."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        bits=st.sampled_from([24, 32]),
+        top_down=st.booleans(),
+        data=st.data(),
+    )
+    def check(w, h, bits, top_down, data):
+        ch = bits // 8
+        px = data.draw(
+            st.lists(
+                st.lists(
+                    st.tuples(*[st.integers(0, 255)] * ch),
+                    min_size=w, max_size=w,
+                ),
+                min_size=h, max_size=h,
+            )
+        )
+        arr = mm._decode_bmp_pixels(_full_bmp(px, bits=bits, top_down=top_down))
+        assert arr is not None and arr.shape == (h, w, ch)
+        assert np.array_equal(arr, np.array(px, dtype=np.uint8))
+
+    check()
+
+
+def test_wav_decode_roundtrip_property():
+    """Hypothesis round-trip: random PCM sample words at 8/16/32-bit,
+    encode, decode, exact normalized-value equality."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(bits=st.sampled_from([8, 16, 32]), data=st.data())
+    def check(bits, data):
+        lo, hi = (0, 255) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+        raw = data.draw(st.lists(st.integers(lo, hi), min_size=1, max_size=40))
+        out = mm._decode_wav_samples(_full_wav(raw, bits=bits))
+        assert out is not None
+        sr, ch, samples = out
+        assert (sr, ch) == (8000, 1) and len(samples) == len(raw)
+        if bits == 8:
+            want = (np.array(raw, dtype=np.float64) - 128.0) / 128.0
+        else:
+            want = np.array(raw, dtype=np.float64) / float(2 ** (bits - 1))
+        assert np.array_equal(samples, want)
+
+    check()
