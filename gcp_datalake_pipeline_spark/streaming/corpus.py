@@ -72,6 +72,8 @@ def _run_streaming_rounds(
     lid_prefix: str,
     file_format: str = "parquet",
     schema=None,
+    compact_every: int | None = None,
+    tables: tuple[str, ...] = (),
 ):
     """Shared trigger/foreachBatch runner: list newly landed ``*.parquet``
     files (binaryFile metadata only — content is re-read columnar per
@@ -89,6 +91,15 @@ def _run_streaming_rounds(
     per line — the common text-corpus landing format; pass ``schema`` to
     pin column types instead of per-file inference, strongly recommended
     for jsonl at scale: schema inference re-reads every file).
+
+    ``compact_every``: every N committed rounds, fold the loop's tables'
+    append-grown dir lists back into one dir each (``catalog.compact``)
+    — a continuously-appending loop otherwise grows one staged dir per
+    round per table (the classic small-files/plan-growth problem; flat
+    at 20 rounds in measurement, unbounded over a corpus's lifetime).
+    Best-effort: a compaction that loses a conflict race to a concurrent
+    writer is skipped, never fails the stream; the bucketed docs table
+    keeps its ``_kb`` layout through the rewrite (sidecar metadata).
 
     Returns the committed-round records (availableNow mode, after the
     drain) — or, with ``available_now=False``, the live StreamingQuery
@@ -137,6 +148,23 @@ def _run_streaming_rounds(
         rounds.append(
             {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
         )
+        compact = getattr(catalog, "compact", None)
+        if (
+            compact_every
+            and compact is not None
+            and len(rounds) % compact_every == 0
+        ):
+            from gcp_datalake_pipeline_spark.transactions import (
+                ConcurrentWriteError,
+            )
+
+            for table in tables:
+                if not catalog.exists(table):
+                    continue
+                try:
+                    compact(table)
+                except ConcurrentWriteError:
+                    pass  # a concurrent append won; next window retries
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -164,6 +192,7 @@ def run_streaming_dedup_ingest(
     num_buckets: int = 64,
     file_format: str = "parquet",
     schema=None,
+    compact_every: int | None = None,
 ):
     """Run text dedup-ingest rounds over newly landed document files
     (``*.parquet`` by default; ``file_format="jsonl"`` for
@@ -193,6 +222,8 @@ def run_streaming_dedup_ingest(
         catalog, landing_dir, checkpoint_dir, round_fn,
         available_now, max_files_per_trigger, "stream-dedup",
         file_format=file_format, schema=schema,
+        compact_every=compact_every,
+        tables=(docs_table, bands_table, pairs_table),
     )
 
 
@@ -216,6 +247,7 @@ def run_streaming_embedding_ingest(
     num_buckets: int = 64,
     file_format: str = "parquet",
     schema=None,
+    compact_every: int | None = None,
 ):
     """The embedding twin: newly landed ``*.parquet`` vector files run one
     atomic embedding-near-dup round per micro-batch (new batch probes the
@@ -246,4 +278,6 @@ def run_streaming_embedding_ingest(
         catalog, landing_dir, checkpoint_dir, round_fn,
         available_now, max_files_per_trigger, "stream-embdedup",
         file_format=file_format, schema=schema,
+        compact_every=compact_every,
+        tables=(vectors_table, buckets_table, pairs_table),
     )

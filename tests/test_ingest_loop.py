@@ -401,3 +401,36 @@ def test_streaming_dedup_ingest_jsonl(spark, tmp_path):
     }
     assert stored == full and full
     assert cat.read("corpus_docs").count() == docs.count()
+
+
+def test_streaming_loop_auto_compaction(spark, tmp_path):
+    """compact_every folds the loop's append-grown tables back to one dir
+    per table without changing any values — the long-run maintenance knob
+    a continuously-appending corpus needs."""
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    _landing_files(docs, "doc_id", str(tmp_path / "landing"), n_files=4)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rounds = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    assert len(rounds) == 4
+    # compaction ran after rounds 2 and 4: every table folded to one dir
+    for t in ("corpus_docs", "corpus_minhash_bands", "corpus_near_dup_pairs"):
+        assert len(cat._data_dirs(t)) == 1, t
+    assert "_kb" in cat.read("corpus_docs").columns  # layout preserved
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full
+    assert cat.read("corpus_docs").count() == docs.count()
