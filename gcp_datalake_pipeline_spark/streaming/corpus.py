@@ -52,13 +52,20 @@ def _local_path(uri: str) -> str:
 
 
 _FORMATS = {
-    # file_format -> (glob, reader)
+    # file_format -> (glob, reader). The jsonl glob is EXACT suffixes
+    # ({json,jsonl}), never *.json* — that matched .jsonl.tmp staging
+    # files, ingesting a half-written file and then double-ingesting it
+    # under a new load_id after the rename. The jsonl reader is FAILFAST:
+    # in PERMISSIVE mode a malformed line becomes an all-null row that
+    # would be committed into the corpus silently; failing the batch
+    # instead leaves the checkpoint unadvanced and retries — the same
+    # hard-fail contract a truncated parquet file gets for free.
     "parquet": ("*.parquet", lambda spark, paths, schema: (
         spark.read.schema(schema) if schema else spark.read
     ).parquet(*paths)),
-    "jsonl": ("*.json*", lambda spark, paths, schema: (
+    "jsonl": ("*.{json,jsonl}", lambda spark, paths, schema: (
         spark.read.schema(schema) if schema else spark.read
-    ).json(list(paths))),
+    ).option("mode", "FAILFAST").json(list(paths))),
 }
 
 
@@ -75,10 +82,10 @@ def _run_streaming_rounds(
     compact_every: int | None = None,
     tables: tuple[str, ...] = (),
 ):
-    """Shared trigger/foreachBatch runner: list newly landed ``*.parquet``
-    files (binaryFile metadata only — content is re-read columnar per
-    round), run ``round_fn(batch_df, load_id)`` once per micro-batch, skip
-    batches whose load_id is already committed.
+    """Shared trigger/foreachBatch runner: list newly landed files of the
+    loop's format (binaryFile metadata only — content is re-read columnar
+    per round), run ``round_fn(batch_df, load_id)`` once per micro-batch,
+    skip batches whose load_id is already committed.
 
     The load_id hashes each file's (path, modificationTime, length) under
     a per-loop ``lid_prefix`` namespace: a checkpoint replay (same
@@ -92,19 +99,23 @@ def _run_streaming_rounds(
     pin column types instead of per-file inference, strongly recommended
     for jsonl at scale: schema inference re-reads every file).
 
-    ``compact_every``: every N committed rounds, fold the loop's tables'
-    append-grown dir lists back into one dir each (``catalog.compact``)
-    — a continuously-appending loop otherwise grows one staged dir per
-    round per table (the classic small-files/plan-growth problem; flat
-    at 20 rounds in measurement, unbounded over a corpus's lifetime).
-    Best-effort: a compaction that loses a conflict race to a concurrent
-    writer is skipped, never fails the stream; the bucketed docs table
-    keeps its ``_kb`` layout through the rewrite (sidecar metadata).
+    ``compact_every``: whenever a table's staged-dir list reaches this
+    many dirs after a committed round, fold it back into one dir
+    (``catalog.compact``) — a continuously-appending loop otherwise grows
+    one staged dir per round per table (the classic small-files/
+    plan-growth problem; flat at 20 rounds in measurement, unbounded over
+    a corpus's lifetime). The trigger is the PERSISTED dir count, not a
+    per-run round counter, so frequently-restarted drains (cron-driven
+    availableNow) still compact on cadence. Best-effort: a compaction
+    that loses a conflict race to a concurrent writer is skipped, never
+    fails the stream; the bucketed docs table keeps its ``_kb`` layout
+    through the rewrite (sidecar metadata).
 
     Returns the committed-round records (availableNow mode, after the
     drain) — or, with ``available_now=False``, the live StreamingQuery
     handle so the caller can awaitTermination()/stop() it (per-round
-    records are not meaningful for an unbounded query).
+    records are neither returned nor accumulated for an unbounded query —
+    a weeks-long stream must not grow driver state per batch).
     """
     spark = catalog.spark
     rounds: list[dict] = []
@@ -145,21 +156,21 @@ def _run_streaming_rounds(
         ):
             return  # replayed batch: round already committed atomically
         pairs = round_fn(reader(spark, paths, schema), lid)
-        rounds.append(
-            {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
-        )
+        if available_now:
+            rounds.append(
+                {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
+            )
         compact = getattr(catalog, "compact", None)
-        if (
-            compact_every
-            and compact is not None
-            and len(rounds) % compact_every == 0
-        ):
+        if compact_every and compact is not None:
             from gcp_datalake_pipeline_spark.transactions import (
                 ConcurrentWriteError,
             )
 
             for table in tables:
-                if not catalog.exists(table):
+                if (
+                    not catalog.exists(table)
+                    or len(catalog._data_dirs(table)) < compact_every
+                ):
                     continue
                 try:
                     compact(table)
@@ -249,7 +260,8 @@ def run_streaming_embedding_ingest(
     schema=None,
     compact_every: int | None = None,
 ):
-    """The embedding twin: newly landed ``*.parquet`` vector files run one
+    """The embedding twin: newly landed vector files (parquet or jsonl,
+    like the text loop) run one
     atomic embedding-near-dup round per micro-batch (new batch probes the
     stored hyperplane-LSH bucket index; vectors + buckets + pairs commit
     together). Same replay/conflict semantics and return contract as the

@@ -385,12 +385,15 @@ def test_streaming_dedup_ingest_jsonl(spark, tmp_path):
         with open(os.path.join(land, f"b{i}.jsonl"), "w") as f:
             for r in b.collect():
                 f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    # a half-written staging file must NOT be listed by the jsonl glob
+    with open(os.path.join(land, "partial.jsonl.tmp"), "w") as f:
+        f.write('{"doc_id": 999999, "te')  # truncated mid-write
     cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
     rounds = run_streaming_dedup_ingest(
         cat, land, str(tmp_path / "ckpt"),
         file_format="jsonl", schema="doc_id long, text string",
     )
-    assert len(rounds) == 2
+    assert len(rounds) == 2  # the .tmp file was never a round
     full = {
         (r.doc_a, r.doc_b, r.jaccard)
         for r in minhash_lsh_pairs(docs).collect()
@@ -404,9 +407,10 @@ def test_streaming_dedup_ingest_jsonl(spark, tmp_path):
 
 
 def test_streaming_loop_auto_compaction(spark, tmp_path):
-    """compact_every folds the loop's append-grown tables back to one dir
-    per table without changing any values — the long-run maintenance knob
-    a continuously-appending corpus needs."""
+    """compact_every folds a table back to one dir whenever its staged-
+    dir count reaches the threshold (persisted state, restart-proof)
+    without changing any values — the long-run maintenance knob a
+    continuously-appending corpus needs."""
     from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
     from gcp_datalake_pipeline_spark.streaming.corpus import (
         run_streaming_dedup_ingest,
