@@ -101,6 +101,53 @@ def cmd_corpus_ingest(args) -> None:
     )
 
 
+def cmd_ann(args) -> None:
+    """Persisted IVF index lifecycle: build once from a vectors parquet,
+    extend batches against the frozen centroids, query top-k with the
+    candidate scan partition-pruned to the probed cells."""
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    if args.action in ("build", "extend") and not args.source:
+        sys.exit(f"error: ann {args.action} requires --source")
+    if args.action == "query" and not args.ids:
+        sys.exit("error: ann query requires --ids")
+    cat = _catalog(args)
+    if args.action == "build":
+        vecs = cat.spark.read.parquet(args.source)
+        cents = ann_index.build_ivf_index(
+            cat, vecs, index_table=args.index,
+            nlist=args.nlist, n_iter=args.iters,
+        )
+        print(
+            json.dumps(
+                {
+                    "built": args.index,
+                    "nlist": cents.count(),
+                    "vectors": cat.read(f"{args.index}_cells").count(),
+                }
+            )
+        )
+    elif args.action == "extend":
+        vecs = cat.spark.read.parquet(args.source)
+        ann_index.extend_ivf_index(cat, vecs, index_table=args.index)
+        print(
+            json.dumps(
+                {
+                    "extended": args.index,
+                    "vectors": cat.read(f"{args.index}_cells").count(),
+                }
+            )
+        )
+    else:  # query
+        ids = [int(x) for x in args.ids.split(",")]
+        out = ann_index.ivf_index_topk(
+            cat, ids, k=args.k, nprobe=args.nprobe, index_table=args.index
+        )
+        if args.explain:
+            out.explain("formatted")
+        out.orderBy("query_id", "rank").show(args.k * len(ids), truncate=False)
+
+
 def _register_views(cat: Catalog, testdata: str | None) -> None:
     for entry in cat.tables():
         cat.read(entry).createOrReplaceTempView(entry)
@@ -298,6 +345,26 @@ def main(argv: list[str] | None = None) -> None:
         "(skips per-file inference)",
     )
     pc.set_defaults(fn=cmd_corpus_ingest)
+
+    pa = sub.add_parser(
+        "ann",
+        help="persisted IVF index: build / extend / query-only serving",
+    )
+    pa.add_argument("action", choices=["build", "extend", "query"])
+    pa.add_argument("--catalog", required=True)
+    pa.add_argument("--index", default="ann_ivf")
+    pa.add_argument(
+        "--source", default=None,
+        help="vectors parquet (vec_id, embedding) for build/extend",
+    )
+    pa.add_argument("--ids", default=None, help="query vec_ids, comma-sep")
+    pa.add_argument("--k", type=int, default=5)
+    pa.add_argument("--nprobe", type=int, default=4)
+    pa.add_argument("--nlist", type=int, default=16)
+    pa.add_argument("--iters", type=int, default=2)
+    pa.add_argument("--explain", action="store_true")
+    pa.add_argument("--atomic", action="store_true")
+    pa.set_defaults(fn=cmd_ann)
 
     pq = sub.add_parser("query", help="SQL over the catalog")
     pq.add_argument("--catalog", required=True)

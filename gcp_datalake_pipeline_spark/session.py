@@ -11,6 +11,7 @@ runs; Arrow enabled for the pandas-UDF slow path.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -28,6 +29,15 @@ def get_spark(
     ``shuffle_partitions`` (rule of thumb: 2-3x total cores, or let AQE
     coalesce from a high initial number).
     """
+    # Pin Python WORKERS to the driver's interpreter BEFORE the context
+    # starts: pyspark resolves the worker exec from the PYSPARK_PYTHON
+    # env var only (context.py: os.environ.get("PYSPARK_PYTHON",
+    # "python3")), so under a minimal PATH the default is the system
+    # python without numpy/pandas and every Arrow/pandas operator dies
+    # with ModuleNotFoundError on the executor side only. A caller's
+    # explicit PYSPARK_PYTHON still wins.
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

@@ -114,3 +114,22 @@ def test_cli_corpus_ingest(workdir):
     assert payload2["rounds"] == []
     assert payload2["docs"] == 500
     assert payload2["near_dup_pairs"] == payload["near_dup_pairs"]
+
+
+def test_cli_ann_index_lifecycle(workdir):
+    """ann build -> extend -> query: the persisted-index serving surface.
+    Query output ranks the probed cells' neighbors; extend is append-only
+    against frozen centroids."""
+    cat = f"{workdir}/ann_lake"
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli("ann", "build", "--atomic", "--catalog", cat, "--source", src)
+    assert r.returncode == 0, r.stderr[-2000:]
+    built = json.loads(r.stdout[r.stdout.index("{"):])
+    assert built["nlist"] == 16 and built["vectors"] == 500
+
+    r = run_cli("ann", "query", "--catalog", cat, "--ids", "3,57", "--k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "query_id" in r.stdout and "cosine_sim" in r.stdout
+
+    r = run_cli("ann", "query", "--catalog", cat)
+    assert r.returncode != 0 and "requires --ids" in r.stderr
