@@ -336,8 +336,10 @@ def main(argv: list[str] | None = None) -> None:
         "replayed batches are skipped via the version history)",
     )
     pc.add_argument(
-        "--format", default="parquet", choices=["parquet", "jsonl"],
-        help="landed file format (jsonl = one JSON document per line)",
+        "--format", default="parquet",
+        choices=["parquet", "orc", "jsonl", "csv"],
+        help="landed file format (jsonl = one JSON document per line; "
+        "csv = with header; jsonl/csv read FAILFAST)",
     )
     pc.add_argument(
         "--schema", default=None,

@@ -63,9 +63,15 @@ _FORMATS = {
     "parquet": ("*.parquet", lambda spark, paths, schema: (
         spark.read.schema(schema) if schema else spark.read
     ).parquet(*paths)),
+    "orc": ("*.orc", lambda spark, paths, schema: (
+        spark.read.schema(schema) if schema else spark.read
+    ).orc(*paths)),
     "jsonl": ("*.{json,jsonl}", lambda spark, paths, schema: (
         spark.read.schema(schema) if schema else spark.read
     ).option("mode", "FAILFAST").json(list(paths))),
+    "csv": ("*.csv", lambda spark, paths, schema: (
+        spark.read.schema(schema) if schema else spark.read
+    ).options(header="true", mode="FAILFAST").csv(list(paths))),
 }
 
 
@@ -94,10 +100,13 @@ def _run_streaming_rounds(
     the text and embedding loops sharing one catalog can never skip each
     other's batches.
 
-    ``file_format``: "parquet" (default) or "jsonl" (one JSON document
-    per line — the common text-corpus landing format; pass ``schema`` to
-    pin column types instead of per-file inference, strongly recommended
-    for jsonl at scale: schema inference re-reads every file).
+    ``file_format``: "parquet" (default), "orc", "jsonl" (one JSON
+    document per line — the common text-corpus landing format) or "csv"
+    (with header). jsonl/csv read FAILFAST (a malformed line fails the
+    batch without advancing the checkpoint instead of committing silent
+    nulls); pass ``schema`` to pin column types instead of per-file
+    inference, strongly recommended for jsonl/csv at scale (inference
+    re-reads every file).
 
     ``compact_every``: whenever a table's staged-dir list reaches this
     many dirs after a committed round, fold it back into one dir

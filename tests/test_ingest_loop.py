@@ -438,3 +438,64 @@ def test_streaming_loop_auto_compaction(spark, tmp_path):
     }
     assert stored == full
     assert cat.read("corpus_docs").count() == docs.count()
+
+
+def test_streaming_dedup_ingest_csv_and_orc(spark, tmp_path):
+    """CSV (header) and ORC landing formats produce the same rounds and
+    pairs as the parquet path."""
+    import csv as csvmod
+    import os
+
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+
+    # csv landing
+    land = str(tmp_path / "csv_landing")
+    os.makedirs(land)
+    for i, b in enumerate(_batches(docs, "doc_id", 2)):
+        with open(os.path.join(land, f"b{i}.csv"), "w", newline="") as f:
+            w = csvmod.writer(f)
+            w.writerow(["doc_id", "text"])
+            for r in b.collect():
+                w.writerow([r["doc_id"], r["text"]])
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "csv_lake"))
+    rounds = run_streaming_dedup_ingest(
+        cat, land, str(tmp_path / "csv_ckpt"),
+        file_format="csv", schema="doc_id long, text string",
+    )
+    assert len(rounds) == 2
+    assert {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    } == full
+
+    # orc landing (written per-batch via Spark, one dir per file is fine:
+    # binaryFile lists the part files; use one part per batch)
+    land2 = str(tmp_path / "orc_landing")
+    os.makedirs(land2)
+    for i, b in enumerate(_batches(docs, "doc_id", 2)):
+        tmp_out = str(tmp_path / f"orc_out{i}")
+        b.coalesce(1).write.mode("overwrite").orc(tmp_out)
+        part = next(
+            p for p in os.listdir(tmp_out) if p.endswith(".orc")
+        )
+        os.rename(
+            os.path.join(tmp_out, part), os.path.join(land2, f"b{i}.orc")
+        )
+    cat2 = TransactionalCatalog(spark=spark, root=str(tmp_path / "orc_lake"))
+    rounds2 = run_streaming_dedup_ingest(
+        cat2, land2, str(tmp_path / "orc_ckpt"), file_format="orc",
+    )
+    assert len(rounds2) == 2
+    assert {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat2.read("corpus_near_dup_pairs").collect()
+    } == full
