@@ -65,9 +65,10 @@ def cmd_stream(args) -> None:
 
 
 def cmd_corpus_ingest(args) -> None:
-    """Streaming corpus dedup-ingest: newly landed document parquet files
-    run one atomic dedup round per micro-batch (near-dup pairs flagged
-    against the stored band index; docs + bands + pairs commit together)."""
+    """Streaming corpus dedup-ingest: newly landed document files
+    (parquet/orc/jsonl/csv) run one atomic dedup round per micro-batch
+    (near-dup pairs flagged against the stored band index; docs + bands +
+    pairs commit together)."""
     from gcp_datalake_pipeline_spark.streaming.corpus import (
         run_streaming_dedup_ingest,
     )
