@@ -344,8 +344,9 @@ def main(argv: list[str] | None = None) -> None:
     )
     pc.add_argument(
         "--schema", default=None,
-        help='DDL schema for jsonl, e.g. "doc_id long, text string" '
-        "(skips per-file inference)",
+        help='DDL schema for jsonl/csv, e.g. "doc_id long, text string" '
+        "(skips per-file inference; REQUIRED for csv — headerless typing "
+        "would land every column as string)",
     )
     pc.set_defaults(fn=cmd_corpus_ingest)
 

@@ -334,6 +334,12 @@ def _decode_wav_samples(content: bytes):
         cid = content[i : i + 4]
         csize = struct.unpack("<I", content[i + 4 : i + 8])[0]
         if cid == b"fmt " and i + 24 <= n:
+            # The chunk's OWN size must cover the 16-byte PCM header: a
+            # malformed short fmt chunk would otherwise have sample_rate/
+            # bits read from the NEXT chunk's bytes — garbage stats with
+            # decode_ok=true instead of a clean None.
+            if csize < 16:
+                return None
             fmt_code, channels, sample_rate = struct.unpack(
                 "<HHI", content[i + 8 : i + 16]
             )

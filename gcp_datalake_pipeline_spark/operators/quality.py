@@ -135,6 +135,12 @@ def validate_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
     referenced key set (per-Check ``broadcast``: None = AQE decides
     from stats, True = force the hint for a known-small dimension)."""
     spark = df.sparkSession
+    names = [ch.name for ch in checks]
+    if len(set(names)) != len(names):
+        # the collected report is keyed by name; two checks sharing one
+        # would silently collapse to a single count for both output rows
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate check names: {dupes}")
     # NO scan spread here (unlike profile_table): constraint predicates
     # are cheap row-local work, and a measured attempt showed the
     # round-robin exchange re-executing per count branch — 2x slower on

@@ -133,6 +133,17 @@ def _run_streaming_rounds(
             f"unknown file_format {file_format!r}; use one of "
             f"{sorted(_FORMATS)}"
         )
+    if file_format == "csv" and schema is None:
+        # CSV without a schema reads EVERY column as string (no
+        # inference), so doc_id would land as string in a corpus whose
+        # parquet rounds committed it as long: schema-mismatched appends
+        # and differently-hashed bucket keys. jsonl is exempt — JSON
+        # values are self-typed, so inference lands the right types.
+        raise ValueError(
+            "file_format='csv' requires a schema (e.g. "
+            "\"doc_id long, text string\"); headerless typing would land "
+            "every column as string and mismatch parquet-ingested rounds"
+        )
     glob, reader = _FORMATS[file_format]
 
     stream = (

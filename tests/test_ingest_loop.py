@@ -499,3 +499,20 @@ def test_streaming_dedup_ingest_csv_and_orc(spark, tmp_path):
         (r.doc_a, r.doc_b, r.jaccard)
         for r in cat2.read("corpus_near_dup_pairs").collect()
     } == full
+
+
+def test_streaming_csv_without_schema_rejected(spark, tmp_path):
+    """CSV landing without a schema would type every column string
+    (doc_id mismatching parquet-ingested rounds) — hard error up front."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="requires a schema"):
+        run_streaming_dedup_ingest(
+            cat, str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+            file_format="csv",
+        )

@@ -476,3 +476,23 @@ def test_wav_decode_roundtrip_property():
         assert np.array_equal(samples, want)
 
     check()
+
+
+def test_wav_short_fmt_chunk_rejected():
+    """A fmt chunk whose own csize is under the 16-byte PCM header must
+    decode to None, not read sample_rate/bits from the NEXT chunk's
+    bytes (garbage stats with decode_ok=true)."""
+    import struct
+
+    good = _full_wav([1000, -1000])
+    # shrink the declared fmt csize to 12: the 16 fmt payload bytes are
+    # still present, but the header now claims fewer — parsing past the
+    # declared size would be reading unowned bytes
+    fmt_at = good.index(b"fmt ")
+    bad = (
+        good[: fmt_at + 4]
+        + struct.pack("<I", 12)
+        + good[fmt_at + 8 :]
+    )
+    assert mm._decode_wav_samples(good) is not None
+    assert mm._decode_wav_samples(bad) is None

@@ -181,3 +181,19 @@ def test_validate_constraints_empty_suite(spark):
     """An empty checks list is a valid (empty) report, not an error."""
     df = spark.createDataFrame([(1,)], "id long")
     assert validate_constraints(df, []).collect() == []
+
+
+def test_duplicate_check_names_rejected(spark):
+    """Two checks sharing a name would collapse to one report value for
+    both rows (the report is keyed by name) — a hard error up front."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(ValueError, match="duplicate check names"):
+        validate_constraints(
+            df,
+            [
+                Check("x", "not_null", col="id"),
+                Check("x", "unique", cols=("id",)),
+            ],
+        )
