@@ -15,12 +15,12 @@ Exactly-once across replays: the file-source checkpoint advances only
 after ``foreachBatch`` returns, so a crash between the round's commit and
 the checkpoint write replays the batch. Each round's transactional commit
 is named by a hash of the batch's file identities (path + mtime +
-length, per loop namespace); a replayed batch finds its load_id already
-in the catalog's version history and skips — committed-or-absent, never
-doubled — while an overwritten file (new mtime/length) is a NEW round. (The guard's horizon is the retained
-version history: a ``vacuum(retain_versions=N)`` that drops a round's
-snapshot also forgets its replay marker, so retain at least the
-checkpoint-replay window.)
+length, per loop namespace); a replayed batch finds its load_id's
+committed-load marker (``TransactionalCatalog.has_load_id`` — one O(1)
+file-existence check per batch, maintained at commit) and skips —
+committed-or-absent, never doubled — while an overwritten file (new
+mtime/length) is a NEW round. The markers survive ``vacuum``, so
+snapshot retention never shrinks the replay horizon.
 
 A concurrent external ingest round conflicts at commit
 (ConcurrentWriteError via the index-table anchor), failing the micro-batch
@@ -170,11 +170,20 @@ def _run_streaming_rounds(
             ";".join(f"{p}@{m}#{n}" for p, m, n in files).encode()
         ).hexdigest()[:12]
         lid = f"{lid_prefix}-{digest}"
-        versions = getattr(catalog, "versions", None)
-        if versions is not None and any(
-            v.get("load_id") == lid for v in versions()
-        ):
-            return  # replayed batch: round already committed atomically
+        # Replay guard: one O(1) marker lookup per batch (the markers are
+        # maintained at commit and survive vacuum, so neither a long
+        # version history nor snapshot retention affects the guard);
+        # catalogs without markers fall back to the version-history scan.
+        has_lid = getattr(catalog, "has_load_id", None)
+        if has_lid is not None:
+            if has_lid(lid):
+                return  # replayed batch: round already committed
+        else:
+            versions = getattr(catalog, "versions", None)
+            if versions is not None and any(
+                v.get("load_id") == lid for v in versions()
+            ):
+                return  # replayed batch: round already committed
         pairs = round_fn(reader(spark, paths, schema), lid)
         if available_now:
             rounds.append(

@@ -55,6 +55,7 @@ from gcp_datalake_pipeline_spark.storage import Catalog
 _MANIFEST = "_MANIFEST.json"
 _LOADS = "_loads"
 _VERSIONS = "_versions"
+_LOAD_IDS = "_load_ids"
 
 
 def _merge_schema_json(old: dict | None, new: dict | None) -> dict | None:
@@ -502,6 +503,10 @@ class TransactionalCatalog(Catalog):
             # orphan version file that the NEXT commit (same version
             # number, since the pointer never moved) simply overwrites —
             # never visible data.
+            # marker first (so a legacy backfill never sees this commit's
+            # not-yet-visible version file), then the retained version
+            # manifest, then the pointer swap
+            self._write_load_marker(load_id, manifest["version"])
             vdir = os.path.join(self.root, _VERSIONS)
             os.makedirs(vdir, exist_ok=True)
             vpath = os.path.join(vdir, f"{manifest['version']}.json")
@@ -540,6 +545,115 @@ class TransactionalCatalog(Catalog):
         except BaseException:
             self.rollback()
             raise
+
+    # -- committed-load markers ---------------------------------------------
+    #
+    # One tiny file per committed load_id under ``_load_ids/``, written
+    # inside the commit flock. This is the REPLAY GUARD's index: a
+    # streaming micro-batch asks "was this round already committed?" with
+    # ONE os.path.exists — O(1) per batch instead of parsing every
+    # retained version manifest — and the markers are never vacuumed, so
+    # a ``vacuum(retain_versions=1)`` inside a checkpoint-replay window
+    # can no longer forget a round and double-commit it on replay.
+    # Markers are a few dozen bytes each; a year of minutely rounds is
+    # ~50 MB of metadata, not worth a retention knob.
+    #
+    # Crash atomicity: the marker is written BEFORE the pointer swap (so
+    # a committed load always has its marker), and a ``.pending`` sidecar
+    # records the in-flight (marker, version). A crash between marker
+    # write and swap leaves a marker for a NEVER-visible commit — if
+    # trusted, a replay would skip a round whose data was lost.
+    # ``has_load_id`` therefore disregards a marker still named by
+    # ``.pending`` with a version ahead of the committed pointer, and the
+    # next commit (same flock) deletes the orphan before proceeding.
+    # (The retained-version fallback used before these markers had the
+    # same window via the orphan version file; the sidecar closes it.)
+
+    def _marker_dir(self) -> str:
+        return os.path.join(self.root, _LOAD_IDS)
+
+    def _marker_path(self, load_id: str) -> str:
+        import hashlib
+
+        # hashed filename: load_ids are caller strings (may hold '/')
+        h = hashlib.sha1(load_id.encode()).hexdigest()
+        return os.path.join(self._marker_dir(), f"{h}.json")
+
+    def _pending_marker_path(self) -> str:
+        return os.path.join(self._marker_dir(), ".pending")
+
+    def _read_pending_marker(self) -> dict | None:
+        try:
+            with open(self._pending_marker_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def has_load_id(self, load_id: str) -> bool:
+        """True iff a commit named ``load_id`` is visible — the O(1)
+        idempotent-replay lookup (the streaming loops key exactly-once on
+        it). Falls back to scanning the retained version history on a
+        catalog that predates the marker directory (markers backfill at
+        its next commit)."""
+        mdir = self._marker_dir()
+        if not os.path.isdir(mdir):
+            if not os.path.isdir(os.path.join(self.root, _VERSIONS)):
+                return False  # fresh catalog: nothing ever committed
+            # legacy catalog (pre-marker commits): version-history scan
+            return any(
+                v.get("load_id") == load_id for v in self.versions()
+            )
+        path = self._marker_path(load_id)
+        if not os.path.exists(path):
+            return False
+        pending = self._read_pending_marker()
+        if pending and pending.get("path") == os.path.basename(path):
+            # in-flight (or crashed-before-swap) commit: visible only if
+            # the pointer reached the pending version
+            committed = self._read_manifest(strict=False)["version"]
+            return committed >= pending.get("version", 0)
+        return True
+
+    def _write_load_marker(self, load_id: str, version: int) -> None:
+        """Under the commit flock, before the pointer swap: clean any
+        orphan from a crashed committer, backfill a legacy catalog's
+        markers from its retained versions (one-time), then record this
+        commit's marker + pending sidecar."""
+        mdir = self._marker_dir()
+        committed = self._read_manifest(strict=False)["version"]
+        if not os.path.isdir(mdir):
+            os.makedirs(mdir)
+            # one-time backfill for a legacy (pre-marker) catalog; a
+            # FRESH catalog has no version dir and skips straight through
+            if os.path.isdir(os.path.join(self.root, _VERSIONS)):
+                for v in self.versions():
+                    lid = v.get("load_id")
+                    if lid:
+                        with open(self._marker_path(lid), "w") as f:
+                            json.dump(
+                                {"load_id": lid, "version": v["version"]}, f
+                            )
+        else:
+            pending = self._read_pending_marker()
+            if pending and pending.get("version", 0) > committed:
+                # previous committer died between marker write and swap:
+                # its round never became visible, so the marker must not
+                # make a replay skip it
+                try:
+                    os.remove(os.path.join(mdir, pending["path"]))
+                except FileNotFoundError:
+                    pass
+        path = self._marker_path(load_id)
+        with open(path, "w") as f:
+            json.dump({"load_id": load_id, "version": version}, f)
+        tmp = self._pending_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"path": os.path.basename(path), "version": version}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pending_marker_path())
 
     # -- time travel --------------------------------------------------------
 
@@ -731,6 +845,20 @@ class TransactionalCatalog(Catalog):
                     dst_dir = os.path.join(dst_root, rel)
                     if not os.path.exists(dst_dir):
                         _link_tree(src_dir, dst_dir)
+            # committed-load markers ride along (still under the lock:
+            # a marker must never precede its data into the clone): a
+            # streaming loop re-pointed at the clone (blue/green) must
+            # skip rounds the source already committed — the clone HAS
+            # their data. .pending stays behind: its version refers to
+            # the SOURCE's history and would read as an orphan against
+            # the clone's.
+            if os.path.isdir(self._marker_dir()):
+                shutil.copytree(
+                    self._marker_dir(),
+                    dst._marker_dir(),
+                    dirs_exist_ok=True,
+                    ignore=shutil.ignore_patterns(".pending*"),
+                )
         # bucket metadata sidecars (plain files next to nothing in the
         # manifest) ride along so bucketed merges keep their contract
         if os.path.isdir(self.root):
@@ -761,7 +889,12 @@ class TransactionalCatalog(Catalog):
         mid-transaction has staged dirs no manifest references yet, so
         only unreferenced dirs older than the threshold are reclaimed
         (same rationale as Delta's VACUUM retention window; pass 0.0 only
-        when no other writer can be active)."""
+        when no other writer can be active).
+
+        Committed-load markers (``_load_ids/``) are NEVER vacuumed:
+        they are the streaming loops' replay guard, and dropping one
+        inside a checkpoint-replay window would double-commit its round.
+        Snapshot retention and replay idempotence are independent."""
         if self._pending is not None:
             raise RuntimeError("cannot vacuum inside an open transaction")
         retain_versions = max(1, retain_versions)

@@ -516,3 +516,57 @@ def test_streaming_csv_without_schema_rejected(spark, tmp_path):
             cat, str(tmp_path / "landing"), str(tmp_path / "ckpt"),
             file_format="csv",
         )
+
+
+def test_vacuum_then_replay_does_not_double_commit(spark, tmp_path):
+    """The round-6 hazard: vacuum(retain_versions=1) inside a checkpoint-
+    replay window used to forget round load_ids (they lived in the
+    version history) and re-commit them on replay. Markers survive
+    vacuum, so a checkpoint-lost replay after an aggressive vacuum still
+    skips every committed round."""
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    _landing_files(docs, "doc_id", str(tmp_path / "landing"))
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rounds = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    )
+    assert len(rounds) == 3
+    cat.vacuum(retain_versions=1, min_age_seconds=0.0)
+    # checkpoint LOST + history vacuumed: every round must still skip
+    fresh = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt2")
+    )
+    assert fresh == []
+    assert cat.read("corpus_docs").count() == docs.count()
+
+
+def test_streaming_replay_guard_is_o1(spark, tmp_path):
+    """The per-batch replay guard must not scan the version history
+    (O(retained versions) per micro-batch at production retention): with
+    markers present, a full drain + replay never calls versions()."""
+    import unittest.mock as mock
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    _landing_files(docs, "doc_id", str(tmp_path / "landing"))
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    with mock.patch.object(
+        TransactionalCatalog, "versions",
+        side_effect=AssertionError("replay guard scanned the history"),
+    ):
+        rounds = run_streaming_dedup_ingest(
+            cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+        )
+        assert len(rounds) == 3
+        again = run_streaming_dedup_ingest(
+            cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+        )
+    assert again == []
+    assert cat.read("corpus_docs").count() == docs.count()

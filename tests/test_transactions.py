@@ -686,3 +686,91 @@ def test_commit_protocol_across_os_processes(spark, tmp_path):
     # contiguous version history: 40 appends + 1 replace, no gaps
     versions = [v["version"] for v in cat.versions()]
     assert versions == list(range(1, 42))
+
+
+def test_load_id_markers_o1_and_vacuum_proof(spark, tcat):
+    """has_load_id is the replay guard's O(1) lookup: maintained at
+    commit, answered without scanning the version history, and immune to
+    vacuum (snapshot retention must never shrink the replay horizon)."""
+    for i in range(5):
+        with tcat.transaction(f"load-{i}"):
+            tcat.append(_df(spark, [(i, "x")]), "t")
+    assert tcat.has_load_id("load-0") and tcat.has_load_id("load-4")
+    assert not tcat.has_load_id("load-99")
+    # O(1): the lookup must not touch the version history
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        TransactionalCatalog, "versions",
+        side_effect=AssertionError("has_load_id scanned versions"),
+    ):
+        assert tcat.has_load_id("load-2")
+        assert not tcat.has_load_id("load-77")
+    # vacuum to a single retained snapshot: markers all survive
+    removed = tcat.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert removed  # old snapshots actually dropped
+    assert all(tcat.has_load_id(f"load-{i}") for i in range(5))
+
+
+def test_load_id_markers_backfill_legacy_catalog(spark, tcat):
+    """A catalog committed before markers existed answers through the
+    version-history fallback, and its next commit backfills the marker
+    dir so later lookups are O(1)."""
+    import shutil
+
+    with tcat.transaction("old-load"):
+        tcat.append(_df(spark, [(1, "x")]), "t")
+    shutil.rmtree(tcat._marker_dir())  # simulate a pre-marker catalog
+    assert tcat.has_load_id("old-load")  # fallback: version scan
+    with tcat.transaction("new-load"):
+        tcat.append(_df(spark, [(2, "y")]), "t")
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        TransactionalCatalog, "versions",
+        side_effect=AssertionError("marker lookup scanned versions"),
+    ):
+        assert tcat.has_load_id("old-load")  # backfilled
+        assert tcat.has_load_id("new-load")
+
+
+def test_crashed_commit_marker_not_trusted(spark, tcat):
+    """A crash between marker write and pointer swap must not make a
+    replay skip the (lost) round: the orphan marker is disregarded via
+    the .pending sidecar and cleaned by the next commit."""
+    with tcat.transaction("ok-load"):
+        tcat.append(_df(spark, [(1, "x")]), "t")
+
+    # simulate the crash window: marker + .pending written, swap never ran
+    def boom(self, manifest):
+        raise RuntimeError("crash before pointer swap")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(TransactionalCatalog, "_swap_manifest", boom):
+        with pytest.raises(RuntimeError, match="crash"):
+            with tcat.transaction("lost-load"):
+                tcat.append(_df(spark, [(2, "y")]), "t")
+    assert os.path.exists(tcat._marker_path("lost-load"))  # orphan exists
+    assert not tcat.has_load_id("lost-load")  # ...but is not trusted
+    assert tcat.has_load_id("ok-load")
+    # the next commit cleans the orphan under the lock
+    with tcat.transaction("next-load"):
+        tcat.append(_df(spark, [(3, "z")]), "t")
+    assert not os.path.exists(tcat._marker_path("lost-load"))
+    assert not tcat.has_load_id("lost-load")
+    assert tcat.has_load_id("next-load")
+
+
+def test_clone_carries_load_markers(spark, tmp_path):
+    """A streaming loop re-pointed at a clone must skip rounds the source
+    committed (the clone HAS their data): markers ride along."""
+    src = TransactionalCatalog(spark=spark, root=str(tmp_path / "src"))
+    with src.transaction("round-1"):
+        src.append(_df(spark, [(1, "x")]), "t")
+    dst = src.clone_to(str(tmp_path / "dst"))
+    assert dst.has_load_id("round-1")
+    assert not dst.has_load_id("round-2")
+    with dst.transaction("round-2"):
+        dst.append(_df(spark, [(2, "y")]), "t")
+    assert dst.has_load_id("round-2") and not src.has_load_id("round-2")
