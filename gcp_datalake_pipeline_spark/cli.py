@@ -82,6 +82,7 @@ def cmd_corpus_ingest(args) -> None:
         num_buckets=args.buckets,
         file_format=args.format,
         schema=args.schema,
+        quarantine_after=args.quarantine_after or None,
     )
     n_pairs = (
         cat.read("corpus_near_dup_pairs").count()
@@ -347,6 +348,11 @@ def main(argv: list[str] | None = None) -> None:
         help='DDL schema for jsonl/csv, e.g. "doc_id long, text string" '
         "(skips per-file inference; REQUIRED for csv — headerless typing "
         "would land every column as string)",
+    )
+    pc.add_argument(
+        "--quarantine-after", type=int, default=3,
+        help="dead-letter a round's files after this many failures "
+        "(poison-pill protection; 0 = retry forever)",
     )
     pc.set_defaults(fn=cmd_corpus_ingest)
 

@@ -26,11 +26,27 @@ A concurrent external ingest round conflicts at commit
 (ConcurrentWriteError via the index-table anchor), failing the micro-batch
 WITHOUT advancing the checkpoint: the stream restarts the batch against
 the fresh index — the retry-from-read remedy, automated.
+
+Poison pills dead-letter instead of wedging the stream: fail-the-batch-
+and-retry is right for transient faults, but a PERSISTENTLY malformed
+landed file would otherwise be retried forever (the checkpoint can never
+advance past it — at production scale, an outage needing manual file
+surgery). After ``quarantine_after`` failures of the same
+content-addressed round, the round's files move to a quarantine
+directory with a provenance row in the catalog
+(``*_quarantine`` table — the raw-file analog of
+:mod:`gcp_datalake_pipeline_spark.operators.quarantine`'s row-level
+split) and the stream proceeds. Commit conflicts never count toward the
+threshold — they are the designed concurrency retry, not data faults.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+import shutil
+import time
 
 from gcp_datalake_pipeline_spark.operators.corpus import (
     dedup_ingest_batch,
@@ -75,6 +91,54 @@ _FORMATS = {
 }
 
 
+def _load_failure_counts(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _save_failure_counts(path: str, state: dict) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _dead_letter_round(
+    catalog,
+    paths: list[str],
+    lid: str,
+    error: Exception,
+    n_failures: int,
+    quarantine_dir: str,
+    quarantine_table: str,
+) -> list[str]:
+    """Move a poisoned round's files out of the landing directory and
+    record provenance in the catalog (queryable, like the row-level
+    quarantine tables). Returns the destination paths. Best-effort on
+    crash: a death between move and record can leave a file quarantined
+    without its row (the retry re-records; never re-ingests)."""
+    os.makedirs(quarantine_dir, exist_ok=True)
+    moved = []
+    for p in paths:
+        dst = os.path.join(quarantine_dir, f"{lid}-{os.path.basename(p)}")
+        if os.path.exists(p):
+            shutil.move(p, dst)
+        moved.append((p, dst))
+    rec = catalog.spark.createDataFrame(
+        [
+            (p, dst, lid, repr(error)[:500], n_failures, float(time.time()))
+            for p, dst in moved
+        ],
+        "src_path string, quarantined_to string, load_id string, "
+        "reason string, n_failures int, quarantined_at double",
+    )
+    catalog.append(rec, quarantine_table)
+    return [dst for _p, dst in moved]
+
+
 def _run_streaming_rounds(
     catalog,
     landing_dir: str,
@@ -87,6 +151,9 @@ def _run_streaming_rounds(
     schema=None,
     compact_every: int | None = None,
     tables: tuple[str, ...] = (),
+    quarantine_after: int | None = 3,
+    quarantine_dir: str | None = None,
+    quarantine_table: str = "corpus_file_quarantine",
 ):
     """Shared trigger/foreachBatch runner: list newly landed files of the
     loop's format (binaryFile metadata only — content is re-read columnar
@@ -120,11 +187,26 @@ def _run_streaming_rounds(
     fails the stream; the bucketed docs table keeps its ``_kb`` layout
     through the rewrite (sidecar metadata).
 
+    ``quarantine_after``: dead-letter threshold. A failing round (parse
+    error, corrupt file) fails its batch WITHOUT advancing the
+    checkpoint — the right call for transient faults — but a
+    persistently bad file would be retried forever. Failures are counted
+    per content-addressed round id in a small sidecar next to the
+    checkpoint (restart-proof); on the Nth failure the round's files
+    move to ``quarantine_dir`` (default ``<landing>_quarantine`` —
+    OUTSIDE the landing dir, so the source never lists them) with a
+    provenance row appended to ``quarantine_table``, and the stream
+    proceeds. ``None`` disables (retry forever — the pre-round-7
+    behavior). ConcurrentWriteError never counts: a commit conflict is
+    the designed concurrency retry, not a data fault.
+
     Returns the committed-round records (availableNow mode, after the
     drain) — or, with ``available_now=False``, the live StreamingQuery
     handle so the caller can awaitTermination()/stop() it (per-round
     records are neither returned nor accumulated for an unbounded query —
     a weeks-long stream must not grow driver state per batch).
+    Quarantined rounds appear in the returned records as
+    ``{"load_id", "paths", "quarantined": True}``.
     """
     spark = catalog.spark
     rounds: list[dict] = []
@@ -145,6 +227,21 @@ def _run_streaming_rounds(
             "every column as string and mismatch parquet-ingested rounds"
         )
     glob, reader = _FORMATS[file_format]
+
+    from gcp_datalake_pipeline_spark.transactions import ConcurrentWriteError
+
+    poison_path = checkpoint_dir.rstrip("/") + ".poison.json"
+    qdir = quarantine_dir or landing_dir.rstrip("/") + "_quarantine"
+
+    def _clear_failures(lid: str) -> None:
+        # drop a round's failure count once it is committed/quarantined;
+        # the sidecar only ever holds in-flight failing rounds (bounded)
+        if not os.path.exists(poison_path):
+            return
+        state = _load_failure_counts(poison_path)
+        if lid in state:
+            state.pop(lid)
+            _save_failure_counts(poison_path, state)
 
     stream = (
         spark.readStream.format("binaryFile")
@@ -177,24 +274,45 @@ def _run_streaming_rounds(
         has_lid = getattr(catalog, "has_load_id", None)
         if has_lid is not None:
             if has_lid(lid):
+                _clear_failures(lid)
                 return  # replayed batch: round already committed
         else:
             versions = getattr(catalog, "versions", None)
             if versions is not None and any(
                 v.get("load_id") == lid for v in versions()
             ):
+                _clear_failures(lid)
                 return  # replayed batch: round already committed
-        pairs = round_fn(reader(spark, paths, schema), lid)
+        try:
+            pairs = round_fn(reader(spark, paths, schema), lid)
+        except ConcurrentWriteError:
+            raise  # designed retry path — never counts toward poisoning
+        except Exception as e:
+            if not quarantine_after:
+                raise
+            state = _load_failure_counts(poison_path)
+            n = int(state.get(lid, 0)) + 1
+            state[lid] = n
+            _save_failure_counts(poison_path, state)
+            if n < quarantine_after:
+                raise  # batch fails, checkpoint holds, next run retries
+            # Nth failure: dead-letter the round and let the stream move on
+            _dead_letter_round(
+                catalog, paths, lid, e, n, qdir, quarantine_table
+            )
+            _clear_failures(lid)
+            if available_now:
+                rounds.append(
+                    {"load_id": lid, "paths": paths, "quarantined": True}
+                )
+            return
+        _clear_failures(lid)  # a transient fault that recovered
         if available_now:
             rounds.append(
                 {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
             )
         compact = getattr(catalog, "compact", None)
         if compact_every and compact is not None:
-            from gcp_datalake_pipeline_spark.transactions import (
-                ConcurrentWriteError,
-            )
-
             for table in tables:
                 if (
                     not catalog.exists(table)
@@ -233,6 +351,9 @@ def run_streaming_dedup_ingest(
     file_format: str = "parquet",
     schema=None,
     compact_every: int | None = None,
+    quarantine_after: int | None = 3,
+    quarantine_dir: str | None = None,
+    quarantine_table: str | None = None,
 ):
     """Run text dedup-ingest rounds over newly landed document files
     (``*.parquet`` by default; ``file_format="jsonl"`` for
@@ -240,8 +361,10 @@ def run_streaming_dedup_ingest(
     ``"doc_id long, text string"`` to skip per-file inference). Returns
     one record per round actually committed this run: ``{"load_id",
     "paths", "n_pairs"}`` (replayed/already-committed batches are
-    skipped and not listed); with ``available_now=False``, returns the
-    live StreamingQuery instead."""
+    skipped and not listed; dead-lettered rounds appear with
+    ``"quarantined": True`` — see ``quarantine_after`` on the runner);
+    with ``available_now=False``, returns the live StreamingQuery
+    instead."""
 
     def round_fn(batch, lid):
         return dedup_ingest_batch(
@@ -264,6 +387,9 @@ def run_streaming_dedup_ingest(
         file_format=file_format, schema=schema,
         compact_every=compact_every,
         tables=(docs_table, bands_table, pairs_table),
+        quarantine_after=quarantine_after,
+        quarantine_dir=quarantine_dir,
+        quarantine_table=quarantine_table or f"{docs_table}_file_quarantine",
     )
 
 
@@ -288,6 +414,9 @@ def run_streaming_embedding_ingest(
     file_format: str = "parquet",
     schema=None,
     compact_every: int | None = None,
+    quarantine_after: int | None = 3,
+    quarantine_dir: str | None = None,
+    quarantine_table: str | None = None,
 ):
     """The embedding twin: newly landed vector files (parquet or jsonl,
     like the text loop) run one
@@ -321,4 +450,8 @@ def run_streaming_embedding_ingest(
         file_format=file_format, schema=schema,
         compact_every=compact_every,
         tables=(vectors_table, buckets_table, pairs_table),
+        quarantine_after=quarantine_after,
+        quarantine_dir=quarantine_dir,
+        quarantine_table=quarantine_table
+        or f"{vectors_table}_file_quarantine",
     )

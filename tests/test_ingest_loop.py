@@ -570,3 +570,82 @@ def test_streaming_replay_guard_is_o1(spark, tmp_path):
         )
     assert again == []
     assert cat.read("corpus_docs").count() == docs.count()
+
+
+def test_poison_pill_dead_letters_and_stream_drains(spark, tmp_path):
+    """A persistently malformed landed file must not wedge the stream
+    forever: after quarantine_after failures of its round, the file
+    moves to the quarantine dir with a provenance row and the remaining
+    files drain. Re-running afterwards processes nothing new."""
+    import json
+    import os
+
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for i, b in enumerate(_batches(docs, "doc_id", 2)):
+        with open(os.path.join(land, f"b{i}.jsonl"), "w") as f:
+            for r in b.collect():
+                f.write(
+                    json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+    with open(os.path.join(land, "poison.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n{"doc_id": 2, broken!!\n')
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    kw = dict(
+        file_format="jsonl", schema="doc_id long, text string",
+        quarantine_after=2,
+    )
+    runs_failed = 0
+    rounds = []
+    for _attempt in range(4):  # failure 1, then quarantine-on-failure-2
+        try:
+            rounds += run_streaming_dedup_ingest(
+                cat, land, str(tmp_path / "ckpt"), **kw
+            )
+            break
+        except Exception:
+            runs_failed += 1
+    assert runs_failed == 1  # first failure retries; second dead-letters
+    # (the failing run's committed-round records die with its exception;
+    # the COMMITS landed — asserted via the corpus below)
+    quarantined = [r for r in rounds if r.get("quarantined")]
+    assert len(quarantined) == 1
+
+    qdir = land.rstrip("/") + "_quarantine"
+    qfiles = os.listdir(qdir)
+    assert len(qfiles) == 1 and qfiles[0].endswith("poison.jsonl")
+    assert not os.path.exists(os.path.join(land, "poison.jsonl"))
+
+    prov = cat.read("corpus_docs_file_quarantine").collect()
+    assert len(prov) == 1
+    assert prov[0]["src_path"].endswith("poison.jsonl")
+    assert prov[0]["n_failures"] == 2
+
+    # good files fully ingested, pairs match the good-docs-only corpus
+    assert cat.read("corpus_docs").count() == docs.count()
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in cat.read("corpus_near_dup_pairs").collect()
+    }
+    assert stored == full
+    # drained: nothing left, and the failure sidecar is clean
+    again = run_streaming_dedup_ingest(
+        cat, land, str(tmp_path / "ckpt"), **kw
+    )
+    assert again == []
+    poison_state = str(tmp_path / "ckpt") + ".poison.json"
+    if os.path.exists(poison_state):
+        with open(poison_state) as f:
+            assert json.load(f) == {}
