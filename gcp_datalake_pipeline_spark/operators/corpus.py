@@ -285,20 +285,27 @@ def dedup_ingest_batch(
         catalog.append(pairs, pairs_table)
         _conflict_anchor_bands(catalog, bands_table, base_bands)
 
-    if bucketed and not has_docs and hasattr(catalog, "_write_bucket_meta"):
-        # Sidecar so compact() preserves the _kb layout and later rounds
-        # recover the modulus. Written BEFORE the commit: a crash in the
-        # window leaves a sidecar for a not-yet-existing table (harmless,
-        # rewritten next round) — the reverse order left a committed
-        # bucketed table with no recorded bucket count.
-        catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
+    write_meta = (
+        bucketed and not has_docs and hasattr(catalog, "_write_bucket_meta")
+    )
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
         # load_id names the commit in the version history — replay guards
-        # (streaming foreachBatch) key idempotence on it.
+        # (streaming foreachBatch) key idempotence on it. The sidecar
+        # write inside the transaction STAGES on a transactional catalog
+        # and publishes under the commit flock after conflict checks: a
+        # round that loses the first-commit race can never overwrite the
+        # winner's modulus with its own (which would make later rounds
+        # prune the wrong buckets and silently drop pairs).
         with txn(load_id or f"dedup-ingest-{docs_table}"):
             _writes()
+            if write_meta:
+                catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
     else:
+        if write_meta:
+            # plain catalog (no transactions, no concurrent rounds):
+            # sidecar before the writes so compact() preserves _kb
+            catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
         _writes()
     return pairs
 
@@ -392,13 +399,20 @@ def embedding_ingest_batch(
         catalog.append(pairs, pairs_table)
         _conflict_anchor_bands(catalog, buckets_table, base_buckets)
 
-    if bucketed and not has_vecs and hasattr(catalog, "_write_bucket_meta"):
-        # sidecar before the commit — see dedup_ingest_batch
-        catalog._write_bucket_meta(vectors_table, num_buckets, [id_col])
+    write_meta = (
+        bucketed and not has_vecs and hasattr(catalog, "_write_bucket_meta")
+    )
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
+        # sidecar staged with the commit — see dedup_ingest_batch
         with txn(load_id or f"embedding-ingest-{vectors_table}"):
             _writes()
+            if write_meta:
+                catalog._write_bucket_meta(
+                    vectors_table, num_buckets, [id_col]
+                )
     else:
+        if write_meta:
+            catalog._write_bucket_meta(vectors_table, num_buckets, [id_col])
         _writes()
     return pairs

@@ -135,6 +135,15 @@ class TransactionalCatalog(Catalog):
     # fails with ConcurrentWriteError if the table's dir list moved from
     # "base" since this transaction first read it.
     _intents: dict[str, dict] = field(default_factory=dict, repr=False)
+    # Bucket-layout sidecars staged by writes inside this transaction,
+    # published under the commit flock AFTER conflict checks pass: a
+    # transaction that loses its commit race must never overwrite the
+    # winner's sidecar with a different modulus (later rounds would
+    # bucket-prune with a modulus that disagrees with the committed _kb
+    # layout and silently drop near-dup pairs).
+    _staged_bucket_meta: dict[str, tuple[int, list[str]]] = field(
+        default_factory=dict, repr=False
+    )
 
     # -- manifest pointer ---------------------------------------------------
 
@@ -346,6 +355,18 @@ class TransactionalCatalog(Catalog):
             if sj is not None:
                 prior["schema"] = _merge_schema_json(prior.get("schema"), sj)
 
+    def _write_bucket_meta(
+        self, table: str, num_buckets: int, key_cols: list[str]
+    ) -> None:
+        # Inside a transaction the sidecar is STAGED and published with
+        # the commit (under the flock, after conflict checks) — see
+        # _staged_bucket_meta. Outside, write-through as the plain
+        # catalog does.
+        if self._pending is not None:
+            self._staged_bucket_meta[table] = (num_buckets, list(key_cols))
+            return
+        super()._write_bucket_meta(table, num_buckets, key_cols)
+
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
     ) -> None:
@@ -426,15 +447,22 @@ class TransactionalCatalog(Catalog):
         self._stage_seq = 0
         self._txn_dirs = []
         self._intents = {}
+        self._staged_bucket_meta = {}
         return self
 
     def commit(self) -> None:
         if self._pending is None:
             raise RuntimeError("no open transaction to commit")
-        self._publish(self._intents, self._load_id, replace=False)
+        self._publish(
+            self._intents,
+            self._load_id,
+            replace=False,
+            bucket_meta=self._staged_bucket_meta or None,
+        )
         self._pending = None
         self._load_id = None
         self._intents = {}
+        self._staged_bucket_meta = {}
 
     def _publish(
         self,
@@ -443,6 +471,7 @@ class TransactionalCatalog(Catalog):
         replace: bool,
         strict: bool = True,
         schemas: dict | None = None,
+        bucket_meta: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -503,6 +532,12 @@ class TransactionalCatalog(Catalog):
             # orphan version file that the NEXT commit (same version
             # number, since the pointer never moved) simply overwrites —
             # never visible data.
+            # bucket sidecars only AFTER every conflict check passed: a
+            # losing committer must not leave a sidecar disagreeing with
+            # the winner's committed _kb layout
+            if bucket_meta:
+                for t, (nb, kc) in bucket_meta.items():
+                    Catalog._write_bucket_meta(self, t, nb, kc)
             # marker first (so a legacy backfill never sees this commit's
             # not-yet-visible version file), then the retained version
             # manifest, then the pointer swap
@@ -525,6 +560,7 @@ class TransactionalCatalog(Catalog):
         self._pending = None
         self._load_id = None
         self._intents = {}
+        self._staged_bucket_meta = {}
 
     @contextmanager
     def transaction(self, load_id: str | None = None):

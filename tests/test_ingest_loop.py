@@ -649,3 +649,50 @@ def test_poison_pill_dead_letters_and_stream_drains(spark, tmp_path):
     if os.path.exists(poison_state):
         with open(poison_state) as f:
             assert json.load(f) == {}
+
+
+def test_losing_first_round_cannot_corrupt_bucket_sidecar(spark, tmp_path):
+    """Two concurrent FIRST rounds with different num_buckets: the loser
+    of the commit race must not overwrite the winner's bucket sidecar
+    (a mismatched modulus makes later rounds prune the WRONG buckets and
+    silently drop near-dup pairs). The sidecar is staged with the
+    transaction and published only after conflict checks pass."""
+    import json
+
+    from gcp_datalake_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    root = str(tmp_path / "lake")
+    docs = spark.read.parquet(DOCS)
+    b1, b2, b3 = _batches(docs, "doc_id")
+    winner = TransactionalCatalog(spark=spark, root=root)
+
+    class RacingCatalog(TransactionalCatalog):
+        """First round with num_buckets=16 that loses the race to a
+        concurrent first round with the DEFAULT 64 buckets."""
+
+        raced = False
+
+        def transaction(self, load_id=None):
+            if not RacingCatalog.raced:
+                RacingCatalog.raced = True
+                corpus.dedup_ingest_batch(winner, b1)  # wins with B=64
+            return super().transaction(load_id)
+
+    racing = RacingCatalog(spark=spark, root=root)
+    with pytest.raises(ConcurrentWriteError):
+        corpus.dedup_ingest_batch(racing, b2, num_buckets=16)
+    # the LOSER's sidecar never landed: the winner's modulus stands
+    with open(winner._bucket_meta_path("corpus_docs")) as f:
+        assert json.load(f)["num_buckets"] == 64
+    # retried rounds adopt the winner's modulus and flag every pair
+    corpus.dedup_ingest_batch(winner, b2, num_buckets=16)
+    corpus.dedup_ingest_batch(winner, b3)
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in winner.read("corpus_near_dup_pairs").collect()
+    }
+    assert got == full
