@@ -313,6 +313,106 @@ def _decode_bmp_pixels(content: bytes):
     return arr
 
 
+def _decode_png_pixels(content: bytes):
+    """REAL pixel decode for non-interlaced 8-bit PNG — stdlib zlib +
+    struct + numpy, no image library. IDAT is DEFLATE-compressed
+    scanlines, each prefixed by a filter byte; all five filters
+    (None/Sub/Up/Average/Paeth) are reconstructed per the spec. Color
+    types: 0 grayscale, 2 RGB, 4 gray+alpha, 6 RGBA, and 3 palette
+    (indices resolved through PLTE to RGB — raw indices would give wrong
+    statistics for any non-identity palette). Returns an
+    (h, w, channels) uint8 array, or None for anything that needs a real
+    codec (16-bit, interlaced, truncated/corrupt streams)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if content is None or len(content) < 33 or not content.startswith(sig):
+        return None
+    i, n = 8, len(content)
+    ihdr = plte = None
+    idat = []
+    while i + 8 <= n:
+        clen = struct.unpack(">I", content[i : i + 4])[0]
+        ctag = content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None  # truncated chunk
+        if ctag == b"IHDR":
+            ihdr = data
+        elif ctag == b"PLTE":
+            plte = data
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+        i += 12 + clen  # length + tag + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).copy()
+        pos += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256 per spec)
+            row += prev
+        elif ftype == 1:  # Sub: sequential in x
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None  # unknown filter: corrupt
+        out[y] = row
+        prev = row
+    arr = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or len(plte) == 0:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            return None  # index out of palette range: corrupt
+        arr = pal[idx]
+    return arr
+
+
 def _decode_wav_samples(content: bytes):
     """REAL sample decode for WAV PCM (format code 1; 8/16/32-bit) —
     stdlib struct + numpy. Returns (sample_rate, channels, samples) with
@@ -377,14 +477,16 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """TRUE pixel statistics from the binary column: mean pixel intensity
-    in [0, 1] over all stored samples (for 32-bit BMPs that includes the
-    alpha channel — the stat is over the decoded array as stored, not an
-    RGB re-projection). Uncompressed BMP decodes dependency-free
-    (:func:`_decode_bmp_pixels`; 8-bit palettes resolved to RGB); other
-    real formats decode when PIL is installed in the cluster image;
-    everything else (synthetic headers, compressed formats without a
-    codec) reports ``decode_ok=false`` and NULL stats instead of failing
-    the job.
+    in [0, 1] over all stored samples (for 32-bit BMPs and RGBA/gray+
+    alpha PNGs that includes the alpha channel — the stat is over the
+    decoded array as stored, not an RGB re-projection). Uncompressed BMP
+    (:func:`_decode_bmp_pixels`; 8-bit palettes resolved to RGB) and
+    non-interlaced 8-bit PNG (:func:`_decode_png_pixels`; stdlib zlib +
+    all five scanline filters, palettes resolved) decode
+    dependency-free; other real formats decode when PIL is installed in
+    the cluster image; everything else (synthetic headers, compressed
+    formats without a codec) reports ``decode_ok=false`` and NULL stats
+    instead of failing the job.
 
     Scale: mapInPandas, Arrow-batched; pixels never leave their scan
     partition — only the bounded stats projection is emitted."""
@@ -396,6 +498,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             for b in pdf["content"]:
                 b = bytes(b) if b is not None else None
                 arr = _decode_bmp_pixels(b)
+                if arr is None:
+                    arr = _decode_png_pixels(b)
                 if arr is None and b is not None and pil is not None:
                     try:
                         import io

@@ -327,8 +327,9 @@ def test_bmp_pixel_stats_real_decode(spark):
         (1, "image/bmp", _full_bmp(white_black)),
         (2, "image/bmp", _full_bmp(solid, bits=32)),
         (3, "image/bmp", _full_bmp(white_black, top_down=True)),
-        (4, "image/png", _real_png(4, 4)),  # compressed: codec-gated
+        (4, "image/png", _real_png(4, 4)),  # valid all-black PNG (r7: real decode)
         (5, "image/bmp", None),
+        (6, "image/jpeg", _real_jpeg(8, 8)),  # DCT: codec-gated
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(2)
     out = {r["media_id"]: r for r in mm.image_pixel_stats(media).collect()}
@@ -337,8 +338,9 @@ def test_bmp_pixel_stats_real_decode(spark):
     assert out[2]["channels"] == 4
     assert abs(out[2]["mean_pixel"] - 25.0 / 255.0) < 1e-9
     assert abs(out[3]["mean_pixel"] - 0.5) < 1e-9  # top-down same pixels
-    assert out[4]["decode_ok"] is False and out[4]["mean_pixel"] is None
+    assert out[4]["decode_ok"] and out[4]["mean_pixel"] == 0.0  # zlib path
     assert out[5]["decode_ok"] is False
+    assert out[6]["decode_ok"] is False and out[6]["mean_pixel"] is None
 
 
 def test_bmp_pixel_decode_channel_order_and_rows(spark):
@@ -496,3 +498,158 @@ def test_wav_short_fmt_chunk_rejected():
     )
     assert mm._decode_wav_samples(good) is not None
     assert mm._decode_wav_samples(bad) is None
+
+
+def _full_png(px, color_type=2, filters=None, palette=None) -> bytes:
+    """Complete 8-bit PNG with actual pixels, encoding each scanline
+    with a chosen filter (default None) — the inverse of the decoder,
+    written independently from the spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.array(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    filters = filters if filters is not None else [0] * h
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = b""
+    for y in range(h):
+        row, f = flat[y], filters[y]
+        enc = row.copy()
+        for x in range(len(row)):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                pred = 0
+            enc[x] = (int(row[x]) - pred) % 256
+        lines += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = row
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(
+            b"PLTE", bytes(np.array(palette, dtype=np.uint8).ravel())
+        )
+    return out + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b"")
+
+
+def test_png_pixel_stats_real_decode(spark):
+    """8-bit PNGs decode end-to-end through the Arrow batch with true
+    mean-pixel stats — every scanline filter exercised, RGB and RGBA,
+    grayscale, and corrupt streams flagged not failed."""
+    import numpy as np
+
+    rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(200, 100, 0), (0, 200, 100), (100, 0, 200)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+    ]
+    rgba = [[(10, 20, 30, 255), (40, 50, 60, 128)],
+            [(70, 80, 90, 0), (200, 210, 220, 64)]]
+    gray = [[0, 255], [128, 64]]
+    truncated = _full_png(rgb)[:-20]
+    rows = [
+        (1, "image/png", _full_png(rgb, filters=[0, 1, 2, 3, 4])),
+        (2, "image/png", _full_png(rgba, color_type=6, filters=[4, 3])),
+        (3, "image/png", _full_png(gray, color_type=0, filters=[1, 2])),
+        (4, "image/png", truncated),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(2)
+    out = {r["media_id"]: r for r in mm.image_pixel_stats(media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (3, 5, 3)
+    assert out[1]["decode_ok"]
+    assert abs(
+        out[1]["mean_pixel"] - np.array(rgb, dtype=np.float64).mean() / 255.0
+    ) < 1e-12
+    assert out[2]["channels"] == 4
+    assert abs(
+        out[2]["mean_pixel"] - np.array(rgba, dtype=np.float64).mean() / 255.0
+    ) < 1e-12
+    assert (out[3]["channels"], out[3]["decode_ok"]) == (1, True)
+    assert abs(
+        out[3]["mean_pixel"] - np.array(gray, dtype=np.float64).mean() / 255.0
+    ) < 1e-12
+    assert out[4]["decode_ok"] is False and out[4]["mean_pixel"] is None
+
+
+def test_png_palette_resolved():
+    """Color type 3 pixels are PLTE indices: the decoder must map them
+    to RGB (raw indices would give wrong stats for any real palette)."""
+    import numpy as np
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [[1, 2], [3, 0]]
+    arr = mm._decode_png_pixels(
+        _full_png(idx, color_type=3, palette=palette, filters=[2, 1])
+    )
+    want = np.array(palette, dtype=np.uint8)[np.array(idx)]
+    assert np.array_equal(arr, want)
+    # out-of-range index = corrupt, not garbage stats
+    assert (
+        mm._decode_png_pixels(
+            _full_png([[9]], color_type=3, palette=palette)
+        )
+        is None
+    )
+
+
+def test_png_decode_roundtrip_property():
+    """Hypothesis round-trip: random pixels, sizes, channel counts, and
+    per-row filter choices; encode then decode must be exact."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ct=st.sampled_from([0, 2, 4, 6]),
+        w=st.integers(1, 6),
+        h=st.integers(1, 6),
+        data=st.data(),
+    )
+    def check(ct, w, h, data):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        px = data.draw(
+            st.lists(
+                st.lists(
+                    st.tuples(*([st.integers(0, 255)] * ch)),
+                    min_size=w, max_size=w,
+                ),
+                min_size=h, max_size=h,
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        arr = mm._decode_png_pixels(_full_png(px, color_type=ct, filters=filters))
+        assert arr is not None and arr.shape == (h, w, ch)
+        assert np.array_equal(
+            arr, np.array(px, dtype=np.uint8).reshape(h, w, ch)
+        )
+
+    check()
