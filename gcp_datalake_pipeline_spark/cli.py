@@ -131,7 +131,10 @@ def cmd_ann(args) -> None:
         )
     elif args.action == "extend":
         vecs = cat.spark.read.parquet(args.source)
-        ann_index.extend_ivf_index(cat, vecs, index_table=args.index)
+        ann_index.extend_ivf_index(
+            cat, vecs, index_table=args.index,
+            compact_every=args.compact_every or None,
+        )
         print(
             json.dumps(
                 {
@@ -372,6 +375,11 @@ def main(argv: list[str] | None = None) -> None:
     pa.add_argument("--nprobe", type=int, default=4)
     pa.add_argument("--nlist", type=int, default=16)
     pa.add_argument("--iters", type=int, default=2)
+    pa.add_argument(
+        "--compact-every", type=int, default=0,
+        help="extend only: fold a table back to one data dir when its "
+        "staged-dir count reaches this (0 = never)",
+    )
     pa.add_argument("--explain", action="store_true")
     pa.add_argument("--atomic", action="store_true")
     pa.set_defaults(fn=cmd_ann)

@@ -13,16 +13,29 @@ in the catalog:
   BY ``cid``, so a query's candidate scan is partition-pruned to its
   probed cells (``PartitionFilters: [cid IN (...)]``): a query touches
   ~nprobe/nlist of the data ON DISK, not just in compute.
+- ``{index}_vid_map`` — a slim (vid, cid) lookup stored hash-partitioned
+  on ``_kb = pmod(xxhash64(vid), B)`` (the corpus tables' bucket layout,
+  with the same sidecar so compaction preserves it). Self-queries
+  resolve their ids to cells through a bucket-pruned read of this map
+  (~16 bytes/vector of metadata), then fetch their vectors from a
+  cid-pruned cells scan — neither step opens partitions outside the
+  queries' own buckets/cells, where the pre-round-7 path pushed a vid
+  filter through EVERY cid partition's footers.
 
 New batches extend the index without touching stored data
 (:func:`extend_ivf_index`: assign against the FROZEN centroids, append
-only the new cells' files) — the standard IVF practice of training
-centroids on an initial sample and streaming the rest in.
+only the new cells' files — cells + map commit in one transaction) —
+the standard IVF practice of training centroids on an initial sample
+and streaming the rest in. ``compact_every`` folds the append-grown dir
+lists back to one dir per table on cadence (layouts preserved), the
+same small-files remedy the streaming corpus loops use.
 
 Query semantics are value-identical to
 ``ivf_topk(corpus, ..., centroids=<the index's centroids>)`` — same
-rounded-cosine assignment, probe ordering, and rank tiebreaks — so the
-persisted path shares the recompute path's DuckDB oracle.
+rounded-cosine assignment, probe ordering, and rank tiebreaks (probe
+ranking is ONE matmul over all queries, with the recompute path's exact
+dot/(|q||c|) association so rounding at 1e-6 agrees bit-for-bit) — so
+the persisted path shares the recompute path's DuckDB oracle.
 
 Reference boundary: the reference has no ANN surface; this extends the
 similarity-search family the brief requires (brute force -> LSH -> IVF ->
@@ -34,6 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_pipeline_spark.operators.corpus import (
+    _effective_buckets,
+    _key_bucket,
+)
 from gcp_datalake_pipeline_spark.operators.similarity import (
     _as_double,
     _assign_cells_arrow,
@@ -55,16 +72,18 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     backend: str = "arrow",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Train centroids on ``df`` and persist the full index (centroids +
-    cid-partitioned cell assignments) — one atomic commit on a
-    transactional catalog. Returns the centroid DataFrame.
+    cid-partitioned cell assignments + the bucketed vid->cid map) — one
+    atomic commit on a transactional catalog. Returns the centroid
+    DataFrame.
 
     Scale: centroid training is the bounded-collect Lloyd loop of
     :func:`kmeans_centroids` (train on a sample for very large corpora
     and pass that sample as ``df``, then :func:`extend_ivf_index` the
     rest); assignment is one Arrow matmul pass over the corpus with NO
-    shuffle except the partitioned write itself.
+    shuffle except the partitioned writes themselves.
     """
     cents_df = kmeans_centroids(
         df, nlist=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
@@ -73,18 +92,27 @@ def build_ivf_index(
     cents = _cents_dict(cents_df.collect())
     e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     assigned = _assign_cells_arrow(e, cents)
+    vid_map = assigned.select(
+        "vid", "cid", _key_bucket("vid", num_buckets).alias("_kb")
+    )
+    map_table = f"{index_table}_vid_map"
 
     def _writes():
         catalog.overwrite(cents_df, f"{index_table}_centroids")
         catalog.overwrite(
             assigned, f"{index_table}_cells", partition_cols=["cid"]
         )
+        catalog.overwrite(vid_map, map_table, partition_cols=["_kb"])
 
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
         with txn(f"build-{index_table}"):
             _writes()
+            if hasattr(catalog, "_write_bucket_meta"):
+                catalog._write_bucket_meta(map_table, num_buckets, ["vid"])
     else:
+        if hasattr(catalog, "_write_bucket_meta"):
+            catalog._write_bucket_meta(map_table, num_buckets, ["vid"])
         _writes()
     return cents_df
 
@@ -95,18 +123,118 @@ def extend_ivf_index(
     index_table: str = "ann_ivf",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ) -> None:
     """Assign a NEW batch against the index's frozen centroids and append
-    its cell rows — stored data is never rewritten (the append publishes
-    new files into the touched cid partitions only). The extended index
+    its cell + map rows — stored data is never rewritten (the appends
+    publish new files into the touched partitions only; one transaction,
+    so the cells and the vid map can never disagree). The extended index
     answers queries exactly as if the full corpus had been indexed with
-    these centroids."""
+    these centroids.
+
+    ``compact_every``: when a table's staged-dir list reaches this many
+    dirs after the append, fold it back into one dir (a long-lived index
+    otherwise accretes one dir per extend per touched partition — the
+    small-files problem). Layouts survive: cells keep ``cid``, the map
+    keeps ``_kb`` (bucket sidecar). Best-effort: a compaction losing a
+    conflict race to a concurrent extend is skipped, never fails the
+    extend."""
     cents = _cents_dict(catalog.read(f"{index_table}_centroids").collect())
     e = batch.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
     assigned = _assign_cells_arrow(e, cents)
-    catalog.append(assigned, f"{index_table}_cells", partition_cols=["cid"])
+    cells_table = f"{index_table}_cells"
+    map_table = f"{index_table}_vid_map"
+    # A pre-map index (built before the vid map existed) stays mapless:
+    # a PARTIAL map would silently lose self-query vectors for the
+    # build-time ids. Rebuild to adopt the pruned self-query path.
+    has_map = catalog.exists(map_table)
+    txn = getattr(catalog, "transaction", None)
+
+    def _writes():
+        catalog.append(assigned, cells_table, partition_cols=["cid"])
+        if has_map:
+            nb = _effective_buckets(catalog, map_table, ["vid"], 64)
+            catalog.append(
+                assigned.select(
+                    "vid", "cid", _key_bucket("vid", nb).alias("_kb")
+                ),
+                map_table,
+                partition_cols=["_kb"],
+            )
+
+    if txn is not None:
+        with txn(f"extend-{index_table}"):
+            _writes()
+    else:
+        _writes()
+    compact = getattr(catalog, "compact", None)
+    if compact_every and compact is not None:
+        from gcp_datalake_pipeline_spark.transactions import (
+            ConcurrentWriteError,
+        )
+
+        for table, parts in ((cells_table, ["cid"]), (map_table, None)):
+            if (
+                not catalog.exists(table)
+                or len(catalog._data_dirs(table)) < compact_every
+            ):
+                continue
+            try:
+                compact(table, partition_cols=parts)
+            except ConcurrentWriteError:
+                pass  # a concurrent extend won; next window retries
+
+
+def _query_cid_map(catalog, index_table: str, query_ids: list[int]):
+    """The bucket-pruned (vid, cid) lookup for a self-query id list:
+    filters the vid map to the ids' ``_kb`` partitions (bucket list
+    collected on the driver, bounded by num_buckets) — untouched
+    buckets' files are never opened."""
+    map_table = f"{index_table}_vid_map"
+    nb = _effective_buckets(catalog, map_table, ["vid"], 64)
+    spark = catalog.spark
+    ids = spark.createDataFrame([(int(q),) for q in query_ids], "vid long")
+    buckets = [
+        r["b"]
+        for r in ids.select(_key_bucket("vid", nb).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    return (
+        catalog.read(map_table)
+        .filter(F.col("_kb").isin(buckets))
+        .filter(F.col("vid").isin([int(q) for q in query_ids]))
+        .select("vid", "cid")
+    )
+
+
+def _self_query_vectors(catalog, index_table: str, query_ids: list[int]):
+    """Self-query vector fetch through the index's own layouts: resolve
+    ids -> cells via the bucket-pruned map, then read the vectors from a
+    cid-pruned cells scan. Both FileScans carry PartitionFilters; at
+    100 TB a self-query opens only its ids' buckets and its own cells,
+    never every partition's footers. Falls back to the pushed-down
+    ``vid IN`` scan over all cells for a pre-map (legacy) index."""
+    cells_table = f"{index_table}_cells"
+    if not catalog.exists(f"{index_table}_vid_map"):
+        return (
+            catalog.read(cells_table)
+            .filter(F.col("vid").isin([int(q) for q in query_ids]))
+            .select("vid", "v")
+        )
+    own_cids = sorted(
+        {int(r["cid"]) for r in _query_cid_map(
+            catalog, index_table, query_ids
+        ).collect()}
+    )
+    return (
+        catalog.read(cells_table)
+        .filter(F.col("cid").isin(own_cids))
+        .filter(F.col("vid").isin([int(q) for q in query_ids]))
+        .select("vid", "v")
+    )
 
 
 def ivf_index_topk(
@@ -117,23 +245,23 @@ def ivf_index_topk(
     index_table: str = "ann_ivf",
     query_vectors: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Top-k over the PERSISTED index: rank the stored centroids per
-    query on the driver (bounded — nlist rows), then scan ONLY the probed
-    cells' partitions for candidates and exact-rank them.
+    """Top-k over the PERSISTED index: rank the stored centroids for ALL
+    queries in one driver-side matmul (bounded — nq x nlist), then scan
+    ONLY the probed cells' partitions for candidates and exact-rank them.
 
     The candidate FileScan is partition-pruned (``PartitionFilters:
     [cid IN (...)]``, plan-contract-tested): at 100 TB a k-NN query
     opens ~nprobe/nlist of the corpus files instead of all of them.
 
-    Queries come either as ``query_ids`` (self-query: vectors fetched by
-    id with a pushed-down vid filter — row-group stats skipping, bounded
-    collect) or as ``query_vectors`` — external ``(query_id, vector)``
-    pairs, the ANN SERVING input shape, which touches no corpus data at
-    all outside the probed cells. Output: (query_id, neighbor_id,
-    cosine_sim, rank) — the same ordering contract as ``ivf_topk``
-    (round-6 cosine desc, neighbor_id tiebreak); with external queries,
-    neighbor_id == query_id rows are not excluded (ids live in different
-    spaces).
+    Queries come either as ``query_ids`` (self-query: vectors fetched
+    through the index's bucketed vid map + the queries' own cells, both
+    partition-pruned — :func:`_self_query_vectors`) or as
+    ``query_vectors`` — external ``(query_id, vector)`` pairs, the ANN
+    SERVING input shape, which touches no corpus data at all outside the
+    probed cells. Output: (query_id, neighbor_id, cosine_sim, rank) —
+    the same ordering contract as ``ivf_topk`` (round-6 cosine desc,
+    neighbor_id tiebreak); with external queries, neighbor_id ==
+    query_id rows are not excluded (ids live in different spaces).
     """
     import numpy as np
 
@@ -149,26 +277,27 @@ def ivf_index_topk(
         q_rows = [{"vid": int(q), "v": list(v)} for q, v in query_vectors]
         self_query = False
     else:
-        q_rows = (
-            catalog.read(cells_table)
-            .filter(F.col("vid").isin(query_ids))
-            .select("vid", "v")
-            .collect()
-        )
+        q_rows = _self_query_vectors(catalog, index_table, query_ids).collect()
         self_query = True
     probe_tuples = []
-    for r in q_rows:
-        qv = np.array(list(r["v"]), dtype=np.float64)
-        sims = np.round(
-            (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv)), 6
+    if q_rows:
+        # one matmul for every query's centroid ranking — the recompute
+        # path's dot/(|q||c|) association and 1e-6 rounding, then a
+        # STABLE argsort of -sims: columns are ascending cid, so ties
+        # break to the lowest cid, exactly the per-query (-sim, cid) sort
+        Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+        S = np.round(
+            (Q @ C.T)
+            / np.outer(
+                np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
+            ),
+            6,
         )
-        order = sorted(
-            range(len(cids_sorted)), key=lambda i: (-sims[i], cids_sorted[i])
-        )
-        for i in order[:nprobe]:
-            probe_tuples.append(
-                (int(r["vid"]), cids_sorted[i], [float(x) for x in r["v"]])
-            )
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        for qi, r in enumerate(q_rows):
+            qv = [float(x) for x in r["v"]]
+            for j in order[qi]:
+                probe_tuples.append((int(r["vid"]), cids_sorted[int(j)], qv))
     probes = spark.createDataFrame(
         probe_tuples, "query_id long, cid long, qv array<double>"
     )

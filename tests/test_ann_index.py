@@ -104,3 +104,85 @@ def test_external_query_vectors(spark, tmp_path):
         ann_index.ivf_index_topk(cat, query_ids=[1], query_vectors=qv)
     with pytest.raises(ValueError, match="exactly one"):
         ann_index.ivf_index_topk(cat)
+
+
+def test_self_query_vector_fetch_is_partition_pruned(spark, tmp_path):
+    """Round-7 contract: self-query vectors come through the bucketed vid
+    map (PartitionFilters on _kb) and the queries' own cells
+    (PartitionFilters on cid) — never a vid-IN scan over every cid
+    partition's footers."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+
+    map_df = ann_index._query_cid_map(cat, "ann_ivf", QIDS)
+    map_plan = map_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_kb" in map_plan, map_plan
+
+    vec_df = ann_index._self_query_vectors(cat, "ann_ivf", QIDS)
+    vec_plan = vec_df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in vec_plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("PartitionFilters: [cid" in l for l in scans), vec_plan
+    # and the fetched vectors are exactly the queries' own rows
+    got = {r["vid"] for r in vec_df.collect()}
+    assert got == set(QIDS)
+
+
+def test_legacy_index_without_map_falls_back(spark, tmp_path):
+    """An index persisted before the vid map existed must still answer
+    self-queries (pushed-down vid filter over the cells) with identical
+    values."""
+    import json
+    import os
+
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, emb)
+    want = _rows(ann_index.ivf_index_topk(cat, QIDS, k=5))
+    # simulate a pre-round-7 index: surgically drop the map table
+    mpath = os.path.join(cat.root, "_MANIFEST.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["tables"]["ann_ivf_vid_map"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    legacy = TransactionalCatalog(spark=spark, root=cat.root)
+    assert not legacy.exists("ann_ivf_vid_map")
+    got = _rows(ann_index.ivf_index_topk(legacy, QIDS, k=5))
+    assert got == want and got
+    # extending a legacy index must not create a PARTIAL map
+    ann_index.extend_ivf_index(legacy, emb.limit(0))
+    assert not legacy.exists("ann_ivf_vid_map")
+
+
+def test_extend_auto_compaction_preserves_layouts_and_values(
+    spark, tmp_path
+):
+    """compact_every folds the extend-grown cells and map dir lists back
+    to one dir each; the cid/_kb layouts survive, the probe scan stays
+    partition-pruned, and values equal the recompute path over the full
+    corpus with the frozen centroids."""
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = [
+        emb.filter(
+            (F.col("vec_id") >= i * n // 4)
+            & (F.col("vec_id") < (i + 1) * n // 4)
+        )
+        for i in range(4)
+    ]
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, parts[0])
+    for b in parts[1:]:
+        ann_index.extend_ivf_index(cat, b, compact_every=2)
+    assert len(cat._data_dirs("ann_ivf_cells")) == 1
+    assert len(cat._data_dirs("ann_ivf_vid_map")) == 1
+    out = ann_index.ivf_index_topk(cat, QIDS, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    cand = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "PartitionFilters: [cid" in l
+    ]
+    assert cand, plan
+    want = _rows(similarity.ivf_topk(emb, QIDS, k=5, centroids=cents))
+    assert _rows(out) == want and want
