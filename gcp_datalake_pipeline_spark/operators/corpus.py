@@ -193,6 +193,7 @@ def dedup_ingest_batch(
     hash_mode: str = "xxhash64",
     num_buckets: int = 64,
     load_id: str | None = None,
+    rounds_table: str | None = None,
 ) -> DataFrame:
     """One round of the production corpus-dedup loop: flag the incoming
     batch's near-dups against everything ingested so far, then append the
@@ -221,13 +222,25 @@ def dedup_ingest_batch(
     ``ConcurrentWriteError`` and the caller retries against the fresh
     index instead of silently losing pairs.
 
+    ``rounds_table``: when set, one observability row — (load_id,
+    n_docs, n_pairs, duration_sec, committed_at) — is appended INSIDE
+    the round's transaction, so the log states exactly the committed
+    rounds: a replayed batch never re-logs (skipped before the round), a
+    conflicted round's row rolls back with it. This is how a LIVE
+    stream's per-round metrics stay visible (the streaming runner
+    returns records only for availableNow drains).
+
     Returns the batch's near-dup pairs (doc_a, doc_b, jaccard), also
     appended to ``pairs_table``.
     """
+    import time as _time
+
     from gcp_datalake_pipeline_spark.operators.dedup import (
         incremental_near_dups,
         minhash_bands,
     )
+
+    t0 = _time.time()
 
     committed_rels = getattr(catalog, "_committed_rels", None)
     # Conflict anchor captured BEFORE the snapshot reads: a commit landing
@@ -279,10 +292,28 @@ def dedup_ingest_batch(
     )
     doc_parts = ["_kb"] if bucketed else None
 
+    lid = load_id or f"dedup-ingest-{docs_table}"
+
     def _writes():
         catalog.append(batch_out, docs_table, partition_cols=doc_parts)
         catalog.append(new_bands, bands_table)
         catalog.append(pairs, pairs_table)
+        if rounds_table:
+            now = _time.time()
+            rec = batch.sparkSession.createDataFrame(
+                [
+                    (
+                        lid,
+                        batch.count(),
+                        pairs.count(),
+                        float(now - t0),
+                        float(now),
+                    )
+                ],
+                "load_id string, n_docs long, n_pairs long, "
+                "duration_sec double, committed_at double",
+            )
+            catalog.append(rec, rounds_table)
         _conflict_anchor_bands(catalog, bands_table, base_bands)
 
     write_meta = (
@@ -297,7 +328,7 @@ def dedup_ingest_batch(
         # round that loses the first-commit race can never overwrite the
         # winner's modulus with its own (which would make later rounds
         # prune the wrong buckets and silently drop pairs).
-        with txn(load_id or f"dedup-ingest-{docs_table}"):
+        with txn(lid):
             _writes()
             if write_meta:
                 catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
@@ -326,6 +357,7 @@ def embedding_ingest_batch(
     backend: str = "arrow",
     num_buckets: int = 64,
     load_id: str | None = None,
+    rounds_table: str | None = None,
 ) -> DataFrame:
     """The embedding twin of :func:`dedup_ingest_batch`: flag the incoming
     batch's embedding near-dups against everything ingested so far, then
@@ -338,12 +370,17 @@ def embedding_ingest_batch(
     and exact-cosine verification fetches candidate members through a
     partition-pruned read — per-round I/O is O(batch + candidates), not
     corpus size. Returns (vec_a, vec_b, cosine_sim), also appended to
-    ``pairs_table``.
+    ``pairs_table``. ``rounds_table``: per-round observability row inside
+    the same commit — see :func:`dedup_ingest_batch`.
     """
+    import time as _time
+
     from gcp_datalake_pipeline_spark.operators.similarity import (
         embedding_buckets,
         incremental_embedding_near_dups,
     )
+
+    t0 = _time.time()
 
     committed_rels = getattr(catalog, "_committed_rels", None)
     base_buckets = committed_rels(buckets_table) if committed_rels else None
@@ -393,10 +430,28 @@ def embedding_ingest_batch(
     )
     vec_parts = ["_kb"] if bucketed else None
 
+    lid = load_id or f"embedding-ingest-{vectors_table}"
+
     def _writes():
         catalog.append(batch_out, vectors_table, partition_cols=vec_parts)
         catalog.append(new_buckets, buckets_table)
         catalog.append(pairs, pairs_table)
+        if rounds_table:
+            now = _time.time()
+            rec = batch.sparkSession.createDataFrame(
+                [
+                    (
+                        lid,
+                        batch.count(),
+                        pairs.count(),
+                        float(now - t0),
+                        float(now),
+                    )
+                ],
+                "load_id string, n_docs long, n_pairs long, "
+                "duration_sec double, committed_at double",
+            )
+            catalog.append(rec, rounds_table)
         _conflict_anchor_bands(catalog, buckets_table, base_buckets)
 
     write_meta = (
@@ -405,7 +460,7 @@ def embedding_ingest_batch(
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
         # sidecar staged with the commit — see dedup_ingest_batch
-        with txn(load_id or f"embedding-ingest-{vectors_table}"):
+        with txn(lid):
             _writes()
             if write_meta:
                 catalog._write_bucket_meta(

@@ -354,6 +354,7 @@ def run_streaming_dedup_ingest(
     quarantine_after: int | None = 3,
     quarantine_dir: str | None = None,
     quarantine_table: str | None = None,
+    rounds_table: str | None = None,
 ):
     """Run text dedup-ingest rounds over newly landed document files
     (``*.parquet`` by default; ``file_format="jsonl"`` for
@@ -364,7 +365,16 @@ def run_streaming_dedup_ingest(
     skipped and not listed; dead-lettered rounds appear with
     ``"quarantined": True`` — see ``quarantine_after`` on the runner);
     with ``available_now=False``, returns the live StreamingQuery
-    instead."""
+    instead.
+
+    Observability: every committed round also appends one metrics row —
+    (load_id, n_docs, n_pairs, duration_sec, committed_at) — to
+    ``rounds_table`` (default ``{docs_table}_rounds``; pass ``""`` to
+    disable) INSIDE the round's transaction, so a LIVE stream's
+    progress is queryable (replays and conflicted rounds never log)."""
+    rtable = (
+        f"{docs_table}_rounds" if rounds_table is None else rounds_table
+    )
 
     def round_fn(batch, lid):
         return dedup_ingest_batch(
@@ -379,6 +389,7 @@ def run_streaming_dedup_ingest(
             hash_mode=hash_mode,
             num_buckets=num_buckets,
             load_id=lid,
+            rounds_table=rtable or None,
         )
 
     return _run_streaming_rounds(
@@ -386,7 +397,11 @@ def run_streaming_dedup_ingest(
         available_now, max_files_per_trigger, "stream-dedup",
         file_format=file_format, schema=schema,
         compact_every=compact_every,
-        tables=(docs_table, bands_table, pairs_table),
+        tables=tuple(
+            t
+            for t in (docs_table, bands_table, pairs_table, rtable)
+            if t
+        ),
         quarantine_after=quarantine_after,
         quarantine_dir=quarantine_dir,
         quarantine_table=quarantine_table or f"{docs_table}_file_quarantine",
@@ -417,13 +432,19 @@ def run_streaming_embedding_ingest(
     quarantine_after: int | None = 3,
     quarantine_dir: str | None = None,
     quarantine_table: str | None = None,
+    rounds_table: str | None = None,
 ):
     """The embedding twin: newly landed vector files (parquet or jsonl,
     like the text loop) run one
     atomic embedding-near-dup round per micro-batch (new batch probes the
     stored hyperplane-LSH bucket index; vectors + buckets + pairs commit
-    together). Same replay/conflict semantics and return contract as the
-    text loop (own load_id namespace, so both loops can share a catalog)."""
+    together). Same replay/conflict semantics, return contract, and
+    per-round metrics log (default ``{vectors_table}_rounds``) as the
+    text loop (own load_id namespace, so both loops can share a
+    catalog)."""
+    rtable = (
+        f"{vectors_table}_rounds" if rounds_table is None else rounds_table
+    )
 
     def round_fn(batch, lid):
         return embedding_ingest_batch(
@@ -442,6 +463,7 @@ def run_streaming_embedding_ingest(
             backend=backend,
             num_buckets=num_buckets,
             load_id=lid,
+            rounds_table=rtable or None,
         )
 
     return _run_streaming_rounds(
@@ -449,7 +471,11 @@ def run_streaming_embedding_ingest(
         available_now, max_files_per_trigger, "stream-embdedup",
         file_format=file_format, schema=schema,
         compact_every=compact_every,
-        tables=(vectors_table, buckets_table, pairs_table),
+        tables=tuple(
+            t
+            for t in (vectors_table, buckets_table, pairs_table, rtable)
+            if t
+        ),
         quarantine_after=quarantine_after,
         quarantine_dir=quarantine_dir,
         quarantine_table=quarantine_table

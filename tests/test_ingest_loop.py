@@ -696,3 +696,64 @@ def test_losing_first_round_cannot_corrupt_bucket_sidecar(spark, tmp_path):
         for r in winner.read("corpus_near_dup_pairs").collect()
     }
     assert got == full
+
+
+def test_rounds_log_matches_committed_rounds(spark, tmp_path):
+    """Per-round observability: one metrics row per COMMITTED round,
+    inside the round's transaction — replays add none, a conflicted
+    round's row rolls back with it."""
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    _landing_files(docs, "doc_id", str(tmp_path / "landing"))
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rounds = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    )
+    log = cat.read("corpus_docs_rounds").collect()
+    assert len(log) == len(rounds) == 3
+    assert {r["load_id"] for r in log} == {r["load_id"] for r in rounds}
+    by_lid = {r["load_id"]: r for r in log}
+    for rec in rounds:
+        row = by_lid[rec["load_id"]]
+        assert row["n_pairs"] == rec["n_pairs"]
+        assert row["n_docs"] > 0 and row["duration_sec"] > 0
+    total_docs = sum(r["n_docs"] for r in log)
+    assert total_docs == docs.count()
+
+    # checkpoint-lost replay: every round skips, the log gains NOTHING
+    again = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt2")
+    )
+    assert again == []
+    assert cat.read("corpus_docs_rounds").count() == 3
+
+
+def test_rounds_log_rolls_back_with_conflicted_round(spark, tmp_path):
+    """A round that loses the commit race must not leave a metrics row:
+    the log appends inside the same transaction."""
+    root = str(tmp_path / "lake")
+    docs = spark.read.parquet(DOCS)
+    b1, b2, b3 = _batches(docs, "doc_id")
+    cat1 = TransactionalCatalog(spark=spark, root=root)
+    cat2 = TransactionalCatalog(spark=spark, root=root)
+    corpus.dedup_ingest_batch(cat1, b1, rounds_table="rlog", load_id="r1")
+
+    class RacingCatalog(TransactionalCatalog):
+        raced = False
+
+        def transaction(self, load_id=None):
+            if not RacingCatalog.raced:
+                RacingCatalog.raced = True
+                corpus.dedup_ingest_batch(
+                    cat2, b3, rounds_table="rlog", load_id="r3"
+                )
+            return super().transaction(load_id)
+
+    racing = RacingCatalog(spark=spark, root=root)
+    with pytest.raises(ConcurrentWriteError):
+        corpus.dedup_ingest_batch(racing, b2, rounds_table="rlog", load_id="r2")
+    lids = {r["load_id"] for r in cat1.read("rlog").collect()}
+    assert lids == {"r1", "r3"}  # the loser's row rolled back
