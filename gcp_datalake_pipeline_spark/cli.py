@@ -143,6 +143,25 @@ def cmd_ann(args) -> None:
                 }
             )
         )
+    elif args.action == "stream-extend":
+        from gcp_datalake_pipeline_spark.streaming.corpus import (
+            run_streaming_index_extend,
+        )
+
+        if not (args.landing and args.checkpoint):
+            sys.exit("error: ann stream-extend requires --landing and --checkpoint")
+        rounds = run_streaming_index_extend(
+            cat, args.landing, args.checkpoint, index_table=args.index,
+            compact_every=args.compact_every or None,
+        )
+        print(
+            json.dumps(
+                {
+                    "rounds": rounds,
+                    "vectors": cat.read(f"{args.index}_cells").count(),
+                }
+            )
+        )
     else:  # query
         ids = [int(x) for x in args.ids.split(",")]
         out = ann_index.ivf_index_topk(
@@ -361,11 +380,22 @@ def main(argv: list[str] | None = None) -> None:
 
     pa = sub.add_parser(
         "ann",
-        help="persisted IVF index: build / extend / query-only serving",
+        help="persisted IVF index: build / extend / stream-extend / "
+        "query-only serving",
     )
-    pa.add_argument("action", choices=["build", "extend", "query"])
+    pa.add_argument(
+        "action", choices=["build", "extend", "stream-extend", "query"]
+    )
     pa.add_argument("--catalog", required=True)
     pa.add_argument("--index", default="ann_ivf")
+    pa.add_argument(
+        "--landing", default=None,
+        help="stream-extend: landed embedding-parquet directory",
+    )
+    pa.add_argument(
+        "--checkpoint", default=None,
+        help="stream-extend: streaming checkpoint directory",
+    )
     pa.add_argument(
         "--source", default=None,
         help="vectors parquet (vec_id, embedding) for build/extend",

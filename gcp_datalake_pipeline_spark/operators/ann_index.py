@@ -124,6 +124,8 @@ def extend_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    load_id: str | None = None,
+    rounds_table: str | None = None,
 ) -> None:
     """Assign a NEW batch against the index's frozen centroids and append
     its cell + map rows — stored data is never rewritten (the appends
@@ -138,7 +140,16 @@ def extend_ivf_index(
     small-files problem). Layouts survive: cells keep ``cid``, the map
     keeps ``_kb`` (bucket sidecar). Best-effort: a compaction losing a
     conflict race to a concurrent extend is skipped, never fails the
-    extend."""
+    extend.
+
+    ``load_id`` names the commit in the version history (the streaming
+    index loop keys exactly-once replay on it); ``rounds_table`` appends
+    one (load_id, n_vectors, duration_sec, committed_at) metrics row
+    inside the same commit — the observability contract of the corpus
+    loops."""
+    import time as _time
+
+    t0 = _time.time()
     cents = _cents_dict(catalog.read(f"{index_table}_centroids").collect())
     e = batch.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
@@ -163,9 +174,24 @@ def extend_ivf_index(
                 map_table,
                 partition_cols=["_kb"],
             )
+        if rounds_table:
+            now = _time.time()
+            rec = catalog.spark.createDataFrame(
+                [
+                    (
+                        load_id or f"extend-{index_table}",
+                        batch.count(),
+                        float(now - t0),
+                        float(now),
+                    )
+                ],
+                "load_id string, n_vectors long, duration_sec double, "
+                "committed_at double",
+            )
+            catalog.append(rec, rounds_table)
 
     if txn is not None:
-        with txn(f"extend-{index_table}"):
+        with txn(load_id or f"extend-{index_table}"):
             _writes()
     else:
         _writes()
@@ -175,7 +201,13 @@ def extend_ivf_index(
             ConcurrentWriteError,
         )
 
-        for table, parts in ((cells_table, ["cid"]), (map_table, None)):
+        for table, parts in (
+            (cells_table, ["cid"]),
+            (map_table, None),
+            (rounds_table, None),
+        ):
+            if not table:
+                continue
             if (
                 not catalog.exists(table)
                 or len(catalog._data_dirs(table)) < compact_every

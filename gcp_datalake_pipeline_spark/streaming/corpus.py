@@ -154,6 +154,7 @@ def _run_streaming_rounds(
     quarantine_after: int | None = 3,
     quarantine_dir: str | None = None,
     quarantine_table: str = "corpus_file_quarantine",
+    count_key: str = "n_pairs",
 ):
     """Shared trigger/foreachBatch runner: list newly landed files of the
     loop's format (binaryFile metadata only — content is re-read columnar
@@ -309,7 +310,7 @@ def _run_streaming_rounds(
         _clear_failures(lid)  # a transient fault that recovered
         if available_now:
             rounds.append(
-                {"load_id": lid, "paths": paths, "n_pairs": pairs.count()}
+                {"load_id": lid, "paths": paths, count_key: pairs.count()}
             )
         compact = getattr(catalog, "compact", None)
         if compact_every and compact is not None:
@@ -480,4 +481,80 @@ def run_streaming_embedding_ingest(
         quarantine_dir=quarantine_dir,
         quarantine_table=quarantine_table
         or f"{vectors_table}_file_quarantine",
+    )
+
+
+def run_streaming_index_extend(
+    catalog,
+    landing_dir: str,
+    checkpoint_dir: str,
+    index_table: str = "ann_ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    file_format: str = "parquet",
+    schema=None,
+    compact_every: int | None = None,
+    quarantine_after: int | None = 3,
+    quarantine_dir: str | None = None,
+    quarantine_table: str | None = None,
+    rounds_table: str | None = None,
+):
+    """Streaming IVF index maintenance: newly landed embedding files
+    extend the PERSISTED index
+    (:func:`~gcp_datalake_pipeline_spark.operators.ann_index.extend_ivf_index`)
+    one micro-batch per round — assignment against the frozen centroids,
+    cells + vid map appended in one commit. This closes the production
+    serving pipeline: embeddings land continuously, the index absorbs
+    them incrementally (never a rebuild), and queries stay
+    partition-pruned to their probed cells throughout.
+
+    Same contracts as the corpus loops: exactly-once across checkpoint
+    replays AND checkpoint loss (content-addressed round ids against the
+    committed-load markers), poison files dead-letter after
+    ``quarantine_after`` failures, ``compact_every`` folds the
+    append-grown cells/map/log tables on cadence (handled by
+    ``extend_ivf_index`` itself so the cid layout survives), and each
+    committed round logs one metrics row (default
+    ``{index_table}_rounds``; ``""`` disables). The index must already
+    exist (``build_ivf_index``) — streaming into a non-existent index
+    fails the batch rather than training centroids on whichever file
+    happens to land first.
+
+    availableNow records: ``{"load_id", "paths", "n_vectors"}``.
+    """
+    from gcp_datalake_pipeline_spark.operators.ann_index import (
+        extend_ivf_index,
+    )
+
+    rtable = (
+        f"{index_table}_rounds" if rounds_table is None else rounds_table
+    )
+
+    def round_fn(batch, lid):
+        extend_ivf_index(
+            catalog,
+            batch,
+            index_table=index_table,
+            id_col=id_col,
+            vec_col=vec_col,
+            compact_every=compact_every,
+            load_id=lid,
+            rounds_table=rtable or None,
+        )
+        # the runner counts this for the availableNow record
+        return batch.select(id_col)
+
+    return _run_streaming_rounds(
+        catalog, landing_dir, checkpoint_dir, round_fn,
+        available_now, max_files_per_trigger, f"stream-ivf-{index_table}",
+        file_format=file_format, schema=schema,
+        compact_every=None,  # extend_ivf_index compacts (cid layout)
+        tables=(),
+        quarantine_after=quarantine_after,
+        quarantine_dir=quarantine_dir,
+        quarantine_table=quarantine_table
+        or f"{index_table}_file_quarantine",
+        count_key="n_vectors",
     )

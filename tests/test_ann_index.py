@@ -186,3 +186,48 @@ def test_extend_auto_compaction_preserves_layouts_and_values(
     assert cand, plan
     want = _rows(similarity.ivf_topk(emb, QIDS, k=5, centroids=cents))
     assert _rows(out) == want and want
+
+
+def test_streaming_index_extend_exactly_once(spark, tmp_path):
+    """Streaming IVF maintenance: landed embedding files extend the
+    persisted index one round per file; queries equal ivf_topk over the
+    full corpus with the frozen centroids; replays on the same AND a
+    lost checkpoint extend nothing (content-addressed rounds vs the
+    committed-load markers); each committed round logs a metrics row."""
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_index_extend,
+    )
+
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for i, cut in enumerate([(n // 2, 3 * n // 4), (3 * n // 4, n)]):
+        rest.filter(
+            (F.col("vec_id") >= cut[0]) & (F.col("vec_id") < cut[1])
+        ).toPandas().to_parquet(os.path.join(land, f"b{i}.parquet"), index=False)
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, first)
+    rounds = run_streaming_index_extend(
+        cat, land, str(tmp_path / "ckpt")
+    )
+    assert len(rounds) == 2
+    assert sum(r["n_vectors"] for r in rounds) == rest.count()
+    assert cat.read("ann_ivf_cells").count() == emb.count()
+
+    got = _rows(ann_index.ivf_index_topk(cat, QIDS, k=5))
+    want = _rows(similarity.ivf_topk(emb, QIDS, k=5, centroids=cents))
+    assert got == want and got
+
+    # metrics log: one row per committed round, none on replay
+    log = cat.read("ann_ivf_rounds").collect()
+    assert {r["load_id"] for r in log} == {r["load_id"] for r in rounds}
+    assert run_streaming_index_extend(cat, land, str(tmp_path / "ckpt")) == []
+    assert run_streaming_index_extend(cat, land, str(tmp_path / "ckpt2")) == []
+    assert cat.read("ann_ivf_cells").count() == emb.count()
+    assert cat.read("ann_ivf_rounds").count() == 2
