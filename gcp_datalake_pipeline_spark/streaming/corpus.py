@@ -155,6 +155,7 @@ def _run_streaming_rounds(
     quarantine_dir: str | None = None,
     quarantine_table: str = "corpus_file_quarantine",
     count_key: str = "n_pairs",
+    never_quarantine: tuple = (),
 ):
     """Shared trigger/foreachBatch runner: list newly landed files of the
     loop's format (binaryFile metadata only — content is re-read columnar
@@ -289,7 +290,11 @@ def _run_streaming_rounds(
         except ConcurrentWriteError:
             raise  # designed retry path — never counts toward poisoning
         except Exception as e:
-            if not quarantine_after:
+            if not quarantine_after or isinstance(e, never_quarantine):
+                # never_quarantine: environmental faults (e.g. the index
+                # a loop feeds does not exist yet) — operator errors, not
+                # poison files; retry forever rather than dead-letter
+                # healthy data
                 raise
             state = _load_failure_counts(poison_path)
             n = int(state.get(lid, 0)) + 1
@@ -533,6 +538,12 @@ def run_streaming_index_extend(
     )
 
     def round_fn(batch, lid):
+        if not catalog.exists(f"{index_table}_centroids"):
+            raise FileNotFoundError(
+                f"index {index_table!r} does not exist; run "
+                "build_ivf_index first — the streaming loop extends, "
+                "it never trains"
+            )
         extend_ivf_index(
             catalog,
             batch,
@@ -557,4 +568,7 @@ def run_streaming_index_extend(
         quarantine_table=quarantine_table
         or f"{index_table}_file_quarantine",
         count_key="n_vectors",
+        # a missing index is an operator error, not a poison file:
+        # healthy embedding batches must never be dead-lettered for it
+        never_quarantine=(FileNotFoundError,),
     )

@@ -231,3 +231,37 @@ def test_streaming_index_extend_exactly_once(spark, tmp_path):
     assert run_streaming_index_extend(cat, land, str(tmp_path / "ckpt2")) == []
     assert cat.read("ann_ivf_cells").count() == emb.count()
     assert cat.read("ann_ivf_rounds").count() == 2
+
+
+def test_stream_extend_missing_index_never_quarantines(spark, tmp_path):
+    """A missing index is an operator error, not a poison file: the
+    stream must fail (retry forever) rather than dead-letter healthy
+    embedding batches after N attempts."""
+    import os
+
+    import pytest
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_index_extend,
+    )
+
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    emb.filter(F.col("vec_id") >= n - 50).toPandas().to_parquet(
+        os.path.join(land, "b0.parquet"), index=False
+    )
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    for _ in range(3):  # would cross quarantine_after=2 if it counted
+        with pytest.raises(Exception):
+            run_streaming_index_extend(
+                cat, land, str(tmp_path / "ckpt"), quarantine_after=2
+            )
+    assert os.path.exists(os.path.join(land, "b0.parquet"))
+    assert not os.path.exists(land + "_quarantine")
+    assert not cat.exists("ann_ivf_file_quarantine")
+    # and once the index exists, the same landing drains cleanly
+    ann_index.build_ivf_index(cat, emb.filter(F.col("vec_id") < n - 50))
+    rounds = run_streaming_index_extend(cat, land, str(tmp_path / "ckpt"))
+    assert len(rounds) == 1 and rounds[0]["n_vectors"] == 50
