@@ -596,14 +596,18 @@ class TransactionalCatalog(Catalog):
     #
     # Crash atomicity: the marker is written BEFORE the pointer swap (so
     # a committed load always has its marker), and a ``.pending`` sidecar
-    # records the in-flight (marker, version). A crash between marker
-    # write and swap leaves a marker for a NEVER-visible commit — if
-    # trusted, a replay would skip a round whose data was lost.
-    # ``has_load_id`` therefore disregards a marker still named by
-    # ``.pending`` with a version ahead of the committed pointer, and the
-    # next commit (same flock) deletes the orphan before proceeding.
-    # (The retained-version fallback used before these markers had the
-    # same window via the orphan version file; the sidecar closes it.)
+    # records the in-flight (marker, version). The sidecar is written
+    # (and fsynced) BEFORE the marker it names: any marker not yet
+    # covered by a successful pointer swap is therefore ALWAYS named by
+    # ``.pending`` — writing the marker first would open a window where a
+    # crash leaves a visible marker while ``.pending`` still names the
+    # PREVIOUS commit, making ``has_load_id`` trust a never-committed
+    # load and permanently skip its replayed round. ``has_load_id``
+    # disregards a marker still named by ``.pending`` with a version
+    # ahead of the committed pointer, and the next commit (same flock)
+    # deletes the orphan before proceeding. (The retained-version
+    # fallback used before these markers had the same window via the
+    # orphan version file; the sidecar ordering closes it.)
 
     def _marker_dir(self) -> str:
         return os.path.join(self.root, _LOAD_IDS)
@@ -654,7 +658,8 @@ class TransactionalCatalog(Catalog):
         """Under the commit flock, before the pointer swap: clean any
         orphan from a crashed committer, backfill a legacy catalog's
         markers from its retained versions (one-time), then record this
-        commit's marker + pending sidecar."""
+        commit's pending sidecar FOLLOWED BY its marker (see the
+        ordering note above)."""
         mdir = self._marker_dir()
         committed = self._read_manifest(strict=False)["version"]
         if not os.path.isdir(mdir):
@@ -679,9 +684,13 @@ class TransactionalCatalog(Catalog):
                     os.remove(os.path.join(mdir, pending["path"]))
                 except FileNotFoundError:
                     pass
+        # .pending FIRST (fsynced), naming the marker about to be
+        # written: a crash at any point now leaves either no marker (a
+        # replay simply re-runs the round) or a marker that .pending
+        # names with version > committed (disregarded and cleaned). The
+        # reverse order would let a crash between the two writes expose
+        # a trusted marker for a load whose data never became visible.
         path = self._marker_path(load_id)
-        with open(path, "w") as f:
-            json.dump({"load_id": load_id, "version": version}, f)
         tmp = self._pending_marker_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -690,6 +699,10 @@ class TransactionalCatalog(Catalog):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pending_marker_path())
+        with open(path, "w") as f:
+            json.dump({"load_id": load_id, "version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
 
     # -- time travel --------------------------------------------------------
 

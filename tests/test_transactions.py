@@ -762,6 +762,70 @@ def test_crashed_commit_marker_not_trusted(spark, tcat):
     assert tcat.has_load_id("next-load")
 
 
+def test_pending_sidecar_written_before_marker(spark, tcat):
+    """Ordering regression for the crash window BETWEEN the two marker
+    writes: .pending must be published (fsynced) BEFORE the marker it
+    names. If the marker were written first, a crash between the writes
+    would leave a visible marker while .pending still names the PREVIOUS
+    commit (version <= committed pointer), so has_load_id would trust a
+    never-committed load and its replayed round would be skipped — data
+    loss. Simulated by failing the .pending publish (its os.replace) and
+    asserting no marker exists yet."""
+    import unittest.mock as mock
+
+    with tcat.transaction("ok-load"):
+        tcat.append(_df(spark, [(1, "x")]), "t")
+
+    real_replace = os.replace
+
+    def crash_on_pending(src, dst):
+        if os.path.basename(dst).startswith(".pending"):
+            raise RuntimeError("crash at .pending publish")
+        return real_replace(src, dst)
+
+    with mock.patch(
+        "gcp_datalake_pipeline_spark.transactions.os.replace",
+        side_effect=crash_on_pending,
+    ):
+        with pytest.raises(RuntimeError, match="crash at .pending"):
+            with tcat.transaction("lost-load"):
+                tcat.append(_df(spark, [(2, "y")]), "t")
+    # the marker was NOT written before the crash point — the lost round
+    # replays instead of being skipped
+    assert not os.path.exists(tcat._marker_path("lost-load"))
+    assert not tcat.has_load_id("lost-load")
+    assert tcat.has_load_id("ok-load")
+    # the catalog recovers: the round retries and commits normally
+    with tcat.transaction("lost-load"):
+        tcat.append(_df(spark, [(2, "y")]), "t")
+    assert tcat.has_load_id("lost-load")
+    assert tcat.read("t").count() == 2
+
+
+def test_crash_between_pending_and_marker_recovers(spark, tcat):
+    """A crash AFTER .pending publish but BEFORE the marker write leaves
+    .pending naming a marker that does not exist: has_load_id is False
+    (no marker), and the next commit's orphan cleanup tolerates the
+    missing file."""
+    import json
+
+    with tcat.transaction("ok-load"):
+        tcat.append(_df(spark, [(1, "x")]), "t")
+    # simulate the on-disk state: .pending names an unwritten marker one
+    # version ahead of the committed pointer
+    committed = tcat._read_manifest()["version"]
+    mpath = tcat._marker_path("half-load")
+    with open(tcat._pending_marker_path(), "w") as f:
+        json.dump(
+            {"path": os.path.basename(mpath), "version": committed + 1}, f
+        )
+    assert not tcat.has_load_id("half-load")
+    with tcat.transaction("next-load"):
+        tcat.append(_df(spark, [(3, "z")]), "t")
+    assert tcat.has_load_id("next-load")
+    assert not tcat.has_load_id("half-load")
+
+
 def test_clone_carries_load_markers(spark, tmp_path):
     """A streaming loop re-pointed at a clone must skip rounds the source
     committed (the clone HAS their data): markers ride along."""
