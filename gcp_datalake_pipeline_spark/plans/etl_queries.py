@@ -516,3 +516,69 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+@register(
+    "etl_pruned_scan",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""File-skipping read through the REAL storage engine: orders
+    lands in a TransactionalCatalog one staged dir per order-year (each
+    write collects its _file_stats.json footer min/max sidecar), then a
+    1996-only aggregate reads via catalog.read(predicates=[...]) — the
+    stats prune the scan to the 1996 dir's files BEFORE Spark sees them
+    (Delta/Iceberg data skipping; at 100 TB a year-selective query opens
+    1/7 of the lake instead of every footer). The query RAISES if the
+    skip did not actually happen (pruned_files must drop files), so the
+    driver's value gate also pins the IO contract; the oracle is the
+    plain filtered aggregate — pruning must be value-invisible.""",
+)
+def etl_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="etl_pruned_scan_")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    years = sorted(
+        r["y"]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    for y in years:
+        with cat.transaction(f"orders-{y}"):
+            cat.append(
+                orders.where(F.year("o_orderdate") == y).coalesce(1),
+                "orders_lake",
+            )
+    preds = [
+        ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+        ("o_orderdate", "<", datetime.datetime(1997, 1, 1)),
+    ]
+    kept, total = cat.pruned_files("orders_lake", preds)
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"file skipping did not engage: kept {len(kept)}/{total} files"
+        )
+    return (
+        cat.read("orders_lake", predicates=preds)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -50,6 +50,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from gcp_datalake_pipeline_spark import filestats
 from gcp_datalake_pipeline_spark.storage import Catalog
 
 _MANIFEST = "_MANIFEST.json"
@@ -121,6 +122,15 @@ class TransactionalCatalog(Catalog):
     its table writes all-or-nothing.
     """
 
+    # File-level min/max stats (data skipping): every staged dir gets a
+    # ``_file_stats.json`` sidecar at write time (footer-only reads;
+    # hardlink-carried MERGE partitions reuse the previous version's
+    # entries — zero re-reads), and ``read(table, predicates=[...])``
+    # prunes the scan to the files whose stats can match, Delta-style.
+    # The sidecar lives INSIDE the immutable staged dir, so it inherits
+    # commit atomicity and rides compaction, clones, time travel, and
+    # vacuum for free.
+    collect_stats: bool = True
     _pending: dict[str, list[str]] | None = field(default=None, repr=False)
     _load_id: str | None = field(default=None, repr=False)
     _stage_token: str | None = field(default=None, repr=False)
@@ -286,7 +296,7 @@ class TransactionalCatalog(Catalog):
             return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         return self.spark.read.parquet(*dirs)
 
-    def read(self, table: str, schema=None) -> DataFrame:
+    def read(self, table: str, schema=None, predicates=None) -> DataFrame:
         """Read through the manifest. The COMMITTED schema (recorded at
         every write, additively merged across appends) drives the scan:
         appends that added columns project correctly (missing columns in
@@ -294,12 +304,102 @@ class TransactionalCatalog(Catalog):
         whichever footer Spark sampled — and no footer merging is ever
         needed, which at 100 TB is the difference between an O(1)
         metadata read and opening every file's footer. Manifests from
-        before schema tracking fall back to mergeSchema across dirs."""
+        before schema tracking fall back to mergeSchema across dirs.
+
+        ``predicates`` (``[(col, op, value), ...]`` with ops ``= < <= >
+        >= in is_null not_null``) turns on FILE SKIPPING: each data
+        dir's ``_file_stats.json`` sidecar (collected at write time) is
+        evaluated conservatively and only the files whose min/max ranges
+        can match are handed to Spark — the Delta/Iceberg data-skipping
+        read, so a selective 100 TB lookup opens the three files it
+        needs instead of every footer. The EXACT predicate is always
+        re-applied as a Spark filter on the survivors (pruning is a
+        superset guarantee, never the answer), so results are identical
+        to an unpruned read + filter; files without stats are always
+        kept."""
         if not self.exists(table):
             if schema is None:
                 raise FileNotFoundError(table)
             return self.spark.createDataFrame([], schema)
-        return self._read_dirs(self._data_dirs(table), self._stored_schema(table))
+        dirs = self._data_dirs(table)
+        stored = self._stored_schema(table)
+        if predicates is None:
+            return self._read_dirs(dirs, stored)
+        preds = filestats.validate_predicates(predicates)
+        df = self._read_dirs_pruned(dirs, stored, preds)
+        return filestats.residual_filter(df, preds)
+
+    def _dir_parquet_files(self, d: str) -> list[str]:
+        """Relative paths of the data files under one staged dir, in a
+        stable order."""
+        out = []
+        for root, _dirs, names in os.walk(d):
+            for name in names:
+                if name.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, name), d)
+                    )
+        return sorted(out)
+
+    def _read_dirs_pruned(
+        self, dirs: list[str], stored, preds: list[tuple]
+    ) -> DataFrame:
+        """Stats-pruned scan over a manifest dir list. Per dir: load the
+        sidecar, keep the files whose stats can match, and read ONLY
+        those (``basePath`` preserves Hive partition columns). A dir with
+        no sidecar keeps all its files; a dir with zero surviving files
+        contributes nothing to the plan."""
+        parts: list[DataFrame] = []
+        for d in dirs:
+            stats = filestats.read_dir_stats(d)
+            all_files = self._dir_parquet_files(d)
+            kept = filestats.prune_files(stats, all_files, preds)
+            if not kept:
+                continue
+            if len(kept) == len(all_files):
+                parts.append(self._read_dirs([d], stored))
+                continue
+            r = self.spark.read.option("basePath", d)
+            if stored is not None:
+                r = r.schema(stored)
+            parts.append(r.parquet(*(os.path.join(d, f) for f in kept)))
+        if not parts:
+            # every file provably mismatches: an empty relation with the
+            # committed schema (falling back to a false-filtered full
+            # scan only for pre-schema-tracking manifests)
+            if stored is not None:
+                return self.spark.createDataFrame([], stored)
+            from pyspark.sql import functions as F
+
+            return self._read_dirs(dirs, None).where(F.lit(False))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def pruned_files(
+        self, table: str, predicates, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Observability/test contract for file skipping: the absolute
+        file paths a ``read(table, predicates=...)`` would hand to Spark
+        and the total file count behind the table (``version`` resolves
+        against a retained snapshot instead of the current pointer)."""
+        preds = filestats.validate_predicates(predicates)
+        if version is None:
+            dirs = self._data_dirs(table)
+        else:
+            dirs = self._version_dirs(table, version)
+        kept_all: list[str] = []
+        total = 0
+        for d in dirs:
+            stats = filestats.read_dir_stats(d)
+            all_files = self._dir_parquet_files(d)
+            total += len(all_files)
+            kept_all.extend(
+                os.path.join(d, f)
+                for f in filestats.prune_files(stats, all_files, preds)
+            )
+        return kept_all, total
 
     # -- staged writes ------------------------------------------------------
 
@@ -313,6 +413,22 @@ class TransactionalCatalog(Catalog):
         self._stage_seq += 1
         self._txn_dirs.append(rel)
         return rel
+
+    def _write_stage_stats(
+        self, rel: str, reuse: dict[str, dict] | None = None
+    ) -> None:
+        """Per-file min/max stats sidecar for a freshly staged dir
+        (footer-only reads). Best-effort: a stats failure must never
+        fail a write — readers treat a missing sidecar as
+        keep-everything."""
+        if not self.collect_stats:
+            return
+        try:
+            filestats.write_dir_stats(
+                os.path.join(self.root, rel), reuse=reuse
+            )
+        except Exception:
+            pass
 
     def _require_txn(self):
         """Auto-commit context: wrap a bare write in its own transaction."""
@@ -380,6 +496,7 @@ class TransactionalCatalog(Catalog):
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
+        self._write_stage_stats(rel)
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=df.schema)
 
@@ -403,6 +520,7 @@ class TransactionalCatalog(Catalog):
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
+        self._write_stage_stats(rel)
         self._pending[table] = prev + [rel]
         self._note_append(table, rel, schema=df.schema)
 
@@ -425,11 +543,25 @@ class TransactionalCatalog(Catalog):
         rel = self._stage_dir(table)
         stage = os.path.join(self.root, rel)
         merged.write.mode("overwrite").partitionBy("_kb").parquet(stage)
+        reuse = None
         if prev:
             written = {d for d in os.listdir(stage) if d.startswith("_kb=")}
+            linked = set()
             for d in os.listdir(prev[0]):
                 if d.startswith("_kb=") and d not in written:
                     _link_tree(os.path.join(prev[0], d), os.path.join(stage, d))
+                    linked.add(d)
+            # untouched partitions carried by hardlink reuse their stats
+            # entries verbatim: re-stating a 100 TB table's unchanged
+            # files must cost zero footer reads
+            prev_stats = filestats.read_dir_stats(prev[0]) if linked else None
+            if prev_stats is not None:
+                reuse = {
+                    r: e
+                    for r, e in prev_stats.get("files", {}).items()
+                    if r.split(os.sep, 1)[0] in linked
+                }
+        self._write_stage_stats(rel, reuse=reuse)
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=merged.schema)
 
@@ -728,31 +860,46 @@ class TransactionalCatalog(Catalog):
             )
         return out
 
-    def read_at(self, table: str, version: int) -> DataFrame:
-        """Read ``table`` as of committed snapshot ``version`` — table-level
-        time travel (the SCD2 operator is the row-level complement). Raises
-        if the version manifest was vacuumed away or never existed."""
+    def _version_manifest(self, version: int) -> dict:
         vpath = os.path.join(self.root, _VERSIONS, f"{version}.json")
         try:
             with open(vpath) as f:
-                m = json.load(f)
+                return json.load(f)
         except FileNotFoundError:
             raise FileNotFoundError(
                 f"no retained snapshot for version {version} "
                 "(vacuumed or never committed)"
             ) from None
-        rels = m["tables"].get(table)
+
+    def _version_dirs(self, table: str, version: int) -> list[str]:
+        rels = self._version_manifest(version)["tables"].get(table)
         if rels is None:
             raise FileNotFoundError(
                 f"{table!r} did not exist at version {version}"
             )
-        paths = [os.path.join(self.root, r) for r in rels]
+        return [os.path.join(self.root, r) for r in rels]
+
+    def read_at(self, table: str, version: int, predicates=None) -> DataFrame:
+        """Read ``table`` as of committed snapshot ``version`` — table-level
+        time travel (the SCD2 operator is the row-level complement). Raises
+        if the version manifest was vacuumed away or never existed.
+        ``predicates`` file-skips exactly as in :meth:`read` — the stats
+        sidecars live inside the immutable snapshot dirs, so historical
+        reads prune too."""
+        m = self._version_manifest(version)
+        paths = self._version_dirs(table, version)
         sj = m.get("schemas", {}).get(table)
+        stored = None
         if sj is not None:
             from pyspark.sql import types as T
 
-            return self._read_dirs(paths, T.StructType.fromJson(sj))
-        return self._read_dirs(paths, None)
+            stored = T.StructType.fromJson(sj)
+        if predicates is None:
+            return self._read_dirs(paths, stored)
+        preds = filestats.validate_predicates(predicates)
+        return filestats.residual_filter(
+            self._read_dirs_pruned(paths, stored, preds), preds
+        )
 
     def restore(self, version: int) -> None:
         """Roll the catalog back to snapshot ``version`` — published as a

@@ -1,0 +1,313 @@
+"""File-level min/max stats + data-skipping reads (filestats wiring).
+
+Contract under test (the Delta/Iceberg data-skipping analog over the
+plain-parquet TransactionalCatalog):
+
+- every staged dir gets a ``_file_stats.json`` sidecar at write time;
+- ``read(table, predicates=[...])`` hands Spark ONLY the files whose
+  stats can match (asserted BOTH via ``pruned_files`` and via the plan's
+  actual input file set, ``df.inputFiles()``);
+- results are always identical to an unpruned read + the same filter
+  (pruning is a superset guarantee);
+- conservative cases (missing sidecar, type-mismatched predicate,
+  unknown column, all-null files) keep files;
+- stats survive compaction, clone, and time travel, and hardlink-carried
+  MERGE partitions reuse their entries without re-reading footers.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from gcp_datalake_pipeline_spark import filestats
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+
+@pytest.fixture()
+def tcat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _append_range(tcat, lo, hi, tag):
+    """One staged dir covering k in [lo, hi)."""
+    rows = [(k, f"{tag}-{k}") for k in range(lo, hi)]
+    with tcat.transaction(f"load-{tag}"):
+        tcat.append(_df(tcat.spark, rows).coalesce(1), "t")
+
+
+def _input_files(df):
+    return {os.path.realpath(p.replace("file:", "")) for p in df.inputFiles()}
+
+
+# -- sidecar collection -------------------------------------------------------
+
+
+def test_stats_sidecar_written_per_staged_dir(spark, tcat):
+    _append_range(tcat, 0, 10, "a")
+    dirs = tcat._data_dirs("t")
+    assert len(dirs) == 1
+    stats = filestats.read_dir_stats(dirs[0])
+    assert stats is not None and stats["files"]
+    (entry,) = stats["files"].values()
+    assert entry["rows"] == 10
+    ks = entry["columns"]["k"]
+    assert filestats._decode_value(ks["min"]) == 0
+    assert filestats._decode_value(ks["max"]) == 9
+    assert ks["nulls"] == 0
+
+
+def test_collect_stats_false_disables_sidecar(spark, tmp_path):
+    cat = TransactionalCatalog(
+        spark=spark, root=str(tmp_path / "lake"), collect_stats=False
+    )
+    with cat.transaction("l"):
+        cat.append(_df(spark, [(1, "x")]), "t")
+    assert filestats.read_dir_stats(cat._data_dirs("t")[0]) is None
+    # reads (pruned or not) still work: missing sidecar = keep everything
+    assert cat.read("t", predicates=[("k", "=", 1)]).count() == 1
+
+
+# -- pruned reads: IO contract + value equivalence ----------------------------
+
+
+def test_selective_read_opens_only_matching_files(spark, tcat):
+    # three appends = three staged dirs with disjoint k ranges
+    _append_range(tcat, 0, 100, "a")
+    _append_range(tcat, 100, 200, "b")
+    _append_range(tcat, 200, 300, "c")
+    preds = [("k", ">=", 120), ("k", "<", 180)]
+    kept, total = tcat.pruned_files("t", preds)
+    assert total == 3 and len(kept) == 1  # only the middle dir's file
+    df = tcat.read("t", predicates=preds)
+    # plan contract: the scan's ACTUAL input files are exactly the
+    # pruned survivors — Spark never touches the other dirs
+    assert _input_files(df) == {os.path.realpath(p) for p in kept}
+    # value contract: identical to unpruned read + same filter
+    expect = (
+        tcat.read("t").where("k >= 120 and k < 180").orderBy("k").collect()
+    )
+    assert df.orderBy("k").collect() == expect
+    assert df.count() == 60
+
+
+def test_all_files_pruned_yields_empty_with_schema(spark, tcat):
+    _append_range(tcat, 0, 10, "a")
+    df = tcat.read("t", predicates=[("k", ">", 1000)])
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    assert df.inputFiles() == []
+
+
+def test_point_lookup_with_in_and_string_predicates(spark, tcat):
+    _append_range(tcat, 0, 50, "a")
+    _append_range(tcat, 50, 100, "b")
+    kept, total = tcat.pruned_files("t", [("k", "in", [7, 9])])
+    assert total == 2 and len(kept) == 1
+    df = tcat.read("t", predicates=[("k", "in", [7, 9])])
+    assert {r["k"] for r in df.collect()} == {7, 9}
+    # string min/max prune too: tags sort disjointly ("a-..." < "b-...")
+    kept_s, _ = tcat.pruned_files("t", [("v", ">=", "b")])
+    assert len(kept_s) == 1
+    assert tcat.read("t", predicates=[("v", ">=", "b")]).count() == 50
+
+
+def test_residual_filter_still_exact_within_kept_files(spark, tcat):
+    # pruning keeps whole files; the row-level answer must still be exact
+    _append_range(tcat, 0, 100, "a")
+    df = tcat.read("t", predicates=[("k", "=", 42)])
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 42
+
+
+# -- conservative keeps -------------------------------------------------------
+
+
+def test_conservative_cases_keep_files(spark, tcat):
+    _append_range(tcat, 0, 10, "a")
+    d = tcat._data_dirs("t")[0]
+    # unknown column: kept
+    kept, total = tcat.pruned_files("t", [("nope", "=", 1)])
+    assert len(kept) == total
+    # type mismatch (string predicate on long column): kept
+    kept, _ = tcat.pruned_files("t", [("k", "=", "x")])
+    assert len(kept) == total
+    # sidecar deleted (legacy/external writer): kept
+    os.remove(os.path.join(d, filestats.STATS_FILE))
+    kept, _ = tcat.pruned_files("t", [("k", ">", 1000)])
+    assert len(kept) == total
+    assert tcat.read("t", predicates=[("k", "=", 3)]).count() == 1
+    # corrupt sidecar: kept (never an error)
+    with open(os.path.join(d, filestats.STATS_FILE), "w") as f:
+        f.write("{not json")
+    kept, _ = tcat.pruned_files("t", [("k", ">", 1000)])
+    assert len(kept) == total
+
+
+def test_all_null_and_null_predicates(spark, tcat):
+    with tcat.transaction("l1"):
+        tcat.append(
+            _df(spark, [(None, "x"), (None, "y")]).coalesce(1), "t"
+        )
+    with tcat.transaction("l2"):
+        tcat.append(_df(spark, [(5, "z")]).coalesce(1), "t")
+    # comparison can never match an all-null file: it is droppable
+    kept, total = tcat.pruned_files("t", [("k", "=", 5)])
+    assert total == 2 and len(kept) == 1
+    # is_null keeps only the file with nulls; not_null drops the all-null
+    kept_n, _ = tcat.pruned_files("t", [("k", "is_null")])
+    assert len(kept_n) == 1
+    assert tcat.read("t", predicates=[("k", "is_null")]).count() == 2
+    kept_nn, _ = tcat.pruned_files("t", [("k", "not_null")])
+    assert len(kept_nn) == 1
+    assert tcat.read("t", predicates=[("k", "not_null")]).count() == 1
+
+
+def test_malformed_predicates_rejected(spark, tcat):
+    _append_range(tcat, 0, 5, "a")
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        tcat.read("t", predicates=[("k", "!=", 1)])
+    with pytest.raises(ValueError, match="needs a list"):
+        tcat.read("t", predicates=[("k", "in", 5)])
+    with pytest.raises(ValueError, match="takes no value"):
+        tcat.read("t", predicates=[("k", "is_null", 1)])
+
+
+# -- partition columns --------------------------------------------------------
+
+
+def test_hive_partition_values_prune(spark, tcat):
+    df = spark.createDataFrame(
+        [(k, k % 4, f"r{k}") for k in range(40)], "k long, p int, v string"
+    )
+    with tcat.transaction("l"):
+        tcat.overwrite(df.repartition(4), "pt", partition_cols=["p"])
+    kept, total = tcat.pruned_files("pt", [("p", "=", 2)])
+    assert kept and len(kept) < total
+    assert all("p=2" in p for p in kept)
+    out = tcat.read("pt", predicates=[("p", "=", 2)])
+    assert _input_files(out) == {os.path.realpath(p) for p in kept}
+    # partition column survives the file-list read (basePath)
+    assert {r["p"] for r in out.collect()} == {2}
+    assert out.count() == 10
+
+
+# -- lifecycle: compact / clone / time travel / merge reuse -------------------
+
+
+def test_stats_survive_compaction_and_clustering_sharpens_them(spark, tcat):
+    for i, tag in enumerate("abcd"):
+        _append_range(tcat, i * 25, (i + 1) * 25, tag)
+    assert tcat.compact("t", target_file_bytes=1, cluster_by=["k"])
+    dirs = tcat._data_dirs("t")
+    assert len(dirs) == 1
+    assert filestats.read_dir_stats(dirs[0]) is not None
+    # clustered rewrite keeps ranges disjoint: a point lookup opens 1 file
+    kept, total = tcat.pruned_files("t", [("k", "=", 60)])
+    assert total > 1 and len(kept) == 1
+    assert tcat.read("t", predicates=[("k", "=", 60)]).count() == 1
+
+
+def test_stats_ride_clone_and_time_travel(spark, tcat, tmp_path):
+    _append_range(tcat, 0, 50, "a")
+    v1 = tcat._read_manifest()["version"]
+    _append_range(tcat, 50, 100, "b")
+    # clone: sidecars hardlink along with the data
+    dst = tcat.clone_to(str(tmp_path / "branch"))
+    kept, total = dst.pruned_files("t", [("k", ">=", 50)])
+    assert total == 2 and len(kept) == 1
+    assert dst.read("t", predicates=[("k", ">=", 50)]).count() == 50
+    # time travel: the v1 snapshot prunes against its own (immutable) dirs
+    kept1, total1 = tcat.pruned_files("t", [("k", ">=", 50)], version=v1)
+    assert total1 == 1 and kept1 == []
+    assert tcat.read_at("t", v1, predicates=[("k", ">=", 50)]).count() == 0
+    assert tcat.read_at("t", v1, predicates=[("k", "<", 10)]).count() == 10
+
+
+def test_bucketed_merge_reuses_linked_partition_stats(spark, tcat):
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(64)], "k long, v string"
+    )
+    with tcat.transaction("seed"):
+        tcat.merge_upsert_bucketed(
+            df, "bt", key_cols=["k"], num_buckets=8
+        )
+    dirs0 = tcat._data_dirs("bt")
+    stats0 = filestats.read_dir_stats(dirs0[0])
+    assert stats0 and any("_kb=" in r for r in stats0["files"])
+    # second merge touches ONE key: untouched _kb partitions hardlink in
+    # and must NOT be re-footer-read — spy on ParquetFile
+    import pyarrow.parquet as pq
+
+    opened = []
+    real_pf = pq.ParquetFile
+
+    def spy(path, *a, **kw):
+        opened.append(str(path))
+        return real_pf(path, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pq, "ParquetFile", side_effect=spy):
+        with tcat.transaction("merge2"):
+            tcat.merge_upsert_bucketed(
+                _df(spark, [(3, "CHANGED")]), "bt",
+                key_cols=["k"], num_buckets=8,
+            )
+    dirs1 = tcat._data_dirs("bt")
+    stats1 = filestats.read_dir_stats(dirs1[0])
+    # all partitions have stats in the new version...
+    parts1 = {r.split(os.sep)[0] for r in stats1["files"]}
+    assert len(parts1) == 8
+    # ...but only the touched partition's files had their footers read
+    touched = {p for p in opened if f"{os.sep}bt." in p}
+    assert touched, "rewritten partition must be footer-read"
+    from pyspark.sql import functions as F
+
+    kb3 = (
+        df.withColumn("_kb", F.pmod(F.xxhash64("k"), F.lit(8)))
+        .where("k = 3").collect()[0]["_kb"]
+    )
+    assert all(f"_kb={kb3}" in p for p in touched)
+    # and the merged table still answers pruned point lookups correctly
+    assert tcat.read(
+        "bt", predicates=[("_kb", "=", int(kb3))]
+    ).where("k = 3").collect()[0]["v"] == "CHANGED"
+
+
+def test_vacuum_reclaims_sidecar_with_dir(spark, tcat):
+    _append_range(tcat, 0, 10, "a")
+    old = tcat._data_dirs("t")[0]
+    with tcat.transaction("rewrite"):
+        tcat.overwrite(_df(spark, [(1, "x")]), "t")
+    tcat.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert not os.path.exists(old)
+
+
+# -- pure pruning-logic edges -------------------------------------------------
+
+
+def test_prune_logic_boundaries():
+    entry = {
+        "rows": 10,
+        "columns": {
+            "k": {
+                "min": {"t": "num", "v": 10},
+                "max": {"t": "num", "v": 20},
+                "nulls": 0,
+            }
+        },
+    }
+    s = lambda op, v: filestats._file_survives(entry, "k", op, v)
+    assert s("=", 10) and s("=", 20) and not s("=", 9) and not s("=", 21)
+    assert not s("<", 10) and s("<", 11)
+    assert s("<=", 10) and not s("<=", 9)
+    assert not s(">", 20) and s(">", 19)
+    assert s(">=", 20) and not s(">=", 21)
+    assert s("in", [1, 15]) and not s("in", [1, 2, 30])
+    assert not s("is_null", None) and s("not_null", None)
