@@ -89,18 +89,52 @@ def cmd_corpus_ingest(args) -> None:
         if cat.exists("corpus_near_dup_pairs")
         else 0
     )
-    print(
-        json.dumps(
-            {
-                "rounds": rounds,
-                "docs": cat.read("corpus_docs").count()
-                if cat.exists("corpus_docs")
-                else 0,
-                "near_dup_pairs": n_pairs,
-            },
-            indent=2,
+    out = {
+        "rounds": rounds,
+        "docs": cat.read("corpus_docs").count()
+        if cat.exists("corpus_docs")
+        else 0,
+        "near_dup_pairs": n_pairs,
+    }
+    if args.show_quarantine:
+        qt = "corpus_docs_file_quarantine"
+        out["quarantine"] = (
+            [r.asDict() for r in cat.read(qt).collect()]
+            if cat.exists(qt)
+            else []
         )
+    print(json.dumps(out, indent=2))
+
+
+def cmd_rounds(args) -> None:
+    """Observability for the streaming loops' audit tables: per-round
+    metrics (``*_rounds``) and file-quarantine provenance
+    (``*_file_quarantine``), with age-based retention via
+    ``--prune-age``."""
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        prune_audit_tables,
     )
+
+    cat = _catalog(args, must_exist=True)
+    tables = [t for t in args.tables.split(",") if t]
+    out = {}
+    if args.prune_age is not None:
+        out["pruned"] = prune_audit_tables(cat, tables, args.prune_age)
+    for t in tables:
+        if not cat.exists(t):
+            out[t] = None
+            continue
+        df = cat.read(t)
+        tcol = (
+            "quarantined_at"
+            if "quarantined_at" in df.columns
+            else "committed_at"
+        )
+        rows = df.orderBy(tcol).collect()
+        if args.tail:
+            rows = rows[-args.tail :]
+        out[t] = [r.asDict() for r in rows]
+    print(json.dumps(out, indent=2, default=str))
 
 
 def cmd_ann(args) -> None:
@@ -374,9 +408,37 @@ def main(argv: list[str] | None = None) -> None:
     pc.add_argument(
         "--quarantine-after", type=int, default=3,
         help="dead-letter a round's files after this many failures "
-        "(poison-pill protection; 0 = retry forever)",
+        "(poison-pill protection; multi-file rounds bisect so healthy "
+        "files always commit; 0 = retry forever)",
+    )
+    pc.add_argument(
+        "--show-quarantine", action="store_true",
+        help="include the file-quarantine provenance table in the output",
     )
     pc.set_defaults(fn=cmd_corpus_ingest)
+
+    prnd = sub.add_parser(
+        "rounds",
+        help="show (and optionally age-prune) the streaming loops' "
+        "per-round metrics and file-quarantine audit tables",
+    )
+    prnd.add_argument("--catalog", required=True)
+    prnd.add_argument(
+        "--tables",
+        default="corpus_docs_rounds,corpus_docs_file_quarantine",
+        help="comma-separated audit tables (default: the text loop's "
+        "rounds + quarantine tables)",
+    )
+    prnd.add_argument(
+        "--tail", type=int, default=None,
+        help="show only the most recent N rows per table",
+    )
+    prnd.add_argument(
+        "--prune-age", type=float, default=None,
+        help="drop audit rows older than this many seconds "
+        "(vacuum-style retention; rewrites the table transactionally)",
+    )
+    prnd.set_defaults(fn=cmd_rounds)
 
     pa = sub.add_parser(
         "ann",

@@ -33,9 +33,13 @@ same small-files remedy the streaming corpus loops use.
 Query semantics are value-identical to
 ``ivf_topk(corpus, ..., centroids=<the index's centroids>)`` — same
 rounded-cosine assignment, probe ordering, and rank tiebreaks (probe
-ranking is ONE matmul over all queries, with the recompute path's exact
-dot/(|q||c|) association so rounding at 1e-6 agrees bit-for-bit) — so
-the persisted path shares the recompute path's DuckDB oracle.
+ranking is ONE matmul over all queries, with the recompute path's
+dot/(|q||c|) association, value-identical after the shared 1e-6
+rounding; a similarity sitting exactly on a rounding boundary could in
+principle round differently under BLAS matrix-matrix summation order,
+so the contract is rounded-value equality, not bit equality of the
+unrounded sums) — so the persisted path shares the recompute path's
+DuckDB oracle.
 
 Reference boundary: the reference has no ANN surface; this extends the
 similarity-search family the brief requires (brute force -> LSH -> IVF ->
@@ -342,6 +346,97 @@ def ivf_index_topk(
     )
     out = cand.join(F.broadcast(probes), "cid")
     if self_query:
+        out = out.filter(F.col("vid") != F.col("query_id"))
+    return (
+        out.select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index_topk_df(
+    catalog,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    index_table: str = "ann_ivf",
+    id_col: str = "query_id",
+    vec_col: str = "qv",
+    exclude_self: bool = False,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """DataFrame-input twin of :func:`ivf_index_topk` — the BULK
+    re-scoring shape. ``ivf_index_topk`` takes query vectors as a
+    driver-side Python list, which is right for interactive serving
+    (bounded query batches) and wrong for a job that re-scores millions
+    of queries: the list itself would not fit on the driver. Here the
+    queries stay a DataFrame end-to-end — centroid ranking runs as an
+    Arrow-batched pandas_udf with the (bounded, nlist x dim) centroid
+    matrix BROADCAST to executors, one matmul per batch; no query
+    vector is ever collected to the driver.
+
+    Probe selection is value-identical to the list path: the same
+    dot/(|q||c|) association, 1e-6 rounding, and stable argsort over
+    ascending-cid columns (ties to the lowest cid), and the same final
+    (cosine desc, neighbor_id) rank window — so both paths share one
+    DuckDB oracle.
+
+    ``prune_cells`` (default on) collects the DISTINCT probed cids —
+    bounded by nlist, never by query count — to partition-prune the
+    cells scan, at the cost of one extra pass over ``queries`` (cheap:
+    projection + the probe matmul). A truly exhaustive bulk job whose
+    probes cover every cell can pass ``prune_cells=False`` to skip that
+    pass. ``exclude_self`` drops neighbor_id == query_id rows (self-query
+    semantics, for query ids drawn from the indexed corpus).
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank <= k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = _cents_dict(catalog.read(f"{index_table}_centroids").collect())
+    cids_sorted = sorted(cents)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+    sc = catalog.spark.sparkContext
+    b_cent = sc.broadcast(
+        (C, np.linalg.norm(C, axis=1), np.array(cids_sorted, dtype=np.int64))
+    )
+    n_probe = min(nprobe, len(cids_sorted))
+
+    def _probe(vs):
+        Cm, Cn, cid_arr = b_cent.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(vs.tolist(), dtype=np.float64)
+        S = np.round(
+            (Q @ Cm.T) / np.outer(np.linalg.norm(Q, axis=1), Cn), 6
+        )
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cid_arr[order]))
+
+    probe_cids = F.pandas_udf(_probe, "array<long>")
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    )
+    probes = q.withColumn("cid", F.explode(probe_cids(F.col("qv"))))
+    cand = catalog.read(f"{index_table}_cells")
+    if prune_cells:
+        probed = sorted(
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        )
+        cand = cand.filter(F.col("cid").isin(probed))
+    sim = _cosine_pandas_udf()(F.col("qv"), F.col("v"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    out = cand.join(probes, "cid")
+    if exclude_self:
         out = out.filter(F.col("vid") != F.col("query_id"))
     return (
         out.select(

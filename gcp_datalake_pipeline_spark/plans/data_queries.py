@@ -658,6 +658,34 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_index_topk_df",
+    similarity.ivf_kmeans_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""The BULK serving shape over the persisted IVF index: queries
+    arrive as a DataFrame (here the query ids' own embedding rows) and
+    centroid ranking runs as an Arrow-batched pandas_udf with the
+    bounded nlist x dim centroid matrix broadcast — no query vector is
+    ever collected to the driver, so the same plan re-scores millions
+    of queries. Probe selection, rounding, and rank tiebreaks are
+    value-identical to the driver-list path (ann_ivf_index_topk), so
+    all three IVF paths share one fully-unrolled Lloyd oracle.""",
+)
+def ann_ivf_index_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    q = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(ANN_QUERY_IDS)
+    )
+    return ann_index.ivf_index_topk_df(
+        _ann_index_catalog(spark, sf_dir),
+        q,
+        k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
+    )
+
+
+@register(
     "ann_lsh_topk",
     similarity.lsh_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""Hyperplane-LSH bucketed approximate top-5 (multi-probe radius 2).

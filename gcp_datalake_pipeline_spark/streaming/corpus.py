@@ -32,12 +32,16 @@ and-retry is right for transient faults, but a PERSISTENTLY malformed
 landed file would otherwise be retried forever (the checkpoint can never
 advance past it — at production scale, an outage needing manual file
 surgery). After ``quarantine_after`` failures of the same
-content-addressed round, the round's files move to a quarantine
-directory with a provenance row in the catalog
+content-addressed round, a single-file round's file moves to a
+quarantine directory with an idempotent provenance row in the catalog
 (``*_quarantine`` table — the raw-file analog of
 :mod:`gcp_datalake_pipeline_spark.operators.quarantine`'s row-level
-split) and the stream proceeds. Commit conflicts never count toward the
-threshold — they are the designed concurrency retry, not data faults.
+split); a multi-file round is BISECTED file-by-file so one poison pill
+never dead-letters its healthy round-mates — and the stream proceeds.
+Commit conflicts never count toward the threshold — they are the
+designed concurrency retry, not data faults — and failure counts age
+out after ``failure_ttl_seconds`` so transient infra faults spread over
+weeks never accumulate to the threshold.
 """
 
 from __future__ import annotations
@@ -91,12 +95,28 @@ _FORMATS = {
 }
 
 
-def _load_failure_counts(path: str) -> dict:
+def _load_failure_counts(path: str, ttl_seconds: float | None = None) -> dict:
+    """Per-round failure state ``{lid: {"n": int, "last": ts}}``.
+    Entries whose last failure is older than ``ttl_seconds`` age out —
+    transient infra faults spread over days must not accumulate toward
+    the dead-letter threshold (legacy bare-int entries are upgraded with
+    last=now, i.e. never instantly stale)."""
     try:
         with open(path) as f:
-            return json.load(f)
+            raw = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         return {}
+    now = time.time()
+    state = {}
+    for lid, v in raw.items():
+        if isinstance(v, dict):
+            entry = {"n": int(v.get("n", 0)), "last": float(v.get("last", now))}
+        else:  # pre-r8 sidecar: bare count
+            entry = {"n": int(v), "last": now}
+        if ttl_seconds is not None and now - entry["last"] > ttl_seconds:
+            continue
+        state[lid] = entry
+    return state
 
 
 def _save_failure_counts(path: str, state: dict) -> None:
@@ -106,7 +126,7 @@ def _save_failure_counts(path: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def _dead_letter_round(
+def _dead_letter_files(
     catalog,
     paths: list[str],
     lid: str,
@@ -115,27 +135,53 @@ def _dead_letter_round(
     quarantine_dir: str,
     quarantine_table: str,
 ) -> list[str]:
-    """Move a poisoned round's files out of the landing directory and
-    record provenance in the catalog (queryable, like the row-level
-    quarantine tables). Returns the destination paths. Best-effort on
-    crash: a death between move and record can leave a file quarantined
-    without its row (the retry re-records; never re-ingests)."""
+    """Move poisoned files out of the landing directory and record
+    provenance in the catalog (queryable, like the row-level quarantine
+    tables). Returns the destination paths.
+
+    Destination names carry a hash of the FULL source path, so two
+    same-named files from different landing subdirectories can never
+    silently overwrite each other's quarantined evidence (and the name
+    is deterministic, so a crash-retry re-targets the same file).
+
+    The provenance append is IDEMPOTENT on (load_id, src_path): a crash
+    between the move and the append re-records on retry, and a retry
+    that finds the row already present appends nothing — the audit
+    table never holds duplicates. The existence probe collects only
+    this load_id's rows (bounded by the round's file count)."""
     os.makedirs(quarantine_dir, exist_ok=True)
     moved = []
     for p in paths:
-        dst = os.path.join(quarantine_dir, f"{lid}-{os.path.basename(p)}")
+        tag = hashlib.md5(p.encode()).hexdigest()[:8]
+        dst = os.path.join(
+            quarantine_dir, f"{lid}-{tag}-{os.path.basename(p)}"
+        )
         if os.path.exists(p):
             shutil.move(p, dst)
         moved.append((p, dst))
-    rec = catalog.spark.createDataFrame(
-        [
-            (p, dst, lid, repr(error)[:500], n_failures, float(time.time()))
-            for p, dst in moved
-        ],
-        "src_path string, quarantined_to string, load_id string, "
-        "reason string, n_failures int, quarantined_at double",
-    )
-    catalog.append(rec, quarantine_table)
+    already: set[str] = set()
+    if catalog.exists(quarantine_table):
+        from pyspark.sql import functions as F
+
+        already = {
+            r["src_path"]
+            for r in catalog.read(quarantine_table)
+            .where(F.col("load_id") == lid)
+            .select("src_path")
+            .collect()
+        }
+    rows = [
+        (p, dst, lid, repr(error)[:500], n_failures, float(time.time()))
+        for p, dst in moved
+        if p not in already
+    ]
+    if rows:
+        rec = catalog.spark.createDataFrame(
+            rows,
+            "src_path string, quarantined_to string, load_id string, "
+            "reason string, n_failures int, quarantined_at double",
+        )
+        catalog.append(rec, quarantine_table)
     return [dst for _p, dst in moved]
 
 
@@ -156,6 +202,7 @@ def _run_streaming_rounds(
     quarantine_table: str = "corpus_file_quarantine",
     count_key: str = "n_pairs",
     never_quarantine: tuple = (),
+    failure_ttl_seconds: float = 7 * 86400.0,
 ):
     """Shared trigger/foreachBatch runner: list newly landed files of the
     loop's format (binaryFile metadata only — content is re-read columnar
@@ -194,10 +241,19 @@ def _run_streaming_rounds(
     checkpoint — the right call for transient faults — but a
     persistently bad file would be retried forever. Failures are counted
     per content-addressed round id in a small sidecar next to the
-    checkpoint (restart-proof); on the Nth failure the round's files
-    move to ``quarantine_dir`` (default ``<landing>_quarantine`` —
-    OUTSIDE the landing dir, so the source never lists them) with a
-    provenance row appended to ``quarantine_table``, and the stream
+    checkpoint (restart-proof; entries older than
+    ``failure_ttl_seconds`` — default 7 days — age out, so transient
+    infra faults spread over weeks never accumulate to the threshold).
+    On the Nth failure a SINGLE-file round's file moves to
+    ``quarantine_dir`` (default ``<landing>_quarantine`` — OUTSIDE the
+    landing dir, so the source never lists them) with a provenance row
+    appended to ``quarantine_table``; a MULTI-file round is BISECTED
+    instead: each file runs ``round_fn`` alone as its own
+    content-addressed sub-round — healthy files commit for real, only
+    the individually-failing files dead-letter (one poison pill never
+    quarantines its round-mates), a fully-healthy round (threshold
+    tripped by transient faults) loses nothing, and a parent-round
+    tombstone commit keeps the replay guard exact. Then the stream
     proceeds. ``None`` disables (retry forever — the pre-round-7
     behavior). ConcurrentWriteError never counts: a commit conflict is
     the designed concurrency retry, not a data fault.
@@ -240,10 +296,18 @@ def _run_streaming_rounds(
         # the sidecar only ever holds in-flight failing rounds (bounded)
         if not os.path.exists(poison_path):
             return
-        state = _load_failure_counts(poison_path)
+        state = _load_failure_counts(poison_path, failure_ttl_seconds)
         if lid in state:
             state.pop(lid)
-            _save_failure_counts(poison_path, state)
+        _save_failure_counts(poison_path, state)
+
+    def _bump_failures(lid: str) -> int:
+        state = _load_failure_counts(poison_path, failure_ttl_seconds)
+        entry = state.get(lid, {"n": 0, "last": 0.0})
+        entry = {"n": entry["n"] + 1, "last": time.time()}
+        state[lid] = entry
+        _save_failure_counts(poison_path, state)
+        return entry["n"]
 
     stream = (
         spark.readStream.format("binaryFile")
@@ -296,21 +360,76 @@ def _run_streaming_rounds(
                 # poison files; retry forever rather than dead-letter
                 # healthy data
                 raise
-            state = _load_failure_counts(poison_path)
-            n = int(state.get(lid, 0)) + 1
-            state[lid] = n
-            _save_failure_counts(poison_path, state)
+            n = _bump_failures(lid)
             if n < quarantine_after:
                 raise  # batch fails, checkpoint holds, next run retries
-            # Nth failure: dead-letter the round and let the stream move on
-            _dead_letter_round(
-                catalog, paths, lid, e, n, qdir, quarantine_table
-            )
-            _clear_failures(lid)
-            if available_now:
-                rounds.append(
-                    {"load_id": lid, "paths": paths, "quarantined": True}
+            if len(files) == 1:
+                # Nth failure, single-file round: dead-letter it and let
+                # the stream move on
+                _dead_letter_files(
+                    catalog, paths, lid, e, n, qdir, quarantine_table
                 )
+                _clear_failures(lid)
+                if available_now:
+                    rounds.append(
+                        {"load_id": lid, "paths": paths, "quarantined": True}
+                    )
+                return
+            # Nth failure, multi-file round: BISECT. Quarantining the
+            # whole round would dead-letter healthy files alongside one
+            # poison pill (data loss at max_files_per_trigger > 1), and
+            # a transient infra fault that tripped the threshold would
+            # dead-letter a fully healthy round. Instead each file runs
+            # round_fn ALONE as its own sub-round, under the SAME
+            # content-addressed id it would have had as a 1-file round:
+            # healthy files commit for real (exactly-once via their own
+            # markers on crash-replay), only individually-failing files
+            # dead-letter. A parent-round tombstone commit then marks
+            # the original load_id so a checkpoint replay skips the
+            # round instead of re-reading its now-moved files.
+            for triple in files:
+                p, m, ln = triple
+                local = _local_path(p)
+                sub_digest = hashlib.md5(
+                    f"{p}@{m}#{ln}".encode()
+                ).hexdigest()[:12]
+                slid = f"{lid_prefix}-{sub_digest}"
+                if has_lid is not None and has_lid(slid):
+                    continue  # committed by a prior (crashed) bisection
+                try:
+                    sub_pairs = round_fn(reader(spark, [local], schema), slid)
+                except ConcurrentWriteError:
+                    raise
+                except Exception as fe:
+                    if isinstance(fe, never_quarantine):
+                        raise
+                    _dead_letter_files(
+                        catalog, [local], slid, fe, n, qdir,
+                        quarantine_table,
+                    )
+                    if available_now:
+                        rounds.append(
+                            {
+                                "load_id": slid,
+                                "paths": [local],
+                                "quarantined": True,
+                            }
+                        )
+                    continue
+                if available_now:
+                    rounds.append(
+                        {
+                            "load_id": slid,
+                            "paths": [local],
+                            count_key: sub_pairs.count(),
+                        }
+                    )
+            _clear_failures(lid)
+            txn = getattr(catalog, "transaction", None)
+            if txn is not None:
+                # empty commit = the parent round's marker (replay guard)
+                with txn(lid):
+                    pass
             return
         _clear_failures(lid)  # a transient fault that recovered
         if available_now:
@@ -572,3 +691,51 @@ def run_streaming_index_extend(
         # healthy embedding batches must never be dead-lettered for it
         never_quarantine=(FileNotFoundError,),
     )
+
+
+def prune_audit_tables(
+    catalog,
+    tables: list[str],
+    max_age_seconds: float,
+    now: float | None = None,
+) -> dict[str, int]:
+    """Age-based retention for the loops' append-forever audit tables
+    (``*_file_quarantine`` provenance and ``*_rounds`` metrics) — the
+    vacuum analog for observability data: rows older than
+    ``max_age_seconds`` are dropped by rewriting the table (one
+    transactional overwrite per table; a no-op when nothing is stale,
+    so cron-driven invocations are cheap). The time column is detected
+    per table (``quarantined_at`` for quarantine provenance,
+    ``committed_at`` for round metrics). Returns ``{table: rows_dropped}``
+    for tables that existed. Quarantined FILES are untouched — only
+    their audit rows expire; delete the quarantine directory's contents
+    separately once triaged."""
+    from pyspark.sql import functions as F
+
+    cutoff = (time.time() if now is None else now) - max_age_seconds
+    out: dict[str, int] = {}
+    for table in tables:
+        if not catalog.exists(table):
+            continue
+        df = catalog.read(table)
+        tcol = next(
+            (c for c in ("quarantined_at", "committed_at") if c in df.columns),
+            None,
+        )
+        if tcol is None:
+            raise ValueError(
+                f"table {table!r} has no quarantined_at/committed_at "
+                "column; not an audit table"
+            )
+        keep = df.where(F.col(tcol) >= F.lit(cutoff))
+        n_before = df.count()
+        n_after = keep.count()
+        if n_after < n_before:
+            txn = getattr(catalog, "transaction", None)
+            if txn is not None:
+                with txn(f"prune-{table}-{int(cutoff)}"):
+                    catalog.overwrite(keep, table)
+            else:
+                catalog.overwrite(keep, table)
+        out[table] = n_before - n_after
+    return out

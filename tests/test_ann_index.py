@@ -265,3 +265,48 @@ def test_stream_extend_missing_index_never_quarantines(spark, tmp_path):
     ann_index.build_ivf_index(cat, emb.filter(F.col("vec_id") < n - 50))
     rounds = run_streaming_index_extend(cat, land, str(tmp_path / "ckpt"))
     assert len(rounds) == 1 and rounds[0]["n_vectors"] == 50
+
+
+def test_df_input_serving_matches_list_path(spark, tmp_path):
+    """VERDICT r7 #4: ivf_index_topk_df (bulk DataFrame-input serving)
+    must be value-identical to the driver-list path, with NO driver-side
+    collect of query vectors — centroid ranking runs as an Arrow
+    pandas_udf over the query DataFrame against the broadcast centroid
+    matrix, and the cells scan stays partition-pruned."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+
+    # external-query parity: same vectors through both input shapes
+    qvecs = [
+        (int(r["vec_id"]) + 10_000, [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin(QIDS)).collect()
+    ]
+    qdf = spark.createDataFrame(
+        qvecs, "query_id long, qv array<double>"
+    )
+    want = _rows(ann_index.ivf_index_topk(cat, query_vectors=qvecs, k=5))
+    got_df = ann_index.ivf_index_topk_df(cat, qdf, k=5)
+    assert _rows(got_df) == want and want
+
+    # self-query parity (exclude_self): equals the list self-query path
+    self_q = emb.filter(F.col("vec_id").isin(QIDS))
+    got_self = ann_index.ivf_index_topk_df(
+        cat, self_q, k=5, id_col="vec_id", vec_col="embedding",
+        exclude_self=True,
+    )
+    assert _rows(got_self) == _rows(ann_index.ivf_index_topk(cat, QIDS, k=5))
+
+    # plan contracts: query vectors flow through ArrowEvalPython (the
+    # pandas_udf), and the candidate scan is cid-partition-pruned
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    cand_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "PartitionFilters: [cid" in l
+    ]
+    assert cand_scans, plan
+
+    # prune_cells=False: no bounded collect, full cells scan, same values
+    got_nop = ann_index.ivf_index_topk_df(cat, qdf, k=5, prune_cells=False)
+    assert _rows(got_nop) == want

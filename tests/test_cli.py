@@ -133,3 +133,36 @@ def test_cli_ann_index_lifecycle(workdir):
 
     r = run_cli("ann", "query", "--catalog", cat)
     assert r.returncode != 0 and "requires --ids" in r.stderr
+
+
+def test_cli_rounds_and_show_quarantine(workdir):
+    """`rounds` surfaces the loops' audit tables (+ age retention);
+    `corpus-ingest --show-quarantine` includes the provenance table.
+    Reuses the corpus_lake built by test_cli_corpus_ingest."""
+    cat = f"{workdir}/corpus_lake"
+    r = run_cli("rounds", "--catalog", cat)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert len(payload["corpus_docs_rounds"]) == 2  # one row per round
+    assert all(
+        row["n_docs"] == 250 for row in payload["corpus_docs_rounds"]
+    )
+    assert payload["corpus_docs_file_quarantine"] is None  # no poisons
+
+    # retention: a huge age drops nothing; rows survive
+    r = run_cli("rounds", "--catalog", cat, "--prune-age", "31536000")
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert payload["pruned"] == {"corpus_docs_rounds": 0}
+    assert len(payload["corpus_docs_rounds"]) == 2
+
+    # --show-quarantine on a clean catalog reports an empty list
+    land = f"{workdir}/corpus_landing"
+    r = run_cli(
+        "corpus-ingest", "--atomic", "--catalog", cat,
+        "--landing", land, "--checkpoint", f"{workdir}/corpus_ckpt",
+        "--show-quarantine",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert payload["rounds"] == [] and payload["quarantine"] == []

@@ -757,3 +757,191 @@ def test_rounds_log_rolls_back_with_conflicted_round(spark, tmp_path):
         corpus.dedup_ingest_batch(racing, b2, rounds_table="rlog", load_id="r2")
     lids = {r["load_id"] for r in cat1.read("rlog").collect()}
     assert lids == {"r1", "r3"}  # the loser's row rolled back
+
+
+def test_bisection_quarantines_only_poison_file(spark, tmp_path):
+    """VERDICT r7 #2: with max_files_per_trigger > 1, one poison pill
+    must not dead-letter its healthy round-mates. On the Nth failure the
+    round bisects: each file runs alone as its own content-addressed
+    sub-round — 1 poison + 2 healthy files in one trigger end as
+    1 quarantined, 2 committed."""
+    import json
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").limit(40)
+    rows = docs.collect()
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(land, f"good{i}.jsonl"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+    with open(os.path.join(land, "poison.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n{"doc_id": 2, broken!!\n')
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    kw = dict(
+        file_format="jsonl", schema="doc_id long, text string",
+        quarantine_after=2, max_files_per_trigger=3,
+    )
+    rounds, runs_failed = [], 0
+    for _attempt in range(4):
+        try:
+            rounds += run_streaming_dedup_ingest(
+                cat, land, str(tmp_path / "ckpt"), **kw
+            )
+            break
+        except Exception:
+            runs_failed += 1
+    assert runs_failed == 1  # failure 1 retries; failure 2 bisects
+    quarantined = [r for r in rounds if r.get("quarantined")]
+    committed = [r for r in rounds if not r.get("quarantined")]
+    assert len(quarantined) == 1
+    assert quarantined[0]["paths"][0].endswith("poison.jsonl")
+    assert len(committed) == 2  # both healthy files landed as sub-rounds
+
+    # only the poison file left the landing dir
+    qdir = land.rstrip("/") + "_quarantine"
+    assert sorted(os.listdir(land)) == ["good0.jsonl", "good1.jsonl"]
+    qfiles = os.listdir(qdir)
+    assert len(qfiles) == 1 and qfiles[0].endswith("poison.jsonl")
+
+    # healthy docs fully committed; provenance names only the poison
+    assert cat.read("corpus_docs").count() == len(rows)
+    prov = cat.read("corpus_docs_file_quarantine").collect()
+    assert len(prov) == 1 and prov[0]["src_path"].endswith("poison.jsonl")
+
+    # drained: replay guard (parent tombstone + sub-round markers) holds
+    again = run_streaming_dedup_ingest(
+        cat, land, str(tmp_path / "ckpt"), **kw
+    )
+    assert again == []
+    assert cat.read("corpus_docs").count() == len(rows)
+
+
+def test_dead_letter_provenance_idempotent_and_collision_proof(
+    spark, tmp_path
+):
+    """VERDICT r7 #3 + ADVICE: the crash-retry path between file move
+    and catalog append must not duplicate audit rows, and two same-named
+    files from different landing subdirs must not overwrite each other's
+    quarantined evidence."""
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        _dead_letter_files,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    qdir = str(tmp_path / "q")
+    for sub in ("a", "b"):
+        os.makedirs(tmp_path / "land" / sub)
+        with open(tmp_path / "land" / sub / "f.jsonl", "w") as f:
+            f.write("broken\n")
+    paths = [
+        str(tmp_path / "land" / "a" / "f.jsonl"),
+        str(tmp_path / "land" / "b" / "f.jsonl"),
+    ]
+    err = ValueError("parse error")
+    dsts = _dead_letter_files(cat, paths, "lid-1", err, 3, qdir, "fq")
+    # same basename, different subdirs -> two DISTINCT quarantine files
+    assert len(set(dsts)) == 2
+    assert sorted(os.listdir(qdir)) == sorted(os.path.basename(d) for d in dsts)
+    assert cat.read("fq").count() == 2
+    # crash-retry: files already moved, rows already present -> no dupes
+    dsts2 = _dead_letter_files(cat, paths, "lid-1", err, 3, qdir, "fq")
+    assert dsts2 == dsts
+    assert cat.read("fq").count() == 2
+    # a different load_id of the same path IS a new audit row
+    _dead_letter_files(cat, paths[:1], "lid-2", err, 3, qdir, "fq")
+    assert cat.read("fq").count() == 3
+
+
+def test_failure_counts_age_out_and_legacy_upgrade(tmp_path):
+    """ADVICE: transient infra faults spread over weeks must not
+    accumulate to the dead-letter threshold — sidecar entries older than
+    the TTL age out; pre-r8 bare-int entries upgrade without going
+    instantly stale."""
+    import json
+    import time
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        _load_failure_counts,
+    )
+
+    p = str(tmp_path / "poison.json")
+    now = time.time()
+    with open(p, "w") as f:
+        json.dump(
+            {
+                "stale": {"n": 2, "last": now - 10 * 86400},
+                "fresh": {"n": 1, "last": now - 60},
+                "legacy": 2,
+            },
+            f,
+        )
+    state = _load_failure_counts(p, ttl_seconds=7 * 86400.0)
+    assert "stale" not in state
+    assert state["fresh"]["n"] == 1
+    assert state["legacy"]["n"] == 2  # upgraded, last=now
+    # no TTL -> everything kept
+    assert set(_load_failure_counts(p)) == {"stale", "fresh", "legacy"}
+
+
+def test_prune_audit_tables_retention(spark, tmp_path):
+    """VERDICT r7 #6: age-based retention for the append-forever audit
+    tables — old rows drop, fresh rows survive, absent tables are
+    skipped, non-audit tables are refused."""
+    import time
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        prune_audit_tables,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    now = time.time()
+    rounds = spark.createDataFrame(
+        [("old", 1, 1, 0.1, now - 10 * 86400), ("new", 2, 2, 0.1, now)],
+        "load_id string, n_docs long, n_pairs long, duration_sec double, "
+        "committed_at double",
+    )
+    quar = spark.createDataFrame(
+        [
+            ("s1", "d1", "l1", "err", 3, now - 10 * 86400),
+            ("s2", "d2", "l2", "err", 3, now),
+        ],
+        "src_path string, quarantined_to string, load_id string, "
+        "reason string, n_failures int, quarantined_at double",
+    )
+    cat.append(rounds, "corpus_docs_rounds")
+    cat.append(quar, "corpus_docs_file_quarantine")
+    dropped = prune_audit_tables(
+        cat,
+        ["corpus_docs_rounds", "corpus_docs_file_quarantine", "absent"],
+        max_age_seconds=86400.0,
+    )
+    assert dropped == {
+        "corpus_docs_rounds": 1,
+        "corpus_docs_file_quarantine": 1,
+    }
+    assert [r["load_id"] for r in cat.read("corpus_docs_rounds").collect()] == ["new"]
+    assert [r["load_id"] for r in cat.read("corpus_docs_file_quarantine").collect()] == ["l2"]
+    # no-op when nothing is stale (no rewrite commit)
+    v_before = cat._read_manifest()["version"]
+    again = prune_audit_tables(
+        cat, ["corpus_docs_rounds"], max_age_seconds=86400.0
+    )
+    assert again == {"corpus_docs_rounds": 0}
+    assert cat._read_manifest()["version"] == v_before
+    # refuse tables without a recognized time column
+    cat.append(spark.createDataFrame([(1,)], "x long"), "not_audit")
+    with pytest.raises(ValueError, match="not an audit table"):
+        prune_audit_tables(cat, ["not_audit"], 1.0)
