@@ -313,6 +313,70 @@ def _decode_bmp_pixels(content: bytes):
     return arr
 
 
+def _png_wavefront(block, ftypes, prev, ch):
+    """Vectorized reconstruction of a run of Average/Paeth-filtered PNG
+    rows. Cell (y, x) depends on a=(y, x-ch), b=(y-1, x), c=(y-1, x-ch)
+    only, so every anti-diagonal ``s = x + y*ch`` is dependency-free:
+    instead of O(rows*stride) per-pixel Python iterations, the run is
+    solved in ``stride + (rows-1)*ch`` numpy steps, each reconstructing
+    one cell per row of the run via fancy indexing (the r7 per-pixel
+    loop measured ~40x slower on a Paeth-heavy image — see PLANS.md).
+    ``block``: (R, stride) int16 raw filtered bytes; ``ftypes``: (R,)
+    filter codes (3=Average, 4=Paeth); ``prev``: (stride,) int16, the
+    reconstructed row above the run (zeros for the first image row).
+    Returns (R, stride) uint8."""
+    import numpy as np
+
+    R, stride = block.shape
+    # Bound the skew buffer: very tall runs chunk into sub-blocks, the
+    # last reconstructed row chaining between them.
+    max_rows = 512
+    if R > max_rows:
+        out = np.empty((R, stride), dtype=np.uint8)
+        p = prev
+        for j in range(0, R, max_rows):
+            out[j : j + max_rows] = _png_wavefront(
+                block[j : j + max_rows], ftypes[j : j + max_rows], p, ch
+            )
+            p = out[min(j + max_rows, R) - 1].astype(np.int16)
+        return out
+    # SKEWED buffer: cell (r, x) — r=0 is prev, r=1..R the run rows —
+    # lives at column x + r + pad, so every anti-diagonal becomes ONE
+    # column and each wavefront step is plain contiguous column slicing
+    # (no fancy indexing). Reads that fall left of x=0 land on
+    # never-written zero columns — exactly the spec's "no left
+    # neighbor" value.
+    pad = ch + 1
+    width = stride + R + pad + 1
+    S = np.zeros((R + 1, width), dtype=np.int16, order="F")
+    X = np.zeros((R + 1, width), dtype=np.int16, order="F")
+    S[0, pad : pad + stride] = prev
+    for j in range(R):
+        X[j + 1, pad + j + 1 : pad + j + 1 + stride] = block[j]
+    pae = ftypes == 4
+    for s in range(pad + 1, pad + stride + R):
+        r_lo = max(1, s - pad - stride + 1)
+        r_hi = min(R, s - pad)
+        a = S[r_lo : r_hi + 1, s - ch]
+        b = S[r_lo - 1 : r_hi, s - 1]
+        c = S[r_lo - 1 : r_hi, s - 1 - ch]
+        p = a + b - c
+        pa = np.abs(p - a)
+        pb = np.abs(p - b)
+        pc = np.abs(p - c)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+        )
+        avg = (a + b) >> 1
+        pred = np.where(pae[r_lo - 1 : r_hi], paeth, avg)
+        S[r_lo : r_hi + 1, s] = (X[r_lo : r_hi + 1, s] + pred) & 0xFF
+    # un-skew: row r's cells live at cols [r+pad, r+pad+stride)
+    out = np.empty((R, stride), dtype=np.uint8)
+    for j in range(R):
+        out[j] = S[j + 1, pad + j + 1 : pad + j + 1 + stride]
+    return out
+
+
 def _decode_png_pixels(content: bytes):
     """REAL pixel decode for non-interlaced 8-bit PNG — stdlib zlib +
     struct + numpy, no image library. IDAT is DEFLATE-compressed
@@ -366,41 +430,45 @@ def _decode_png_pixels(content: bytes):
     stride = w * ch
     if len(raw) != h * (stride + 1):
         return None
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = buf[:, 0].astype(np.int16)
+    if int(ftypes.max(initial=0)) > 4:
+        return None  # unknown filter: corrupt
+    data = buf[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        ftype = raw[pos]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=pos + 1
-        ).copy()
-        pos += 1 + stride
-        if ftype == 0:  # None
-            pass
-        elif ftype == 2:  # Up (uint8 addition wraps mod 256 per spec)
-            row += prev
-        elif ftype == 1:  # Sub: sequential in x
-            for x in range(ch, stride):
-                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = (
-                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                )
-                row[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            return None  # unknown filter: corrupt
-        out[y] = row
-        prev = row
+    prev = np.zeros(stride, dtype=np.int16)
+    y = 0
+    # Row reconstruction, fully numpy-vectorized (no per-pixel Python):
+    # None/Up are whole-row ops, Sub is a per-channel cumulative sum
+    # mod 256, and Average/Paeth runs — whose left-neighbor dependency
+    # makes rows sequential in x — are solved as an anti-diagonal
+    # WAVEFRONT across the run (see _png_wavefront), turning O(h*w*ch)
+    # Python-loop iterations into O(w*ch + h*ch) numpy vector steps.
+    while y < h:
+        f = int(ftypes[y])
+        if f >= 3:  # Average/Paeth run -> wavefront
+            y1 = y
+            while y1 < h and ftypes[y1] >= 3:
+                y1 += 1
+            block = _png_wavefront(
+                data[y:y1].astype(np.int16), ftypes[y:y1], prev, ch
+            )
+            out[y:y1] = block
+            prev = block[-1].astype(np.int16)
+            y = y1
+            continue
+        row = data[y].astype(np.int16)
+        if f == 0:  # None
+            r = row
+        elif f == 2:  # Up (addition wraps mod 256 per spec)
+            r = (row + prev) & 0xFF
+        else:  # Sub: recon[x] = raw[x] + recon[x-ch] == per-lane cumsum
+            r = (
+                row.reshape(-1, ch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).reshape(-1).astype(np.int16)
+        out[y] = r.astype(np.uint8)
+        prev = r
+        y += 1
     arr = out.reshape(h, w, ch)
     if ctype == 3:
         if plte is None or len(plte) % 3 or len(plte) == 0:

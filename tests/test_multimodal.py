@@ -653,3 +653,55 @@ def test_png_decode_roundtrip_property():
         )
 
     check()
+
+
+def test_png_wavefront_tall_run_chunks():
+    """Runs of Average/Paeth rows taller than the wavefront's 512-row
+    chunk bound must chain the last reconstructed row between chunks —
+    a 600-row all-Paeth image round-trips exactly."""
+    import numpy as np
+
+    from gcp_datalake_pipeline_spark.operators.multimodal import (
+        _decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 600, 5, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8).astype(np.int16)
+    stride = w * ch
+    flat = img.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        row = flat[y]
+        a = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+        c = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        p = a + prev - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+        )
+        raw.append(4)
+        raw.extend(((row - pred) & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = _decode_png_pixels(png)
+    assert got is not None
+    assert (got.reshape(h, w, ch) == img.astype(np.uint8)).all()
