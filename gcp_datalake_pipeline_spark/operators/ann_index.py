@@ -255,22 +255,29 @@ def _self_query_vectors(catalog, index_table: str, query_ids: list[int]):
     ``vid IN`` scan over all cells for a pre-map (legacy) index."""
     cells_table = f"{index_table}_cells"
     if not catalog.exists(f"{index_table}_vid_map"):
-        return (
+        out = (
             catalog.read(cells_table)
             .filter(F.col("vid").isin([int(q) for q in query_ids]))
             .select("vid", "v")
         )
-    own_cids = sorted(
-        {int(r["cid"]) for r in _query_cid_map(
-            catalog, index_table, query_ids
-        ).collect()}
-    )
-    return (
-        catalog.read(cells_table)
-        .filter(F.col("cid").isin(own_cids))
-        .filter(F.col("vid").isin([int(q) for q in query_ids]))
-        .select("vid", "v")
-    )
+    else:
+        own_cids = sorted(
+            {int(r["cid"]) for r in _query_cid_map(
+                catalog, index_table, query_ids
+            ).collect()}
+        )
+        out = (
+            catalog.read(cells_table)
+            .filter(F.col("cid").isin(own_cids))
+            .filter(F.col("vid").isin([int(q) for q in query_ids]))
+            .select("vid", "v")
+        )
+    # a removed id's vector is gone for serving purposes: it neither
+    # appears as a neighbor nor resolves as a self-query
+    tomb = _tombstones(catalog, index_table)
+    if tomb is not None:
+        out = out.join(tomb, "vid", "left_anti")
+    return out
 
 
 def ivf_index_topk(
@@ -340,6 +347,9 @@ def ivf_index_topk(
     probe_cids = sorted({t[1] for t in probe_tuples})
 
     cand = catalog.read(cells_table).filter(F.col("cid").isin(probe_cids))
+    tomb = _tombstones(catalog, index_table)
+    if tomb is not None:
+        cand = cand.join(tomb, "vid", "left_anti")
     sim = _cosine_pandas_udf()(F.col("qv"), F.col("v"))
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -426,6 +436,9 @@ def ivf_index_topk_df(
     )
     probes = q.withColumn("cid", F.explode(probe_cids(F.col("qv"))))
     cand = catalog.read(f"{index_table}_cells")
+    tomb = _tombstones(catalog, index_table)
+    if tomb is not None:
+        cand = cand.join(tomb, "vid", "left_anti")
     if prune_cells:
         probed = sorted(
             r["cid"] for r in probes.select("cid").distinct().collect()
@@ -447,3 +460,75 @@ def ivf_index_topk_df(
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def _tombstones(catalog, index_table: str):
+    """The removed-vid set as a DataFrame, or None when nothing was ever
+    removed (zero overhead on the common path)."""
+    t = f"{index_table}_tombstones"
+    return catalog.read(t).select("vid") if catalog.exists(t) else None
+
+
+def remove_ids(
+    catalog, ids: list[int], index_table: str = "ann_ivf"
+) -> None:
+    """DELETE vectors from the persisted index — tombstone-style, the
+    append-only complement of :func:`extend_ivf_index`. The ids land in
+    a slim ``{index}_tombstones`` table (one transactional append; no
+    stored cells/map data is rewritten — at 100 TB a delete must never
+    rewrite cid partitions), and every query path anti-joins the
+    tombstone set out of its candidates AND its self-query resolution,
+    so a removed id neither appears in any top-k nor serves as a query.
+    :func:`compact_index` later folds the tombstones physically.
+
+    Re-adding a removed id: a tombstone shadows ALL rows of that vid —
+    including ones appended after the removal — so run
+    :func:`compact_index` (which drops the stale rows and clears the
+    tombstones) before re-extending with a reused id."""
+    spark = catalog.spark
+    rows = spark.createDataFrame([(int(i),) for i in ids], "vid long")
+    t = f"{index_table}_tombstones"
+    txn = getattr(catalog, "transaction", None)
+    if txn is not None:
+        with txn(f"remove-{index_table}-{len(ids)}ids"):
+            catalog.append(rows, t)
+    else:
+        catalog.append(rows, t)
+
+
+def compact_index(catalog, index_table: str = "ann_ivf") -> dict:
+    """Physically fold tombstones: rewrite the cells and vid-map tables
+    WITHOUT the removed vids (layouts preserved — cells stay
+    cid-partitioned, the map keeps its ``_kb`` buckets and sidecar, so
+    the pruned-probe and self-query contracts survive) and clear the
+    tombstone table, all in one transaction. Also the answer to id
+    reuse: after compaction a re-extended id serves normally. Returns
+    ``{"dropped": n}``."""
+    cells_table = f"{index_table}_cells"
+    map_table = f"{index_table}_vid_map"
+    tomb_table = f"{index_table}_tombstones"
+    tomb = _tombstones(catalog, index_table)
+    if tomb is None:
+        return {"dropped": 0}
+    n_before = catalog.read(cells_table).count()
+    cells = catalog.read(cells_table).join(tomb, "vid", "left_anti")
+    has_map = catalog.exists(map_table)
+    empty = catalog.spark.createDataFrame([], "vid long")
+    txn = getattr(catalog, "transaction", None)
+
+    def _writes():
+        catalog.overwrite(cells, cells_table, partition_cols=["cid"])
+        if has_map:
+            catalog.overwrite(
+                catalog.read(map_table).join(tomb, "vid", "left_anti"),
+                map_table,
+                partition_cols=["_kb"],
+            )
+        catalog.overwrite(empty, tomb_table)
+
+    if txn is not None:
+        with txn(f"compact-index-{index_table}"):
+            _writes()
+    else:
+        _writes()
+    return {"dropped": n_before - catalog.read(cells_table).count()}
