@@ -145,8 +145,8 @@ def cmd_ann(args) -> None:
 
     if args.action in ("build", "extend") and not args.source:
         sys.exit(f"error: ann {args.action} requires --source")
-    if args.action == "query" and not args.ids:
-        sys.exit("error: ann query requires --ids")
+    if args.action in ("query", "remove") and not args.ids:
+        sys.exit(f"error: ann {args.action} requires --ids")
     cat = _catalog(args)
     if args.action == "build":
         vecs = cat.spark.read.parquet(args.source)
@@ -196,6 +196,23 @@ def cmd_ann(args) -> None:
                 }
             )
         )
+    elif args.action == "remove":
+        ids = [int(x) for x in args.ids.split(",")]
+        ann_index.remove_ids(cat, ids, index_table=args.index)
+        print(
+            json.dumps(
+                {
+                    "removed": ids,
+                    "tombstones": cat.read(
+                        f"{args.index}_tombstones"
+                    ).count(),
+                }
+            )
+        )
+    elif args.action == "compact-index":
+        out = ann_index.compact_index(cat, index_table=args.index)
+        out["vectors"] = cat.read(f"{args.index}_cells").count()
+        print(json.dumps(out))
     else:  # query
         ids = [int(x) for x in args.ids.split(",")]
         out = ann_index.ivf_index_topk(
@@ -443,10 +460,14 @@ def main(argv: list[str] | None = None) -> None:
     pa = sub.add_parser(
         "ann",
         help="persisted IVF index: build / extend / stream-extend / "
-        "query-only serving",
+        "query-only serving / tombstone deletes (remove, compact-index)",
     )
     pa.add_argument(
-        "action", choices=["build", "extend", "stream-extend", "query"]
+        "action",
+        choices=[
+            "build", "extend", "stream-extend", "query", "remove",
+            "compact-index",
+        ],
     )
     pa.add_argument("--catalog", required=True)
     pa.add_argument("--index", default="ann_ivf")
@@ -462,7 +483,11 @@ def main(argv: list[str] | None = None) -> None:
         "--source", default=None,
         help="vectors parquet (vec_id, embedding) for build/extend",
     )
-    pa.add_argument("--ids", default=None, help="query vec_ids, comma-sep")
+    pa.add_argument(
+        "--ids", default=None,
+        help="vec_ids, comma-sep (query: probe these; remove: tombstone "
+        "these out of every query path until compact-index folds them)",
+    )
     pa.add_argument("--k", type=int, default=5)
     pa.add_argument("--nprobe", type=int, default=4)
     pa.add_argument("--nlist", type=int, default=16)

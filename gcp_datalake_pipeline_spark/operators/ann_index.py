@@ -508,7 +508,9 @@ def compact_index(catalog, index_table: str = "ann_ivf") -> dict:
     map_table = f"{index_table}_vid_map"
     tomb_table = f"{index_table}_tombstones"
     tomb = _tombstones(catalog, index_table)
-    if tomb is None:
+    if tomb is None or not tomb.take(1):
+        # nothing tombstoned (or a prior compaction already folded):
+        # never rewrite the cells for a no-op
         return {"dropped": 0}
     n_before = catalog.read(cells_table).count()
     cells = catalog.read(cells_table).join(tomb, "vid", "left_anti")

@@ -310,3 +310,149 @@ def test_df_input_serving_matches_list_path(spark, tmp_path):
     # prune_cells=False: no bounded collect, full cells scan, same values
     got_nop = ann_index.ivf_index_topk_df(cat, qdf, k=5, prune_cells=False)
     assert _rows(got_nop) == want
+
+
+def test_remove_ids_absent_from_all_query_paths(spark, tmp_path):
+    """VERDICT r8 #1(a): after remove_ids, a removed id appears in NO
+    query path — ivf_index_topk (self-query + candidate), the bulk
+    ivf_index_topk_df twin, and the self-query vector fetch — while the
+    untouched ids' results equal ivf_topk over the corpus WITHOUT the
+    removed vectors under the same frozen centroids (the delete is an
+    anti-join, never a rescore)."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, emb)
+
+    # victims: a served neighbor (so the absence assert has teeth) and a
+    # query id (so the self-query exclusion is exercised too)
+    before = ann_index.ivf_index_topk(cat, QIDS, k=5)
+    victim = next(
+        int(r["neighbor_id"])
+        for r in before.orderBy("query_id", "rank").collect()
+        if int(r["neighbor_id"]) not in QIDS
+    )
+    removed = [victim, QIDS[0]]
+    ann_index.remove_ids(cat, removed)
+    assert cat.read("ann_ivf_tombstones").count() == 2
+
+    live = [q for q in QIDS if q not in removed]
+    got = _rows(ann_index.ivf_index_topk(cat, live, k=5))
+    assert got and not {r[1] for r in got} & set(removed)
+    keep = emb.filter(~F.col("vec_id").isin(removed))
+    want = _rows(similarity.ivf_topk(keep, live, k=5, centroids=cents))
+    assert got == want
+
+    # a removed id no longer resolves as a self-query (vector is gone
+    # for serving purposes): no rows, rather than stale neighbors
+    assert ann_index.ivf_index_topk(cat, [QIDS[0]], k=5).count() == 0
+    assert (
+        ann_index._self_query_vectors(cat, "ann_ivf", removed).count() == 0
+    )
+
+    # bulk DataFrame path honors the same tombstones
+    got_df = _rows(
+        ann_index.ivf_index_topk_df(
+            cat,
+            emb.filter(F.col("vec_id").isin(live)),
+            k=5,
+            id_col="vec_id",
+            vec_col="embedding",
+            exclude_self=True,
+        )
+    )
+    assert got_df == want
+
+    # and an EXTERNAL query equal to the removed vector must not see it
+    vvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == victim).first()["embedding"]
+    ]
+    ext = _rows(
+        ann_index.ivf_index_topk(cat, query_vectors=[(9001, vvec)], k=5)
+    )
+    assert ext and victim not in {r[1] for r in ext}
+
+
+def test_compact_index_drops_rows_preserves_layouts(spark, tmp_path):
+    """VERDICT r8 #1(b): compact_index physically drops the tombstoned
+    rows from the cells AND the vid map, preserves the cid partitioning,
+    the map's _kb layout + bucket-meta sidecar (both plan contracts
+    still hold after the rewrite), clears the tombstone table, and a
+    second compaction is a no-op rather than a full rewrite."""
+    import os
+
+    emb = spark.read.parquet(EMB)
+    n_total = emb.count()
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, emb)
+    removed = [7, 42]
+    ann_index.remove_ids(cat, removed)
+
+    assert ann_index.compact_index(cat) == {"dropped": len(removed)}
+    assert cat.read("ann_ivf_cells").count() == n_total - len(removed)
+    assert cat.read("ann_ivf_vid_map").count() == n_total - len(removed)
+    assert cat.read("ann_ivf_tombstones").count() == 0
+    assert ann_index.compact_index(cat) == {"dropped": 0}
+
+    # bucket-meta sidecar survived the map overwrite, so self-queries
+    # keep resolving through the persisted modulus
+    assert os.path.exists(cat._bucket_meta_path("ann_ivf_vid_map"))
+
+    live = [q for q in QIDS if q not in removed]
+    out = ann_index.ivf_index_topk(cat, live, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan parquet" in l and "PartitionFilters: [cid" in l
+        for l in plan.splitlines()
+    ), plan
+    map_plan = (
+        ann_index._query_cid_map(cat, "ann_ivf", live)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [_kb" in map_plan, map_plan
+
+    keep = emb.filter(~F.col("vec_id").isin(removed))
+    want = _rows(similarity.ivf_topk(keep, live, k=5, centroids=cents))
+    assert _rows(out) == want and want
+
+
+def test_tombstone_shadows_reextended_id_until_compaction(spark, tmp_path):
+    """VERDICT r8 #1(c): the documented id-reuse caveat — a tombstone
+    shadows ALL rows of its vid, including ones appended AFTER the
+    removal, until compact_index folds it; after compaction a
+    re-extended id serves normally with its new vector."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+    x = 3
+    new_vec = [
+        -float(v) for v in emb.filter(F.col("vec_id") == x).first()["embedding"]
+    ]
+    ann_index.remove_ids(cat, [x])
+    batch = spark.createDataFrame(
+        [(x, new_vec)], "vec_id long, embedding array<double>"
+    )
+    ann_index.extend_ivf_index(cat, batch)
+
+    # shadowed: the re-appended row is invisible on every path
+    probe = _rows(
+        ann_index.ivf_index_topk(cat, query_vectors=[(9001, new_vec)], k=5)
+    )
+    assert probe and x not in {r[1] for r in probe}
+    assert ann_index.ivf_index_topk(cat, [x], k=5).count() == 0
+
+    # compaction drops BOTH rows of x (the stale build row and the
+    # shadowed re-append) and clears the tombstones
+    assert ann_index.compact_index(cat) == {"dropped": 2}
+
+    # now a reused id extends and serves like any other vector
+    ann_index.extend_ivf_index(cat, batch)
+    after = sorted(
+        ann_index.ivf_index_topk(
+            cat, query_vectors=[(9001, new_vec)], k=3
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert after[0]["neighbor_id"] == x and after[0]["cosine_sim"] == 1.0

@@ -134,6 +134,24 @@ def test_cli_ann_index_lifecycle(workdir):
     r = run_cli("ann", "query", "--catalog", cat)
     assert r.returncode != 0 and "requires --ids" in r.stderr
 
+    # tombstone delete lifecycle: remove -> shadowed -> compact-index
+    r = run_cli("ann", "remove", "--catalog", cat, "--ids", "3,57")
+    assert r.returncode == 0, r.stderr[-2000:]
+    removed = json.loads(r.stdout[r.stdout.index("{"):])
+    assert removed == {"removed": [3, 57], "tombstones": 2}
+
+    r = run_cli("ann", "query", "--catalog", cat, "--ids", "3", "--k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "| 3 " not in r.stdout  # removed id resolves to no rows
+
+    r = run_cli("ann", "compact-index", "--catalog", cat)
+    assert r.returncode == 0, r.stderr[-2000:]
+    compacted = json.loads(r.stdout[r.stdout.index("{"):])
+    assert compacted == {"dropped": 2, "vectors": 498}
+
+    r = run_cli("ann", "remove", "--catalog", cat)
+    assert r.returncode != 0 and "requires --ids" in r.stderr
+
 
 def test_cli_rounds_and_show_quarantine(workdir):
     """`rounds` surfaces the loops' audit tables (+ age retention);
