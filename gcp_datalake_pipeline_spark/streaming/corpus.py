@@ -249,14 +249,21 @@ def _run_streaming_rounds(
     landing dir, so the source never lists them) with a provenance row
     appended to ``quarantine_table``; a MULTI-file round is BISECTED
     instead: each file runs ``round_fn`` alone as its own
-    content-addressed sub-round — healthy files commit for real, only
-    the individually-failing files dead-letter (one poison pill never
-    quarantines its round-mates), a fully-healthy round (threshold
-    tripped by transient faults) loses nothing, and a parent-round
-    tombstone commit keeps the replay guard exact. Then the stream
-    proceeds. ``None`` disables (retry forever — the pre-round-7
-    behavior). ConcurrentWriteError never counts: a commit conflict is
-    the designed concurrency retry, not a data fault.
+    content-addressed sub-round — healthy files commit for real, and a
+    failing sub-round consumes its OWN ``quarantine_after`` budget
+    (keyed on the sub-round's lid) before dead-lettering, so a
+    transient fault striking during a probe never quarantines a healthy
+    file: the batch fails, the checkpoint holds, and the next pass
+    RESUMES the bisection (already-committed sub-rounds skip via their
+    markers — detected from the markers themselves, so the resume
+    survives checkpoint and sidecar loss). Only files that fail N solo
+    probes dead-letter (one poison pill never quarantines its
+    round-mates), a fully-healthy round (threshold tripped by transient
+    faults) loses nothing, and a parent-round tombstone commit keeps
+    the replay guard exact. Then the stream proceeds. ``None`` disables
+    (retry forever — the pre-round-7 behavior). ConcurrentWriteError
+    never counts: a commit conflict is the designed concurrency retry,
+    not a data fault.
 
     Returns the committed-round records (availableNow mode, after the
     drain) — or, with ``available_now=False``, the live StreamingQuery
@@ -321,6 +328,16 @@ def _run_streaming_rounds(
         .select("path", "modificationTime", "length")
     )
 
+    def _sub_lid(triple) -> str:
+        # the SAME content-addressed id the file would have had as a
+        # 1-file round, so a bisected sub-round's marker and a future
+        # 1-file replay of the same file agree
+        p, m, n = triple
+        return (
+            f"{lid_prefix}-"
+            + hashlib.md5(f"{p}@{m}#{n}".encode()).hexdigest()[:12]
+        )
+
     def handle_batch(batch_df, batch_id):
         files = sorted(
             (r["path"], str(r["modificationTime"]), r["length"])
@@ -349,6 +366,80 @@ def _run_streaming_rounds(
             ):
                 _clear_failures(lid)
                 return  # replayed batch: round already committed
+
+        def _bisect():
+            # Each file runs round_fn ALONE as its own content-addressed
+            # sub-round: healthy files commit for real (exactly-once via
+            # their own markers on crash-replay), only files that fail
+            # quarantine_after SOLO probes dead-letter — a transient
+            # fault striking during a probe consumes the sub-round's own
+            # retry budget instead of dead-lettering a healthy file
+            # (VERDICT r8 #2). A parent-round tombstone commit then
+            # marks the original load_id so a checkpoint replay skips
+            # the round instead of re-reading its now-moved files.
+            for triple in files:
+                local = _local_path(triple[0])
+                slid = _sub_lid(triple)
+                if has_lid is not None and has_lid(slid):
+                    _clear_failures(slid)
+                    continue  # committed by a prior (interrupted) pass
+                try:
+                    sub_pairs = round_fn(reader(spark, [local], schema), slid)
+                except ConcurrentWriteError:
+                    raise
+                except Exception as fe:
+                    if isinstance(fe, never_quarantine) or not quarantine_after:
+                        raise
+                    sn = _bump_failures(slid)
+                    if sn < quarantine_after:
+                        # batch fails, checkpoint holds; the next pass
+                        # resumes the bisection (committed sub-rounds
+                        # skip via their markers) and retries this file
+                        raise
+                    _dead_letter_files(
+                        catalog, [local], slid, fe, sn, qdir,
+                        quarantine_table,
+                    )
+                    _clear_failures(slid)
+                    if available_now:
+                        rounds.append(
+                            {
+                                "load_id": slid,
+                                "paths": [local],
+                                "quarantined": True,
+                            }
+                        )
+                    continue
+                _clear_failures(slid)
+                if available_now:
+                    rounds.append(
+                        {
+                            "load_id": slid,
+                            "paths": [local],
+                            count_key: sub_pairs.count(),
+                        }
+                    )
+            _clear_failures(lid)
+            txn = getattr(catalog, "transaction", None)
+            if txn is not None:
+                # empty commit = the parent round's marker (replay guard)
+                with txn(lid):
+                    pass
+
+        if (
+            len(files) > 1
+            and has_lid is not None
+            and any(has_lid(_sub_lid(t)) for t in files)
+        ):
+            # A prior bisection of this round partially committed (a
+            # crash, or a transient sub-round fault that failed the
+            # batch mid-bisection). Running round_fn over the FULL file
+            # list now could succeed — the fault was transient — and
+            # re-commit the already-committed files under the parent
+            # lid. Resume the bisection instead; the guard is
+            # marker-based, so it survives checkpoint AND sidecar loss.
+            _bisect()
+            return
         try:
             pairs = round_fn(reader(spark, paths, schema), lid)
         except ConcurrentWriteError:
@@ -379,57 +470,8 @@ def _run_streaming_rounds(
             # whole round would dead-letter healthy files alongside one
             # poison pill (data loss at max_files_per_trigger > 1), and
             # a transient infra fault that tripped the threshold would
-            # dead-letter a fully healthy round. Instead each file runs
-            # round_fn ALONE as its own sub-round, under the SAME
-            # content-addressed id it would have had as a 1-file round:
-            # healthy files commit for real (exactly-once via their own
-            # markers on crash-replay), only individually-failing files
-            # dead-letter. A parent-round tombstone commit then marks
-            # the original load_id so a checkpoint replay skips the
-            # round instead of re-reading its now-moved files.
-            for triple in files:
-                p, m, ln = triple
-                local = _local_path(p)
-                sub_digest = hashlib.md5(
-                    f"{p}@{m}#{ln}".encode()
-                ).hexdigest()[:12]
-                slid = f"{lid_prefix}-{sub_digest}"
-                if has_lid is not None and has_lid(slid):
-                    continue  # committed by a prior (crashed) bisection
-                try:
-                    sub_pairs = round_fn(reader(spark, [local], schema), slid)
-                except ConcurrentWriteError:
-                    raise
-                except Exception as fe:
-                    if isinstance(fe, never_quarantine):
-                        raise
-                    _dead_letter_files(
-                        catalog, [local], slid, fe, n, qdir,
-                        quarantine_table,
-                    )
-                    if available_now:
-                        rounds.append(
-                            {
-                                "load_id": slid,
-                                "paths": [local],
-                                "quarantined": True,
-                            }
-                        )
-                    continue
-                if available_now:
-                    rounds.append(
-                        {
-                            "load_id": slid,
-                            "paths": [local],
-                            count_key: sub_pairs.count(),
-                        }
-                    )
-            _clear_failures(lid)
-            txn = getattr(catalog, "transaction", None)
-            if txn is not None:
-                # empty commit = the parent round's marker (replay guard)
-                with txn(lid):
-                    pass
+            # dead-letter a fully healthy round.
+            _bisect()
             return
         _clear_failures(lid)  # a transient fault that recovered
         if available_now:

@@ -793,7 +793,7 @@ def test_bisection_quarantines_only_poison_file(spark, tmp_path):
         quarantine_after=2, max_files_per_trigger=3,
     )
     rounds, runs_failed = [], 0
-    for _attempt in range(4):
+    for _attempt in range(5):
         try:
             rounds += run_streaming_dedup_ingest(
                 cat, land, str(tmp_path / "ckpt"), **kw
@@ -801,12 +801,17 @@ def test_bisection_quarantines_only_poison_file(spark, tmp_path):
             break
         except Exception:
             runs_failed += 1
-    assert runs_failed == 1  # failure 1 retries; failure 2 bisects
+    # failure 1 retries; failure 2 bisects (healthy files commit, the
+    # poison file's FIRST solo probe fails → its own budget, run fails);
+    # run 3 resumes the bisection and dead-letters it on solo failure 2
+    assert runs_failed == 2
     quarantined = [r for r in rounds if r.get("quarantined")]
-    committed = [r for r in rounds if not r.get("quarantined")]
     assert len(quarantined) == 1
     assert quarantined[0]["paths"][0].endswith("poison.jsonl")
-    assert len(committed) == 2  # both healthy files landed as sub-rounds
+    # both healthy files landed as sub-rounds during the (failed) run 2;
+    # their records rode that run's exception, but the per-round metrics
+    # log — written inside each sub-round's transaction — has them
+    assert cat.read("corpus_docs_rounds").count() == 2
 
     # only the poison file left the landing dir
     qdir = land.rstrip("/") + "_quarantine"
@@ -824,6 +829,94 @@ def test_bisection_quarantines_only_poison_file(spark, tmp_path):
         cat, land, str(tmp_path / "ckpt"), **kw
     )
     assert again == []
+    assert cat.read("corpus_docs").count() == len(rows)
+
+
+def test_bisection_transient_fault_commits_on_retry(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 #2: a transient fault striking DURING a bisection
+    probe must not dead-letter a healthy file. The sub-round consumes
+    its own quarantine_after budget (keyed on its content-addressed
+    lid): the batch fails with the checkpoint held, and the next
+    availableNow pass RESUMES the bisection — committed round-mates
+    skip via their markers, the faulted file retries and commits.
+    Nothing is ever quarantined."""
+    import json
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming import corpus as sc
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").limit(45)
+    rows = docs.collect()
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    third = len(rows) // 3
+    for i in range(3):
+        with open(os.path.join(land, f"f{i}.jsonl"), "w") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(
+                    json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+    flaky_ids = {r["doc_id"] for r in rows[2 * third :]}
+
+    # fault injection: every round that touches f2's docs fails until
+    # the 4th attempt — two full-round failures trip the bisection, the
+    # first SOLO probe of f2 fails once more (transient), then heals
+    real = sc.dedup_ingest_batch
+    calls = {"n": 0}
+
+    def flaky(catalog, batch, **kwargs):
+        ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        if ids & flaky_ids:
+            calls["n"] += 1
+            if calls["n"] <= 3:
+                raise RuntimeError("transient infra fault")
+        return real(catalog, batch, **kwargs)
+
+    monkeypatch.setattr(sc, "dedup_ingest_batch", flaky)
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    kw = dict(
+        file_format="jsonl", schema="doc_id long, text string",
+        quarantine_after=2, max_files_per_trigger=3,
+    )
+    rounds, errs = [], []
+    for _attempt in range(5):
+        try:
+            rounds += run_streaming_dedup_ingest(
+                cat, land, str(tmp_path / "ckpt"), **kw
+            )
+            break
+        except Exception as e:
+            errs.append(repr(e)[:300])
+    # run 1: full round fails (n=1, retry); run 2: full round fails
+    # (n=2 → bisect: f0+f1 commit, f2's solo probe faults → its OWN
+    # budget n=1 < 2 → batch fails); run 3: bisection resumes via the
+    # sub-round markers and f2 commits
+    assert len(errs) == 2, errs
+    assert not any(r.get("quarantined") for r in rounds)
+    # run 3 returns only the resumed file's record (f0/f1 committed
+    # during the failed run 2 and skip via their markers on resume);
+    # the metrics log has all three sub-round commits
+    assert [os.path.basename(r["paths"][0]) for r in rounds] == ["f2.jsonl"]
+    assert cat.read("corpus_docs_rounds").count() == 3
+
+    # nothing quarantined: all files still in the landing dir, no
+    # quarantine dir, no provenance table, every doc committed
+    assert sorted(os.listdir(land)) == ["f0.jsonl", "f1.jsonl", "f2.jsonl"]
+    assert not os.path.exists(land + "_quarantine")
+    assert not cat.exists("corpus_docs_file_quarantine")
+    assert cat.read("corpus_docs").count() == len(rows)
+
+    # drained: the parent tombstone + sub-round markers hold on replay
+    assert run_streaming_dedup_ingest(
+        cat, land, str(tmp_path / "ckpt"), **kw
+    ) == []
     assert cat.read("corpus_docs").count() == len(rows)
 
 
