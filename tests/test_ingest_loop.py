@@ -98,6 +98,70 @@ def test_member_fetch_is_partition_pruned(spark, tmp_path):
     assert all("PartitionFilters: [" in p for p in calls)
 
 
+def test_member_fetch_skips_files_via_stats_inside_buckets(
+    spark, tmp_path
+):
+    """VERDICT r8 #4: on a stats-capable catalog the member fetch
+    composes the _kb partition pruning with the members' [min, max] id
+    range as FILE-skipping predicates — a bucket partition grown to
+    many files by successive rounds opens only the files whose footer
+    stats can hold a member id. Fewer files opened, values unchanged."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    docs = spark.read.parquet(DOCS)
+    b1, b2, b3 = _batches(docs, "doc_id")
+    # 3 rounds with disjoint ascending id ranges: every _kb bucket ends
+    # up with one file per round, ranges non-overlapping across rounds
+    for b in (b1, b2, b3):
+        corpus.dedup_ingest_batch(cat, b, num_buckets=4)
+
+    member_ids = b1.select("doc_id").limit(5)
+    pruned = corpus._bucket_pruned_members(
+        cat, "corpus_docs", "doc_id", 4, member_ids
+    )
+    buckets = sorted(
+        r["b"]
+        for r in member_ids.select(
+            corpus._key_bucket("doc_id", 4).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    partition_only = cat.read("corpus_docs").filter(
+        F.col("_kb").isin(buckets)
+    )
+    n_pruned = len(pruned.inputFiles())
+    n_partition_only = len(partition_only.inputFiles())
+    # the range [min(b1), max(b1)] excludes rounds 2 and 3's files even
+    # inside the member buckets: strictly fewer files than partition
+    # pruning alone (which still opens every round's file per bucket)
+    assert 0 < n_pruned < n_partition_only, (n_pruned, n_partition_only)
+
+    # values: every member row present, result is a subset of the
+    # partition-only fetch (the range filter is a superset of members)
+    member_set = {r["doc_id"] for r in member_ids.collect()}
+    got = {r["doc_id"] for r in pruned.select("doc_id").collect()}
+    assert got >= member_set
+    assert got <= {
+        r["doc_id"] for r in partition_only.select("doc_id").collect()
+    }
+
+    # a plain (non-stats) catalog still takes the partition-only path
+    from gcp_datalake_pipeline_spark.storage import Catalog
+
+    class NoStats(Catalog):
+        pass
+
+    plain = NoStats(spark, str(tmp_path / "plain"))
+    b1k = b1.withColumn("_kb", corpus._key_bucket("doc_id", 4))
+    plain.append(b1k, "corpus_docs", partition_cols=["_kb"])
+    plain_fetch = corpus._bucket_pruned_members(
+        plain, "corpus_docs", "doc_id", 4, member_ids
+    )
+    assert {
+        r["doc_id"] for r in plain_fetch.select("doc_id").collect()
+    } >= member_set
+
+
 def test_concurrent_ingest_round_raises_conflict(spark, tmp_path):
     """Two ingest rounds racing on one corpus: the second committer must
     raise ConcurrentWriteError (its snapshot missed the other batch, so
