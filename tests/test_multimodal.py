@@ -705,3 +705,366 @@ def test_png_wavefront_tall_run_chunks():
     got = _decode_png_pixels(png)
     assert got is not None
     assert (got.reshape(h, w, ch) == img.astype(np.uint8)).all()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: spec-valid test encoder (stdlib + numpy) + decoder tests
+# ---------------------------------------------------------------------------
+
+_QY_BASE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QC_BASE = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+class _JpegWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing and 1-fill
+    byte-align (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _flat_huff(symbols):
+    """A canonical Huffman table giving every occurring symbol the SAME
+    code length L (valid while nsym <= 2^L - 1: the all-ones code is
+    reserved). Returns (counts[16], ordered symbols, {sym: (code, L)})."""
+    syms = sorted(set(symbols)) or [0]
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    return counts, syms, {s: (i, L) for i, s in enumerate(syms)}
+
+
+def _full_jpeg(px, quality=90, sub=(1, 1), restart=0):
+    """Spec-valid BASELINE JPEG (SOF0) encoder for fixtures — stdlib
+    struct + numpy: quality-scaled Annex K quant tables (stored zigzag
+    per DQT), per-image flat canonical Huffman tables, optional chroma
+    subsampling (sub = luma (h, v) factors) and restart intervals.
+    px: uint8 (h, w, 3) RGB or (h, w) grayscale."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    zz = mm._jpeg_zigzag()
+    zr = np.array([r for r, _ in zz])
+    zc = np.array([c for _, c in zz])
+    M = mm._jpeg_dct_matrix()
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip(
+        (np.array(_QY_BASE).reshape(8, 8) * scale + 50) // 100, 1, 255
+    ).astype(np.int32)
+    qc = np.clip(
+        (np.array(_QC_BASE).reshape(8, 8) * scale + 50) // 100, 1, 255
+    ).astype(np.int32)
+
+    if gray:
+        planes = [(1, px, qy, 0, (1, 1))]  # (cid, plane, q, tq, (hc, vc))
+        hmax, vmax = 1, 1
+    else:
+        R, G, B = px[..., 0], px[..., 1], px[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        hs, vs = sub
+        hmax, vmax = hs, vs
+
+        def down(p, fh, fv):
+            if fh == 1 and fv == 1:
+                return p
+            ph = -(-p.shape[0] // fv) * fv
+            pw = -(-p.shape[1] // fh) * fh
+            pad = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge"
+            )
+            return pad.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+        planes = [
+            (1, Y, qy, 0, (hs, vs)),
+            (2, down(Cb, hs, vs), qc, 1, (1, 1)),
+            (3, down(Cr, hs, vs), qc, 1, (1, 1)),
+        ]
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component quantized zigzag blocks on the MCU-padded grid
+    blocks = {}
+    for cid, plane, q, _tq, (hc, vc) in planes:
+        bh, bw = mcus_y * vc * 8, mcus_x * hc * 8
+        pad = np.pad(
+            plane,
+            ((0, bh - plane.shape[0]), (0, bw - plane.shape[1])),
+            "edge",
+        ) - 128.0
+        grid = {}
+        for by in range(bh // 8):
+            for bx in range(bw // 8):
+                f = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                Fq = np.rint((M @ f @ M.T) / q).astype(np.int64)
+                grid[(by, bx)] = Fq[zr, zc]
+        blocks[cid] = grid
+
+    def mcu_stream():
+        """(cid, class_key, zigzag block) in interleaved MCU order, with
+        predictor state handled by the caller."""
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, _plane, _q, tq, (hc, vc) in planes:
+                for by in range(vc):
+                    for bx in range(hc):
+                        yield cid, tq, blocks[cid][
+                            (my * vc + by, mx * hc + bx)
+                        ]
+
+    def symbols_for(blk, pred):
+        """(dc_symbol, dc_bits), [(ac_symbol, ac_bits), ...], new pred."""
+        diff = int(blk[0]) - pred
+        s = int(abs(diff)).bit_length()
+        dc = (s, (diff if diff >= 0 else diff + (1 << s) - 1, s))
+        acs = []
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, (0, 0)))  # ZRL
+                run -= 16
+            s = abs(v).bit_length()
+            acs.append(
+                ((run << 4) | s, (v if v >= 0 else v + (1 << s) - 1, s))
+            )
+            run = 0
+        if last < 63:
+            acs.append((0x00, (0, 0)))  # EOB
+        return dc, acs, int(blk[0])
+
+    # pass 1: tokenize the interleaved scan WITH restart predictor
+    # resets, so pass 2 emits exactly these symbols
+    mcu_iter = list(mcu_stream())
+    blocks_per_mcu = sum(
+        hc * vc for _cid, _p, _q, _tq, (hc, vc) in planes
+    )
+    per = restart or (mcus_x * mcus_y)
+    tokens = []  # (tq, dc_sym, dc_bits, [(ac_sym, (v, s)), ...])
+    pred = {cid: 0 for cid, *_ in planes}
+    for i, (cid, tq, blk) in enumerate(mcu_iter):
+        mcu = i // blocks_per_mcu
+        if restart and mcu and i % (per * blocks_per_mcu) == 0:
+            pred = {c: 0 for c, *_ in planes}
+        dc, acs, _ = symbols_for(blk, pred[cid])
+        pred[cid] = int(blk[0])
+        tokens.append((tq, dc[0], dc[1], acs))
+    tables = {}
+    for tq in (0,) if gray else (0, 1):
+        tables[("dc", tq)] = _flat_huff(
+            [t[1] for t in tokens if t[0] == tq]
+        )
+        tables[("ac", tq)] = _flat_huff(
+            [s for t in tokens if t[0] == tq for s, _ in t[3]]
+        )
+
+    # pass 2: emit
+    wtr = _JpegWriter()
+    body = bytearray()
+    for i, (tq, dc_sym, (dv, ds), acs) in enumerate(tokens):
+        mcu = i // blocks_per_mcu
+        if restart and mcu and i % (per * blocks_per_mcu) == 0:
+            wtr.align()
+            body.extend(wtr.out)
+            wtr = _JpegWriter()
+            body.extend(b"\xff" + bytes([0xD0 + ((mcu // per - 1) % 8)]))
+        code, ln = tables[("dc", tq)][2][dc_sym]
+        wtr.bits(code, ln)
+        wtr.bits(dv, ds)
+        for sym, (v, s) in acs:
+            code, ln = tables[("ac", tq)][2][sym]
+            wtr.bits(code, ln)
+            if s:
+                wtr.bits(v, s)
+    wtr.align()
+    body.extend(wtr.out)
+
+    out = bytearray(b"\xff\xd8")
+    for q, tq in ((qy, 0),) if gray else ((qy, 0), (qc, 1)):
+        payload = bytes([tq]) + bytes(q[zr, zc].astype(np.uint8))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, _p, _q, tq, (hc, vc) in planes:
+        sof += bytes([cid, (hc << 4) | vc, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for (cls, tq), (counts, syms, _enc) in tables.items():
+        tc = 0 if cls == "dc" else 1
+        payload = bytes([(tc << 4) | tq]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for cid, _p, _q, tq, _hv in planes:
+        sos += bytes([cid, (tq << 4) | tq])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = 255.0 * x / max(w - 1, 1)
+    g = 255.0 * y / max(h - 1, 1)
+    b = (r + g) / 2.0
+    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_zigzag_matches_spec_prefix():
+    """The generated zigzag order must equal T.81's table (prefix pinned
+    by hand so the generator cannot drift in both encoder and decoder)."""
+    zz = mm._jpeg_zigzag()
+    assert zz[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert len(zz) == 64 and len(set(zz)) == 64
+    assert zz[-1] == (7, 7)
+
+
+def test_jpeg_baseline_decode_444_gray_and_subsampled():
+    """Baseline JPEG decodes for real: 4:4:4 RGB, grayscale, 4:2:0 and
+    4:2:2 chroma subsampling, dims NOT multiples of 8 (MCU padding must
+    crop), quality-95 gradients reconstruct within a tight tolerance."""
+    import numpy as np
+
+    img = _gradient_rgb(37, 45)
+    for sub, tol_max, tol_mean in (((1, 1), 20, 3.0), ((2, 2), 36, 4.5),
+                                   ((2, 1), 36, 4.0)):
+        data = _full_jpeg(img, quality=95, sub=sub)
+        arr = mm._decode_jpeg_pixels(data)
+        assert arr is not None and arr.shape == (37, 45, 3), sub
+        diff = np.abs(arr.astype(np.int32) - img.astype(np.int32))
+        assert diff.max() <= tol_max, (sub, diff.max())
+        assert diff.mean() <= tol_mean, (sub, diff.mean())
+
+    gray = np.clip(
+        np.add.outer(np.arange(29) * 4.0, np.arange(33) * 3.0), 0, 255
+    ).astype(np.uint8)
+    arr = mm._decode_jpeg_pixels(_full_jpeg(gray, quality=95))
+    assert arr is not None and arr.shape == (29, 33, 1)
+    diff = np.abs(arr[:, :, 0].astype(np.int32) - gray.astype(np.int32))
+    assert diff.max() <= 12 and diff.mean() <= 2.0
+
+
+def test_jpeg_quality_100_near_lossless():
+    """quality=100 collapses the quant tables to all-ones: the only loss
+    is coefficient rounding — reconstruction within a few levels, and a
+    noise image (worst case for DCT) still round-trips tightly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    arr = mm._decode_jpeg_pixels(_full_jpeg(noise, quality=100))
+    assert arr is not None
+    assert np.abs(
+        arr.astype(np.int32) - noise.astype(np.int32)
+    ).max() <= 6
+
+    gnoise = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    arr = mm._decode_jpeg_pixels(_full_jpeg(gnoise, quality=100))
+    assert np.abs(
+        arr[:, :, 0].astype(np.int32) - gnoise.astype(np.int32)
+    ).max() <= 2
+
+
+def test_jpeg_restart_intervals_do_not_change_pixels():
+    """DRI/RSTn: predictors reset and the bitstream re-aligns at every
+    restart, but the quantized coefficients are identical — decoded
+    pixels must be EXACTLY equal with and without restart markers."""
+    import numpy as np
+
+    img = _gradient_rgb(40, 24)
+    plain = mm._decode_jpeg_pixels(_full_jpeg(img, quality=90))
+    restarted = mm._decode_jpeg_pixels(
+        _full_jpeg(img, quality=90, restart=2)
+    )
+    assert plain is not None and restarted is not None
+    assert np.array_equal(plain, restarted)
+
+
+def test_jpeg_codec_territory_returns_none():
+    """Progressive (SOF2), truncated entropy data, and non-JPEG bytes
+    all report not-decodable instead of raising or emitting garbage."""
+    img = _gradient_rgb(16, 16)
+    data = _full_jpeg(img, quality=90)
+    assert mm._decode_jpeg_pixels(data) is not None
+
+    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert mm._decode_jpeg_pixels(progressive) is None
+    assert mm._decode_jpeg_pixels(data[: len(data) // 2]) is None
+    assert mm._decode_jpeg_pixels(b"not a jpeg") is None
+    assert mm._decode_jpeg_pixels(None) is None
+
+
+def test_jpeg_pixel_stats_integration(spark):
+    """image_pixel_stats decodes baseline JPEG dependency-free: true
+    dims + mean within the compression tolerance, decode_ok=true."""
+    import numpy as np
+
+    img = _gradient_rgb(32, 48)
+    media = spark.createDataFrame(
+        [
+            (1, "image/jpeg", _full_jpeg(img, quality=95, sub=(2, 2))),
+            (2, "image/jpeg", b"\xff\xd8\xff\xe0corrupt"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in mm.image_pixel_stats(media).collect()}
+    assert out[1]["decode_ok"] is True
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (
+        48, 32, 3,
+    )
+    assert abs(out[1]["mean_pixel"] - float(img.mean()) / 255.0) < 0.02
+    assert out[2]["decode_ok"] is False and out[2]["mean_pixel"] is None
