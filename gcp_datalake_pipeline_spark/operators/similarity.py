@@ -1000,14 +1000,26 @@ def ivf_kmeans_topk_oracle_sql(
     nlist: int = 16,
     nprobe: int = 4,
     n_iter: int = 2,
+    exclude_ids: list[int] | None = None,
 ) -> str:
     """DuckDB oracle for ivf_topk over kmeans_centroids, value-for-value:
     the ``n_iter`` Lloyd steps are UNROLLED as CTE pairs (assignment by
     rounded cosine with cid tiebreak, then elementwise means rounded to 6
     decimals — the same rounding that makes the Spark side cross-engine
     stable), ending in the identical probe/rank tail as ivf_topk_oracle_sql
-    against the refined centroids."""
+    against the refined centroids.
+
+    ``exclude_ids`` models the persisted index's TOMBSTONE semantics
+    (:func:`~gcp_datalake_pipeline_spark.operators.ann_index.remove_ids`):
+    centroids and probes are computed on the FULL corpus (a delete never
+    re-trains or re-probes), but the excluded ids vanish from the
+    candidate set — exactly the serving-side anti-join."""
     ids = ", ".join(str(i) for i in query_ids)
+    excl = (
+        f" AND a.vec_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
+        if exclude_ids
+        else ""
+    )
 
     def _csim(v: str, cv: str) -> str:
         return (
@@ -1065,7 +1077,7 @@ def ivf_kmeans_topk_oracle_sql(
       SELECT p.query_id, a.vec_id AS neighbor_id,
              {_csim("q.v", "c.v")} AS cosine_sim
       FROM probes p
-      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id{excl}
       JOIN e q ON q.vec_id = p.query_id
       JOIN e c ON c.vec_id = a.vec_id
     )

@@ -685,6 +685,74 @@ def ann_ivf_index_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_REMOVED_IDS = [73, 343]  # served neighbors at sf0.001 AND sf0.01
+
+
+def _ann_removed_index_catalog(spark: SparkSession, sf_dir: str):
+    """The tombstoned twin of :func:`_ann_index_catalog`: a SEPARATE
+    machine-cached index root (the shared one must stay unmutated) with
+    ``remove_ids(ANN_REMOVED_IDS)`` applied after the build. Both steps
+    are deterministic, so concurrent builders converge; a duplicated
+    tombstone append from a lost race is harmless (anti-join
+    semantics)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gcp_datalake_pipeline_spark.operators import ann_index
+    from gcp_datalake_pipeline_spark.transactions import (
+        ConcurrentWriteError,
+        TransactionalCatalog,
+    )
+
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb_path)
+    key = hashlib.md5(
+        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ann_ivf_rm_{key}"
+    )
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("ann_ivf_cells"):
+        try:
+            ann_index.build_ivf_index(
+                cat, load_table(spark, sf_dir, "embeddings")
+            )
+        except ConcurrentWriteError:
+            pass  # identical concurrent build already committed
+    if not cat.exists("ann_ivf_tombstones"):
+        try:
+            ann_index.remove_ids(cat, ANN_REMOVED_IDS)
+        except ConcurrentWriteError:
+            pass
+    return cat
+
+
+@register(
+    "ann_ivf_index_topk_removed",
+    similarity.ivf_kmeans_topk_oracle_sql(
+        ANN_QUERY_IDS, k=5, exclude_ids=ANN_REMOVED_IDS
+    ),
+    doc="""Serving AFTER a delete: top-5 over the persisted IVF index
+    with two served neighbors tombstoned via ann_index.remove_ids — the
+    removed ids must vanish from every ranking (their former slots
+    refill from the probed cells) while every other row is untouched.
+    The oracle is the same fully-unrolled Lloyd SQL with the removed
+    ids excluded from the CANDIDATE set only (centroids and probes stay
+    full-corpus — a delete never re-trains), which is exactly the
+    serving-side tombstone anti-join. At 100 TB this is the
+    GDPR-deletion path: one slim tombstone append, no partition
+    rewrites, compaction folds later.""",
+)
+def ann_ivf_index_topk_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    return ann_index.ivf_index_topk(
+        _ann_removed_index_catalog(spark, sf_dir), ANN_QUERY_IDS, k=5
+    )
+
+
 @register(
     "ann_lsh_topk",
     similarity.lsh_topk_oracle_sql(ANN_QUERY_IDS, k=5),
