@@ -797,6 +797,248 @@ def _decode_jpeg_pixels(content: bytes):
         return None
 
 
+_JPEG_QY_BASE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]  # ITU T.81 Annex K.1 luminance quantization table (natural order)
+_JPEG_QC_BASE = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]  # Annex K.2 chrominance table
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing and 1-fill
+    byte-align (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_flat_huff(symbols):
+    """A canonical Huffman table giving every occurring symbol the SAME
+    code length L (valid while nsym <= 2^L - 1: the all-ones code of a
+    length is reserved for longer codes). Decodes everywhere;
+    compression is a few percent worse than Annex K's tuned tables —
+    the right trade for a dependency-free encoder whose tables need no
+    spec transcription. Returns (counts[16], ordered symbols,
+    {sym: (code, L)})."""
+    syms = sorted(set(symbols)) or [0]
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    return counts, syms, {s: (i, L) for i, s in enumerate(syms)}
+
+
+def _encode_jpeg_baseline(px, quality: int = 90, sub=(1, 1), restart=0):
+    """Spec-valid BASELINE JPEG (SOF0) encoder — stdlib struct + numpy,
+    the write-side complement of :func:`_decode_jpeg_pixels` (used by
+    :func:`resize_images` to re-emit resized JPEGs with no codec
+    installed). Quality-scaled Annex K quantization tables (stored in
+    zigzag order per DQT), per-image flat canonical Huffman tables,
+    optional chroma subsampling (``sub`` = luma (h, v) factors) and
+    restart intervals. ``px``: uint8 (h, w, 3) RGB, (h, w, 1) or (h, w)
+    grayscale."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    zz = _jpeg_zigzag()
+    zr = np.array([r for r, _ in zz])
+    zc = np.array([c for _, c in zz])
+    M = _jpeg_dct_matrix()
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip(
+        (np.array(_JPEG_QY_BASE).reshape(8, 8) * scale + 50) // 100, 1, 255
+    ).astype(np.int32)
+    qc = np.clip(
+        (np.array(_JPEG_QC_BASE).reshape(8, 8) * scale + 50) // 100, 1, 255
+    ).astype(np.int32)
+
+    if gray:
+        planes = [(1, px, qy, 0, (1, 1))]  # (cid, plane, q, tq, (hc, vc))
+        hmax, vmax = 1, 1
+    else:
+        R, G, B = px[..., 0], px[..., 1], px[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        hs, vs = sub
+        hmax, vmax = hs, vs
+
+        def down(p, fh, fv):
+            if fh == 1 and fv == 1:
+                return p
+            ph = -(-p.shape[0] // fv) * fv
+            pw = -(-p.shape[1] // fh) * fh
+            pad = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge"
+            )
+            return pad.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+        planes = [
+            (1, Y, qy, 0, (hs, vs)),
+            (2, down(Cb, hs, vs), qc, 1, (1, 1)),
+            (3, down(Cr, hs, vs), qc, 1, (1, 1)),
+        ]
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component quantized zigzag blocks on the MCU-padded grid; the
+    # DCT runs as ONE einsum over each component's block grid
+    blocks = {}
+    for cid, plane, q, _tq, (hc, vc) in planes:
+        bh, bw = mcus_y * vc * 8, mcus_x * hc * 8
+        pad = np.pad(
+            plane,
+            ((0, bh - plane.shape[0]), (0, bw - plane.shape[1])),
+            "edge",
+        ) - 128.0
+        grid4 = (
+            pad.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        )
+        Fq = np.rint(
+            np.einsum("ux,rcxy,vy->rcuv", M, grid4, M, optimize=True) / q
+        ).astype(np.int64)
+        blocks[cid] = Fq[:, :, zr, zc]  # (rows, cols, 64) zigzagged
+
+    def mcu_stream():
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, _plane, _q, tq, (hc, vc) in planes:
+                for by in range(vc):
+                    for bx in range(hc):
+                        yield cid, tq, blocks[cid][my * vc + by, mx * hc + bx]
+
+    def symbols_for(blk, pred):
+        diff = int(blk[0]) - pred
+        s = int(abs(diff)).bit_length()
+        dc = (s, (diff if diff >= 0 else diff + (1 << s) - 1, s))
+        acs = []
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, (0, 0)))  # ZRL
+                run -= 16
+            s = abs(v).bit_length()
+            acs.append(
+                ((run << 4) | s, (v if v >= 0 else v + (1 << s) - 1, s))
+            )
+            run = 0
+        if last < 63:
+            acs.append((0x00, (0, 0)))  # EOB
+        return dc, acs
+
+    # pass 1: tokenize the interleaved scan WITH restart predictor
+    # resets, so pass 2 emits exactly these symbols
+    blocks_per_mcu = sum(hc * vc for _c, _p, _q, _t, (hc, vc) in planes)
+    per = restart or (mcus_x * mcus_y)
+    tokens = []  # (tq, dc_sym, dc_bits, [(ac_sym, (v, s)), ...])
+    pred = {cid: 0 for cid, *_ in planes}
+    for i, (cid, tq, blk) in enumerate(mcu_stream()):
+        mcu = i // blocks_per_mcu
+        if restart and mcu and i % (per * blocks_per_mcu) == 0:
+            pred = {c: 0 for c, *_ in planes}
+        dc, acs = symbols_for(blk, pred[cid])
+        pred[cid] = int(blk[0])
+        tokens.append((tq, dc[0], dc[1], acs))
+    tables = {}
+    for tq in (0,) if gray else (0, 1):
+        tables[("dc", tq)] = _jpeg_flat_huff(
+            [t[1] for t in tokens if t[0] == tq]
+        )
+        tables[("ac", tq)] = _jpeg_flat_huff(
+            [s for t in tokens if t[0] == tq for s, _ in t[3]]
+        )
+
+    # pass 2: emit the entropy-coded body
+    wtr = _JpegBitWriter()
+    body = bytearray()
+    for i, (tq, dc_sym, (dv, ds), acs) in enumerate(tokens):
+        mcu = i // blocks_per_mcu
+        if restart and mcu and i % (per * blocks_per_mcu) == 0:
+            wtr.align()
+            body.extend(wtr.out)
+            wtr = _JpegBitWriter()
+            body.extend(b"\xff" + bytes([0xD0 + ((mcu // per - 1) % 8)]))
+        code, ln = tables[("dc", tq)][2][dc_sym]
+        wtr.bits(code, ln)
+        wtr.bits(dv, ds)
+        for sym, (v, s) in acs:
+            code, ln = tables[("ac", tq)][2][sym]
+            wtr.bits(code, ln)
+            if s:
+                wtr.bits(v, s)
+    wtr.align()
+    body.extend(wtr.out)
+
+    out = bytearray(b"\xff\xd8")
+    for q, tq in ((qy, 0),) if gray else ((qy, 0), (qc, 1)):
+        payload = bytes([tq]) + bytes(q[zr, zc].astype(np.uint8))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, _p, _q, tq, (hc, vc) in planes:
+        sof += bytes([cid, (hc << 4) | vc, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for (cls, tq), (counts, syms, _enc) in tables.items():
+        tc = 0 if cls == "dc" else 1
+        payload = bytes([(tc << 4) | tq]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for cid, _p, _q, tq, _hv in planes:
+        sos += bytes([cid, (tq << 4) | tq])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_wav_samples(content: bytes):
     """REAL sample decode for WAV PCM (format code 1; 8/16/32-bit) —
     stdlib struct + numpy. Returns (sample_rate, channels, samples) with
@@ -1072,14 +1314,117 @@ def _pil_module():
         return None
 
 
+def _resize_array(arr, max_dim: int):
+    """Aspect-preserving AREA resample of an (h, w, ch) uint8 array to
+    fit ``max_dim`` — exact box filter for arbitrary (non-integer)
+    ratios, computed as two small weight-matrix products (Rh @ plane @
+    Rw per channel, one einsum for all channels): each output pixel is
+    the area-weighted mean of the input pixels it covers, the same
+    anti-aliased semantics PIL's reduce/LANCZOS family approximates.
+    Upscaling never happens (scale capped at 1.0 — returns the input
+    unchanged)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    scale = min(1.0, max_dim / max(h, w))
+    if scale >= 1.0:
+        return arr
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+
+    def weights(n_in, n_out):
+        s = n_in / n_out
+        R = np.zeros((n_out, n_in))
+        for j in range(n_out):
+            lo, hi = j * s, (j + 1) * s
+            i0, i1 = int(np.floor(lo)), int(np.ceil(hi))
+            for i in range(i0, min(i1, n_in)):
+                R[j, i] = min(hi, i + 1) - max(lo, i)
+        return R / s
+
+    Rh = weights(h, nh)
+    Rw = weights(w, nw)
+    out = np.einsum(
+        "yh,hwc,wx->yxc", Rh, arr.astype(np.float64), Rw.T, optimize=True
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _encode_png(arr) -> bytes:
+    """Minimal spec-valid PNG writer (stdlib zlib + struct) for the
+    dependency-free resize path: 8-bit, filter-None scanlines, color
+    type from the channel count (1 gray / 2 gray+alpha / 3 RGB /
+    4 RGBA)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_bmp(arr) -> bytes:
+    """Minimal uncompressed BMP writer (BI_RGB, bottom-up) for the
+    dependency-free resize path: 3-channel input emits 24-bit BGR,
+    4-channel 32-bit BGRA, grayscale is widened to 24-bit."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+        ch = 3
+    elif ch == 2:  # gray+alpha -> BGRA
+        arr = np.stack(
+            [arr[:, :, 0]] * 3 + [arr[:, :, 1]], axis=2
+        )
+        ch = 4
+    bgr = arr[:, :, [2, 1, 0, 3][:ch]]
+    row_bytes = ((w * ch * 8 + 31) // 32) * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * ch] = bgr.reshape(h, w * ch)
+    data = rows[::-1].tobytes()  # bottom-up
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, ch * 8, 0, len(data), 2835, 2835, 0, 0
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + info + data
+
+
 def resize_images(media: DataFrame, max_dim: int) -> DataFrame:
     """Aspect-preserving resize to ``max_dim``. FAKE_CODEC binaries get
-    their synthetic header rewritten (payload untouched); real formats use
-    PIL when the cluster image ships it. Undecodable rows — real formats
-    with no codec installed, truncated bytes, NULLs — pass through
-    UNCHANGED with ``decode_ok=false`` instead of failing the job: a mixed
-    100 TB corpus always contains garbage, and a resize job must report it,
-    not die on it.
+    their synthetic header rewritten (payload untouched); real BMP, PNG,
+    and baseline JPEG rows resize DEPENDENCY-FREE — decode through the
+    stdlib codecs, exact area resample (:func:`_resize_array`), and
+    re-encode in the same family (BMP->BMP, PNG->PNG, JPEG->baseline
+    JPEG at quality 90); images already within ``max_dim`` pass through
+    byte-identical with ``decode_ok=true``. Formats beyond the stdlib
+    codecs use PIL when the cluster image ships it. Undecodable rows —
+    truncated bytes, progressive JPEG with no codec installed, NULLs —
+    pass through UNCHANGED with ``decode_ok=false`` instead of failing
+    the job: a mixed 100 TB corpus always contains garbage, and a
+    resize job must report it, not die on it.
 
     Scale: mapInPandas (Arrow-batched); binary content stays in its input
     partition — no shuffle.
@@ -1090,8 +1435,6 @@ def resize_images(media: DataFrame, max_dim: int) -> DataFrame:
         for pdf in it:
             out, ok = [], []
             for b in pdf["content"]:
-                # Only the synthetic format supports the header-rewrite
-                # resize; real PNG/JPEG need a full decode (PIL below).
                 hdr = _parse_fake_header(b)
                 if hdr is not None:
                     w, h, c = hdr
@@ -1101,21 +1444,38 @@ def resize_images(media: DataFrame, max_dim: int) -> DataFrame:
                     out.append(f"IMG|{nw}|{nh}|{c}|".encode() + payload)
                     ok.append(True)
                     continue
-                if b is not None and pil is not None:
-                    try:
-                        import io
-
-                        img = pil.open(io.BytesIO(b))
-                        img.thumbnail((max_dim, max_dim))
-                        buf = io.BytesIO()
-                        img.save(buf, format=img.format or "PNG")
-                        out.append(buf.getvalue())
+                b = bytes(b) if b is not None else None
+                # dependency-free path: decode -> area resample ->
+                # re-encode in the same format family
+                for decode, encode in (
+                    (_decode_bmp_pixels, _encode_bmp),
+                    (_decode_png_pixels, _encode_png),
+                    (_decode_jpeg_pixels, _encode_jpeg_baseline),
+                ):
+                    arr = decode(b)
+                    if arr is not None:
+                        if max(arr.shape[:2]) <= max_dim:
+                            out.append(b)  # within bounds: untouched
+                        else:
+                            out.append(encode(_resize_array(arr, max_dim)))
                         ok.append(True)
-                        continue
-                    except Exception:
-                        pass  # fall through to pass-through-with-flag
-                out.append(b)
-                ok.append(False)
+                        break
+                else:
+                    if b is not None and pil is not None:
+                        try:
+                            import io
+
+                            img = pil.open(io.BytesIO(b))
+                            img.thumbnail((max_dim, max_dim))
+                            buf = io.BytesIO()
+                            img.save(buf, format=img.format or "PNG")
+                            out.append(buf.getvalue())
+                            ok.append(True)
+                            continue
+                        except Exception:
+                            pass  # fall through to pass-through-with-flag
+                    out.append(b)
+                    ok.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -127,17 +127,16 @@ def test_real_png_jpeg_header_decode(spark):
     assert meta[7]["decode_ok"] is False
 
 
-def test_real_formats_resize_passthrough_without_pil(spark):
-    """Header-decodable real formats still need a FULL codec to resize:
-    without PIL they pass through unchanged, decode_ok=false (report the
-    gap, never corrupt bytes by header-rewriting a real image)."""
+def test_real_png_resizes_dependency_free(spark):
+    """r9: real PNGs resize through the stdlib codec pair — decoded,
+    area-resampled, re-encoded as PNG — with no PIL installed. The
+    output is itself a valid PNG with the scaled dimensions."""
     png = _real_png(2000, 1000)
     media = spark.createDataFrame([(1, "image/png", png)], mm.MEDIA_SCHEMA)
     (row,) = mm.resize_images(media, max_dim=960).collect()
-    if mm._pil_module() is None:
-        assert row["decode_ok"] is False and row["content"] == png
-    else:  # cluster image with PIL: actually resized
-        assert row["decode_ok"]
+    assert row["decode_ok"] is True
+    arr = mm._decode_png_pixels(bytes(row["content"]))
+    assert arr is not None and arr.shape == (480, 960, 3)
 
 
 def test_frame_sample_plan(spark, media):
@@ -708,247 +707,12 @@ def test_png_wavefront_tall_run_chunks():
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG: spec-valid test encoder (stdlib + numpy) + decoder tests
+# Baseline JPEG decoder tests (fixtures come from the package's own
+# spec-valid encoder — zigzag order is pinned against T.81 below so the
+# encode/decode pair cannot drift together)
 # ---------------------------------------------------------------------------
 
-_QY_BASE = [
-    16, 11, 10, 16, 24, 40, 51, 61,
-    12, 12, 14, 19, 26, 58, 60, 55,
-    14, 13, 16, 24, 40, 57, 69, 56,
-    14, 17, 22, 29, 51, 87, 80, 62,
-    18, 22, 37, 56, 68, 109, 103, 77,
-    24, 35, 55, 64, 81, 104, 113, 92,
-    49, 64, 78, 87, 103, 121, 120, 101,
-    72, 92, 95, 98, 112, 100, 103, 99,
-]
-_QC_BASE = [
-    17, 18, 24, 47, 99, 99, 99, 99,
-    18, 21, 26, 66, 99, 99, 99, 99,
-    24, 26, 56, 99, 99, 99, 99, 99,
-    47, 66, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-]
-
-
-class _JpegWriter:
-    """MSB-first bit writer with 0xFF00 byte stuffing and 1-fill
-    byte-align (T.81 F.1.2.3)."""
-
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def bits(self, value, length):
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
-
-    def align(self):
-        if self.n:
-            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
-
-
-def _flat_huff(symbols):
-    """A canonical Huffman table giving every occurring symbol the SAME
-    code length L (valid while nsym <= 2^L - 1: the all-ones code is
-    reserved). Returns (counts[16], ordered symbols, {sym: (code, L)})."""
-    syms = sorted(set(symbols)) or [0]
-    L = 1
-    while (1 << L) - 1 < len(syms):
-        L += 1
-    counts = [0] * 16
-    counts[L - 1] = len(syms)
-    return counts, syms, {s: (i, L) for i, s in enumerate(syms)}
-
-
-def _full_jpeg(px, quality=90, sub=(1, 1), restart=0):
-    """Spec-valid BASELINE JPEG (SOF0) encoder for fixtures — stdlib
-    struct + numpy: quality-scaled Annex K quant tables (stored zigzag
-    per DQT), per-image flat canonical Huffman tables, optional chroma
-    subsampling (sub = luma (h, v) factors) and restart intervals.
-    px: uint8 (h, w, 3) RGB or (h, w) grayscale."""
-    import struct
-
-    import numpy as np
-
-    px = np.asarray(px, dtype=np.float64)
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    zz = mm._jpeg_zigzag()
-    zr = np.array([r for r, _ in zz])
-    zc = np.array([c for _, c in zz])
-    M = mm._jpeg_dct_matrix()
-    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    qy = np.clip(
-        (np.array(_QY_BASE).reshape(8, 8) * scale + 50) // 100, 1, 255
-    ).astype(np.int32)
-    qc = np.clip(
-        (np.array(_QC_BASE).reshape(8, 8) * scale + 50) // 100, 1, 255
-    ).astype(np.int32)
-
-    if gray:
-        planes = [(1, px, qy, 0, (1, 1))]  # (cid, plane, q, tq, (hc, vc))
-        hmax, vmax = 1, 1
-    else:
-        R, G, B = px[..., 0], px[..., 1], px[..., 2]
-        Y = 0.299 * R + 0.587 * G + 0.114 * B
-        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
-        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
-        hs, vs = sub
-        hmax, vmax = hs, vs
-
-        def down(p, fh, fv):
-            if fh == 1 and fv == 1:
-                return p
-            ph = -(-p.shape[0] // fv) * fv
-            pw = -(-p.shape[1] // fh) * fh
-            pad = np.pad(
-                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge"
-            )
-            return pad.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
-
-        planes = [
-            (1, Y, qy, 0, (hs, vs)),
-            (2, down(Cb, hs, vs), qc, 1, (1, 1)),
-            (3, down(Cr, hs, vs), qc, 1, (1, 1)),
-        ]
-
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # per-component quantized zigzag blocks on the MCU-padded grid
-    blocks = {}
-    for cid, plane, q, _tq, (hc, vc) in planes:
-        bh, bw = mcus_y * vc * 8, mcus_x * hc * 8
-        pad = np.pad(
-            plane,
-            ((0, bh - plane.shape[0]), (0, bw - plane.shape[1])),
-            "edge",
-        ) - 128.0
-        grid = {}
-        for by in range(bh // 8):
-            for bx in range(bw // 8):
-                f = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                Fq = np.rint((M @ f @ M.T) / q).astype(np.int64)
-                grid[(by, bx)] = Fq[zr, zc]
-        blocks[cid] = grid
-
-    def mcu_stream():
-        """(cid, class_key, zigzag block) in interleaved MCU order, with
-        predictor state handled by the caller."""
-        for mcu in range(mcus_x * mcus_y):
-            my, mx = divmod(mcu, mcus_x)
-            for cid, _plane, _q, tq, (hc, vc) in planes:
-                for by in range(vc):
-                    for bx in range(hc):
-                        yield cid, tq, blocks[cid][
-                            (my * vc + by, mx * hc + bx)
-                        ]
-
-    def symbols_for(blk, pred):
-        """(dc_symbol, dc_bits), [(ac_symbol, ac_bits), ...], new pred."""
-        diff = int(blk[0]) - pred
-        s = int(abs(diff)).bit_length()
-        dc = (s, (diff if diff >= 0 else diff + (1 << s) - 1, s))
-        acs = []
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                acs.append((0xF0, (0, 0)))  # ZRL
-                run -= 16
-            s = abs(v).bit_length()
-            acs.append(
-                ((run << 4) | s, (v if v >= 0 else v + (1 << s) - 1, s))
-            )
-            run = 0
-        if last < 63:
-            acs.append((0x00, (0, 0)))  # EOB
-        return dc, acs, int(blk[0])
-
-    # pass 1: tokenize the interleaved scan WITH restart predictor
-    # resets, so pass 2 emits exactly these symbols
-    mcu_iter = list(mcu_stream())
-    blocks_per_mcu = sum(
-        hc * vc for _cid, _p, _q, _tq, (hc, vc) in planes
-    )
-    per = restart or (mcus_x * mcus_y)
-    tokens = []  # (tq, dc_sym, dc_bits, [(ac_sym, (v, s)), ...])
-    pred = {cid: 0 for cid, *_ in planes}
-    for i, (cid, tq, blk) in enumerate(mcu_iter):
-        mcu = i // blocks_per_mcu
-        if restart and mcu and i % (per * blocks_per_mcu) == 0:
-            pred = {c: 0 for c, *_ in planes}
-        dc, acs, _ = symbols_for(blk, pred[cid])
-        pred[cid] = int(blk[0])
-        tokens.append((tq, dc[0], dc[1], acs))
-    tables = {}
-    for tq in (0,) if gray else (0, 1):
-        tables[("dc", tq)] = _flat_huff(
-            [t[1] for t in tokens if t[0] == tq]
-        )
-        tables[("ac", tq)] = _flat_huff(
-            [s for t in tokens if t[0] == tq for s, _ in t[3]]
-        )
-
-    # pass 2: emit
-    wtr = _JpegWriter()
-    body = bytearray()
-    for i, (tq, dc_sym, (dv, ds), acs) in enumerate(tokens):
-        mcu = i // blocks_per_mcu
-        if restart and mcu and i % (per * blocks_per_mcu) == 0:
-            wtr.align()
-            body.extend(wtr.out)
-            wtr = _JpegWriter()
-            body.extend(b"\xff" + bytes([0xD0 + ((mcu // per - 1) % 8)]))
-        code, ln = tables[("dc", tq)][2][dc_sym]
-        wtr.bits(code, ln)
-        wtr.bits(dv, ds)
-        for sym, (v, s) in acs:
-            code, ln = tables[("ac", tq)][2][sym]
-            wtr.bits(code, ln)
-            if s:
-                wtr.bits(v, s)
-    wtr.align()
-    body.extend(wtr.out)
-
-    out = bytearray(b"\xff\xd8")
-    for q, tq in ((qy, 0),) if gray else ((qy, 0), (qc, 1)):
-        payload = bytes([tq]) + bytes(q[zr, zc].astype(np.uint8))
-        out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
-    nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for cid, _p, _q, tq, (hc, vc) in planes:
-        sof += bytes([cid, (hc << 4) | vc, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for (cls, tq), (counts, syms, _enc) in tables.items():
-        tc = 0 if cls == "dc" else 1
-        payload = bytes([(tc << 4) | tq]) + bytes(counts) + bytes(syms)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-    if restart:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
-    sos = bytes([nc])
-    for cid, _p, _q, tq, _hv in planes:
-        sos += bytes([cid, (tq << 4) | tq])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += body + b"\xff\xd9"
-    return bytes(out)
+_full_jpeg = mm._encode_jpeg_baseline
 
 
 def _gradient_rgb(h, w):
@@ -1068,3 +832,82 @@ def test_jpeg_pixel_stats_integration(spark):
     )
     assert abs(out[1]["mean_pixel"] - float(img.mean()) / 255.0) < 0.02
     assert out[2]["decode_ok"] is False and out[2]["mean_pixel"] is None
+
+
+def test_resize_array_exact_box_filter():
+    """The area resampler is an EXACT box filter: integer-factor
+    downscales equal the block mean, arbitrary ratios preserve the
+    global mean (weights sum to 1), upscaling never happens."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 32, 3), dtype=np.uint8)
+    got = mm._resize_array(img, 16)  # 64x32 -> 16x8: factor 4 exact
+    want = np.rint(
+        img.astype(np.float64).reshape(16, 4, 8, 4, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert got.shape == (16, 8, 3)
+    assert np.array_equal(got, want)
+
+    odd = mm._resize_array(img, 13)  # non-integer ratio
+    assert odd.shape == (13, 7, 3) or odd.shape == (13, 6, 3)
+    assert abs(float(odd.mean()) - float(img.mean())) < 2.0
+
+    same = mm._resize_array(img, 64)  # within bounds: identity object
+    assert same is img
+
+
+def test_resize_real_formats_round_trip(spark):
+    """BMP, PNG, and baseline JPEG rows resize dependency-free and
+    re-encode IN THEIR OWN FAMILY; pixel content survives within codec
+    tolerance; within-bounds rows pass through byte-identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = np.zeros((40, 64, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, 40, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 128
+
+    bmp = mm._encode_bmp(img)
+    png = mm._encode_png(img)
+    jpg = mm._encode_jpeg_baseline(img, quality=95)
+    small_png = mm._encode_png(img[:8, :8])
+    rows = [
+        (1, "image/bmp", bmp),
+        (2, "image/png", png),
+        (3, "image/jpeg", jpg),
+        (4, "image/png", small_png),  # already within max_dim
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r for r in mm.resize_images(media, 32).collect()
+    }
+    assert all(out[i]["decode_ok"] for i in (1, 2, 3, 4))
+    assert bytes(out[4]["content"]) == small_png  # untouched bytes
+
+    want = mm._resize_array(img, 32)  # (20, 32, 3)
+    got_bmp = mm._decode_bmp_pixels(bytes(out[1]["content"]))
+    got_png = mm._decode_png_pixels(bytes(out[2]["content"]))
+    got_jpg = mm._decode_jpeg_pixels(bytes(out[3]["content"]))
+    assert bytes(out[1]["content"])[:2] == b"BM"  # family preserved
+    assert bytes(out[2]["content"])[:4] == b"\x89PNG"[:4]
+    assert bytes(out[3]["content"])[:2] == b"\xff\xd8"
+    assert np.array_equal(got_bmp, want)  # lossless families: exact
+    assert np.array_equal(got_png, want)
+    assert got_jpg.shape == want.shape
+    assert np.abs(
+        got_jpg.astype(np.int32) - want.astype(np.int32)
+    ).mean() <= 3.0
+
+    # 8-bit palette BMP and RGBA PNG keep working through the same path
+    pal_src = rng.integers(0, 256, (48, 40, 4), dtype=np.uint8)
+    rgba_png = mm._encode_png(pal_src)
+    (row,) = mm.resize_images(
+        spark.createDataFrame(
+            [(9, "image/png", rgba_png)], mm.MEDIA_SCHEMA
+        ),
+        24,
+    ).collect()
+    got = mm._decode_png_pixels(bytes(row["content"]))
+    assert row["decode_ok"] and got.shape == (24, 20, 4)
