@@ -8,9 +8,10 @@ header (images), WAV RIFF chunks (audio), MP4/MOV mvhd (video duration).
 FULL decode is real, dependency-free, for the formats a careful stdlib+
 numpy implementation can cover: uncompressed BMP (BI_RGB, 8/24/32-bit)
 pixel rows, WAV PCM sample frames, non-interlaced 8-bit PNG (zlib +
-all five scanline filters, wavefront-vectorized), and BASELINE JPEG
+all five scanline filters, wavefront-vectorized), BASELINE JPEG
 (SOF0/SOF1 Huffman, grayscale + YCbCr with integer subsampling,
-restart intervals — :func:`_decode_jpeg_pixels`) —
+restart intervals — :func:`_decode_jpeg_pixels`), and GIF87a/89a
+first frames (LZW + palettes + interlace — :func:`_decode_gif_pixels`) —
 :func:`image_pixel_stats` / :func:`audio_sample_stats` compute true
 mean-pixel / RMS-amplitude from the actual bytes. What genuinely needs
 a codec (progressive/arithmetic JPEG, MP3/AAC samples, video frames)
@@ -315,6 +316,137 @@ def _decode_bmp_pixels(content: bytes):
     elif ch >= 3:  # BGR(A) -> RGB(A)
         arr = arr[:, :, [2, 1, 0, 3][:ch]]
     return arr
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, npix: int):
+    """GIF LZW decompression (LSB-first bit packing, dynamic code width
+    3..12, CLEAR/END codes, deferred-clear tolerated). Returns the pixel
+    index list, or None on a corrupt stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    cs = min_code + 1
+    acc = bits = 0
+    out: list[int] = []
+    prev = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= cs:
+            code = acc & ((1 << cs) - 1)
+            acc >>= cs
+            bits -= cs
+            if code == clear:
+                table = list(base)
+                cs = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:npix] if len(out) >= npix else None
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    return None
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + (entry[0],))
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(table) == (1 << cs) and cs < 12:
+                cs += 1
+            prev = entry
+            if len(out) >= npix:
+                return out[:npix]
+    return None  # ran out of data before END/npix
+
+
+def _decode_gif_pixels(content: bytes):
+    """REAL pixel decode for GIF87a/89a (FIRST frame) — stdlib + numpy,
+    no image library: logical screen descriptor, global/local color
+    tables, extension-block skipping, LZW decompression
+    (:func:`_gif_lzw_decode`), and interlace reordering. Returns the
+    first frame as an (h, w, 3) RGB uint8 array (frame's own dims;
+    transparency is not applied — the stat is over stored colors), or
+    None for corrupt/truncated streams."""
+    import struct
+
+    import numpy as np
+
+    if content is None or len(content) < 13:
+        return None
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = content[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + 3 * n > len(content):
+            return None
+        gct = np.frombuffer(
+            content, dtype=np.uint8, count=3 * n, offset=i
+        ).reshape(n, 3)
+        i += 3 * n
+    try:
+        while i < len(content):
+            b = content[i]
+            if b == 0x3B:  # trailer before any image
+                return None
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while content[i] != 0:
+                    i += 1 + content[i]
+                i += 1
+                continue
+            if b != 0x2C:
+                return None
+            _left, _top, w, h = struct.unpack("<HHHH", content[i + 1 : i + 9])
+            fpacked = content[i + 9]
+            i += 10
+            pal = gct
+            if fpacked & 0x80:  # local color table wins
+                n = 2 << (fpacked & 0x07)
+                pal = np.frombuffer(
+                    content, dtype=np.uint8, count=3 * n, offset=i
+                ).reshape(n, 3)
+                i += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            min_code = content[i]
+            i += 1
+            if not (2 <= min_code <= 8):
+                return None
+            lzw = bytearray()
+            while content[i] != 0:
+                sz = content[i]
+                lzw += content[i + 1 : i + 1 + sz]
+                i += 1 + sz
+            idx = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+            if idx is None:
+                return None
+            arr = np.array(idx, dtype=np.uint16).reshape(h, w)
+            if int(arr.max(initial=0)) >= len(pal):
+                return None
+            if fpacked & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            return pal[arr]
+    except (IndexError, struct.error):
+        return None
+    return None
 
 
 def _png_wavefront(block, ftypes, prev, ch):
@@ -1130,6 +1262,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                     arr = _decode_png_pixels(b)
                 if arr is None:
                     arr = _decode_jpeg_pixels(b)
+                if arr is None:
+                    arr = _decode_gif_pixels(b)
                 if arr is None and b is not None and pil is not None:
                     try:
                         import io

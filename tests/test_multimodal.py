@@ -911,3 +911,145 @@ def test_resize_real_formats_round_trip(spark):
     ).collect()
     got = mm._decode_png_pixels(bytes(row["content"]))
     assert row["decode_ok"] and got.shape == (24, 20, 4)
+
+
+# ---------------------------------------------------------------------------
+# GIF first-frame pixel decode: spec-valid test encoder + decoder tests
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_literals(indices, min_code):
+    """Valid GIF LZW stream emitting only root codes — the encoder never
+    uses dictionary entries, but must still GROW its code width (and
+    CLEAR near table capacity) exactly when the decoder's table does."""
+    clear = 1 << min_code
+    end = clear + 1
+    codes = []
+    cs = min_code + 1
+    size = clear + 2
+    codes.append((clear, cs))
+    first = True
+    for v in indices:
+        codes.append((int(v), cs))
+        if first:
+            first = False
+        else:
+            size += 1
+            if size == (1 << cs) and cs < 12:
+                cs += 1
+            if size >= 4094:
+                codes.append((clear, cs))
+                cs = min_code + 1
+                size = clear + 2
+                first = True
+    codes.append((end, cs))
+    acc = bits = 0
+    out = bytearray()
+    for c, wd in codes:
+        acc |= c << bits
+        bits += wd
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _full_gif(indices, palette, interlace=False):
+    """A real, spec-valid GIF89a with a global color table, a graphic
+    control extension (exercises block skipping), one image frame."""
+    import struct
+
+    import numpy as np
+
+    indices = np.asarray(indices)
+    h, w = indices.shape
+    n = len(palette)
+    k = max(0, (n - 1).bit_length() - 1)
+    assert n == 2 << k, "palette size must be a power of two >= 2"
+    min_code = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | k, 0, 0])  # GCT present, size 2<<k
+    out += bytes(int(x) for rgb in palette for x in rgb)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+    fpacked = 0x40 if interlace else 0x00
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([fpacked])
+    rows = indices
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = indices[order]
+    data = _lzw_encode_literals(rows.reshape(-1), min_code)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_pixel_decode_round_trips():
+    """GIF LZW first-frame decode: palette round-trip exact, including
+    code-width growth across a table-capacity CLEAR (4k+ pixels),
+    interlaced row order, and a 2-color palette at the minimum code
+    size."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    pal8 = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (25, 17), dtype=np.uint8)
+    got = mm._decode_gif_pixels(_full_gif(idx, pal8))
+    assert got is not None and got.shape == (25, 17, 3)
+    assert np.array_equal(got, pal8[idx])
+
+    big = rng.integers(0, 8, (80, 70), dtype=np.uint8)  # 5600 px: CLEAR
+    got = mm._decode_gif_pixels(_full_gif(big, pal8))
+    assert got is not None and np.array_equal(got, pal8[big])
+
+    inter = mm._decode_gif_pixels(_full_gif(idx, pal8, interlace=True))
+    assert np.array_equal(inter, pal8[idx])
+
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    bw = rng.integers(0, 2, (9, 13), dtype=np.uint8)
+    got = mm._decode_gif_pixels(_full_gif(bw, pal2))
+    assert np.array_equal(got, pal2[bw])
+
+
+def test_gif_codec_territory_returns_none():
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (12, 12), dtype=np.uint8)
+    data = _full_gif(idx, pal)
+    assert mm._decode_gif_pixels(data) is not None
+    assert mm._decode_gif_pixels(data[: len(data) // 2]) is None
+    assert mm._decode_gif_pixels(b"GIF89a\x00") is None
+    assert mm._decode_gif_pixels(b"not a gif at all") is None
+    assert mm._decode_gif_pixels(None) is None
+
+
+def test_gif_pixel_stats_integration(spark):
+    """image_pixel_stats decodes GIF dependency-free: true dims and the
+    palette-resolved mean."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (20, 30), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image/gif", _full_gif(idx, pal))], mm.MEDIA_SCHEMA
+    )
+    (row,) = mm.image_pixel_stats(media).collect()
+    assert row["decode_ok"] is True
+    assert (row["width"], row["height"], row["channels"]) == (30, 20, 3)
+    assert abs(
+        row["mean_pixel"] - float(pal[idx].mean()) / 255.0
+    ) < 1e-9
