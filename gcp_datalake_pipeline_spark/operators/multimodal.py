@@ -1363,6 +1363,104 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, SAMPLE_STATS_SCHEMA)
 
 
+def _encode_wav(samples, sample_rate: int, channels: int) -> bytes:
+    """Minimal spec-valid 16-bit PCM WAV writer (RIFF + fmt + data) for
+    the dependency-free resample path. ``samples``: float array in
+    [-1, 1], interleaved frames (1-D, length = frames * channels)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.clip(
+        np.rint(np.asarray(samples, dtype=np.float64) * 32768.0),
+        -32768,
+        32767,
+    ).astype("<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Resample WAV PCM rows to ``target_rate`` dependency-free — the
+    audio twin of :func:`resize_images`'s real-codec path: decode
+    (:func:`_decode_wav_samples`), per-channel LINEAR interpolation at
+    the new frame grid (``np.interp`` — the right dependency-free
+    baseline; a polyphase windowed-sinc is the quality upgrade when a
+    DSP library ships in the cluster image), re-encode as 16-bit PCM
+    (:func:`_encode_wav` — 8/32-bit inputs normalize through float and
+    come back 16-bit, the training-corpus common denominator). Rows
+    already at ``target_rate`` pass through byte-identical; compressed
+    audio and garbage pass through UNCHANGED with ``decode_ok=false``
+    (report, never die — the :func:`resize_images` contract).
+
+    Scale: mapInPandas, Arrow-batched, no shuffle; samples never leave
+    their scan partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out, ok = [], []
+            for b in pdf["content"]:
+                b = bytes(b) if b is not None else None
+                d = _decode_wav_samples(b)
+                if d is None:
+                    out.append(b)
+                    ok.append(False)
+                    continue
+                sr, ch, s = d
+                if sr == target_rate:
+                    out.append(b)  # already there: untouched bytes
+                    ok.append(True)
+                    continue
+                frames = s.reshape(-1, ch)
+                n_in = frames.shape[0]
+                n_out = max(1, round(n_in * target_rate / sr))
+                # sample positions in input-frame units: index i of the
+                # output grid lands at i * (n_in - 1) / (n_out - 1) so
+                # the first/last frames map exactly
+                if n_out == 1 or n_in == 1:
+                    res = np.repeat(frames[:1], n_out, axis=0)
+                else:
+                    x_out = np.linspace(0.0, n_in - 1.0, n_out)
+                    x_in = np.arange(n_in)
+                    res = np.stack(
+                        [
+                            np.interp(x_out, x_in, frames[:, c])
+                            for c in range(ch)
+                        ],
+                        axis=1,
+                    )
+                out.append(
+                    _encode_wav(res.reshape(-1), target_rate, ch)
+                )
+                ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "content": out,
+                    "decode_ok": ok,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def _decode_image_header(content: bytes):
     """Image dimensions without a full decode: the synthetic IMG| header
     (stand-in for full-decode formats), else REAL PNG IHDR / JPEG SOF /

@@ -1053,3 +1053,79 @@ def test_gif_pixel_stats_integration(spark):
     assert abs(
         row["mean_pixel"] - float(pal[idx].mean()) / 255.0
     ) < 1e-9
+
+
+def test_resample_audio_wav_dependency_free(spark):
+    """WAV rows resample to the target rate with no audio library:
+    doubled rate doubles the frame count (endpoint-exact linear
+    interpolation — a ramp resamples EXACTLY up to 16-bit
+    quantization), stereo interleave survives, same-rate rows pass
+    through byte-identical, garbage passes through flagged."""
+    import numpy as np
+
+    ramp = np.linspace(-0.5, 0.5, 101)  # piecewise-linear: interp-exact
+    t = np.arange(800) / 8000.0
+    sine = 0.4 * np.sin(2 * np.pi * 220.0 * t)
+    stereo = np.stack([sine, -sine], axis=1).reshape(-1)
+    rows = [
+        (1, "audio/wav", _full_wav(
+            np.rint(ramp * 32767).astype(int).tolist(), 8000, 16, 1)),
+        (2, "audio/wav", _full_wav(
+            np.rint(stereo * 32767).astype(int).tolist(), 8000, 16, 2)),
+        (3, "audio/wav", _full_wav(
+            np.rint(sine * 32767).astype(int).tolist(), 16000, 16, 1)),
+        (4, "audio/mp3", b"\xff\xfbgarbage-not-pcm"),
+        (5, "audio/wav", None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in mm.resample_audio(media, 16000).collect()
+    }
+
+    # ramp 8k -> 16k: frame count doubles, values linear-interp exact
+    d = mm._decode_wav_samples(bytes(out[1]["content"]))
+    assert out[1]["decode_ok"] and d is not None
+    sr, ch, s = d
+    assert (sr, ch) == (16000, 1) and s.size == 202
+    want = np.interp(
+        np.linspace(0, 100, 202), np.arange(101),
+        np.rint(ramp * 32767) / 32768.0,
+    )
+    assert np.abs(s - want).max() <= 1.5 / 32768.0
+
+    # stereo: channels stay separate and anti-phased
+    d2 = mm._decode_wav_samples(bytes(out[2]["content"]))
+    sr2, ch2, s2 = d2
+    assert (sr2, ch2) == (16000, 2)
+    fr = s2.reshape(-1, 2)
+    assert fr.shape[0] == 1600
+    assert np.abs(fr[:, 0] + fr[:, 1]).max() <= 2.5 / 32768.0
+    # RMS survives resampling of a band-limited signal
+    assert abs(
+        float(np.sqrt((fr[:, 0] ** 2).mean()))
+        - float(np.sqrt((sine**2).mean()))
+    ) < 0.01
+
+    # already at target: byte-identical passthrough
+    assert out[3]["decode_ok"] is True
+    assert bytes(out[3]["content"]) == rows[2][2]
+
+    # compressed/garbage/NULL: flagged, untouched
+    assert out[4]["decode_ok"] is False
+    assert bytes(out[4]["content"]) == rows[3][2]
+    assert out[5]["decode_ok"] is False and out[5]["content"] is None
+
+
+def test_encode_wav_round_trip_8_and_32_bit_sources():
+    """8-bit and 32-bit PCM inputs resample through float and come back
+    16-bit (the documented common denominator)."""
+    import numpy as np
+
+    raw8 = bytes(range(0, 200, 2))  # unsigned 8-bit
+    wav8 = _full_wav(raw8, 8000, 8, 1)
+    sr, ch, s = mm._decode_wav_samples(wav8)
+    out = mm._encode_wav(s, 8000, 1)
+    sr2, ch2, s2 = mm._decode_wav_samples(out)
+    assert (sr2, ch2) == (8000, 1)
+    assert np.abs(s2 - s).max() <= 1.0 / 256.0  # 8->16 bit requantize
