@@ -842,3 +842,72 @@ def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         emb.filter(F.col("vec_id") >= k),
         threshold=0.3,
     )
+
+
+@register(
+    "media_pixel_stats",
+    """
+    WITH imgs AS (
+      SELECT i AS media_id,
+             8 + (i % 5) * 4 AS width,
+             8 + (i % 7) * 4 AS height,
+             CASE i % 3 WHEN 1 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS channels
+      FROM range(60) t(i)
+    )
+    SELECT media_id, width, height, channels,
+           ROUND(AVG(CAST((x + y + 7 * c + 13 * media_id) % 256 AS DOUBLE))
+                 / 255.0, 6) AS mean_pixel,
+           true AS decode_ok
+    FROM imgs
+    CROSS JOIN range(32) tx(x)
+    CROSS JOIN range(32) ty(y)
+    CROSS JOIN range(4) tc(c)
+    WHERE x < width AND y < height AND c < channels
+    GROUP BY media_id, width, height, channels
+    """,
+    doc="""Multimodal pixel decode under the driver's VALUE gate: 60
+    deterministic images (pixel (y, x, c) = (x + y + 7c + 13·id) mod
+    256; dims and channel count vary per id) are ENCODED to real BMP /
+    PNG binaries with the package's own writers, pushed through
+    image_pixel_stats' dependency-free decoders (BMP rows, PNG zlib +
+    filters), and the decoded dims + mean intensity must equal the
+    closed-form arithmetic DuckDB computes directly — the decode path
+    itself is what the oracle checks (both codec families are exact, so
+    equality is bit-level after the shared ROUND). Scale: mapInPandas,
+    Arrow-batched, binaries never leave their partition; 60 rows here,
+    the same plan at 100 TB.""",
+)
+def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from gcp_datalake_pipeline_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(60):
+        w = 8 + (i % 5) * 4
+        h = 8 + (i % 7) * 4
+        ch = {0: 3, 1: 1, 2: 4}[i % 3]
+        arr = (
+            (
+                np.arange(w)[None, :, None]
+                + np.arange(h)[:, None, None]
+                + 7 * np.arange(ch)[None, None, :]
+                + 13 * i
+            )
+            % 256
+        ).astype(np.uint8)
+        # BMP only holds 3-channel exactly (1ch widens); PNG covers all
+        if ch == 3 and i % 2 == 0:
+            blob, mime = mm._encode_bmp(arr), "image/bmp"
+        else:
+            blob, mime = mm._encode_png(arr), "image/png"
+        rows.append((i, mime, bytearray(blob)))
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    return mm.image_pixel_stats(df).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "decode_ok",
+    )
