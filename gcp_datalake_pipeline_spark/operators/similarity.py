@@ -1256,3 +1256,168 @@ def incremental_embedding_near_dups(
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (asymmetric distance, ADC) — the
+    MEMORY scale path of the ANN family: each vector is stored as ``m``
+    uint8 codes instead of ``dim`` floats (64-dim float64 -> 8 bytes =
+    64x smaller), and a query scores candidates by summing per-subspace
+    lookup-table entries instead of touching the original vectors. At
+    100 TB this is how the candidate set fits in executor memory at all
+    (FAISS's IVF-PQ storage layer; compose with :func:`ivf_topk`'s cell
+    pruning for the full IVFPQ shape).
+
+    Codebooks are DETERMINISTIC — subspace ``s``'s centroids are the
+    first ``ksub`` vectors' s-th sub-vectors (the :func:`ivf_topk`
+    first-nlist precedent), so the whole pipeline (codebooks, encoding
+    argmin, distance tables, ADC sums, ranks) is value-level oracled in
+    DuckDB (:func:`pq_topk_oracle_sql`). Squared-L2 terms are rounded
+    to 6 decimals and ADC-summed in INTEGER micro-units, so the sum is
+    association-proof across engines.
+
+    Encoding is one Arrow matmul pass over the corpus (no shuffle);
+    scoring broadcasts the (bounded) query tables and stays entirely in
+    JVM higher-order functions — no Python touches the N x Q loop.
+    Output: (query_id, neighbor_id, adc_dist, rank), rank ascending by
+    (adc_dist, neighbor_id), self-pairs excluded."""
+    import numpy as np
+    import pandas as pd
+
+    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    dim = len(e.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    cents = (
+        e.filter(F.col("vid") < ksub).orderBy("vid").collect()
+    )  # bounded: ksub rows
+    if len(cents) < ksub:
+        raise ValueError(f"need vec_ids 0..{ksub - 1} for the codebook")
+    # cb[s, j] = sub-vector s of seed vector j
+    cb = np.array([r["v"] for r in cents], dtype=np.float64).reshape(
+        ksub, m, dsub
+    ).transpose(1, 0, 2)
+    spark = df.sparkSession
+    b_cb = spark.sparkContext.broadcast(cb)
+
+    def _dists(X):
+        """(B, m, ksub) rounded squared-L2 between each sub-vector and
+        each centroid — the shared encode/table kernel."""
+        C = b_cb.value
+        B = X.shape[0]
+        Xs = X.reshape(B, m, dsub)
+        x2 = np.einsum("bsd,bsd->bs", Xs, Xs)[:, :, None]
+        xc = np.einsum("bsd,sjd->bsj", Xs, C)
+        c2 = np.einsum("sjd,sjd->sj", C, C)[None, :, :]
+        return np.round(x2 - 2.0 * xc + c2, 6)
+
+    codes_schema = "vid long, codes array<int>"
+
+    def encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            D = _dists(X)
+            codes = D.argmin(axis=2)  # ties -> lowest j (first occurrence)
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "codes": list(codes.astype(np.int32))}
+            )
+
+    codes = e.mapInPandas(encode, codes_schema)
+
+    # query tables in integer micro-units (driver-side, bounded Q x m x ksub)
+    q_rows = e.filter(F.col("vid").isin([int(q) for q in query_ids])).collect()
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    T = np.round(_dists(Q) * 1e6).astype(np.int64)  # terms are 1e-6 multiples
+    queries = spark.createDataFrame(
+        [
+            (int(r["vid"]), [[int(x) for x in row] for row in T[i]])
+            for i, r in enumerate(q_rows)
+        ],
+        "query_id long, qtab array<array<long>>",
+    )
+
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (
+                F.expr(
+                    "aggregate(zip_with(codes, qtab,"
+                    " (c, t) -> element_at(t, c + 1)),"
+                    " 0L, (acc, x) -> acc + x)"
+                )
+                / F.lit(1000000.0)
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk_oracle_sql(
+    query_ids: list[int], k: int = 5, m: int = 8, ksub: int = 16, dim: int = 64
+) -> str:
+    """DuckDB oracle reproducing pq_topk value-for-value: same
+    deterministic codebooks (first-ksub sub-vectors), same rounded
+    squared-L2 decomposition (ip(x,x) - 2 ip(x,c) + ip(c,c)), same
+    argmin-with-lowest-j encoding, and the ADC sum in the same integer
+    micro-units."""
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT m FROM range({m}) t(m)),
+    sv AS (
+      SELECT vec_id, m, v[m * {dsub} + 1 : m * {dsub} + {dsub}] AS x
+      FROM e CROSS JOIN sub
+    ),
+    cent AS (SELECT m, vec_id AS j, x AS cv FROM sv WHERE vec_id < {ksub}),
+    dists AS (
+      SELECT s.vec_id, s.m, c.j,
+             ROUND(list_inner_product(s.x, s.x)
+                   - 2 * list_inner_product(s.x, c.cv)
+                   + list_inner_product(c.cv, c.cv), 6) AS d
+      FROM sv s JOIN cent c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j)
+                 AS rnk
+        FROM dists
+      ) WHERE rnk = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, j,
+             CAST(ROUND(d * 1000000) AS BIGINT) AS ti
+      FROM dists WHERE vec_id IN ({ids})
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             SUM(q.ti) / 1000000.0 AS adc_dist
+      FROM codes c
+      JOIN qtab q ON q.m = c.m AND q.j = c.code
+      WHERE c.vec_id != q.query_id
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -911,3 +911,22 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_pixel", 6).alias("mean_pixel"),
         "decode_ok",
     )
+
+
+@register(
+    "ann_pq_topk",
+    similarity.pq_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""Product-quantization ANN top-5 (asymmetric distance): vectors
+    stored as 8 uint8 subspace codes (64x smaller than 64-dim float64 —
+    how a 100 TB candidate set fits executor memory at all), queries
+    score candidates by summing per-subspace lookup-table entries.
+    Deterministic codebooks (first-16 sub-vectors), rounded squared-L2
+    terms ADC-summed in integer micro-units — the whole pipeline
+    (encode argmin, tables, sums, ranks) is value-level oracled.
+    Encoding = one Arrow matmul pass, scoring = JVM HOFs over the
+    broadcast query tables.""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
