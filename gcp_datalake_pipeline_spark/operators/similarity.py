@@ -1421,3 +1421,211 @@ def pq_topk_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: both ANN scale paths composed — the coarse quantizer
+    prunes the candidate set to ``nprobe`` of ``nlist`` cells (the
+    COMPUTE/IO path of :func:`ivf_topk`) and product quantization
+    scores those candidates from ``m`` uint8 codes (the MEMORY path of
+    :func:`pq_topk`). This is the FAISS IVFPQ shape with
+    ``by_residual=False`` (codes quantize the raw vectors, not the
+    cell residuals — the variant whose decode is cell-independent,
+    which is what keeps the whole pipeline value-level oracled with
+    deterministic codebooks).
+
+    One Arrow pass over the corpus computes BOTH the cell id (rounded-
+    cosine argmax against the coarse centroids — the ivf_topk
+    contract) and the PQ codes (rounded-L2 argmin per subspace — the
+    pq_topk contract); scoring joins the broadcast (query, probed-cid,
+    integer-micro-unit table) rows on cid and sums lookups in JVM
+    HOFs. The corpus is never exchanged and never re-read outside the
+    probed cells' candidates. Output: (query_id, neighbor_id,
+    adc_dist, rank), ascending (adc_dist, neighbor_id), self excluded.
+    With ``nprobe == nlist`` results equal :func:`pq_topk` exactly
+    (pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    dim = len(e.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    seed_rows = (
+        e.filter(F.col("vid") < max(nlist, ksub)).orderBy("vid").collect()
+    )
+    if len(seed_rows) < max(nlist, ksub):
+        raise ValueError(
+            f"need vec_ids 0..{max(nlist, ksub) - 1} for the codebooks"
+        )
+    V = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    C = V[:nlist]  # coarse centroids (ivf_topk's first-nlist contract)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cb = V[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2)  # PQ codebooks
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((Cn, cb))
+
+    def _pq_dists(X):
+        Xs = X.reshape(X.shape[0], m, dsub)
+        x2 = np.einsum("bsd,bsd->bs", Xs, Xs)[:, :, None]
+        xc = np.einsum("bsd,sjd->bsj", Xs, cb)
+        c2 = np.einsum("sjd,sjd->sj", cb, cb)[None, :, :]
+        return np.round(x2 - 2.0 * xc + c2, 6)
+
+    def assign_encode(it):
+        CnB, cbB = b.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.round(Xn @ CnB.T, 6)
+            Xs = X.reshape(X.shape[0], m, dsub)
+            x2 = np.einsum("bsd,bsd->bs", Xs, Xs)[:, :, None]
+            xc = np.einsum("bsd,sjd->bsj", Xs, cbB)
+            c2 = np.einsum("sjd,sjd->sj", cbB, cbB)[None, :, :]
+            D = np.round(x2 - 2.0 * xc + c2, 6)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cid": np.argmax(S, axis=1).astype(np.int64),
+                    "codes": list(D.argmin(axis=2).astype(np.int32)),
+                }
+            )
+
+    coded = e.mapInPandas(
+        assign_encode, "vid long, cid long, codes array<int>"
+    )
+
+    # per-query probe list + integer-micro-unit ADC table (driver, bounded)
+    q_rows = e.filter(F.col("vid").isin([int(q) for q in query_ids])).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["v"], dtype=np.float64)
+        sims = np.round((C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv)), 6)
+        order = sorted(range(nlist), key=lambda i: (-sims[i], i))
+        T = np.round(_pq_dists(qv[None, :])[0] * 1e6).astype(np.int64)
+        qtab = [[int(x) for x in row] for row in T]
+        for cid in order[:nprobe]:
+            probe_rows.append((int(r["vid"]), int(cid), qtab))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cid long, qtab array<array<long>>"
+    )
+
+    scored = (
+        coded.join(F.broadcast(probes), "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (
+                F.expr(
+                    "aggregate(zip_with(codes, qtab,"
+                    " (c, t) -> element_at(t, c + 1)),"
+                    " 0L, (acc, x) -> acc + x)"
+                )
+                / F.lit(1000000.0)
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ivf_pq_topk: the ivf_topk oracle's coarse CTEs
+    (first-nlist cosine cells + probe ranking) composed with the
+    pq_topk oracle's fine CTEs (codes + integer-micro-unit tables),
+    candidates restricted to each query's probed cells."""
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist}),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cent.cv) /
+                          (sqrt(list_inner_product(e.v, e.v)) *
+                           sqrt(list_inner_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cid) AS arnk
+        FROM e CROSS JOIN cent
+      ) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cent.cv) /
+                          (sqrt(list_inner_product(e.v, e.v)) *
+                           sqrt(list_inner_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cid) AS prnk
+        FROM e CROSS JOIN cent WHERE e.vec_id IN ({ids})
+      ) WHERE prnk <= {nprobe}
+    ),
+    sub AS (SELECT m FROM range({m}) t(m)),
+    sv AS (
+      SELECT vec_id, m, v[m * {dsub} + 1 : m * {dsub} + {dsub}] AS x
+      FROM e CROSS JOIN sub
+    ),
+    pcent AS (SELECT m, vec_id AS j, x AS cv FROM sv WHERE vec_id < {ksub}),
+    dists AS (
+      SELECT s.vec_id, s.m, c.j,
+             ROUND(list_inner_product(s.x, s.x)
+                   - 2 * list_inner_product(s.x, c.cv)
+                   + list_inner_product(c.cv, c.cv), 6) AS d
+      FROM sv s JOIN pcent c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j)
+                 AS rnk
+        FROM dists
+      ) WHERE rnk = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, j,
+             CAST(ROUND(d * 1000000) AS BIGINT) AS ti
+      FROM dists WHERE vec_id IN ({ids})
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             SUM(q.ti) / 1000000.0 AS adc_dist
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN qtab q ON q.query_id = p.query_id
+                 AND q.m = c.m AND q.j = c.code
+      GROUP BY p.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

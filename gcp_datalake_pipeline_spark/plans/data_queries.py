@@ -930,3 +930,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
     )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    similarity.ivf_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""IVF-PQ top-5: both ANN scale paths composed — nprobe/nlist
+    cell pruning (the compute/IO path) over vectors stored as m uint8
+    PQ codes (the memory path; FAISS IVFPQ with by_residual=False).
+    ONE Arrow pass computes cell ids AND codes; scoring joins the
+    broadcast (query, probed-cid, integer-table) rows and sums lookups
+    in JVM HOFs. Fully value-level oracled: the ivf oracle's coarse
+    CTEs composed with the PQ oracle's fine CTEs.""",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )

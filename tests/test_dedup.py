@@ -766,3 +766,39 @@ def test_ann_pq_scoring_stays_jvm_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_ann_ivf_pq_full_probe_equals_pq(spark):
+    """IVF-PQ with nprobe == nlist degenerates to plain PQ (every cell
+    probed -> the candidate set is the whole corpus): results must be
+    EXACTLY equal — pins that cell pruning changes coverage, never
+    scores."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    full = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in similarity.ivf_pq_topk(
+            emb, qids, k=5, nlist=16, nprobe=16
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in similarity.pq_topk(emb, qids, k=5).collect()
+    }
+    assert full == pq and full
+
+
+def test_ann_ivf_pq_one_corpus_pass_and_broadcast(spark):
+    """Plan contract: cell assignment AND PQ encoding happen in ONE
+    Arrow pass over the corpus (exactly one MapInPandas), scoring joins
+    the broadcast probe/table rows — no SortMergeJoin anywhere."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        similarity.ivf_pq_topk(emb, [0, 1, 2], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
