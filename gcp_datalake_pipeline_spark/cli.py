@@ -153,6 +153,7 @@ def cmd_ann(args) -> None:
         cents = ann_index.build_ivf_index(
             cat, vecs, index_table=args.index,
             nlist=args.nlist, n_iter=args.iters,
+            pq_m=args.pq_m or None, pq_ksub=args.pq_ksub,
         )
         print(
             json.dumps(
@@ -160,6 +161,7 @@ def cmd_ann(args) -> None:
                     "built": args.index,
                     "nlist": cents.count(),
                     "vectors": cat.read(f"{args.index}_cells").count(),
+                    "pq_m": args.pq_m or None,
                 }
             )
         )
@@ -215,7 +217,8 @@ def cmd_ann(args) -> None:
         print(json.dumps(out))
     else:  # query
         ids = [int(x) for x in args.ids.split(",")]
-        out = ann_index.ivf_index_topk(
+        fn = ann_index.ivf_index_pq_topk if args.adc else ann_index.ivf_index_topk
+        out = fn(
             cat, ids, k=args.k, nprobe=args.nprobe, index_table=args.index
         )
         if args.explain:
@@ -492,6 +495,20 @@ def main(argv: list[str] | None = None) -> None:
     pa.add_argument("--nprobe", type=int, default=4)
     pa.add_argument("--nlist", type=int, default=16)
     pa.add_argument("--iters", type=int, default=2)
+    pa.add_argument(
+        "--pq-m", type=int, default=0,
+        help="build: also store this many PQ codes per vector (0 = flat "
+        "index); query then serves from codes with --adc",
+    )
+    pa.add_argument(
+        "--pq-ksub", type=int, default=16,
+        help="build: PQ codebook size per subspace",
+    )
+    pa.add_argument(
+        "--adc", action="store_true",
+        help="query: score from the stored PQ codes (asymmetric "
+        "distance) instead of exact cosine over vectors",
+    )
     pa.add_argument(
         "--compact-every", type=int, default=0,
         help="extend only: fold a table back to one data dir when its "

@@ -13,6 +13,11 @@ in the catalog:
   BY ``cid``, so a query's candidate scan is partition-pruned to its
   probed cells (``PartitionFilters: [cid IN (...)]``): a query touches
   ~nprobe/nlist of the data ON DISK, not just in compute.
+- ``{index}_pq_codebook`` (PQ indexes only) — the frozen m x ksub
+  product-quantization codebook; the cells table then carries an extra
+  ``codes`` column and :func:`ivf_index_pq_topk` serves top-k from the
+  codes alone (asymmetric-distance lookup sums), never reading the
+  vector column off disk.
 - ``{index}_vid_map`` — a slim (vid, cid) lookup stored hash-partitioned
   on ``_kb = pmod(xxhash64(vid), B)`` (the corpus tables' bucket layout,
   with the same sidecar so compaction preserves it). Self-queries
@@ -67,6 +72,80 @@ def _cents_dict(rows) -> dict[int, list[float]]:
     return {int(r["cid"]): [float(x) for x in r["cv"]] for r in rows}
 
 
+def _pq_dists_np(X, cb):
+    """(B, m, ksub) 6-decimal-rounded squared-L2 between every
+    sub-vector of ``X`` and every codebook centroid — the shared
+    encode/ADC-table kernel (the
+    :func:`~gcp_datalake_pipeline_spark.operators.similarity.pq_topk`
+    contract: ip(x,x) - 2 ip(x,c) + ip(c,c), rounded BEFORE any argmin
+    or micro-unit scaling, so codes and tables are cross-engine
+    stable)."""
+    import numpy as np
+
+    m, _ksub, dsub = cb.shape
+    Xs = X.reshape(X.shape[0], m, dsub)
+    x2 = np.einsum("bsd,bsd->bs", Xs, Xs)[:, :, None]
+    xc = np.einsum("bsd,sjd->bsj", Xs, cb)
+    c2 = np.einsum("sjd,sjd->sj", cb, cb)[None, :, :]
+    return np.round(x2 - 2.0 * xc + c2, 6)
+
+
+def _assign_encode_arrow(df: DataFrame, cents: dict, cb) -> DataFrame:
+    """Fused cell assignment + PQ encoding: ONE Arrow pass over the
+    corpus computes the coarse cid (rounded-cosine argmax, lowest-cid
+    tiebreak — the `_assign_cells_arrow` contract) AND the m uint8-range
+    codes (rounded-L2 argmin per subspace, lowest-j tiebreak — the
+    pq_topk contract). Input columns pass through; no shuffle."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cids_sorted = sorted(cents)
+    cid_arr = np.array(cids_sorted, dtype=np.int64)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("cid", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(Mn @ Cn.T, 6)
+            D = _pq_dists_np(M, cb)
+            pdf = pdf.copy()
+            pdf["cid"] = cid_arr[np.argmax(S, axis=1)]
+            pdf["codes"] = list(D.argmin(axis=2).astype(np.int32))
+            yield pdf
+
+    return df.mapInPandas(assign_encode, out_schema)
+
+
+def _pq_codebook(catalog, index_table: str):
+    """The index's frozen PQ codebook as an (m, ksub, dsub) ndarray, or
+    None for a flat (no-PQ) index. Bounded read: m*ksub rows."""
+    import numpy as np
+
+    t = f"{index_table}_pq_codebook"
+    if not catalog.exists(t):
+        return None
+    rows = catalog.read(t).collect()
+    m = max(int(r["s"]) for r in rows) + 1
+    ksub = max(int(r["j"]) for r in rows) + 1
+    dsub = len(rows[0]["cv"])
+    cb = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        cb[int(r["s"]), int(r["j"])] = [float(x) for x in r["cv"]]
+    return cb
+
+
 def build_ivf_index(
     catalog,
     df: DataFrame,
@@ -77,17 +156,32 @@ def build_ivf_index(
     vec_col: str = "embedding",
     backend: str = "arrow",
     num_buckets: int = 64,
+    pq_m: int | None = None,
+    pq_ksub: int = 16,
 ) -> DataFrame:
     """Train centroids on ``df`` and persist the full index (centroids +
     cid-partitioned cell assignments + the bucketed vid->cid map) — one
     atomic commit on a transactional catalog. Returns the centroid
     DataFrame.
 
+    ``pq_m`` turns on PRODUCT-QUANTIZATION storage (the IVF-PQ index):
+    the same single corpus pass also encodes every vector into ``pq_m``
+    codebook indices (deterministic first-``pq_ksub`` codebooks — the
+    :func:`~gcp_datalake_pipeline_spark.operators.similarity.pq_topk`
+    contract, which is what keeps ADC serving value-level oracled), the
+    codes land as one extra array column in the cells table, and the
+    frozen codebook is persisted as ``{index}_pq_codebook``.
+    :func:`ivf_index_pq_topk` then serves top-k from the codes WITHOUT
+    ever reading the vector column — at 100 TB the scored candidate
+    I/O drops from dim*8 bytes/vector to ~pq_m bytes (parquet column
+    pruning skips ``v`` entirely), which is what lets a probed cell's
+    candidates fit in executor memory at all.
+
     Scale: centroid training is the bounded-collect Lloyd loop of
     :func:`kmeans_centroids` (train on a sample for very large corpora
     and pass that sample as ``df``, then :func:`extend_ivf_index` the
-    rest); assignment is one Arrow matmul pass over the corpus with NO
-    shuffle except the partitioned writes themselves.
+    rest); assignment (+ encoding) is one Arrow matmul pass over the
+    corpus with NO shuffle except the partitioned writes themselves.
     """
     cents_df = kmeans_centroids(
         df, nlist=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
@@ -95,7 +189,35 @@ def build_ivf_index(
     )
     cents = _cents_dict(cents_df.collect())
     e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
-    assigned = _assign_cells_arrow(e, cents)
+    cb_df = None
+    if pq_m is not None:
+        import numpy as np
+
+        seeds = e.filter(F.col("vid") < pq_ksub).orderBy("vid").collect()
+        if len(seeds) < pq_ksub:
+            raise ValueError(
+                f"need vec_ids 0..{pq_ksub - 1} for the PQ codebook"
+            )
+        dim = len(seeds[0]["v"])
+        if dim % pq_m:
+            raise ValueError(f"dim {dim} not divisible by pq_m={pq_m}")
+        dsub = dim // pq_m
+        cb = (
+            np.array([r["v"] for r in seeds], dtype=np.float64)
+            .reshape(pq_ksub, pq_m, dsub)
+            .transpose(1, 0, 2)
+        )
+        cb_df = catalog.spark.createDataFrame(
+            [
+                (s, j, [float(x) for x in cb[s, j]])
+                for s in range(pq_m)
+                for j in range(pq_ksub)
+            ],
+            "s long, j long, cv array<double>",
+        )
+        assigned = _assign_encode_arrow(e, cents, cb)
+    else:
+        assigned = _assign_cells_arrow(e, cents)
     vid_map = assigned.select(
         "vid", "cid", _key_bucket("vid", num_buckets).alias("_kb")
     )
@@ -107,6 +229,8 @@ def build_ivf_index(
             assigned, f"{index_table}_cells", partition_cols=["cid"]
         )
         catalog.overwrite(vid_map, map_table, partition_cols=["_kb"])
+        if cb_df is not None:
+            catalog.overwrite(cb_df, f"{index_table}_pq_codebook")
 
     txn = getattr(catalog, "transaction", None)
     if txn is not None:
@@ -158,7 +282,14 @@ def extend_ivf_index(
     e = batch.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
-    assigned = _assign_cells_arrow(e, cents)
+    # a PQ index encodes new batches against its FROZEN codebook (the
+    # extend contract: stored codes never change meaning), a flat index
+    # assigns only
+    cb = _pq_codebook(catalog, index_table)
+    if cb is not None:
+        assigned = _assign_encode_arrow(e, cents, cb)
+    else:
+        assigned = _assign_cells_arrow(e, cents)
     cells_table = f"{index_table}_cells"
     map_table = f"{index_table}_vid_map"
     # A pre-map index (built before the vid map existed) stays mapless:
@@ -456,6 +587,206 @@ def ivf_index_topk_df(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             sim.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+_ADC_SUM = (
+    "aggregate(zip_with(codes, qtab,"
+    " (c, t) -> element_at(t, c + 1)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+
+
+def ivf_index_pq_topk(
+    catalog,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+    index_table: str = "ann_ivf",
+    query_vectors: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """ADC top-k over a PQ-coded persisted index: rank centroids for all
+    queries in one bounded driver matmul (the :func:`ivf_index_topk`
+    probe contract), build each query's integer-micro-unit distance
+    table from the frozen codebook (bounded: nq x m x ksub), then score
+    the probed cells' candidates from their STORED CODES ONLY — the
+    candidate scan projects (vid, cid, codes) and parquet column
+    pruning never reads the vector column (plan-contract-tested), so a
+    query's data I/O is ~pq_m bytes per candidate instead of dim*8.
+    Scoring is the JVM higher-order ADC sum of
+    :func:`~gcp_datalake_pipeline_spark.operators.similarity.pq_topk`;
+    no Python touches the candidates.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), rank ascending by
+    (adc_dist, neighbor_id); with self-queries (``query_ids``) the
+    query's own row is excluded, tombstoned ids never appear."""
+    import numpy as np
+
+    spark = catalog.spark
+    cb = _pq_codebook(catalog, index_table)
+    if cb is None:
+        raise ValueError(
+            f"{index_table} has no PQ codebook — build with pq_m, or use"
+            " ivf_index_topk for a flat index"
+        )
+    cents = _cents_dict(catalog.read(f"{index_table}_centroids").collect())
+    cids_sorted = sorted(cents)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+
+    if (query_ids is None) == (query_vectors is None):
+        raise ValueError("pass exactly one of query_ids / query_vectors")
+    if query_vectors is not None:
+        q_rows = [{"vid": int(q), "v": list(v)} for q, v in query_vectors]
+        self_query = False
+    else:
+        q_rows = _self_query_vectors(catalog, index_table, query_ids).collect()
+        self_query = True
+    probe_tuples = []
+    if q_rows:
+        Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+        S = np.round(
+            (Q @ C.T)
+            / np.outer(
+                np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
+            ),
+            6,
+        )
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        T = np.round(_pq_dists_np(Q, cb) * 1e6).astype(np.int64)
+        for qi, r in enumerate(q_rows):
+            qtab = [[int(x) for x in row] for row in T[qi]]
+            for j in order[qi]:
+                probe_tuples.append(
+                    (int(r["vid"]), cids_sorted[int(j)], qtab)
+                )
+    probes = spark.createDataFrame(
+        probe_tuples, "query_id long, cid long, qtab array<array<long>>"
+    )
+    probe_cids = sorted({t[1] for t in probe_tuples})
+
+    cand = (
+        catalog.read(f"{index_table}_cells")
+        .select("vid", "cid", "codes")
+        .filter(F.col("cid").isin(probe_cids))
+    )
+    tomb = _tombstones(catalog, index_table)
+    if tomb is not None:
+        cand = cand.join(tomb, "vid", "left_anti")
+    out = cand.join(F.broadcast(probes), "cid")
+    if self_query:
+        out = out.filter(F.col("vid") != F.col("query_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "adc_dist", "neighbor_id"
+    )
+    return (
+        out.select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (F.expr(_ADC_SUM) / F.lit(1000000.0)).alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index_pq_topk_df(
+    catalog,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    index_table: str = "ann_ivf",
+    id_col: str = "query_id",
+    vec_col: str = "qv",
+    exclude_self: bool = False,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """DataFrame-input twin of :func:`ivf_index_pq_topk` — bulk ADC
+    serving. Queries stay a DataFrame end-to-end: probe ranking AND the
+    per-query micro-unit ADC table are computed by Arrow-batched
+    pandas_udfs against the broadcast (bounded) centroid matrix and
+    codebook; no query vector is ever collected to the driver. The
+    candidate side still reads codes only (column-pruned scan), and
+    with ``prune_cells`` the scan is partition-pruned to the distinct
+    probed cids (bounded by nlist, never query count). Probe selection,
+    rounding, and rank tiebreaks are value-identical to the list path,
+    so both share one oracle."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _pq_codebook(catalog, index_table)
+    if cb is None:
+        raise ValueError(
+            f"{index_table} has no PQ codebook — build with pq_m, or use"
+            " ivf_index_topk_df for a flat index"
+        )
+    cents = _cents_dict(catalog.read(f"{index_table}_centroids").collect())
+    cids_sorted = sorted(cents)
+    C = np.array([cents[c] for c in cids_sorted], dtype=np.float64)
+    sc = catalog.spark.sparkContext
+    b_idx = sc.broadcast(
+        (
+            C,
+            np.linalg.norm(C, axis=1),
+            np.array(cids_sorted, dtype=np.int64),
+            cb,
+        )
+    )
+    n_probe = min(nprobe, len(cids_sorted))
+
+    def _probe(vs):
+        Cm, Cn, cid_arr, _cb = b_idx.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(vs.tolist(), dtype=np.float64)
+        S = np.round(
+            (Q @ Cm.T) / np.outer(np.linalg.norm(Q, axis=1), Cn), 6
+        )
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cid_arr[order]))
+
+    def _qtab(vs):
+        _Cm, _Cn, _cid_arr, cbB = b_idx.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(vs.tolist(), dtype=np.float64)
+        T = np.round(_pq_dists_np(Q, cbB) * 1e6).astype(np.int64)
+        return pd.Series([[list(row) for row in t] for t in T])
+
+    probe_udf = F.pandas_udf(_probe, "array<long>")
+    qtab_udf = F.pandas_udf(_qtab, "array<array<long>>")
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    )
+    probes = (
+        q.withColumn("qtab", qtab_udf(F.col("qv")))
+        .withColumn("cid", F.explode(probe_udf(F.col("qv"))))
+        .drop("qv")
+    )
+    cand = catalog.read(f"{index_table}_cells").select("vid", "cid", "codes")
+    tomb = _tombstones(catalog, index_table)
+    if tomb is not None:
+        cand = cand.join(tomb, "vid", "left_anti")
+    if prune_cells:
+        probed = sorted(
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        )
+        cand = cand.filter(F.col("cid").isin(probed))
+    out = cand.join(probes, "cid")
+    if exclude_self:
+        out = out.filter(F.col("vid") != F.col("query_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "adc_dist", "neighbor_id"
+    )
+    return (
+        out.select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (F.expr(_ADC_SUM) / F.lit(1000000.0)).alias("adc_dist"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)

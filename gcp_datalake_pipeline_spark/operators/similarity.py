@@ -994,6 +994,50 @@ def ivf_topk_oracle_sql(
     """
 
 
+def _csim_sql(v: str, cv: str) -> str:
+    """DuckDB rounded-cosine expression shared by the IVF oracles."""
+    return (
+        f"ROUND(list_inner_product({v}, {cv}) /"
+        f" (sqrt(list_inner_product({v}, {v})) *"
+        f" sqrt(list_inner_product({cv}, {cv}))), 6)"
+    )
+
+
+def _lloyd_ctes(nlist: int, n_iter: int) -> tuple[list[str], str]:
+    """The unrolled-Lloyd CTE list shared by every kmeans-centroid
+    oracle: deterministic first-nlist seeds, then ``n_iter`` (assign by
+    rounded cosine with cid tiebreak, 6-decimal-rounded elementwise
+    mean) steps. Returns (ctes, final_centroid_cte_name); the list
+    starts with the ``e`` base CTE over the embeddings view."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist})",
+    ]
+    for t in range(n_iter):
+        ctes.append(f"""
+    asg{t} AS (
+      SELECT cid, v FROM (
+        SELECT c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN cent{t} c
+      ) WHERE arnk = 1
+    ),
+    mean{t} AS (
+      SELECT cid, list(ROUND(m, 6) ORDER BY pos) AS newcv FROM (
+        SELECT cid, pos, AVG(x) AS m FROM (
+          SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM asg{t}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    ),
+    cent{t + 1} AS (
+      SELECT c.cid, COALESCE(m.newcv, c.cv) AS cv
+      FROM cent{t} c LEFT JOIN mean{t} m USING (cid)
+    )""")
+    return ctes, f"cent{n_iter}"
+
+
 def ivf_kmeans_topk_oracle_sql(
     query_ids: list[int],
     k: int = 5,
@@ -1020,41 +1064,8 @@ def ivf_kmeans_topk_oracle_sql(
         if exclude_ids
         else ""
     )
-
-    def _csim(v: str, cv: str) -> str:
-        return (
-            f"ROUND(list_inner_product({v}, {cv}) /"
-            f" (sqrt(list_inner_product({v}, {v})) *"
-            f" sqrt(list_inner_product({cv}, {cv}))), 6)"
-        )
-
-    ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist})",
-    ]
-    for t in range(n_iter):
-        ctes.append(f"""
-    asg{t} AS (
-      SELECT cid, v FROM (
-        SELECT c.cid, e.v,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_csim("e.v", "c.cv")} DESC, c.cid) AS arnk
-        FROM e CROSS JOIN cent{t} c
-      ) WHERE arnk = 1
-    ),
-    mean{t} AS (
-      SELECT cid, list(ROUND(m, 6) ORDER BY pos) AS newcv FROM (
-        SELECT cid, pos, AVG(x) AS m FROM (
-          SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-          FROM asg{t}
-        ) GROUP BY cid, pos
-      ) GROUP BY cid
-    ),
-    cent{t + 1} AS (
-      SELECT c.cid, COALESCE(m.newcv, c.cv) AS cv
-      FROM cent{t} c LEFT JOIN mean{t} m USING (cid)
-    )""")
-    cent = f"cent{n_iter}"
+    ctes, cent = _lloyd_ctes(nlist, n_iter)
+    _csim = _csim_sql
     return f"""
     WITH {",".join(ctes)},
     assigned AS (
@@ -1084,6 +1095,96 @@ def ivf_kmeans_topk_oracle_sql(
     SELECT query_id, neighbor_id, cosine_sim, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def ivf_kmeans_pq_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    exclude_ids: list[int] | None = None,
+) -> str:
+    """DuckDB oracle for the PERSISTED IVF-PQ index
+    (:func:`~gcp_datalake_pipeline_spark.operators.ann_index.build_ivf_index`
+    with ``pq_m`` + ADC serving): the unrolled-Lloyd coarse CTEs of
+    :func:`ivf_kmeans_topk_oracle_sql` (kmeans cells + probe ranking)
+    composed with the PQ fine CTEs of :func:`pq_topk_oracle_sql`
+    (first-ksub codebooks, rounded squared-L2 argmin codes,
+    integer-micro-unit ADC tables). ``exclude_ids`` models serving-side
+    tombstones (candidates only — a delete never re-trains, re-codes,
+    or re-probes)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    excl = (
+        f" AND a.vec_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
+        if exclude_ids
+        else ""
+    )
+    dsub = dim // m
+    ctes, cent = _lloyd_ctes(nlist, n_iter)
+    return f"""
+    WITH {",".join(ctes)},
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS prnk
+        FROM e CROSS JOIN {cent} c WHERE e.vec_id IN ({ids})
+      ) WHERE prnk <= {nprobe}
+    ),
+    sub AS (SELECT m FROM range({m}) t(m)),
+    sv AS (
+      SELECT vec_id, m, v[m * {dsub} + 1 : m * {dsub} + {dsub}] AS x
+      FROM e CROSS JOIN sub
+    ),
+    pcent AS (SELECT m, vec_id AS j, x AS cv FROM sv WHERE vec_id < {ksub}),
+    dists AS (
+      SELECT s.vec_id, s.m, c.j,
+             ROUND(list_inner_product(s.x, s.x)
+                   - 2 * list_inner_product(s.x, c.cv)
+                   + list_inner_product(c.cv, c.cv), 6) AS d
+      FROM sv s JOIN pcent c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j)
+                 AS rnk
+        FROM dists
+      ) WHERE rnk = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, j,
+             CAST(ROUND(d * 1000000) AS BIGINT) AS ti
+      FROM dists WHERE vec_id IN ({ids})
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             SUM(q.ti) / 1000000.0 AS adc_dist
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id{excl}
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN qtab q ON q.query_id = p.query_id
+                 AND q.m = c.m AND q.j = c.code
+      GROUP BY p.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {k}
     """

@@ -947,3 +947,83 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
     )
+
+
+def _ann_pq_index_catalog(spark: SparkSession, sf_dir: str):
+    """Machine-cached PERSISTED IVF-PQ index (build_ivf_index with
+    pq_m=8): the PQ twin of :func:`_ann_index_catalog`, in its own
+    fingerprint-keyed root. Deterministic by construction (kmeans
+    centroids + first-16 codebooks), so concurrent builders converge."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gcp_datalake_pipeline_spark.operators import ann_index
+    from gcp_datalake_pipeline_spark.transactions import (
+        ConcurrentWriteError,
+        TransactionalCatalog,
+    )
+
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb_path)
+    key = hashlib.md5(
+        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_ivfpq_{key}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("ann_ivf_pq_codebook"):
+        try:
+            ann_index.build_ivf_index(
+                cat, load_table(spark, sf_dir, "embeddings"), pq_m=8
+            )
+        except ConcurrentWriteError:
+            pass  # identical concurrent build already committed
+    return cat
+
+
+@register(
+    "ann_ivf_index_pq_topk",
+    similarity.ivf_kmeans_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""ADC top-5 over the PERSISTED IVF-PQ index: the index stores
+    kmeans cells AND 8 uint8 PQ codes per vector (frozen first-16
+    codebook persisted beside the centroids), and serving reads the
+    probed cells' (vid, cid, codes) ONLY — parquet column pruning never
+    touches the vector column, so candidate I/O is ~8 bytes/vector
+    instead of 512 (the FAISS IVFPQ serving shape). Probe ranking is
+    the persisted-index contract (bounded driver matmul), scoring the
+    JVM HOF ADC sum. Fully value-level oracled: unrolled-Lloyd coarse
+    CTEs composed with the PQ fine CTEs.""",
+)
+def ann_ivf_index_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    return ann_index.ivf_index_pq_topk(
+        _ann_pq_index_catalog(spark, sf_dir), ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
+    "ann_ivf_index_pq_topk_df",
+    similarity.ivf_kmeans_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""BULK ADC serving over the persisted IVF-PQ index: queries
+    arrive as a DataFrame and BOTH the probe ranking and the per-query
+    integer-micro-unit ADC tables are computed by Arrow-batched
+    pandas_udfs against the broadcast centroid matrix + codebook — no
+    query vector is ever collected to the driver, and the candidate
+    scan still reads codes only. Value-identical to the driver-list
+    path, so both share the composed Lloyd x PQ oracle.""",
+)
+def ann_ivf_index_pq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    q = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(ANN_QUERY_IDS)
+    )
+    return ann_index.ivf_index_pq_topk_df(
+        _ann_pq_index_catalog(spark, sf_dir),
+        q,
+        k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
+    )

@@ -456,3 +456,118 @@ def test_tombstone_shadows_reextended_id_until_compaction(spark, tmp_path):
         key=lambda r: r["rank"],
     )
     assert after[0]["neighbor_id"] == x and after[0]["cosine_sim"] == 1.0
+
+
+# -- persisted IVF-PQ (codes + ADC serving) --------------------------------
+
+
+def _adc_rows(df):
+    return {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in df.collect()
+    }
+
+
+def test_pq_index_full_probe_equals_pq_topk(spark, tmp_path):
+    """With nprobe == nlist the coarse pruning is a no-op, so ADC serving
+    over the PERSISTED codes must equal the recompute pq_topk exactly
+    (same first-16 codebook contract, same integer micro-unit sums) —
+    on BOTH the driver-list and the bulk DataFrame paths."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb, pq_m=8)
+    want = _adc_rows(similarity.pq_topk(emb, QIDS, k=5, m=8))
+    got = _adc_rows(ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=16))
+    assert got == want and got
+    q = emb.filter(F.col("vec_id").isin(QIDS))
+    got_df = _adc_rows(
+        ann_index.ivf_index_pq_topk_df(
+            cat, q, k=5, nprobe=16, id_col="vec_id", vec_col="embedding",
+            exclude_self=True,
+        )
+    )
+    assert got_df == want
+
+
+def test_pq_serving_never_reads_the_vector_column(spark, tmp_path):
+    """The ADC candidate scan must project (vid, cid, codes) only —
+    parquet column pruning keeps the fat vector column on disk
+    (ReadSchema excludes v) — and stay partition-pruned to the probed
+    cells. This IS the IVF-PQ I/O contract: ~pq_m bytes per candidate."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb, pq_m=8)
+    out = ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    cand = [l for l in scans if "codes" in l]
+    assert cand, plan
+    for line in cand:
+        schema = line.split("ReadSchema: ", 1)[1]
+        assert "codes" in schema
+        assert "v:array" not in schema, line
+        assert "PartitionFilters: [cid" in line or "cid IN" in line, line
+
+
+def test_pq_extend_encodes_with_frozen_codebook(spark, tmp_path):
+    """Build on the first half (which holds the vid<16 codebook seeds),
+    extend with the second: the extension must encode against the FROZEN
+    persisted codebook, so full-probe ADC over the grown index equals
+    pq_topk over the full corpus (whose codebook is the same seeds)."""
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, first, pq_m=8)
+    ann_index.extend_ivf_index(cat, rest)
+    assert cat.read("ann_ivf_cells").count() == emb.count()
+    got = _adc_rows(ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=16))
+    want = _adc_rows(similarity.pq_topk(emb, QIDS, k=5, m=8))
+    assert got == want and got
+
+
+def test_pq_tombstones_and_compaction_preserve_codes(spark, tmp_path):
+    """The delete lifecycle composes with PQ storage: a removed id
+    vanishes from ADC rankings on both paths, compact_index physically
+    drops its rows while preserving the codes column, the codebook
+    table, and the served values."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb, pq_m=8)
+    base = ann_index.ivf_index_pq_topk(cat, QIDS, k=5).collect()
+    victim = int(base[0]["neighbor_id"])
+    ann_index.remove_ids(cat, [victim])
+    after = ann_index.ivf_index_pq_topk(cat, QIDS, k=5)
+    assert victim not in {
+        r["neighbor_id"] for r in after.collect()
+    }
+    after_rows = _adc_rows(after)
+    q = emb.filter(F.col("vec_id").isin(QIDS))
+    assert victim not in {
+        r["neighbor_id"]
+        for r in ann_index.ivf_index_pq_topk_df(
+            cat, q, k=5, id_col="vec_id", vec_col="embedding",
+            exclude_self=True,
+        ).collect()
+    }
+    assert ann_index.compact_index(cat) == {"dropped": 1}
+    assert "codes" in cat.read("ann_ivf_cells").columns
+    assert cat.exists("ann_ivf_pq_codebook")
+    assert _adc_rows(ann_index.ivf_index_pq_topk(cat, QIDS, k=5)) == after_rows
+
+
+def test_pq_index_requires_codebook(spark, tmp_path):
+    """A flat (no-PQ) index refuses ADC serving with a clear error —
+    never a silent wrong answer."""
+    import pytest
+
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+    with pytest.raises(ValueError, match="no PQ codebook"):
+        ann_index.ivf_index_pq_topk(cat, QIDS, k=5)
+    with pytest.raises(ValueError, match="no PQ codebook"):
+        ann_index.ivf_index_pq_topk_df(
+            cat, emb.limit(1), id_col="vec_id", vec_col="embedding"
+        )

@@ -153,6 +153,27 @@ def test_cli_ann_index_lifecycle(workdir):
     assert r.returncode != 0 and "requires --ids" in r.stderr
 
 
+def test_cli_ann_pq_build_and_adc_query(workdir):
+    """ann build --pq-m stores codes + the frozen codebook; query --adc
+    serves from the codes (adc_dist column) without the vector column."""
+    cat = f"{workdir}/ann_pq_lake"
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli(
+        "ann", "build", "--atomic", "--catalog", cat, "--source", src,
+        "--pq-m", "8",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    built = json.loads(r.stdout[r.stdout.index("{"):])
+    assert built["pq_m"] == 8 and built["vectors"] == 500
+
+    r = run_cli(
+        "ann", "query", "--catalog", cat, "--ids", "3,57", "--k", "3",
+        "--adc",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "adc_dist" in r.stdout and "query_id" in r.stdout
+
+
 def test_cli_rounds_and_show_quarantine(workdir):
     """`rounds` surfaces the loops' audit tables (+ age retention);
     `corpus-ingest --show-quarantine` includes the provenance table.
