@@ -354,6 +354,7 @@ def cmd_compact(args) -> None:
         args.table,
         target_file_bytes=args.target_mb * 1024 * 1024,
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
     )
     print(json.dumps({"table": args.table, "compacted": done}))
 
@@ -602,6 +603,13 @@ def main(argv: list[str] | None = None) -> None:
         "--cluster-by", default=None,
         help="comma-separated columns to range-partition + sort the "
         "rewrite by (parquet min/max data skipping)",
+    )
+    pco.add_argument(
+        "--zorder-by", default=None,
+        help="comma-separated numeric/date/timestamp columns to "
+        "Morton-cluster the rewrite by: every output file covers a "
+        "tight range in ALL listed columns, so selective reads skip "
+        "files on any of them (mutually exclusive with --cluster-by)",
     )
     pco.set_defaults(fn=cmd_compact)
 

@@ -604,3 +604,77 @@ def etl_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_zorder_scan",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 6000
+      AND o_totalprice < 30000
+      AND o_orderdate >= TIMESTAMP '1999-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""MULTI-dimensional file skipping through the real storage
+    engine: a bounded orders subset (o_orderkey < 6000 — sf-invariant
+    size) lands in a TransactionalCatalog in orderkey-striped appends
+    (min/max wide on every other column), then compact(zorder_by=
+    [o_totalprice, o_orderdate]) rewrites it Morton-clustered — every
+    file a tight rectangle in BOTH dimensions. The query RAISES unless
+    a price-only predicate AND a date-only predicate EACH skip files
+    (the property single-column clustering cannot deliver), then
+    aggregates through the combined-predicate pruned read. Oracle =
+    the plain filtered aggregate; clustering must be value-invisible.
+    At 100 TB this is Delta's OPTIMIZE ZORDER: selective multi-column
+    lookups open a handful of files via footer-stats sidecars.""",
+)
+def etl_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_zorder_scan_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_zlake"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        for i in range(4):
+            with cat.transaction(f"orders-stripe-{i}"):
+                cat.append(
+                    orders.where(F.col("o_orderkey") % 4 == i).coalesce(1),
+                    "orders_zlake",
+                )
+        cat.compact(
+            "orders_zlake",
+            target_file_bytes=6 * 1024,
+            zorder_by=["o_totalprice", "o_orderdate"],
+        )
+    p_price = ("o_totalprice", "<", 30000.0)
+    p_date = ("o_orderdate", ">=", datetime.datetime(1999, 1, 1))
+    for pred in (p_price, p_date):
+        kept, total = cat.pruned_files("orders_zlake", [pred])
+        if not kept or len(kept) >= total:
+            raise RuntimeError(
+                f"z-order skipping did not engage on {pred[0]}:"
+                f" kept {len(kept)}/{total} files"
+            )
+    return (
+        cat.read("orders_zlake", predicates=[p_price, p_date])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -933,6 +933,8 @@ class TransactionalCatalog(Catalog):
         min_dirs: int = 2,
         cluster_by: list[str] | None = None,
         partition_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> bool:
         """Fold an append-grown pointer list back into ONE size-targeted
         data dir, published as a new snapshot (Delta OPTIMIZE semantics).
@@ -947,9 +949,20 @@ class TransactionalCatalog(Catalog):
 
         ``cluster_by`` additionally range-partitions + sorts the rewrite
         on the given columns, so parquet min/max row-group stats become
-        selective for those columns (data skipping — Delta's ``ZORDER``
-        intent, single-dimension). Forces a rewrite even below
-        ``min_dirs``.
+        selective for those columns (data skipping, single-dimension:
+        the SECOND listed column only clusters within ties of the
+        first). Forces a rewrite even below ``min_dirs``.
+
+        ``zorder_by`` instead clusters on the INTERLEAVED-BITS Morton
+        value of the listed columns (Delta's ``OPTIMIZE ... ZORDER
+        BY``): every rewritten file covers a tight hyper-rectangle in
+        ALL the listed dimensions, so :meth:`read` with predicates on
+        ANY of them — alone or combined — skips files via the
+        ``_file_stats.json`` sidecars. Numeric/date/timestamp columns
+        (see :mod:`gcp_datalake_pipeline_spark.zorder`);
+        ``zorder_bits`` buckets each dimension into ``2**bits``
+        quantile ranges. Mutually exclusive with ``cluster_by``; also
+        forces a rewrite.
 
         Concurrency: the commit is conflict-checked against the dir list
         snapshotted HERE (not at the staged write), so an append landing
@@ -963,10 +976,12 @@ class TransactionalCatalog(Catalog):
         """
         if self._pending is not None:
             raise RuntimeError("cannot compact inside an open transaction")
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
-        if len(snapshot) < min_dirs and cluster_by is None:
+        if len(snapshot) < min_dirs and cluster_by is None and zorder_by is None:
             return False
         total_bytes = 0
         for rel in snapshot:
@@ -985,7 +1000,11 @@ class TransactionalCatalog(Catalog):
         # the committed schema, not a sampled footer — a compaction
         # must never narrow an evolved table
         df = self._read_dirs(paths, self._stored_schema(table))
-        if cluster_by:
+        if zorder_by:
+            from gcp_datalake_pipeline_spark.zorder import apply_zorder
+
+            df = apply_zorder(df, zorder_by, n_files, bits=zorder_bits)
+        elif cluster_by:
             df = df.repartitionByRange(
                 n_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
