@@ -600,6 +600,45 @@ _ADC_SUM = (
 )
 
 
+def _rerank_exact(
+    catalog,
+    shortlist: DataFrame,
+    qv_df: DataFrame,
+    probe_cids: list[int],
+    k: int,
+    index_table: str,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """FAISS-style refine step shared by both ADC serving paths: fetch
+    the TRUE vectors for the (bounded, nq x rerank) ADC shortlist only —
+    a cid-pruned cells scan inner-joined to the broadcast shortlist, so
+    the refine I/O is candidate-proportional, never cell-proportional —
+    and re-rank by exact rounded cosine. ``shortlist``: (query_id,
+    neighbor_id); ``qv_df``: (query_id, qv). ``hint_broadcast`` is for
+    the bounded driver-list path; the bulk DataFrame path leaves the
+    join strategy to AQE (millions of queries must not broadcast)."""
+    vec = (
+        catalog.read(f"{index_table}_cells")
+        .select(F.col("vid").alias("neighbor_id"), "cid", "v")
+        .filter(F.col("cid").isin(probe_cids))
+        .drop("cid")
+    )
+    if hint_broadcast:
+        shortlist = F.broadcast(shortlist)
+        qv_df = F.broadcast(qv_df)
+    sim = _cosine_pandas_udf()(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        vec.join(shortlist, "neighbor_id")
+        .join(qv_df, "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_index_pq_topk(
     catalog,
     query_ids: list[int] | None = None,
@@ -607,6 +646,7 @@ def ivf_index_pq_topk(
     nprobe: int = 4,
     index_table: str = "ann_ivf",
     query_vectors: list[tuple[int, list[float]]] | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ADC top-k over a PQ-coded persisted index: rank centroids for all
     queries in one bounded driver matmul (the :func:`ivf_index_topk`
@@ -620,9 +660,18 @@ def ivf_index_pq_topk(
     :func:`~gcp_datalake_pipeline_spark.operators.similarity.pq_topk`;
     no Python touches the candidates.
 
-    Output: (query_id, neighbor_id, adc_dist, rank), rank ascending by
-    (adc_dist, neighbor_id); with self-queries (``query_ids``) the
-    query's own row is excluded, tombstoned ids never appear."""
+    ``rerank`` (FAISS refine): keep the top-``rerank`` ADC candidates
+    per query, fetch THEIR true vectors only (cid-pruned scan joined to
+    the broadcast shortlist — I/O stays candidate-proportional), and
+    re-rank by exact rounded cosine. Recovers exact-scoring accuracy
+    within the probed cells while still reading full vectors for only
+    nq x rerank rows; output becomes (query_id, neighbor_id,
+    cosine_sim, rank) with the ivf_index_topk ordering contract.
+
+    Output (no rerank): (query_id, neighbor_id, adc_dist, rank), rank
+    ascending by (adc_dist, neighbor_id); with self-queries
+    (``query_ids``) the query's own row is excluded, tombstoned ids
+    never appear."""
     import numpy as np
 
     spark = catalog.spark
@@ -681,14 +730,28 @@ def ivf_index_pq_topk(
     w_rank = Window.partitionBy("query_id").orderBy(
         "adc_dist", "neighbor_id"
     )
-    return (
+    scored = (
         out.select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             (F.expr(_ADC_SUM) / F.lit(1000000.0)).alias("adc_dist"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (rerank if rerank is not None else k))
+    )
+    if rerank is None:
+        return scored
+    qv_df = spark.createDataFrame(
+        [(int(r["vid"]), [float(x) for x in r["v"]]) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    return _rerank_exact(
+        catalog,
+        scored.select("query_id", "neighbor_id"),
+        qv_df,
+        probe_cids,
+        k,
+        index_table,
     )
 
 
@@ -702,6 +765,7 @@ def ivf_index_pq_topk_df(
     vec_col: str = "qv",
     exclude_self: bool = False,
     prune_cells: bool = True,
+    rerank: int | None = None,
 ) -> DataFrame:
     """DataFrame-input twin of :func:`ivf_index_pq_topk` — bulk ADC
     serving. Queries stay a DataFrame end-to-end: probe ranking AND the
@@ -712,7 +776,13 @@ def ivf_index_pq_topk_df(
     with ``prune_cells`` the scan is partition-pruned to the distinct
     probed cids (bounded by nlist, never query count). Probe selection,
     rounding, and rank tiebreaks are value-identical to the list path,
-    so both share one oracle."""
+    so both share one oracle.
+
+    ``rerank``: the FAISS refine step of :func:`ivf_index_pq_topk`, in
+    bulk form — the ADC top-``rerank`` shortlist joins back to a
+    cid-pruned cells scan for true vectors and re-ranks by exact
+    rounded cosine; join strategy is left to AQE (the shortlist scales
+    with query count here, so no broadcast hint)."""
     import numpy as np
     import pandas as pd
 
@@ -771,6 +841,7 @@ def ivf_index_pq_topk_df(
     tomb = _tombstones(catalog, index_table)
     if tomb is not None:
         cand = cand.join(tomb, "vid", "left_anti")
+    probed = None
     if prune_cells:
         probed = sorted(
             r["cid"] for r in probes.select("cid").distinct().collect()
@@ -782,14 +853,32 @@ def ivf_index_pq_topk_df(
     w_rank = Window.partitionBy("query_id").orderBy(
         "adc_dist", "neighbor_id"
     )
-    return (
+    scored = (
         out.select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             (F.expr(_ADC_SUM) / F.lit(1000000.0)).alias("adc_dist"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (rerank if rerank is not None else k))
+    )
+    if rerank is None:
+        return scored
+    if probed is None:
+        cents_all = sorted(
+            _cents_dict(
+                catalog.read(f"{index_table}_centroids").collect()
+            )
+        )
+        probed = cents_all
+    return _rerank_exact(
+        catalog,
+        scored.select("query_id", "neighbor_id"),
+        q,
+        probed,
+        k,
+        index_table,
+        hint_broadcast=False,
     )
 
 

@@ -1110,6 +1110,7 @@ def ivf_kmeans_pq_topk_oracle_sql(
     ksub: int = 16,
     dim: int = 64,
     exclude_ids: list[int] | None = None,
+    rerank: int | None = None,
 ) -> str:
     """DuckDB oracle for the PERSISTED IVF-PQ index
     (:func:`~gcp_datalake_pipeline_spark.operators.ann_index.build_ivf_index`
@@ -1119,7 +1120,9 @@ def ivf_kmeans_pq_topk_oracle_sql(
     (first-ksub codebooks, rounded squared-L2 argmin codes,
     integer-micro-unit ADC tables). ``exclude_ids`` models serving-side
     tombstones (candidates only — a delete never re-trains, re-codes,
-    or re-probes)."""
+    or re-probes). ``rerank`` appends the FAISS refine tail: the ADC
+    top-``rerank`` shortlist re-ranked by exact rounded cosine —
+    exactly ``ivf_index_pq_topk(rerank=...)``."""
     ids = ", ".join(str(i) for i in query_ids)
     excl = (
         f" AND a.vec_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
@@ -1181,13 +1184,42 @@ def ivf_kmeans_pq_topk_oracle_sql(
       JOIN qtab q ON q.query_id = p.query_id
                  AND q.m = c.m AND q.j = c.code
       GROUP BY p.query_id, a.vec_id
-    )
+    ){_pq_rerank_tail(k, rerank)}
+    """
+
+
+def _pq_rerank_tail(k: int, rerank: int | None) -> str:
+    """The final SELECT of the IVF-PQ oracle: plain ADC ranking, or —
+    with ``rerank`` — the exact-cosine refine over the ADC shortlist."""
+    if rerank is None:
+        return f"""
     SELECT query_id, neighbor_id, adc_dist, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist, neighbor_id) AS rank
       FROM scored
-    ) WHERE rank <= {k}
-    """
+    ) WHERE rank <= {k}"""
+    return f""",
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id)
+                    AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= {rerank}
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_csim_sql("q.v", "c.v")} AS cosine_sim
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+                  AS rank
+      FROM refined
+    ) WHERE rank <= {k}"""
 
 
 def lsh_topk_oracle_sql(

@@ -1027,3 +1027,24 @@ def ann_ivf_index_pq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         exclude_self=True,
     )
+
+
+@register(
+    "ann_ivf_index_pq_rerank",
+    similarity.ivf_kmeans_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5, rerank=20),
+    doc="""The FAISS refine step over the persisted IVF-PQ index: ADC
+    shortlists the top-20 candidates per query from codes alone, then
+    ONLY those 20 vectors are fetched (cid-pruned scan joined to the
+    broadcast shortlist — refine I/O stays candidate-proportional) and
+    re-ranked by exact rounded cosine for the final top-5. At 100 TB
+    this buys exact-scoring accuracy within the probed cells while
+    reading full vectors for a few dozen rows per query instead of
+    whole cells. Oracled: the composed Lloyd x PQ SQL with the
+    ADC-top-20 -> exact-cosine tail.""",
+)
+def ann_ivf_index_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    return ann_index.ivf_index_pq_topk(
+        _ann_pq_index_catalog(spark, sf_dir), ANN_QUERY_IDS, k=5, rerank=20
+    )

@@ -571,3 +571,45 @@ def test_pq_index_requires_codebook(spark, tmp_path):
         ann_index.ivf_index_pq_topk_df(
             cat, emb.limit(1), id_col="vec_id", vec_col="embedding"
         )
+
+
+def test_pq_rerank_recovers_exact_ranking(spark, tmp_path):
+    """Full probe + a shortlist covering the corpus makes the refine
+    step EXACT: rerank output == ivf_topk full-probe (exact cosine)
+    over the index's own centroids — on the list path AND the bulk
+    DataFrame path. Tombstones compose: a removed id stays absent
+    from the refined ranking."""
+    emb = spark.read.parquet(EMB)
+    n = emb.count()
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents = ann_index.build_ivf_index(cat, emb, pq_m=8)
+    want = _rows(
+        similarity.ivf_topk(emb, QIDS, k=5, nprobe=16, centroids=cents)
+    )
+    got = _rows(
+        ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=16, rerank=n)
+    )
+    assert got == want and got
+    q = emb.filter(F.col("vec_id").isin(QIDS))
+    got_df = _rows(
+        ann_index.ivf_index_pq_topk_df(
+            cat, q, k=5, nprobe=16, rerank=n, id_col="vec_id",
+            vec_col="embedding", exclude_self=True,
+        )
+    )
+    assert got_df == want
+
+    # the refine scan stays partition-pruned: both FileScans (codes +
+    # vectors) carry cid PartitionFilters at default nprobe
+    out = ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=4, rerank=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "PartitionFilters: [cid" in l
+    ]
+    assert len(pruned) >= 2, plan
+
+    victim = int(next(iter(_rows(out)))[1])
+    ann_index.remove_ids(cat, [victim])
+    refined = ann_index.ivf_index_pq_topk(cat, QIDS, k=5, rerank=20)
+    assert victim not in {r["neighbor_id"] for r in refined.collect()}
