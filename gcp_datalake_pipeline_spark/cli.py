@@ -359,6 +359,24 @@ def cmd_compact(args) -> None:
     print(json.dumps({"table": args.table, "compacted": done}))
 
 
+def cmd_check(args) -> None:
+    """CHECK-constraint lifecycle: write-time data quality gates stored
+    in the manifest and enforced on every staged write."""
+    cat = _txn_catalog(args)
+    if args.action == "add":
+        if not (args.name and args.expr):
+            sys.exit("error: check add requires NAME and EXPR")
+        cat.add_check(args.table, args.name, args.expr)
+        print(json.dumps({"table": args.table, "added": args.name}))
+    elif args.action == "drop":
+        if not args.name:
+            sys.exit("error: check drop requires NAME")
+        cat.drop_check(args.table, args.name)
+        print(json.dumps({"table": args.table, "dropped": args.name}))
+    else:  # list
+        print(json.dumps({args.table: cat.checks(args.table)}))
+
+
 def cmd_vacuum(args) -> None:
     removed = _txn_catalog(args).vacuum(
         retain_versions=args.retain, min_age_seconds=args.min_age
@@ -612,6 +630,19 @@ def main(argv: list[str] | None = None) -> None:
         "files on any of them (mutually exclusive with --cluster-by)",
     )
     pco.set_defaults(fn=cmd_compact)
+
+    pck = sub.add_parser(
+        "check",
+        help="CHECK constraints: manifest-stored write-time data "
+        "quality gates (add validates existing rows; every later "
+        "write must satisfy or it rolls back)",
+    )
+    pck.add_argument("action", choices=["add", "list", "drop"])
+    pck.add_argument("--catalog", required=True)
+    pck.add_argument("table")
+    pck.add_argument("name", nargs="?", default=None)
+    pck.add_argument("expr", nargs="?", default=None)
+    pck.set_defaults(fn=cmd_check)
 
     pau = sub.add_parser(
         "audit",

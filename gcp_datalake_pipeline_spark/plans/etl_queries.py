@@ -678,3 +678,61 @@ def etl_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_check_constraints",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 6000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="""Write-time CHECK constraints through the real storage engine:
+    a price-nonnegativity check is PRE-REGISTERED on an empty table
+    (the pipeline-definition shape), a clean orders batch lands, and a
+    corrupted batch (negated prices) is appended — the engine must
+    reject it with CheckViolation and roll the staged files back. The
+    query RAISES if the bad batch is accepted, and the oracle (the
+    clean batch's plain aggregate) catches the quieter failure mode
+    too: any leaked bad row doubles a group's count and flips the
+    value hash. At 100 TB this is the Delta CHECK-constraint gate —
+    bad loads die before the pointer swap, never after.""",
+)
+def etl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import (
+        CheckViolation,
+        TransactionalCatalog,
+    )
+
+    root = _scratch_root(f"etl_check_constraints_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_chk"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        cat.add_check("orders_chk", "price_nonneg", "o_totalprice >= 0")
+        cat.append(orders, "orders_chk")
+        bad = orders.withColumn("o_totalprice", -F.col("o_totalprice"))
+        try:
+            cat.append(bad, "orders_chk")
+        except CheckViolation:
+            pass
+        else:
+            raise RuntimeError("CHECK constraint accepted a violating batch")
+    return (
+        cat.read("orders_chk")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

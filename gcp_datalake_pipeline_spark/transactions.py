@@ -84,6 +84,15 @@ def _merge_schema_json(old: dict | None, new: dict | None) -> dict | None:
     return {**old, "fields": fields}
 
 
+class CheckViolation(RuntimeError):
+    """Raised when a staged write contains rows that fail one of the
+    table's CHECK constraints (:meth:`TransactionalCatalog.add_check`),
+    or when ``add_check`` finds existing rows violating the new
+    constraint. The write never publishes: the exception aborts the
+    surrounding (auto-)transaction, the staged files roll back, and the
+    manifest pointer is untouched."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Raised at commit when another writer replaced a table this
     transaction overwrote/merged from a now-stale snapshot. Appends never
@@ -496,6 +505,7 @@ class TransactionalCatalog(Catalog):
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
+        self._enforce_checks(table, os.path.join(self.root, rel))
         self._write_stage_stats(rel)
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=df.schema)
@@ -520,6 +530,7 @@ class TransactionalCatalog(Catalog):
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
+        self._enforce_checks(table, os.path.join(self.root, rel))
         self._write_stage_stats(rel)
         self._pending[table] = prev + [rel]
         self._note_append(table, rel, schema=df.schema)
@@ -543,6 +554,9 @@ class TransactionalCatalog(Catalog):
         rel = self._stage_dir(table)
         stage = os.path.join(self.root, rel)
         merged.write.mode("overwrite").partitionBy("_kb").parquet(stage)
+        # checks run BEFORE hardlinking untouched partitions in: merge
+        # enforcement reads only the touched partitions' rows
+        self._enforce_checks(table, stage)
         reuse = None
         if prev:
             written = {d for d in os.listdir(stage) if d.startswith("_kb=")}
@@ -680,6 +694,113 @@ class TransactionalCatalog(Catalog):
             with open(vpath, "w") as f:
                 json.dump(manifest, f)
             self._swap_manifest(manifest)
+
+    # -- CHECK constraints ----------------------------------------------------
+    #
+    # Delta-style write-time data quality gates: named SQL boolean
+    # expressions stored in the manifest (``manifest["checks"][table]``)
+    # and enforced against every staged write BEFORE it can publish —
+    # append, overwrite, and the touched partitions of a bucketed merge
+    # (hardlink-carried partitions were validated when they first landed,
+    # so merge enforcement stays candidate-proportional at 100 TB).
+    # SQL-standard semantics: a row violates only when the expression is
+    # FALSE; NULL passes. Like Delta, adding a constraint validates the
+    # EXISTING rows first. (A writer that staged before a concurrent
+    # add_check committed enforces the checks it saw — the same
+    # read-snapshot semantics every other manifest read has.)
+
+    @staticmethod
+    def _violates(expr: str):
+        from pyspark.sql import functions as F
+
+        return (
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            == F.lit(False)
+        )
+
+    def checks(self, table: str) -> dict[str, str]:
+        """The table's CHECK constraints as {name: sql_expr}."""
+        return dict(
+            self._read_manifest(strict=False).get("checks", {}).get(table, {})
+        )
+
+    def add_check(self, table: str, name: str, expr: str) -> None:
+        """Register CHECK ``expr`` (a SQL boolean over the table's
+        columns) under ``name``; every later write to ``table`` must
+        satisfy it or the write fails with :class:`CheckViolation`.
+        Existing rows are validated first (the Delta contract). The
+        table may not exist yet — pre-registering checks before the
+        first load is the pipeline-definition shape; the expression is
+        then only parsed, and enforcement starts with the first write."""
+        if self._pending is not None:
+            raise RuntimeError("add_check inside an open transaction")
+        from pyspark.sql import functions as F
+
+        F.expr(expr)  # fail fast on unparseable SQL
+        if self.exists(table):
+            bad = self.read(table).filter(self._violates(expr)).count()
+            if bad:
+                raise CheckViolation(
+                    f"cannot add CHECK {name!r} to {table!r}: {bad} existing "
+                    f"row(s) violate ({expr})"
+                )
+
+        def mutate(m):
+            m.setdefault("checks", {}).setdefault(table, {})[name] = expr
+
+        self._publish_meta(mutate, f"add-check-{table}-{name}")
+
+    def drop_check(self, table: str, name: str) -> None:
+        """Remove a CHECK constraint; raises KeyError if absent."""
+        if self._pending is not None:
+            raise RuntimeError("drop_check inside an open transaction")
+        if name not in self.checks(table):
+            raise KeyError(f"no CHECK {name!r} on {table!r}")
+
+        def mutate(m):
+            m["checks"][table].pop(name)
+            if not m["checks"][table]:
+                m["checks"].pop(table)
+
+        self._publish_meta(mutate, f"drop-check-{table}-{name}")
+
+    def _publish_meta(self, mutate, load_id: str) -> None:
+        """Commit a manifest-only mutation (no table dirs move) through
+        the same flock -> version file -> pointer-swap protocol as
+        :meth:`_publish`, so metadata changes are versioned, time-
+        travelable, and serialized against data commits."""
+        os.makedirs(self.root, exist_ok=True)
+        lock_path = os.path.join(self.root, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            manifest = self._read_manifest()
+            mutate(manifest)
+            manifest["version"] += 1
+            manifest["load_id"] = load_id
+            manifest["committed_at"] = time.time()
+            self._write_load_marker(load_id, manifest["version"])
+            vdir = os.path.join(self.root, _VERSIONS)
+            os.makedirs(vdir, exist_ok=True)
+            vpath = os.path.join(vdir, f"{manifest['version']}.json")
+            with open(vpath, "w") as f:
+                json.dump(manifest, f)
+            self._swap_manifest(manifest)
+
+    def _enforce_checks(self, table: str, stage_path: str) -> None:
+        """Validate a freshly staged dir against the table's committed
+        CHECK constraints — reads back only the staged files (never the
+        table), so enforcement cost is proportional to the write."""
+        chk = self._read_manifest(strict=False).get("checks", {}).get(table)
+        if not chk:
+            return
+        df = self.spark.read.parquet(stage_path)
+        for name, expr in chk.items():
+            bad = df.filter(self._violates(expr)).count()
+            if bad:
+                raise CheckViolation(
+                    f"write to {table!r} violates CHECK {name!r} ({expr}):"
+                    f" {bad} staged row(s)"
+                )
 
     def rollback(self) -> None:
         if self._pending is None:
