@@ -359,6 +359,36 @@ def cmd_compact(args) -> None:
     print(json.dumps({"table": args.table, "compacted": done}))
 
 
+def _parse_pred(spec: str):
+    """``col,op[,value]`` with the value typed by trial: int -> float ->
+    ISO datetime -> bare string."""
+    parts = spec.split(",", 2)
+    if len(parts) == 2:
+        return (parts[0], parts[1])
+    col, op, raw = parts
+    for conv in (int, float):
+        try:
+            return (col, op, conv(raw))
+        except ValueError:
+            pass
+    import datetime
+
+    try:
+        return (col, op, datetime.datetime.fromisoformat(raw))
+    except ValueError:
+        return (col, op, raw)
+
+
+def cmd_delete(args) -> None:
+    """Row-level DELETE: stats prune the candidate files, only those are
+    rewritten, everything else carries by hardlink into the new
+    snapshot (old versions stay time-travelable)."""
+    cat = _txn_catalog(args)
+    preds = [_parse_pred(p) for p in args.pred]
+    n = cat.delete_where(args.table, preds)
+    print(json.dumps({"table": args.table, "deleted": n}))
+
+
 def cmd_check(args) -> None:
     """CHECK-constraint lifecycle: write-time data quality gates stored
     in the manifest and enforced on every staged write."""
@@ -630,6 +660,22 @@ def main(argv: list[str] | None = None) -> None:
         "files on any of them (mutually exclusive with --cluster-by)",
     )
     pco.set_defaults(fn=cmd_compact)
+
+    pdl = sub.add_parser(
+        "delete",
+        help="DELETE rows matching all --pred conditions: file stats "
+        "pick the candidate files, only those rewrite, the rest "
+        "hardlink into the new snapshot",
+    )
+    pdl.add_argument("--catalog", required=True)
+    pdl.add_argument("table")
+    pdl.add_argument(
+        "--pred", action="append", required=True,
+        help="col,op[,value] — ops: = < <= > >= in is_null not_null; "
+        "value typed by trial (int, float, ISO datetime, string); "
+        "repeat for AND",
+    )
+    pdl.set_defaults(fn=cmd_delete)
 
     pck = sub.add_parser(
         "check",

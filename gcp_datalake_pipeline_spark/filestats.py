@@ -287,6 +287,8 @@ def read_dir_stats(dir_path: str) -> dict | None:
 def _file_survives(entry: dict, col: str, op: str, value) -> bool:
     """True unless this file's stats PROVE no row can satisfy
     ``col op value``."""
+    if entry.get("rows") == 0:
+        return False  # a zero-row file can satisfy no predicate
     cs = entry.get("columns", {}).get(col)
     if cs is None:
         return True  # column untracked in this file

@@ -736,3 +736,90 @@ def etl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "etl_delete_where",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 6000
+      AND NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""Row-level DELETE through the real storage engine: a bounded
+    orders subset lands one staged dir per order-year, then
+    delete_where removes 1996 — file stats pick the 1996 files as the
+    only candidates, ONLY those rewrite, and every other year's files
+    carry into the new snapshot BY HARDLINK. The query RAISES unless
+    at least one surviving file is a hardlink of its pre-delete inode
+    (the zero-copy contract), then aggregates the surviving rows; the
+    oracle is the plain anti-filter — at 100 TB this is the GDPR
+    delete: rewrite three files, never the lake.""",
+)
+def etl_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_delete_where_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_dlake"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        years = sorted(
+            r["y"]
+            for r in orders.select(
+                F.year("o_orderdate").alias("y")
+            ).distinct().collect()
+        )
+        for y in years:
+            with cat.transaction(f"orders-{y}"):
+                cat.append(
+                    orders.where(F.year("o_orderdate") == y).coalesce(1),
+                    "orders_dlake",
+                )
+        pre_inodes = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_dlake")
+            for f in cat._dir_parquet_files(d)
+        }
+        deleted = cat.delete_where(
+            "orders_dlake",
+            [
+                ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+                ("o_orderdate", "<", datetime.datetime(1997, 1, 1)),
+            ],
+        )
+        if deleted <= 0:
+            raise RuntimeError("delete_where removed no rows")
+        carried = sum(
+            1
+            for d in cat._data_dirs("orders_dlake")
+            for f in cat._dir_parquet_files(d)
+            if os.stat(os.path.join(d, f)).st_ino in pre_inodes
+        )
+        if carried == 0:
+            raise RuntimeError(
+                "delete rewrote every file — hardlink carry did not engage"
+            )
+    return (
+        cat.read("orders_dlake")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

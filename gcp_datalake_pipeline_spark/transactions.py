@@ -695,6 +695,114 @@ class TransactionalCatalog(Catalog):
                 json.dump(manifest, f)
             self._swap_manifest(manifest)
 
+    # -- row-level DELETE -----------------------------------------------------
+
+    def delete_where(self, table: str, predicates) -> int:
+        """DELETE rows matching the conjunctive ``predicates`` (the
+        :meth:`read` tuple format) — the Delta DELETE shape: file stats
+        pick the CANDIDATE files whose ranges can match, only those are
+        read and rewritten without the matching rows, and every other
+        file is carried into the new snapshot by hardlink (zero read,
+        zero copy — pinned by inode equality in pytest). At 100 TB a
+        GDPR delete touching three files rewrites three files; it never
+        rewrites, or even opens, the rest of the table.
+
+        Semantics: a row is deleted when the predicate conjunction is
+        TRUE; NULL keeps the row (SQL DELETE WHERE). Publishes one
+        replace-mode commit conflict-anchored to the pre-delete
+        snapshot (a concurrent writer raises
+        :class:`ConcurrentWriteError` rather than being silently
+        dropped); old versions stay readable via :meth:`read_at`.
+        Returns the number of rows deleted; provably-no-match deletes
+        return 0 WITHOUT writing a new version (pure metadata
+        decision). Partition layouts (hive dirs) are preserved, and
+        untouched files keep their stats sidecar entries verbatim."""
+        from pyspark.sql import functions as F
+
+        if self._pending is not None:
+            raise RuntimeError("delete_where inside an open transaction")
+        preds = filestats.validate_predicates(predicates)
+        snapshot = self._committed_rels(table)
+        if snapshot is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        touched: dict[str, list[str]] = {}  # dir -> candidate rel files
+        linked: list[tuple[str, str, dict | None]] = []
+        for rel_dir in snapshot:
+            d = os.path.join(self.root, rel_dir)
+            stats = filestats.read_dir_stats(d)
+            files = self._dir_parquet_files(d)
+            cand = set(filestats.prune_files(stats, files, preds))
+            entries = (stats or {}).get("files", {})
+            for f in files:
+                if f in cand:
+                    touched.setdefault(d, []).append(f)
+                else:
+                    linked.append((d, f, entries.get(f)))
+        if not touched:
+            return 0  # stats prove nothing matches: no rewrite, no version
+        stored = self._stored_schema(table)
+        # hive partition columns, from any candidate file's path (order
+        # of the path segments is the partition order)
+        part_cols = []
+        for d, fs in touched.items():
+            for seg in fs[0].split(os.sep)[:-1]:
+                if "=" in seg:
+                    part_cols.append(seg.partition("=")[0])
+            break
+        parts = []
+        for d, fs in touched.items():
+            r = self.spark.read.option("basePath", d)
+            if stored is not None:
+                r = r.schema(stored)
+            parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+        cand_df = parts[0]
+        for p in parts[1:]:
+            cand_df = cand_df.unionByName(p, allowMissingColumns=True)
+        cond = F.lit(True)
+        for col, op, value in preds:
+            c = F.col(col)
+            cond = cond & {
+                "=": lambda: c == F.lit(value),
+                "==": lambda: c == F.lit(value),
+                "<": lambda: c < F.lit(value),
+                "<=": lambda: c <= F.lit(value),
+                ">": lambda: c > F.lit(value),
+                ">=": lambda: c >= F.lit(value),
+                "in": lambda: c.isin(*list(value)),
+                "is_null": lambda: c.isNull(),
+                "not_null": lambda: c.isNotNull(),
+            }[op]()
+        keep = ~F.coalesce(cond, F.lit(False))  # NULL predicate keeps
+        n_before = cand_df.count()
+        remaining = cand_df.filter(keep)
+        with self.transaction(f"delete-{table}"):
+            rel = self._stage_dir(table)
+            stage = os.path.join(self.root, rel)
+            w = remaining.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(stage)
+            # count on the same plan that was written (deterministic);
+            # never read the stage back — a delete that empties every
+            # candidate file writes no part files at all
+            n_after = remaining.count()
+            # carry untouched files by hardlink, preserving layout
+            reuse = {}
+            for d, f, entry in linked:
+                dst = os.path.join(stage, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(d, f), dst)
+                if entry is not None:
+                    reuse[f] = entry
+            self._write_stage_stats(rel, reuse=reuse or None)
+            self._pending[table] = [rel]
+            self._note_replace(table, rel, schema=stored)
+            # anchor conflict detection to the pre-delete snapshot (the
+            # compact() precedent): a write landing between the snapshot
+            # read and this commit must conflict, never vanish
+            self._intents[table]["base"] = snapshot
+        return n_before - n_after
+
     # -- CHECK constraints ----------------------------------------------------
     #
     # Delta-style write-time data quality gates: named SQL boolean

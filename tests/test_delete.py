@@ -1,0 +1,140 @@
+"""Row-level DELETE: stats-pruned candidate rewrite, hardlink carry of
+untouched files, SQL NULL semantics, partition-layout preservation,
+no-op metadata decisions, time travel, and conflict detection."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.transactions import (
+    ConcurrentWriteError,
+    TransactionalCatalog,
+)
+
+
+def _striped(spark, root, stripes=5, rows=1000):
+    """One append per value-stripe of k — every file min/max-tight on k."""
+    cat = TransactionalCatalog(spark=spark, root=root)
+    df = spark.range(rows).select(
+        F.col("id"), (F.col("id") % stripes).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    for s in range(stripes):
+        cat.append(df.where(F.col("k") == s).coalesce(1), "t")
+    return cat, df
+
+
+def _inodes(cat, table):
+    return {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs(table)
+        for f in cat._dir_parquet_files(d)
+    }
+
+
+def test_delete_rewrites_only_candidate_files(spark, tmp_path):
+    """Deleting one stripe rewrites that stripe's file only: every other
+    file survives by HARDLINK (same inode), values equal a plain
+    anti-filter, and the pre-delete snapshot time-travels intact."""
+    cat, df = _striped(spark, str(tmp_path / "lake"))
+    pre = _inodes(cat, "t")
+    v_before = cat.versions()[-1]["version"]
+    n_all = cat.read("t").count()
+
+    deleted = cat.delete_where("t", [("k", "=", 2)])
+    assert deleted == df.where(F.col("k") == 2).count()
+    got = sorted(tuple(r) for r in cat.read("t").collect())
+    want = sorted(tuple(r) for r in df.where(F.col("k") != 2).collect())
+    assert got == want
+    # 4 of 5 data files carried by hardlink, none re-written
+    carried = _inodes(cat, "t") & pre
+    assert len(carried) == 4
+    # the old snapshot still holds every row
+    assert cat.read_at("t", v_before).count() == n_all
+
+
+def test_delete_no_match_is_metadata_only(spark, tmp_path):
+    """A delete the stats PROVE matches nothing returns 0 without
+    publishing a new version — a pure metadata decision."""
+    cat, _df = _striped(spark, str(tmp_path / "lake"))
+    v = cat.versions()[-1]["version"]
+    assert cat.delete_where("t", [("v", "<", -1)]) == 0
+    assert cat.versions()[-1]["version"] == v
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE WHERE: a NULL predicate result KEEPS the row; only
+    TRUE deletes. is_null deletes the nulls themselves."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 10.0), (2, CAST(NULL AS DOUBLE)),"
+        " (3, -1.0) AS t(id, v)"
+    )
+    cat.append(df, "t")
+    assert cat.delete_where("t", [("v", "<", 0.0)]) == 1
+    assert {r["id"] for r in cat.read("t").collect()} == {1, 2}
+    assert cat.delete_where("t", [("v", "is_null")]) == 1
+    assert {r["id"] for r in cat.read("t").collect()} == {1}
+
+
+def test_delete_preserves_partition_layout(spark, tmp_path):
+    """Deleting from a hive-partitioned table keeps the partition dirs:
+    the rewritten rows land under their partitions and partition-pruned
+    predicates still engage afterwards."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    )
+    cat.overwrite(df, "t", partition_cols=["p"])
+    deleted = cat.delete_where("t", [("p", "=", 1), ("v", "<", 100)])
+    assert deleted == df.where((F.col("p") == 1) & (F.col("v") < 100)).count()
+    got = cat.read("t")
+    assert "p" in got.columns
+    assert got.count() == 400 - deleted
+    kept, total = cat.pruned_files("t", [("p", "=", 3)])
+    assert kept and len(kept) < total
+
+
+def test_delete_conflicts_with_racing_append(spark, tmp_path):
+    """An append landing between the delete's snapshot and its commit
+    raises ConcurrentWriteError — the late rows are never silently
+    replaced away."""
+    root = str(tmp_path / "lake")
+    cat, _df = _striped(spark, root, stripes=3, rows=90)
+    b = TransactionalCatalog(spark=spark, root=root)
+    orig = TransactionalCatalog.transaction
+    raced = {"done": False}
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def racing(self, load_id=None):
+        if self is cat and not raced["done"]:
+            raced["done"] = True
+            b.append(
+                spark.createDataFrame([(9999, 0, 9999)], "id long, k long, v long"),
+                "t",
+            )
+        with orig(self, load_id):
+            yield self
+
+    TransactionalCatalog.transaction = racing
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            cat.delete_where("t", [("k", "=", 1)])
+    finally:
+        TransactionalCatalog.transaction = orig
+    reader = TransactionalCatalog(spark=spark, root=root)
+    assert reader.read("t").filter(F.col("id") == 9999).count() == 1
+
+
+def test_delete_refused_inside_transaction(spark, tmp_path):
+    cat, _df = _striped(spark, str(tmp_path / "lake"), stripes=2, rows=20)
+    with cat.transaction("x"):
+        with pytest.raises(RuntimeError, match="inside an open transaction"):
+            cat.delete_where("t", [("k", "=", 0)])
+        cat.append(
+            spark.createDataFrame([(50, 0, 1)], "id long, k long, v long"),
+            "t",
+        )
