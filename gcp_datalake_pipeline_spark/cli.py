@@ -389,6 +389,21 @@ def cmd_delete(args) -> None:
     print(json.dumps({"table": args.table, "deleted": n}))
 
 
+def cmd_update(args) -> None:
+    """Row-level UPDATE: the delete machinery with a SET transform —
+    candidate files rewrite, the rest hardlink."""
+    cat = _txn_catalog(args)
+    preds = [_parse_pred(p) for p in args.pred]
+    sets = {}
+    for s in args.set:
+        col, _, expr = s.partition("=")
+        if not col or not expr:
+            sys.exit(f"error: --set must be col=expr, got {s!r}")
+        sets[col.strip()] = expr.strip()
+    n = cat.update_where(args.table, preds, sets)
+    print(json.dumps({"table": args.table, "updated": n}))
+
+
 def cmd_check(args) -> None:
     """CHECK-constraint lifecycle: write-time data quality gates stored
     in the manifest and enforced on every staged write."""
@@ -676,6 +691,23 @@ def main(argv: list[str] | None = None) -> None:
         "repeat for AND",
     )
     pdl.set_defaults(fn=cmd_delete)
+
+    pup = sub.add_parser(
+        "update",
+        help="UPDATE rows matching all --pred conditions: SET "
+        "col=expr on the matched rows; only candidate files rewrite",
+    )
+    pup.add_argument("--catalog", required=True)
+    pup.add_argument("table")
+    pup.add_argument(
+        "--pred", action="append", required=True,
+        help="col,op[,value] — repeat for AND (same format as delete)",
+    )
+    pup.add_argument(
+        "--set", action="append", required=True,
+        help="col=sql_expr — repeat for multiple columns",
+    )
+    pup.set_defaults(fn=cmd_update)
 
     pck = sub.add_parser(
         "check",

@@ -823,3 +823,90 @@ def etl_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_update_where",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                           AND o_orderdate < TIMESTAMP '1997-01-01'
+                          THEN o_totalprice + 1000
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 6000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""Row-level UPDATE through the real storage engine: the same
+    year-striped lake as etl_delete_where, but update_where adds 1000
+    to every 1996 order's price — only the 1996 files rewrite (the
+    query RAISES unless other years' files survive as hardlinks of
+    their pre-update inodes), every row survives, and the oracle is
+    the plain CASE WHEN aggregate. A leaked unmodified 1996 row or a
+    modified non-1996 row flips the value hash.""",
+)
+def etl_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_update_where_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_ulake"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        years = sorted(
+            r["y"]
+            for r in orders.select(
+                F.year("o_orderdate").alias("y")
+            ).distinct().collect()
+        )
+        for y in years:
+            with cat.transaction(f"orders-{y}"):
+                cat.append(
+                    orders.where(F.year("o_orderdate") == y).coalesce(1),
+                    "orders_ulake",
+                )
+        pre_inodes = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_ulake")
+            for f in cat._dir_parquet_files(d)
+        }
+        updated = cat.update_where(
+            "orders_ulake",
+            [
+                ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+                ("o_orderdate", "<", datetime.datetime(1997, 1, 1)),
+            ],
+            {"o_totalprice": "o_totalprice + 1000"},
+        )
+        if updated <= 0:
+            raise RuntimeError("update_where touched no rows")
+        carried = sum(
+            1
+            for d in cat._data_dirs("orders_ulake")
+            for f in cat._dir_parquet_files(d)
+            if os.stat(os.path.join(d, f)).st_ino in pre_inodes
+        )
+        if carried == 0:
+            raise RuntimeError(
+                "update rewrote every file — hardlink carry did not engage"
+            )
+    return (
+        cat.read("orders_ulake")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

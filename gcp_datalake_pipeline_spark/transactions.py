@@ -695,32 +695,73 @@ class TransactionalCatalog(Catalog):
                 json.dump(manifest, f)
             self._swap_manifest(manifest)
 
-    # -- row-level DELETE -----------------------------------------------------
+    # -- row-level DELETE / UPDATE --------------------------------------------
+    #
+    # The Delta DML shape, shared by delete_where and update_where: file
+    # stats pick the CANDIDATE files whose value ranges can match, only
+    # those are read and transformed, and every other file is carried
+    # into the new snapshot by HARDLINK (zero read, zero copy — pinned
+    # by inode equality in pytest and the gate queries). At 100 TB a
+    # GDPR delete or a three-file correction rewrites three files; it
+    # never rewrites, or even opens, the rest of the table. The commit
+    # is replace-mode, conflict-anchored to the pre-DML snapshot (a
+    # concurrent writer raises ConcurrentWriteError rather than being
+    # silently dropped); old versions stay readable via read_at;
+    # partition layouts and untouched stats entries survive.
 
     def delete_where(self, table: str, predicates) -> int:
         """DELETE rows matching the conjunctive ``predicates`` (the
-        :meth:`read` tuple format) — the Delta DELETE shape: file stats
-        pick the CANDIDATE files whose ranges can match, only those are
-        read and rewritten without the matching rows, and every other
-        file is carried into the new snapshot by hardlink (zero read,
-        zero copy — pinned by inode equality in pytest). At 100 TB a
-        GDPR delete touching three files rewrites three files; it never
-        rewrites, or even opens, the rest of the table.
+        :meth:`read` tuple format). A row is deleted when the
+        conjunction is TRUE; NULL keeps the row (SQL DELETE WHERE).
+        Returns the number of rows deleted; a no-match delete returns
+        0 WITHOUT publishing a new version."""
+        return self._rewrite_where(
+            table,
+            predicates,
+            "delete",
+            lambda df, match: df.filter(~match),
+        )
 
-        Semantics: a row is deleted when the predicate conjunction is
-        TRUE; NULL keeps the row (SQL DELETE WHERE). Publishes one
-        replace-mode commit conflict-anchored to the pre-delete
-        snapshot (a concurrent writer raises
-        :class:`ConcurrentWriteError` rather than being silently
-        dropped); old versions stay readable via :meth:`read_at`.
-        Returns the number of rows deleted; provably-no-match deletes
-        return 0 WITHOUT writing a new version (pure metadata
-        decision). Partition layouts (hive dirs) are preserved, and
-        untouched files keep their stats sidecar entries verbatim."""
+    def update_where(self, table: str, predicates, set_exprs: dict) -> int:
+        """UPDATE ... SET ... WHERE: rows matching the conjunctive
+        ``predicates`` get each ``set_exprs`` column replaced by its SQL
+        expression (evaluated over the row); all other rows — and all
+        non-candidate FILES — pass through untouched. The staged
+        rewrite is validated against the table's CHECK constraints (an
+        update CAN introduce a violation; a delete cannot). Returns the
+        number of rows updated; no-match updates publish nothing."""
+        from pyspark.sql import functions as F
+
+        def transform(df, match):
+            out = df
+            for col, expr in set_exprs.items():
+                if col not in df.columns:
+                    raise ValueError(
+                        f"update_where: unknown column {col!r} in {table!r}"
+                    )
+                out = out.withColumn(
+                    col,
+                    F.when(match, F.expr(expr).cast(df.schema[col].dataType))
+                    .otherwise(F.col(col)),
+                )
+            return out
+
+        return self._rewrite_where(
+            table, predicates, "update", transform, enforce_checks=True
+        )
+
+    def _rewrite_where(
+        self,
+        table: str,
+        predicates,
+        tag: str,
+        transform,
+        enforce_checks: bool = False,
+    ) -> int:
         from pyspark.sql import functions as F
 
         if self._pending is not None:
-            raise RuntimeError("delete_where inside an open transaction")
+            raise RuntimeError(f"{tag}_where inside an open transaction")
         preds = filestats.validate_predicates(predicates)
         snapshot = self._committed_rels(table)
         if snapshot is None:
@@ -772,20 +813,22 @@ class TransactionalCatalog(Catalog):
                 "is_null": lambda: c.isNull(),
                 "not_null": lambda: c.isNotNull(),
             }[op]()
-        keep = ~F.coalesce(cond, F.lit(False))  # NULL predicate keeps
-        n_before = cand_df.count()
-        remaining = cand_df.filter(keep)
-        with self.transaction(f"delete-{table}"):
+        match = F.coalesce(cond, F.lit(False))  # NULL never matches
+        n_matched = cand_df.filter(match).count()
+        if n_matched == 0:
+            # conservative candidates held no true matches: still no
+            # rewrite, no version
+            return 0
+        new_df = transform(cand_df, match)
+        with self.transaction(f"{tag}-{table}"):
             rel = self._stage_dir(table)
             stage = os.path.join(self.root, rel)
-            w = remaining.write.mode("overwrite")
+            w = new_df.write.mode("overwrite")
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(stage)
-            # count on the same plan that was written (deterministic);
-            # never read the stage back — a delete that empties every
-            # candidate file writes no part files at all
-            n_after = remaining.count()
+            if enforce_checks:
+                self._enforce_checks(table, stage)
             # carry untouched files by hardlink, preserving layout
             reuse = {}
             for d, f, entry in linked:
@@ -797,11 +840,11 @@ class TransactionalCatalog(Catalog):
             self._write_stage_stats(rel, reuse=reuse or None)
             self._pending[table] = [rel]
             self._note_replace(table, rel, schema=stored)
-            # anchor conflict detection to the pre-delete snapshot (the
+            # anchor conflict detection to the pre-DML snapshot (the
             # compact() precedent): a write landing between the snapshot
             # read and this commit must conflict, never vanish
             self._intents[table]["base"] = snapshot
-        return n_before - n_after
+        return n_matched
 
     # -- CHECK constraints ----------------------------------------------------
     #

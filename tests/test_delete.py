@@ -138,3 +138,51 @@ def test_delete_refused_inside_transaction(spark, tmp_path):
             spark.createDataFrame([(50, 0, 1)], "id long, k long, v long"),
             "t",
         )
+
+
+# -- row-level UPDATE (same rewrite machinery) ------------------------------
+
+
+def test_update_rewrites_only_candidate_files(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: matched rows transform, unmatched rows
+    and non-candidate FILES pass through (hardlink carry), values equal
+    the plain CASE WHEN, count = matched rows."""
+    cat, df = _striped(spark, str(tmp_path / "lake"))
+    pre = _inodes(cat, "t")
+    n = cat.update_where("t", [("k", "=", 2)], {"v": "v + 1000000"})
+    assert n == df.where(F.col("k") == 2).count()
+    got = sorted(tuple(r) for r in cat.read("t").collect())
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn(
+            "v",
+            F.when(F.col("k") == 2, F.col("v") + 1000000).otherwise(
+                F.col("v")
+            ),
+        ).collect()
+    )
+    assert got == want
+    assert len(_inodes(cat, "t") & pre) == 4  # carry engaged
+
+
+def test_update_no_match_and_unknown_column(spark, tmp_path):
+    cat, _df = _striped(spark, str(tmp_path / "lake"), stripes=2, rows=20)
+    v = cat.versions()[-1]["version"]
+    assert cat.update_where("t", [("v", "<", -1)], {"v": "0"}) == 0
+    assert cat.versions()[-1]["version"] == v
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.update_where("t", [("k", "=", 0)], {"nope": "1"})
+
+
+def test_update_respects_check_constraints(spark, tmp_path):
+    """An UPDATE that would write violating rows dies before the
+    pointer swap — the staged rewrite is check-validated."""
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    cat, _df = _striped(spark, str(tmp_path / "lake"), stripes=2, rows=20)
+    cat.add_check("t", "v_nonneg", "v >= 0")
+    n_rows = cat.read("t").count()
+    with pytest.raises(CheckViolation, match="v_nonneg"):
+        cat.update_where("t", [("k", "=", 1)], {"v": "-1"})
+    assert cat.read("t").count() == n_rows
+    assert cat.read("t").filter(F.col("v") < 0).count() == 0
