@@ -404,6 +404,15 @@ def cmd_update(args) -> None:
     print(json.dumps({"table": args.table, "updated": n}))
 
 
+def cmd_count(args) -> None:
+    """Metadata-optimized exact COUNT: stats answer what they can prove,
+    only undecidable files scan."""
+    cat = _txn_catalog(args)
+    preds = [_parse_pred(p) for p in (args.pred or [])]
+    n = cat.count_rows(args.table, preds)
+    print(json.dumps({"table": args.table, "rows": n}))
+
+
 def cmd_check(args) -> None:
     """CHECK-constraint lifecycle: write-time data quality gates stored
     in the manifest and enforced on every staged write."""
@@ -708,6 +717,19 @@ def main(argv: list[str] | None = None) -> None:
         help="col=sql_expr — repeat for multiple columns",
     )
     pup.set_defaults(fn=cmd_update)
+
+    pcn = sub.add_parser(
+        "count",
+        help="exact COUNT(*) [WHERE --pred ...] from file stats where "
+        "provable; only undecidable files scan",
+    )
+    pcn.add_argument("--catalog", required=True)
+    pcn.add_argument("table")
+    pcn.add_argument(
+        "--pred", action="append", default=None,
+        help="col,op[,value] — repeat for AND (same format as delete)",
+    )
+    pcn.set_defaults(fn=cmd_count)
 
     pck = sub.add_parser(
         "check",

@@ -329,6 +329,77 @@ def _file_survives(entry: dict, col: str, op: str, value) -> bool:
     return True  # unknown op: keep (residual filter enforces it anyway)
 
 
+def _file_all_match(entry: dict, col: str, op: str, value) -> bool:
+    """True only when this file's stats PROVE every row satisfies
+    ``col op value`` (the dual of :func:`_file_survives`). Conservative:
+    False whenever unsure."""
+    rows = entry.get("rows")
+    if not rows:
+        return False  # empty/unknown: nothing to prove "all" over
+    cs = entry.get("columns", {}).get(col)
+    if cs is None:
+        return False
+    nulls = cs.get("nulls")
+    if op == "is_null":
+        return nulls is not None and nulls == rows
+    if nulls is None or nulls > 0:
+        return False  # a NULL row satisfies no other predicate
+    if op == "not_null":
+        return True  # nulls == 0 proven above
+    emin, emax = cs.get("min"), cs.get("max")
+    if emin is None or emax is None:
+        return False
+    try:
+        mn, pv = _coerce_pair(emin, value if op != "in" else next(iter(value)))
+        mx, _ = _coerce_pair(emax, value if op != "in" else next(iter(value)))
+        if op == "in":
+            if mn != mx:
+                return False
+            return any(
+                _coerce_pair(emin, v)[0] == _coerce_pair(emin, v)[1]
+                for v in value
+            )
+    except (TypeError, ValueError, decimal.InvalidOperation, StopIteration):
+        return False
+    if op in ("=", "=="):
+        return mn == mx == pv
+    if op == "<":
+        return _lt(mx, pv)
+    if op == "<=":
+        return not _lt(pv, mx)
+    if op == ">":
+        return _lt(pv, mn)
+    if op == ">=":
+        return not _lt(mn, pv)
+    return False
+
+
+def classify_files(
+    stats: dict | None, all_files: list[str], predicates: list[tuple]
+) -> tuple[int, list[str]]:
+    """Metadata-only COUNT support: split a dir's files into rows that
+    PROVABLY all match (returned as a row count), files that provably
+    can't match (dropped), and files the stats can't decide (returned
+    for scanning). Returns ``(counted_rows, unknown_files)``."""
+    counted = 0
+    unknown: list[str] = []
+    entries = (stats or {}).get("files", {})
+    for rel in all_files:
+        entry = entries.get(rel)
+        if entry is None or entry.get("rows") is None:
+            unknown.append(rel)
+            continue
+        if not all(
+            _file_survives(entry, c, o, v) for c, o, v in predicates
+        ):
+            continue  # provably zero matching rows
+        if all(_file_all_match(entry, c, o, v) for c, o, v in predicates):
+            counted += entry["rows"]
+        else:
+            unknown.append(rel)
+    return counted, unknown
+
+
 def validate_predicates(predicates) -> list[tuple]:
     """Normalize/validate ``[(col, op, value), ...]`` (value omitted or
     None for is_null/not_null). Raises ValueError on malformed input so

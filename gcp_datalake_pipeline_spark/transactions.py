@@ -695,6 +695,45 @@ class TransactionalCatalog(Catalog):
                 json.dump(manifest, f)
             self._swap_manifest(manifest)
 
+    # -- metadata-only COUNT --------------------------------------------------
+
+    def count_rows(self, table: str, predicates=None) -> int:
+        """Exact ``COUNT(*) [WHERE predicates]`` answered from the file
+        stats wherever provable — Delta's metadata-optimized count,
+        generalized to predicates. Every file is classified from its
+        sidecar entry: provably-all-match files contribute their row
+        count with ZERO I/O, provably-no-match files contribute
+        nothing, and only the undecidable remainder is actually
+        scanned (with the exact residual filter). A bare count on a
+        stats-complete table — the dashboard/monitoring hot path —
+        touches no data files at all (pytest pins this by nulling the
+        Spark handle). Always exact, never approximate."""
+        preds = filestats.validate_predicates(predicates or [])
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        total = 0
+        scan: list[tuple[str, list[str]]] = []
+        for d in self._data_dirs(table):
+            stats = filestats.read_dir_stats(d)
+            files = self._dir_parquet_files(d)
+            counted, unknown = filestats.classify_files(stats, files, preds)
+            total += counted
+            if unknown:
+                scan.append((d, unknown))
+        if scan:
+            stored = self._stored_schema(table)
+            parts = []
+            for d, fs in scan:
+                r = self.spark.read.option("basePath", d)
+                if stored is not None:
+                    r = r.schema(stored)
+                parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            total += filestats.residual_filter(df, preds).count()
+        return total
+
     # -- row-level DELETE / UPDATE --------------------------------------------
     #
     # The Delta DML shape, shared by delete_where and update_where: file

@@ -311,3 +311,95 @@ def test_prune_logic_boundaries():
     assert s(">=", 20) and not s(">=", 21)
     assert s("in", [1, 15]) and not s("in", [1, 2, 30])
     assert not s("is_null", None) and s("not_null", None)
+
+
+# -- metadata-only COUNT ------------------------------------------------------
+
+
+def test_count_rows_exact_and_metadata_only(spark, tmp_path):
+    """count_rows equals the Spark count for bare, provable, partial,
+    and impossible predicates — and a bare count on a stats-complete
+    table runs with ZERO data I/O (pinned by nulling the Spark
+    handle)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    for s in range(5):  # k-striped files: tight stats on k, wide on id
+        cat.append(df.where(F.col("k") % 5 == s).coalesce(1), "t")
+
+    def want(cond=None):
+        out = cat.read("t")
+        return (out.filter(cond) if cond is not None else out).count()
+
+    assert cat.count_rows("t") == want()
+    # provable per-file: k's per-file value sets decide files fully or
+    # not at all only for =; ranges are partial -> mixed classification
+    assert cat.count_rows("t", [("k", "=", 3)]) == want(F.col("k") == 3)
+    assert cat.count_rows("t", [("k", "<=", 4)]) == want(F.col("k") <= 4)
+    assert cat.count_rows("t", [("id", ">", 500)]) == want(F.col("id") > 500)
+    assert cat.count_rows("t", [("v", "is_null")]) == want(F.col("v").isNull())
+    assert cat.count_rows("t", [("v", "not_null")]) == want(
+        F.col("v").isNotNull()
+    )
+    assert cat.count_rows("t", [("k", "=", 99)]) == 0
+    assert (
+        cat.count_rows("t", [("k", "=", 3), ("id", "<", 100)])
+        == want((F.col("k") == 3) & (F.col("id") < 100))
+    )
+
+    # bare count = pure metadata: no Spark needed at all
+    held = cat.spark
+    try:
+        cat.spark = None
+        n = cat.count_rows("t")
+    finally:
+        cat.spark = held
+    assert n == want()
+    # an impossible predicate is also metadata-only
+    try:
+        cat.spark = None
+        z = cat.count_rows("t", [("id", "<", -1)])
+    finally:
+        cat.spark = held
+    assert z == 0
+
+
+def test_count_rows_timestamp_and_partition_stats(spark, tmp_path):
+    """Timestamp predicates count from stats; hive partition tokens
+    prove all-match for equality on the partition column."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("y", F.year("o_orderdate"))
+    )
+    cat.overwrite(orders, "t", partition_cols=["y"])
+    cut = datetime.datetime(1996, 1, 1)
+    assert cat.count_rows("t", [("o_orderdate", ">=", cut)]) == (
+        orders.filter(F.col("o_orderdate") >= cut).count()
+    )
+    want_1996 = orders.filter(F.col("y") == 1996).count()
+    held = cat.spark
+    try:
+        cat.spark = None  # partition tokens alone must decide y = 1996
+        got = cat.count_rows("t", [("y", "=", 1996)])
+    finally:
+        cat.spark = held
+    assert got == want_1996
