@@ -90,12 +90,16 @@ def _pq_dists_np(X, cb):
     return np.round(x2 - 2.0 * xc + c2, 6)
 
 
-def _assign_encode_arrow(df: DataFrame, cents: dict, cb) -> DataFrame:
+def _assign_encode_arrow(
+    df: DataFrame, cents: dict, cb, residual: bool = False
+) -> DataFrame:
     """Fused cell assignment + PQ encoding: ONE Arrow pass over the
     corpus computes the coarse cid (rounded-cosine argmax, lowest-cid
     tiebreak — the `_assign_cells_arrow` contract) AND the m uint8-range
     codes (rounded-L2 argmin per subspace, lowest-j tiebreak — the
-    pq_topk contract). Input columns pass through; no shuffle."""
+    pq_topk contract). ``residual`` encodes ``v - centroid[cid]``
+    instead of ``v`` (FAISS by_residual): same kernel, applied to the
+    assignment residual. Input columns pass through; no shuffle."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -119,9 +123,11 @@ def _assign_encode_arrow(df: DataFrame, cents: dict, cb) -> DataFrame:
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             S = np.round(Mn @ Cn.T, 6)
-            D = _pq_dists_np(M, cb)
+            idx = np.argmax(S, axis=1)
+            X = M - C[idx] if residual else M
+            D = _pq_dists_np(X, cb)
             pdf = pdf.copy()
-            pdf["cid"] = cid_arr[np.argmax(S, axis=1)]
+            pdf["cid"] = cid_arr[idx]
             pdf["codes"] = list(D.argmin(axis=2).astype(np.int32))
             yield pdf
 
@@ -129,21 +135,28 @@ def _assign_encode_arrow(df: DataFrame, cents: dict, cb) -> DataFrame:
 
 
 def _pq_codebook(catalog, index_table: str):
-    """The index's frozen PQ codebook as an (m, ksub, dsub) ndarray, or
-    None for a flat (no-PQ) index. Bounded read: m*ksub rows."""
+    """The index's frozen PQ codebook as ``(cb, residual)`` — an
+    (m, ksub, dsub) ndarray plus whether it quantizes assignment
+    residuals — or ``(None, False)`` for a flat (no-PQ) index. Bounded
+    read: m*ksub rows. Pre-residual indexes (no ``residual`` column)
+    read as plain-vector codebooks."""
     import numpy as np
 
     t = f"{index_table}_pq_codebook"
     if not catalog.exists(t):
-        return None
-    rows = catalog.read(t).collect()
+        return None, False
+    df = catalog.read(t)
+    rows = df.collect()
     m = max(int(r["s"]) for r in rows) + 1
     ksub = max(int(r["j"]) for r in rows) + 1
     dsub = len(rows[0]["cv"])
     cb = np.zeros((m, ksub, dsub), dtype=np.float64)
     for r in rows:
         cb[int(r["s"]), int(r["j"])] = [float(x) for x in r["cv"]]
-    return cb
+    residual = bool(
+        "residual" in df.columns and rows and rows[0]["residual"]
+    )
+    return cb, residual
 
 
 def build_ivf_index(
@@ -158,6 +171,7 @@ def build_ivf_index(
     num_buckets: int = 64,
     pq_m: int | None = None,
     pq_ksub: int = 16,
+    pq_residual: bool = False,
 ) -> DataFrame:
     """Train centroids on ``df`` and persist the full index (centroids +
     cid-partitioned cell assignments + the bucketed vid->cid map) — one
@@ -171,6 +185,11 @@ def build_ivf_index(
     contract, which is what keeps ADC serving value-level oracled), the
     codes land as one extra array column in the cells table, and the
     frozen codebook is persisted as ``{index}_pq_codebook``.
+    ``pq_residual`` quantizes the ASSIGNMENT RESIDUAL ``v -
+    centroid[cid]`` instead of the raw vector (FAISS by_residual=True —
+    tighter codes, since residuals live in a smaller ball around the
+    origin); the codebook is then the seed vectors' residuals and ADC
+    tables become per-(query, probed-cell).
     :func:`ivf_index_pq_topk` then serves top-k from the codes WITHOUT
     ever reading the vector column — at 100 TB the scored candidate
     I/O drops from dim*8 bytes/vector to ~pq_m bytes (parquet column
@@ -202,20 +221,28 @@ def build_ivf_index(
         if dim % pq_m:
             raise ValueError(f"dim {dim} not divisible by pq_m={pq_m}")
         dsub = dim // pq_m
-        cb = (
-            np.array([r["v"] for r in seeds], dtype=np.float64)
-            .reshape(pq_ksub, pq_m, dsub)
-            .transpose(1, 0, 2)
-        )
+        S = np.array([r["v"] for r in seeds], dtype=np.float64)
+        if pq_residual:
+            # seed residuals w.r.t. their own assigned cells — the same
+            # rounded-cosine argmax the corpus pass applies
+            cids_sorted = sorted(cents)
+            C = np.array(
+                [cents[c] for c in cids_sorted], dtype=np.float64
+            )
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+            idx = np.argmax(np.round(Sn @ Cn.T, 6), axis=1)
+            S = S - C[idx]
+        cb = S.reshape(pq_ksub, pq_m, dsub).transpose(1, 0, 2)
         cb_df = catalog.spark.createDataFrame(
             [
-                (s, j, [float(x) for x in cb[s, j]])
+                (s, j, [float(x) for x in cb[s, j]], bool(pq_residual))
                 for s in range(pq_m)
                 for j in range(pq_ksub)
             ],
-            "s long, j long, cv array<double>",
+            "s long, j long, cv array<double>, residual boolean",
         )
-        assigned = _assign_encode_arrow(e, cents, cb)
+        assigned = _assign_encode_arrow(e, cents, cb, residual=pq_residual)
     else:
         assigned = _assign_cells_arrow(e, cents)
     vid_map = assigned.select(
@@ -285,9 +312,9 @@ def extend_ivf_index(
     # a PQ index encodes new batches against its FROZEN codebook (the
     # extend contract: stored codes never change meaning), a flat index
     # assigns only
-    cb = _pq_codebook(catalog, index_table)
+    cb, cb_residual = _pq_codebook(catalog, index_table)
     if cb is not None:
-        assigned = _assign_encode_arrow(e, cents, cb)
+        assigned = _assign_encode_arrow(e, cents, cb, residual=cb_residual)
     else:
         assigned = _assign_cells_arrow(e, cents)
     cells_table = f"{index_table}_cells"
@@ -675,7 +702,7 @@ def ivf_index_pq_topk(
     import numpy as np
 
     spark = catalog.spark
-    cb = _pq_codebook(catalog, index_table)
+    cb, cb_residual = _pq_codebook(catalog, index_table)
     if cb is None:
         raise ValueError(
             f"{index_table} has no PQ codebook — build with pq_m, or use"
@@ -704,10 +731,24 @@ def ivf_index_pq_topk(
             6,
         )
         order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
-        T = np.round(_pq_dists_np(Q, cb) * 1e6).astype(np.int64)
+        if cb_residual:
+            # per-(query, probed cell) tables from the query's residual
+            # w.r.t. THAT cell — one batched kernel call, still bounded
+            # (nq x nprobe x m x ksub)
+            R = (Q[:, None, :] - C[np.asarray(order)]).reshape(
+                -1, Q.shape[1]
+            )
+            T = (
+                np.round(_pq_dists_np(R, cb) * 1e6)
+                .astype(np.int64)
+                .reshape(len(q_rows), order.shape[1], cb.shape[0], -1)
+            )
+        else:
+            T = np.round(_pq_dists_np(Q, cb) * 1e6).astype(np.int64)
         for qi, r in enumerate(q_rows):
-            qtab = [[int(x) for x in row] for row in T[qi]]
-            for j in order[qi]:
+            for pi, j in enumerate(order[qi]):
+                t = T[qi, pi] if cb_residual else T[qi]
+                qtab = [[int(x) for x in row] for row in t]
                 probe_tuples.append(
                     (int(r["vid"]), cids_sorted[int(j)], qtab)
                 )
@@ -786,7 +827,7 @@ def ivf_index_pq_topk_df(
     import numpy as np
     import pandas as pd
 
-    cb = _pq_codebook(catalog, index_table)
+    cb, cb_residual = _pq_codebook(catalog, index_table)
     if cb is None:
         raise ValueError(
             f"{index_table} has no PQ codebook — build with pq_m, or use"
@@ -806,16 +847,18 @@ def ivf_index_pq_topk_df(
     )
     n_probe = min(nprobe, len(cids_sorted))
 
-    def _probe(vs):
-        Cm, Cn, cid_arr, _cb = b_idx.value
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        Q = np.array(vs.tolist(), dtype=np.float64)
+    def _order(Q):
+        Cm, Cn, _cid_arr, _cb = b_idx.value
         S = np.round(
             (Q @ Cm.T) / np.outer(np.linalg.norm(Q, axis=1), Cn), 6
         )
-        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(cid_arr[order]))
+        return np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+
+    def _probe(vs):
+        _Cm, _Cn, cid_arr, _cb = b_idx.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(cid_arr[_order(np.array(vs.tolist(), dtype=np.float64))]))
 
     def _qtab(vs):
         _Cm, _Cn, _cid_arr, cbB = b_idx.value
@@ -825,18 +868,58 @@ def ivf_index_pq_topk_df(
         T = np.round(_pq_dists_np(Q, cbB) * 1e6).astype(np.int64)
         return pd.Series([[list(row) for row in t] for t in T])
 
-    probe_udf = F.pandas_udf(_probe, "array<long>")
-    qtab_udf = F.pandas_udf(_qtab, "array<array<long>>")
+    def _probe_qtabs(vs):
+        # residual path: one (cid, qtab) struct per probe, tables from
+        # the query's residual w.r.t. each probed cell
+        Cm, _Cn, cid_arr, cbB = b_idx.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(vs.tolist(), dtype=np.float64)
+        order = _order(Q)
+        R = (Q[:, None, :] - Cm[order]).reshape(-1, Q.shape[1])
+        T = (
+            np.round(_pq_dists_np(R, cbB) * 1e6)
+            .astype(np.int64)
+            .reshape(len(Q), order.shape[1], cbB.shape[0], -1)
+        )
+        return pd.Series(
+            [
+                [
+                    {
+                        "cid": int(cid_arr[order[qi, pi]]),
+                        "qtab": [list(row) for row in T[qi, pi]],
+                    }
+                    for pi in range(order.shape[1])
+                ]
+                for qi in range(len(Q))
+            ]
+        )
 
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         _as_double(vec_col).alias("qv"),
     )
-    probes = (
-        q.withColumn("qtab", qtab_udf(F.col("qv")))
-        .withColumn("cid", F.explode(probe_udf(F.col("qv"))))
-        .drop("qv")
-    )
+    if cb_residual:
+        pq_udf = F.pandas_udf(
+            _probe_qtabs,
+            "array<struct<cid: long, qtab: array<array<long>>>>",
+        )
+        probes = (
+            q.withColumn("pr", F.explode(pq_udf(F.col("qv"))))
+            .select(
+                "query_id",
+                F.col("pr.cid").alias("cid"),
+                F.col("pr.qtab").alias("qtab"),
+            )
+        )
+    else:
+        probe_udf = F.pandas_udf(_probe, "array<long>")
+        qtab_udf = F.pandas_udf(_qtab, "array<array<long>>")
+        probes = (
+            q.withColumn("qtab", qtab_udf(F.col("qv")))
+            .withColumn("cid", F.explode(probe_udf(F.col("qv"))))
+            .drop("qv")
+        )
     cand = catalog.read(f"{index_table}_cells").select("vid", "cid", "codes")
     tomb = _tombstones(catalog, index_table)
     if tomb is not None:

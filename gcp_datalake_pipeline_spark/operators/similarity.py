@@ -1111,6 +1111,7 @@ def ivf_kmeans_pq_topk_oracle_sql(
     dim: int = 64,
     exclude_ids: list[int] | None = None,
     rerank: int | None = None,
+    residual: bool = False,
 ) -> str:
     """DuckDB oracle for the PERSISTED IVF-PQ index
     (:func:`~gcp_datalake_pipeline_spark.operators.ann_index.build_ivf_index`
@@ -1122,7 +1123,12 @@ def ivf_kmeans_pq_topk_oracle_sql(
     tombstones (candidates only — a delete never re-trains, re-codes,
     or re-probes). ``rerank`` appends the FAISS refine tail: the ADC
     top-``rerank`` shortlist re-ranked by exact rounded cosine —
-    exactly ``ivf_index_pq_topk(rerank=...)``."""
+    exactly ``ivf_index_pq_topk(rerank=...)``. ``residual`` models
+    ``pq_residual=True``: codes quantize each vector's ASSIGNMENT
+    residual (lockstep-unnest list subtraction against the assigned
+    cell's centroid), the codebook is the seeds' residuals, and the
+    ADC tables are per-(query, probed cell) from the query's residual
+    w.r.t. that cell."""
     ids = ", ".join(str(i) for i in query_ids)
     excl = (
         f" AND a.vec_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
@@ -1131,24 +1137,8 @@ def ivf_kmeans_pq_topk_oracle_sql(
     )
     dsub = dim // m
     ctes, cent = _lloyd_ctes(nlist, n_iter)
-    return f"""
-    WITH {",".join(ctes)},
-    assigned AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS arnk
-        FROM e CROSS JOIN {cent} c
-      ) WHERE arnk = 1
-    ),
-    probes AS (
-      SELECT query_id, cid FROM (
-        SELECT e.vec_id AS query_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS prnk
-        FROM e CROSS JOIN {cent} c WHERE e.vec_id IN ({ids})
-      ) WHERE prnk <= {nprobe}
-    ),
+    if not residual:
+        fine = f"""
     sub AS (SELECT m FROM range({m}) t(m)),
     sv AS (
       SELECT vec_id, m, v[m * {dsub} + 1 : m * {dsub} + {dsub}] AS x
@@ -1174,15 +1164,87 @@ def ivf_kmeans_pq_topk_oracle_sql(
       SELECT vec_id AS query_id, m, j,
              CAST(ROUND(d * 1000000) AS BIGINT) AS ti
       FROM dists WHERE vec_id IN ({ids})
+    )"""
+        qtab_join = (
+            "JOIN qtab q ON q.query_id = p.query_id\n"
+            "                 AND q.m = c.m AND q.j = c.code"
+        )
+    else:
+        fine = f"""
+    sub AS (SELECT m FROM range({m}) t(m)),
+    resid AS (
+      SELECT vec_id, list(ev - cvx ORDER BY pos) AS rv FROM (
+        SELECT e.vec_id, unnest(e.v) AS ev, unnest(c.cv) AS cvx,
+               generate_subscripts(e.v, 1) AS pos
+        FROM e JOIN assigned a USING (vec_id)
+               JOIN {cent} c ON c.cid = a.cid
+      ) GROUP BY vec_id
     ),
+    rsv AS (
+      SELECT vec_id, m, rv[m * {dsub} + 1 : m * {dsub} + {dsub}] AS x
+      FROM resid CROSS JOIN sub
+    ),
+    pcent AS (SELECT m, vec_id AS j, x AS cv FROM rsv WHERE vec_id < {ksub}),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 ROUND(list_inner_product(s.x, s.x)
+                       - 2 * list_inner_product(s.x, c.cv)
+                       + list_inner_product(c.cv, c.cv), 6), c.j) AS rnk
+        FROM rsv s JOIN pcent c ON c.m = s.m
+      ) WHERE rnk = 1
+    ),
+    qresid AS (
+      SELECT query_id, cid, list(ev - cvx ORDER BY pos) AS rv FROM (
+        SELECT p.query_id, p.cid, unnest(e.v) AS ev, unnest(c.cv) AS cvx,
+               generate_subscripts(e.v, 1) AS pos
+        FROM probes p JOIN e ON e.vec_id = p.query_id
+                      JOIN {cent} c ON c.cid = p.cid
+      ) GROUP BY query_id, cid
+    ),
+    qsv AS (
+      SELECT query_id, cid, m,
+             rv[m * {dsub} + 1 : m * {dsub} + {dsub}] AS x
+      FROM qresid CROSS JOIN sub
+    ),
+    qtab AS (
+      SELECT s.query_id, s.cid, s.m, c.j,
+             CAST(ROUND(ROUND(list_inner_product(s.x, s.x)
+                              - 2 * list_inner_product(s.x, c.cv)
+                              + list_inner_product(c.cv, c.cv), 6)
+                        * 1000000) AS BIGINT) AS ti
+      FROM qsv s JOIN pcent c ON c.m = s.m
+    )"""
+        qtab_join = (
+            "JOIN qtab q ON q.query_id = p.query_id AND q.cid = p.cid\n"
+            "                 AND q.m = c.m AND q.j = c.code"
+        )
+    return f"""
+    WITH {",".join(ctes)},
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS prnk
+        FROM e CROSS JOIN {cent} c WHERE e.vec_id IN ({ids})
+      ) WHERE prnk <= {nprobe}
+    ),{fine},
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
              SUM(q.ti) / 1000000.0 AS adc_dist
       FROM probes p
       JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id{excl}
       JOIN codes c ON c.vec_id = a.vec_id
-      JOIN qtab q ON q.query_id = p.query_id
-                 AND q.m = c.m AND q.j = c.code
+      {qtab_join}
       GROUP BY p.query_id, a.vec_id
     ){_pq_rerank_tail(k, rerank)}
     """

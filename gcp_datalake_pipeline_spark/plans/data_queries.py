@@ -1029,6 +1029,64 @@ def ann_ivf_index_pq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_rpq_index_catalog(spark: SparkSession, sf_dir: str):
+    """Machine-cached RESIDUAL IVF-PQ index (build_ivf_index with
+    pq_m=8, pq_residual=True — FAISS by_residual): codes quantize
+    v - centroid[cid]; own fingerprint-keyed root."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gcp_datalake_pipeline_spark.operators import ann_index
+    from gcp_datalake_pipeline_spark.transactions import (
+        ConcurrentWriteError,
+        TransactionalCatalog,
+    )
+
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb_path)
+    key = hashlib.md5(
+        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ann_ivfpqr_{key}"
+    )
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("ann_ivf_pq_codebook"):
+        try:
+            ann_index.build_ivf_index(
+                cat,
+                load_table(spark, sf_dir, "embeddings"),
+                pq_m=8,
+                pq_residual=True,
+            )
+        except ConcurrentWriteError:
+            pass  # identical concurrent build already committed
+    return cat
+
+
+@register(
+    "ann_ivf_index_pq_residual",
+    similarity.ivf_kmeans_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5, residual=True),
+    doc="""ADC top-5 over a RESIDUAL IVF-PQ index (FAISS
+    by_residual=True, the library default): codes quantize each
+    vector's assignment residual v - centroid[cid] — residuals live in
+    a smaller ball, so the same 8 codes carry more precision — and the
+    per-query ADC tables become per-(query, probed cell), built from
+    the query's residual w.r.t. each probed centroid (still bounded:
+    nq x nprobe x m x ksub). Serving reads codes only, same as the
+    raw-vector PQ path. Fully value-level oracled: the composed Lloyd
+    x PQ SQL with lockstep-unnest list subtraction for the residuals
+    and per-cell qtab CTEs.""",
+)
+def ann_ivf_index_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import ann_index
+
+    return ann_index.ivf_index_pq_topk(
+        _ann_rpq_index_catalog(spark, sf_dir), ANN_QUERY_IDS, k=5
+    )
+
+
 @register(
     "ann_ivf_index_pq_rerank",
     similarity.ivf_kmeans_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5, rerank=20),

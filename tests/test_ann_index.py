@@ -613,3 +613,68 @@ def test_pq_rerank_recovers_exact_ranking(spark, tmp_path):
     ann_index.remove_ids(cat, [victim])
     refined = ann_index.ivf_index_pq_topk(cat, QIDS, k=5, rerank=20)
     assert victim not in {r["neighbor_id"] for r in refined.collect()}
+
+
+def test_residual_pq_extend_and_lifecycle(spark, tmp_path):
+    """Residual PQ (by_residual): the codebook persists its residual
+    flag; extends encode new batches as residuals against the FROZEN
+    centroids+codebook (pinned by a driver-side numpy re-encode of the
+    extension batch); rerank composes (full probe + corpus shortlist
+    recovers the exact IVF ranking); tombstones compose."""
+    import numpy as np
+
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cents_df = ann_index.build_ivf_index(
+        cat, first, pq_m=8, pq_residual=True
+    )
+    cb, residual = ann_index._pq_codebook(cat, "ann_ivf")
+    assert residual is True and cb.shape == (8, 16, 8)
+    ann_index.extend_ivf_index(cat, rest)
+
+    # frozen-codebook contract: stored codes of the extension equal a
+    # driver-side re-encode (residual vs the frozen centroids)
+    cents = ann_index._cents_dict(cents_df.collect())
+    cids = sorted(cents)
+    C = np.array([cents[c] for c in cids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    stored = {
+        int(r["vid"]): (int(r["cid"]), list(r["codes"]))
+        for r in cat.read("ann_ivf_cells")
+        .filter(F.col("vid") >= n // 2)
+        .collect()
+    }
+    sample = rest.orderBy("vec_id").limit(40).collect()
+    V = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    idx = np.argmax(
+        np.round((V / np.linalg.norm(V, axis=1, keepdims=True)) @ Cn.T, 6),
+        axis=1,
+    )
+    codes = ann_index._pq_dists_np(V - C[idx], cb).argmin(axis=2)
+    for row, ci, code in zip(sample, idx, codes):
+        got_cid, got_codes = stored[int(row["vec_id"])]
+        assert got_cid == cids[int(ci)]
+        assert got_codes == [int(x) for x in code]
+
+    # rerank over a residual index recovers the exact ranking
+    want = _rows(
+        similarity.ivf_topk(emb, QIDS, k=5, nprobe=16, centroids=cents_df)
+    )
+    got = _rows(
+        ann_index.ivf_index_pq_topk(
+            cat, QIDS, k=5, nprobe=16, rerank=emb.count()
+        )
+    )
+    assert got == want and got
+
+    # tombstones compose with residual ADC
+    base = ann_index.ivf_index_pq_topk(cat, QIDS, k=3).collect()
+    victim = int(base[0]["neighbor_id"])
+    ann_index.remove_ids(cat, [victim])
+    assert victim not in {
+        r["neighbor_id"]
+        for r in ann_index.ivf_index_pq_topk(cat, QIDS, k=3).collect()
+    }
