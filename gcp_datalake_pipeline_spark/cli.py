@@ -154,6 +154,7 @@ def cmd_ann(args) -> None:
             cat, vecs, index_table=args.index,
             nlist=args.nlist, n_iter=args.iters,
             pq_m=args.pq_m or None, pq_ksub=args.pq_ksub,
+            pq_residual=args.pq_residual,
         )
         print(
             json.dumps(
@@ -404,6 +405,23 @@ def cmd_update(args) -> None:
     print(json.dumps({"table": args.table, "updated": n}))
 
 
+def cmd_restore_table(args) -> None:
+    """RESTORE one table to an earlier snapshot as a NEW commit (pure
+    metadata; the undone versions stay time-travelable). The catalog-
+    wide rollback is the separate `restore` command."""
+    cat = _txn_catalog(args)
+    cat.restore_table(args.table, args.version)
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "restored_to": args.version,
+                "rows": cat.count_rows(args.table),
+            }
+        )
+    )
+
+
 def cmd_count(args) -> None:
     """Metadata-optimized exact COUNT: stats answer what they can prove,
     only undecidable files scan."""
@@ -578,6 +596,11 @@ def main(argv: list[str] | None = None) -> None:
         help="build: PQ codebook size per subspace",
     )
     pa.add_argument(
+        "--pq-residual", action="store_true",
+        help="build: quantize assignment residuals (FAISS by_residual "
+        "— tighter codes; per-cell ADC tables at query time)",
+    )
+    pa.add_argument(
         "--adc", action="store_true",
         help="query: score from the stored PQ codes (asymmetric "
         "distance) instead of exact cosine over vectors",
@@ -717,6 +740,16 @@ def main(argv: list[str] | None = None) -> None:
         help="col=sql_expr — repeat for multiple columns",
     )
     pup.set_defaults(fn=cmd_update)
+
+    prt = sub.add_parser(
+        "restore-table",
+        help="RESTORE one table to an earlier snapshot (new commit, "
+        "pure metadata; history stays time-travelable)",
+    )
+    prt.add_argument("--catalog", required=True)
+    prt.add_argument("table")
+    prt.add_argument("version", type=int)
+    prt.set_defaults(fn=cmd_restore_table)
 
     pcn = sub.add_parser(
         "count",

@@ -695,6 +695,46 @@ class TransactionalCatalog(Catalog):
                 json.dump(manifest, f)
             self._swap_manifest(manifest)
 
+    # -- RESTORE --------------------------------------------------------------
+
+    def restore_table(self, table: str, version: int) -> None:
+        """Delta RESTORE: make ``table``'s state at snapshot ``version``
+        the CURRENT state, published as a NEW commit — history is never
+        rewritten (you can restore a restore; the undone versions stay
+        time-travelable until vacuum). Pure metadata: the old dir list
+        and schema become the new pointer entries; no data is read,
+        copied, or rewritten. Conflict-checked like any replace: a
+        writer landing between your decision and the commit raises
+        :class:`ConcurrentWriteError`. Fails cleanly when vacuum has
+        already reclaimed any of the restored dirs."""
+        if self._pending is not None:
+            raise RuntimeError("restore_table inside an open transaction")
+        vm = self._version_manifest(version)
+        old = vm["tables"].get(table)
+        if old is None:
+            raise FileNotFoundError(
+                f"{table!r} did not exist at version {version}"
+            )
+        missing = [
+            r for r in old
+            if not os.path.isdir(os.path.join(self.root, r))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {table!r} to v{version}: data dirs "
+                f"{missing!r} were vacuumed"
+            )
+        old_schema = vm.get("schemas", {}).get(table)
+        base = self._committed_rels(table)
+        with self.transaction(f"restore-{table}-v{version}"):
+            self._pending[table] = list(old)
+            self._intents[table] = {
+                "mode": "replace",
+                "base": base,
+                "added": list(old),
+                "schema": old_schema,
+            }
+
     # -- metadata-only COUNT --------------------------------------------------
 
     def count_rows(self, table: str, predicates=None) -> int:

@@ -186,3 +186,43 @@ def test_update_respects_check_constraints(spark, tmp_path):
         cat.update_where("t", [("k", "=", 1)], {"v": "-1"})
     assert cat.read("t").count() == n_rows
     assert cat.read("t").filter(F.col("v") < 0).count() == 0
+
+
+# -- RESTORE (time-travel rollback) ------------------------------------------
+
+
+def test_restore_undoes_a_delete_and_is_itself_versioned(spark, tmp_path):
+    """restore_table makes the pre-delete snapshot current again as a
+    NEW commit — rows come back, the delete version stays readable,
+    restore-of-restore works, and schema evolution rides along."""
+    cat, df = _striped(spark, str(tmp_path / "lake"), stripes=3, rows=300)
+    v_full = cat.versions()[-1]["version"]
+    n_all = cat.read("t").count()
+    deleted = cat.delete_where("t", [("k", "=", 1)])
+    v_deleted = cat.versions()[-1]["version"]
+    assert cat.read("t").count() == n_all - deleted
+
+    cat.restore_table("t", v_full)
+    assert cat.read("t").count() == n_all
+    assert cat.versions()[-1]["version"] > v_deleted  # new commit
+    # the deleted state is still time-travelable — restore rewrites
+    # nothing
+    assert cat.read_at("t", v_deleted).count() == n_all - deleted
+    # restore the deleted state back (restore of a restore)
+    cat.restore_table("t", v_deleted)
+    assert cat.read("t").count() == n_all - deleted
+
+    # vacuumed target fails cleanly
+    import pytest
+
+    cat.restore_table("t", v_full)
+    cat.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        cat.restore_table("t", v_deleted)
+    with cat.transaction("x"):
+        with pytest.raises(RuntimeError, match="inside an open transaction"):
+            cat.restore_table("t", v_full)
+        cat.append(
+            spark.createDataFrame([(1, 0, 1)], "id long, k long, v long"),
+            "t",
+        )
