@@ -678,3 +678,31 @@ def test_residual_pq_extend_and_lifecycle(spark, tmp_path):
         r["neighbor_id"]
         for r in ann_index.ivf_index_pq_topk(cat, QIDS, k=3).collect()
     }
+
+
+def test_streaming_extend_composes_with_pq(spark, tmp_path):
+    """The streaming index-maintenance loop over a PQ-coded index
+    encodes each landed batch against the FROZEN codebook: after the
+    drain, full-probe ADC equals pq_topk over the full corpus."""
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_index_extend,
+    )
+
+    emb = spark.read.parquet(EMB)
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    rest.toPandas().to_parquet(os.path.join(land, "b0.parquet"), index=False)
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, first, pq_m=8)
+    rounds = run_streaming_index_extend(cat, land, str(tmp_path / "ckpt"))
+    assert len(rounds) == 1
+    assert "codes" in cat.read("ann_ivf_cells").columns
+    got = _adc_rows(ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=16))
+    want = _adc_rows(similarity.pq_topk(emb, QIDS, k=5, m=8))
+    assert got == want and got

@@ -226,3 +226,21 @@ def test_restore_undoes_a_delete_and_is_itself_versioned(spark, tmp_path):
             spark.createDataFrame([(1, 0, 1)], "id long, k long, v long"),
             "t",
         )
+
+
+def test_vacuum_after_dml_keeps_hardlinked_files_alive(spark, tmp_path):
+    """delete_where carries untouched files into the new snapshot by
+    hardlink; vacuuming the OLD version unlinks the original paths but
+    the shared inodes keep the data alive — the current table reads
+    identically after an aggressive vacuum."""
+    cat, df = _striped(spark, str(tmp_path / "lake"))
+    deleted = cat.delete_where("t", [("k", "=", 0)])
+    assert deleted > 0
+    want = sorted(tuple(r) for r in df.where(F.col("k") != 0).collect())
+    removed = cat.vacuum(retain_versions=1, min_age_seconds=0)
+    assert removed  # the pre-delete dirs were reclaimed
+    got = sorted(tuple(r) for r in cat.read("t").collect())
+    assert got == want
+    # stats sidecar survived with the stage: pruning still engages
+    kept, total = cat.pruned_files("t", [("k", "=", 2)])
+    assert kept and len(kept) < total
