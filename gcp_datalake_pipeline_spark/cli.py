@@ -218,10 +218,16 @@ def cmd_ann(args) -> None:
         print(json.dumps(out))
     else:  # query
         ids = [int(x) for x in args.ids.split(",")]
-        fn = ann_index.ivf_index_pq_topk if args.adc else ann_index.ivf_index_topk
-        out = fn(
-            cat, ids, k=args.k, nprobe=args.nprobe, index_table=args.index
-        )
+        if args.adc:
+            out = ann_index.ivf_index_pq_topk(
+                cat, ids, k=args.k, nprobe=args.nprobe,
+                index_table=args.index, rerank=args.rerank or None,
+            )
+        else:
+            out = ann_index.ivf_index_topk(
+                cat, ids, k=args.k, nprobe=args.nprobe,
+                index_table=args.index,
+            )
         if args.explain:
             out.explain("formatted")
         out.orderBy("query_id", "rank").show(args.k * len(ids), truncate=False)
@@ -604,6 +610,11 @@ def main(argv: list[str] | None = None) -> None:
         "--adc", action="store_true",
         help="query: score from the stored PQ codes (asymmetric "
         "distance) instead of exact cosine over vectors",
+    )
+    pa.add_argument(
+        "--rerank", type=int, default=0,
+        help="query --adc: refine the ADC top-N shortlist by exact "
+        "cosine (fetches true vectors for only those rows)",
     )
     pa.add_argument(
         "--compact-every", type=int, default=0,
