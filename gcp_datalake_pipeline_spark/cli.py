@@ -245,6 +245,18 @@ def _register_views(cat: Catalog, testdata: str | None) -> None:
 
 def cmd_query(args) -> None:
     cat = _catalog(args, must_exist=True)
+    # DELETE / UPDATE statements route to the catalog's stats-pruned
+    # row-level DML (transactional catalogs only); everything else is
+    # Spark SQL over the registered views
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    if isinstance(cat, TransactionalCatalog):
+        from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+        result = execute_dml(cat, args.sql)
+        if result is not None:
+            print(json.dumps(result))
+            return
     _register_views(cat, args.testdata)
     df = cat.spark.sql(args.sql)
     if args.explain:

@@ -1,0 +1,153 @@
+"""SQL façade for the catalog's row-level DML.
+
+The reference's users mutate their tables with PostgreSQL DML
+(``etl-gcs-cloudsql`` upserts row-by-row into CloudSQL); this module
+gives the transactional catalog the same front door: ``DELETE FROM t
+WHERE ...`` and ``UPDATE t SET ... WHERE ...`` statements route to
+:meth:`~gcp_datalake_pipeline_spark.transactions.TransactionalCatalog.delete_where`
+/ :meth:`...update_where` — the stats-pruned, hardlink-carrying
+rewrites — instead of Spark's (read-only) SQL runner. Everything else
+returns ``None`` so the caller sends it to ``spark.sql`` unchanged.
+
+Deliberately STRICT grammar (anything else raises with the grammar in
+the message — a typo must never silently become a full-table Spark
+statement):
+
+    DELETE FROM <table> WHERE <conj>
+    UPDATE <table> SET col = <sql-expr>[, ...] WHERE <conj>
+    <conj> := <term> [AND <term>]...
+    <term> := col (=|<=|>=|<|>) <literal>
+            | col IN (<literal>, ...)
+            | col IS [NOT] NULL
+    <literal> := number | 'string' | TIMESTAMP 'iso' | DATE 'iso'
+
+The WHERE grammar is exactly the predicate language the file-skipping
+layer can prune on — a supported statement is always
+candidate-proportional, never a full-table rewrite in disguise. SET
+right-hand sides are arbitrary Spark SQL expressions (they run only
+over matched rows of candidate files).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+_GRAMMAR = (
+    "supported DML: DELETE FROM t WHERE <conj>; "
+    "UPDATE t SET col = expr[, ...] WHERE <conj>; "
+    "<conj> = col op literal [AND ...] with op in (= < <= > >=), "
+    "col IN (lit, ...), col IS [NOT] NULL; literals: number, 'string', "
+    "TIMESTAMP 'iso', DATE 'iso'"
+)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and single quotes."""
+    out, depth, quote, cur = [], 0, False, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == "'":
+                quote = False
+            continue
+        if ch == "'":
+            quote = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p for p in (x.strip() for x in out) if p]
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    m = re.fullmatch(r"TIMESTAMP\s+'([^']+)'", tok, re.I)
+    if m:
+        return datetime.datetime.fromisoformat(m.group(1))
+    m = re.fullmatch(r"DATE\s+'([^']+)'", tok, re.I)
+    if m:
+        return datetime.date.fromisoformat(m.group(1))
+    m = re.fullmatch(r"'([^']*)'", tok)
+    if m:
+        return m.group(1)
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        raise ValueError(f"unparseable literal {tok!r}; {_GRAMMAR}") from None
+
+
+def parse_where(clause: str) -> list[tuple]:
+    """The WHERE conjunction as the catalog's predicate tuples."""
+    preds: list[tuple] = []
+    for part in re.split(r"\s+AND\s+", clause.strip(), flags=re.I):
+        part = part.strip()
+        m = re.fullmatch(r"(\w+)\s+IS\s+NOT\s+NULL", part, re.I)
+        if m:
+            preds.append((m.group(1), "not_null"))
+            continue
+        m = re.fullmatch(r"(\w+)\s+IS\s+NULL", part, re.I)
+        if m:
+            preds.append((m.group(1), "is_null"))
+            continue
+        m = re.fullmatch(r"(\w+)\s+IN\s*\((.+)\)", part, re.I | re.S)
+        if m:
+            preds.append(
+                (
+                    m.group(1),
+                    "in",
+                    [_parse_literal(v) for v in _split_top(m.group(2))],
+                )
+            )
+            continue
+        m = re.fullmatch(r"(\w+)\s*(<=|>=|=|<|>)\s*(.+)", part, re.S)
+        if m:
+            preds.append(
+                (m.group(1), m.group(2), _parse_literal(m.group(3)))
+            )
+            continue
+        raise ValueError(f"unsupported WHERE term {part!r}; {_GRAMMAR}")
+    return preds
+
+
+def execute_dml(catalog, sql: str) -> dict | None:
+    """Run a DELETE/UPDATE statement through the catalog's stats-pruned
+    DML and return a result dict — or ``None`` when the statement is
+    not DML (the caller sends it to ``spark.sql``). Raises ValueError
+    (with the grammar) for DML-looking statements outside the supported
+    shape, so nothing mutating ever falls through silently."""
+    s = sql.strip().rstrip(";").strip()
+    m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
+    if m:
+        n = catalog.delete_where(m.group(1), parse_where(m.group(2)))
+        return {"table": m.group(1), "deleted": n}
+    m = re.fullmatch(
+        r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)", s, re.I | re.S
+    )
+    if m:
+        sets: dict[str, str] = {}
+        for assign in _split_top(m.group(2)):
+            col, eq, expr = assign.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(
+                    f"bad SET assignment {assign!r}; {_GRAMMAR}"
+                )
+            sets[col.strip()] = expr.strip()
+        n = catalog.update_where(m.group(1), parse_where(m.group(3)), sets)
+        return {"table": m.group(1), "updated": n}
+    if re.match(r"(DELETE|UPDATE)\b", s, re.I):
+        raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+    return None

@@ -1,0 +1,87 @@
+"""SQL DML façade: strict grammar parsing, routing to the stats-pruned
+delete_where/update_where, and refusal of anything outside the shape."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.dml_sql import (
+    execute_dml,
+    parse_where,
+)
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+
+def test_parse_where_grammar():
+    assert parse_where("k = 3") == [("k", "=", 3)]
+    assert parse_where("price <= 30.5 AND y >= 1996") == [
+        ("price", "<=", 30.5),
+        ("y", ">=", 1996),
+    ]
+    assert parse_where("name = 'a b' and v is not null") == [
+        ("name", "=", "a b"),
+        ("v", "not_null"),
+    ]
+    assert parse_where("v IS NULL") == [("v", "is_null")]
+    assert parse_where("k IN (1, 2, 3)") == [("k", "in", [1, 2, 3])]
+    assert parse_where("ts >= TIMESTAMP '1996-01-01'") == [
+        ("ts", ">=", datetime.datetime(1996, 1, 1))
+    ]
+    assert parse_where("d < DATE '1996-01-01'") == [
+        ("d", "<", datetime.date(1996, 1, 1))
+    ]
+    with pytest.raises(ValueError, match="unsupported WHERE term"):
+        parse_where("k != 3")
+    with pytest.raises(ValueError):  # OR lands in the literal: refused
+        parse_where("k = 3 OR v = 1")
+    with pytest.raises(ValueError, match="unparseable literal"):
+        parse_where("k = other_col")
+
+
+def test_execute_dml_routes_and_refuses(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    for s in range(2):
+        cat.append(df.where(F.col("k") % 2 == s).coalesce(1), "t")
+
+    out = execute_dml(cat, "DELETE FROM t WHERE k = 3")
+    assert out == {"table": "t", "deleted": 10}
+    assert cat.read("t").filter(F.col("k") == 3).count() == 0
+
+    out = execute_dml(
+        cat, "update t set v = v + 1000, k = k WHERE k IN (1, 2) ;"
+    )
+    assert out == {"table": "t", "updated": 20}
+    assert cat.read("t").filter(F.col("v") >= 1000).count() == 20
+
+    # non-DML returns None (caller sends to spark.sql)
+    assert execute_dml(cat, "SELECT * FROM t") is None
+    # DML-looking but unsupported shapes refuse loudly — never fall
+    # through to a silent no-op
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(cat, "DELETE FROM t")  # no WHERE: full truncation
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(cat, "UPDATE t SET v = 1")  # no WHERE
+    with pytest.raises(ValueError, match="bad SET assignment"):
+        execute_dml(cat, "UPDATE t SET v WHERE k = 1")
+
+
+def test_update_set_expr_with_function_commas(spark, tmp_path):
+    """SET right-hand sides are full Spark SQL expressions — commas
+    inside function calls must not split assignments."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 1.111).alias("v")
+    )
+    cat.append(df, "t")
+    out = execute_dml(
+        cat, "UPDATE t SET v = round(v, 1) WHERE id >= 5"
+    )
+    assert out == {"table": "t", "updated": 5}
+    got = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert got[7] == round(7 * 1.111, 1)
+    assert got[2] == 2 * 1.111
