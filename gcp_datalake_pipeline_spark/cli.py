@@ -440,6 +440,54 @@ def cmd_restore_table(args) -> None:
     )
 
 
+def cmd_describe(args) -> None:
+    """Table health at a glance, metadata-only: dir/file/row counts,
+    bytes, stats-sidecar coverage, checks, bucket layout, schema."""
+    cat = _txn_catalog(args)
+    from gcp_datalake_pipeline_spark import filestats
+
+    if not cat.exists(args.table):
+        sys.exit(f"error: no table {args.table!r}")
+    dirs = cat._data_dirs(args.table)
+    n_files = n_stats = 0
+    n_bytes = 0
+    for d in dirs:
+        files = cat._dir_parquet_files(d)
+        n_files += len(files)
+        stats = filestats.read_dir_stats(d)
+        entries = (stats or {}).get("files", {})
+        n_stats += sum(1 for f in files if f in entries)
+        n_bytes += sum(
+            os.path.getsize(os.path.join(d, f)) for f in files
+        )
+    stored = cat._stored_schema(args.table)
+    meta_path = cat._bucket_meta_path(args.table)
+    bucket = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            bucket = json.load(f)
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "dirs": len(dirs),
+                "files": n_files,
+                "bytes": n_bytes,
+                "rows": cat.count_rows(args.table),
+                "stats_coverage": (
+                    round(n_stats / n_files, 3) if n_files else None
+                ),
+                "checks": cat.checks(args.table),
+                "bucket_layout": bucket,
+                "columns": (
+                    [f.name for f in stored.fields] if stored else None
+                ),
+                "version": cat.versions()[-1]["version"],
+            }
+        )
+    )
+
+
 def cmd_count(args) -> None:
     """Metadata-optimized exact COUNT: stats answer what they can prove,
     only undecidable files scan."""
@@ -773,6 +821,15 @@ def main(argv: list[str] | None = None) -> None:
     prt.add_argument("table")
     prt.add_argument("version", type=int)
     prt.set_defaults(fn=cmd_restore_table)
+
+    pds = sub.add_parser(
+        "describe",
+        help="table health, metadata-only: dirs/files/rows/bytes, "
+        "stats coverage, checks, bucket layout, schema",
+    )
+    pds.add_argument("--catalog", required=True)
+    pds.add_argument("table")
+    pds.set_defaults(fn=cmd_describe)
 
     pcn = sub.add_parser(
         "count",

@@ -205,3 +205,26 @@ def test_cli_rounds_and_show_quarantine(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     payload = json.loads(r.stdout[r.stdout.index("{"):])
     assert payload["rounds"] == [] and payload["quarantine"] == []
+
+
+def test_cli_describe_and_sql_dml(workdir):
+    """describe reports metadata-only table health; DELETE/UPDATE typed
+    at the query prompt route to the stats-pruned DML."""
+    cat = f"{workdir}/desc_lake"
+    r = run_cli(
+        "ingest", "--atomic", "--catalog", cat,
+        "tests/fixtures/empresas_20251001.csv",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("describe", "--catalog", cat, "empresa")
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = json.loads(r.stdout[r.stdout.index("{"):])
+    assert d["rows"] > 0 and d["files"] >= 1 and d["stats_coverage"] == 1.0
+
+    r = run_cli(
+        "query", "--catalog", cat,
+        "DELETE FROM empresa WHERE carrier_id >= 1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    deleted = json.loads(r.stdout[r.stdout.index("{"):])
+    assert deleted["table"] == "empresa" and deleted["deleted"] > 0
