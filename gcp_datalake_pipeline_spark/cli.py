@@ -378,24 +378,37 @@ def cmd_compact(args) -> None:
     print(json.dumps({"table": args.table, "compacted": done}))
 
 
-def _parse_pred(spec: str):
-    """``col,op[,value]`` with the value typed by trial: int -> float ->
-    ISO datetime -> bare string."""
-    parts = spec.split(",", 2)
-    if len(parts) == 2:
-        return (parts[0], parts[1])
-    col, op, raw = parts
+def _typed_value(raw: str):
+    """Type a predicate value by trial: int -> float -> ISO datetime ->
+    bare string."""
     for conv in (int, float):
         try:
-            return (col, op, conv(raw))
+            return conv(raw)
         except ValueError:
             pass
     import datetime
 
     try:
-        return (col, op, datetime.datetime.fromisoformat(raw))
+        return datetime.datetime.fromisoformat(raw)
     except ValueError:
-        return (col, op, raw)
+        return raw
+
+
+def _parse_pred(spec: str):
+    """``col,op[,value]``; the ``in`` op takes a comma-separated value
+    list (``col,in,1,2,3``); is_null/not_null take no value."""
+    parts = spec.split(",", 2)
+    if len(parts) == 1:
+        sys.exit(
+            f"error: --pred must be col,op[,value], got {spec!r} "
+            "(ops: = < <= > >= in is_null not_null)"
+        )
+    if len(parts) == 2:
+        return (parts[0], parts[1])
+    col, op, raw = parts
+    if op == "in":
+        return (col, op, [_typed_value(v) for v in raw.split(",")])
+    return (col, op, _typed_value(raw))
 
 
 def cmd_delete(args) -> None:

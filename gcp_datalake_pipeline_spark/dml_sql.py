@@ -69,6 +69,48 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p for p in (x.strip() for x in out) if p]
 
 
+def _split_keyword(s: str, keyword: str) -> list[str]:
+    """Split ``s`` on the (case-insensitive) bare ``keyword`` token,
+    respecting single quotes and parentheses — ``'SMALL AND SHINY'``
+    must never be cut at its AND."""
+    parts, depth, quote, cur = [], 0, False, []
+    i, n = 0, len(s)
+    kw = keyword.upper()
+    while i < n:
+        ch = s[i]
+        if quote:
+            cur.append(ch)
+            if ch == "'":
+                quote = False
+            i += 1
+            continue
+        if ch == "'":
+            quote = True
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and s[i : i + len(kw)].upper() == kw
+            and (i == 0 or s[i - 1].isspace())
+            and (
+                i + len(kw) >= n or s[i + len(kw)].isspace()
+            )
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += len(kw)
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _parse_literal(tok: str):
     tok = tok.strip()
     m = re.fullmatch(r"TIMESTAMP\s+'([^']+)'", tok, re.I)
@@ -93,8 +135,7 @@ def _parse_literal(tok: str):
 def parse_where(clause: str) -> list[tuple]:
     """The WHERE conjunction as the catalog's predicate tuples."""
     preds: list[tuple] = []
-    for part in re.split(r"\s+AND\s+", clause.strip(), flags=re.I):
-        part = part.strip()
+    for part in _split_keyword(clause.strip(), "AND"):
         m = re.fullmatch(r"(\w+)\s+IS\s+NOT\s+NULL", part, re.I)
         if m:
             preds.append((m.group(1), "not_null"))
@@ -134,19 +175,23 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         n = catalog.delete_where(m.group(1), parse_where(m.group(2)))
         return {"table": m.group(1), "deleted": n}
-    m = re.fullmatch(
-        r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)", s, re.I | re.S
-    )
+    m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
+        # quote/paren-aware WHERE split: a SET expression's string
+        # literal may itself contain the word WHERE
+        pieces = _split_keyword(m.group(2), "WHERE")
+        if len(pieces) != 2:
+            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+        assigns, where = pieces
         sets: dict[str, str] = {}
-        for assign in _split_top(m.group(2)):
+        for assign in _split_top(assigns):
             col, eq, expr = assign.partition("=")
             if not eq or not col.strip() or not expr.strip():
                 raise ValueError(
                     f"bad SET assignment {assign!r}; {_GRAMMAR}"
                 )
             sets[col.strip()] = expr.strip()
-        n = catalog.update_where(m.group(1), parse_where(m.group(3)), sets)
+        n = catalog.update_where(m.group(1), parse_where(where), sets)
         return {"table": m.group(1), "updated": n}
     if re.match(r"(DELETE|UPDATE)\b", s, re.I):
         raise ValueError(f"unsupported DML shape; {_GRAMMAR}")

@@ -701,6 +701,11 @@ def ivf_index_pq_topk(
     never appear."""
     import numpy as np
 
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank={rerank} must be >= k={k}: the refine step can only"
+            " return neighbors the ADC shortlist contains"
+        )
     spark = catalog.spark
     cb, cb_residual = _pq_codebook(catalog, index_table)
     if cb is None:
@@ -827,6 +832,11 @@ def ivf_index_pq_topk_df(
     import numpy as np
     import pandas as pd
 
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank={rerank} must be >= k={k}: the refine step can only"
+            " return neighbors the ADC shortlist contains"
+        )
     cb, cb_residual = _pq_codebook(catalog, index_table)
     if cb is None:
         raise ValueError(

@@ -684,29 +684,46 @@ class TransactionalCatalog(Catalog):
             if bucket_meta:
                 for t, (nb, kc) in bucket_meta.items():
                     Catalog._write_bucket_meta(self, t, nb, kc)
-            # marker first (so a legacy backfill never sees this commit's
-            # not-yet-visible version file), then the retained version
-            # manifest, then the pointer swap
-            self._write_load_marker(load_id, manifest["version"])
-            vdir = os.path.join(self.root, _VERSIONS)
-            os.makedirs(vdir, exist_ok=True)
-            vpath = os.path.join(vdir, f"{manifest['version']}.json")
-            with open(vpath, "w") as f:
-                json.dump(manifest, f)
-            self._swap_manifest(manifest)
+            self._commit_tail(manifest)
+
+    def _commit_tail(self, manifest: dict) -> None:
+        """The crash-ordered publish sequence EVERY commit (data or
+        metadata) must share: load marker first (so a legacy backfill
+        never sees this commit's not-yet-visible version file), then
+        the retained version manifest, then the pointer swap. The
+        caller holds the commit flock. See the committed-load-marker
+        notes for the ``.pending`` sidecar semantics the marker write
+        implements."""
+        self._write_load_marker(manifest["load_id"], manifest["version"])
+        vdir = os.path.join(self.root, _VERSIONS)
+        os.makedirs(vdir, exist_ok=True)
+        with open(
+            os.path.join(vdir, f"{manifest['version']}.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+        self._swap_manifest(manifest)
 
     # -- RESTORE --------------------------------------------------------------
 
-    def restore_table(self, table: str, version: int) -> None:
+    def restore_table(
+        self, table: str, version: int, validate_checks: bool = True
+    ) -> None:
         """Delta RESTORE: make ``table``'s state at snapshot ``version``
         the CURRENT state, published as a NEW commit — history is never
         rewritten (you can restore a restore; the undone versions stay
-        time-travelable until vacuum). Pure metadata: the old dir list
-        and schema become the new pointer entries; no data is read,
-        copied, or rewritten. Conflict-checked like any replace: a
-        writer landing between your decision and the commit raises
+        time-travelable until vacuum). Metadata-only on the write side:
+        the old dir list and schema become the new pointer entries; no
+        data is copied or rewritten. Conflict-checked like any replace:
+        a writer landing between your decision and the commit raises
         :class:`ConcurrentWriteError`. Fails cleanly when vacuum has
-        already reclaimed any of the restored dirs."""
+        already reclaimed any of the restored dirs.
+
+        A restore is a WRITE, so by default the restored state is
+        validated against the table's CURRENT CHECK constraints — a
+        snapshot predating a constraint could otherwise silently
+        reintroduce violating rows (raises :class:`CheckViolation`);
+        ``validate_checks=False`` opts out for the pure-metadata fast
+        path when the caller knows the snapshot is clean."""
         if self._pending is not None:
             raise RuntimeError("restore_table inside an open transaction")
         vm = self._version_manifest(version)
@@ -724,6 +741,19 @@ class TransactionalCatalog(Catalog):
                 f"cannot restore {table!r} to v{version}: data dirs "
                 f"{missing!r} were vacuumed"
             )
+        if validate_checks:
+            chk = self.checks(table)
+            if chk:
+                restored = self.read_at(table, version)
+                for name, expr in chk.items():
+                    bad = restored.filter(self._violates(expr)).count()
+                    if bad:
+                        raise CheckViolation(
+                            f"restoring {table!r} to v{version} would "
+                            f"reintroduce {bad} row(s) violating CHECK "
+                            f"{name!r} ({expr}); drop the check or pass "
+                            "validate_checks=False"
+                        )
         old_schema = vm.get("schemas", {}).get(table)
         base = self._committed_rels(table)
         with self.transaction(f"restore-{table}-v{version}"):
@@ -812,12 +842,35 @@ class TransactionalCatalog(Catalog):
         from pyspark.sql import functions as F
 
         def transform(df, match):
-            out = df
-            for col, expr in set_exprs.items():
+            # ANSI-style cast safety: Spark's default cast turns an
+            # incompatible SET value into NULL — an UPDATE must never
+            # silently null a column, so probe the matched rows for
+            # values the cast loses before rewriting anything
+            for col in set_exprs:
                 if col not in df.columns:
                     raise ValueError(
                         f"update_where: unknown column {col!r} in {table!r}"
                     )
+            bad_casts = [
+                F.sum(
+                    (
+                        F.expr(expr).isNotNull()
+                        & F.expr(expr).cast(df.schema[col].dataType).isNull()
+                    ).cast("long")
+                ).alias(col)
+                for col, expr in set_exprs.items()
+            ]
+            probe = df.filter(match).agg(*bad_casts).first()
+            for col, expr in set_exprs.items():
+                if probe[col]:
+                    raise ValueError(
+                        f"update_where: SET {col} = {expr!r} does not cast "
+                        f"to {df.schema[col].dataType.simpleString()} for "
+                        f"{probe[col]} matched row(s) — refusing to null "
+                        "them silently"
+                    )
+            out = df
+            for col, expr in set_exprs.items():
                 out = out.withColumn(
                     col,
                     F.when(match, F.expr(expr).cast(df.schema[col].dataType))
@@ -861,14 +914,26 @@ class TransactionalCatalog(Catalog):
         if not touched:
             return 0  # stats prove nothing matches: no rewrite, no version
         stored = self._stored_schema(table)
-        # hive partition columns, from any candidate file's path (order
-        # of the path segments is the partition order)
-        part_cols = []
+        # hive partition columns from every touched dir's layout (the
+        # path segments give the partition order); a table whose dirs
+        # DISAGREE on layout cannot be rewritten faithfully — refuse
+        # rather than silently flattening part of it
+        layouts = set()
         for d, fs in touched.items():
-            for seg in fs[0].split(os.sep)[:-1]:
-                if "=" in seg:
-                    part_cols.append(seg.partition("=")[0])
-            break
+            layouts.add(
+                tuple(
+                    seg.partition("=")[0]
+                    for seg in fs[0].split(os.sep)[:-1]
+                    if "=" in seg
+                )
+            )
+        if len(layouts) > 1:
+            raise ValueError(
+                f"{tag}_where: table {table!r} mixes partition layouts "
+                f"{sorted(layouts)!r} across its data dirs; compact it "
+                "to one layout first"
+            )
+        part_cols = list(layouts.pop()) if layouts else []
         parts = []
         for d, fs in touched.items():
             r = self.spark.read.option("basePath", d)
@@ -1008,13 +1073,7 @@ class TransactionalCatalog(Catalog):
             manifest["version"] += 1
             manifest["load_id"] = load_id
             manifest["committed_at"] = time.time()
-            self._write_load_marker(load_id, manifest["version"])
-            vdir = os.path.join(self.root, _VERSIONS)
-            os.makedirs(vdir, exist_ok=True)
-            vpath = os.path.join(vdir, f"{manifest['version']}.json")
-            with open(vpath, "w") as f:
-                json.dump(manifest, f)
-            self._swap_manifest(manifest)
+            self._commit_tail(manifest)
 
     def _enforce_checks(self, table: str, stage_path: str) -> None:
         """Validate a freshly staged dir against the table's committed

@@ -63,6 +63,12 @@ def zvalue_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     column inside codegen."""
     if not cols:
         raise ValueError("zorder_by needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits={bits} x {len(cols)} columns needs {bits * len(cols)}"
+            " interleaved bits; a signed 64-bit z-value holds 63 —"
+            " lower bits or cluster fewer columns"
+        )
     nb = 1 << bits
     norms = [_normalized(df, c) for c in cols]
     probe = df.select(

@@ -244,3 +244,44 @@ def test_vacuum_after_dml_keeps_hardlinked_files_alive(spark, tmp_path):
     # stats sidecar survived with the stage: pruning still engages
     kept, total = cat.pruned_files("t", [("k", "=", 2)])
     assert kept and len(kept) < total
+
+
+def test_update_refuses_silent_null_casts(spark, tmp_path):
+    """Review fix: a SET expression whose value does not cast to the
+    column's type must raise, never silently NULL the matched rows."""
+    cat, _df = _striped(spark, str(tmp_path / "lake"), stripes=2, rows=20)
+    with pytest.raises(ValueError, match="does not cast"):
+        cat.update_where("t", [("k", "=", 1)], {"v": "'not a number'"})
+    assert cat.read("t").filter(F.col("v").isNull()).count() == 0
+
+
+def test_restore_validates_current_checks(spark, tmp_path):
+    """Review fix: restoring a snapshot that predates a CHECK must not
+    silently reintroduce violating rows."""
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(10).select(F.col("id"), (F.col("id") - 5).alias("v"))
+    cat.append(df, "t")
+    v_dirty = cat.versions()[-1]["version"]
+    cat.delete_where("t", [("v", "<", 0)])
+    cat.add_check("t", "v_nonneg", "v >= 0")
+    with pytest.raises(CheckViolation, match="reintroduce"):
+        cat.restore_table("t", v_dirty)
+    # explicit opt-out keeps the metadata-only fast path available
+    cat.restore_table("t", v_dirty, validate_checks=False)
+    assert cat.read("t").count() == 10
+
+
+def test_dml_refuses_mixed_partition_layouts(spark, tmp_path):
+    """Review fix: a table whose data dirs disagree on hive layout
+    cannot be rewritten faithfully — DML refuses instead of silently
+    flattening part of it."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    )
+    cat.append(df, "t", partition_cols=["p"])
+    cat.append(df.withColumn("id", F.col("id") + 100), "t")  # flat dir
+    with pytest.raises(ValueError, match="mixes partition layouts"):
+        cat.delete_where("t", [("v", "<", 10)])

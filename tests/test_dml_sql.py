@@ -85,3 +85,28 @@ def test_update_set_expr_with_function_commas(spark, tmp_path):
     got = {r["id"]: r["v"] for r in cat.read("t").collect()}
     assert got[7] == round(7 * 1.111, 1)
     assert got[2] == 2 * 1.111
+
+
+def test_string_literals_containing_keywords(spark, tmp_path):
+    """Review fixes: the AND split and the SET/WHERE split are quote
+    aware — literals containing ' AND ' / ' WHERE ' parse correctly."""
+    assert parse_where("p = 'SMALL AND SHINY'") == [
+        ("p", "=", "SMALL AND SHINY")
+    ]
+    assert parse_where("p = 'a AND b' AND k = 1") == [
+        ("p", "=", "a AND b"),
+        ("k", "=", 1),
+    ]
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(id, note)"
+    )
+    cat.append(df, "t")
+    out = execute_dml(
+        cat, "UPDATE t SET note = 'a WHERE b' WHERE id = 1"
+    )
+    assert out == {"table": "t", "updated": 1}
+    got = {r["id"]: r["note"] for r in cat.read("t").collect()}
+    assert got == {1: "a WHERE b", 2: "y"}
+    out = execute_dml(cat, "DELETE FROM t WHERE note = 'a WHERE b'")
+    assert out == {"table": "t", "deleted": 1}

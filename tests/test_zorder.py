@@ -115,3 +115,16 @@ def test_zorder_single_column_matches_range_cluster_semantics(
     cat.compact("t", target_file_bytes=6_000, zorder_by=["a"])
     kept, total = cat.pruned_files("t", [("a", "<=", 50)])
     assert total >= 4 and len(kept) <= -(-total // 2), (len(kept), total)
+
+
+def test_zorder_bit_budget_guard(spark, tmp_path):
+    """Review fix: bits * ncols beyond the 63-bit signed budget is
+    refused (overflow would corrupt the clustering silently)."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.col("id").alias("c"), F.col("id").alias("d"),
+    )
+    cat.append(df, "t")
+    with pytest.raises(ValueError, match="63"):
+        cat.compact("t", zorder_by=["a", "b", "c", "d"], zorder_bits=16)
