@@ -110,3 +110,76 @@ def test_string_literals_containing_keywords(spark, tmp_path):
     assert got == {1: "a WHERE b", 2: "y"}
     out = execute_dml(cat, "DELETE FROM t WHERE note = 'a WHERE b'")
     assert out == {"table": "t", "deleted": 1}
+
+
+def test_parse_where_property_roundtrip():
+    """Property test: any conjunction rendered from the grammar parses
+    back to exactly its predicate tuples — including string literals
+    containing keywords, mixed ops, and IN lists."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cols = st.sampled_from(["a", "b2", "price", "o_orderdate"])
+    strings = st.lists(
+        st.sampled_from(
+            ["abc", "X Y", "09_", " AND ", " WHERE ", "(", ")", "z"]
+        ),
+        max_size=4,
+    ).map("".join)
+    literal = st.one_of(
+        st.integers(-10**6, 10**6),
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=32
+        ).map(lambda f: round(float(f), 3)),
+        strings,
+        st.datetimes(
+            min_value=datetime.datetime(1990, 1, 1),
+            max_value=datetime.datetime(2030, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0)),
+    )
+
+    def render(lit):
+        if isinstance(lit, str):
+            return f"'{lit}'"
+        if isinstance(lit, datetime.datetime):
+            return f"TIMESTAMP '{lit.isoformat()}'"
+        return repr(lit)
+
+    term = st.one_of(
+        st.tuples(cols, st.sampled_from(["=", "<", "<=", ">", ">="]), literal),
+        st.tuples(cols, st.sampled_from(["is_null", "not_null"])),
+        st.tuples(
+            cols, st.just("in"), st.lists(literal, min_size=1, max_size=4)
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(term, min_size=1, max_size=4))
+    def check(terms):
+        parts = []
+        for t in terms:
+            if t[1] in ("is_null", "not_null"):
+                parts.append(
+                    f"{t[0]} IS NULL" if t[1] == "is_null"
+                    else f"{t[0]} IS NOT NULL"
+                )
+            elif t[1] == "in":
+                parts.append(
+                    f"{t[0]} IN ({', '.join(render(v) for v in t[2])})"
+                )
+            else:
+                parts.append(f"{t[0]} {t[1]} {render(t[2])}")
+        clause = " AND ".join(parts)
+        got = parse_where(clause)
+        want = [
+            (t[0], t[1]) if len(t) == 2 else (t[0], t[1], t[2])
+            for t in terms
+        ]
+        # string literals render stripped of leading/trailing spaces by
+        # the term splitter only when UNQUOTED; quoted strings survive
+        # verbatim — so exact equality is the contract
+        assert got == want, (clause, got, want)
+
+    check()
