@@ -510,6 +510,19 @@ def cmd_count(args) -> None:
     print(json.dumps({"table": args.table, "rows": n}))
 
 
+def cmd_minmax(args) -> None:
+    """Exact MIN/MAX from file stats; only stat-less files scan."""
+    cat = _txn_catalog(args)
+    mn, mx = cat.min_max(args.table, args.column)
+    print(
+        json.dumps(
+            {"table": args.table, "column": args.column,
+             "min": mn, "max": mx},
+            default=str,
+        )
+    )
+
+
 def cmd_check(args) -> None:
     """CHECK-constraint lifecycle: write-time data quality gates stored
     in the manifest and enforced on every staged write."""
@@ -856,6 +869,16 @@ def main(argv: list[str] | None = None) -> None:
         help="col,op[,value] — repeat for AND (same format as delete)",
     )
     pcn.set_defaults(fn=cmd_count)
+
+    pmm = sub.add_parser(
+        "minmax",
+        help="exact MIN/MAX of a column from file stats; only "
+        "stat-less files scan",
+    )
+    pmm.add_argument("--catalog", required=True)
+    pmm.add_argument("table")
+    pmm.add_argument("column")
+    pmm.set_defaults(fn=cmd_minmax)
 
     pck = sub.add_parser(
         "check",

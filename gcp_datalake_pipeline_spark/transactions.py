@@ -804,6 +804,85 @@ class TransactionalCatalog(Catalog):
             total += filestats.residual_filter(df, preds).count()
         return total
 
+    def min_max(self, table: str, col: str) -> tuple:
+        """Exact ``(MIN(col), MAX(col))`` (NULLs ignored, SQL
+        semantics) answered from the stats sidecars wherever a file's
+        min/max is recorded — the companion to :meth:`count_rows` in
+        Delta's metadata-optimized aggregate family. Files with
+        unknown stats, all-NULL min/max ambiguity, or partition-token
+        stats (whose lexicographic order may disagree with the
+        column's type) are scanned — and ONLY those. A stats-complete
+        table answers with zero data I/O. (Note: Spark writes
+        TIMESTAMP-with-local-zone as INT96 by default, which carries
+        no footer stats — those columns always take the scan path;
+        TIMESTAMP_NTZ and every other primitive answer from
+        metadata.)"""
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        mn = mx = None
+        scan: list[tuple[str, list[str]]] = []
+        for d in self._data_dirs(table):
+            stats = filestats.read_dir_stats(d)
+            entries = (stats or {}).get("files", {})
+            unknown = []
+            for f in self._dir_parquet_files(d):
+                entry = entries.get(f)
+                if entry is None:
+                    unknown.append(f)
+                    continue
+                if entry.get("rows") == 0:
+                    continue
+                cs = entry.get("columns", {}).get(col)
+                if cs is None:
+                    unknown.append(f)
+                    continue
+                emin, emax = cs.get("min"), cs.get("max")
+                if emin is None or emax is None:
+                    # provably all-NULL contributes nothing; anything
+                    # else is unknown
+                    if not (
+                        entry.get("rows") is not None
+                        and cs.get("nulls") == entry["rows"]
+                    ):
+                        unknown.append(f)
+                    continue
+                if emin.get("t") == "part" or emax.get("t") == "part":
+                    unknown.append(f)  # token order may lie for numbers
+                    continue
+                fmin = filestats._decode_value(emin)
+                fmax = filestats._decode_value(emax)
+                if mn is None or filestats._lt(fmin, mn):
+                    mn = fmin
+                if mx is None or filestats._lt(mx, fmax):
+                    mx = fmax
+            if unknown:
+                scan.append((d, unknown))
+        if scan:
+            from pyspark.sql import functions as F
+
+            stored = self._stored_schema(table)
+            parts = []
+            for d, fs in scan:
+                r = self.spark.read.option("basePath", d)
+                if stored is not None:
+                    r = r.schema(stored)
+                parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            row = df.agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).first()
+            if row["mn"] is not None and (
+                mn is None or filestats._lt(row["mn"], mn)
+            ):
+                mn = row["mn"]
+            if row["mx"] is not None and (
+                mx is None or filestats._lt(mx, row["mx"])
+            ):
+                mx = row["mx"]
+        return mn, mx
+
     # -- row-level DELETE / UPDATE --------------------------------------------
     #
     # The Delta DML shape, shared by delete_where and update_where: file

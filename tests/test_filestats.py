@@ -403,3 +403,50 @@ def test_count_rows_timestamp_and_partition_stats(spark, tmp_path):
     finally:
         cat.spark = held
     assert got == want_1996
+
+
+def test_min_max_metadata_only(spark, tmp_path):
+    """min_max equals Spark's MIN/MAX for numeric, null-bearing, and
+    timestamp columns — and runs with zero data I/O on a
+    stats-complete table (Spark handle nulled); partition-token stats
+    fall back to a scan (lexicographic order may lie for numbers)."""
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 9 == 0, None)
+        .otherwise((F.col("id") * 3 - 700).cast("double"))
+        .alias("v"),
+        F.to_timestamp(
+            F.concat(F.lit("1995-01-"), (F.col("id") % 28 + 1).cast("string"))
+        ).alias("ts"),
+    )
+    for s in range(4):
+        cat.append(df.where(F.col("id") % 4 == s).coalesce(1), "t")
+
+    def want(col):
+        r = cat.read("t").agg(F.min(col), F.max(col)).first()
+        return r[0], r[1]
+
+    held = cat.spark
+    try:
+        cat.spark = None  # metadata-only for stats-bearing columns
+        got_v = cat.min_max("t", "v")
+    finally:
+        cat.spark = held
+    assert got_v == want("v")
+    # TIMESTAMP (LTZ) writes as INT96 without footer stats — min_max
+    # must detect that and fall back to scanning those files only
+    assert cat.min_max("t", "ts") == want("ts")
+
+    # numeric partition column: token stats must NOT answer (e.g. "10"
+    # < "9" lexicographically) — the scan fallback gives the true max
+    cat2 = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake2"))
+    pdf = spark.range(120).select(
+        F.col("id"), (F.col("id") % 12).alias("p")
+    )
+    cat2.overwrite(pdf, "t", partition_cols=["p"])
+    assert cat2.min_max("t", "p") == (0, 11)
