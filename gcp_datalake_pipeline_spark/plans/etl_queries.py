@@ -826,6 +826,56 @@ def etl_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_metadata_aggregates",
+    """
+    SELECT count(*) AS n_rows,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(*) FILTER (WHERE o_totalprice < 30000) AS n_cheap
+    FROM orders
+    WHERE o_orderkey < 6000
+    """,
+    doc="""Metadata-optimized aggregates through the real storage
+    engine: a bounded orders subset lands in striped appends, then the
+    COUNT, the predicate COUNT, and MIN/MAX are answered by
+    count_rows/min_max — folding the stats sidecars, scanning only
+    undecidable files (the Delta SELECT COUNT(*)/MIN/MAX shape,
+    generalized to predicates). The oracle is the plain SQL aggregate:
+    if the metadata fold ever drifted from the data by one row or one
+    value, the hash flips. At 100 TB these are the dashboard queries
+    that must not cost a table scan.""",
+)
+def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_metadata_aggs_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_mlake"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        )
+        for i in range(4):
+            with cat.transaction(f"orders-stripe-{i}"):
+                cat.append(
+                    orders.where(F.col("o_orderkey") % 4 == i).coalesce(1),
+                    "orders_mlake",
+                )
+    n = cat.count_rows("orders_mlake")
+    mn, mx = cat.min_max("orders_mlake", "o_totalprice")
+    n_cheap = cat.count_rows(
+        "orders_mlake", [("o_totalprice", "<", 30000.0)]
+    )
+    return spark.createDataFrame(
+        [(n, float(mn), float(mx), n_cheap)],
+        "n_rows long, min_price double, max_price double, n_cheap long",
+    )
+
+
+@register(
     "etl_update_where",
     """
     SELECT o_orderpriority,
