@@ -618,6 +618,7 @@ class TransactionalCatalog(Catalog):
         strict: bool = True,
         schemas: dict | None = None,
         bucket_meta: dict | None = None,
+        checks: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -646,6 +647,8 @@ class TransactionalCatalog(Catalog):
                 manifest["tables"] = dict(tables)
                 if schemas is not None:
                     manifest["schemas"] = dict(schemas)
+                if checks is not None:
+                    manifest["checks"] = dict(checks)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
@@ -1576,6 +1579,9 @@ class TransactionalCatalog(Catalog):
             f"clone-of-v{manifest['version']}",
             replace=True,
             schemas=manifest.get("schemas", {}),
+            # a branch keeps its quality gates: CHECK constraints ride
+            # the clone like schemas do
+            checks=manifest.get("checks", {}),
         )
         return dst
 

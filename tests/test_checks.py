@@ -120,3 +120,21 @@ def test_checks_gate_bucketed_merge(spark, tmp_path):
     with pytest.raises(CheckViolation, match="v_nonneg"):
         cat.merge_upsert_bucketed(upd, "t", key_cols=["id"], num_buckets=8)
     assert cat.read("t").filter(F.col("v") < 0).count() == 0
+
+
+def test_checks_ride_clones(spark, tmp_path):
+    """A shallow clone keeps its quality gates: CHECK constraints ride
+    the cloned manifest like schemas, so a branch rejects the same bad
+    writes the source does."""
+    cat = _cat(spark, tmp_path)
+    cat.append(
+        spark.range(10).select(F.col("id"), F.col("id").alias("v")), "t"
+    )
+    cat.add_check("t", "v_nonneg", "v >= 0")
+    clone = cat.clone_to(str(tmp_path / "branch"))
+    assert clone.checks("t") == {"v_nonneg": "v >= 0"}
+    bad = spark.range(3).select(F.col("id"), (-F.col("id") - 1).alias("v"))
+    with pytest.raises(CheckViolation, match="v_nonneg"):
+        clone.append(bad, "t")
+    # the source is untouched by the clone's rejected write
+    assert cat.read("t").count() == 10
