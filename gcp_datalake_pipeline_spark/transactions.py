@@ -1398,7 +1398,11 @@ class TransactionalCatalog(Catalog):
         NEW commit whose table map IS the old snapshot's (tables created
         after it disappear; the rollback itself is in the history and no
         data is deleted — vacuum still governs reclamation). Delta's
-        RESTORE semantics, whole-catalog."""
+        RESTORE semantics, whole-catalog. The rollback is COMPLETE
+        state: schemas and CHECK constraints revert with the data (the
+        old data provably satisfied the old checks, so no validation
+        scan is needed — unlike :meth:`restore_table`, which restores
+        one table UNDER the current constraints)."""
         if self._pending is not None:
             raise RuntimeError("cannot restore inside an open transaction")
         vpath = os.path.join(self.root, _VERSIONS, f"{version}.json")
@@ -1414,6 +1418,7 @@ class TransactionalCatalog(Catalog):
             f"restore-v{version}",
             replace=True,
             schemas=old.get("schemas", {}),
+            checks=old.get("checks", {}),
         )
 
     # -- maintenance --------------------------------------------------------

@@ -138,3 +138,21 @@ def test_checks_ride_clones(spark, tmp_path):
         clone.append(bad, "t")
     # the source is untouched by the clone's rejected write
     assert cat.read("t").count() == 10
+
+
+def test_catalog_restore_reverts_checks_with_the_data(spark, tmp_path):
+    """Whole-catalog restore is COMPLETE state rollback: the checks map
+    reverts alongside tables and schemas — a constraint added after
+    the snapshot disappears with it (and vice versa), keeping the
+    restored state self-consistent without a validation scan."""
+    cat = _cat(spark, tmp_path)
+    cat.append(
+        spark.range(5).select(F.col("id"), (F.col("id") - 3).alias("v")),
+        "t",
+    )
+    v_pre = cat.versions()[-1]["version"]
+    cat.delete_where("t", [("v", "<", 0)])
+    cat.add_check("t", "v_nonneg", "v >= 0")
+    cat.restore(v_pre)
+    assert cat.checks("t") == {}  # pre-check snapshot: gate reverted
+    assert cat.read("t").count() == 5
