@@ -798,7 +798,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     pco.add_argument(
         "--zorder-by", default=None,
-        help="comma-separated numeric/date/timestamp columns to "
+        help="comma-separated numeric/date/timestamp/string columns to "
         "Morton-cluster the rewrite by: every output file covers a "
         "tight range in ALL listed columns, so selective reads skip "
         "files on any of them (mutually exclusive with --cluster-by)",

@@ -21,9 +21,14 @@ Mechanics (all JVM-side after one bounded driver collect per column):
    position ``k * ncols + i``) with shift/AND/OR column arithmetic.
 
 NULLs sort first (bucket 0). Supported types: numerics, date,
-timestamp (cast to epoch seconds). Strings are rejected — a hash would
-destroy the very min/max ordering the stats need; range-bucket them
-into a numeric column first if required.
+timestamp (cast to epoch seconds), and strings — string columns take
+their ``2**bits - 1`` boundaries from a bounded deterministic sample
+(sorted driver-side; ~64k values max regardless of table size, sized
+via the metadata row count when available) and bucket by plain
+lexicographic comparison, so the file stats' string min/max stay
+meaningful and both equality and range predicates prune. Sampling only
+shapes clustering QUALITY, never correctness: the bucket value is a
+function of the row alone, and reads always re-apply exact predicates.
 """
 
 from __future__ import annotations
@@ -36,8 +41,9 @@ _Z_COL = "__zval"
 
 
 def _normalized(df: DataFrame, col: str) -> Column:
-    """The column as a double for quantile bucketing: numerics cast,
-    date/timestamp via epoch seconds. Raises for anything else."""
+    """The column as an ORDERABLE value for quantile bucketing:
+    numerics cast to double, date/timestamp via epoch seconds, strings
+    pass through (lexicographic order). Raises for anything else."""
     dt = df.schema[col].dataType
     if isinstance(dt, (T.DateType, T.TimestampNTZType)):
         # neither casts straight to double; hop via TIMESTAMP
@@ -46,10 +52,32 @@ def _normalized(df: DataFrame, col: str) -> Column:
         return F.col(col).cast("double")
     if isinstance(dt, T.NumericType):
         return F.col(col).cast("double")
+    if isinstance(dt, T.StringType):
+        return F.col(col)
     raise ValueError(
         f"zorder_by column {col!r} has unsupported type {dt.simpleString()};"
-        " supported: numeric, date, timestamp"
+        " supported: numeric, date, timestamp, string"
     )
+
+
+def _string_boundaries(df: DataFrame, col: str, nb: int) -> list[str]:
+    """``nb - 1`` lexicographic range boundaries for a string column,
+    from a BOUNDED deterministic sample: the driver never holds more
+    than ~64k values however large the table is (fraction sized via the
+    metadata row count when the frame exposes one, else a cheap
+    count). Sorted sample -> evenly spaced picks — the sampled
+    analogue of approxQuantile, which is numeric-only."""
+    cap = 1 << 16
+    base = df.select(F.col(col).alias("s")).filter(F.col("s").isNotNull())
+    n = base.count()
+    if n == 0:
+        return []
+    frac = min(1.0, cap / float(n))
+    sample = base if frac >= 1.0 else base.sample(frac, seed=42)
+    vals = sorted(r["s"] for r in sample.collect())
+    if not vals:
+        vals = sorted(r["s"] for r in base.limit(cap).collect())
+    return [vals[int(i * len(vals) / nb)] for i in range(1, nb)]
 
 
 def zvalue_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
@@ -71,20 +99,39 @@ def zvalue_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
         )
     nb = 1 << bits
     norms = [_normalized(df, c) for c in cols]
-    probe = df.select(
-        *[n.alias(f"__n{i}") for i, n in enumerate(norms)]
-    )
-    # bounded driver collect: (2**bits - 1) boundaries per column
+    is_str = [
+        isinstance(df.schema[c].dataType, T.StringType) for c in cols
+    ]
+    # bounded driver collects: (2**bits - 1) boundaries per column —
+    # approxQuantile for the numeric-ish ones, a deterministic sorted
+    # sample for strings (approxQuantile is numeric-only)
     probs = [j / nb for j in range(1, nb)]
-    bounds = probe.stat.approxQuantile(
-        [f"__n{i}" for i in range(len(cols))], probs, 1.0 / (4 * nb)
+    num_idx = [i for i, s in enumerate(is_str) if not s]
+    num_bounds = (
+        df.select(
+            *[norms[i].alias(f"__n{i}") for i in num_idx]
+        ).stat.approxQuantile(
+            [f"__n{i}" for i in num_idx], probs, 1.0 / (4 * nb)
+        )
+        if num_idx
+        else []
     )
+    bounds: list[list] = [None] * len(cols)
+    for pos, i in enumerate(num_idx):
+        bounds[i] = num_bounds[pos]
+    for i, s in enumerate(is_str):
+        if s:
+            bounds[i] = _string_boundaries(df, cols[i], nb)
     buckets = []
-    for n, bs in zip(norms, bounds):
+    for n, bs, s in zip(norms, bounds, is_str):
         if not bs:  # empty table or all-NULL column
             buckets.append(F.lit(0))
             continue
-        arr = F.array(*[F.lit(float(b)) for b in bs])
+        arr = F.array(
+            *[F.lit(b if s else float(b)) for b in bs]
+        )
+        # F.aggregate invokes the lambda during construction, so the
+        # loop-variable closure over ``n`` binds immediately
         buckets.append(
             F.aggregate(
                 arr,

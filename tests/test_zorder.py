@@ -67,20 +67,59 @@ def test_zorder_rewrite_is_time_travelable(spark, tmp_path):
 
 
 def test_zorder_type_guards(spark, tmp_path):
-    """Strings are rejected (a hash would destroy the min/max ordering
-    the stats need); cluster_by and zorder_by are mutually exclusive;
-    empty column list is rejected."""
+    """Non-orderable types (arrays, binary) are rejected; cluster_by
+    and zorder_by are mutually exclusive; empty column list is
+    rejected."""
     cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
     df = spark.range(100).select(
-        F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("s")
+        F.col("id"), F.array(F.col("id")).alias("a")
     )
     cat.append(df, "t")
     with pytest.raises(ValueError, match="unsupported type"):
-        cat.compact("t", zorder_by=["s"])
+        cat.compact("t", zorder_by=["a"])
     with pytest.raises(ValueError, match="mutually exclusive"):
         cat.compact("t", cluster_by=["id"], zorder_by=["id"])
     with pytest.raises(ValueError, match="at least one column"):
         zvalue_column(df, [])
+
+
+def test_zorder_string_column_prunes(spark, tmp_path):
+    """String columns z-order via sampled lexicographic boundaries:
+    equality AND range predicates on the string dimension skip files,
+    the numeric co-dimension still prunes, values are unchanged."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("dom-"),
+            F.lpad(((F.col("id") * 7919) % 500).cast("string"), 4, "0"),
+            F.lit(".com"),
+        ).alias("domain"),
+        (F.col("id") % 1000).alias("size"),
+    )
+    for i in range(4):
+        cat.append(df.where(F.col("id") % 4 == i).coalesce(1), "t")
+    pre = sorted(tuple(r) for r in cat.read("t").collect())
+    assert cat.compact(
+        "t", target_file_bytes=10_000, zorder_by=["domain", "size"]
+    )
+    kd, td = cat.pruned_files("t", [("domain", "=", "dom-0042.com")])
+    kr, _ = cat.pruned_files("t", [("domain", "<=", "dom-0100.com")])
+    ks, ts = cat.pruned_files("t", [("size", "<=", 50)])
+    assert td >= 8
+    assert len(kd) < td and len(kr) < td and len(ks) < ts
+    assert sorted(tuple(r) for r in cat.read("t").collect()) == pre
+    got = sorted(
+        tuple(r)
+        for r in cat.read(
+            "t", predicates=[("domain", "=", "dom-0042.com")]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.where(F.col("domain") == "dom-0042.com").collect()
+    )
+    assert got == want and got
 
 
 def test_zvalue_handles_nulls_and_timestamps(spark, tmp_path):
