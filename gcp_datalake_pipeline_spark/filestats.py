@@ -51,6 +51,20 @@ _OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null", "not_null")
 # -- value encoding -----------------------------------------------------------
 
 
+def _to_naive_utc(dt: datetime.datetime) -> datetime.datetime:
+    """Timestamps normalize to NAIVE UTC at the stats boundary: Spark
+    writes TIMESTAMP (with local zone) as TIMESTAMP_MICROS adjusted to
+    UTC, and pyarrow surfaces those footer stats as tz-AWARE datetimes —
+    while predicate values (catalog API tuples, DML ``TIMESTAMP 'iso'``
+    literals) are naive in the engine's UTC session. Comparing aware vs
+    naive raises TypeError (conservative keep), which would silently
+    disable temporal pruning everywhere; one normalization here keeps
+    every comparison well-defined."""
+    if dt.tzinfo is not None:
+        return dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def _encode_value(v):
     """JSON-safe tagged encoding of a parquet stat value. Unknown types
     encode as None (= no stats, conservative keep)."""
@@ -71,7 +85,7 @@ def _encode_value(v):
     if isinstance(v, bytes):
         return {"t": "bytes", "v": base64.b64encode(v).decode("ascii")}
     if isinstance(v, datetime.datetime):
-        return {"t": "ts", "v": v.isoformat()}
+        return {"t": "ts", "v": _to_naive_utc(v).isoformat()}
     if isinstance(v, datetime.date):
         return {"t": "date", "v": v.isoformat()}
     if isinstance(v, decimal.Decimal):
@@ -112,7 +126,10 @@ def _coerce_pair(stat_e, pred_v):
         if isinstance(pred_v, float):
             return float(raw), pred_v
         if isinstance(pred_v, datetime.datetime):
-            return datetime.datetime.fromisoformat(raw), pred_v
+            return (
+                _to_naive_utc(datetime.datetime.fromisoformat(raw)),
+                _to_naive_utc(pred_v),
+            )
         if isinstance(pred_v, datetime.date):
             return datetime.date.fromisoformat(raw), pred_v
         if isinstance(pred_v, str):
@@ -132,15 +149,15 @@ def _coerce_pair(stat_e, pred_v):
     if isinstance(sv, datetime.datetime) and isinstance(
         pred_v, datetime.datetime
     ):
-        return sv, pred_v
+        return _to_naive_utc(sv), _to_naive_utc(pred_v)
     # date-vs-datetime: compare at day granularity, widening the stat
     # bound outward so the comparison stays conservative
     if isinstance(sv, datetime.datetime) and isinstance(pred_v, datetime.date):
-        return sv.date(), pred_v
+        return _to_naive_utc(sv).date(), pred_v
     if isinstance(sv, datetime.date) and isinstance(
         pred_v, datetime.datetime
     ):
-        return sv, pred_v.date()
+        return sv, _to_naive_utc(pred_v).date()
     if type(sv) is type(pred_v):
         return sv, pred_v
     raise TypeError(f"incomparable {type(sv)} vs {type(pred_v)}")

@@ -831,21 +831,32 @@ def etl_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_rows,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           count(*) FILTER (WHERE o_totalprice < 30000) AS n_cheap
+           count(*) FILTER (WHERE o_totalprice < 30000) AS n_cheap,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date,
+           count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+             AS n_recent
     FROM orders
     WHERE o_orderkey < 6000
     """,
     doc="""Metadata-optimized aggregates through the real storage
     engine: a bounded orders subset lands in striped appends, then the
-    COUNT, the predicate COUNT, and MIN/MAX are answered by
+    COUNT, the predicate COUNTs, and MIN/MAX are answered by
     count_rows/min_max — folding the stats sidecars, scanning only
     undecidable files (the Delta SELECT COUNT(*)/MIN/MAX shape,
-    generalized to predicates). The oracle is the plain SQL aggregate:
-    if the metadata fold ever drifted from the data by one row or one
-    value, the hash flips. At 100 TB these are the dashboard queries
-    that must not cost a table scan.""",
+    generalized to predicates). The order date lands as a true
+    TIMESTAMP (with-local-zone) column, so the session's
+    TIMESTAMP_MICROS parquet output (session.py) must surface footer
+    stats the sidecar can fold — min/max dates and a temporal-predicate
+    count ride the same metadata path as the numerics (the INT96
+    legacy format would silently degrade all three to scans; pytest
+    pins the zero-I/O property, this gate pins the values). The oracle
+    is the plain SQL aggregate: if the metadata fold ever drifted from
+    the data by one row or one value, the hash flips. At 100 TB these
+    are the dashboard queries that must not cost a table scan.""",
 )
 def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
     import os
 
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
@@ -856,7 +867,16 @@ def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = (
             load_table(spark, sf_dir, "orders")
             .where(F.col("o_orderkey") < 6000)
-            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                "o_totalprice",
+                # force TimestampType (with-local-zone): the testdata
+                # column reads as NTZ, which always wrote stats; the
+                # TIMESTAMP_MICROS session conf is what makes THIS
+                # variant metadata-visible
+                F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            )
         )
         for i in range(4):
             with cat.transaction(f"orders-stripe-{i}"):
@@ -869,9 +889,15 @@ def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cheap = cat.count_rows(
         "orders_mlake", [("o_totalprice", "<", 30000.0)]
     )
+    dmn, dmx = cat.min_max("orders_mlake", "o_orderdate")
+    n_recent = cat.count_rows(
+        "orders_mlake",
+        [("o_orderdate", ">=", datetime.datetime(1997, 1, 1))],
+    )
     return spark.createDataFrame(
-        [(n, float(mn), float(mx), n_cheap)],
-        "n_rows long, min_price double, max_price double, n_cheap long",
+        [(n, float(mn), float(mx), n_cheap, dmn, dmx, n_recent)],
+        "n_rows long, min_price double, max_price double, n_cheap long,"
+        " min_date timestamp, max_date timestamp, n_recent long",
     )
 
 

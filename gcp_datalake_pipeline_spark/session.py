@@ -57,6 +57,16 @@ def get_spark(
         # the reference's `|| null` coercions. Engine code still prefers
         # try_* functions so it stays correct under ANSI sessions too.
         .config("spark.sql.ansi.enabled", "false")
+        # TIMESTAMP columns as INT64 micros, not the legacy INT96: INT96
+        # pages carry NO parquet footer statistics, which blinds the
+        # whole stats layer (file skipping, metadata COUNT/MIN/MAX, DML
+        # candidate pruning) to every temporal predicate — on a 100 TB
+        # events table, date-range DML is THE hot case. TIMESTAMP_MICROS
+        # is what Delta/Iceberg write and every modern reader (and the
+        # filestats footer harvest) understands; pre-existing INT96
+        # files still read fine and simply take the conservative scan
+        # path. Overridable via extra_conf for legacy-writer parity.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

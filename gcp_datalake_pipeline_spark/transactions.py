@@ -815,11 +815,11 @@ class TransactionalCatalog(Catalog):
         unknown stats, all-NULL min/max ambiguity, or partition-token
         stats (whose lexicographic order may disagree with the
         column's type) are scanned — and ONLY those. A stats-complete
-        table answers with zero data I/O. (Note: Spark writes
-        TIMESTAMP-with-local-zone as INT96 by default, which carries
-        no footer stats — those columns always take the scan path;
-        TIMESTAMP_NTZ and every other primitive answer from
-        metadata.)"""
+        table answers with zero data I/O. Timestamp columns answer
+        from metadata too: the engine session writes TIMESTAMP as
+        TIMESTAMP_MICROS (session.py), whose footer stats the sidecar
+        harvests (normalized to naive UTC); files from legacy INT96
+        writers carry no stats and simply take the scan path."""
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
         mn = mx = None
