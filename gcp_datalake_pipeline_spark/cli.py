@@ -491,6 +491,7 @@ def cmd_describe(args) -> None:
                     round(n_stats / n_files, 3) if n_files else None
                 ),
                 "checks": cat.checks(args.table),
+                "layout": cat.layout(args.table),
                 "bucket_layout": bucket,
                 "columns": (
                     [f.name for f in stored.fields] if stored else None

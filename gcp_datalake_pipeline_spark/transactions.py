@@ -619,6 +619,7 @@ class TransactionalCatalog(Catalog):
         schemas: dict | None = None,
         bucket_meta: dict | None = None,
         checks: dict | None = None,
+        layouts: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -649,10 +650,20 @@ class TransactionalCatalog(Catalog):
                     manifest["schemas"] = dict(schemas)
                 if checks is not None:
                     manifest["checks"] = dict(checks)
+                if layouts is not None:
+                    manifest["layouts"] = dict(layouts)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
                     cur = manifest["tables"].get(table)
+                    if "layout" in intent:
+                        # clustering spec recorded (compact) or restored
+                        # (restore_table); None clears a stale record
+                        mlay = manifest.setdefault("layouts", {})
+                        if intent["layout"] is None:
+                            mlay.pop(table, None)
+                        else:
+                            mlay[table] = intent["layout"]
                     if intent["mode"] == "append":
                         manifest["tables"][table] = list(cur or []) + list(
                             intent["added"]
@@ -766,6 +777,9 @@ class TransactionalCatalog(Catalog):
                 "base": base,
                 "added": list(old),
                 "schema": old_schema,
+                # the snapshot's clustering spec returns with its data
+                # (None clears a record the snapshot predates)
+                "layout": vm.get("layouts", {}).get(table),
             }
 
     # -- metadata-only COUNT --------------------------------------------------
@@ -1046,6 +1060,15 @@ class TransactionalCatalog(Catalog):
             # rewrite, no version
             return 0
         new_df = transform(cand_df, match)
+        # re-apply the table's recorded clustering to the rewritten slice
+        # (file granularity preserved: one output file per candidate
+        # file), so selective predicates keep their pre-DML skip rate —
+        # without this every DELETE/UPDATE quietly unsorts its rewrite
+        # and data skipping degrades until the next manual re-cluster
+        spec = self.layout(table)
+        if spec is not None:
+            n_out = sum(len(fs) for fs in touched.values())
+            new_df = self._apply_layout(new_df, spec, max(1, n_out))
         with self.transaction(f"{tag}-{table}"):
             rel = self._stage_dir(table)
             stage = os.path.join(self.root, rel)
@@ -1100,6 +1123,45 @@ class TransactionalCatalog(Catalog):
         return dict(
             self._read_manifest(strict=False).get("checks", {}).get(table, {})
         )
+
+    # -- persisted clustering layout ------------------------------------------
+    #
+    # Delta records a table's clustering columns in its metadata so every
+    # OPTIMIZE — and every DML rewrite — re-applies the layout instead of
+    # silently unsorting rewritten files. Same here: ``compact(cluster_by=
+    # ...)`` / ``compact(zorder_by=...)`` record the spec in the manifest
+    # (``manifest["layouts"][table]``), a plain ``compact()`` re-applies
+    # the recorded spec, and ``_rewrite_where`` re-sorts its rewritten
+    # candidate slice by it — so file-skipping selectivity survives every
+    # DELETE/UPDATE pass instead of quietly degrading until someone
+    # remembers to re-cluster by hand. The record is versioned manifest
+    # state: it time-travels, restores, and clones with the data.
+
+    def layout(self, table: str) -> dict | None:
+        """The table's recorded clustering spec, or None:
+        ``{"kind": "zorder", "cols": [...], "bits": n}`` or
+        ``{"kind": "cluster", "cols": [...]}``."""
+        spec = (
+            self._read_manifest(strict=False).get("layouts", {}).get(table)
+        )
+        return dict(spec) if spec is not None else None
+
+    def _apply_layout(self, df: DataFrame, spec: dict, n_files: int):
+        """Re-cluster ``df`` per a recorded layout spec. Conservative:
+        a spec referencing columns the frame no longer has (schema
+        evolution) passes the frame through unsorted — correctness
+        never depends on layout, only selectivity does."""
+        if spec is None or any(c not in df.columns for c in spec["cols"]):
+            return df
+        if spec["kind"] == "zorder":
+            from gcp_datalake_pipeline_spark.zorder import apply_zorder
+
+            return apply_zorder(
+                df, spec["cols"], n_files, bits=spec.get("bits", 8)
+            )
+        return df.repartitionByRange(
+            n_files, *spec["cols"]
+        ).sortWithinPartitions(*spec["cols"])
 
     def add_check(self, table: str, name: str, expr: str) -> None:
         """Register CHECK ``expr`` (a SQL boolean over the table's
@@ -1419,6 +1481,7 @@ class TransactionalCatalog(Catalog):
             replace=True,
             schemas=old.get("schemas", {}),
             checks=old.get("checks", {}),
+            layouts=old.get("layouts", {}),
         )
 
     # -- maintenance --------------------------------------------------------
@@ -1461,6 +1524,11 @@ class TransactionalCatalog(Catalog):
         quantile ranges. Mutually exclusive with ``cluster_by``; also
         forces a rewrite.
 
+        Either spec is RECORDED in the manifest (``layouts``): later
+        plain ``compact()`` calls re-apply it, row-level DELETE/UPDATE
+        re-sorts rewritten candidate files by it, and it rides time
+        travel, RESTORE, and clones with the data (:meth:`layout`).
+
         Concurrency: the commit is conflict-checked against the dir list
         snapshotted HERE (not at the staged write), so an append landing
         between the snapshot and the commit raises
@@ -1478,7 +1546,25 @@ class TransactionalCatalog(Catalog):
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
-        if len(snapshot) < min_dirs and cluster_by is None and zorder_by is None:
+        # resolve the clustering spec: explicit args record a NEW layout;
+        # a plain compact re-applies the table's recorded one (OPTIMIZE
+        # must never destroy clustering it wasn't told to change). Only
+        # an EXPLICIT spec forces a rewrite of an already-compact table —
+        # a recorded layout's files are already clustered.
+        explicit = bool(cluster_by or zorder_by)
+        if zorder_by:
+            spec = {"kind": "zorder", "cols": list(zorder_by),
+                    "bits": zorder_bits}
+        elif cluster_by:
+            spec = {"kind": "cluster", "cols": list(cluster_by)}
+        else:
+            spec = self.layout(table)
+            if spec is not None and spec["kind"] == "zorder":
+                zorder_by = spec["cols"]
+                zorder_bits = spec.get("bits", 8)
+            elif spec is not None:
+                cluster_by = spec["cols"]
+        if len(snapshot) < min_dirs and not explicit:
             return False
         total_bytes = 0
         for rel in snapshot:
@@ -1516,6 +1602,10 @@ class TransactionalCatalog(Catalog):
             # `snapshot`, which would let an append in that window be
             # replaced away without a conflict.
             self._intents[table]["base"] = snapshot
+            if spec is not None:
+                # persist the clustering spec with the commit so every
+                # later plain compact AND every DML rewrite re-applies it
+                self._intents[table]["layout"] = spec
         return True
 
     def clone_to(self, dst_root: str) -> "TransactionalCatalog":
@@ -1584,9 +1674,10 @@ class TransactionalCatalog(Catalog):
             f"clone-of-v{manifest['version']}",
             replace=True,
             schemas=manifest.get("schemas", {}),
-            # a branch keeps its quality gates: CHECK constraints ride
-            # the clone like schemas do
+            # a branch keeps its quality gates and clustering specs:
+            # CHECK constraints and layouts ride the clone like schemas
             checks=manifest.get("checks", {}),
+            layouts=manifest.get("layouts", {}),
         )
         return dst
 
