@@ -601,32 +601,62 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=5, centroids=cent)
 
 
+def _ann_cached_root(sf_dir: str, family: str) -> str:
+    """Machine-cache root for a persisted ANN index family, keyed on the
+    embeddings FINGERPRINT (path + mtime + size — regenerated testdata
+    at the same path gets a fresh root, never a stale index). The name
+    carries a separate PATH hash so each sf_dir keeps its own live root;
+    on a cache miss, SIBLING roots of the same (family, path) with a
+    superseded fingerprint — and any legacy-format root of the family —
+    are swept before building (r9 verdict #1: stale roots used to
+    accumulate unboundedly in the system temp dir). The sweep is always
+    safe: indexes are deterministic rebuilds, and a concurrent process
+    on the CURRENT testdata shares the current fingerprint, so only
+    roots for data that no longer exists are ever removed."""
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb_path)
+    phash = hashlib.md5(emb_path.encode()).hexdigest()[:8]
+    vhash = hashlib.md5(
+        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
+    ).hexdigest()[:10]
+    tmp = tempfile.gettempdir()
+    base = f"spark_graft_ann_{family}_{phash}_{vhash}"
+    root = os.path.join(tmp, base)
+    if not os.path.isdir(root):
+        fam = re.escape(family)
+        stale = re.compile(
+            rf"^spark_graft_ann_{fam}_{phash}_[0-9a-f]{{10}}$"  # superseded
+            rf"|^spark_graft_ann_{fam}_[0-9a-f]{{10}}$"  # legacy naming
+        )
+        for e in os.listdir(tmp):
+            if e != base and stale.fullmatch(e):
+                shutil.rmtree(os.path.join(tmp, e), ignore_errors=True)
+    return root
+
+
 def _ann_index_catalog(spark: SparkSession, sf_dir: str):
     """Machine-cached PERSISTED IVF index for the registry query: built
-    once per embeddings FINGERPRINT (path + mtime + size — regenerated
-    testdata at the same path gets a fresh cache dir, never a stale
-    index) into a tmp transactional catalog, then only queried.
-    Deterministic by construction (same centroids/assign contract as
+    once per embeddings fingerprint (see :func:`_ann_cached_root`) into
+    a tmp transactional catalog, then only queried. Deterministic by
+    construction (same centroids/assign contract as
     ann_ivf_kmeans_topk), so a concurrent builder racing on the same
     root produces identical data — a ConcurrentWriteError just means
     the other build won, and we read its result."""
-    import hashlib
-    import os
-    import tempfile
-
     from gcp_datalake_pipeline_spark.operators import ann_index
     from gcp_datalake_pipeline_spark.transactions import (
         ConcurrentWriteError,
         TransactionalCatalog,
     )
 
-    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(emb_path)
-    key = hashlib.md5(
-        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
-    ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_ivf_{key}")
-    cat = TransactionalCatalog(spark=spark, root=root)
+    cat = TransactionalCatalog(
+        spark=spark, root=_ann_cached_root(sf_dir, "ivf")
+    )
     if not cat.exists("ann_ivf_cells"):
         try:
             ann_index.build_ivf_index(
@@ -695,25 +725,15 @@ def _ann_removed_index_catalog(spark: SparkSession, sf_dir: str):
     are deterministic, so concurrent builders converge; a duplicated
     tombstone append from a lost race is harmless (anti-join
     semantics)."""
-    import hashlib
-    import os
-    import tempfile
-
     from gcp_datalake_pipeline_spark.operators import ann_index
     from gcp_datalake_pipeline_spark.transactions import (
         ConcurrentWriteError,
         TransactionalCatalog,
     )
 
-    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(emb_path)
-    key = hashlib.md5(
-        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
-    ).hexdigest()[:10]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ann_ivf_rm_{key}"
+    cat = TransactionalCatalog(
+        spark=spark, root=_ann_cached_root(sf_dir, "ivf_rm")
     )
-    cat = TransactionalCatalog(spark=spark, root=root)
     if not cat.exists("ann_ivf_cells"):
         try:
             ann_index.build_ivf_index(
@@ -954,23 +974,15 @@ def _ann_pq_index_catalog(spark: SparkSession, sf_dir: str):
     pq_m=8): the PQ twin of :func:`_ann_index_catalog`, in its own
     fingerprint-keyed root. Deterministic by construction (kmeans
     centroids + first-16 codebooks), so concurrent builders converge."""
-    import hashlib
-    import os
-    import tempfile
-
     from gcp_datalake_pipeline_spark.operators import ann_index
     from gcp_datalake_pipeline_spark.transactions import (
         ConcurrentWriteError,
         TransactionalCatalog,
     )
 
-    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(emb_path)
-    key = hashlib.md5(
-        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
-    ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_ivfpq_{key}")
-    cat = TransactionalCatalog(spark=spark, root=root)
+    cat = TransactionalCatalog(
+        spark=spark, root=_ann_cached_root(sf_dir, "ivfpq")
+    )
     if not cat.exists("ann_ivf_pq_codebook"):
         try:
             ann_index.build_ivf_index(
@@ -1033,25 +1045,15 @@ def _ann_rpq_index_catalog(spark: SparkSession, sf_dir: str):
     """Machine-cached RESIDUAL IVF-PQ index (build_ivf_index with
     pq_m=8, pq_residual=True — FAISS by_residual): codes quantize
     v - centroid[cid]; own fingerprint-keyed root."""
-    import hashlib
-    import os
-    import tempfile
-
     from gcp_datalake_pipeline_spark.operators import ann_index
     from gcp_datalake_pipeline_spark.transactions import (
         ConcurrentWriteError,
         TransactionalCatalog,
     )
 
-    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(emb_path)
-    key = hashlib.md5(
-        f"{emb_path}@{st.st_mtime_ns}#{st.st_size}".encode()
-    ).hexdigest()[:10]
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ann_ivfpqr_{key}"
+    cat = TransactionalCatalog(
+        spark=spark, root=_ann_cached_root(sf_dir, "ivfpqr")
     )
-    cat = TransactionalCatalog(spark=spark, root=root)
     if not cat.exists("ann_ivf_pq_codebook"):
         try:
             ann_index.build_ivf_index(

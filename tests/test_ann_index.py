@@ -706,3 +706,53 @@ def test_streaming_extend_composes_with_pq(spark, tmp_path):
     got = _adc_rows(ann_index.ivf_index_pq_topk(cat, QIDS, k=5, nprobe=16))
     want = _adc_rows(similarity.pq_topk(emb, QIDS, k=5, m=8))
     assert got == want and got
+
+
+def test_ann_cache_root_sweeps_stale_fingerprints(tmp_path):
+    """The registry's machine-cached index roots (r9 verdict #1): a
+    regenerated embeddings file supersedes its old fingerprint root,
+    which is swept on the next cache miss — while same-family roots for
+    OTHER sf dirs, other families' roots for the SAME data, and the new
+    root itself all survive. Legacy-format roots of the family are
+    swept too."""
+    import os
+    import shutil
+    import tempfile
+
+    from gcp_datalake_pipeline_spark.plans.data_queries import (
+        _ann_cached_root,
+    )
+
+    sf1 = tmp_path / "sf1"
+    sf2 = tmp_path / "sf2"
+    for d in (sf1, sf2):
+        d.mkdir()
+        (d / "embeddings.parquet").write_bytes(b"v1")
+
+    r1 = _ann_cached_root(str(sf1), "ivf")
+    os.makedirs(r1)
+    other_sf = _ann_cached_root(str(sf2), "ivf")
+    os.makedirs(other_sf)
+    other_family = _ann_cached_root(str(sf1), "ivf_rm")
+    os.makedirs(other_family)
+    legacy = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ann_ivf_0123456789"
+    )
+    os.makedirs(legacy, exist_ok=True)
+
+    # regenerate sf1's embeddings (new size => new fingerprint)
+    (sf1 / "embeddings.parquet").write_bytes(b"v2-regenerated")
+    r2 = _ann_cached_root(str(sf1), "ivf")
+    assert r2 != r1
+    assert not os.path.isdir(r1), "superseded root must be swept"
+    assert not os.path.isdir(legacy), "legacy-format root must be swept"
+    assert os.path.isdir(other_sf), "other sf dir's root must survive"
+    assert os.path.isdir(other_family), "other family's root must survive"
+    os.makedirs(r2)
+
+    # steady state: an existing root is returned untouched, no sweep ran
+    assert _ann_cached_root(str(sf1), "ivf") == r2
+    assert os.path.isdir(r2) and os.path.isdir(other_sf)
+    shutil.rmtree(other_sf, ignore_errors=True)
+    shutil.rmtree(other_family, ignore_errors=True)
+    shutil.rmtree(r2, ignore_errors=True)
