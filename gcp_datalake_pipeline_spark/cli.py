@@ -401,7 +401,7 @@ def _parse_pred(spec: str):
     if len(parts) == 1:
         sys.exit(
             f"error: --pred must be col,op[,value], got {spec!r} "
-            "(ops: = < <= > >= in is_null not_null)"
+            "(ops: = != < <= > >= in is_null not_null)"
         )
     if len(parts) == 2:
         return (parts[0], parts[1])

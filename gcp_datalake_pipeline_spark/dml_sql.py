@@ -13,19 +13,24 @@ Deliberately STRICT grammar (anything else raises with the grammar in
 the message — a typo must never silently become a full-table Spark
 statement):
 
-    DELETE FROM <table> WHERE <conj>
-    UPDATE <table> SET col = <sql-expr>[, ...] WHERE <conj>
+    DELETE FROM <table> WHERE <where>
+    UPDATE <table> SET col = <sql-expr>[, ...] WHERE <where>
+    <where> := <disj> | <conj>
+    <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
     <conj> := <term> [AND <term>]...
-    <term> := col (=|<=|>=|<|>) <literal>
+    <term> := col (=|!=|<>|<=|>=|<|>) <literal>
             | col IN (<literal>, ...)
             | col IS [NOT] NULL
-    <literal> := number | 'string' | TIMESTAMP 'iso' | DATE 'iso'
+    <literal> := number | 'string' ('' escapes a quote)
+               | TIMESTAMP 'iso' | DATE 'iso'
 
 The WHERE grammar is exactly the predicate language the file-skipping
 layer can prune on — a supported statement is always
-candidate-proportional, never a full-table rewrite in disguise. SET
-right-hand sides are arbitrary Spark SQL expressions (they run only
-over matched rows of candidate files).
+candidate-proportional, never a full-table rewrite in disguise: an OR
+prunes as the union of its branches' candidates, and ``!=`` drops the
+files whose min==max equal the literal. SET right-hand sides are
+arbitrary Spark SQL expressions (they run only over matched rows of
+candidate files).
 """
 
 from __future__ import annotations
@@ -34,10 +39,12 @@ import datetime
 import re
 
 _GRAMMAR = (
-    "supported DML: DELETE FROM t WHERE <conj>; "
-    "UPDATE t SET col = expr[, ...] WHERE <conj>; "
-    "<conj> = col op literal [AND ...] with op in (= < <= > >=), "
-    "col IN (lit, ...), col IS [NOT] NULL; literals: number, 'string', "
+    "supported DML: DELETE FROM t WHERE <where>; "
+    "UPDATE t SET col = expr[, ...] WHERE <where>; "
+    "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
+    "branch); <conj> = col op literal [AND ...] with op in "
+    "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
+    "literals: number, 'string' ('' escapes a quote), "
     "TIMESTAMP 'iso', DATE 'iso'"
 )
 
@@ -119,9 +126,11 @@ def _parse_literal(tok: str):
     m = re.fullmatch(r"DATE\s+'([^']+)'", tok, re.I)
     if m:
         return datetime.date.fromisoformat(m.group(1))
-    m = re.fullmatch(r"'([^']*)'", tok)
+    # '' inside a quoted string is an escaped single quote (SQL
+    # standard), so O'Brien is expressible as 'O''Brien'
+    m = re.fullmatch(r"'((?:[^']|'')*)'", tok)
     if m:
-        return m.group(1)
+        return m.group(1).replace("''", "'")
     try:
         return int(tok)
     except ValueError:
@@ -132,10 +141,42 @@ def _parse_literal(tok: str):
         raise ValueError(f"unparseable literal {tok!r}; {_GRAMMAR}") from None
 
 
-def parse_where(clause: str) -> list[tuple]:
-    """The WHERE conjunction as the catalog's predicate tuples."""
+def _strip_outer_parens(s: str) -> str:
+    """Remove parentheses that wrap the WHOLE expression (quote-aware;
+    never touches parens that close before the end, e.g. ``(a) AND
+    (b)`` or an IN list)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth, quote = 0, False
+        wraps = True
+        for i, ch in enumerate(s):
+            if quote:
+                if ch == "'":
+                    quote = False
+                continue
+            if ch == "'":
+                quote = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    wraps = False
+                    break
+        if not wraps or depth != 0:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_conj(clause: str) -> list[tuple]:
     preds: list[tuple] = []
     for part in _split_keyword(clause.strip(), "AND"):
+        part = _strip_outer_parens(part)
+        if len(_split_keyword(part, "OR")) > 1:
+            # OR below an AND: not the supported top-level-OR shape —
+            # refuse rather than mis-evaluate precedence
+            raise ValueError(f"unsupported WHERE term {part!r}; {_GRAMMAR}")
         m = re.fullmatch(r"(\w+)\s+IS\s+NOT\s+NULL", part, re.I)
         if m:
             preds.append((m.group(1), "not_null"))
@@ -154,14 +195,26 @@ def parse_where(clause: str) -> list[tuple]:
                 )
             )
             continue
-        m = re.fullmatch(r"(\w+)\s*(<=|>=|=|<|>)\s*(.+)", part, re.S)
+        m = re.fullmatch(r"(\w+)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)", part, re.S)
         if m:
-            preds.append(
-                (m.group(1), m.group(2), _parse_literal(m.group(3)))
-            )
+            op = "!=" if m.group(2) == "<>" else m.group(2)
+            preds.append((m.group(1), op, _parse_literal(m.group(3))))
             continue
         raise ValueError(f"unsupported WHERE term {part!r}; {_GRAMMAR}")
     return preds
+
+
+def parse_where(clause: str):
+    """The WHERE clause as the catalog's predicate shape: a flat list
+    of ``(col, op[, value])`` tuples for one conjunction, or — when the
+    clause holds top-level ORs — a LIST of such conjunctions (the DNF
+    the catalog's delete_where/update_where consume; candidate files
+    are the union over branches, so pruning survives the OR)."""
+    stripped = _strip_outer_parens(clause)
+    disjuncts = _split_keyword(stripped, "OR")
+    if len(disjuncts) > 1:
+        return [_parse_conj(_strip_outer_parens(d)) for d in disjuncts]
+    return _parse_conj(stripped)
 
 
 def execute_dml(catalog, sql: str) -> dict | None:

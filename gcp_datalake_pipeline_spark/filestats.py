@@ -45,7 +45,9 @@ import urllib.parse
 STATS_FILE = "_file_stats.json"
 
 # predicate ops understood by prune_files / the residual Spark filter
-_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null", "not_null")
+_OPS = (
+    "=", "==", "!=", "<>", "<", "<=", ">", ">=", "in", "is_null", "not_null",
+)
 
 
 # -- value encoding -----------------------------------------------------------
@@ -335,6 +337,10 @@ def _file_survives(entry: dict, col: str, op: str, value) -> bool:
         return True  # incomparable: keep
     if op in ("=", "=="):
         return not _lt(pv, mn) and not _lt(mx, pv)
+    if op in ("!=", "<>"):
+        # droppable only when EVERY row provably equals the value
+        # (min == max == v; NULL rows fail != too, so they don't matter)
+        return not (mn == mx == pv)
     if op == "<":
         return _lt(mn, pv)
     if op == "<=":
@@ -380,6 +386,9 @@ def _file_all_match(entry: dict, col: str, op: str, value) -> bool:
         return False
     if op in ("=", "=="):
         return mn == mx == pv
+    if op in ("!=", "<>"):
+        # all-match when the value lies wholly outside the file's range
+        return _lt(mx, pv) or _lt(pv, mn)
     if op == "<":
         return _lt(mx, pv)
     if op == "<=":
@@ -470,6 +479,8 @@ def residual_filter(df, predicates: list[tuple]):
         c = F.col(col)
         if op in ("=", "=="):
             cond = c == F.lit(value)
+        elif op in ("!=", "<>"):
+            cond = c != F.lit(value)
         elif op == "<":
             cond = c < F.lit(value)
         elif op == "<=":

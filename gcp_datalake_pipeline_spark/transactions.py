@@ -315,8 +315,8 @@ class TransactionalCatalog(Catalog):
         metadata read and opening every file's footer. Manifests from
         before schema tracking fall back to mergeSchema across dirs.
 
-        ``predicates`` (``[(col, op, value), ...]`` with ops ``= < <= >
-        >= in is_null not_null``) turns on FILE SKIPPING: each data
+        ``predicates`` (``[(col, op, value), ...]`` with ops ``= != <
+        <= > >= in is_null not_null``) turns on FILE SKIPPING: each data
         dir's ``_file_stats.json`` sidecar (collected at write time) is
         evaluated conservatively and only the files whose min/max ranges
         can match are handed to Spark — the Delta/Iceberg data-skipping
@@ -914,12 +914,30 @@ class TransactionalCatalog(Catalog):
     # silently dropped); old versions stay readable via read_at;
     # partition layouts and untouched stats entries survive.
 
+    @staticmethod
+    def _as_dnf(predicates) -> list[list[tuple]]:
+        """Normalize a DML predicate argument to disjunctive normal
+        form. A flat list of ``(col, op[, value])`` tuples is ONE
+        conjunction (the classic shape); a list of such lists is an OR
+        of conjunctions (``WHERE (a AND b) OR (c)``). Every disjunct is
+        validated; file pruning takes the UNION of each disjunct's
+        candidates, so an OR is exactly as prunable as its widest
+        branch."""
+        preds = list(predicates)
+        if not preds:
+            return [[]]
+        if all(p and isinstance(p[0], str) for p in preds):
+            return [filestats.validate_predicates(preds)]
+        return [filestats.validate_predicates(conj) for conj in preds]
+
     def delete_where(self, table: str, predicates) -> int:
-        """DELETE rows matching the conjunctive ``predicates`` (the
-        :meth:`read` tuple format). A row is deleted when the
-        conjunction is TRUE; NULL keeps the row (SQL DELETE WHERE).
-        Returns the number of rows deleted; a no-match delete returns
-        0 WITHOUT publishing a new version."""
+        """DELETE rows matching ``predicates`` — either one conjunction
+        (the :meth:`read` tuple format) or a LIST of conjunctions,
+        OR-ed together (disjunctive normal form; what the SQL façade's
+        top-level OR parses to). A row is deleted when the predicate is
+        TRUE; NULL keeps the row (SQL DELETE WHERE). Returns the number
+        of rows deleted; a no-match delete returns 0 WITHOUT publishing
+        a new version."""
         return self._rewrite_where(
             table,
             predicates,
@@ -928,8 +946,9 @@ class TransactionalCatalog(Catalog):
         )
 
     def update_where(self, table: str, predicates, set_exprs: dict) -> int:
-        """UPDATE ... SET ... WHERE: rows matching the conjunctive
-        ``predicates`` get each ``set_exprs`` column replaced by its SQL
+        """UPDATE ... SET ... WHERE: rows matching ``predicates`` (one
+        conjunction or a DNF list, as in :meth:`delete_where`)
+        get each ``set_exprs`` column replaced by its SQL
         expression (evaluated over the row); all other rows — and all
         non-candidate FILES — pass through untouched. The staged
         rewrite is validated against the table's CHECK constraints (an
@@ -990,7 +1009,7 @@ class TransactionalCatalog(Catalog):
 
         if self._pending is not None:
             raise RuntimeError(f"{tag}_where inside an open transaction")
-        preds = filestats.validate_predicates(predicates)
+        dnf = self._as_dnf(predicates)
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
@@ -1000,7 +1019,11 @@ class TransactionalCatalog(Catalog):
             d = os.path.join(self.root, rel_dir)
             stats = filestats.read_dir_stats(d)
             files = self._dir_parquet_files(d)
-            cand = set(filestats.prune_files(stats, files, preds))
+            # candidates = UNION over the OR's disjuncts: a file is
+            # carried untouched only when EVERY branch proves no match
+            cand: set[str] = set()
+            for conj in dnf:
+                cand |= set(filestats.prune_files(stats, files, conj))
             entries = (stats or {}).get("files", {})
             for f in files:
                 if f in cand:
@@ -1039,20 +1062,25 @@ class TransactionalCatalog(Catalog):
         cand_df = parts[0]
         for p in parts[1:]:
             cand_df = cand_df.unionByName(p, allowMissingColumns=True)
-        cond = F.lit(True)
-        for col, op, value in preds:
-            c = F.col(col)
-            cond = cond & {
-                "=": lambda: c == F.lit(value),
-                "==": lambda: c == F.lit(value),
-                "<": lambda: c < F.lit(value),
-                "<=": lambda: c <= F.lit(value),
-                ">": lambda: c > F.lit(value),
-                ">=": lambda: c >= F.lit(value),
-                "in": lambda: c.isin(*list(value)),
-                "is_null": lambda: c.isNull(),
-                "not_null": lambda: c.isNotNull(),
-            }[op]()
+        cond = F.lit(False)
+        for conj in dnf:
+            branch = F.lit(True)
+            for col, op, value in conj:
+                c = F.col(col)
+                branch = branch & {
+                    "=": lambda: c == F.lit(value),
+                    "==": lambda: c == F.lit(value),
+                    "!=": lambda: c != F.lit(value),
+                    "<>": lambda: c != F.lit(value),
+                    "<": lambda: c < F.lit(value),
+                    "<=": lambda: c <= F.lit(value),
+                    ">": lambda: c > F.lit(value),
+                    ">=": lambda: c >= F.lit(value),
+                    "in": lambda: c.isin(*list(value)),
+                    "is_null": lambda: c.isNull(),
+                    "not_null": lambda: c.isNotNull(),
+                }[op]()
+            cond = cond | branch
         match = F.coalesce(cond, F.lit(False))  # NULL never matches
         n_matched = cand_df.filter(match).count()
         if n_matched == 0:

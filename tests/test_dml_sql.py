@@ -31,12 +31,39 @@ def test_parse_where_grammar():
     assert parse_where("d < DATE '1996-01-01'") == [
         ("d", "<", datetime.date(1996, 1, 1))
     ]
-    with pytest.raises(ValueError, match="unsupported WHERE term"):
-        parse_where("k != 3")
-    with pytest.raises(ValueError):  # OR lands in the literal: refused
-        parse_where("k = 3 OR v = 1")
     with pytest.raises(ValueError, match="unparseable literal"):
         parse_where("k = other_col")
+
+
+def test_parse_where_not_equal_and_quote_escape():
+    assert parse_where("k != 3") == [("k", "!=", 3)]
+    assert parse_where("k <> 3") == [("k", "!=", 3)]  # canonicalized
+    assert parse_where("name != 'O''Brien'") == [("name", "!=", "O'Brien")]
+    assert parse_where("name = ''''") == [("name", "=", "'")]
+    assert parse_where("name = ''") == [("name", "=", "")]
+    assert parse_where("p IN ('it''s', 'b')") == [("p", "in", ["it's", "b"])]
+
+
+def test_parse_where_top_level_or():
+    # bare OR of single terms -> DNF of single-term conjunctions
+    assert parse_where("k = 3 OR v = 1") == [[("k", "=", 3)], [("v", "=", 1)]]
+    # parenthesized conjunction branches
+    assert parse_where("(k = 3 AND v < 2) OR (k = 9)") == [
+        [("k", "=", 3), ("v", "<", 2)],
+        [("k", "=", 9)],
+    ]
+    # whole-clause parens + three branches
+    assert parse_where("(a = 1 OR b = 2 OR c IS NULL)") == [
+        [("a", "=", 1)],
+        [("b", "=", 2)],
+        [("c", "is_null")],
+    ]
+    # literals containing ' OR ' never split
+    assert parse_where("p = 'cats OR dogs'") == [("p", "=", "cats OR dogs")]
+    # OR nested under AND is NOT the supported top-level-OR shape:
+    # refuse loudly rather than mis-evaluate precedence
+    with pytest.raises(ValueError, match="unsupported WHERE term"):
+        parse_where("(a = 1 OR b = 2) AND c = 3")
 
 
 def test_execute_dml_routes_and_refuses(spark, tmp_path):
@@ -124,7 +151,8 @@ def test_parse_where_property_roundtrip():
     cols = st.sampled_from(["a", "b2", "price", "o_orderdate"])
     strings = st.lists(
         st.sampled_from(
-            ["abc", "X Y", "09_", " AND ", " WHERE ", "(", ")", "z"]
+            ["abc", "X Y", "09_", " AND ", " WHERE ", " OR ", "(", ")",
+             "'", "z"]
         ),
         max_size=4,
     ).map("".join)
@@ -142,13 +170,17 @@ def test_parse_where_property_roundtrip():
 
     def render(lit):
         if isinstance(lit, str):
-            return f"'{lit}'"
+            return "'" + lit.replace("'", "''") + "'"
         if isinstance(lit, datetime.datetime):
             return f"TIMESTAMP '{lit.isoformat()}'"
         return repr(lit)
 
     term = st.one_of(
-        st.tuples(cols, st.sampled_from(["=", "<", "<=", ">", ">="]), literal),
+        st.tuples(
+            cols,
+            st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+            literal,
+        ),
         st.tuples(cols, st.sampled_from(["is_null", "not_null"])),
         st.tuples(
             cols, st.just("in"), st.lists(literal, min_size=1, max_size=4)
@@ -183,3 +215,126 @@ def test_parse_where_property_roundtrip():
         assert got == want, (clause, got, want)
 
     check()
+
+
+def test_not_equal_delete_prunes_all_match_files(spark, tmp_path):
+    """`!=` candidates are pruned via the all-match dual: a file whose
+    min==max equal the literal provably holds NO `!=` rows and carries
+    by hardlink; value parity vs DuckDB on the same rows."""
+    import os
+
+    import duckdb
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rows_a = [(i, 5) for i in range(50)]  # k == 5 everywhere
+    rows_b = [(100 + i, i % 7) for i in range(50)]  # mixed k
+    cat.append(spark.createDataFrame(rows_a, "id long, k long").coalesce(1), "t")
+    cat.append(spark.createDataFrame(rows_b, "id long, k long").coalesce(1), "t")
+    pdf = cat.read("t").toPandas()
+
+    kept, total = cat.pruned_files("t", [("k", "!=", 5)])
+    assert total == 2 and len(kept) == 1  # the all-5 file is dropped
+
+    pre = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    out = execute_dml(cat, "DELETE FROM t WHERE k != 5")
+    want = duckdb.sql(
+        "SELECT count(*) FROM pdf WHERE k != 5"
+    ).fetchone()[0]
+    assert out["deleted"] == want == 43
+    post = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    assert len(post & pre) == 1  # the all-5 file carried by hardlink
+    survivors = duckdb.sql("SELECT id FROM pdf WHERE NOT (k != 5)").df()
+    assert {r["id"] for r in cat.read("t").collect()} == set(
+        survivors["id"]
+    )
+
+
+def test_or_delete_prunes_union_of_branches(spark, tmp_path):
+    """Top-level OR: candidates are the UNION of each branch's pruned
+    files — year-striped dirs, delete 1996 OR 1998, only those two
+    files rewrite; value parity vs DuckDB."""
+    import os
+
+    import duckdb
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    for y in (1995, 1996, 1997, 1998):
+        rows = [(y * 100 + i, y, float(i)) for i in range(40)]
+        cat.append(
+            spark.createDataFrame(rows, "id long, y long, v double").coalesce(1),
+            "t",
+        )
+    pdf = cat.read("t").toPandas()
+    pre = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    out = execute_dml(cat, "DELETE FROM t WHERE (y = 1996) OR (y = 1998)")
+    want = duckdb.sql(
+        "SELECT count(*) FROM pdf WHERE y = 1996 OR y = 1998"
+    ).fetchone()[0]
+    assert out["deleted"] == want == 80
+    post = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    assert len(post & pre) == 2  # 1995 + 1997 carried by hardlink
+    assert cat.count_rows("t") == 80
+    assert cat.read("t").filter(F.col("y").isin(1996, 1998)).count() == 0
+
+
+def test_or_update_and_mixed_branches(spark, tmp_path):
+    """OR with heterogeneous branches (range AND-pair OR equality)
+    updates exactly the union; NULLs never match."""
+    import duckdb
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    rows = [
+        (i, None if i % 11 == 0 else i % 20, float(i)) for i in range(200)
+    ]
+    cat.append(spark.createDataFrame(rows, "id long, k long, v double"), "t")
+    pdf = cat.read("t").toPandas()
+    out = execute_dml(
+        cat,
+        "UPDATE t SET v = v + 1000 "
+        "WHERE (k >= 2 AND k < 4) OR k = 17",
+    )
+    want = duckdb.sql(
+        "SELECT count(*) FROM pdf WHERE (k >= 2 AND k < 4) OR k = 17"
+    ).fetchone()[0]
+    assert out["updated"] == want
+    got = cat.read("t").filter(F.col("v") >= 1000).count()
+    assert got == want
+
+
+def test_quoted_quote_literal_roundtrip(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, \"O'Brien\"), (2, 'Smith') AS t(id, name)"
+    )
+    cat.append(df, "t")
+    out = execute_dml(cat, "DELETE FROM t WHERE name = 'O''Brien'")
+    assert out == {"table": "t", "deleted": 1}
+    assert [r["name"] for r in cat.read("t").collect()] == ["Smith"]
+
+
+def test_unprunable_shapes_still_refused():
+    """The grammar extensions must not soften the refusal discipline."""
+    with pytest.raises(ValueError, match="unsupported WHERE term"):
+        parse_where("k LIKE 'a%'")
+    with pytest.raises(ValueError, match="unsupported WHERE term"):
+        parse_where("NOT k = 3")
+    with pytest.raises(ValueError):  # dangling OR lands in the literal
+        parse_where("k = 3 OR")
+    with pytest.raises(ValueError):
+        parse_where("lower(k) = 'x'")

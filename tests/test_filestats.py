@@ -171,7 +171,7 @@ def test_all_null_and_null_predicates(spark, tcat):
 def test_malformed_predicates_rejected(spark, tcat):
     _append_range(tcat, 0, 5, "a")
     with pytest.raises(ValueError, match="unsupported predicate op"):
-        tcat.read("t", predicates=[("k", "!=", 1)])
+        tcat.read("t", predicates=[("k", "like", "1%")])
     with pytest.raises(ValueError, match="needs a list"):
         tcat.read("t", predicates=[("k", "in", 5)])
     with pytest.raises(ValueError, match="takes no value"):
