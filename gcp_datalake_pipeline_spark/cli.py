@@ -245,11 +245,14 @@ def _register_views(cat: Catalog, testdata: str | None) -> None:
 
 def cmd_query(args) -> None:
     cat = _catalog(args, must_exist=True)
-    # DELETE / UPDATE statements route to the catalog's stats-pruned
-    # row-level DML (transactional catalogs only); everything else is
-    # Spark SQL over the registered views
+    # DELETE/UPDATE/INSERT/MERGE statements route to the catalog's
+    # engine (stats-pruned rewrites, append, merge_upsert —
+    # transactional catalogs only); everything else is Spark SQL over
+    # the registered views. Views register FIRST so INSERT ... SELECT
+    # and MERGE ... USING can reference them as sources.
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
 
+    _register_views(cat, args.testdata)
     if isinstance(cat, TransactionalCatalog):
         from gcp_datalake_pipeline_spark.dml_sql import execute_dml
 
@@ -257,7 +260,6 @@ def cmd_query(args) -> None:
         if result is not None:
             print(json.dumps(result))
             return
-    _register_views(cat, args.testdata)
     df = cat.spark.sql(args.sql)
     if args.explain:
         df.explain("formatted")

@@ -2,12 +2,17 @@
 
 The reference's users mutate their tables with PostgreSQL DML
 (``etl-gcs-cloudsql`` upserts row-by-row into CloudSQL); this module
-gives the transactional catalog the same front door: ``DELETE FROM t
-WHERE ...`` and ``UPDATE t SET ... WHERE ...`` statements route to
+gives the transactional catalog the same front door: ``DELETE`` /
+``UPDATE`` statements route to
 :meth:`~gcp_datalake_pipeline_spark.transactions.TransactionalCatalog.delete_where`
 / :meth:`...update_where` — the stats-pruned, hardlink-carrying
-rewrites — instead of Spark's (read-only) SQL runner. Everything else
-returns ``None`` so the caller sends it to ``spark.sql`` unchanged.
+rewrites; ``INSERT INTO`` routes to ``Catalog.append`` (new files
+only, never a rewrite) with positional column mapping and a cast-loss
+probe; ``MERGE INTO ... USING ... ON k = k`` routes to
+``Catalog.merge_upsert`` (the engine's full-outer coalesce upsert —
+the reference's central write operator, ``services/empresa.ts:92-106``)
+— instead of Spark's (read-only) SQL runner. Everything else returns
+``None`` so the caller sends it to ``spark.sql`` unchanged.
 
 Deliberately STRICT grammar (anything else raises with the grammar in
 the message — a typo must never silently become a full-table Spark
@@ -15,6 +20,12 @@ statement):
 
     DELETE FROM <table> WHERE <where>
     UPDATE <table> SET col = <sql-expr>[, ...] WHERE <where>
+    INSERT INTO <table> [(col, ...)] VALUES (<literal|NULL>, ...), ...
+    INSERT INTO <table> [(col, ...)] SELECT ...
+    MERGE INTO <table> USING <src-table | (SELECT ...) [alias]>
+        ON [q.]k = [q.]k [AND ...]
+        [WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *]
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
     <conj> := <term> [AND <term>]...
@@ -41,6 +52,9 @@ import re
 _GRAMMAR = (
     "supported DML: DELETE FROM t WHERE <where>; "
     "UPDATE t SET col = expr[, ...] WHERE <where>; "
+    "INSERT INTO t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
+    "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
+    "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]; "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
     "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
@@ -217,12 +231,137 @@ def parse_where(clause: str):
     return _parse_conj(stripped)
 
 
+def _parse_values_literal(tok: str):
+    """A VALUES-row literal: the WHERE literal grammar plus NULL and
+    TRUE/FALSE (meaningless in a WHERE conjunction, required in an
+    INSERT row)."""
+    t = tok.strip()
+    if t.upper() == "NULL":
+        return None
+    if t.upper() == "TRUE":
+        return True
+    if t.upper() == "FALSE":
+        return False
+    return _parse_literal(t)
+
+
+def _target_schema(catalog, table: str):
+    """The committed schema of an INSERT/MERGE target (must exist: a
+    typed table can't be conjured from untyped literals)."""
+    if not catalog.exists(table):
+        raise ValueError(
+            f"INSERT/MERGE target table {table!r} does not exist in the "
+            "catalog; create it with a typed write first"
+        )
+    stored = getattr(catalog, "_stored_schema", lambda _t: None)(table)
+    return stored if stored is not None else catalog.read(table).schema
+
+
+def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
+    """Project an INSERT source onto the target schema: positional
+    rename (SQL INSERT semantics) onto ``insert_cols`` (or the full
+    schema), NULL-fill for omitted columns, and a cast-loss probe — a
+    value the target type cannot hold must refuse, never silently
+    become NULL (same contract as update_where's SET probe)."""
+    from pyspark.sql import functions as F
+
+    names = [f.name for f in schema.fields]
+    targets = insert_cols if insert_cols is not None else names
+    unknown = [c for c in targets if c not in names]
+    if unknown:
+        raise ValueError(
+            f"INSERT column(s) {unknown!r} not in target table; {_GRAMMAR}"
+        )
+    if len(df.columns) != len(targets):
+        raise ValueError(
+            f"INSERT source has {len(df.columns)} column(s) for "
+            f"{len(targets)} target column(s); {_GRAMMAR}"
+        )
+    renamed = df.toDF(*targets)
+    types = {f.name: f.dataType for f in schema.fields}
+    probes = [
+        F.sum(
+            (
+                F.col(c).isNotNull()
+                & F.col(c).cast(types[c]).isNull()
+            ).cast("long")
+        ).alias(c)
+        for c in targets
+    ]
+    bad = renamed.agg(*probes).first()
+    for c in targets:
+        if bad[c]:
+            raise ValueError(
+                f"INSERT value(s) for column {c!r} do not cast to "
+                f"{types[c].simpleString()} ({bad[c]} row(s)) — refusing "
+                "to insert NULLs silently"
+            )
+    return renamed.select(
+        *[
+            F.col(c).cast(types[c]).alias(c)
+            if c in targets
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in names
+        ]
+    )
+
+
+def _resolve_source(catalog, spec: str):
+    """A MERGE USING source: a catalog table (fresh manifest read), a
+    registered view, or a parenthesized SELECT."""
+    spec = spec.strip()
+    m = re.fullmatch(r"(\w+)", spec)
+    if m:
+        name = m.group(1)
+        if catalog.exists(name):
+            return catalog.read(name)
+        return catalog.spark.table(name)
+    m = re.fullmatch(r"\((.+)\)\s*(?:AS\s+)?(\w+)?", spec, re.I | re.S)
+    if m and re.match(r"\s*SELECT\b", m.group(1), re.I):
+        return catalog.spark.sql(m.group(1))
+    raise ValueError(f"unsupported MERGE source {spec!r}; {_GRAMMAR}")
+
+
+def _parse_on_keys(on_clause: str) -> list[str]:
+    """The MERGE join keys: a conjunction of ``[qual.]k = [qual.]k``
+    equalities over the SAME column name on both sides (the shape
+    merge_upsert's key_cols expresses)."""
+    keys = []
+    for term in _split_keyword(on_clause.strip(), "AND"):
+        term = _strip_outer_parens(term)
+        m = re.fullmatch(
+            r"(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)", term
+        )
+        if not m or m.group(2) != m.group(4) or (
+            m.group(1) and m.group(3) and m.group(1) == m.group(3)
+        ):
+            raise ValueError(
+                f"unsupported MERGE ON term {term!r} (need [q.]k = [q.]k "
+                f"with the same column name on both sides); {_GRAMMAR}"
+            )
+        keys.append(m.group(2))
+    return keys
+
+
+_CANONICAL_WHEN = (
+    "MATCHED THEN UPDATE SET *",
+    "NOT MATCHED THEN INSERT *",
+)
+
+
 def execute_dml(catalog, sql: str) -> dict | None:
-    """Run a DELETE/UPDATE statement through the catalog's stats-pruned
-    DML and return a result dict — or ``None`` when the statement is
+    """Run a DELETE/UPDATE/INSERT/MERGE statement through the catalog's
+    engine and return a result dict — or ``None`` when the statement is
     not DML (the caller sends it to ``spark.sql``). Raises ValueError
     (with the grammar) for DML-looking statements outside the supported
-    shape, so nothing mutating ever falls through silently."""
+    shape, so nothing mutating ever falls through silently.
+
+    Routing: DELETE/UPDATE -> the stats-pruned hardlink-carrying
+    rewrites; INSERT -> ``Catalog.append`` (new files only, never a
+    table rewrite); MERGE -> ``Catalog.merge_upsert`` (full-outer
+    coalesce upsert — source wins on matched rows, last-wins on
+    duplicate source keys, inserts pass through; no audit-column
+    injection)."""
     s = sql.strip().rstrip(";").strip()
     m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
     if m:
@@ -246,6 +385,85 @@ def execute_dml(catalog, sql: str) -> dict | None:
             sets[col.strip()] = expr.strip()
         n = catalog.update_where(m.group(1), parse_where(where), sets)
         return {"table": m.group(1), "updated": n}
-    if re.match(r"(DELETE|UPDATE)\b", s, re.I):
+    m = re.fullmatch(
+        r"INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s+(.+)", s, re.I | re.S
+    )
+    if m:
+        table, col_list, tail = m.group(1), m.group(2), m.group(3).strip()
+        cols = (
+            [c.strip() for c in col_list.split(",")] if col_list else None
+        )
+        schema = _target_schema(catalog, table)
+        if re.match(r"SELECT\b", tail, re.I):
+            src = catalog.spark.sql(tail)
+        elif re.match(r"VALUES\b", tail, re.I):
+            rows = []
+            for row_txt in _split_top(tail[len("VALUES"):]):
+                rm = re.fullmatch(r"\((.+)\)", row_txt.strip(), re.S)
+                if not rm:
+                    raise ValueError(
+                        f"bad VALUES row {row_txt!r}; {_GRAMMAR}"
+                    )
+                rows.append(
+                    tuple(
+                        _parse_values_literal(v)
+                        for v in _split_top(rm.group(1))
+                    )
+                )
+            widths = {len(r) for r in rows}
+            if len(widths) != 1:
+                raise ValueError(
+                    f"VALUES rows disagree on width ({sorted(widths)}); "
+                    f"{_GRAMMAR}"
+                )
+            # literal rows land as an all-string frame (round-trippable
+            # for every literal the grammar produces); the cast probe in
+            # _align_to_schema then enforces the target types exactly
+            # like the SELECT path — a non-castable literal refuses
+            width = widths.pop()
+            src = catalog.spark.createDataFrame(
+                [
+                    tuple(None if v is None else str(v) for v in r)
+                    for r in rows
+                ],
+                ", ".join(f"_c{i} string" for i in range(width)),
+            )
+        else:
+            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+        n = src.count()
+        catalog.append(_align_to_schema(catalog, src, schema, cols), table)
+        return {"table": table, "inserted": n}
+    m = re.fullmatch(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", s, re.I | re.S)
+    if m:
+        table, rest = m.group(1), m.group(2)
+        pieces = _split_keyword(rest, "ON")
+        if len(pieces) != 2:
+            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+        source_spec, on_tail = pieces
+        when_parts = _split_keyword(on_tail, "WHEN")
+        on_clause, whens = when_parts[0], when_parts[1:]
+        if whens:
+            canon = tuple(
+                re.sub(r"\s+", " ", w.strip().upper()) for w in whens
+            )
+            if canon != _CANONICAL_WHEN:
+                raise ValueError(
+                    "unsupported MERGE WHEN clauses (only the full "
+                    "upsert pair 'WHEN MATCHED THEN UPDATE SET * WHEN "
+                    f"NOT MATCHED THEN INSERT *' is routable); {_GRAMMAR}"
+                )
+        keys = _parse_on_keys(on_clause)
+        schema = _target_schema(catalog, table)
+        names = {f.name for f in schema.fields}
+        missing = [k for k in keys if k not in names]
+        if missing:
+            raise ValueError(
+                f"MERGE key(s) {missing!r} not in target table; {_GRAMMAR}"
+            )
+        src = _resolve_source(catalog, source_spec)
+        n = src.count()
+        catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
+        return {"table": table, "merged": n}
+    if re.match(r"(DELETE|UPDATE|INSERT|MERGE)\b", s, re.I):
         raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
     return None

@@ -902,6 +902,108 @@ def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_dml_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice + 10, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+    ),
+    kept AS (
+      SELECT * FROM merged
+      WHERE NOT (o_orderpriority = '1-URGENT' OR o_totalprice < 1000)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="""The SQL DML front door end to end: a seed batch lands, then
+    every further mutation goes through the strict-grammar façade —
+    INSERT INTO ... SELECT (routes to Catalog.append: one new staged
+    dir, never a rewrite), MERGE INTO ... USING ... ON k = k (routes to
+    merge_upsert, source wins on matched rows, no audit-column
+    injection), and a DELETE with a top-level OR (routes to the
+    stats-pruned hardlink-carrying rewrite, candidates = union of the
+    branches). The query RAISES unless each statement reports the
+    expected row count; the oracle reconstructs the same insert->merge->
+    delete pipeline declaratively, so one leaked/dropped/double-applied
+    row anywhere in the chain flips the value hash. This is the
+    reference's upsert-centric write path (services/empresa.ts:92-106)
+    re-expressed as warehouse SQL over the transactional lake.""",
+)
+def etl_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")  # view-name safe
+    root = _scratch_root(f"etl_dml_roundtrip_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_sql"):  # warm rerun reuses the lake
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 3000)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+        base.createOrReplaceTempView(f"dml_base_{tag}")
+        seed = base.where(F.col("o_orderkey") % 3 != 0)
+        n_seed = seed.count()
+        cat.append(seed, "orders_sql")  # typed create
+        ins = execute_dml(
+            cat,
+            f"INSERT INTO orders_sql SELECT * FROM dml_base_{tag} "
+            "WHERE o_orderkey % 3 = 0",
+        )
+        mrg = execute_dml(
+            cat,
+            "MERGE INTO orders_sql USING "
+            f"(SELECT o_orderkey, lower(o_orderstatus) AS o_orderstatus, "
+            f"o_orderpriority, round(o_totalprice + 10, 2) AS o_totalprice "
+            f"FROM dml_base_{tag} WHERE o_orderkey % 2 = 0) m "
+            "ON orders_sql.o_orderkey = m.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        dele = execute_dml(
+            cat,
+            "DELETE FROM orders_sql WHERE (o_orderpriority = '1-URGENT') "
+            "OR (o_totalprice < 1000)",
+        )
+        n_base = n_seed + ins["inserted"]
+        if ins["inserted"] <= 0 or mrg["merged"] <= 0 or dele["deleted"] <= 0:
+            raise RuntimeError(
+                f"DML chain did not engage: {ins} {mrg} {dele}"
+            )
+        if cat.count_rows("orders_sql") != n_base - dele["deleted"]:
+            raise RuntimeError("DML chain row accounting is inconsistent")
+    return (
+        cat.read("orders_sql")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "etl_update_where",
     """
     SELECT o_orderpriority,

@@ -212,6 +212,7 @@ class Catalog:
         order_col: str | None = None,
         id_col: str | None = None,
         evolve_schema: bool = False,
+        audit_cols: bool = True,
     ) -> DataFrame:
         """Last-wins upsert of ``source`` into ``table`` on ``key_cols``.
 
@@ -236,10 +237,14 @@ class Catalog:
         # Provenance/order metadata is not part of the silver schema.
         src = src.drop("_row_idx", "_source_file")
         now = F.current_timestamp()
-        if "date_created" not in src.columns:
-            src = src.withColumn("date_created", now)
-        if "date_updated" not in src.columns:
-            src = src.withColumn("date_updated", now)
+        # audit_cols=False skips the reference's date_created/date_updated
+        # injection — the generic SQL MERGE façade must not silently
+        # widen a warehouse table with audit columns it never declared
+        if audit_cols:
+            if "date_created" not in src.columns:
+                src = src.withColumn("date_created", now)
+            if "date_updated" not in src.columns:
+                src = src.withColumn("date_updated", now)
 
         if not self.exists(table):
             if id_col is not None and id_col not in src.columns:

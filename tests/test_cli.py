@@ -228,3 +228,48 @@ def test_cli_describe_and_sql_dml(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     deleted = json.loads(r.stdout[r.stdout.index("{"):])
     assert deleted["table"] == "empresa" and deleted["deleted"] > 0
+
+
+def test_cli_sql_insert_and_merge(workdir):
+    """INSERT INTO / MERGE INTO typed at the query prompt route to
+    append / merge_upsert (r10: the write half of the SQL front door)."""
+    cat = f"{workdir}/dml_lake"
+    r = run_cli(
+        "ingest", "--atomic", "--catalog", cat,
+        "tests/fixtures/empresas_20251001.csv",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run_cli(
+        "query", "--catalog", cat,
+        "INSERT INTO empresa (carrier_id, carrier_bp, carrier_name) "
+        "VALUES (901, 'BP901', 'NUEVA EMPRESA'), (902, 'BP902', NULL)",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ins = json.loads(r.stdout[r.stdout.index("{"):])
+    assert ins == {"table": "empresa", "inserted": 2}
+
+    # MERGE from a registered view (empresa itself, projected) — updates
+    # the two inserted rows and the originals in one statement
+    r = run_cli(
+        "query", "--catalog", cat,
+        "MERGE INTO empresa USING "
+        "(SELECT carrier_id, upper(coalesce(carrier_name, 'X')) "
+        "AS carrier_name FROM empresa) m "
+        "ON empresa.carrier_id = m.carrier_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    mrg = json.loads(r.stdout[r.stdout.index("{"):])
+    assert mrg["table"] == "empresa" and mrg["merged"] >= 2
+
+    r = run_cli(
+        "query", "--catalog", cat,
+        "SELECT carrier_name FROM empresa WHERE carrier_id = 902",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "X" in r.stdout
+
+    # refusal discipline survives at the CLI: nonzero exit, grammar shown
+    r = run_cli("query", "--catalog", cat, "INSERT INTO empresa SELECT 1")
+    assert r.returncode != 0

@@ -338,3 +338,144 @@ def test_unprunable_shapes_still_refused():
         parse_where("k = 3 OR")
     with pytest.raises(ValueError):
         parse_where("lower(k) = 'x'")
+
+
+# -- INSERT / MERGE routing (r10) --------------------------------------------
+
+
+def test_insert_values_routes_to_append(spark, tmp_path):
+    import os
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, name string, v double"
+    )
+    cat.append(df, "t")
+    pre_dirs = len(cat._data_dirs("t"))
+    out = execute_dml(
+        cat,
+        "INSERT INTO t VALUES (2, 'b', 2.5), (3, 'O''Brien', NULL)",
+    )
+    assert out == {"table": "t", "inserted": 2}
+    # an INSERT is an APPEND: a new staged dir, no rewrite of old files
+    assert len(cat._data_dirs("t")) == pre_dirs + 1
+    got = {r["id"]: (r["name"], r["v"]) for r in cat.read("t").collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("O'Brien", None)}
+
+
+def test_insert_values_with_column_list_null_fills(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame([(1, "a", 1.5)], "id long, name string, v double"),
+        "t",
+    )
+    out = execute_dml(cat, "INSERT INTO t (v, id) VALUES (9.25, 7)")
+    assert out == {"table": "t", "inserted": 1}
+    row = cat.read("t").filter(F.col("id") == 7).first()
+    assert row["v"] == 9.25 and row["name"] is None
+
+
+def test_insert_select_routes_and_probes_casts(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame([(1, "a")], "id long, name string"), "t"
+    )
+    spark.createDataFrame(
+        [(10, "x"), (11, "y")], "id long, name string"
+    ).createOrReplaceTempView("ins_src")
+    out = execute_dml(cat, "INSERT INTO t SELECT id, name FROM ins_src")
+    assert out == {"table": "t", "inserted": 2}
+    assert cat.count_rows("t") == 3
+    # cast-loss probe: a string that can't become a long must refuse
+    spark.createDataFrame(
+        [("nope", "z")], "id string, name string"
+    ).createOrReplaceTempView("ins_bad")
+    with pytest.raises(ValueError, match="do not cast"):
+        execute_dml(cat, "INSERT INTO t SELECT id, name FROM ins_bad")
+    assert cat.count_rows("t") == 3  # nothing landed
+
+
+def test_insert_refusals(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(spark.createDataFrame([(1,)], "id long"), "t")
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_dml(cat, "INSERT INTO nope VALUES (1)")
+    with pytest.raises(ValueError, match="not in target table"):
+        execute_dml(cat, "INSERT INTO t (ghost) VALUES (1)")
+    with pytest.raises(ValueError, match="column"):
+        execute_dml(cat, "INSERT INTO t VALUES (1, 2)")  # width mismatch
+    with pytest.raises(ValueError, match="disagree on width"):
+        execute_dml(cat, "INSERT INTO t VALUES (1), (2, 3)")
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(cat, "INSERT OVERWRITE t VALUES (1)")
+
+
+def test_merge_routes_to_merge_upsert(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+        ),
+        "t",
+    )
+    spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k long, s string, v double"
+    ).createOrReplaceTempView("mrg_src")
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING mrg_src ON t.k = mrg_src.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {"table": "t", "merged": 2}
+    got = {r["k"]: (r["s"], r["v"]) for r in cat.read("t").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+    # no audit-column injection on the SQL MERGE path
+    assert set(cat.read("t").columns) == {"k", "s", "v"}
+
+
+def test_merge_with_subquery_source_and_bare_on(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), "t"
+    )
+    cat.append(
+        spark.createDataFrame(
+            [(1, 11.0), (2, 22.0)], "k long, v double"
+        ),
+        "updates",
+    )
+    # catalog table resolved through the manifest; WHEN clauses omitted
+    out = execute_dml(cat, "MERGE INTO t USING updates ON k = k")
+    assert out == {"table": "t", "merged": 2}
+    # subquery source: SELECTs see registered views (the CLI registers
+    # every catalog table before routing — mirrored here)
+    cat.read("updates").createOrReplaceTempView("updates")
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT k, v * 2 AS v FROM updates) u "
+        "ON t.k = u.k",
+    )
+    assert out == {"table": "t", "merged": 2}
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: 22.0, 2: 44.0}
+
+
+def test_merge_refusals(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(spark.createDataFrame([(1, 2.0)], "k long, v double"), "t")
+    cat.append(spark.createDataFrame([(1, 3.0)], "k long, v double"), "s")
+    with pytest.raises(ValueError, match="unsupported MERGE ON term"):
+        execute_dml(cat, "MERGE INTO t USING s ON t.k = s.j")
+    with pytest.raises(ValueError, match="unsupported MERGE ON term"):
+        execute_dml(cat, "MERGE INTO t USING s ON k < k")
+    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING s ON k = k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="not in target table"):
+        execute_dml(cat, "MERGE INTO t USING s ON ghost = ghost")
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(cat, "MERGE t WITH s")
