@@ -481,6 +481,16 @@ def cmd_describe(args) -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             bucket = json.load(f)
+    # ANN index cells: count_rows keeps counting tombstoned vids until
+    # compact-index folds them — surface the pending number so serving
+    # capacity reads stored-minus-pending, never stale stored
+    pending = None
+    if args.table.endswith("_cells"):
+        base = args.table[: -len("_cells")]
+        if cat.exists(f"{base}_tombstones"):
+            from gcp_datalake_pipeline_spark.operators import ann_index
+
+            pending = ann_index.pending_tombstones(cat, base)
     print(
         json.dumps(
             {
@@ -489,6 +499,11 @@ def cmd_describe(args) -> None:
                 "files": n_files,
                 "bytes": n_bytes,
                 "rows": cat.count_rows(args.table),
+                **(
+                    {"pending_tombstones": pending}
+                    if pending is not None
+                    else {}
+                ),
                 "stats_coverage": (
                     round(n_stats / n_files, 3) if n_files else None
                 ),

@@ -982,6 +982,21 @@ def _tombstones(catalog, index_table: str):
     return catalog.read(t).select("vid") if catalog.exists(t) else None
 
 
+def pending_tombstones(catalog, index_table: str = "ann_ivf") -> int:
+    """Distinct vids tombstoned but not yet physically folded — the
+    health number the stats sidecars can't see: ``count_rows`` on
+    ``{index}_cells`` (and every metadata aggregate over it) keeps
+    counting removed vectors until :func:`compact_index` rewrites them
+    out, so serving capacity dashboards need stored-minus-pending, not
+    stored. Zero on the common no-deletes path (one exists() check);
+    the tombstone table is slim by design, so the distinct count is a
+    trivial scan."""
+    tomb = _tombstones(catalog, index_table)
+    if tomb is None:
+        return 0
+    return tomb.distinct().count()
+
+
 def remove_ids(
     catalog, ids: list[int], index_table: str = "ann_ivf"
 ) -> None:
@@ -1016,7 +1031,8 @@ def compact_index(catalog, index_table: str = "ann_ivf") -> dict:
     the pruned-probe and self-query contracts survive) and clear the
     tombstone table, all in one transaction. Also the answer to id
     reuse: after compaction a re-extended id serves normally. Returns
-    ``{"dropped": n}``."""
+    ``{"dropped": rows_reclaimed, "tombstones_cleared": distinct_vids}``
+    so operators see exactly what the rewrite bought."""
     cells_table = f"{index_table}_cells"
     map_table = f"{index_table}_vid_map"
     tomb_table = f"{index_table}_tombstones"
@@ -1024,7 +1040,8 @@ def compact_index(catalog, index_table: str = "ann_ivf") -> dict:
     if tomb is None or not tomb.take(1):
         # nothing tombstoned (or a prior compaction already folded):
         # never rewrite the cells for a no-op
-        return {"dropped": 0}
+        return {"dropped": 0, "tombstones_cleared": 0}
+    n_tomb = tomb.distinct().count()
     n_before = catalog.read(cells_table).count()
     cells = catalog.read(cells_table).join(tomb, "vid", "left_anti")
     has_map = catalog.exists(map_table)
@@ -1046,4 +1063,7 @@ def compact_index(catalog, index_table: str = "ann_ivf") -> dict:
             _writes()
     else:
         _writes()
-    return {"dropped": n_before - catalog.read(cells_table).count()}
+    return {
+        "dropped": n_before - catalog.read(cells_table).count(),
+        "tombstones_cleared": n_tomb,
+    }

@@ -756,3 +756,30 @@ def test_ann_cache_root_sweeps_stale_fingerprints(tmp_path):
     shutil.rmtree(other_sf, ignore_errors=True)
     shutil.rmtree(other_family, ignore_errors=True)
     shutil.rmtree(r2, ignore_errors=True)
+
+
+def test_pending_tombstones_and_compact_report(spark, tmp_path):
+    """pending_tombstones counts DISTINCT not-yet-folded vids (a
+    duplicated tombstone from a lost race counts once); compact_index
+    reports both the reclaimed rows and the cleared tombstones, and the
+    pending number returns to zero."""
+    emb = spark.read.parquet(EMB)
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    ann_index.build_ivf_index(cat, emb)
+    assert ann_index.pending_tombstones(cat) == 0  # no-deletes fast path
+
+    ann_index.remove_ids(cat, [3, 57])
+    ann_index.remove_ids(cat, [57, 111])  # 57 duplicated across appends
+    assert ann_index.pending_tombstones(cat) == 3
+    # the stats layer still counts the shadowed vids — exactly the gap
+    # pending_tombstones exists to surface
+    assert cat.count_rows("ann_ivf_cells") == 500
+
+    out = ann_index.compact_index(cat)
+    assert out == {"dropped": 3, "tombstones_cleared": 3}
+    assert ann_index.pending_tombstones(cat) == 0
+    assert cat.count_rows("ann_ivf_cells") == 497
+    # idempotent: a second compaction is a reported no-op
+    assert ann_index.compact_index(cat) == {
+        "dropped": 0, "tombstones_cleared": 0,
+    }

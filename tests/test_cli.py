@@ -140,6 +140,13 @@ def test_cli_ann_index_lifecycle(workdir):
     removed = json.loads(r.stdout[r.stdout.index("{"):])
     assert removed == {"removed": [3, 57], "tombstones": 2}
 
+    # describe on the cells table surfaces the not-yet-folded deletes
+    # (count_rows still says 500 — the stats layer can't see tombstones)
+    r = run_cli("describe", "--catalog", cat, "ann_ivf_cells")
+    assert r.returncode == 0, r.stderr[-2000:]
+    health = json.loads(r.stdout[r.stdout.index("{"):])
+    assert health["rows"] == 500 and health["pending_tombstones"] == 2
+
     r = run_cli("ann", "query", "--catalog", cat, "--ids", "3", "--k", "3")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "| 3 " not in r.stdout  # removed id resolves to no rows
@@ -147,7 +154,14 @@ def test_cli_ann_index_lifecycle(workdir):
     r = run_cli("ann", "compact-index", "--catalog", cat)
     assert r.returncode == 0, r.stderr[-2000:]
     compacted = json.loads(r.stdout[r.stdout.index("{"):])
-    assert compacted == {"dropped": 2, "vectors": 498}
+    assert compacted == {
+        "dropped": 2, "tombstones_cleared": 2, "vectors": 498,
+    }
+
+    r = run_cli("describe", "--catalog", cat, "ann_ivf_cells")
+    assert r.returncode == 0, r.stderr[-2000:]
+    health = json.loads(r.stdout[r.stdout.index("{"):])
+    assert health["rows"] == 498 and health["pending_tombstones"] == 0
 
     r = run_cli("ann", "remove", "--catalog", cat)
     assert r.returncode != 0 and "requires --ids" in r.stderr
