@@ -26,6 +26,9 @@ statement):
         ON [q.]k = [q.]k [AND ...]
         [WHEN MATCHED THEN UPDATE SET *
          WHEN NOT MATCHED THEN INSERT *]
+    CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
+    TRUNCATE TABLE <table>
+    DROP TABLE [IF EXISTS] <table>
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
     <conj> := <term> [AND <term>]...
@@ -55,6 +58,8 @@ _GRAMMAR = (
     "INSERT INTO t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]; "
+    "CREATE TABLE [IF NOT EXISTS] t (ddl cols); TRUNCATE TABLE t; "
+    "DROP TABLE [IF EXISTS] t; "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
     "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
@@ -464,6 +469,42 @@ def execute_dml(catalog, sql: str) -> dict | None:
         n = src.count()
         catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
         return {"table": table, "merged": n}
-    if re.match(r"(DELETE|UPDATE|INSERT|MERGE)\b", s, re.I):
+    m = re.fullmatch(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        if_not_exists, table, ddl = m.group(1), m.group(2), m.group(3)
+        if if_not_exists and catalog.exists(table):
+            return {"table": table, "created": False}
+        try:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromDDL(ddl)
+        except Exception as e:
+            raise ValueError(
+                f"bad CREATE TABLE column list {ddl!r}: {e}; {_GRAMMAR}"
+            ) from None
+        catalog.create_table(table, schema)
+        return {"table": table, "created": True}
+    m = re.fullmatch(r"TRUNCATE\s+TABLE\s+(\w+)", s, re.I)
+    if m:
+        n = catalog.truncate(m.group(1))
+        return {"table": m.group(1), "truncated": n}
+    m = re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, re.I)
+    if m:
+        if m.group(1) and not catalog.exists(m.group(2)):
+            return {"table": m.group(2), "dropped": False}
+        catalog.drop_table(m.group(2))
+        return {"table": m.group(2), "dropped": True}
+    # CREATE/DROP VIEW etc. stay None -> spark.sql; only TABLE-shaped
+    # DDL and the four DML verbs are "ours or refused"
+    if re.match(
+        r"(DELETE|UPDATE|INSERT|MERGE)\b"
+        r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b",
+        s,
+        re.I,
+    ):
         raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
     return None

@@ -927,19 +927,21 @@ def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2) AS total_price
     FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
-    doc="""The SQL DML front door end to end: a seed batch lands, then
-    every further mutation goes through the strict-grammar façade —
-    INSERT INTO ... SELECT (routes to Catalog.append: one new staged
-    dir, never a rewrite), MERGE INTO ... USING ... ON k = k (routes to
+    doc="""The SQL front door end to end, from an EMPTY catalog: every
+    statement goes through the strict-grammar façade — CREATE TABLE
+    (typed empty relation, a pure manifest commit), two INSERT INTO ...
+    SELECTs (route to Catalog.append: one new staged dir each, never a
+    rewrite), MERGE INTO ... USING ... ON k = k (routes to
     merge_upsert, source wins on matched rows, no audit-column
     injection), and a DELETE with a top-level OR (routes to the
     stats-pruned hardlink-carrying rewrite, candidates = union of the
     branches). The query RAISES unless each statement reports the
-    expected row count; the oracle reconstructs the same insert->merge->
-    delete pipeline declaratively, so one leaked/dropped/double-applied
-    row anywhere in the chain flips the value hash. This is the
-    reference's upsert-centric write path (services/empresa.ts:92-106)
-    re-expressed as warehouse SQL over the transactional lake.""",
+    expected row count; the oracle reconstructs the same create->
+    insert->merge->delete pipeline declaratively, so one leaked/
+    dropped/double-applied row anywhere in the chain flips the value
+    hash. This is the reference's upsert-centric write path
+    (services/empresa.ts:92-106) re-expressed as warehouse SQL over
+    the transactional lake.""",
 )
 def etl_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -962,9 +964,20 @@ def etl_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         base.createOrReplaceTempView(f"dml_base_{tag}")
-        seed = base.where(F.col("o_orderkey") % 3 != 0)
-        n_seed = seed.count()
-        cat.append(seed, "orders_sql")  # typed create
+        crt = execute_dml(
+            cat,
+            "CREATE TABLE orders_sql (o_orderkey BIGINT, "
+            "o_orderstatus STRING, o_orderpriority STRING, "
+            "o_totalprice DOUBLE)",
+        )
+        if crt != {"table": "orders_sql", "created": True}:
+            raise RuntimeError(f"CREATE TABLE did not engage: {crt}")
+        seed = execute_dml(
+            cat,
+            f"INSERT INTO orders_sql SELECT * FROM dml_base_{tag} "
+            "WHERE o_orderkey % 3 != 0",
+        )
+        n_seed = seed["inserted"]
         ins = execute_dml(
             cat,
             f"INSERT INTO orders_sql SELECT * FROM dml_base_{tag} "

@@ -332,6 +332,14 @@ class TransactionalCatalog(Catalog):
             return self.spark.createDataFrame([], schema)
         dirs = self._data_dirs(table)
         stored = self._stored_schema(table)
+        if not dirs:
+            # a truncated (or created-empty) table: zero data dirs, but
+            # the committed schema still types the empty relation
+            if stored is None and schema is None:
+                raise FileNotFoundError(
+                    f"{table!r} has no data dirs and no committed schema"
+                )
+            return self.spark.createDataFrame([], stored or schema)
         if predicates is None:
             return self._read_dirs(dirs, stored)
         preds = filestats.validate_predicates(predicates)
@@ -781,6 +789,87 @@ class TransactionalCatalog(Catalog):
                 # (None clears a record the snapshot predates)
                 "layout": vm.get("layouts", {}).get(table),
             }
+
+    # -- DDL: CREATE / TRUNCATE / DROP ----------------------------------------
+    #
+    # The lifecycle bookends of the DML front door, all manifest-pointer
+    # commits: CREATE publishes a typed empty table (zero data dirs),
+    # TRUNCATE empties the pointer list while keeping schema/checks/
+    # layout (Delta TRUNCATE — old versions stay time-travelable until
+    # vacuum), DROP removes the table's manifest entries entirely (data
+    # dirs live on for retained snapshots; whole-catalog or per-table
+    # RESTORE resurrects the table until vacuum reclaims them).
+
+    def create_table(self, table: str, schema) -> None:
+        """CREATE TABLE: commit ``table`` as an empty typed relation
+        (``schema`` is a StructType or DDL string). Exists -> raises
+        (CREATE IF NOT EXISTS is the caller's no-op branch)."""
+        from pyspark.sql import types as T
+
+        if self._pending is not None:
+            raise RuntimeError("create_table inside an open transaction")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if self.exists(table):
+            raise FileExistsError(f"table {table!r} already exists")
+        base = self._committed_rels(table)  # None: conflicts if created
+        with self.transaction(f"create-{table}"):
+            self._pending[table] = []
+            self._intents[table] = {
+                "mode": "replace",
+                "base": base,
+                "added": [],
+                "schema": schema.jsonValue(),
+            }
+
+    def truncate(self, table: str) -> int:
+        """TRUNCATE TABLE: publish an EMPTY dir list for ``table`` —
+        schema, CHECK constraints, and clustering layout survive; no
+        data file is touched (previous versions stay readable via
+        read_at until vacuum). Returns the number of rows removed
+        (metadata count). Conflict-checked like any replace."""
+        if self._pending is not None:
+            raise RuntimeError("truncate inside an open transaction")
+        base = self._committed_rels(table)
+        if base is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        n = self.count_rows(table)
+        schema = self._stored_schema(table)
+        with self.transaction(f"truncate-{table}"):
+            self._pending[table] = []
+            self._intents[table] = {
+                "mode": "replace",
+                "base": base,
+                "added": [],
+                "schema": schema.jsonValue() if schema is not None else None,
+            }
+        return n
+
+    def drop_table(self, table: str) -> None:
+        """DROP TABLE: remove ``table`` (and its schema, checks, layout,
+        and bucket sidecar) from the manifest in one commit. Data dirs
+        are NOT deleted — retained snapshots still reference them, so
+        ``restore``/``restore_table`` resurrects the table until
+        ``vacuum`` passes the retention horizon. (The bucket sidecar is
+        plain un-versioned metadata: a later same-named table must not
+        inherit a stale bucket layout, so it is removed now and a
+        restore of a bucketed table should re-merge or re-compact.)"""
+        if self._pending is not None:
+            raise RuntimeError("drop_table inside an open transaction")
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+
+        def mutate(m):
+            m["tables"].pop(table, None)
+            m.get("schemas", {}).pop(table, None)
+            m.get("checks", {}).pop(table, None)
+            m.get("layouts", {}).pop(table, None)
+
+        self._publish_meta(mutate, f"drop-{table}")
+        try:
+            os.remove(self._bucket_meta_path(table))
+        except FileNotFoundError:
+            pass
 
     # -- metadata-only COUNT --------------------------------------------------
 

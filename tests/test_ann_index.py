@@ -388,11 +388,15 @@ def test_compact_index_drops_rows_preserves_layouts(spark, tmp_path):
     removed = [7, 42]
     ann_index.remove_ids(cat, removed)
 
-    assert ann_index.compact_index(cat) == {"dropped": len(removed)}
+    assert ann_index.compact_index(cat) == {
+        "dropped": len(removed), "tombstones_cleared": len(removed),
+    }
     assert cat.read("ann_ivf_cells").count() == n_total - len(removed)
     assert cat.read("ann_ivf_vid_map").count() == n_total - len(removed)
     assert cat.read("ann_ivf_tombstones").count() == 0
-    assert ann_index.compact_index(cat) == {"dropped": 0}
+    assert ann_index.compact_index(cat) == {
+        "dropped": 0, "tombstones_cleared": 0,
+    }
 
     # bucket-meta sidecar survived the map overwrite, so self-queries
     # keep resolving through the persisted modulus
@@ -445,7 +449,9 @@ def test_tombstone_shadows_reextended_id_until_compaction(spark, tmp_path):
 
     # compaction drops BOTH rows of x (the stale build row and the
     # shadowed re-append) and clears the tombstones
-    assert ann_index.compact_index(cat) == {"dropped": 2}
+    assert ann_index.compact_index(cat) == {
+        "dropped": 2, "tombstones_cleared": 1,
+    }
 
     # now a reused id extends and serves like any other vector
     ann_index.extend_ivf_index(cat, batch)
@@ -551,7 +557,9 @@ def test_pq_tombstones_and_compaction_preserve_codes(spark, tmp_path):
             exclude_self=True,
         ).collect()
     }
-    assert ann_index.compact_index(cat) == {"dropped": 1}
+    assert ann_index.compact_index(cat) == {
+        "dropped": 1, "tombstones_cleared": 1,
+    }
     assert "codes" in cat.read("ann_ivf_cells").columns
     assert cat.exists("ann_ivf_pq_codebook")
     assert _adc_rows(ann_index.ivf_index_pq_topk(cat, QIDS, k=5)) == after_rows

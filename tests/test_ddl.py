@@ -1,0 +1,159 @@
+"""CREATE / TRUNCATE / DROP — the lifecycle bookends of the DML front
+door, all manifest-pointer commits.
+
+Contract under test:
+
+- CREATE publishes a typed empty table (zero data dirs; reads, counts,
+  appends, and the INSERT facade all work against it);
+- TRUNCATE empties the pointer list, keeps schema/checks/layout, touches
+  no data file, and stays time-travelable until vacuum;
+- DROP removes the manifest entries (and the un-versioned bucket
+  sidecar) while retained snapshots keep the data restorable;
+- the SQL facade routes all three with IF [NOT] EXISTS variants, and
+  CREATE VIEW still falls through to spark.sql.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+
+@pytest.fixture()
+def tcat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def test_create_table_publishes_typed_empty_relation(spark, tcat):
+    tcat.create_table("t", "id BIGINT, name STRING, v DOUBLE")
+    assert tcat.exists("t")
+    df = tcat.read("t")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "name", "v"]
+    assert tcat.count_rows("t") == 0
+    assert tcat.min_max("t", "v") == (None, None)
+    # a later append types against the declared schema
+    tcat.append(
+        spark.createDataFrame([(1, "a", 1.5)], "id long, name string, v double"),
+        "t",
+    )
+    assert tcat.count_rows("t") == 1
+    with pytest.raises(FileExistsError):
+        tcat.create_table("t", "id BIGINT")
+
+
+def test_create_then_insert_facade(spark, tcat):
+    out = execute_dml(
+        tcat, "CREATE TABLE t (id BIGINT, name STRING, v DOUBLE)"
+    )
+    assert out == {"table": "t", "created": True}
+    out = execute_dml(
+        tcat, "INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', NULL)"
+    )
+    assert out == {"table": "t", "inserted": 2}
+    assert tcat.count_rows("t") == 2
+    # IF NOT EXISTS is a reported no-op
+    out = execute_dml(tcat, "CREATE TABLE IF NOT EXISTS t (id BIGINT)")
+    assert out == {"table": "t", "created": False}
+    assert len(tcat.read("t").columns) == 3  # untouched
+    with pytest.raises(ValueError, match="bad CREATE TABLE"):
+        execute_dml(tcat, "CREATE TABLE u (id WIBBLE)")
+    # CREATE VIEW is NOT table DDL: falls through to spark.sql (None)
+    assert execute_dml(tcat, "CREATE VIEW v AS SELECT 1") is None
+
+
+def test_truncate_keeps_schema_checks_layout(spark, tcat):
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 61).alias("x"), (F.col("id") % 7).alias("w")
+    )
+    tcat.add_check("t", "x_nonneg", "x >= 0")
+    tcat.append(df.coalesce(2), "t")
+    tcat.compact("t", target_file_bytes=8 * 1024, zorder_by=["x"])
+    pre_files = {
+        os.path.join(d, f)
+        for d in tcat._data_dirs("t")
+        for f in tcat._dir_parquet_files(d)
+    }
+    n = tcat.truncate("t")
+    assert n == 2000
+    assert tcat.exists("t") and tcat.count_rows("t") == 0
+    assert tcat.read("t").columns == ["id", "x", "w"]
+    assert tcat.checks("t") == {"x_nonneg": "x >= 0"}
+    assert tcat.layout("t") == {"kind": "zorder", "cols": ["x"], "bits": 8}
+    # no data file was touched; the old snapshot still reads
+    assert all(os.path.exists(p) for p in pre_files)
+    v = tcat.versions()[-1]["version"]
+    assert tcat.read_at("t", v - 1).count() == 2000
+    # checks still enforce on the refilled table
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    with pytest.raises(CheckViolation):
+        tcat.append(
+            spark.createDataFrame([(1, -5, 0)], "id long, x long, w long"),
+            "t",
+        )
+    tcat.append(df.coalesce(1), "t")
+    assert tcat.count_rows("t") == 2000
+
+
+def test_drop_table_and_restore_resurrects(spark, tcat):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    tcat.append(df, "t")
+    tcat.add_check("t", "k_ok", "k >= 0")
+    v_before = tcat.versions()[-1]["version"]
+    tcat.drop_table("t")
+    assert not tcat.exists("t")
+    assert tcat.checks("t") == {} and tcat.layout("t") is None
+    with pytest.raises(FileNotFoundError):
+        tcat.read("t")
+    with pytest.raises(FileNotFoundError):
+        tcat.drop_table("t")
+    # retained snapshots keep the data: both restore paths resurrect
+    assert tcat.read_at("t", v_before).count() == 100
+    tcat.restore_table("t", v_before)
+    assert tcat.count_rows("t") == 100
+    # whole-catalog restore of the dropped state drops it again (and
+    # brings the checks map back with it)
+    tcat.restore(v_before)
+    assert tcat.exists("t") and tcat.checks("t") == {"k_ok": "k >= 0"}
+
+
+def test_drop_removes_bucket_sidecar(spark, tcat):
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("s")
+    )
+    tcat.merge_upsert_bucketed(df, "b", key_cols=["doc_id"], num_buckets=4)
+    assert os.path.exists(tcat._bucket_meta_path("b"))
+    tcat.drop_table("b")
+    assert not os.path.exists(tcat._bucket_meta_path("b"))
+
+
+def test_truncate_drop_facade_routing(spark, tcat):
+    tcat.append(spark.createDataFrame([(1,), (2,)], "id long"), "t")
+    out = execute_dml(tcat, "TRUNCATE TABLE t")
+    assert out == {"table": "t", "truncated": 2}
+    out = execute_dml(tcat, "DROP TABLE t")
+    assert out == {"table": "t", "dropped": True}
+    out = execute_dml(tcat, "DROP TABLE IF EXISTS t")
+    assert out == {"table": "t", "dropped": False}
+    with pytest.raises(FileNotFoundError):
+        execute_dml(tcat, "DROP TABLE t")
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(tcat, "TRUNCATE t")  # strict: TABLE keyword required
+    # DROP VIEW is not table DDL -> spark.sql's problem (None)
+    assert execute_dml(tcat, "DROP VIEW IF EXISTS someview") is None
+
+
+def test_vacuum_reclaims_dropped_and_truncated_data(spark, tcat):
+    tcat.append(spark.createDataFrame([(1,)], "id long"), "a")
+    tcat.append(spark.createDataFrame([(2,)], "id long"), "b")
+    tcat.truncate("a")
+    tcat.drop_table("b")
+    removed = tcat.vacuum(retain_versions=1, min_age_seconds=0.0)
+    data_dirs = [r for r in removed if r.startswith("_loads")]
+    assert len(data_dirs) == 2  # both tables' only dirs reclaimed
+    assert tcat.exists("a") and not tcat.exists("b")
+    assert tcat.read("a").count() == 0
