@@ -27,6 +27,9 @@ statement):
         [WHEN MATCHED THEN UPDATE SET *
          WHEN NOT MATCHED THEN INSERT *]
     CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
+    ALTER TABLE <table> ADD COLUMN <name> <ddl-type>
+    ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
+    ALTER TABLE <table> DROP CONSTRAINT <name>
     TRUNCATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
     <where> := <disj> | <conj>
@@ -59,7 +62,8 @@ _GRAMMAR = (
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]; "
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols); TRUNCATE TABLE t; "
-    "DROP TABLE [IF EXISTS] t; "
+    "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
+    "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
     "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
@@ -488,6 +492,34 @@ def execute_dml(catalog, sql: str) -> dict | None:
             ) from None
         catalog.create_table(table, schema)
         return {"table": table, "created": True}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+)", s, re.I | re.S
+    )
+    if m:
+        table, col, dtype = m.group(1), m.group(2), m.group(3).strip()
+        try:
+            catalog.add_column(table, col, dtype)
+        except (ValueError, FileNotFoundError):
+            raise
+        except Exception as e:  # unparseable DDL type
+            raise ValueError(
+                f"bad ADD COLUMN type {dtype!r}: {e}; {_GRAMMAR}"
+            ) from None
+        return {"table": table, "added_column": col}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        catalog.add_check(m.group(1), m.group(2), m.group(3).strip())
+        return {"table": m.group(1), "added_check": m.group(2)}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)", s, re.I
+    )
+    if m:
+        catalog.drop_check(m.group(1), m.group(2))
+        return {"table": m.group(1), "dropped_check": m.group(2)}
     m = re.fullmatch(r"TRUNCATE\s+TABLE\s+(\w+)", s, re.I)
     if m:
         n = catalog.truncate(m.group(1))
@@ -502,7 +534,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
     # DDL and the four DML verbs are "ours or refused"
     if re.match(
         r"(DELETE|UPDATE|INSERT|MERGE)\b"
-        r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b",
+        r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b",
         s,
         re.I,
     ):

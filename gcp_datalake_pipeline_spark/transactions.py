@@ -822,6 +822,37 @@ class TransactionalCatalog(Catalog):
                 "schema": schema.jsonValue(),
             }
 
+    def add_column(self, table: str, name: str, dtype) -> None:
+        """ALTER TABLE ... ADD COLUMN: additive schema evolution as a
+        PURE METADATA commit — the committed schema gains a nullable
+        field, existing files are untouched, and every read projects
+        the missing column as NULL (the committed-schema scan already
+        does this for append-evolved tables). ``dtype`` is a DataType
+        or DDL type string. Type changes and duplicate names refuse —
+        same enforcement as the append-time schema merge."""
+        from pyspark.sql import types as T
+
+        if self._pending is not None:
+            raise RuntimeError("add_column inside an open transaction")
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"{name} {dtype}")[0].dataType
+        stored = self._stored_schema(table)
+        if stored is None:
+            raise ValueError(
+                f"table {table!r} predates schema tracking; rewrite it "
+                "once (compact) before ALTER TABLE"
+            )
+        if name in stored.fieldNames():
+            raise ValueError(f"column {name!r} already exists on {table!r}")
+        field = T.StructField(name, dtype, True).jsonValue()
+
+        def mutate(m):
+            m.setdefault("schemas", {})[table]["fields"].append(field)
+
+        self._publish_meta(mutate, f"add-column-{table}-{name}")
+
     def truncate(self, table: str) -> int:
         """TRUNCATE TABLE: publish an EMPTY dir list for ``table`` —
         schema, CHECK constraints, and clustering layout survive; no

@@ -157,3 +157,56 @@ def test_vacuum_reclaims_dropped_and_truncated_data(spark, tcat):
     assert len(data_dirs) == 2  # both tables' only dirs reclaimed
     assert tcat.exists("a") and not tcat.exists("b")
     assert tcat.read("a").count() == 0
+
+
+def test_alter_table_add_column_is_metadata_only(spark, tcat):
+    """ADD COLUMN is a pure schema commit: existing files untouched,
+    reads project NULL, later appends fill it, and the façade routes
+    the statement."""
+    tcat.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), "t")
+    pre_files = {
+        os.path.join(d, f): os.stat(os.path.join(d, f)).st_mtime_ns
+        for d in tcat._data_dirs("t")
+        for f in tcat._dir_parquet_files(d)
+    }
+    out = execute_dml(tcat, "ALTER TABLE t ADD COLUMN score DOUBLE")
+    assert out == {"table": "t", "added_column": "score"}
+    # zero data I/O: same files, same mtimes
+    post_files = {
+        os.path.join(d, f): os.stat(os.path.join(d, f)).st_mtime_ns
+        for d in tcat._data_dirs("t")
+        for f in tcat._dir_parquet_files(d)
+    }
+    assert post_files == pre_files
+    df = tcat.read("t")
+    assert df.columns == ["id", "s", "score"]
+    assert df.filter(F.col("score").isNull()).count() == 2
+    # later appends carry the column
+    tcat.append(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, s string, score double"),
+        "t",
+    )
+    assert tcat.read("t").filter(F.col("score") == 9.5).count() == 1
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(tcat, "ALTER TABLE t ADD COLUMN score DOUBLE")
+    with pytest.raises(ValueError, match="bad ADD COLUMN type"):
+        execute_dml(tcat, "ALTER TABLE t ADD COLUMN x WIBBLE")
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(tcat, "ALTER TABLE t RENAME TO u")
+
+
+def test_alter_table_constraint_lifecycle(spark, tcat):
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    tcat.append(spark.createDataFrame([(1, 5.0)], "id long, v double"), "t")
+    out = execute_dml(
+        tcat, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)"
+    )
+    assert out == {"table": "t", "added_check": "v_pos"}
+    assert tcat.checks("t") == {"v_pos": "v > 0"}
+    with pytest.raises(CheckViolation):
+        tcat.append(spark.createDataFrame([(2, -1.0)], "id long, v double"), "t")
+    out = execute_dml(tcat, "ALTER TABLE t DROP CONSTRAINT v_pos")
+    assert out == {"table": "t", "dropped_check": "v_pos"}
+    assert tcat.checks("t") == {}
