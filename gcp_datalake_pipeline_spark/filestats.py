@@ -469,12 +469,12 @@ def prune_files(
     return kept
 
 
-def residual_filter(df, predicates: list[tuple]):
-    """The EXACT predicate as a Spark filter over the pruned scan —
-    pruning is a superset guarantee, never the answer."""
+def conj_condition(predicates: list[tuple]):
+    """One conjunction as a Spark Column (TRUE/FALSE/NULL three-valued
+    — callers that need NULL-never-matches wrap in coalesce)."""
     from pyspark.sql import functions as F
 
-    out = df
+    out = F.lit(True)
     for col, op, value in predicates:
         c = F.col(col)
         if op in ("=", "=="):
@@ -497,5 +497,65 @@ def residual_filter(df, predicates: list[tuple]):
             cond = c.isNotNull()
         else:  # pragma: no cover - validate_predicates rejects these
             raise ValueError(op)
-        out = out.filter(cond)
+        out = out & cond
     return out
+
+
+def dnf_condition(dnf: list[list[tuple]]):
+    """An OR of conjunctions as one Spark Column."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(False)
+    for conj in dnf:
+        out = out | conj_condition(conj)
+    return out
+
+
+def residual_filter(df, predicates: list[tuple]):
+    """The EXACT predicate as a Spark filter over the pruned scan —
+    pruning is a superset guarantee, never the answer."""
+    return df.filter(conj_condition(predicates))
+
+
+def prune_files_dnf(
+    stats: dict | None, all_files: list[str], dnf: list[list[tuple]]
+) -> list[str]:
+    """Files that may match ANY disjunct (the OR's candidate union), in
+    stable input order — an OR is exactly as prunable as its widest
+    branch."""
+    kept: set[str] = set()
+    for conj in dnf:
+        kept.update(prune_files(stats, all_files, conj))
+    return [f for f in all_files if f in kept]
+
+
+def classify_files_dnf(
+    stats: dict | None, all_files: list[str], dnf: list[list[tuple]]
+) -> tuple[int, list[str]]:
+    """:func:`classify_files` for an OR of conjunctions: a file counts
+    without I/O when ONE disjunct provably matches every row (the
+    disjunction is then TRUE row-wise regardless of the other
+    branches), drops when EVERY disjunct provably matches no row, and
+    scans otherwise."""
+    counted = 0
+    unknown: list[str] = []
+    entries = (stats or {}).get("files", {})
+    for rel in all_files:
+        entry = entries.get(rel)
+        if entry is None or entry.get("rows") is None:
+            unknown.append(rel)
+            continue
+        survives = [
+            all(_file_survives(entry, c, o, v) for c, o, v in conj)
+            for conj in dnf
+        ]
+        if not any(survives):
+            continue  # provably zero matching rows in every branch
+        if any(
+            s and all(_file_all_match(entry, c, o, v) for c, o, v in conj)
+            for s, conj in zip(survives, dnf)
+        ):
+            counted += entry["rows"]
+        else:
+            unknown.append(rel)
+    return counted, unknown

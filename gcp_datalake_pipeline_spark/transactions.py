@@ -325,7 +325,9 @@ class TransactionalCatalog(Catalog):
         re-applied as a Spark filter on the survivors (pruning is a
         superset guarantee, never the answer), so results are identical
         to an unpruned read + filter; files without stats are always
-        kept."""
+        kept. ``predicates`` may also be a LIST of conjunctions (DNF,
+        as in :meth:`delete_where`): candidates are the union of each
+        branch's files and the residual filter is the OR."""
         if not self.exists(table):
             if schema is None:
                 raise FileNotFoundError(table)
@@ -342,9 +344,9 @@ class TransactionalCatalog(Catalog):
             return self.spark.createDataFrame([], stored or schema)
         if predicates is None:
             return self._read_dirs(dirs, stored)
-        preds = filestats.validate_predicates(predicates)
-        df = self._read_dirs_pruned(dirs, stored, preds)
-        return filestats.residual_filter(df, preds)
+        dnf = self._as_dnf(predicates)
+        df = self._read_dirs_pruned(dirs, stored, dnf)
+        return df.filter(filestats.dnf_condition(dnf))
 
     def _dir_parquet_files(self, d: str) -> list[str]:
         """Relative paths of the data files under one staged dir, in a
@@ -359,18 +361,18 @@ class TransactionalCatalog(Catalog):
         return sorted(out)
 
     def _read_dirs_pruned(
-        self, dirs: list[str], stored, preds: list[tuple]
+        self, dirs: list[str], stored, dnf: list[list[tuple]]
     ) -> DataFrame:
         """Stats-pruned scan over a manifest dir list. Per dir: load the
-        sidecar, keep the files whose stats can match, and read ONLY
-        those (``basePath`` preserves Hive partition columns). A dir with
-        no sidecar keeps all its files; a dir with zero surviving files
-        contributes nothing to the plan."""
+        sidecar, keep the files whose stats can match ANY disjunct, and
+        read ONLY those (``basePath`` preserves Hive partition columns).
+        A dir with no sidecar keeps all its files; a dir with zero
+        surviving files contributes nothing to the plan."""
         parts: list[DataFrame] = []
         for d in dirs:
             stats = filestats.read_dir_stats(d)
             all_files = self._dir_parquet_files(d)
-            kept = filestats.prune_files(stats, all_files, preds)
+            kept = filestats.prune_files_dnf(stats, all_files, dnf)
             if not kept:
                 continue
             if len(kept) == len(all_files):
@@ -401,7 +403,7 @@ class TransactionalCatalog(Catalog):
         file paths a ``read(table, predicates=...)`` would hand to Spark
         and the total file count behind the table (``version`` resolves
         against a retained snapshot instead of the current pointer)."""
-        preds = filestats.validate_predicates(predicates)
+        dnf = self._as_dnf(predicates)
         if version is None:
             dirs = self._data_dirs(table)
         else:
@@ -414,7 +416,7 @@ class TransactionalCatalog(Catalog):
             total += len(all_files)
             kept_all.extend(
                 os.path.join(d, f)
-                for f in filestats.prune_files(stats, all_files, preds)
+                for f in filestats.prune_files_dnf(stats, all_files, dnf)
             )
         return kept_all, total
 
@@ -914,8 +916,12 @@ class TransactionalCatalog(Catalog):
         scanned (with the exact residual filter). A bare count on a
         stats-complete table — the dashboard/monitoring hot path —
         touches no data files at all (pytest pins this by nulling the
-        Spark handle). Always exact, never approximate."""
-        preds = filestats.validate_predicates(predicates or [])
+        Spark handle). Always exact, never approximate. ``predicates``
+        may be one conjunction or a DNF list (as in
+        :meth:`delete_where`): a file counts without I/O when one OR
+        branch provably matches all its rows, drops when every branch
+        provably matches none."""
+        dnf = self._as_dnf(predicates or [])
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
         total = 0
@@ -923,7 +929,9 @@ class TransactionalCatalog(Catalog):
         for d in self._data_dirs(table):
             stats = filestats.read_dir_stats(d)
             files = self._dir_parquet_files(d)
-            counted, unknown = filestats.classify_files(stats, files, preds)
+            counted, unknown = filestats.classify_files_dnf(
+                stats, files, dnf
+            )
             total += counted
             if unknown:
                 scan.append((d, unknown))
@@ -938,7 +946,7 @@ class TransactionalCatalog(Catalog):
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-            total += filestats.residual_filter(df, preds).count()
+            total += df.filter(filestats.dnf_condition(dnf)).count()
         return total
 
     def min_max(self, table: str, col: str) -> tuple:
@@ -1141,9 +1149,7 @@ class TransactionalCatalog(Catalog):
             files = self._dir_parquet_files(d)
             # candidates = UNION over the OR's disjuncts: a file is
             # carried untouched only when EVERY branch proves no match
-            cand: set[str] = set()
-            for conj in dnf:
-                cand |= set(filestats.prune_files(stats, files, conj))
+            cand = set(filestats.prune_files_dnf(stats, files, dnf))
             entries = (stats or {}).get("files", {})
             for f in files:
                 if f in cand:
@@ -1182,26 +1188,9 @@ class TransactionalCatalog(Catalog):
         cand_df = parts[0]
         for p in parts[1:]:
             cand_df = cand_df.unionByName(p, allowMissingColumns=True)
-        cond = F.lit(False)
-        for conj in dnf:
-            branch = F.lit(True)
-            for col, op, value in conj:
-                c = F.col(col)
-                branch = branch & {
-                    "=": lambda: c == F.lit(value),
-                    "==": lambda: c == F.lit(value),
-                    "!=": lambda: c != F.lit(value),
-                    "<>": lambda: c != F.lit(value),
-                    "<": lambda: c < F.lit(value),
-                    "<=": lambda: c <= F.lit(value),
-                    ">": lambda: c > F.lit(value),
-                    ">=": lambda: c >= F.lit(value),
-                    "in": lambda: c.isin(*list(value)),
-                    "is_null": lambda: c.isNull(),
-                    "not_null": lambda: c.isNotNull(),
-                }[op]()
-            cond = cond | branch
-        match = F.coalesce(cond, F.lit(False))  # NULL never matches
+        match = F.coalesce(
+            filestats.dnf_condition(dnf), F.lit(False)
+        )  # NULL never matches
         n_matched = cand_df.filter(match).count()
         if n_matched == 0:
             # conservative candidates held no true matches: still no
@@ -1598,9 +1587,9 @@ class TransactionalCatalog(Catalog):
             stored = T.StructType.fromJson(sj)
         if predicates is None:
             return self._read_dirs(paths, stored)
-        preds = filestats.validate_predicates(predicates)
-        return filestats.residual_filter(
-            self._read_dirs_pruned(paths, stored, preds), preds
+        dnf = self._as_dnf(predicates)
+        return self._read_dirs_pruned(paths, stored, dnf).filter(
+            filestats.dnf_condition(dnf)
         )
 
     def restore(self, version: int) -> None:

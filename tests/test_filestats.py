@@ -590,3 +590,42 @@ def test_legacy_int96_files_still_answer_via_scan(spark, tmp_path):
     finally:
         cat.spark = held
     assert n == 200
+
+
+# -- DNF (OR) predicates on the read path (r10) ------------------------------
+
+
+def test_read_with_dnf_predicates_prunes_union(spark, tcat):
+    """read(predicates=[conj, conj]) — candidates are the union of the
+    branches' files; values equal the unpruned OR filter."""
+    _append_range(tcat, 0, 100, "a")
+    _append_range(tcat, 100, 200, "b")
+    _append_range(tcat, 200, 300, "c")
+    dnf = [[("k", "<", 50)], [("k", ">=", 250)]]
+    kept, total = tcat.pruned_files("t", dnf)
+    assert total == 3 and len(kept) == 2  # middle dir skipped
+    df = tcat.read("t", predicates=dnf)
+    assert _input_files(df) == {os.path.realpath(p) for p in kept}
+    expect = tcat.read("t").where("k < 50 or k >= 250").orderBy("k").collect()
+    assert df.orderBy("k").collect() == expect
+
+
+def test_count_rows_with_dnf(spark, tcat):
+    """DNF count: all-match branches count without I/O, no-match-
+    everywhere files drop, the rest scan — exact at every mix."""
+    _append_range(tcat, 0, 100, "a")
+    _append_range(tcat, 100, 200, "b")
+    _append_range(tcat, 200, 300, "c")
+    dnf = [[("k", "<", 100)], [("k", ">=", 150), ("k", "<", 180)]]
+    want = tcat.read("t").where("k < 100 or (k >= 150 and k < 180)").count()
+    assert tcat.count_rows("t", dnf) == want == 130
+    # a fully-decidable DNF answers with zero data I/O: branch one
+    # all-matches dir a, branch two all-matches dir c, dir b drops
+    dnf2 = [[("k", "<", 100)], [("k", ">=", 200)]]
+    held = tcat.spark
+    try:
+        tcat.spark = None
+        n = tcat.count_rows("t", dnf2)
+    finally:
+        tcat.spark = held
+    assert n == 200
