@@ -406,24 +406,10 @@ def classify_files(
     """Metadata-only COUNT support: split a dir's files into rows that
     PROVABLY all match (returned as a row count), files that provably
     can't match (dropped), and files the stats can't decide (returned
-    for scanning). Returns ``(counted_rows, unknown_files)``."""
-    counted = 0
-    unknown: list[str] = []
-    entries = (stats or {}).get("files", {})
-    for rel in all_files:
-        entry = entries.get(rel)
-        if entry is None or entry.get("rows") is None:
-            unknown.append(rel)
-            continue
-        if not all(
-            _file_survives(entry, c, o, v) for c, o, v in predicates
-        ):
-            continue  # provably zero matching rows
-        if all(_file_all_match(entry, c, o, v) for c, o, v in predicates):
-            counted += entry["rows"]
-        else:
-            unknown.append(rel)
-    return counted, unknown
+    for scanning). Returns ``(counted_rows, unknown_files)``. The
+    single-conjunction view of :func:`classify_files_dnf` — one body,
+    no drift."""
+    return classify_files_dnf(stats, all_files, [list(predicates)])
 
 
 def validate_predicates(predicates) -> list[tuple]:
