@@ -116,7 +116,7 @@ def main() -> None:
         print(f"# warm {name}: {timings[name]}s", file=sys.stderr)
 
     # Full-registry coverage: every registry query not already timed runs
-    # in the extended suite too, so a regression anywhere in the 92-query
+    # in the extended suite too, so a regression anywhere in the full registry
     # surface is visible round-over-round (not just in the headline 25).
     rest = [n for n in QUERIES if n not in HEADLINE and n not in EXTENDED]
     extended: dict[str, float] = {}
