@@ -32,6 +32,8 @@ statement):
     ALTER TABLE <table> DROP CONSTRAINT <name>
     TRUNCATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
+    OPTIMIZE <table> [CLUSTER BY (cols) | ZORDER BY (cols)]
+    VACUUM [RETAIN <n> VERSIONS]
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
     <conj> := <term> [AND <term>]...
@@ -64,6 +66,8 @@ _GRAMMAR = (
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols); TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
+    "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
+    "VACUUM [RETAIN n VERSIONS]; "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
     "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
@@ -520,6 +524,36 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         catalog.drop_check(m.group(1), m.group(2))
         return {"table": m.group(1), "dropped_check": m.group(2)}
+    m = re.fullmatch(
+        r"OPTIMIZE\s+(\w+)"
+        r"(?:\s+CLUSTER\s+BY\s*\(([^)]+)\)|\s+ZORDER\s+BY\s*\(([^)]+)\))?",
+        s,
+        re.I,
+    )
+    if m:
+        table = m.group(1)
+        cluster = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        zorder = (
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        )
+        done = catalog.compact(
+            table, cluster_by=cluster, zorder_by=zorder, min_dirs=2
+        )
+        return {"table": table, "optimized": done}
+    m = re.fullmatch(
+        r"VACUUM(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?", s, re.I
+    )
+    if m:
+        removed = catalog.vacuum(
+            retain_versions=int(m.group(1)) if m.group(1) else 1
+        )
+        n_dirs = sum(1 for r in removed if r.startswith("_loads"))
+        return {
+            "vacuumed_dirs": n_dirs,
+            "vacuumed_versions": len(removed) - n_dirs,
+        }
     m = re.fullmatch(r"TRUNCATE\s+TABLE\s+(\w+)", s, re.I)
     if m:
         n = catalog.truncate(m.group(1))
@@ -533,7 +567,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
     # CREATE/DROP VIEW etc. stay None -> spark.sql; only TABLE-shaped
     # DDL and the four DML verbs are "ours or refused"
     if re.match(
-        r"(DELETE|UPDATE|INSERT|MERGE)\b"
+        r"(DELETE|UPDATE|INSERT|MERGE|OPTIMIZE|VACUUM)\b"
         r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b",
         s,
         re.I,

@@ -210,3 +210,34 @@ def test_alter_table_constraint_lifecycle(spark, tcat):
     out = execute_dml(tcat, "ALTER TABLE t DROP CONSTRAINT v_pos")
     assert out == {"table": "t", "dropped_check": "v_pos"}
     assert tcat.checks("t") == {}
+
+
+def test_optimize_and_vacuum_facade(spark, tcat):
+    """OPTIMIZE [ZORDER BY] and VACUUM as SQL statements — the Delta
+    maintenance verbs routed to compact()/vacuum()."""
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 61).alias("x"), ((F.col("id") * 7) % 53).alias("y")
+    )
+    for i in range(3):
+        tcat.append(df.where(F.col("id") % 3 == i).coalesce(1), "t")
+    assert len(tcat._data_dirs("t")) == 3
+    out = execute_dml(tcat, "OPTIMIZE t ZORDER BY (x, y)")
+    assert out == {"table": "t", "optimized": True}
+    assert len(tcat._data_dirs("t")) == 1
+    assert tcat.layout("t") == {"kind": "zorder", "cols": ["x", "y"], "bits": 8}
+    # already compact + recorded layout: reported no-op
+    assert execute_dml(tcat, "OPTIMIZE t") == {"table": "t", "optimized": False}
+    # cluster-by variant records its own spec
+    out = execute_dml(tcat, "OPTIMIZE t CLUSTER BY (x)")
+    assert out == {"table": "t", "optimized": True}
+    assert tcat.layout("t") == {"kind": "cluster", "cols": ["x"]}
+    # vacuum: the superseded pre-optimize dirs reclaim past retention
+    out = execute_dml(tcat, "VACUUM RETAIN 1 VERSIONS")
+    # the default min-age window protects the fresh data dirs; only the
+    # beyond-retention version manifests fold
+    assert out["vacuumed_dirs"] == 0 and out["vacuumed_versions"] >= 3
+    removed = tcat.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert len([r for r in removed if r.startswith("_loads")]) >= 3
+    assert tcat.read("t").count() == 3000
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(tcat, "OPTIMIZE")  # no table
