@@ -245,21 +245,27 @@ def _register_views(cat: Catalog, testdata: str | None) -> None:
 
 def cmd_query(args) -> None:
     cat = _catalog(args, must_exist=True)
-    # DELETE/UPDATE/INSERT/MERGE statements route to the catalog's
-    # engine (stats-pruned rewrites, append, merge_upsert —
-    # transactional catalogs only); everything else is Spark SQL over
-    # the registered views. Views register FIRST so INSERT ... SELECT
-    # and MERGE ... USING can reference them as sources.
+    # DML/DDL statements route to the catalog's engine (stats-pruned
+    # rewrites, append, merge_upsert, manifest DDL — transactional
+    # catalogs only); everything else is Spark SQL over the registered
+    # views. Views register only for statements that can reference
+    # them (INSERT ... SELECT / MERGE ... USING, and plain SQL) — a
+    # DELETE/UPDATE/DDL must not pay a per-table plan resolution it
+    # never uses.
+    import re as _re
+
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
 
-    _register_views(cat, args.testdata)
     if isinstance(cat, TransactionalCatalog):
         from gcp_datalake_pipeline_spark.dml_sql import execute_dml
 
+        if _re.match(r"\s*(INSERT|MERGE)\b", args.sql, _re.I):
+            _register_views(cat, args.testdata)
         result = execute_dml(cat, args.sql)
         if result is not None:
             print(json.dumps(result))
             return
+    _register_views(cat, args.testdata)
     df = cat.spark.sql(args.sql)
     if args.explain:
         df.explain("formatted")

@@ -100,7 +100,10 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
         else:
             cur.append(ch)
     out.append("".join(cur))
-    return [p for p in (x.strip() for x in out) if p]
+    # EMPTY segments are kept: `VALUES (1,,2)` or a dangling comma must
+    # surface to the caller's validation (each raises on the empty
+    # piece), never be silently elided into a well-formed statement
+    return [x.strip() for x in out]
 
 
 def _split_keyword(s: str, keyword: str) -> list[str]:
@@ -142,7 +145,9 @@ def _split_keyword(s: str, keyword: str) -> list[str]:
         cur.append(ch)
         i += 1
     parts.append("".join(cur))
-    return [p.strip() for p in parts if p.strip()]
+    # keep empties: a dangling/doubled keyword (`a = 1 OR`, `AND AND`)
+    # must reach the caller's refusal path, not vanish
+    return [p.strip() for p in parts]
 
 
 def _parse_literal(tok: str):
@@ -270,12 +275,43 @@ def _target_schema(catalog, table: str):
     return stored if stored is not None else catalog.read(table).schema
 
 
+def _probe_cast_loss(df, types, cols: list[str], verb: str) -> int:
+    """ONE aggregation pass: the source row count plus, per probed
+    column, how many non-NULL values the cast to the target type would
+    silently turn NULL. Raises (refusal) on any loss; returns the
+    count — so validation and the reported row count never cost
+    separate evaluations of the source."""
+    from pyspark.sql import functions as F
+
+    ncol = "__rows"
+    while ncol in cols:
+        ncol += "_"
+    aggs = [F.count(F.lit(1)).alias(ncol)] + [
+        F.sum(
+            (
+                F.col(c).isNotNull() & F.col(c).cast(types[c]).isNull()
+            ).cast("long")
+        ).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    for c in cols:
+        if row[c]:
+            raise ValueError(
+                f"{verb} value(s) for column {c!r} do not cast to "
+                f"{types[c].simpleString()} ({row[c]} row(s)) — refusing "
+                "to convert them silently"
+            )
+    return row[ncol]
+
+
 def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
     """Project an INSERT source onto the target schema: positional
     rename (SQL INSERT semantics) onto ``insert_cols`` (or the full
     schema), NULL-fill for omitted columns, and a cast-loss probe — a
     value the target type cannot hold must refuse, never silently
-    become NULL (same contract as update_where's SET probe)."""
+    become NULL (same contract as update_where's SET probe). Returns
+    ``(aligned_df, source_row_count)``."""
     from pyspark.sql import functions as F
 
     names = [f.name for f in schema.fields]
@@ -292,24 +328,8 @@ def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
         )
     renamed = df.toDF(*targets)
     types = {f.name: f.dataType for f in schema.fields}
-    probes = [
-        F.sum(
-            (
-                F.col(c).isNotNull()
-                & F.col(c).cast(types[c]).isNull()
-            ).cast("long")
-        ).alias(c)
-        for c in targets
-    ]
-    bad = renamed.agg(*probes).first()
-    for c in targets:
-        if bad[c]:
-            raise ValueError(
-                f"INSERT value(s) for column {c!r} do not cast to "
-                f"{types[c].simpleString()} ({bad[c]} row(s)) — refusing "
-                "to insert NULLs silently"
-            )
-    return renamed.select(
+    n = _probe_cast_loss(renamed, types, list(targets), "INSERT")
+    aligned = renamed.select(
         *[
             F.col(c).cast(types[c]).alias(c)
             if c in targets
@@ -317,6 +337,29 @@ def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
             for c in names
         ]
     )
+    return aligned, n
+
+
+def _align_merge_source(catalog, src, schema):
+    """Type-align a MERGE source to the target's committed schema: a
+    shared column whose source type differs is cast-probed (refusal on
+    loss — Spark's implicit when/union coercion would otherwise
+    silently REWRITE the target column's type, e.g. DOUBLE -> STRING)
+    and cast. Returns ``(aligned_src, source_row_count)`` — the count
+    rides the probe's single pass."""
+    from pyspark.sql import functions as F
+
+    types = {f.name: f.dataType for f in schema.fields}
+    mismatched = [
+        c
+        for c in src.columns
+        if c in types and src.schema[c].dataType != types[c]
+    ]
+    n = _probe_cast_loss(src, types, mismatched, "MERGE")
+    out = src
+    for c in mismatched:
+        out = out.withColumn(c, F.col(c).cast(types[c]))
+    return out, n
 
 
 def _resolve_source(catalog, spec: str):
@@ -374,7 +417,14 @@ def execute_dml(catalog, sql: str) -> dict | None:
     table rewrite); MERGE -> ``Catalog.merge_upsert`` (full-outer
     coalesce upsert — source wins on matched rows, last-wins on
     duplicate source keys, inserts pass through; no audit-column
-    injection)."""
+    injection; type-mismatched shared columns are cast-probed and
+    aligned, never silently coerced into rewriting the target's type).
+
+    INSERT...SELECT and MERGE sources are evaluated twice: once for
+    the combined validation-probe/row-count pass and once for the
+    write — assume deterministic sources (the standard warehouse
+    contract; a rand()-dependent source may pass the probe on rows the
+    write never produces)."""
     s = sql.strip().rstrip(";").strip()
     m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
     if m:
@@ -443,8 +493,8 @@ def execute_dml(catalog, sql: str) -> dict | None:
             )
         else:
             raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
-        n = src.count()
-        catalog.append(_align_to_schema(catalog, src, schema, cols), table)
+        aligned, n = _align_to_schema(catalog, src, schema, cols)
+        catalog.append(aligned, table)
         return {"table": table, "inserted": n}
     m = re.fullmatch(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", s, re.I | re.S)
     if m:
@@ -473,8 +523,9 @@ def execute_dml(catalog, sql: str) -> dict | None:
             raise ValueError(
                 f"MERGE key(s) {missing!r} not in target table; {_GRAMMAR}"
             )
-        src = _resolve_source(catalog, source_spec)
-        n = src.count()
+        src, n = _align_merge_source(
+            catalog, _resolve_source(catalog, source_spec), schema
+        )
         catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
         return {"table": table, "merged": n}
     m = re.fullmatch(

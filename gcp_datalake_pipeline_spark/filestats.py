@@ -152,14 +152,24 @@ def _coerce_pair(stat_e, pred_v):
         pred_v, datetime.datetime
     ):
         return _to_naive_utc(sv), _to_naive_utc(pred_v)
-    # date-vs-datetime: compare at day granularity, widening the stat
-    # bound outward so the comparison stays conservative
+    # date-vs-datetime: promote the DATE side to midnight, which is
+    # EXACTLY Spark's comparison semantics (DATE casts to TIMESTAMP at
+    # 00:00). The old day-truncation was lossy: after truncating, a
+    # min==max==value test could "prove" equality/all-match for a file
+    # whose rows span 08:00-17:00 — wrongly dropping files from a
+    # != DELETE and wrongly metadata-counting whole files for = / IN
+    # (r10 review finding; midnight promotion makes every op exact).
     if isinstance(sv, datetime.datetime) and isinstance(pred_v, datetime.date):
-        return _to_naive_utc(sv).date(), pred_v
+        return _to_naive_utc(sv), datetime.datetime.combine(
+            pred_v, datetime.time()
+        )
     if isinstance(sv, datetime.date) and isinstance(
         pred_v, datetime.datetime
     ):
-        return sv, _to_naive_utc(pred_v).date()
+        return (
+            datetime.datetime.combine(sv, datetime.time()),
+            _to_naive_utc(pred_v),
+        )
     if type(sv) is type(pred_v):
         return sv, pred_v
     raise TypeError(f"incomparable {type(sv)} vs {type(pred_v)}")

@@ -868,6 +868,11 @@ class TransactionalCatalog(Catalog):
             raise FileNotFoundError(f"{table!r} not in manifest")
         n = self.count_rows(table)
         schema = self._stored_schema(table)
+        if schema is None:
+            # pre-schema-tracking table (e.g. adopted via migrate_plain):
+            # capture the data's schema NOW, or the truncated table
+            # would have zero dirs AND no committed schema — unreadable
+            schema = self.read(table).schema
         with self.transaction(f"truncate-{table}"):
             self._pending[table] = []
             self._intents[table] = {
@@ -1696,11 +1701,6 @@ class TransactionalCatalog(Catalog):
             spec = {"kind": "cluster", "cols": list(cluster_by)}
         else:
             spec = self.layout(table)
-            if spec is not None and spec["kind"] == "zorder":
-                zorder_by = spec["cols"]
-                zorder_bits = spec.get("bits", 8)
-            elif spec is not None:
-                cluster_by = spec["cols"]
         if len(snapshot) < min_dirs and not explicit:
             return False
         total_bytes = 0
@@ -1720,14 +1720,17 @@ class TransactionalCatalog(Catalog):
         # the committed schema, not a sampled footer — a compaction
         # must never narrow an evolved table
         df = self._read_dirs(paths, self._stored_schema(table))
-        if zorder_by:
-            from gcp_datalake_pipeline_spark.zorder import apply_zorder
-
-            df = apply_zorder(df, zorder_by, n_files, bits=zorder_bits)
-        elif cluster_by:
-            df = df.repartitionByRange(
-                n_files, *cluster_by
-            ).sortWithinPartitions(*cluster_by)
+        if spec is not None:
+            missing = [c for c in spec["cols"] if c not in df.columns]
+            if explicit and missing:
+                # a typo'd EXPLICIT column must refuse, not silently
+                # compact unsorted (_apply_layout is conservative only
+                # for RECORDED specs orphaned by schema drift)
+                raise ValueError(
+                    f"compact: clustering column(s) {missing!r} not in "
+                    f"table {table!r}"
+                )
+            df = self._apply_layout(df, spec, n_files)
         elif partition_cols:
             df = df.repartition(n_files, *partition_cols)
         else:

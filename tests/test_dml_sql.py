@@ -479,3 +479,65 @@ def test_merge_refusals(spark, tmp_path):
         execute_dml(cat, "MERGE INTO t USING s ON ghost = ghost")
     with pytest.raises(ValueError, match="unsupported DML shape"):
         execute_dml(cat, "MERGE t WITH s")
+
+
+# -- r10 self-review regressions ---------------------------------------------
+
+
+def test_merge_type_mismatch_refuses_and_aligns(spark, tmp_path):
+    """Review finding: an un-aligned MERGE source could silently rewrite
+    the target column's committed type via Spark's implicit coercion.
+    Now: losable values refuse; losslessly-castable sources align."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), "t"
+    )
+    spark.createDataFrame(
+        [(1, "oops")], "k long, v string"
+    ).createOrReplaceTempView("bad_src")
+    with pytest.raises(ValueError, match="MERGE value.*do not cast"):
+        execute_dml(cat, "MERGE INTO t USING bad_src ON t.k = bad_src.k")
+    # target untouched, type intact
+    assert dict(cat.read("t").dtypes)["v"] == "double"
+    assert cat.read("t").first()["v"] == 10.0
+    # a castable mismatch (int source into double target) aligns
+    spark.createDataFrame(
+        [(1, 99), (2, 20)], "k long, v long"
+    ).createOrReplaceTempView("ok_src")
+    out = execute_dml(cat, "MERGE INTO t USING ok_src ON t.k = ok_src.k")
+    assert out == {"table": "t", "merged": 2}
+    assert dict(cat.read("t").dtypes)["v"] == "double"
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: 99.0, 2: 20.0}
+
+
+def test_malformed_empty_segments_refuse(spark, tmp_path):
+    """Review finding: the splitters silently dropped empty segments, so
+    `VALUES (1,,2)` or a dangling OR executed as if well-formed."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(spark.createDataFrame([(1, 2)], "a long, b long"), "t")
+    with pytest.raises(ValueError):
+        execute_dml(cat, "INSERT INTO t VALUES (1,,2)")
+    with pytest.raises(ValueError):
+        execute_dml(cat, "INSERT INTO t VALUES (1, 2),")
+    with pytest.raises(ValueError):
+        execute_dml(cat, "DELETE FROM t WHERE a = 1 OR b = 2 OR")
+    with pytest.raises(ValueError):
+        execute_dml(cat, "DELETE FROM t WHERE a IN (1,,2)")
+    with pytest.raises(ValueError):
+        execute_dml(cat, "UPDATE t SET a = 1, WHERE b = 2")
+    assert cat.count_rows("t") == 1  # nothing executed
+
+
+def test_insert_select_single_validation_pass_reports_true_count(
+    spark, tmp_path
+):
+    """The probe and the reported count ride ONE aggregation pass."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(spark.createDataFrame([(0, 0.0)], "id long, v double"), "t")
+    spark.range(1, 51).selectExpr(
+        "id", "cast(id as double) AS v"
+    ).createOrReplaceTempView("fifty")
+    out = execute_dml(cat, "INSERT INTO t SELECT id, v FROM fifty")
+    assert out == {"table": "t", "inserted": 50}
+    assert cat.count_rows("t") == 51

@@ -629,3 +629,62 @@ def test_count_rows_with_dnf(spark, tcat):
     finally:
         tcat.spark = held
     assert n == 200
+
+
+def test_date_vs_timestamp_coercion_is_midnight_exact(spark, tmp_path):
+    """r10 review finding: day-TRUNCATING the date/timestamp coercion
+    let min==max==value 'prove' equality for a file whose timestamps
+    span a working day — wrongly dropping it from a != DELETE and
+    wrongly metadata-counting it for =. Midnight promotion (Spark's own
+    DATE->TIMESTAMP cast) makes every mixed-granularity op exact."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    # one file, all rows on 1996-01-01 but at working hours (never 00:00)
+    rows = [(i, datetime.datetime(1996, 1, 1, 8 + i)) for i in range(10)]
+    cat.append(
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1), "t"
+    )
+    d = datetime.date(1996, 1, 1)
+    # Spark semantics: ts != DATE'1996-01-01' compares against midnight,
+    # so EVERY row matches — the file must stay a candidate
+    want_ne = cat.read("t").filter(F.col("ts") != F.lit(d)).count()
+    assert want_ne == 10
+    assert cat.count_rows("t", [("ts", "!=", d)]) == 10
+    kept, total = cat.pruned_files("t", [("ts", "!=", d)])
+    assert len(kept) == total == 1
+    assert cat.delete_where("t", [("ts", "!=", d)]) == 10
+    assert cat.count_rows("t") == 0
+
+    # equality against the bare date matches NO row (midnight), so the
+    # metadata count must be 0, not the whole file
+    cat2 = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake2"))
+    cat2.append(
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1), "t"
+    )
+    assert cat2.count_rows("t", [("ts", "=", d)]) == 0
+    assert cat2.count_rows("t", [("ts", "in", [d])]) == 0
+    # and a DATE column vs a noon TIMESTAMP predicate: no row equals it
+    drows = [(i, datetime.date(1996, 1, 1)) for i in range(5)]
+    cat2.append(
+        spark.createDataFrame(drows, "id long, d date").coalesce(1), "dt"
+    )
+    noon = datetime.datetime(1996, 1, 1, 12)
+    assert cat2.count_rows("dt", [("d", "=", noon)]) == 0
+    # midnight-exact: the true boundary still answers from metadata
+    held = cat2.spark
+    try:
+        cat2.spark = None
+        n = cat2.count_rows(
+            "dt", [("d", "=", datetime.datetime(1996, 1, 1))]
+        )
+    finally:
+        cat2.spark = held
+    assert n == 5
+    # range ops stay correct across the granularity mix
+    assert cat2.count_rows("t", [("ts", ">=", d)]) == 10
+    assert cat2.count_rows(
+        "t", [("ts", "<", datetime.date(1996, 1, 2))]
+    ) == 10
