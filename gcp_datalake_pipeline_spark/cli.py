@@ -233,9 +233,17 @@ def cmd_ann(args) -> None:
         out.orderBy("query_id", "rank").show(args.k * len(ids), truncate=False)
 
 
-def _register_views(cat: Catalog, testdata: str | None) -> None:
-    for entry in cat.tables():
-        cat.read(entry).createOrReplaceTempView(entry)
+def _register_views(
+    cat: Catalog, testdata: str | None, version: int | None = None
+) -> None:
+    if version is not None:
+        # time-travel reads: every table AS OF the retained snapshot
+        # (tables created later simply don't exist in that world)
+        for entry in sorted(cat._version_manifest(version)["tables"]):
+            cat.read_at(entry, version).createOrReplaceTempView(entry)
+    else:
+        for entry in cat.tables():
+            cat.read(entry).createOrReplaceTempView(entry)
     if testdata:
         for f in sorted(os.listdir(testdata)):
             if f.endswith(".parquet"):
@@ -256,6 +264,26 @@ def cmd_query(args) -> None:
 
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
 
+    as_of = getattr(args, "as_of", None)
+    if as_of is not None:
+        # time travel is a READ: the whole catalog AS OF snapshot N is
+        # registered and the statement runs read-only (DML against a
+        # historical world has no meaning — restore first)
+        if not isinstance(cat, TransactionalCatalog):
+            sys.exit("error: --as-of requires a transactional catalog")
+        if _re.match(
+            r"\s*(INSERT|MERGE|DELETE|UPDATE|CREATE|DROP|TRUNCATE|ALTER"
+            r"|OPTIMIZE|VACUUM)\b",
+            args.sql,
+            _re.I,
+        ):
+            sys.exit("error: --as-of queries are read-only")
+        _register_views(cat, args.testdata, version=as_of)
+        df = cat.spark.sql(args.sql)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return
     if isinstance(cat, TransactionalCatalog):
         from gcp_datalake_pipeline_spark.dml_sql import execute_dml
 
@@ -740,6 +768,11 @@ def main(argv: list[str] | None = None) -> None:
     pq.add_argument("--testdata", default=None)
     pq.add_argument("--limit", type=int, default=50)
     pq.add_argument("--explain", action="store_true")
+    pq.add_argument(
+        "--as-of", dest="as_of", type=int, default=None,
+        help="run the statement read-only against retained snapshot N "
+        "(every table registered via read_at — catalog-wide time travel)",
+    )
     pq.add_argument("sql")
     pq.set_defaults(fn=cmd_query)
 

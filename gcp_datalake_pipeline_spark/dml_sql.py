@@ -25,7 +25,8 @@ statement):
     MERGE INTO <table> USING <src-table | (SELECT ...) [alias]>
         ON [q.]k = [q.]k [AND ...]
         [WHEN MATCHED THEN UPDATE SET *
-         WHEN NOT MATCHED THEN INSERT *]
+         WHEN NOT MATCHED THEN INSERT *
+         | WHEN MATCHED THEN DELETE]
     CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
     ALTER TABLE <table> ADD COLUMN <name> <ddl-type>
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
@@ -62,7 +63,8 @@ _GRAMMAR = (
     "UPDATE t SET col = expr[, ...] WHERE <where>; "
     "INSERT INTO t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
-    "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]; "
+    "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
+    "| WHEN MATCHED THEN DELETE]; "
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols); TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
@@ -403,6 +405,7 @@ _CANONICAL_WHEN = (
     "MATCHED THEN UPDATE SET *",
     "NOT MATCHED THEN INSERT *",
 )
+_CANONICAL_WHEN_DELETE = ("MATCHED THEN DELETE",)
 
 
 def execute_dml(catalog, sql: str) -> dict | None:
@@ -505,16 +508,14 @@ def execute_dml(catalog, sql: str) -> dict | None:
         source_spec, on_tail = pieces
         when_parts = _split_keyword(on_tail, "WHEN")
         on_clause, whens = when_parts[0], when_parts[1:]
-        if whens:
-            canon = tuple(
-                re.sub(r"\s+", " ", w.strip().upper()) for w in whens
+        canon = tuple(re.sub(r"\s+", " ", w.strip().upper()) for w in whens)
+        if whens and canon not in (_CANONICAL_WHEN, _CANONICAL_WHEN_DELETE):
+            raise ValueError(
+                "unsupported MERGE WHEN clauses (routable: the full "
+                "upsert pair 'WHEN MATCHED THEN UPDATE SET * WHEN NOT "
+                "MATCHED THEN INSERT *' or the matched-delete 'WHEN "
+                f"MATCHED THEN DELETE' alone); {_GRAMMAR}"
             )
-            if canon != _CANONICAL_WHEN:
-                raise ValueError(
-                    "unsupported MERGE WHEN clauses (only the full "
-                    "upsert pair 'WHEN MATCHED THEN UPDATE SET * WHEN "
-                    f"NOT MATCHED THEN INSERT *' is routable); {_GRAMMAR}"
-                )
         keys = _parse_on_keys(on_clause)
         schema = _target_schema(catalog, table)
         names = {f.name for f in schema.fields}
@@ -523,9 +524,19 @@ def execute_dml(catalog, sql: str) -> dict | None:
             raise ValueError(
                 f"MERGE key(s) {missing!r} not in target table; {_GRAMMAR}"
             )
-        src, n = _align_merge_source(
-            catalog, _resolve_source(catalog, source_spec), schema
-        )
+        src = _resolve_source(catalog, source_spec)
+        if canon == _CANONICAL_WHEN_DELETE:
+            # only the keys matter: probe/align just those (a mismatch
+            # on a non-key source column must not block a delete)
+            from pyspark.sql import types as T
+
+            key_schema = T.StructType(
+                [f for f in schema.fields if f.name in keys]
+            )
+            src, _ = _align_merge_source(catalog, src, key_schema)
+            n = catalog.merge_delete(src, table, key_cols=keys)
+            return {"table": table, "merge_deleted": n}
+        src, n = _align_merge_source(catalog, src, schema)
         catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
         return {"table": table, "merged": n}
     m = re.fullmatch(

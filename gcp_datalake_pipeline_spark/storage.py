@@ -354,6 +354,32 @@ class Catalog:
         self.overwrite(merged, table)
         return self.read(table)
 
+    def merge_delete(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+    ) -> int:
+        """``MERGE INTO t USING s ON keys WHEN MATCHED THEN DELETE``:
+        remove every target row whose key appears in ``source``;
+        unmatched source rows are ignored (the Delta semantics of a
+        matched-delete-only merge). One hash anti-join on the key —
+        the same single exchange a plain upsert pays — then a table
+        rewrite; for bounded literal key sets prefer
+        ``delete_where(..., [(k, "in", [...])])``, which stats-prunes
+        to candidate files instead of rewriting the table. NULL keys
+        in the source match nothing (SQL join semantics). Returns the
+        number of rows deleted; a no-match merge-delete rewrites
+        nothing."""
+        target = self.read(table)
+        src_keys = source.select(*key_cols).dropDuplicates(key_cols)
+        n_matched = target.join(src_keys, key_cols, "left_semi").count()
+        if n_matched == 0:
+            return 0
+        remaining = target.join(src_keys, key_cols, "left_anti")
+        self.overwrite(remaining, table)
+        return n_matched
+
     def merge_upsert_bucketed(
         self,
         source: DataFrame,

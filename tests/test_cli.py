@@ -287,3 +287,38 @@ def test_cli_sql_insert_and_merge(workdir):
     # refusal discipline survives at the CLI: nonzero exit, grammar shown
     r = run_cli("query", "--catalog", cat, "INSERT INTO empresa SELECT 1")
     assert r.returncode != 0
+
+
+def test_cli_query_as_of_time_travel(workdir):
+    """query --as-of N registers every table AS OF snapshot N and runs
+    read-only: rows deleted later reappear in the historical world and
+    DML against it refuses."""
+    cat = f"{workdir}/asof_lake"
+    r = run_cli(
+        "ingest", "--atomic", "--catalog", cat,
+        "tests/fixtures/empresas_20251001.csv",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("versions", "--catalog", cat)
+    assert r.returncode == 0, r.stderr[-2000:]
+    versions = json.loads(r.stdout[r.stdout.index("["):])
+    v0 = versions[-1]["version"]
+    r = run_cli(
+        "query", "--catalog", cat, "DELETE FROM empresa WHERE carrier_id >= 1"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "query", "--catalog", cat, "SELECT count(*) AS n FROM empresa"
+    )
+    assert "| 0 " in r.stdout or "|0 " in r.stdout.replace("  ", " ")
+    r = run_cli(
+        "query", "--catalog", cat, "--as-of", str(v0),
+        "SELECT count(*) AS n FROM empresa",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "| 3 " in r.stdout or "|3 " in r.stdout.replace("  ", " ")
+    r = run_cli(
+        "query", "--catalog", cat, "--as-of", str(v0),
+        "DELETE FROM empresa WHERE carrier_id >= 1",
+    )
+    assert r.returncode != 0 and "read-only" in r.stderr

@@ -541,3 +541,53 @@ def test_insert_select_single_validation_pass_reports_true_count(
     out = execute_dml(cat, "INSERT INTO t SELECT id, v FROM fifty")
     assert out == {"table": "t", "inserted": 50}
     assert cat.count_rows("t") == 51
+
+
+def test_merge_when_matched_delete(spark, tmp_path):
+    """MERGE ... WHEN MATCHED THEN DELETE routes to merge_delete:
+    matched target rows go, unmatched source rows are IGNORED (never
+    inserted), NULL source keys match nothing."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+        ),
+        "t",
+    )
+    spark.createDataFrame(
+        [(2,), (99,), (None,)], "k long"
+    ).createOrReplaceTempView("del_src")
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING del_src ON t.k = del_src.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "t", "merge_deleted": 1}
+    got = {r["k"] for r in cat.read("t").collect()}
+    assert got == {1, 3}  # 99 not inserted, NULL matched nothing
+    # no-match merge-delete publishes nothing
+    v = cat.versions()[-1]["version"]
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 777 AS k) z ON t.k = z.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "t", "merge_deleted": 0}
+    assert cat.versions()[-1]["version"] == v
+    # key-only alignment: a junk non-key source column doesn't block
+    spark.createDataFrame(
+        [(1, "not-a-number")], "k long, s string"
+    ).createOrReplaceTempView("del_src2")
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING del_src2 ON t.k = del_src2.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "t", "merge_deleted": 1}
+    # a DELETE combined with other WHEN clauses stays refused
+    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING del_src ON t.k = del_src.k "
+            "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+        )
