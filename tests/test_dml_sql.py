@@ -470,10 +470,11 @@ def test_merge_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported MERGE ON term"):
         execute_dml(cat, "MERGE INTO t USING s ON k < k")
     with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
+        # insert-only merges are not the routable full-upsert pair
         execute_dml(
             cat,
             "MERGE INTO t USING s ON k = k "
-            "WHEN MATCHED THEN DELETE",
+            "WHEN NOT MATCHED THEN INSERT *",
         )
     with pytest.raises(ValueError, match="not in target table"):
         execute_dml(cat, "MERGE INTO t USING s ON ghost = ghost")
