@@ -953,6 +953,26 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_sq8_topk",
+    similarity.sq8_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""Scalar-quantization ANN top-5 (FAISS ScalarQuantizer QT_8bit
+    analog) — the 8x memory path between exact floats and PQ's 64x:
+    one uint8 code per dimension under a per-dimension affine scale,
+    scored ASYMMETRICALLY (exact query floats vs reconstructed
+    corpus), so precision loss applies to the stored side only and
+    recall beats PQ at the same byte budget for moderate dims. Train =
+    ONE aggregation (2 x dim min/max expressions, no explode); encode
+    and scoring are JVM higher-order functions over broadcast literal
+    scale arrays; squared terms sum in integer micro-units — fully
+    value-level oracled (buckets, reconstruction, distances, ranks).""",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
     "ann_ivf_pq_topk",
     similarity.ivf_pq_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""IVF-PQ top-5: both ANN scale paths composed — nprobe/nlist

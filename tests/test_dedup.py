@@ -802,3 +802,75 @@ def test_ann_ivf_pq_one_corpus_pass_and_broadcast(spark):
     assert plan.count("MapInPandas") == 1
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_sq8_recall_vs_exact_l2(spark):
+    """SQ8 quantizes each dimension to 256 affine buckets, so its
+    asymmetric L2 ranking should track the exact one closely — much
+    tighter than PQ's 16-entry codebooks (expect near-perfect recall
+    on these vectors); full k rows, non-negative ascending distances."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    out = similarity.sq8_topk(emb, qids, k=5).collect()
+    assert len(out) == len(qids) * 5
+
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    exact = set()
+    for q in qids:
+        top = sorted(
+            (float(((V[q] - V[n]) ** 2).sum()), n) for n in V if n != q
+        )[:5]
+        exact |= {(q, n) for _d, n in top}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall {recall}"
+
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        assert r["sq8_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r["sq8_dist"])
+    for dists in by_q.values():
+        assert dists == sorted(dists)
+
+
+def test_ann_sq8_planted_duplicate_and_constant_dim(spark):
+    """An exact duplicate reconstructs to the same codes, so its
+    asymmetric distance is the pure quantization noise — far below any
+    true neighbor — and it ranks first. A CONSTANT dimension (range 0)
+    codes as 0 and reconstructs exactly (no division blow-up)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1, 1, (20, 16)).round(3)
+    vecs[:, 5] = 0.25  # constant dimension
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    rows.append((20, [float(x) for x in vecs[3]]))  # duplicate of 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        similarity.sq8_topk(df, [3], k=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out[0]["neighbor_id"] == 20
+    # duplicate's distance = quantization noise only: tiny vs neighbors
+    assert out[0]["sq8_dist"] < out[1]["sq8_dist"] / 10
+
+
+def test_ann_sq8_scoring_stays_jvm_and_broadcast(spark):
+    """Plan contract: SQ8 has NO Python stage at all (train is one
+    aggregation, encode/score are HOFs) and the N x Q scoring is a
+    broadcast nested-loop, never a SortMergeJoin."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        similarity.sq8_topk(emb, [0, 1, 2], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
