@@ -20,8 +20,8 @@ statement):
 
     DELETE FROM <table> WHERE <where>
     UPDATE <table> SET col = <sql-expr>[, ...] WHERE <where>
-    INSERT INTO <table> [(col, ...)] VALUES (<literal|NULL>, ...), ...
-    INSERT INTO <table> [(col, ...)] SELECT ...
+    INSERT INTO|OVERWRITE <table> [(col, ...)]
+        VALUES (<literal|NULL>, ...), ... | SELECT ...
     MERGE INTO <table> USING <src-table | (SELECT ...) [alias]>
         ON [q.]k = [q.]k [AND ...]
         [WHEN MATCHED THEN UPDATE SET *
@@ -61,7 +61,7 @@ import re
 _GRAMMAR = (
     "supported DML: DELETE FROM t WHERE <where>; "
     "UPDATE t SET col = expr[, ...] WHERE <where>; "
-    "INSERT INTO t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
+    "INSERT INTO|OVERWRITE t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
     "| WHEN MATCHED THEN DELETE]; "
@@ -452,10 +452,13 @@ def execute_dml(catalog, sql: str) -> dict | None:
         n = catalog.update_where(m.group(1), parse_where(where), sets)
         return {"table": m.group(1), "updated": n}
     m = re.fullmatch(
-        r"INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s+(.+)", s, re.I | re.S
+        r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*(?:\(([^)]*)\))?\s+(.+)",
+        s,
+        re.I | re.S,
     )
     if m:
-        table, col_list, tail = m.group(1), m.group(2), m.group(3).strip()
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        table, col_list, tail = m.group(2), m.group(3), m.group(4).strip()
         cols = (
             [c.strip() for c in col_list.split(",")] if col_list else None
         )
@@ -497,6 +500,13 @@ def execute_dml(catalog, sql: str) -> dict | None:
         else:
             raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
         aligned, n = _align_to_schema(catalog, src, schema, cols)
+        if overwrite:
+            # INSERT OVERWRITE replaces the table's CONTENT, keeping its
+            # schema/checks/layout — a conflict-checked replace commit
+            # (old versions stay time-travelable); column-list NULL-fill
+            # and the cast probe apply exactly as for INTO
+            catalog.overwrite(aligned, table)
+            return {"table": table, "overwritten": n}
         catalog.append(aligned, table)
         return {"table": table, "inserted": n}
     m = re.fullmatch(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", s, re.I | re.S)

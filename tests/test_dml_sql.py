@@ -407,7 +407,28 @@ def test_insert_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="disagree on width"):
         execute_dml(cat, "INSERT INTO t VALUES (1), (2, 3)")
     with pytest.raises(ValueError, match="unsupported DML shape"):
-        execute_dml(cat, "INSERT OVERWRITE t VALUES (1)")
+        execute_dml(cat, "INSERT INTO t DEFAULT VALUES")
+
+
+def test_insert_overwrite_replaces_content(spark, tmp_path):
+    """INSERT OVERWRITE replaces the table's content as a conflict-
+    checked replace commit — schema and checks survive, old versions
+    stay time-travelable."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), "t"
+    )
+    cat.add_check("t", "id_pos", "id > 0")
+    v0 = cat.versions()[-1]["version"]
+    out = execute_dml(cat, "INSERT OVERWRITE t VALUES (7, 'z')")
+    assert out == {"table": "t", "overwritten": 1}
+    assert {r["id"] for r in cat.read("t").collect()} == {7}
+    assert cat.read_at("t", v0).count() == 2  # time travel intact
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    with pytest.raises(CheckViolation):
+        execute_dml(cat, "INSERT OVERWRITE t VALUES (-1, 'bad')")
+    assert {r["id"] for r in cat.read("t").collect()} == {7}  # rolled back
 
 
 def test_merge_routes_to_merge_upsert(spark, tmp_path):
