@@ -543,6 +543,7 @@ def cmd_describe(args) -> None:
                 ),
                 "checks": cat.checks(args.table),
                 "layout": cat.layout(args.table),
+                "bloom_index": cat.bloom_index(args.table),
                 "bucket_layout": bucket,
                 "columns": (
                     [f.name for f in stored.fields] if stored else None

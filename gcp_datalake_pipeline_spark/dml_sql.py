@@ -34,6 +34,9 @@ statement):
     TRUNCATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
     OPTIMIZE <table> [CLUSTER BY (cols) | ZORDER BY (cols)]
+    CREATE BLOOMFILTER INDEX ON TABLE <table> FOR COLUMNS (cols)
+        [OPTIONS (bits_per_row = <n>)]
+    DROP BLOOMFILTER INDEX ON TABLE <table>
     VACUUM [RETAIN <n> VERSIONS]
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
@@ -69,6 +72,8 @@ _GRAMMAR = (
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
+    "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (cols) "
+    "[OPTIONS (bits_per_row = n)]; DROP BLOOMFILTER INDEX ON TABLE t; "
     "VACUUM [RETAIN n VERSIONS]; "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
@@ -626,6 +631,23 @@ def execute_dml(catalog, sql: str) -> dict | None:
             "vacuumed_dirs": n_dirs,
             "vacuumed_versions": len(removed) - n_dirs,
         }
+    m = re.fullmatch(
+        r"CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+(\w+)\s+FOR\s+"
+        r"COLUMNS\s*\(([^)]+)\)(?:\s+OPTIONS\s*\(\s*bits_per_row\s*=\s*"
+        r"(\d+)\s*\))?",
+        s,
+        re.I,
+    )
+    if m:
+        table = m.group(1)
+        cols = [c.strip() for c in m.group(2).split(",")]
+        bpr = int(m.group(3)) if m.group(3) else 10
+        catalog.set_bloom_index(table, cols, bits_per_row=bpr)
+        return {"table": table, "bloom_index": cols}
+    m = re.fullmatch(r"DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+(\w+)", s, re.I)
+    if m:
+        catalog.drop_bloom_index(m.group(1))
+        return {"table": m.group(1), "dropped_bloom_index": True}
     m = re.fullmatch(r"TRUNCATE\s+TABLE\s+(\w+)", s, re.I)
     if m:
         n = catalog.truncate(m.group(1))
@@ -640,7 +662,8 @@ def execute_dml(catalog, sql: str) -> dict | None:
     # DDL and the four DML verbs are "ours or refused"
     if re.match(
         r"(DELETE|UPDATE|INSERT|MERGE|OPTIMIZE|VACUUM)\b"
-        r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b",
+        r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b"
+        r"|CREATE\s+BLOOMFILTER\b|DROP\s+BLOOMFILTER\b",
         s,
         re.I,
     ):

@@ -313,6 +313,27 @@ def read_dir_stats(dir_path: str) -> dict | None:
 # -- pruning ------------------------------------------------------------------
 
 
+def _bloom_may_contain(entry: dict, col: str, value) -> bool:
+    """Bloom-index refinement of an equality survival test: once the
+    [min, max] range admits the literal, a per-file Bloom bitmap
+    (attached by :func:`~.blooms.attach_blooms` when the table carries
+    a bloom index) can still PROVE the value absent. Missing bloom,
+    unsupported type, or any doubt keeps the file — same conservative
+    contract as every other stat."""
+    bloom = entry.get("bloom")
+    if not isinstance(bloom, dict):
+        return True
+    be = bloom.get(col)
+    if not isinstance(be, dict):
+        return True
+    from gcp_datalake_pipeline_spark import blooms
+
+    try:
+        return blooms.might_contain(be, value, be.get("t"))
+    except Exception:
+        return True  # corrupt sidecar entry: keep
+
+
 def _file_survives(entry: dict, col: str, op: str, value) -> bool:
     """True unless this file's stats PROVE no row can satisfy
     ``col op value``."""
@@ -338,7 +359,11 @@ def _file_survives(entry: dict, col: str, op: str, value) -> bool:
             for v in vals:
                 mn, pv = _coerce_pair(emin, v)
                 mx, _ = _coerce_pair(emax, v)
-                if not _lt(pv, mn) and not _lt(mx, pv):  # mn <= v <= mx
+                if (
+                    not _lt(pv, mn)
+                    and not _lt(mx, pv)  # mn <= v <= mx
+                    and _bloom_may_contain(entry, col, v)
+                ):
                     return True
             return False
         mn, pv = _coerce_pair(emin, value)
@@ -346,7 +371,9 @@ def _file_survives(entry: dict, col: str, op: str, value) -> bool:
     except (TypeError, ValueError, decimal.InvalidOperation):
         return True  # incomparable: keep
     if op in ("=", "=="):
-        return not _lt(pv, mn) and not _lt(mx, pv)
+        if _lt(pv, mn) or _lt(mx, pv):
+            return False
+        return _bloom_may_contain(entry, col, value)
     if op in ("!=", "<>"):
         # droppable only when EVERY row provably equals the value
         # (min == max == v; NULL rows fail != too, so they don't matter)

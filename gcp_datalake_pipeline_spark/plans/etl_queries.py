@@ -1101,3 +1101,68 @@ def etl_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_bloom_scan",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE doc_id IN (3, 17, 41)
+    ORDER BY doc_id
+    """,
+    doc="""Bloom-filter point-lookup through the real storage engine:
+    documents lands in a TransactionalCatalog hash-scattered across 8
+    files (every file's doc_id [min, max] spans the whole key space, so
+    min/max stats prune NOTHING on a point predicate — the shape of a
+    GDPR id-lookup on a 100 TB corpus), then CREATE BLOOMFILTER INDEX
+    ON (doc_id) builds per-file bitmap sidecars in one distributed
+    JVM-hashed pass (blooms.py). The query RAISES unless (a) min/max
+    alone provably keeps every file and (b) the bloom probe skips
+    files anyway — the I/O contract — then answers the IN-lookup
+    through the pruned read. Oracle = the plain filtered projection;
+    a bloom is a superset guarantee, so indexing must be
+    value-invisible.""",
+)
+def etl_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark import blooms, filestats
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_bloom_scan_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("docs_lake"):  # warm rerun reuses the staged lake
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        cat.overwrite(docs.repartition(8), "docs_lake")
+        cat.set_bloom_index("docs_lake", ["doc_id"])
+    preds = [("doc_id", "in", [3, 17, 41])]
+    dnf = [preds]
+    # (a) min/max stats alone keep EVERY file (scattered ids)...
+    minmax_kept = total = 0
+    for d in cat._data_dirs("docs_lake"):
+        files = cat._dir_parquet_files(d)
+        total += len(files)
+        minmax_kept += len(
+            filestats.prune_files_dnf(
+                filestats.read_dir_stats(d), files, dnf
+            )
+        )
+    if minmax_kept != total:
+        raise RuntimeError(
+            f"premise broken: min/max already pruned "
+            f"({minmax_kept}/{total} kept) — the bloom is not being tested"
+        )
+    # ...(b) the bloom prunes anyway
+    kept, _ = cat.pruned_files("docs_lake", preds)
+    if len(kept) >= total:
+        raise RuntimeError(
+            f"bloom skipping did not engage: kept {len(kept)}/{total} files"
+        )
+    return (
+        cat.read("docs_lake", predicates=preds)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

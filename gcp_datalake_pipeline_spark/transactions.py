@@ -50,7 +50,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from gcp_datalake_pipeline_spark import filestats
+from gcp_datalake_pipeline_spark import blooms, filestats
 from gcp_datalake_pipeline_spark.storage import Catalog
 
 _MANIFEST = "_MANIFEST.json"
@@ -370,7 +370,9 @@ class TransactionalCatalog(Catalog):
         surviving files contributes nothing to the plan."""
         parts: list[DataFrame] = []
         for d in dirs:
-            stats = filestats.read_dir_stats(d)
+            stats = blooms.attach_blooms(
+                filestats.read_dir_stats(d), d, dnf
+            )
             all_files = self._dir_parquet_files(d)
             kept = filestats.prune_files_dnf(stats, all_files, dnf)
             if not kept:
@@ -411,7 +413,9 @@ class TransactionalCatalog(Catalog):
         kept_all: list[str] = []
         total = 0
         for d in dirs:
-            stats = filestats.read_dir_stats(d)
+            stats = blooms.attach_blooms(
+                filestats.read_dir_stats(d), d, dnf
+            )
             all_files = self._dir_parquet_files(d)
             total += len(all_files)
             kept_all.extend(
@@ -434,17 +438,39 @@ class TransactionalCatalog(Catalog):
         return rel
 
     def _write_stage_stats(
-        self, rel: str, reuse: dict[str, dict] | None = None
+        self,
+        rel: str,
+        reuse: dict[str, dict] | None = None,
+        table: str | None = None,
+        bloom_reuse: dict[str, dict] | None = None,
     ) -> None:
         """Per-file min/max stats sidecar for a freshly staged dir
-        (footer-only reads). Best-effort: a stats failure must never
-        fail a write — readers treat a missing sidecar as
-        keep-everything."""
+        (footer-only reads) — plus, when ``table`` carries a bloom
+        index, the per-file bloom sidecar (one distributed JVM-hashed
+        pass over the staged files; hardlink-carried files reuse their
+        prior entries via ``bloom_reuse``). Best-effort: a stats
+        failure must never fail a write — readers treat a missing
+        sidecar as keep-everything."""
         if not self.collect_stats:
             return
+        d = os.path.join(self.root, rel)
         try:
-            filestats.write_dir_stats(
-                os.path.join(self.root, rel), reuse=reuse
+            filestats.write_dir_stats(d, reuse=reuse)
+        except Exception:
+            pass
+        if table is None:
+            return
+        cfg = self.bloom_index(table)
+        if not cfg:
+            return
+        try:
+            blooms.build_dir_blooms(
+                self.spark,
+                d,
+                cfg["columns"],
+                filestats.read_dir_stats(d),
+                bits_per_row=cfg.get("bits_per_row", 10),
+                reuse=bloom_reuse,
             )
         except Exception:
             pass
@@ -516,7 +542,7 @@ class TransactionalCatalog(Catalog):
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
         self._enforce_checks(table, os.path.join(self.root, rel))
-        self._write_stage_stats(rel)
+        self._write_stage_stats(rel, table=table)
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=df.schema)
 
@@ -541,7 +567,7 @@ class TransactionalCatalog(Catalog):
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
         self._enforce_checks(table, os.path.join(self.root, rel))
-        self._write_stage_stats(rel)
+        self._write_stage_stats(rel, table=table)
         self._pending[table] = prev + [rel]
         self._note_append(table, rel, schema=df.schema)
 
@@ -568,6 +594,7 @@ class TransactionalCatalog(Catalog):
         # enforcement reads only the touched partitions' rows
         self._enforce_checks(table, stage)
         reuse = None
+        bloom_reuse = None
         if prev:
             written = {d for d in os.listdir(stage) if d.startswith("_kb=")}
             linked = set()
@@ -585,7 +612,18 @@ class TransactionalCatalog(Catalog):
                     for r, e in prev_stats.get("files", {}).items()
                     if r.split(os.sep, 1)[0] in linked
                 }
-        self._write_stage_stats(rel, reuse=reuse)
+            prev_blooms = (
+                blooms.read_dir_blooms(prev[0]) if linked else None
+            )
+            if prev_blooms is not None:
+                bloom_reuse = {
+                    r: e
+                    for r, e in prev_blooms.get("files", {}).items()
+                    if r.split(os.sep, 1)[0] in linked
+                }
+        self._write_stage_stats(
+            rel, reuse=reuse, table=table, bloom_reuse=bloom_reuse
+        )
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=merged.schema)
 
@@ -630,6 +668,7 @@ class TransactionalCatalog(Catalog):
         bucket_meta: dict | None = None,
         checks: dict | None = None,
         layouts: dict | None = None,
+        blooms_cfg: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -662,6 +701,8 @@ class TransactionalCatalog(Catalog):
                     manifest["checks"] = dict(checks)
                 if layouts is not None:
                     manifest["layouts"] = dict(layouts)
+                if blooms_cfg is not None:
+                    manifest["blooms"] = dict(blooms_cfg)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
@@ -674,6 +715,14 @@ class TransactionalCatalog(Catalog):
                             mlay.pop(table, None)
                         else:
                             mlay[table] = intent["layout"]
+                    if "bloom" in intent:
+                        # bloom-index config restored with its snapshot
+                        # (None clears a record the snapshot predates)
+                        mbl = manifest.setdefault("blooms", {})
+                        if intent["bloom"] is None:
+                            mbl.pop(table, None)
+                        else:
+                            mbl[table] = intent["bloom"]
                     if intent["mode"] == "append":
                         manifest["tables"][table] = list(cur or []) + list(
                             intent["added"]
@@ -787,9 +836,11 @@ class TransactionalCatalog(Catalog):
                 "base": base,
                 "added": list(old),
                 "schema": old_schema,
-                # the snapshot's clustering spec returns with its data
-                # (None clears a record the snapshot predates)
+                # the snapshot's clustering spec and bloom-index config
+                # return with its data (None clears a record the
+                # snapshot predates)
                 "layout": vm.get("layouts", {}).get(table),
+                "bloom": vm.get("blooms", {}).get(table),
             }
 
     # -- DDL: CREATE / TRUNCATE / DROP ----------------------------------------
@@ -902,6 +953,7 @@ class TransactionalCatalog(Catalog):
             m.get("schemas", {}).pop(table, None)
             m.get("checks", {}).pop(table, None)
             m.get("layouts", {}).pop(table, None)
+            m.get("blooms", {}).pop(table, None)
 
         self._publish_meta(mutate, f"drop-{table}")
         try:
@@ -932,7 +984,9 @@ class TransactionalCatalog(Catalog):
         total = 0
         scan: list[tuple[str, list[str]]] = []
         for d in self._data_dirs(table):
-            stats = filestats.read_dir_stats(d)
+            stats = blooms.attach_blooms(
+                filestats.read_dir_stats(d), d, dnf
+            )
             files = self._dir_parquet_files(d)
             counted, unknown = filestats.classify_files_dnf(
                 stats, files, dnf
@@ -1147,20 +1201,23 @@ class TransactionalCatalog(Catalog):
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
         touched: dict[str, list[str]] = {}  # dir -> candidate rel files
-        linked: list[tuple[str, str, dict | None]] = []
+        linked: list[tuple[str, str, dict | None, dict | None]] = []
         for rel_dir in snapshot:
             d = os.path.join(self.root, rel_dir)
-            stats = filestats.read_dir_stats(d)
+            stats = blooms.attach_blooms(
+                filestats.read_dir_stats(d), d, dnf
+            )
             files = self._dir_parquet_files(d)
             # candidates = UNION over the OR's disjuncts: a file is
             # carried untouched only when EVERY branch proves no match
             cand = set(filestats.prune_files_dnf(stats, files, dnf))
             entries = (stats or {}).get("files", {})
+            bfiles = (blooms.read_dir_blooms(d) or {}).get("files", {})
             for f in files:
                 if f in cand:
                     touched.setdefault(d, []).append(f)
                 else:
-                    linked.append((d, f, entries.get(f)))
+                    linked.append((d, f, entries.get(f), bfiles.get(f)))
         if not touched:
             return 0  # stats prove nothing matches: no rewrite, no version
         stored = self._stored_schema(table)
@@ -1222,13 +1279,22 @@ class TransactionalCatalog(Catalog):
                 self._enforce_checks(table, stage)
             # carry untouched files by hardlink, preserving layout
             reuse = {}
-            for d, f, entry in linked:
+            bloom_reuse = {}
+            for d, f, entry, bentry in linked:
                 dst = os.path.join(stage, f)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.link(os.path.join(d, f), dst)
                 if entry is not None:
+                    # the transient attach_blooms annotation must not
+                    # leak into the persisted stats sidecar
+                    entry = {k: v for k, v in entry.items() if k != "bloom"}
                     reuse[f] = entry
-            self._write_stage_stats(rel, reuse=reuse or None)
+                if bentry is not None:
+                    bloom_reuse[f] = bentry
+            self._write_stage_stats(
+                rel, reuse=reuse or None, table=table,
+                bloom_reuse=bloom_reuse or None,
+            )
             self._pending[table] = [rel]
             self._note_replace(table, rel, schema=stored)
             # anchor conflict detection to the pre-DML snapshot (the
@@ -1304,6 +1370,117 @@ class TransactionalCatalog(Catalog):
         return df.repartitionByRange(
             n_files, *spec["cols"]
         ).sortWithinPartitions(*spec["cols"])
+
+    # -- bloom-filter indexes -------------------------------------------------
+    #
+    # Delta's per-file Bloom filter index for point predicates: min/max
+    # stats cannot prune an ``=`` on a high-cardinality key scattered
+    # across files (every file's range spans the key space), which at
+    # 100 TB makes the GDPR id-delete and the point SELECT full scans.
+    # ``set_bloom_index`` records the indexed columns in the manifest
+    # (``manifest["blooms"][table]``) and backfills per-dir sidecars;
+    # every later write builds its staged dir's sidecar in the same
+    # distributed pass that collects stats (``blooms.py``). Probes ride
+    # the existing pruning machinery via ``blooms.attach_blooms`` — a
+    # bloom miss PROVES absence, so skipping stays a superset
+    # guarantee. The config is versioned manifest state: it restores
+    # and drops with the table.
+
+    def bloom_index(self, table: str) -> dict | None:
+        """The table's bloom-index config, or None:
+        ``{"columns": {col: "int"|"long"|"string"}, "bits_per_row": n}``."""
+        cfg = self._read_manifest(strict=False).get("blooms", {}).get(table)
+        return json.loads(json.dumps(cfg)) if cfg is not None else None
+
+    def set_bloom_index(
+        self,
+        table: str,
+        cols: list[str],
+        bits_per_row: int = 10,
+        backfill: bool = True,
+    ) -> None:
+        """Create/replace the bloom index on ``cols`` (int/long/string
+        columns only — range-friendly types stay with min/max, which
+        already prunes them). ``backfill`` builds sidecars for already-
+        committed data dirs in place: the sidecar is purely additive
+        acceleration, so appearing inside an immutable committed dir
+        can never change results, only skip more files. Future writes
+        maintain the index automatically."""
+        if self._pending is not None:
+            raise RuntimeError("set_bloom_index inside an open transaction")
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        stored = self._stored_schema(table)
+        if stored is None:
+            raise ValueError(
+                f"{table!r} has no committed schema (pre-schema-tracking "
+                "manifest); rewrite it once before indexing"
+            )
+        if not cols:
+            raise ValueError("bloom index needs at least one column")
+        types = {f.name: f.dataType.simpleString() for f in stored.fields}
+        columns: dict[str, str] = {}
+        for c in cols:
+            if c not in types:
+                raise ValueError(
+                    f"bloom column {c!r} not in {table!r} schema "
+                    f"({sorted(types)})"
+                )
+            fam = blooms.normalize_type(types[c])
+            if fam is None:
+                raise ValueError(
+                    f"bloom column {c!r} has type {types[c]!r}; only "
+                    "int/long/string columns are bloom-indexable (use "
+                    "min/max stats for range-friendly types)"
+                )
+            columns[c] = fam
+        if int(bits_per_row) < 1:
+            raise ValueError("bits_per_row must be >= 1")
+        cfg = {"columns": columns, "bits_per_row": int(bits_per_row)}
+
+        def mutate(m):
+            m.setdefault("blooms", {})[table] = cfg
+
+        self._publish_meta(mutate, f"bloom-index-{table}")
+        if backfill:
+            for d in self._data_dirs(table):
+                existing = blooms.read_dir_blooms(d)
+                if (
+                    existing is not None
+                    and existing.get("columns") == columns
+                    and existing.get("bits_per_row") == cfg["bits_per_row"]
+                ):
+                    continue
+                blooms.build_dir_blooms(
+                    self.spark,
+                    d,
+                    columns,
+                    filestats.read_dir_stats(d),
+                    bits_per_row=cfg["bits_per_row"],
+                )
+
+    def drop_bloom_index(self, table: str) -> None:
+        """Remove the bloom-index config AND the current data dirs'
+        sidecars (sidecars are pure acceleration, so unlinking them
+        from an immutable dir can never change results — hardlinked
+        clones keep their own directory entries). Raises KeyError if
+        no index exists."""
+        if self._pending is not None:
+            raise RuntimeError("drop_bloom_index inside an open transaction")
+        if self.bloom_index(table) is None:
+            raise KeyError(f"no bloom index on {table!r}")
+
+        def mutate(m):
+            m["blooms"].pop(table, None)
+            if not m["blooms"]:
+                m.pop("blooms")
+
+        self._publish_meta(mutate, f"drop-bloom-index-{table}")
+        for d in self._data_dirs(table):
+            try:
+                os.remove(os.path.join(d, blooms.BLOOM_FILE))
+            except FileNotFoundError:
+                pass
 
     def add_check(self, table: str, name: str, expr: str) -> None:
         """Register CHECK ``expr`` (a SQL boolean over the table's
@@ -1624,6 +1801,7 @@ class TransactionalCatalog(Catalog):
             schemas=old.get("schemas", {}),
             checks=old.get("checks", {}),
             layouts=old.get("layouts", {}),
+            blooms_cfg=old.get("blooms", {}),
         )
 
     # -- maintenance --------------------------------------------------------
@@ -1814,10 +1992,11 @@ class TransactionalCatalog(Catalog):
             f"clone-of-v{manifest['version']}",
             replace=True,
             schemas=manifest.get("schemas", {}),
-            # a branch keeps its quality gates and clustering specs:
-            # CHECK constraints and layouts ride the clone like schemas
+            # a branch keeps its quality gates, clustering specs, and
+            # bloom indexes: they ride the clone like schemas
             checks=manifest.get("checks", {}),
             layouts=manifest.get("layouts", {}),
+            blooms_cfg=manifest.get("blooms", {}),
         )
         return dst
 
