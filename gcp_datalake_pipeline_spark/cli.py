@@ -294,10 +294,72 @@ def cmd_query(args) -> None:
             print(json.dumps(result))
             return
     _register_views(cat, args.testdata)
-    df = cat.spark.sql(args.sql)
+    sql = _rewrite_table_changes(cat, args.sql)
+    df = cat.spark.sql(sql)
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=False)
+
+
+def _rewrite_table_changes(cat, sql: str) -> str:
+    """Delta's CDF table-valued function at the SQL prompt:
+    ``SELECT ... FROM table_changes('t', v1[, v2])`` — Spark has no
+    Python-defined TVFs, so each occurrence materializes as a temp
+    view over :meth:`TransactionalCatalog.table_changes` (bounded to
+    the changed files) and the reference is rewritten to the view
+    name. Non-transactional catalogs pass through untouched."""
+    import re as _re
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    if not isinstance(cat, TransactionalCatalog):
+        return sql
+
+    def sub(m):
+        t, v1, v2 = m.group(1), int(m.group(2)), m.group(3)
+        df = cat.table_changes(t, v1, int(v2) if v2 else None)
+        name = f"_changes_{t}_{v1}_{v2 or 'cur'}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    return _re.sub(
+        r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        sub,
+        sql,
+        flags=_re.I,
+    )
+
+
+def cmd_diff(args) -> None:
+    """Change-data-feed summary between two snapshots: per-commit
+    insert/delete counts, I/O bounded to the changed files."""
+    from pyspark.sql import functions as F
+
+    cat = _txn_catalog(args)
+    ch = cat.table_changes(args.table, args.from_version, args.to_version)
+    rows = (
+        ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("_commit_version", "_change_type")
+        .collect()
+    )
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "from": args.from_version,
+                "to": args.to_version,
+                "changes": [
+                    {
+                        "version": r["_commit_version"],
+                        "type": r["_change_type"],
+                        "rows": r["n"],
+                    }
+                    for r in rows
+                ],
+            }
+        )
+    )
 
 
 def cmd_tables(args) -> None:
@@ -914,6 +976,17 @@ def main(argv: list[str] | None = None) -> None:
     pds.add_argument("--catalog", required=True)
     pds.add_argument("table")
     pds.set_defaults(fn=cmd_describe)
+
+    pdf = sub.add_parser(
+        "diff",
+        help="change-data-feed summary between snapshots: per-commit "
+        "insert/delete row counts, I/O bounded to changed files",
+    )
+    pdf.add_argument("--catalog", required=True)
+    pdf.add_argument("table")
+    pdf.add_argument("--from", dest="from_version", type=int, required=True)
+    pdf.add_argument("--to", dest="to_version", type=int, default=None)
+    pdf.set_defaults(fn=cmd_diff)
 
     pcn = sub.add_parser(
         "count",

@@ -1166,3 +1166,83 @@ def etl_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "etl_table_changes",
+    """
+    SELECT CAST(2 AS INTEGER) AS commit_version, 'insert' AS change_type,
+           count(*) AS n_rows, round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey < 6000 AND year(o_orderdate) >= 1997
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'delete',
+           count(*), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_orderkey < 6000 AND o_orderpriority = '1-URGENT'
+    ORDER BY commit_version
+    """,
+    doc="""Change Data Feed through the real storage engine: a bounded
+    orders subset lands as v1, an orderdate-split append lands as v2,
+    and a priority-targeted DELETE lands as v3 — then
+    table_changes(v1..current) recovers the row-level feed from the
+    versioned manifests (inode-identity file diff + multiset except
+    over ONLY the changed files; Delta CDF semantics without runtime
+    capture). The query RAISES unless the append commit's feed read
+    exactly the appended files (the bounded-I/O contract), then
+    returns per-commit insert/delete row counts and totals. Oracle =
+    the same aggregates computed directly from the source rows the
+    commits inserted/deleted — the feed must reconstruct history
+    exactly.""",
+)
+def etl_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_table_changes_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_cdc"):  # warm rerun reuses the staged lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        base = orders.where(F.year("o_orderdate") < 1997)
+        tail = orders.where(F.year("o_orderdate") >= 1997)
+        cat.overwrite(base.coalesce(2), "orders_cdc")        # v1
+        cat.append(tail.coalesce(2), "orders_cdc")           # v2
+        cat.delete_where(                                    # v3
+            "orders_cdc", [("o_orderpriority", "=", "1-URGENT")]
+        )
+    # bounded-I/O contract: the append commit's feed reads EXACTLY the
+    # files the append published (hardlink-identical files never load)
+    appended = [
+        os.path.realpath(os.path.join(d, f))
+        for _ino, d, f in cat._version_file_inodes("orders_cdc", 2)
+        if _ino
+        not in {i for i, _d, _f in cat._version_file_inodes("orders_cdc", 1)}
+    ]
+    feed_v2 = cat.table_changes("orders_cdc", 1, 2)
+    read_files = {
+        os.path.realpath(p.replace("file:", ""))
+        for p in feed_v2.inputFiles()
+    }
+    if read_files != set(appended):
+        raise RuntimeError(
+            f"append feed read {len(read_files)} files, expected the "
+            f"{len(appended)} appended files only"
+        )
+    return (
+        cat.table_changes("orders_cdc", 1)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("commit_version")
+    )

@@ -1774,6 +1774,187 @@ class TransactionalCatalog(Catalog):
             filestats.dnf_condition(dnf)
         )
 
+    # -- change data feed -----------------------------------------------------
+    #
+    # Delta's Change Data Feed, recovered from the versioned manifests
+    # instead of runtime capture: because every commit publishes an
+    # immutable dir list and every DML rewrite hardlink-carries its
+    # untouched files, the rows that changed between two snapshots live
+    # EXACTLY in the files whose inode appears on only one side of the
+    # version pair. Reading just those files and taking the multiset
+    # difference (exceptAll, both directions) yields the row-level
+    # delta with I/O proportional to the CHANGE, not the table:
+    # an append reads only its new files (pure inserts), a point DELETE
+    # reads the candidate files of both versions (the carried rows
+    # cancel), and only a compaction — which rewrites everything while
+    # changing nothing — degrades to a full read that correctly yields
+    # an empty feed. At 100 TB this is what lets downstream consumers
+    # (index maintenance, replication, incremental gold views) follow a
+    # table without re-scanning it.
+
+    def table_changes(
+        self, table: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level changes committed AFTER snapshot ``from_version``
+        up to and including ``to_version`` (default: current), as the
+        table's columns plus ``_change_type`` (``insert`` / ``delete``
+        — an UPDATE appears as its delete+insert pair, the honest
+        representation for a file-diff feed) and ``_commit_version``
+        (the commit that published the change). Versions whose commit
+        did not touch the table's dir list contribute nothing without
+        any I/O. Raises if a needed version manifest was vacuumed, or
+        if a column changed type between the endpoints (a feed across
+        an incompatible rewrite is ill-defined)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if to_version is None:
+            to_version = self._read_manifest(strict=False)["version"]
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        frames = []
+        last_sj = None
+        seen = False
+        for v in range(from_version, to_version + 1):
+            vm = self._version_manifest(v)
+            sj = vm.get("schemas", {}).get(table)
+            if table in vm["tables"]:
+                seen = True
+                if sj is not None:
+                    last_sj = sj
+            if v == from_version:
+                continue
+            pair = self._diff_pair(table, v)
+            if pair is not None:
+                frames.append(
+                    pair.withColumn("_commit_version", F.lit(v))
+                )
+        if not seen:
+            raise FileNotFoundError(
+                f"{table!r} did not exist at any version in "
+                f"[{from_version}, {to_version}]"
+            )
+        if not frames:
+            base = (
+                T.StructType.fromJson(last_sj)
+                if last_sj is not None
+                else T.StructType()
+            )
+            schema = T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.IntegerType()),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def _version_file_inodes(self, table: str, version: int) -> list[tuple]:
+        """(inode, abs_dir, rel_file) for every data file the table
+        references at ``version`` — the identity that survives hardlink
+        carries, so an untouched file matches across versions without
+        reading a byte."""
+        out = []
+        rels = self._version_manifest(version)["tables"].get(table) or []
+        for rel_dir in rels:
+            d = os.path.join(self.root, rel_dir)
+            for f in self._dir_parquet_files(d):
+                out.append((os.stat(os.path.join(d, f)).st_ino, d, f))
+        return out
+
+    def _diff_pair(self, table: str, v: int) -> DataFrame | None:
+        """Row-level diff of one commit (``v-1`` -> ``v``), or None when
+        the commit did not move the table's dir list (zero I/O)."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        old_vm = self._version_manifest(v - 1)
+        new_vm = self._version_manifest(v)
+        old_rels = old_vm["tables"].get(table) or []
+        new_rels = new_vm["tables"].get(table) or []
+        if old_rels == new_rels:
+            return None
+        old_files = self._version_file_inodes(table, v - 1)
+        new_files = self._version_file_inodes(table, v)
+        old_ct = Counter(ino for ino, _d, _f in old_files)
+        new_ct = Counter(ino for ino, _d, _f in new_files)
+
+        def pick(files, surplus):
+            """For each inode, the paths exceeding the other side's
+            multiplicity — identical-content duplicates cancel by
+            count, whichever physical path carried them."""
+            left = dict(surplus)
+            out: dict[str, list[str]] = {}
+            for ino, d, f in files:
+                if left.get(ino, 0) > 0:
+                    left[ino] -= 1
+                    out.setdefault(d, []).append(f)
+            return out
+
+        added = pick(new_files, new_ct - old_ct)
+        removed = pick(old_files, old_ct - new_ct)
+        if not added and not removed:
+            return None  # pointer reshuffle only (e.g. restore to same)
+        old_sj = old_vm.get("schemas", {}).get(table)
+        new_sj = new_vm.get("schemas", {}).get(table)
+        try:
+            merged_sj = _merge_schema_json(old_sj, new_sj)
+        except ValueError as e:
+            raise ValueError(
+                f"table_changes({table!r}) across commit {v}: {e}"
+            ) from None
+        if merged_sj is None:
+            raise ValueError(
+                f"table_changes({table!r}): versions {v - 1}->{v} predate "
+                "schema tracking; rewrite the table once first"
+            )
+        merged = T.StructType.fromJson(merged_sj)
+        if "_change_type" in merged.fieldNames():
+            raise ValueError(
+                f"{table!r} has a _change_type column; the change feed "
+                "cannot disambiguate it"
+            )
+
+        def align(by_dir, side_sj):
+            if not by_dir:
+                return self.spark.createDataFrame([], merged)
+            stored = (
+                T.StructType.fromJson(side_sj) if side_sj else None
+            )
+            parts = []
+            for d, fs in by_dir.items():
+                r = self.spark.read.option("basePath", d)
+                if stored is not None:
+                    r = r.schema(stored)
+                parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged.fields
+                ]
+            )
+
+        a = align(added, new_sj)
+        r = align(removed, old_sj)
+        return (
+            a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
+        ).unionByName(
+            r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
+        )
+
     def restore(self, version: int) -> None:
         """Roll the catalog back to snapshot ``version`` — published as a
         NEW commit whose table map IS the old snapshot's (tables created

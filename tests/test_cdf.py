@@ -1,0 +1,165 @@
+"""Change Data Feed (``table_changes``) — row-level diffs between
+snapshots, recovered from the versioned manifests.
+
+Contract under test (the Delta CDF analog without runtime capture):
+
+- appends feed as pure inserts, DELETEs as deletes, UPDATEs as their
+  delete+insert pair, each tagged with the commit that published it;
+- I/O is bounded to the CHANGED files: hardlink-carried files match by
+  inode and are never read (asserted via ``inputFiles()``);
+- a compaction (all files rewritten, nothing changed) yields an EMPTY
+  feed; untouched-commit versions contribute nothing;
+- schema evolution mid-range null-fills the missing columns; a type
+  conflict across the range refuses loudly;
+- vacuumed version manifests and never-existed tables raise clean
+  errors.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+
+@pytest.fixture()
+def tcat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def _base(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+
+
+def _summary(ch):
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["n"])
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+
+
+def test_append_delete_update_feed(spark, tcat):
+    tcat.overwrite(_base(spark).repartition(4), "t")           # v1
+    tcat.append(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ),
+        "t",
+    )                                                          # v2
+    assert tcat.delete_where("t", [("k", "=", 7)]) == 1        # v3
+    assert tcat.update_where("t", [("k", "=", 8)], {"g": "g + 100"}) == 1
+    ch = tcat.table_changes("t", 1)
+    assert _summary(ch) == [
+        (2, "insert", 20),
+        (3, "delete", 1),
+        (4, "delete", 1),
+        (4, "insert", 1),
+    ]
+    # the update pair carries the before/after values
+    pair = {
+        (r["_change_type"], r["g"])
+        for r in ch.where(
+            (F.col("_commit_version") == 4) & (F.col("k") == 8)
+        ).collect()
+    }
+    assert pair == {("delete", 3), ("insert", 103)}
+    # sub-ranges slice the same history
+    assert _summary(tcat.table_changes("t", 1, 2)) == [(2, "insert", 20)]
+    assert _summary(tcat.table_changes("t", 2, 3)) == [(3, "delete", 1)]
+    assert tcat.table_changes("t", 4).count() == 0  # empty tail range
+
+
+def test_feed_io_bounded_to_changed_files(spark, tcat):
+    tcat.overwrite(_base(spark, 1000).repartition(6), "t")     # v1
+    tcat.append(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ).coalesce(1),
+        "t",
+    )                                                          # v2
+    feed = tcat.table_changes("t", 1, 2)
+    # the append published exactly the new dir's files; the 6 carried
+    # files must not appear in the plan
+    read = {os.path.realpath(p.replace("file:", "")) for p in feed.inputFiles()}
+    v1_inos = {i for i, _d, _f in tcat._version_file_inodes("t", 1)}
+    appended = {
+        os.path.realpath(os.path.join(d, f))
+        for i, d, f in tcat._version_file_inodes("t", 2)
+        if i not in v1_inos
+    }
+    assert read == appended and len(appended) == 1
+
+
+def test_compaction_feeds_empty(spark, tcat):
+    tcat.overwrite(_base(spark).repartition(3), "t")
+    tcat.append(_base(spark).limit(0), "t")  # second dir (empty)
+    v = tcat.versions()[-1]["version"]
+    assert tcat.compact("t", min_dirs=1, cluster_by=["k"])
+    assert tcat.table_changes("t", v).count() == 0
+
+
+def test_untouched_commits_contribute_nothing(spark, tcat):
+    tcat.overwrite(_base(spark), "t")                          # v1
+    tcat.overwrite(_base(spark, 10), "other")                  # v2: other table
+    tcat.add_check("t", "k_pos", "k >= 0")                     # v3: metadata
+    ch = tcat.table_changes("t", 1)
+    assert ch.count() == 0
+
+
+def test_schema_evolution_null_fills(spark, tcat):
+    tcat.overwrite(_base(spark, 10), "t")                      # v1
+    tcat.add_column("t", "score", "double")                    # v2
+    tcat.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            F.lit(1.5).alias("score"),
+        ),
+        "t",
+    )                                                          # v3
+    ch = tcat.table_changes("t", 1)
+    rows = {(r["k"], r["score"]) for r in ch.collect()}
+    assert rows == {(10, 1.5), (11, 1.5)}
+    # ...and the feed schema carries the evolved column even for the
+    # range before it existed
+    assert "score" in tcat.table_changes("t", 1, 2).columns
+
+
+def test_table_created_and_dropped_inside_range(spark, tcat):
+    tcat.overwrite(_base(spark, 5), "anchor")                  # v1
+    tcat.overwrite(_base(spark, 7), "t")                       # v2
+    tcat.drop_table("t")                                       # v3
+    ch = tcat.table_changes("t", 1)
+    assert _summary(ch) == [(2, "insert", 7), (3, "delete", 7)]
+    with pytest.raises(FileNotFoundError, match="did not exist"):
+        tcat.table_changes("never", 1)
+
+
+def test_vacuumed_manifest_raises(spark, tcat):
+    tcat.overwrite(_base(spark, 5), "t")
+    for i in range(4):
+        tcat.append(_base(spark, 1), "t")
+    tcat.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="no retained snapshot"):
+        tcat.table_changes("t", 1)
+
+
+def test_bad_range_and_conflicting_types(spark, tcat):
+    tcat.overwrite(_base(spark, 5), "t")
+    with pytest.raises(ValueError, match="from_version"):
+        tcat.table_changes("t", 3, 1)
+    # a type-changing overwrite makes the feed ill-defined -> refuse
+    tcat.overwrite(
+        spark.range(3).select(
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") % 5).alias("g"),
+        ),
+        "t",
+    )
+    with pytest.raises(ValueError, match="type"):
+        tcat.table_changes("t", 1).collect()

@@ -322,3 +322,36 @@ def test_cli_query_as_of_time_travel(workdir):
         "DELETE FROM empresa WHERE carrier_id >= 1",
     )
     assert r.returncode != 0 and "read-only" in r.stderr
+
+
+def test_cli_diff_and_table_changes_tvf(workdir):
+    """The change-data-feed surfaces: the `diff` verb summarizes
+    per-commit inserts/deletes, and SELECT ... FROM table_changes('t',
+    v) works at the SQL prompt (rewritten to a bounded temp view)."""
+    cat = f"{workdir}/cdf_lake"
+    r = run_cli(
+        "ingest", "--atomic", "--catalog", cat,
+        "tests/fixtures/empresas_20251001.csv",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("versions", "--catalog", cat)
+    v0 = json.loads(r.stdout[r.stdout.index("["):])[-1]["version"]
+    r = run_cli(
+        "query", "--catalog", cat, "DELETE FROM empresa WHERE carrier_id = 1"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "diff", "--catalog", cat, "empresa", "--from", str(v0)
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert payload["table"] == "empresa"
+    assert [c["type"] for c in payload["changes"]] == ["delete"]
+    assert payload["changes"][0]["rows"] == 1
+    r = run_cli(
+        "query", "--catalog", cat,
+        f"SELECT _change_type, count(*) AS n FROM "
+        f"table_changes('empresa', {v0}) GROUP BY _change_type",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "delete" in r.stdout
