@@ -287,7 +287,13 @@ def cmd_query(args) -> None:
     if isinstance(cat, TransactionalCatalog):
         from gcp_datalake_pipeline_spark.dml_sql import execute_dml
 
-        if _re.match(r"\s*(INSERT|MERGE)\b", args.sql, _re.I):
+        if _re.match(
+            r"\s*(INSERT|MERGE)\b"
+            r"|\s*CREATE\s+TABLE\b(?:(?!\().)*\bAS\s+SELECT\b",
+            args.sql,
+            _re.I | _re.S,
+        ):
+            # statements whose SOURCE is a SELECT need the views
             _register_views(cat, args.testdata)
         result = execute_dml(cat, args.sql)
         if result is not None:

@@ -28,6 +28,7 @@ statement):
          WHEN NOT MATCHED THEN INSERT *
          | WHEN MATCHED THEN DELETE]
     CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
+    CREATE TABLE [IF NOT EXISTS] <table> AS SELECT ...
     ALTER TABLE <table> ADD COLUMN <name> <ddl-type>
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
     ALTER TABLE <table> DROP CONSTRAINT <name>
@@ -68,7 +69,8 @@ _GRAMMAR = (
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
     "| WHEN MATCHED THEN DELETE]; "
-    "CREATE TABLE [IF NOT EXISTS] t (ddl cols); TRUNCATE TABLE t; "
+    "CREATE TABLE [IF NOT EXISTS] t (ddl cols) | AS SELECT ...; "
+    "TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
@@ -554,6 +556,28 @@ def execute_dml(catalog, sql: str) -> dict | None:
         src, n = _align_merge_source(catalog, src, schema)
         catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
         return {"table": table, "merged": n}
+    m = re.fullmatch(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\b.+)",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        if_not_exists, table, select = m.group(1), m.group(2), m.group(3)
+        if catalog.exists(table):
+            if if_not_exists:
+                return {"table": table, "created": False}
+            raise ValueError(
+                f"CREATE TABLE AS: {table!r} already exists (use IF NOT "
+                f"EXISTS, or INSERT INTO to add rows); {_GRAMMAR}"
+            )
+        catalog.overwrite(catalog.spark.sql(select), table)
+        # count from the freshly committed files (one bounded read of
+        # the new table), not a second evaluation of the SELECT
+        return {
+            "table": table,
+            "created": True,
+            "rows": catalog.read(table).count(),
+        }
     m = re.fullmatch(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)",
         s,

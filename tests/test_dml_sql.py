@@ -613,3 +613,40 @@ def test_merge_when_matched_delete(spark, tmp_path):
             "MERGE INTO t USING del_src ON t.k = del_src.k "
             "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
         )
+
+
+def test_create_table_as_select(spark, tmp_path):
+    """CTAS publishes schema + data in one commit; IF NOT EXISTS
+    no-ops on an existing table; a bare CTAS against one refuses."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, grp string, amt double",
+        ),
+        "src",
+    )
+    cat.read("src").createOrReplaceTempView("src")
+    out = execute_dml(
+        cat,
+        "CREATE TABLE totals AS SELECT grp, sum(amt) AS total "
+        "FROM src GROUP BY grp",
+    )
+    assert out == {"table": "totals", "created": True, "rows": 2}
+    got = {
+        (r["grp"], r["total"]) for r in cat.read("totals").collect()
+    }
+    assert got == {("a", 40.0), ("b", 20.0)}
+    # the committed schema types the table (not a footer sample)
+    assert [f.name for f in cat._stored_schema("totals").fields] == [
+        "grp", "total",
+    ]
+    out = execute_dml(
+        cat, "CREATE TABLE IF NOT EXISTS totals AS SELECT 1 AS x"
+    )
+    assert out == {"table": "totals", "created": False}
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(cat, "CREATE TABLE totals AS SELECT 1 AS x")
+    # still DML-gated: the new table mutates through the façade
+    out = execute_dml(cat, "DELETE FROM totals WHERE grp = 'b'")
+    assert out == {"table": "totals", "deleted": 1}
