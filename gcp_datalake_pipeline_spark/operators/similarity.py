@@ -1952,3 +1952,93 @@ def sq8_topk_oracle_sql(query_ids: list[int], k: int = 5, dim: int = 64) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# -- SemDeDup: semantic deduplication via embedding clusters ------------------
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    nlist: int = 16,
+    n_iter: int = 2,
+    backend: str = "arrow",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
+    space, then mark as semantic duplicates the within-cluster pairs
+    whose cosine exceeds ``threshold`` — the pruning that removed 50%
+    of LAION with no quality loss. Output: the REMOVED ids, (vec_id,
+    cid), one row per dropped vector, ordered — the keep-set is the
+    corpus minus these. Deterministic keep-lowest-id convention per
+    qualifying pair (the paper keeps a per-group representative;
+    lowest-id is the engine-wide dedup convention and is
+    oracle-exact).
+
+    Spark-first composition, nothing new to trust: the coarse
+    quantizer is :func:`kmeans_centroids` (bounded driver collects,
+    round-6 cross-engine determinism), assignment is the zero-shuffle
+    literal-centroid fold of :func:`_nearest_cid`, and the
+    within-cluster pairing is :func:`embedding_near_dup_pairs` with
+    the CLUSTER as the label block (one BLAS matmul per cluster on
+    the default Arrow backend). At 100 TB the cluster count is the
+    knob: pair work is quadratic only WITHIN a cell, exactly the
+    SemDeDup design (the paper runs 50k clusters), and every stage is
+    shuffle-bounded by (corpus + within-cell candidates).
+    """
+    spark = df.sparkSession
+    cents_df = kmeans_centroids(df, nlist=nlist, n_iter=n_iter)
+    cents = {
+        int(r["cid"]): [float(x) for x in r["cv"]]
+        for r in cents_df.collect()  # nlist rows: the sanctioned collect
+    }
+    e = (
+        ensure_scan_parallelism(df)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("n", norm(F.col("v")))
+    )
+    assigned = e.select(
+        "vec_id",
+        _nearest_cid(
+            F.col("v"), F.col("n"), _literal_centroids(cents)
+        ).alias("label"),
+        F.col("v").alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        assigned, threshold=threshold, backend=backend
+    )
+    return (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .join(
+            assigned.select("vec_id", F.col("label").alias("cid")),
+            "vec_id",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_oracle_sql(
+    threshold: float = 0.8, nlist: int = 16, n_iter: int = 2
+) -> str:
+    """DuckDB oracle for :func:`semdedup`, value-for-value: the
+    unrolled-Lloyd centroid CTEs, rounded-cosine lowest-cid assignment,
+    then the within-cluster pair join with the same 6-decimal rounded
+    cosine — removed = every id that is the HIGHER side of a
+    qualifying pair."""
+    ctes, cent = _lloyd_ctes(nlist, n_iter)
+    return f"""
+    WITH {",".join(ctes)},
+    assigned AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    )
+    SELECT DISTINCT b.vec_id AS vec_id, b.cid AS cid
+    FROM assigned a
+    JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_csim_sql("a.v", "b.v")} >= {threshold}
+    ORDER BY vec_id
+    """

@@ -533,6 +533,22 @@ def embedding_near_dup_lsh_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    similarity.semdedup_oracle_sql(threshold=0.3),
+    doc="""SemDeDup (Abbas et al., arXiv:2303.09540): k-means clusters
+    the embedding space (unrolled-Lloyd determinism), then within-
+    cluster cosine pairs above threshold mark their higher id removed
+    (keep-lowest-id). The embedding-level complement of the text dedup
+    family: pair work is quadratic only within a cell, so the cluster
+    count is the 100 TB knob — exactly the paper's design.""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@register(
     "ann_topk",
     similarity.brute_force_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""Exact brute-force cosine top-5 neighbors for 10 query vectors,

@@ -874,3 +874,67 @@ def test_ann_sq8_scoring_stays_jvm_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_removes_within_cluster_duplicates(spark):
+    """SemDeDup on a constructed corpus: two tight groups of near-
+    identical vectors in different regions plus isolated vectors —
+    every group keeps its lowest id, loses the rest, isolated vectors
+    survive, and the two backends agree."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+
+    def jitter(base, eps):
+        return [x + rng.uniform(-eps, eps) for x in base]
+
+    a = [1.0] * dim                    # group A around all-ones
+    b = [1.0, -1.0] * (dim // 2)       # group B, orthogonal-ish region
+    rows = [
+        (0, jitter(a, 0.01)), (1, jitter(a, 0.01)), (2, jitter(a, 0.01)),
+        (10, jitter(b, 0.01)), (11, jitter(b, 0.01)),
+        # isolated: distinct directions, nowhere near the groups
+        (20, [float(i == 3) for i in range(dim)]),
+        (21, [float(i == 5) - float(i == 6) for i in range(dim)]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    removed = similarity.semdedup(emb, threshold=0.95, nlist=4, n_iter=2)
+    got = {r["vec_id"] for r in removed.collect()}
+    assert got == {1, 2, 11}  # lowest id of each group survives
+    hof = similarity.semdedup(
+        emb, threshold=0.95, nlist=4, n_iter=2, backend="hof"
+    )
+    assert sorted(map(tuple, hof.collect())) == sorted(
+        map(tuple, removed.collect())
+    )
+
+
+def test_semdedup_matches_duckdb_oracle(spark):
+    """The registry gate's exact comparison, in-tree: Spark semdedup ==
+    the unrolled-Lloyd DuckDB oracle on the real embeddings table."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(
+            tuple,
+            similarity.semdedup(
+                load_table(spark, sf, "embeddings"), threshold=0.3
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    exp = [
+        (int(v), int(c))
+        for v, c in con.execute(
+            similarity.semdedup_oracle_sql(threshold=0.3)
+        ).fetchall()
+    ]
+    assert got == exp and len(exp) > 0
