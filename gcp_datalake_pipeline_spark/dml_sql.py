@@ -38,6 +38,11 @@ statement):
     CREATE BLOOMFILTER INDEX ON TABLE <table> FOR COLUMNS (cols)
         [OPTIONS (bits_per_row = <n>)]
     DROP BLOOMFILTER INDEX ON TABLE <table>
+    CREATE MATERIALIZED VIEW <name> AS
+        SELECT <keys>, SUM(col) AS out[, ...], COUNT(*) AS n
+        FROM <table> GROUP BY <keys>
+    REFRESH MATERIALIZED VIEW <name>
+    DROP MATERIALIZED VIEW <name>
     VACUUM [RETAIN <n> VERSIONS]
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
@@ -76,6 +81,9 @@ _GRAMMAR = (
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
     "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (cols) "
     "[OPTIONS (bits_per_row = n)]; DROP BLOOMFILTER INDEX ON TABLE t; "
+    "CREATE MATERIALIZED VIEW v AS SELECT keys, SUM(c) AS out, "
+    "COUNT(*) AS n FROM t GROUP BY keys; REFRESH|DROP MATERIALIZED "
+    "VIEW v; "
     "VACUUM [RETAIN n VERSIONS]; "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
@@ -557,6 +565,37 @@ def execute_dml(catalog, sql: str) -> dict | None:
         catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
         return {"table": table, "merged": n}
     m = re.fullmatch(
+        r"CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\b.+)",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        from gcp_datalake_pipeline_spark.operators.matview import (
+            create_materialized_view,
+            parse_matview_select,
+        )
+
+        name = m.group(1)
+        source, keys, sums, count_col = parse_matview_select(m.group(2))
+        return create_materialized_view(
+            catalog, name, source, keys, sums, count_col
+        )
+    m = re.fullmatch(r"REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)", s, re.I)
+    if m:
+        from gcp_datalake_pipeline_spark.operators.matview import (
+            refresh_materialized_view,
+        )
+
+        return refresh_materialized_view(catalog, m.group(1))
+    m = re.fullmatch(r"DROP\s+MATERIALIZED\s+VIEW\s+(\w+)", s, re.I)
+    if m:
+        from gcp_datalake_pipeline_spark.operators.matview import (
+            drop_materialized_view,
+        )
+
+        drop_materialized_view(catalog, m.group(1))
+        return {"view": m.group(1), "dropped": True}
+    m = re.fullmatch(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\b.+)",
         s,
         re.I | re.S,
@@ -687,7 +726,8 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if re.match(
         r"(DELETE|UPDATE|INSERT|MERGE|OPTIMIZE|VACUUM)\b"
         r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b"
-        r"|CREATE\s+BLOOMFILTER\b|DROP\s+BLOOMFILTER\b",
+        r"|CREATE\s+BLOOMFILTER\b|DROP\s+BLOOMFILTER\b"
+        r"|CREATE\s+MATERIALIZED\b|REFRESH\b|DROP\s+MATERIALIZED\b",
         s,
         re.I,
     ):

@@ -47,12 +47,20 @@ def refresh_aggregate(
     passed through without touching their values; affected groups combine
     by summing partials. New-in-delta groups appear automatically.
     """
-    delta_keys = delta.select(*keys).distinct()
+    delta_keys = delta.select(*keys).distinct().alias("dk")
     if broadcast_delta:
         delta_keys = F.broadcast(delta_keys)
-    untouched = existing.join(delta_keys, keys, "left_anti")
+    ex = existing.alias("ex")
+    # NULL-SAFE key match: GROUP BY puts all-NULL keys in ONE group, so
+    # the untouched/affected split must too — a plain equi-join would
+    # never match a NULL group and duplicate it on every refresh
+    cond = None
+    for k in keys:
+        c = F.col(f"ex.{k}").eqNullSafe(F.col(f"dk.{k}"))
+        cond = c if cond is None else cond & c
+    untouched = ex.join(delta_keys, cond, "left_anti")
     affected = (
-        existing.join(delta_keys, keys, "left_semi")
+        ex.join(delta_keys, cond, "left_semi")
         .unionByName(delta)
         .groupBy(*keys)
         .agg(

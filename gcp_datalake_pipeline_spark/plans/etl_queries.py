@@ -1246,3 +1246,94 @@ def etl_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version")
     )
+
+
+@register(
+    "etl_matview_refresh",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey < 6000
+      AND NOT (o_orderpriority = '1-URGENT' AND year(o_orderdate) < 1996)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""Incrementally maintained materialized view through the real
+    storage engine: a bounded orders subset lands split across two
+    commits, a priority+date DELETE lands as a third, and the view —
+    materialized after the FIRST commit only — catches up via two
+    REFRESHes that apply the change feed as signed partials (insert=+,
+    delete=-; operators/matview.py over table_changes +
+    refresh_aggregate). The query RAISES unless each refresh actually
+    applied a delta and a final catch-up refresh is a no-op, then
+    returns the view's rows (sums rounded at the READ — the view
+    stores exact partials). Oracle = the same aggregate computed
+    directly over the logical final state; the invariant is refresh ==
+    full recompute after any DML sequence.""",
+)
+def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.operators.matview import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_matview_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_mv_src"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        cat.overwrite(
+            orders.where(F.year("o_orderdate") < 1997).coalesce(2),
+            "orders_mv_src",
+        )
+        create_materialized_view(
+            cat,
+            "orders_mv",
+            "orders_mv_src",
+            ["o_orderpriority"],
+            {"total_price": "o_totalprice"},
+            "n_orders",
+        )
+        cat.append(
+            orders.where(F.year("o_orderdate") >= 1997).coalesce(2),
+            "orders_mv_src",
+        )
+        r1 = refresh_materialized_view(cat, "orders_mv")
+        cat.delete_where(
+            "orders_mv_src",
+            [
+                ("o_orderpriority", "=", "1-URGENT"),
+                ("o_orderdate", "<", datetime.datetime(1996, 1, 1)),
+            ],
+        )
+        r2 = refresh_materialized_view(cat, "orders_mv")
+        if r1["applied"] == 0 or r2["applied"] == 0:
+            raise RuntimeError(
+                f"matview refresh applied no delta ({r1}, {r2})"
+            )
+    caught_up = refresh_materialized_view(cat, "orders_mv")
+    if caught_up["applied"] != 0:
+        raise RuntimeError(
+            f"matview was not caught up after its refreshes: {caught_up}"
+        )
+    return (
+        cat.read("orders_mv")
+        .select(
+            "o_orderpriority",
+            F.round("total_price", 2).alias("total_price"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )

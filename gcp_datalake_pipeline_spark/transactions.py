@@ -669,6 +669,7 @@ class TransactionalCatalog(Catalog):
         checks: dict | None = None,
         layouts: dict | None = None,
         blooms_cfg: dict | None = None,
+        views: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -703,6 +704,8 @@ class TransactionalCatalog(Catalog):
                     manifest["layouts"] = dict(layouts)
                 if blooms_cfg is not None:
                     manifest["blooms"] = dict(blooms_cfg)
+                if views is not None:
+                    manifest["views"] = dict(views)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
@@ -723,6 +726,17 @@ class TransactionalCatalog(Catalog):
                             mbl.pop(table, None)
                         else:
                             mbl[table] = intent["bloom"]
+                    if "view" in intent:
+                        # materialized-view spec (+ its as_of high-water
+                        # version) commits ATOMICALLY with the view
+                        # table's data — a crash can never leave
+                        # refreshed data with a stale watermark (which
+                        # would double-apply the next feed)
+                        mv = manifest.setdefault("views", {})
+                        if intent["view"] is None:
+                            mv.pop(table, None)
+                        else:
+                            mv[table] = intent["view"]
                     if intent["mode"] == "append":
                         manifest["tables"][table] = list(cur or []) + list(
                             intent["added"]
@@ -841,6 +855,7 @@ class TransactionalCatalog(Catalog):
                 # snapshot predates)
                 "layout": vm.get("layouts", {}).get(table),
                 "bloom": vm.get("blooms", {}).get(table),
+                "view": vm.get("views", {}).get(table),
             }
 
     # -- DDL: CREATE / TRUNCATE / DROP ----------------------------------------
@@ -954,6 +969,7 @@ class TransactionalCatalog(Catalog):
             m.get("checks", {}).pop(table, None)
             m.get("layouts", {}).pop(table, None)
             m.get("blooms", {}).pop(table, None)
+            m.get("views", {}).pop(table, None)
 
         self._publish_meta(mutate, f"drop-{table}")
         try:
@@ -1391,6 +1407,15 @@ class TransactionalCatalog(Catalog):
         ``{"columns": {col: "int"|"long"|"string"}, "bits_per_row": n}``."""
         cfg = self._read_manifest(strict=False).get("blooms", {}).get(table)
         return json.loads(json.dumps(cfg)) if cfg is not None else None
+
+    def view_spec(self, name: str) -> dict | None:
+        """A materialized view's recorded spec (see
+        :mod:`~gcp_datalake_pipeline_spark.operators.matview`), or None:
+        ``{"source": t, "keys": [...], "sums": {out: src}, "count_col":
+        c, "as_of": v}`` — ``as_of`` is the source snapshot the view
+        currently reflects (the refresh high-water mark)."""
+        spec = self._read_manifest(strict=False).get("views", {}).get(name)
+        return json.loads(json.dumps(spec)) if spec is not None else None
 
     def set_bloom_index(
         self,
@@ -1983,6 +2008,7 @@ class TransactionalCatalog(Catalog):
             checks=old.get("checks", {}),
             layouts=old.get("layouts", {}),
             blooms_cfg=old.get("blooms", {}),
+            views=old.get("views", {}),
         )
 
     # -- maintenance --------------------------------------------------------
@@ -2178,6 +2204,7 @@ class TransactionalCatalog(Catalog):
             checks=manifest.get("checks", {}),
             layouts=manifest.get("layouts", {}),
             blooms_cfg=manifest.get("blooms", {}),
+            views=manifest.get("views", {}),
         )
         return dst
 

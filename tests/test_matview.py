@@ -1,0 +1,218 @@
+"""Incrementally maintained materialized views over the change feed.
+
+Contract under test:
+
+- INVARIANT: after ANY DML sequence on the source (append, delete,
+  update, whole-group delete, compaction), refresh == full recompute;
+- refresh cost is O(changes): the merge plan never reads the source's
+  unchanged files (``inputFiles`` pin), and an untouched source is a
+  zero-job, zero-commit no-op;
+- the spec + watermark commit atomically WITH the view data (a crash
+  can never double-apply a feed); they ride clones and restores;
+- NULL group keys stay one group across refreshes (the null-safe merge);
+- unmaintainable aggregates (MIN/MAX), shape violations, and name
+  collisions refuse at create time with the shape in the message.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.operators.matview import (
+    create_materialized_view,
+    drop_materialized_view,
+    parse_matview_select,
+    refresh_materialized_view,
+)
+from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+
+@pytest.fixture()
+def tcat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def _fact(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 1.5).alias("amt"),
+    )
+
+
+def _view_rows(tcat, name="v"):
+    return sorted(map(tuple, tcat.read(name).collect()))
+
+
+def _recompute(tcat, src="fact"):
+    return sorted(
+        map(
+            tuple,
+            tcat.read(src)
+            .groupBy("g")
+            .agg(F.sum("amt").alias("total"), F.count("*").alias("n"))
+            .collect(),
+        )
+    )
+
+
+def test_refresh_equals_full_recompute_under_dml(spark, tcat):
+    tcat.overwrite(_fact(spark, 0, 100).repartition(4), "fact")
+    out = create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n"
+    )
+    assert out["groups"] == 4
+    tcat.append(_fact(spark, 100, 130), "fact")
+    assert tcat.delete_where("fact", [("k", "<", 8)]) == 8
+    assert tcat.update_where("fact", [("k", "=", 64)], {"amt": "amt + 500"})
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] > 0
+    assert _view_rows(tcat) == _recompute(tcat)
+    # whole-group delete -> the group's row disappears at count zero
+    tcat.delete_where("fact", [("g", "=", 2)])
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+    assert len(_view_rows(tcat)) == 3
+    # compaction (all files rewritten, no logical change) -> values hold
+    assert tcat.compact("fact", min_dirs=1, cluster_by=["k"])
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+
+
+def test_refresh_io_bounded_and_noop_is_free(spark, tcat):
+    tcat.overwrite(_fact(spark, 0, 1000).repartition(6), "fact")
+    create_materialized_view(tcat, "v", "fact", ["g"], {"total": "amt"}, "n")
+    v_before = tcat.versions()[-1]["version"]
+    # untouched source: no Spark job, no commit, watermark unchanged
+    out = refresh_materialized_view(tcat, "v")
+    assert out == {"view": "v", "as_of": out["as_of"], "applied": 0}
+    assert tcat.versions()[-1]["version"] == v_before
+    # an append's refresh must not read the source's carried files
+    v1_inos = {i for i, _d, _f in tcat._version_file_inodes("fact", 1)}
+    tcat.append(_fact(spark, 1000, 1010).coalesce(1), "fact")
+    spec = tcat.view_spec("v")
+    feed = tcat.table_changes("fact", spec["as_of"])
+    read = {
+        os.path.realpath(p.replace("file:", ""))
+        for p in feed.inputFiles()
+    }
+    carried = {
+        os.path.realpath(os.path.join(d, f))
+        for i, d, f in tcat._version_file_inodes(
+            "fact", tcat.versions()[-1]["version"]
+        )
+        if i in v1_inos
+    }
+    assert not (read & carried)
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+
+
+def test_null_group_keys_stay_one_group(spark, tcat):
+    rows = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 5.0)],
+        "k long, g string, amt double",
+    )
+    tcat.overwrite(rows, "fact")
+    create_materialized_view(tcat, "v", "fact", ["g"], {"total": "amt"}, "n")
+    tcat.append(
+        spark.createDataFrame(
+            [(4, None, 30.0)], "k long, g string, amt double"
+        ),
+        "fact",
+    )
+    refresh_materialized_view(tcat, "v")
+    got = {tuple(r) for r in tcat.read("v").collect()}
+    assert len(got) == 2  # the NULL group did not split
+    assert (None, 60.0, 3) in got
+
+
+def test_watermark_rides_clone_and_restore(spark, tcat, tmp_path):
+    tcat.overwrite(_fact(spark, 0, 50), "fact")
+    create_materialized_view(tcat, "v", "fact", ["g"], {"total": "amt"}, "n")
+    v_created = tcat.versions()[-1]["version"]
+    clone = tcat.clone_to(str(tmp_path / "branch"))
+    assert clone.view_spec("v") == tcat.view_spec("v")
+    # diverge the clone independently
+    clone.append(_fact(spark, 50, 60), "fact")
+    refresh_materialized_view(clone, "v")
+    assert _view_rows(clone) == _recompute(clone)
+    # whole-catalog restore brings back spec AND watermark of that time
+    tcat.append(_fact(spark, 50, 70), "fact")
+    refresh_materialized_view(tcat, "v")
+    wm_after = tcat.view_spec("v")["as_of"]
+    tcat.restore(v_created)
+    assert tcat.view_spec("v")["as_of"] < wm_after
+    # the restored watermark matches the restored data: refresh against
+    # post-restore appends stays consistent
+    tcat.append(_fact(spark, 70, 80), "fact")
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+
+
+def test_drop_and_refusals(spark, tcat):
+    tcat.overwrite(_fact(spark, 0, 10), "fact")
+    create_materialized_view(tcat, "v", "fact", ["g"], {"total": "amt"}, "n")
+    drop_materialized_view(tcat, "v")
+    assert tcat.view_spec("v") is None and not tcat.exists("v")
+    with pytest.raises(FileNotFoundError):
+        refresh_materialized_view(tcat, "v")
+    with pytest.raises(FileNotFoundError):
+        drop_materialized_view(tcat, "v")
+    # name collisions and bad specs refuse at create
+    create_materialized_view(tcat, "v", "fact", ["g"], {"total": "amt"}, "n")
+    with pytest.raises(ValueError, match="already exists"):
+        create_materialized_view(
+            tcat, "v", "fact", ["g"], {"total": "amt"}, "n"
+        )
+    with pytest.raises(ValueError, match="collision"):
+        create_materialized_view(
+            tcat, "v2", "fact", ["g"], {"g": "amt"}, "n"
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        create_materialized_view(tcat, "v3", "fact", [], {"t": "amt"}, "n")
+
+
+def test_parse_matview_select():
+    src, keys, sums, n = parse_matview_select(
+        "SELECT g, h, SUM(amt) AS total, SUM(qty) AS q, COUNT(*) AS n "
+        "FROM fact GROUP BY g, h"
+    )
+    assert (src, keys, n) == ("fact", ["g", "h"], "n")
+    assert sums == {"total": "amt", "q": "qty"}
+    for bad in (
+        "SELECT g, MIN(amt) AS lo, COUNT(*) AS n FROM fact GROUP BY g",
+        "SELECT g, AVG(amt) AS a, COUNT(*) AS n FROM fact GROUP BY g",
+        "SELECT g, SUM(amt) AS t FROM fact GROUP BY g",  # no COUNT(*)
+        "SELECT g, SUM(amt) AS t, COUNT(*) AS n FROM fact GROUP BY h",
+        "SELECT g, SUM(amt+1) AS t, COUNT(*) AS n FROM fact GROUP BY g",
+    ):
+        with pytest.raises(ValueError):
+            parse_matview_select(bad)
+
+
+def test_sql_facade_matview_lifecycle(spark, tcat):
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    out = execute_dml(
+        tcat,
+        "CREATE MATERIALIZED VIEW v AS SELECT g, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM fact GROUP BY g",
+    )
+    assert out["view"] == "v" and out["groups"] == 4
+    execute_dml(tcat, "DELETE FROM fact WHERE k < 4")
+    out = execute_dml(tcat, "REFRESH MATERIALIZED VIEW v")
+    assert out["applied"] > 0
+    assert _view_rows(tcat) == _recompute(tcat)
+    assert execute_dml(tcat, "DROP MATERIALIZED VIEW v") == {
+        "view": "v",
+        "dropped": True,
+    }
+    with pytest.raises(ValueError, match="materialized views take"):
+        execute_dml(
+            tcat,
+            "CREATE MATERIALIZED VIEW v AS SELECT g, MAX(amt) AS hi, "
+            "COUNT(*) AS n FROM fact GROUP BY g",
+        )
