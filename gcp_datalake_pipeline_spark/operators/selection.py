@@ -1,0 +1,215 @@
+"""Training-data selection by hashed n-gram importance weighting (DSIR).
+
+DSIR — Data Selection with Importance Resampling (Xie et al., NeurIPS
+2023, arXiv:2302.03169) — scores every raw document by how much more
+likely its hashed n-gram profile is under a TARGET distribution (the
+high-quality corpus you want more of) than under the RAW pool's own
+distribution:
+
+    w(doc) = Σ_b count_b(doc) · ( log p̂_target(b) − log q̂_raw(b) )
+
+with unigram+bigram features hashed into a fixed bucket space and
+Laplace-smoothed bucket probabilities. Selecting the top-weighted
+documents up-samples target-like data; it is the standard pretraining
+data-selection baseline.
+
+Spark-first shape, each stage shuffle-bounded:
+
+- featurize: ONE explode of (unigrams ++ bigrams) per doc — bigrams
+  via a JVM ``transform`` over the token array, no Python — then a
+  map-side-combined groupBy to (doc, bucket) counts;
+- the bucket log-ratio table is ``buckets`` rows (a config constant:
+  DSIR uses 10k–100k buckets at any corpus size), BROADCAST into the
+  per-doc weighted sum — scoring a 100 TB pool is one scan + one
+  broadcast join + one groupBy(doc);
+- selection is a global TakeOrdered top-k (weight desc, doc_id asc),
+  never a full sort.
+
+``hash_mode`` follows the engine-wide convention (``dedup.py``):
+"xxhash64" is the production bucket hash; "md5" derives a 60-bit
+bucket from the md5 hex prefix that DuckDB rebuilds nibble-by-nibble,
+making the whole pipeline value-level oracle-checkable
+(:func:`dsir_topk_oracle_sql`). Log-ratios are quantized to INTEGER
+MICRO-UNITS before the weighted sum on both engines (the PQ/SQ8 gate
+discipline), so the per-doc sum is an exact BIGINT — cross-engine
+float-summation order can never flip a rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BIGRAMS = (
+    "transform(slice(tokens, 1, greatest(size(tokens) - 1, 0)), "
+    "(t, i) -> concat(t, ' ', tokens[i + 1]))"
+)
+
+
+def _doc_bucket_counts(
+    df: DataFrame,
+    buckets: int,
+    hash_mode: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed unigram+bigram counts per doc."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(F.col("tokens"), F.expr(_BIGRAMS))
+            ).alias("f"),
+        )
+    )
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.xxhash64("f")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return ex.groupBy(
+        "doc_id", F.pmod(h, F.lit(buckets)).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    hash_mode: str = "xxhash64",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance weight per raw document: (doc_id, weight), weight =
+    (Σ cnt_b · micro(log p̂_t(b) − log q̂_r(b))) / 1e6 rounded to 4,
+    probabilities Laplace-smoothed with ``alpha`` over the ``buckets``
+    space and log-ratios quantized to integer micro-units."""
+    raw_bc = _doc_bucket_counts(raw, buckets, hash_mode, text_col, id_col)
+    tgt_bc = _doc_bucket_counts(
+        target, buckets, hash_mode, text_col, id_col
+    )
+    rb = raw_bc.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tb = tgt_bc.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    # bucket log-ratio table: buckets rows, full-outer so a bucket seen
+    # on only one side still gets its smoothed ratio
+    totals = (
+        rb.agg(F.sum("rc").alias("rt"))
+        .crossJoin(tb.agg(F.sum("tc").alias("tt")))
+    )
+    ratios = (
+        rb.join(tb, "bucket", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            # log-ratio in INTEGER MICRO-UNITS (the PQ/SQ8 gate trick):
+            # the per-doc weighted sum is then an exact BIGINT sum —
+            # order-independent, so cross-engine summation order can
+            # never flip a rounding boundary
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+                        / (F.col("tt") + F.lit(alpha) * buckets)
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
+                        / (F.col("rt") + F.lit(alpha) * buckets)
+                    )
+                )
+                * 1e6,
+                0,
+            ).cast("long").alias("lr6"),
+        )
+    )
+    return (
+        raw_bc.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr6")) / 1e6, 4
+            ).alias("weight")
+        )
+    )
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 20,
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    hash_mode: str = "xxhash64",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selection step: top-``k`` raw documents by importance weight
+    (desc, doc_id tiebreak) — executes as TakeOrdered, no global sort."""
+    w = dsir_weights(
+        raw, target, buckets, alpha, hash_mode, text_col, id_col
+    )
+    return w.orderBy(F.desc("weight"), "doc_id").limit(k)
+
+
+def dsir_topk_oracle_sql(
+    k: int = 20,
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    target_pred: str = "lang = 'en'",
+) -> str:
+    """DuckDB oracle for ``dsir_topk(hash_mode="md5")`` value-for-value:
+    same tokenization (lower/trim, whitespace split), same unigram ++
+    bigram feature stream, the 60-bit md5-prefix bucket rebuilt
+    nibble-by-nibble (the ``dedup.py`` convention), identical Laplace
+    smoothing, log-ratios rounded to 6 BEFORE the weighted sum, weight
+    rounded to 4. ``target_pred`` selects the target slice out of the
+    same documents table the raw pool reads."""
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {target_pred} AS is_t,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_t, unnest(t) AS f FROM tk
+      UNION ALL
+      SELECT doc_id, is_t,
+             unnest([t[i] || ' ' || t[i + 1]
+                     for i in generate_series(1, len(t) - 1)]) AS f
+      FROM tk
+    ),
+    hx AS (SELECT doc_id, is_t, md5(f) AS hx FROM feats),
+    bk AS (
+      SELECT doc_id, is_t,
+             list_sum(
+               [(strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1)
+                * (1::BIGINT << CAST(4 * (15 - i) AS INT))
+                for i in generate_series(1, 15)]
+             ) % {buckets} AS bucket
+      FROM hx
+    ),
+    doc_bc AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2
+    ),
+    rb AS (SELECT bucket, COUNT(*) AS rc FROM bk GROUP BY 1),
+    tb AS (SELECT bucket, COUNT(*) AS tc FROM bk WHERE is_t GROUP BY 1),
+    tot AS (
+      SELECT (SELECT SUM(rc) FROM rb) AS rt, (SELECT SUM(tc) FROM tb) AS tt
+    ),
+    ratios AS (
+      SELECT COALESCE(rb.bucket, tb.bucket) AS bucket,
+             CAST(ROUND(
+               (ln((COALESCE(tc, 0) + {alpha}) / (tt + {alpha} * {buckets}))
+                - ln((COALESCE(rc, 0) + {alpha}) / (rt + {alpha} * {buckets})))
+               * 1e6, 0) AS BIGINT) AS lr6
+      FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket CROSS JOIN tot
+    )
+    SELECT doc_id, ROUND(SUM(cnt * lr6) / 1e6, 4) AS weight
+    FROM doc_bc JOIN ratios USING (bucket)
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id
+    LIMIT {k}
+    """

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.operators import dedup, similarity, text
+from gcp_datalake_pipeline_spark.operators import (
+    dedup,
+    selection,
+    similarity,
+    text,
+)
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
@@ -529,6 +534,25 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_lsh_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.3, backend="hof"
+    )
+
+
+@register(
+    "dsir_topk",
+    selection.dsir_topk_oracle_sql(k=20),
+    doc="""DSIR training-data selection (Xie et al., arXiv:2302.03169):
+    hashed unigram+bigram importance weights log p_target - log q_raw
+    (target = the English slice, raw = the whole pool), top-20 by
+    weight. Gate runs the md5-parity bucket hash so featurization,
+    smoothing, and the weighted sum are value-level oracled end to
+    end; production default stays xxhash64 (same plan shape). The
+    bucket ratio table is a broadcast constant, so scoring scales as
+    one scan + one groupBy per corpus.""",
+)
+def dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return selection.dsir_topk(
+        docs, docs.filter(F.col("lang") == "en"), k=20, hash_mode="md5"
     )
 
 

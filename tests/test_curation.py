@@ -135,3 +135,63 @@ def test_dedup_ingest_batch_loop_matches_full_corpus(spark, tmp_path):
     }
     assert stored == full
     assert len(cat.versions()) == 3  # one commit per round
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR direction sanity on a constructed pool: docs sharing the
+    target's vocabulary outrank docs that don't, under both hash
+    backends, and weights are deterministic."""
+    from gcp_datalake_pipeline_spark.operators import selection
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quick brown fox and lazy dog"),        # target-like
+            (2, "the quick fox jumps again"),            # target-like
+            (3, "completely unrelated protocol buffers"),
+            (4, "numerical weather prediction models"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("xxhash64", "md5"):
+        top = selection.dsir_topk(raw, target, k=4, hash_mode=mode)
+        ranked = [r["doc_id"] for r in top.collect()]
+        assert set(ranked[:2]) == {1, 2}, (mode, ranked)
+        again = [r["doc_id"] for r in selection.dsir_topk(
+            raw, target, k=4, hash_mode=mode
+        ).collect()]
+        assert again == ranked
+
+
+def test_dsir_md5_matches_duckdb_oracle(spark):
+    """The registry gate's comparison in-tree at sf0.001: md5-parity
+    Spark DSIR == the nibble-rebuilt DuckDB oracle, value for value."""
+    import duckdb
+
+    from gcp_datalake_pipeline_spark.operators import selection
+    from gcp_datalake_pipeline_spark.plans.queries import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = [
+        (r["doc_id"], r["weight"])
+        for r in selection.dsir_topk(
+            docs, docs.filter(F.col("lang") == "en"), k=15, hash_mode="md5"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = [
+        (int(a), float(b))
+        for a, b in con.execute(
+            selection.dsir_topk_oracle_sql(k=15)
+        ).fetchall()
+    ]
+    assert got == exp and len(exp) == 15
