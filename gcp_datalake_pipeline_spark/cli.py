@@ -83,6 +83,7 @@ def cmd_corpus_ingest(args) -> None:
         file_format=args.format,
         schema=args.schema,
         quarantine_after=args.quarantine_after or None,
+        bloom_index=args.bloom_index,
     )
     n_pairs = (
         cat.read("corpus_near_dup_pairs").count()
@@ -716,6 +717,11 @@ def main(argv: list[str] | None = None) -> None:
         "--atomic", action="store_true",
         help="use the transactional catalog (one commit per round; "
         "replayed batches are skipped via the version history)",
+    )
+    pc.add_argument(
+        "--bloom-index", action="store_true", dest="bloom_index",
+        help="maintain a bloom index on doc_id (transactional catalogs): "
+        "small-candidate verification reads skip files id ranges cannot",
     )
     pc.add_argument(
         "--format", default="parquet",

@@ -161,7 +161,17 @@ def _bucket_pruned_members(
     min, max). ``table_id_col`` names the STORED id column when the
     member-ids DataFrame uses a different (internal) name — same
     values, so the hash layout and the range agree. Returns the member
-    rows with ``_kb`` dropped."""
+    rows with ``_kb`` dropped.
+
+    When the candidate set is SMALL (≤256 distinct ids — decided by a
+    BOUNDED ``limit(257)`` collect, never by candidate cardinality),
+    the read carries the ids as an ``IN`` predicate instead of the
+    range: per-value min/max skipping is at least as tight as the
+    range, and on a corpus whose docs table carries a bloom index on
+    the id column (``dedup_ingest_batch(bloom_index=True)``) the probe
+    skips every file that provably holds NONE of the candidates — the
+    id-scatter case where footer ranges stop pruning after a few
+    ingest rounds."""
     tid = table_id_col or id_col
     row = member_ids.agg(
         F.collect_set(_key_bucket(id_col, num_buckets)).alias("bs"),
@@ -170,13 +180,16 @@ def _bucket_pruned_members(
     ).first()
     buckets = sorted(row["bs"])
     if hasattr(catalog, "pruned_files") and buckets:
+        some_ids = [
+            r[0]
+            for r in member_ids.select(id_col).distinct().limit(257).collect()
+        ]
+        if len(some_ids) <= 256:
+            id_preds = [(tid, "in", sorted(some_ids))]
+        else:
+            id_preds = [(tid, ">=", row["mn"]), (tid, "<=", row["mx"])]
         return catalog.read(
-            table,
-            predicates=[
-                ("_kb", "in", buckets),
-                (tid, ">=", row["mn"]),
-                (tid, "<=", row["mx"]),
-            ],
+            table, predicates=[("_kb", "in", buckets), *id_preds]
         ).drop("_kb")
     return (
         catalog.read(table).filter(F.col("_kb").isin(buckets)).drop("_kb")
@@ -220,6 +233,7 @@ def dedup_ingest_batch(
     num_buckets: int = 64,
     load_id: str | None = None,
     rounds_table: str | None = None,
+    bloom_index: bool = False,
 ) -> DataFrame:
     """One round of the production corpus-dedup loop: flag the incoming
     batch's near-dups against everything ingested so far, then append the
@@ -364,7 +378,24 @@ def dedup_ingest_batch(
             # sidecar before the writes so compact() preserves _kb
             catalog._write_bucket_meta(docs_table, num_buckets, ["doc_id"])
         _writes()
+    if bloom_index:
+        _ensure_corpus_bloom(catalog, docs_table, "doc_id")
     return pairs
+
+
+def _ensure_corpus_bloom(catalog, table: str, id_col: str) -> None:
+    """Opt-in bloom index on a corpus table's id column, configured
+    AFTER the round's commit (set_bloom_index is its own metadata
+    commit and refuses inside a transaction). First call backfills the
+    just-committed dirs; every later round's append maintains the
+    sidecars automatically through the staged-write path, and the
+    member fetch's small-candidate ``IN`` reads bloom-skip the files
+    id ranges cannot. No-op on catalogs without bloom support."""
+    setter = getattr(catalog, "set_bloom_index", None)
+    if setter is None:
+        return
+    if catalog.bloom_index(table) is None:
+        setter(table, [id_col])
 
 
 def embedding_ingest_batch(
@@ -384,6 +415,7 @@ def embedding_ingest_batch(
     num_buckets: int = 64,
     load_id: str | None = None,
     rounds_table: str | None = None,
+    bloom_index: bool = False,
 ) -> DataFrame:
     """The embedding twin of :func:`dedup_ingest_batch`: flag the incoming
     batch's embedding near-dups against everything ingested so far, then
@@ -497,4 +529,6 @@ def embedding_ingest_batch(
         if write_meta:
             catalog._write_bucket_meta(vectors_table, num_buckets, [id_col])
         _writes()
+    if bloom_index:
+        _ensure_corpus_bloom(catalog, vectors_table, id_col)
     return pairs

@@ -522,6 +522,7 @@ def run_streaming_dedup_ingest(
     quarantine_dir: str | None = None,
     quarantine_table: str | None = None,
     rounds_table: str | None = None,
+    bloom_index: bool = False,
 ):
     """Run text dedup-ingest rounds over newly landed document files
     (``*.parquet`` by default; ``file_format="jsonl"`` for
@@ -557,6 +558,7 @@ def run_streaming_dedup_ingest(
             num_buckets=num_buckets,
             load_id=lid,
             rounds_table=rtable or None,
+            bloom_index=bloom_index,
         )
 
     return _run_streaming_rounds(

@@ -1102,3 +1102,60 @@ def test_prune_audit_tables_retention(spark, tmp_path):
     cat.append(spark.createDataFrame([(1,)], "x long"), "not_audit")
     with pytest.raises(ValueError, match="not an audit table"):
         prune_audit_tables(cat, ["not_audit"], 1.0)
+
+
+def test_member_fetch_bloom_skips_where_ranges_cannot(spark, tmp_path):
+    """Bloom composition on the verification read: rounds with
+    INTERLEAVED id ranges give every file a [min, max] spanning the
+    whole key space, so range stats prune nothing beyond the _kb
+    partitions — with `bloom_index=True` the small-candidate IN fetch
+    skips the rounds' files that provably hold none of the members;
+    without it, every partition file opens. Values identical."""
+    docs = spark.read.parquet(DOCS)
+    stripes = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def build(root, bloom):
+        cat = TransactionalCatalog(spark=spark, root=root)
+        for b in stripes:
+            corpus.dedup_ingest_batch(
+                cat, b, num_buckets=4, bloom_index=bloom
+            )
+        return cat
+
+    cat_b = build(str(tmp_path / "bloomed"), True)
+    cat_p = build(str(tmp_path / "plain"), False)
+    assert cat_b.bloom_index("corpus_docs") is not None
+    assert cat_p.bloom_index("corpus_docs") is None
+
+    member_ids = stripes[0].select("doc_id").limit(5)
+    fetched_b = corpus._bucket_pruned_members(
+        cat_b, "corpus_docs", "doc_id", 4, member_ids
+    )
+    fetched_p = corpus._bucket_pruned_members(
+        cat_p, "corpus_docs", "doc_id", 4, member_ids
+    )
+    n_bloom = len(fetched_b.inputFiles())
+    n_plain = len(fetched_p.inputFiles())
+    assert 0 < n_bloom < n_plain, (n_bloom, n_plain)
+    member_set = {r["doc_id"] for r in member_ids.collect()}
+    assert {r["doc_id"] for r in fetched_b.collect()} >= member_set
+    assert {r["doc_id"] for r in fetched_b.select("doc_id").collect()} == {
+        r["doc_id"] for r in fetched_p.select("doc_id").collect()
+    }
+    # large candidate sets fall back to the bounded range path and stay
+    # value-correct (no unbounded id collect ever happens)
+    many = docs.select("doc_id").limit(300)
+    got = {
+        r["doc_id"]
+        for r in corpus._bucket_pruned_members(
+            cat_b, "corpus_docs", "doc_id", 4, many
+        ).collect()
+    }
+    assert got >= {r["doc_id"] for r in many.collect()}
+    # round 2+ appends keep maintaining the sidecars automatically
+    from gcp_datalake_pipeline_spark import blooms
+
+    for d in cat_b._data_dirs("corpus_docs"):
+        files = cat_b._dir_parquet_files(d)
+        entries = (blooms.read_dir_blooms(d) or {}).get("files", {})
+        assert all(f in entries for f in files), d
