@@ -302,10 +302,34 @@ def cmd_query(args) -> None:
             return
     _register_views(cat, args.testdata)
     sql = _rewrite_table_changes(cat, args.sql)
+    sql = _rewrite_version_as_of(cat, sql)
     df = cat.spark.sql(sql)
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=False)
+
+
+def _rewrite_version_as_of(cat, sql: str) -> str:
+    """Delta's per-table time travel at the SQL prompt: ``FROM t
+    VERSION AS OF n`` registers ``t``'s snapshot-n read (``read_at``,
+    stats sidecars included) as a temp view and rewrites the reference
+    — the per-table complement of the catalog-wide ``--as-of``."""
+    import re as _re
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    if not isinstance(cat, TransactionalCatalog):
+        return sql
+
+    def sub(m):
+        t, v = m.group(1), int(m.group(2))
+        name = f"_asof_{t}_v{v}"
+        cat.read_at(t, v).createOrReplaceTempView(name)
+        return name
+
+    return _re.sub(
+        r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", sub, sql, flags=_re.I
+    )
 
 
 def _rewrite_table_changes(cat, sql: str) -> str:

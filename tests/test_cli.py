@@ -355,3 +355,26 @@ def test_cli_diff_and_table_changes_tvf(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "delete" in r.stdout
+
+
+def test_cli_version_as_of_table_syntax(workdir):
+    """Per-table time travel at the SQL prompt: FROM t VERSION AS OF n
+    rewrites to a snapshot read — deleted rows reappear."""
+    cat = f"{workdir}/vasof_lake"
+    r = run_cli(
+        "ingest", "--atomic", "--catalog", cat,
+        "tests/fixtures/empresas_20251001.csv",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("versions", "--catalog", cat)
+    v0 = json.loads(r.stdout[r.stdout.index("["):])[-1]["version"]
+    r = run_cli(
+        "query", "--catalog", cat, "DELETE FROM empresa WHERE carrier_id >= 1"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "query", "--catalog", cat,
+        f"SELECT count(*) AS n FROM empresa VERSION AS OF {v0}",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "|3 " in r.stdout.replace("  ", " ") or "| 3 " in r.stdout
