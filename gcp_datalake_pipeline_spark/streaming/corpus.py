@@ -203,6 +203,7 @@ def _run_streaming_rounds(
     count_key: str = "n_pairs",
     never_quarantine: tuple = (),
     failure_ttl_seconds: float = 7 * 86400.0,
+    refresh_views: tuple[str, ...] = (),
 ):
     """Shared trigger/foreachBatch runner: list newly landed files of the
     loop's format (binaryFile metadata only — content is re-read columnar
@@ -490,6 +491,22 @@ def _run_streaming_rounds(
                     compact(table)
                 except ConcurrentWriteError:
                     pass  # a concurrent append won; next window retries
+        if refresh_views:
+            # post-commit maintenance like compaction: materialized
+            # views over the loop's tables catch up after every round
+            # (O(round's changes) each — the CDF-driven refresh), so a
+            # live dashboard reads fresh aggregates without rescanning
+            # the corpus. Best-effort: a lost refresh race retries next
+            # round; the watermark protocol makes retries exact.
+            from gcp_datalake_pipeline_spark.operators.matview import (
+                refresh_materialized_view,
+            )
+
+            for view in refresh_views:
+                try:
+                    refresh_materialized_view(catalog, view)
+                except (ConcurrentWriteError, FileNotFoundError):
+                    pass
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -523,6 +540,7 @@ def run_streaming_dedup_ingest(
     quarantine_table: str | None = None,
     rounds_table: str | None = None,
     bloom_index: bool = False,
+    refresh_views: tuple[str, ...] = (),
 ):
     """Run text dedup-ingest rounds over newly landed document files
     (``*.parquet`` by default; ``file_format="jsonl"`` for
@@ -574,6 +592,7 @@ def run_streaming_dedup_ingest(
         quarantine_after=quarantine_after,
         quarantine_dir=quarantine_dir,
         quarantine_table=quarantine_table or f"{docs_table}_file_quarantine",
+        refresh_views=refresh_views,
     )
 
 

@@ -1159,3 +1159,47 @@ def test_member_fetch_bloom_skips_where_ranges_cannot(spark, tmp_path):
         files = cat_b._dir_parquet_files(d)
         entries = (blooms.read_dir_blooms(d) or {}).get("files", {})
         assert all(f in entries for f in files), d
+
+
+def test_streaming_loop_refreshes_materialized_views(spark, tmp_path):
+    """Composition: a materialized view over the corpus docs table
+    catches up after every committed streaming round (refresh_views=),
+    so a live dashboard reads fresh aggregates without rescanning the
+    corpus — and the view equals a full recompute at the end."""
+    from gcp_datalake_pipeline_spark.operators.matview import (
+        create_materialized_view,
+    )
+    from gcp_datalake_pipeline_spark.streaming.corpus import (
+        run_streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    paths = _landing_files(docs, "doc_id", str(tmp_path / "landing"))
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    # seed round 1 so the view's source table exists, then register the
+    # view and stream the remaining files with auto-refresh
+    corpus.dedup_ingest_batch(cat, _batches(docs, "doc_id")[0])
+    create_materialized_view(
+        cat, "docs_by_bucket", "corpus_docs", ["_kb"], {}, "n_docs"
+    )
+    import os
+
+    os.remove(paths[0])  # round 1's docs already ingested above
+    rounds = run_streaming_dedup_ingest(
+        cat, str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        refresh_views=("docs_by_bucket",),
+    )
+    assert len(rounds) == 2
+    got = sorted(
+        (r["_kb"], r["n_docs"])
+        for r in cat.read("docs_by_bucket").collect()
+    )
+    full = sorted(
+        (r["_kb"], r["n"])
+        for r in cat.read("corpus_docs")
+        .groupBy("_kb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == full
+    assert sum(n for _b, n in got) == docs.count()
