@@ -993,6 +993,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_rotated_topk",
+    similarity.pq_rotated_topk_oracle_sql(ANN_QUERY_IDS, k=5),
+    doc="""The OPQ-family rotation in front of PQ: a seeded orthonormal
+    rotation (FAISS RandomRotationMatrix) balances variance across the
+    code subspaces before encoding — one Arrow matmul pass, then the
+    verified pq_topk machinery unchanged on the rotated vectors. The
+    rotation is embedded as round-6 literals in the oracle, so encode
+    argmin, ADC tables, and ranks stay value-level checked end to end.
+    (The data-trained rotation — rotation="opq", Ge et al. CVPR 2013
+    — shares this serving path and is pytest-verified: SVD training is
+    not SQL-expressible.)""",
+)
+def ann_pq_rotated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_rotated_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
     "ann_sq8_topk",
     similarity.sq8_topk_oracle_sql(ANN_QUERY_IDS, k=5),
     doc="""Scalar-quantization ANN top-5 (FAISS ScalarQuantizer QT_8bit

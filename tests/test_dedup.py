@@ -938,3 +938,75 @@ def test_semdedup_matches_duckdb_oracle(spark):
         ).fetchall()
     ]
     assert got == exp and len(exp) > 0
+
+
+def test_pq_rotated_equals_pq_on_prerotated_frame(spark):
+    """pq_rotated_topk is pq_topk after a seeded rotation — pin the
+    composition by materializing the rotation explicitly and comparing,
+    and pin rotation determinism + round-6 orthonormality."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    R = similarity.rotation_matrix(64)
+    assert np.array_equal(R, similarity.rotation_matrix(64))
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-4  # round-6 ortho
+    rows = emb.select("vec_id", "embedding").collect()
+    rotated = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [
+                    float(x)
+                    for x in np.round(
+                        np.array(r["embedding"], dtype=np.float64) @ R, 6
+                    )
+                ],
+            )
+            for r in rows
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        map(tuple, similarity.pq_rotated_topk(emb, [3, 57], k=5).collect())
+    )
+    b = sorted(map(tuple, similarity.pq_topk(rotated, [3, 57], k=5).collect()))
+    assert a == b and len(a) == 10
+
+
+def test_opq_rotation_reduces_quantization_error(spark):
+    """The OPQ-trained rotation: deterministic, orthonormal, and lower
+    first-ksub-codebook quantization error than NO rotation on
+    correlated data (the case rotation exists for)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    dim, n, m, ksub = 16, 200, 4, 8
+    # correlated: a few strong directions, so unrotated subspaces are
+    # unbalanced
+    basis = rng.standard_normal((dim, dim))
+    scales = np.linspace(3.0, 0.05, dim)
+    X = rng.standard_normal((n, dim)) * scales @ basis
+
+    def err(R):
+        Y = X @ R
+        cb = Y[:ksub].reshape(ksub, m, dim // m).transpose(1, 0, 2)
+        Ys = Y.reshape(n, m, dim // m)
+        tot = 0.0
+        for s in range(m):
+            d = ((Ys[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            tot += d.min(axis=1).sum()
+        return tot
+
+    R = similarity.opq_train_rotation(X, m, ksub)
+    assert np.array_equal(R, similarity.opq_train_rotation(X, m, ksub))
+    assert np.abs(R @ R.T - np.eye(dim)).max() < 1e-4
+    assert err(R) < err(np.eye(dim))
+    # the opq serving mode runs end to end and returns ranked rows
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = similarity.pq_rotated_topk(
+        emb, [3, 57], k=5, rotation="opq", train_n=64
+    )
+    got = out.collect()
+    assert len(got) == 10
+    assert {r["query_id"] for r in got} == {3, 57}
