@@ -193,7 +193,11 @@ def might_contain(entry: dict, value, spark_type: str) -> bool:
     bits = base64.b64decode(entry["b"])
     h2 = (h >> 32) | 1
     for i in range(k):
-        pos = (h + i * h2) % m
+        # wrap mod 2^64 BEFORE the modulo: the build side's numpy uint64
+        # arithmetic wraps, and m is not a power of two, so an unwrapped
+        # Python-int sum would probe DIFFERENT bits for hashes near 2^64
+        # and turn a false negative into a wrongly skipped file
+        pos = ((h + i * h2) & _M64) % m
         if not bits[pos >> 3] & (1 << (pos & 7)):
             return False
     return True
@@ -242,7 +246,12 @@ def build_dir_blooms(
         todo[rel] = entry
     base = os.path.abspath(dir_path)
     if todo:
-        df = spark.read.parquet(base)
+        # read ONLY the files that actually need new bitmaps: hardlink-
+        # carried files reuse their prior entries, and scanning the whole
+        # dir would make a 1-file DML rewrite pay a full-table hash pass
+        df = spark.read.option("basePath", base).parquet(
+            *(os.path.join(base, rel) for rel in sorted(todo))
+        )
         cols = [c for c in columns if c in df.columns]
         if cols:
             sel = df.select(
@@ -290,16 +299,15 @@ def build_dir_blooms(
             partials = sel.mapInPandas(
                 fold, schema="f string, c string, b binary"
             ).collect()
-            merged: dict[tuple[str, str], bytearray] = {}
+            merged: dict[tuple[str, str], "np.ndarray"] = {}
             for row in partials:
                 key = (row["f"], row["c"])
+                b = np.frombuffer(row["b"], dtype=np.uint8)
                 cur = merged.get(key)
                 if cur is None:
-                    merged[key] = bytearray(row["b"])
+                    merged[key] = b.copy()
                 else:
-                    b = row["b"]
-                    for i in range(len(cur)):
-                        cur[i] |= b[i]
+                    np.bitwise_or(cur, b, out=cur)
             for rel in todo:
                 m, k = sizes[rel]
                 fe: dict[str, dict] = {}

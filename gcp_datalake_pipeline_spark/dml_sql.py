@@ -423,6 +423,21 @@ _CANONICAL_WHEN = (
 _CANONICAL_WHEN_DELETE = ("MATCHED THEN DELETE",)
 
 
+def _refuse_matview_target(catalog, table: str, verb: str) -> None:
+    """Materialized views hold maintained aggregate partials; a direct
+    write would desynchronize them from the source and every later
+    REFRESH would merge correct deltas into a corrupted base (Delta
+    refuses this for the same reason). Raises for registered views;
+    no-op on catalogs without a view registry."""
+    view_spec = getattr(catalog, "view_spec", None)
+    if view_spec is not None and view_spec(table) is not None:
+        raise ValueError(
+            f"{table!r} is a materialized view; {verb} would desync it "
+            f"from its source — use REFRESH MATERIALIZED VIEW (or DROP "
+            f"MATERIALIZED VIEW and recreate); {_GRAMMAR}"
+        )
+
+
 def execute_dml(catalog, sql: str) -> dict | None:
     """Run a DELETE/UPDATE/INSERT/MERGE statement through the catalog's
     engine and return a result dict — or ``None`` when the statement is
@@ -446,10 +461,12 @@ def execute_dml(catalog, sql: str) -> dict | None:
     s = sql.strip().rstrip(";").strip()
     m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
     if m:
+        _refuse_matview_target(catalog, m.group(1), "DELETE")
         n = catalog.delete_where(m.group(1), parse_where(m.group(2)))
         return {"table": m.group(1), "deleted": n}
     m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
+        _refuse_matview_target(catalog, m.group(1), "UPDATE")
         # quote/paren-aware WHERE split: a SET expression's string
         # literal may itself contain the word WHERE
         pieces = _split_keyword(m.group(2), "WHERE")
@@ -474,6 +491,9 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         overwrite = m.group(1).upper() == "OVERWRITE"
         table, col_list, tail = m.group(2), m.group(3), m.group(4).strip()
+        _refuse_matview_target(
+            catalog, table, "INSERT OVERWRITE" if overwrite else "INSERT"
+        )
         cols = (
             [c.strip() for c in col_list.split(",")] if col_list else None
         )
@@ -527,6 +547,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
     m = re.fullmatch(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", s, re.I | re.S)
     if m:
         table, rest = m.group(1), m.group(2)
+        _refuse_matview_target(catalog, table, "MERGE")
         pieces = _split_keyword(rest, "ON")
         if len(pieces) != 2:
             raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
@@ -713,12 +734,15 @@ def execute_dml(catalog, sql: str) -> dict | None:
         return {"table": m.group(1), "dropped_bloom_index": True}
     m = re.fullmatch(r"TRUNCATE\s+TABLE\s+(\w+)", s, re.I)
     if m:
+        _refuse_matview_target(catalog, m.group(1), "TRUNCATE")
         n = catalog.truncate(m.group(1))
         return {"table": m.group(1), "truncated": n}
     m = re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, re.I)
     if m:
         if m.group(1) and not catalog.exists(m.group(2)):
             return {"table": m.group(2), "dropped": False}
+        # DROP TABLE on a matview would orphan its registered spec
+        _refuse_matview_target(catalog, m.group(2), "DROP TABLE")
         catalog.drop_table(m.group(2))
         return {"table": m.group(2), "dropped": True}
     # CREATE/DROP VIEW etc. stay None -> spark.sql; only TABLE-shaped
@@ -727,7 +751,8 @@ def execute_dml(catalog, sql: str) -> dict | None:
         r"(DELETE|UPDATE|INSERT|MERGE|OPTIMIZE|VACUUM)\b"
         r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b"
         r"|CREATE\s+BLOOMFILTER\b|DROP\s+BLOOMFILTER\b"
-        r"|CREATE\s+MATERIALIZED\b|REFRESH\b|DROP\s+MATERIALIZED\b",
+        r"|CREATE\s+MATERIALIZED\b|REFRESH\s+MATERIALIZED\b"
+        r"|DROP\s+MATERIALIZED\b",
         s,
         re.I,
     ):

@@ -180,9 +180,14 @@ def _bucket_pruned_members(
     ).first()
     buckets = sorted(row["bs"])
     if hasattr(catalog, "pruned_files") and buckets:
+        # NULL member ids can never equal a stored id (and hash to a NULL
+        # bucket), so drop them BEFORE sorting — sorted() on a mixed
+        # [None, str] list raises, and the range path's min/max agg
+        # ignored NULLs for the same reason
         some_ids = [
             r[0]
             for r in member_ids.select(id_col).distinct().limit(257).collect()
+            if r[0] is not None
         ]
         if len(some_ids) <= 256:
             id_preds = [(tid, "in", sorted(some_ids))]

@@ -127,6 +127,11 @@ def refresh_materialized_view(catalog, name: str) -> dict:
         ],
         F.sum(w).alias(count_col),
     )
+    # compute the feed ONCE: the count below and the overwrite are
+    # separate actions, and exchange reuse does not span them — without
+    # the checkpoint every refresh would read the changed files and run
+    # the signed groupBy twice (delta is O(affected groups), tiny)
+    delta = delta.localCheckpoint(eager=True)
     n_applied = delta.count()
     if n_applied == 0:
         # commits moved the source's dir list without net row changes

@@ -1942,10 +1942,12 @@ class TransactionalCatalog(Catalog):
                 "schema tracking; rewrite the table once first"
             )
         merged = T.StructType.fromJson(merged_sj)
-        if "_change_type" in merged.fieldNames():
+        reserved = {"_change_type", "_commit_version"}
+        clash = reserved & set(merged.fieldNames())
+        if clash:
             raise ValueError(
-                f"{table!r} has a _change_type column; the change feed "
-                "cannot disambiguate it"
+                f"{table!r} has reserved column(s) {sorted(clash)}; the "
+                "change feed stamps both and cannot disambiguate them"
             )
 
         def align(by_dir, side_sj):

@@ -382,3 +382,76 @@ def test_sql_facade_routes_bloom_ddl(spark, tcat):
     assert out == {"table": "users", "dropped_bloom_index": True}
     with pytest.raises(ValueError, match="BLOOMFILTER"):
         execute_dml(tcat, "CREATE BLOOMFILTER INDEX users (k)")
+
+
+def test_probe_wraps_bit_arithmetic_like_the_build(monkeypatch):
+    """The build computes bit positions in numpy uint64 (wraps mod 2^64);
+    the probe must wrap identically. For hashes near 2^64 an unwrapped
+    Python-int sum lands on DIFFERENT bits and a present value would be
+    'proven' absent — a wrongly skipped file (r10 self-review #1)."""
+    import base64 as b64
+
+    import numpy as np
+
+    for h in (
+        0xFFFFFFFFFFFFFFFF,
+        0xFFFFFFFED82C07CD,  # the simulated divergence case
+        0xFFFFFFFF00000001,
+        0x8000000000000000,
+        12345,
+    ):
+        m, k = blooms._sizing(100, 10)
+        bits = bytearray(m // 8)
+        for arr in blooms._positions_np(
+            np.array([h], dtype=np.uint64), m, k
+        ):
+            pos = int(arr[0])
+            bits[pos >> 3] |= 1 << (pos & 7)
+        entry = {
+            "m": m,
+            "k": k,
+            "b": b64.b64encode(bytes(bits)).decode("ascii"),
+        }
+        monkeypatch.setattr(blooms, "spark_hash", lambda v, t, _h=h: _h)
+        assert blooms.might_contain(entry, "x", "string"), hex(h)
+
+
+def test_build_reads_only_files_needing_new_bitmaps(spark, tmp_path):
+    """Hardlink-carried files reuse their prior bloom entries; the build
+    job must not even OPEN them, or a 1-file DML rewrite pays a full
+    table hash pass (r10 self-review #4). Pinned by corrupting the
+    carried file: a whole-dir scan would crash on it."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "staged"
+    (
+        spark.range(100)
+        .select(F.col("id").alias("k"))
+        .coalesce(2)
+        .write.parquet(str(d))
+    )
+    stats = filestats.collect_dir_stats(str(d))
+    rels = sorted(stats["files"])
+    assert len(rels) == 2
+    carried, fresh = rels[0], rels[1]
+    # clobber the carried file with non-parquet bytes
+    with open(d / carried, "wb") as f:
+        f.write(b"not parquet at all")
+    fake = {"k": {"t": "long", "m": 64, "k": 1, "b": "AAAAAAAAAAA="}}
+    blooms.build_dir_blooms(
+        spark,
+        str(d),
+        {"k": "long"},
+        stats,
+        reuse={carried: fake},
+    )
+    side = blooms.read_dir_blooms(str(d))
+    assert side["files"][carried] == fake
+    # the fresh file got a real bitmap that answers membership
+    fe = side["files"][fresh]["k"]
+    vals = {
+        r["k"]
+        for r in spark.read.parquet(str(d / fresh)).collect()
+    }
+    probe = next(iter(vals))
+    assert blooms.might_contain(fe, int(probe), "long")

@@ -163,3 +163,16 @@ def test_bad_range_and_conflicting_types(spark, tcat):
     )
     with pytest.raises(ValueError, match="type"):
         tcat.table_changes("t", 1).collect()
+
+
+def test_reserved_commit_version_column_refused(spark, tcat):
+    """_commit_version is stamped onto every feed row just like
+    _change_type; a user column of that name would be silently
+    overwritten (r10 self-review #7) — both reserved names refuse."""
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").alias("_commit_version")
+    )
+    tcat.overwrite(df, "t")
+    tcat.append(df, "t")
+    with pytest.raises(ValueError, match="_commit_version"):
+        tcat.table_changes("t", 1)

@@ -1203,3 +1203,24 @@ def test_streaming_loop_refreshes_materialized_views(spark, tmp_path):
     )
     assert got == full
     assert sum(n for _b, n in got) == docs.count()
+
+
+def test_member_fetch_tolerates_null_member_ids(spark, tmp_path):
+    """A NULL id can never equal a stored id (and hashes to a NULL
+    bucket), so NULL members are ignored — not a TypeError from sorting
+    a mixed [None, int] IN-list (r10 self-review #2)."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    docs = spark.read.parquet(DOCS)
+    b1, _, _ = _batches(docs, "doc_id")
+    corpus.dedup_ingest_batch(cat, b1)
+    member_ids = b1.select("doc_id").limit(5).unionByName(
+        spark.range(1).select(F.lit(None).cast("long").alias("doc_id"))
+    )
+    pruned = corpus._bucket_pruned_members(
+        cat, "corpus_docs", "doc_id", 64, member_ids
+    )
+    got = {r["doc_id"] for r in pruned.select("doc_id").collect()}
+    want = {
+        r["doc_id"] for r in member_ids.collect() if r["doc_id"] is not None
+    }
+    assert got >= want and None not in got

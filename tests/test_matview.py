@@ -216,3 +216,49 @@ def test_sql_facade_matview_lifecycle(spark, tcat):
             "CREATE MATERIALIZED VIEW v AS SELECT g, MAX(amt) AS hi, "
             "COUNT(*) AS n FROM fact GROUP BY g",
         )
+
+
+def test_direct_writes_to_matview_refused(spark, tcat):
+    """Every content-mutating verb against a registered materialized
+    view refuses loudly: a direct write would desync the stored
+    partials and every later REFRESH would merge correct deltas into a
+    corrupted base (r10 self-review #3). DROP TABLE refuses too (it
+    would orphan the spec); DROP MATERIALIZED VIEW is the exit."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    execute_dml(
+        tcat,
+        "CREATE MATERIALIZED VIEW v AS SELECT g, SUM(amt) AS total, "
+        "COUNT(*) AS n FROM fact GROUP BY g",
+    )
+    for stmt in (
+        "INSERT INTO v VALUES (9, 1.0, 1)",
+        "INSERT OVERWRITE v SELECT g, total, n FROM parquet.`x`",
+        "DELETE FROM v WHERE g = 1",
+        "UPDATE v SET n = 0 WHERE g = 1",
+        "MERGE INTO v USING fact ON g",
+        "TRUNCATE TABLE v",
+        "DROP TABLE v",
+    ):
+        with pytest.raises(ValueError, match="materialized view"):
+            execute_dml(tcat, stmt)
+    # the view is untouched and still refreshes to the recompute
+    execute_dml(tcat, "DELETE FROM fact WHERE k < 4")
+    execute_dml(tcat, "REFRESH MATERIALIZED VIEW v")
+    assert _view_rows(tcat) == _recompute(tcat)
+    # source tables are unaffected by the guard
+    assert execute_dml(tcat, "DELETE FROM fact WHERE k = 5")["deleted"] == 1
+
+
+def test_spark_refresh_statements_pass_through(spark, tcat):
+    """Spark's own REFRESH TABLE / REFRESH FUNCTION are not ours: the
+    facade returns None so the caller sends them to spark.sql (r10
+    self-review #6 — the refusal tail must match only REFRESH
+    MATERIALIZED)."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    assert execute_dml(tcat, "REFRESH TABLE some_view") is None
+    assert execute_dml(tcat, "REFRESH FUNCTION f") is None
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(tcat, "REFRESH MATERIALIZED VIEW")  # malformed: ours
