@@ -393,6 +393,47 @@ def cmd_diff(args) -> None:
     )
 
 
+def cmd_cdf_pump(args) -> None:
+    """One exactly-once round of change-feed consumption: fold the
+    source's changes since the consumer's watermark into a keyed
+    replica table, watermark and writes in one commit."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_into,
+        pump_table_changes,
+    )
+
+    cat = _txn_catalog(args)
+    keys = [k.strip() for k in args.keys.split(",")]
+
+    def apply(feed):
+        return apply_changes_into(cat, feed, args.target, keys)
+
+    if cat.stream_watermark(args.consumer) is None:
+        if args.start_version is not None:
+            # deep-history start: the caller manages the bootstrap
+            out = pump_table_changes(
+                cat,
+                args.source,
+                args.consumer,
+                start_version=args.start_version,
+            )
+        else:
+            # bootstrap BEFORE registering, watermark pinned to the
+            # pre-copy version: a crash between the two just
+            # re-bootstraps, and a src commit slipping between read
+            # and register only re-applies a window the keyed apply
+            # folds idempotently — the replica can never MISS a window
+            v0 = cat._read_manifest(strict=False)["version"]
+            cat.overwrite(cat.read(args.source), args.target)
+            out = pump_table_changes(
+                cat, args.source, args.consumer, start_version=v0
+            )
+            out["bootstrapped"] = True
+        print(json.dumps(out))
+        return
+    print(json.dumps(pump_table_changes(cat, args.source, args.consumer, apply)))
+
+
 def cmd_tables(args) -> None:
     cat = _catalog(args, must_exist=True)
     for entry in cat.tables():
@@ -1023,6 +1064,20 @@ def main(argv: list[str] | None = None) -> None:
     pdf.add_argument("--from", dest="from_version", type=int, required=True)
     pdf.add_argument("--to", dest="to_version", type=int, default=None)
     pdf.set_defaults(fn=cmd_diff)
+
+    pcp = sub.add_parser(
+        "cdf-pump",
+        help="one exactly-once change-feed round: fold the source's "
+        "changes since the consumer watermark into a keyed replica "
+        "(first call registers + bootstraps the replica snapshot)",
+    )
+    pcp.add_argument("--catalog", required=True)
+    pcp.add_argument("--source", required=True)
+    pcp.add_argument("--consumer", required=True)
+    pcp.add_argument("--target", required=True)
+    pcp.add_argument("--keys", required=True, help="comma-separated key columns")
+    pcp.add_argument("--start-version", type=int, default=None)
+    pcp.set_defaults(fn=cmd_cdf_pump)
 
     pcn = sub.add_parser(
         "count",

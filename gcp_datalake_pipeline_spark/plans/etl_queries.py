@@ -1337,3 +1337,99 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_stream_changes",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           round(CASE WHEN o_orderstatus = 'O'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END, 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 6000
+      AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    ORDER BY o_orderkey
+    """,
+    doc="""Exactly-once change-feed consumption through the real storage
+    engine (streaming/cdf.py): a bounded orders subset seeds a source
+    table; a registered consumer bootstraps a keyed replica from the
+    snapshot, then three pumps fold an append, a predicate DELETE, and
+    an in-place UPDATE through apply_changes_into — each window's keyed
+    CDC apply committing atomically with the consumer watermark. The
+    query RAISES unless every pump applied change rows and a final
+    catch-up pump is a zero-commit no-op, then returns the replica.
+    Oracle = the source's logical final state computed directly; the
+    invariant is replica == source after any DML sequence, with no
+    window ever applied twice (the watermark expect-check).""",
+)
+def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_into,
+        pump_table_changes,
+    )
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_stream_changes_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+
+    def apply(feed):
+        return apply_changes_into(cat, feed, "orders_replica", ["o_orderkey"])
+
+    if not cat.exists("orders_cdc_src"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+            )
+        )
+        cat.overwrite(
+            orders.where(F.year("o_orderdate") < 1996).coalesce(2),
+            "orders_cdc_src",
+        )
+        pump_table_changes(cat, "orders_cdc_src", "replica")
+        # bootstrap contract: the feed starts AFTER the watermark, so
+        # the replica copies the registered snapshot first
+        cat.overwrite(cat.read("orders_cdc_src"), "orders_replica")
+        cat.append(
+            orders.where(F.year("o_orderdate") >= 1996).coalesce(2),
+            "orders_cdc_src",
+        )
+        r1 = pump_table_changes(cat, "orders_cdc_src", "replica", apply)
+        cat.delete_where(
+            "orders_cdc_src",
+            [("o_orderstatus", "=", "F"), ("o_totalprice", "<", 50000.0)],
+        )
+        r2 = pump_table_changes(cat, "orders_cdc_src", "replica", apply)
+        cat.update_where(
+            "orders_cdc_src",
+            [("o_orderstatus", "=", "O")],
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        r3 = pump_table_changes(cat, "orders_cdc_src", "replica", apply)
+        if r1["applied"] == 0 or r2["applied"] == 0 or r3["applied"] == 0:
+            raise RuntimeError(
+                f"change-feed pump applied no rows ({r1}, {r2}, {r3})"
+            )
+    v = cat._read_manifest(strict=False)["version"]
+    caught_up = pump_table_changes(cat, "orders_cdc_src", "replica", apply)
+    if (
+        caught_up["applied"] != 0
+        or caught_up["from"] != caught_up["to"]
+        or cat._read_manifest(strict=False)["version"] != v
+    ):
+        raise RuntimeError(
+            f"consumer was not caught up after its pumps: {caught_up}"
+        )
+    return (
+        cat.read("orders_replica")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,262 @@
+"""Exactly-once incremental consumption of a table's change feed.
+
+:meth:`~gcp_datalake_pipeline_spark.transactions.TransactionalCatalog.table_changes`
+answers "what changed between two snapshots"; this module turns that
+into a PIPELINE: a named consumer with a durable watermark that
+advances atomically with whatever the consumer wrote. Each
+:func:`pump_table_changes` call is one micro-batch round — the
+version-window analog of the file-landing loops in
+:mod:`~gcp_datalake_pipeline_spark.streaming.ingest` /
+:mod:`~gcp_datalake_pipeline_spark.streaming.corpus` (SURVEY.md §2.9:
+trigger -> transform -> commit, replay-safe), and the Spark-native
+counterpart of Delta's ``readChangeFeed`` streaming source feeding an
+``APPLY CHANGES INTO`` target.
+
+Exactly-once, concretely:
+
+- The watermark (``manifest["streams"][consumer] = {"source", "as_of"}``)
+  commits in the SAME manifest swap as the round's data writes — a
+  crash can never leave applied data with a stale watermark (which
+  would re-apply the window) or an advanced watermark with no data
+  (which would drop it).
+- Every advance is CONFLICT-CHECKED against the watermark the pump
+  read (``expect_as_of``): two racing pumps of one consumer would both
+  stage appends that a dir-list check alone cannot catch — the second
+  committer raises
+  :class:`~gcp_datalake_pipeline_spark.transactions.ConcurrentWriteError`
+  and retries from a fresh read, like every other optimistic write.
+- A round whose apply wrote nothing still advances the watermark via a
+  metadata-only commit under the same flock + expect-check.
+
+Scale stance: a pump's cost is O(changed files + consumer work) — the
+feed reads ONLY the files that entered/left the source's manifests in
+the window (``table_changes``' bounded-I/O pin), never the table. The
+watermark is one manifest key; a thousand consumers are a thousand
+JSON entries, the same metadata class as a Delta log.
+
+:func:`apply_changes_into` is the common consumer: keyed CDC apply
+(Delta Live Tables' ``APPLY CHANGES INTO`` shape) that upserts the
+latest insert per key and drops keys whose latest change is a delete —
+the downstream replica / projection maintainer.
+
+Reference boundary: the reference re-reads PostgreSQL whole on every
+query (``etl-gcs-cloudsql/src/db.ts``); incremental downstream
+maintenance is the capability a 100 TB lake substitutes for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pump_table_changes", "apply_changes_into"]
+
+_FEED_COLS = ("_change_type", "_commit_version")
+
+
+def _source_moved(catalog, source: str, v_from: int, v_to: int) -> bool:
+    """Manifest-only probe: did any commit in (v_from, v_to] move the
+    source's dir list? Vacuumed windows answer True (conservative —
+    ``table_changes`` then raises its own precise error)."""
+    prev_rels = None
+    for v in range(v_from, v_to + 1):
+        try:
+            rels = catalog._version_manifest(v)["tables"].get(source) or []
+        except FileNotFoundError:
+            return True
+        if prev_rels is not None and rels != prev_rels:
+            return True
+        prev_rels = rels
+    return False
+
+
+def pump_table_changes(
+    catalog,
+    source: str,
+    consumer: str,
+    apply_fn=None,
+    start_version: int | None = None,
+) -> dict:
+    """Run one exactly-once round of change-feed consumption.
+
+    First call registers the consumer: the watermark is set to
+    ``start_version`` (default: the CURRENT version — consume only
+    future changes; pass an older retained version to start deeper in
+    history) and nothing is applied. Every later call reads
+    ``table_changes(source, as_of, current)``, hands the feed to
+    ``apply_fn(feed)`` inside a transaction, and commits the advanced
+    watermark atomically with whatever ``apply_fn`` wrote through the
+    catalog. Returns ``{"consumer", "source", "from", "to",
+    "applied"}`` — ``applied`` is ``apply_fn``'s return value (0 on
+    register/no-op rounds; None if ``apply_fn`` returns None).
+
+    ``apply_fn`` must write ONLY through ``catalog`` (so its writes and
+    the watermark share the commit) and must not itself open or close a
+    transaction. A consumer whose target is its own source would feed
+    back into the next window — don't.
+
+    Bootstrap contract (Delta's readChangeFeed shape): the feed carries
+    changes AFTER the watermark version, so a replica consumer seeds
+    itself by copying the source's current snapshot right after
+    registering, then pumps — or registers with ``start_version`` at a
+    retained version it already reflects.
+    """
+    from gcp_datalake_pipeline_spark.transactions import (
+        ConcurrentWriteError,
+    )
+
+    if getattr(catalog, "_pending", None) is not None:
+        raise RuntimeError(
+            "pump_table_changes inside an open transaction"
+        )
+    wm = catalog.stream_watermark(consumer)
+    current = catalog._read_manifest(strict=False)["version"]
+    if wm is None:
+        as_of = current if start_version is None else int(start_version)
+        if as_of > current:
+            raise ValueError(
+                f"start_version {as_of} is ahead of the catalog "
+                f"(version {current})"
+            )
+
+        def register(m):
+            ms = m.setdefault("streams", {})
+            if consumer in ms:
+                raise ConcurrentWriteError(
+                    f"change-feed consumer {consumer!r} was registered "
+                    "by another pump; retry from a fresh read"
+                )
+            ms[consumer] = {"source": source, "as_of": as_of}
+
+        catalog._publish_meta(register, f"cdf-register-{consumer}")
+        return {
+            "consumer": consumer,
+            "source": source,
+            "from": None,
+            "to": as_of,
+            "applied": 0,
+        }
+    if wm["source"] != source:
+        raise ValueError(
+            f"consumer {consumer!r} is registered on source "
+            f"{wm['source']!r}, not {source!r}"
+        )
+    prev = wm["as_of"]
+    if prev >= current or not _source_moved(
+        catalog, source, prev, current
+    ):
+        # idle source: zero-commit no-op (the watermark deliberately
+        # stays — re-walking the cheap JSON manifests next pump beats
+        # spending a commit per idle round, same stance as matview)
+        return {
+            "consumer": consumer,
+            "source": source,
+            "from": prev,
+            "to": prev,
+            "applied": 0,
+        }
+    feed = catalog.table_changes(source, prev, current)
+    new_wm = {"source": source, "as_of": current}
+    applied = None
+    lid = f"cdf-pump-{consumer}-{prev}-{current}"
+    if apply_fn is None:
+        applied = 0
+    else:
+        catalog.begin(lid)
+        try:
+            applied = apply_fn(feed)
+        except BaseException:
+            catalog.rollback()
+            raise
+        if catalog._intents:
+            # piggyback on any one intent: folding is per-intent but
+            # writes the consumer's manifest entry either way, and the
+            # whole txn is one atomic swap
+            intent = next(iter(catalog._intents.values()))
+            intent.setdefault("stream", {})[consumer] = {
+                "expect_as_of": prev,
+                "set": new_wm,
+            }
+            try:
+                catalog.commit()
+            except BaseException:
+                catalog.rollback()
+                raise
+            return {
+                "consumer": consumer,
+                "source": source,
+                "from": prev,
+                "to": current,
+                "applied": applied,
+            }
+        # apply_fn wrote nothing: don't burn a version on an empty
+        # data commit — fall through to the watermark-only advance
+        catalog.rollback()
+    # advance the watermark alone, still expect-checked under the flock
+
+    def advance(m):
+        cur = m.get("streams", {}).get(consumer)
+        if cur is None or cur["as_of"] != prev:
+            raise ConcurrentWriteError(
+                f"change-feed consumer {consumer!r} was advanced by "
+                f"another pump (expected watermark {prev!r}, found "
+                f"{cur!r}); retry from a fresh read"
+            )
+        m["streams"][consumer] = new_wm
+
+    catalog._publish_meta(advance, lid)
+    return {
+        "consumer": consumer,
+        "source": source,
+        "from": prev,
+        "to": current,
+        "applied": applied,
+    }
+
+
+def apply_changes_into(
+    catalog, feed: DataFrame, target: str, key_cols: list[str]
+) -> int:
+    """Keyed CDC apply (``APPLY CHANGES INTO``): fold a change-feed
+    window into ``target`` so it tracks the source's latest state per
+    key. Per key, the changes at the key's HIGHEST ``_commit_version``
+    in the window win: its inserts become the key's new rows (an
+    in-place UPDATE is a delete+insert at one version, so the insert
+    wins); no inserts there means the key was deleted and it leaves the
+    target. Keys the window never touched pass through untouched.
+
+    One shuffle on the keys (max-version self-join, AQE-sized), one
+    left-anti against the touched keys, one overwrite of ``target`` —
+    the rewrite is bounded by the target, and the target is a replica/
+    projection, not the 100 TB source. Call inside
+    :func:`pump_table_changes`'s ``apply_fn`` so the overwrite and the
+    watermark commit together. Returns the number of change rows
+    folded. Assumes keys are unique and NON-NULL in the source (the
+    standard CDC contract — SQL equality can neither match nor anti-
+    match a NULL key); duplicate-key inserts at one version all land.
+    """
+    # compute the window's feed ONCE: the fold count and the overwrite
+    # are separate actions and exchange reuse does not span them (the
+    # same convention as matview refresh); the feed is bounded by the
+    # window's changed files, never the table
+    feed = feed.localCheckpoint(eager=True)
+    mx = feed.groupBy(*key_cols).agg(
+        F.max("_commit_version").alias("_mv")
+    )
+    last = feed.join(mx, on=list(key_cols), how="inner").where(
+        F.col("_commit_version") == F.col("_mv")
+    )
+    upserts = last.where(F.col("_change_type") == "insert").drop(
+        "_mv", *_FEED_COLS
+    )
+    touched = mx.select(*key_cols)
+    if catalog.exists(target):
+        base = catalog.read(target).join(
+            touched, on=list(key_cols), how="left_anti"
+        )
+        new = base.unionByName(upserts)
+    else:
+        new = upserts
+    n = feed.count()
+    catalog.overwrite(new, target)
+    return n

@@ -670,6 +670,7 @@ class TransactionalCatalog(Catalog):
         layouts: dict | None = None,
         blooms_cfg: dict | None = None,
         views: dict | None = None,
+        streams: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -706,6 +707,8 @@ class TransactionalCatalog(Catalog):
                     manifest["blooms"] = dict(blooms_cfg)
                 if views is not None:
                     manifest["views"] = dict(views)
+                if streams is not None:
+                    manifest["streams"] = dict(streams)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
@@ -737,6 +740,33 @@ class TransactionalCatalog(Catalog):
                             mv.pop(table, None)
                         else:
                             mv[table] = intent["view"]
+                    if "stream" in intent:
+                        # change-feed consumer watermark(s), committed
+                        # ATOMICALLY with the applied writes AND
+                        # conflict-checked against the watermark this
+                        # pump read: two concurrent pumps of one
+                        # consumer would otherwise BOTH land their
+                        # appends — a double apply with no error
+                        ms = manifest.setdefault("streams", {})
+                        for cname, upd in intent["stream"].items():
+                            cur_wm = ms.get(cname)
+                            cur_v = (
+                                cur_wm["as_of"]
+                                if cur_wm is not None
+                                else None
+                            )
+                            if cur_v != upd["expect_as_of"]:
+                                raise ConcurrentWriteError(
+                                    f"change-feed consumer {cname!r} was "
+                                    f"advanced by another pump (expected "
+                                    f"watermark {upd['expect_as_of']!r}, "
+                                    f"found {cur_v!r}); retry from a "
+                                    "fresh read"
+                                )
+                            if upd["set"] is None:
+                                ms.pop(cname, None)
+                            else:
+                                ms[cname] = dict(upd["set"])
                     if intent["mode"] == "append":
                         manifest["tables"][table] = list(cur or []) + list(
                             intent["added"]
@@ -1417,6 +1447,21 @@ class TransactionalCatalog(Catalog):
         spec = self._read_manifest(strict=False).get("views", {}).get(name)
         return json.loads(json.dumps(spec)) if spec is not None else None
 
+    def stream_watermark(self, consumer: str) -> dict | None:
+        """A change-feed consumer's recorded watermark (see
+        :mod:`~gcp_datalake_pipeline_spark.streaming.cdf`), or None:
+        ``{"source": t, "as_of": v}`` — ``as_of`` is the last source
+        version whose changes the consumer has applied. Committed
+        atomically with the consumer's writes and conflict-checked on
+        every advance, so a replayed or racing pump can never apply a
+        window twice."""
+        wm = (
+            self._read_manifest(strict=False)
+            .get("streams", {})
+            .get(consumer)
+        )
+        return json.loads(json.dumps(wm)) if wm is not None else None
+
     def set_bloom_index(
         self,
         table: str,
@@ -2011,6 +2056,7 @@ class TransactionalCatalog(Catalog):
             layouts=old.get("layouts", {}),
             blooms_cfg=old.get("blooms", {}),
             views=old.get("views", {}),
+            streams=old.get("streams", {}),
         )
 
     # -- maintenance --------------------------------------------------------
@@ -2207,6 +2253,7 @@ class TransactionalCatalog(Catalog):
             layouts=manifest.get("layouts", {}),
             blooms_cfg=manifest.get("blooms", {}),
             views=manifest.get("views", {}),
+            streams=manifest.get("streams", {}),
         )
         return dst
 

@@ -1,0 +1,195 @@
+"""Exactly-once change-feed consumption (streaming/cdf.py): the
+watermark advances atomically with the applied writes, every advance is
+conflict-checked, and the keyed CDC apply keeps a replica equal to its
+source under append / delete / update DML."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.streaming.cdf import (
+    apply_changes_into,
+    pump_table_changes,
+)
+from gcp_datalake_pipeline_spark.transactions import (
+    ConcurrentWriteError,
+    TransactionalCatalog,
+)
+
+
+@pytest.fixture()
+def tcat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def _src(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 1.5).alias("amt"),
+    )
+
+
+def _rows(tcat, name):
+    return sorted(map(tuple, tcat.read(name).collect()))
+
+
+def _replica_apply(tcat):
+    def apply(feed):
+        return apply_changes_into(tcat, feed, "replica", ["k"])
+
+    return apply
+
+
+def _bootstrap(spark, tcat):
+    """Seed source + replica snapshot + registered consumer (the
+    documented bootstrap contract: the feed starts AFTER the
+    watermark, so the replica copies the current snapshot first)."""
+    tcat.overwrite(_src(spark, 0, 10), "src")
+    pump_table_changes(tcat, "src", "rep")  # register at current
+    tcat.overwrite(tcat.read("src"), "replica")
+
+
+def test_replica_tracks_source_under_all_dml(spark, tcat):
+    _bootstrap(spark, tcat)
+    tcat.append(_src(spark, 10, 30), "src")
+    tcat.delete_where("src", [("k", "<", 5)])
+    tcat.update_where("src", [("g", "=", 2)], {"amt": "amt * 10"})
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] > 0
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+    # catch-up pump is a zero-apply no-op and does not bump the version
+    v = tcat._read_manifest(strict=False)["version"]
+    calls = []
+    out = pump_table_changes(
+        tcat, "src", "rep", lambda f: calls.append(f)
+    )
+    assert out["applied"] == 0 and out["from"] == out["to"]
+    assert not calls, "idle source must not invoke apply_fn"
+    assert tcat._read_manifest(strict=False)["version"] == v
+
+
+def test_start_version_replays_retained_history(spark, tcat):
+    """Registering at an older retained version makes the first pump
+    cover everything committed since — the deep-history start."""
+    tcat.overwrite(_src(spark, 0, 10), "src")
+    v_seed = tcat._read_manifest(strict=False)["version"]
+    tcat.append(_src(spark, 10, 15), "src")
+    tcat.append(_src(spark, 15, 20), "src")
+    pump_table_changes(tcat, "src", "rep", start_version=v_seed)
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    # the replica holds exactly the post-seed appends
+    assert _rows(tcat, "replica") == sorted(
+        map(tuple, _src(spark, 10, 20).collect())
+    )
+    with pytest.raises(ValueError, match="ahead of the catalog"):
+        pump_table_changes(tcat, "src", "rep2", start_version=999)
+
+
+def test_watermark_commits_atomically_with_the_apply(spark, tcat):
+    """A failed apply leaves BOTH the replica and the watermark
+    untouched; the retry applies the same window exactly once."""
+    _bootstrap(spark, tcat)
+    tcat.append(_src(spark, 10, 14), "src")
+    before = tcat.stream_watermark("rep")
+
+    def boom(feed):
+        apply_changes_into(tcat, feed, "replica", ["k"])
+        raise RuntimeError("crash after staging, before commit")
+
+    with pytest.raises(RuntimeError, match="crash after staging"):
+        pump_table_changes(tcat, "src", "rep", boom)
+    assert tcat.stream_watermark("rep") == before
+    assert len(_rows(tcat, "replica")) == 10  # staged writes rolled back
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] > 0
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+
+
+def test_racing_pumps_cannot_double_apply(spark, tcat):
+    """Two pumps of one consumer racing the same window: append-only
+    sinks never conflict on dir lists, so the watermark expect-check
+    must fail the second committer — or the window lands twice."""
+    tcat.overwrite(_src(spark, 0, 10), "src")
+    pump_table_changes(tcat, "src", "rep")
+    tcat.append(_src(spark, 10, 20), "src")
+    tcat2 = TransactionalCatalog(spark=spark, root=tcat.root)
+
+    def sneaky(feed):
+        tcat.append(feed.drop("_change_type", "_commit_version"), "sink")
+        # a second pump of the same consumer lands first
+        pump_table_changes(
+            tcat2,
+            "src",
+            "rep",
+            lambda f: tcat2.append(
+                f.drop("_change_type", "_commit_version"), "sink"
+            ),
+        )
+        return 1
+
+    with pytest.raises(ConcurrentWriteError, match="rep"):
+        pump_table_changes(tcat, "src", "rep", sneaky)
+    # exactly one copy of the window's 10 inserts landed
+    assert tcat.read("sink").count() == 10
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] == 0 and out["from"] == out["to"]
+
+
+def test_empty_apply_advances_watermark_without_data_commit(spark, tcat):
+    tcat.overwrite(_src(spark, 0, 5), "src")
+    pump_table_changes(tcat, "src", "rep")
+    tcat.append(_src(spark, 5, 8), "src")
+    v = tcat._read_manifest(strict=False)["version"]
+    seen = {}
+
+    def observe(feed):
+        seen["n"] = feed.count()
+        return None  # no writes
+
+    out = pump_table_changes(tcat, "src", "rep", observe)
+    assert seen["n"] > 0 and out["applied"] is None
+    # one metadata-only commit: watermark moved, no table dirs moved
+    m = tcat._read_manifest(strict=False)
+    assert m["version"] == v + 1
+    assert tcat.stream_watermark("rep")["as_of"] == out["to"]
+
+
+def test_update_wins_over_delete_at_same_version(spark, tcat):
+    """An in-place UPDATE is a delete+insert at ONE commit version —
+    the keyed apply must keep the insert, not drop the key."""
+    _bootstrap(spark, tcat)
+    tcat.update_where("src", [("k", "=", 3)], {"amt": "999.0"})
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    got = {r["k"]: r["amt"] for r in tcat.read("replica").collect()}
+    assert got[3] == 999.0 and len(got) == 10
+
+
+def test_watermark_rides_clone_and_restore(spark, tcat, tmp_path):
+    _bootstrap(spark, tcat)
+    tcat.append(_src(spark, 10, 12), "src")
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    wm = tcat.stream_watermark("rep")
+    clone = tcat.clone_to(str(tmp_path / "branch"))
+    assert clone.stream_watermark("rep") == wm
+    v = tcat._read_manifest(strict=False)["version"]
+    tcat.append(_src(spark, 12, 14), "src")
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert tcat.stream_watermark("rep")["as_of"] > wm["as_of"]
+    tcat.restore(v)
+    # whole-catalog restore reverts consumer watermarks WITH the data
+    assert tcat.stream_watermark("rep") == wm
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+
+
+def test_source_mismatch_and_open_txn_refused(spark, tcat):
+    tcat.overwrite(_src(spark, 0, 5), "src")
+    tcat.overwrite(_src(spark, 0, 5), "other")
+    pump_table_changes(tcat, "src", "rep")
+    with pytest.raises(ValueError, match="registered on source"):
+        pump_table_changes(tcat, "other", "rep")
+    tcat.begin("outer")
+    try:
+        with pytest.raises(RuntimeError, match="open transaction"):
+            pump_table_changes(tcat, "src", "rep")
+    finally:
+        tcat.rollback()

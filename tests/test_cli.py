@@ -378,3 +378,53 @@ def test_cli_version_as_of_table_syntax(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "|3 " in r.stdout.replace("  ", " ") or "| 3 " in r.stdout
+
+
+def test_cli_cdf_pump_lifecycle(workdir):
+    """cdf-pump end-to-end: first call bootstraps replica + registers;
+    later calls fold DML windows; an idle pump is a no-op."""
+    cat = f"{workdir}/cdclake"
+    r = run_cli("ingest", "--atomic", "--catalog", cat,
+                "tests/fixtures/empresas*.csv")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "query", "--catalog", cat,
+        "CREATE TABLE src (k BIGINT, v STRING)",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "query", "--catalog", cat,
+        "INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "cdf-pump", "--catalog", cat, "--source", "src",
+        "--consumer", "rep", "--target", "replica", "--keys", "k",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert out["bootstrapped"] is True
+    r = run_cli("query", "--catalog", cat, "DELETE FROM src WHERE k = 2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "cdf-pump", "--catalog", cat, "--source", "src",
+        "--consumer", "rep", "--target", "replica", "--keys", "k",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert out["applied"] > 0
+    r = run_cli(
+        "query", "--catalog", cat,
+        "SELECT k, v FROM replica ORDER BY k",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2" not in r.stdout.split("ORDER", 1)[-1] or True
+    assert "|1  |a  |" in r.stdout and "|3  |c  |" in r.stdout
+    assert "|2  |b  |" not in r.stdout
+    # idle pump: zero apply, watermark steady
+    r = run_cli(
+        "cdf-pump", "--catalog", cat, "--source", "src",
+        "--consumer", "rep", "--target", "replica", "--keys", "k",
+    )
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert out["applied"] == 0 and out["from"] == out["to"]
