@@ -44,6 +44,7 @@ statement):
     REFRESH MATERIALIZED VIEW <name>
     DROP MATERIALIZED VIEW <name>
     VACUUM [RETAIN <n> VERSIONS]
+    EXPLAIN DELETE ... | EXPLAIN UPDATE ...   -- dry-run rewrite plan
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
     <conj> := <term> [AND <term>]...
@@ -85,6 +86,7 @@ _GRAMMAR = (
     "COUNT(*) AS n FROM t GROUP BY keys; REFRESH|DROP MATERIALIZED "
     "VIEW v; "
     "VACUUM [RETAIN n VERSIONS]; "
+    "EXPLAIN DELETE|UPDATE ... (metadata-only dry-run rewrite plan); "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
     "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
@@ -423,6 +425,94 @@ _CANONICAL_WHEN = (
 _CANONICAL_WHEN_DELETE = ("MATCHED THEN DELETE",)
 
 
+def _explain_rewrite(catalog, table: str, preds, verb: str, extra=None):
+    """Dry-run rewrite plan: the file-skipping outcome a
+    DELETE/UPDATE would see, computed from sidecar metadata alone — no
+    data is read, nothing commits. ``files_candidates`` would be
+    rewritten, ``files_carried`` hardlinked; ``rows_provably_matching``
+    counts rows of files the stats PROVE all-match (the certain part of
+    the blast radius), ``files_undecidable`` must be read to know."""
+    import os
+
+    from gcp_datalake_pipeline_spark import blooms, filestats
+
+    if not catalog.exists(table):
+        raise FileNotFoundError(f"no table {table!r}")
+    dnf = catalog._as_dnf(preds)
+    total = candidates = counted = undecidable = 0
+    for d in catalog._data_dirs(table):
+        stats = blooms.attach_blooms(filestats.read_dir_stats(d), d, dnf)
+        files = catalog._dir_parquet_files(d)
+        total += len(files)
+        candidates += len(filestats.prune_files_dnf(stats, files, dnf))
+        rows, unknown = filestats.classify_files_dnf(stats, files, dnf)
+        counted += rows
+        undecidable += len(unknown)
+    return {
+        "explain": verb,
+        "table": table,
+        "files_total": total,
+        "files_candidates": candidates,
+        "files_carried": total - candidates,
+        "rows_provably_matching": counted,
+        "files_undecidable": undecidable,
+        **(extra or {}),
+    }
+
+
+def _explain(catalog, inner: str):
+    """EXPLAIN routing: DELETE/UPDATE get the dry-run rewrite plan;
+    other engine-routed verbs refuse loudly (Spark would misparse them
+    against ITS catalog); anything else (EXPLAIN SELECT and friends)
+    returns None for spark.sql."""
+    s = inner.strip().rstrip(";").strip()
+    m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
+    if m:
+        return _explain_rewrite(
+            catalog, m.group(1), parse_where(m.group(2)), "DELETE"
+        )
+    m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
+    if m:
+        table = m.group(1)
+        pieces = _split_keyword(m.group(2), "WHERE")
+        if len(pieces) != 2:
+            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+        assigns, where = pieces
+        set_cols = []
+        for assign in _split_top(assigns):
+            col, eq, expr = assign.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(f"bad SET assignment {assign!r}; {_GRAMMAR}")
+            set_cols.append(col.strip())
+        names = {f.name for f in _target_schema(catalog, table).fields}
+        missing = [c for c in set_cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"UPDATE SET column(s) {missing!r} not in {table!r}; "
+                f"{_GRAMMAR}"
+            )
+        return _explain_rewrite(
+            catalog,
+            table,
+            parse_where(where),
+            "UPDATE",
+            {"set_columns": set_cols},
+        )
+    if re.match(
+        r"(INSERT|MERGE|OPTIMIZE|VACUUM|TRUNCATE)\b"
+        r"|CREATE\s+(TABLE|MATERIALIZED|BLOOMFILTER)\b"
+        r"|DROP\s+(TABLE|MATERIALIZED|BLOOMFILTER)\b|ALTER\s+TABLE\b"
+        r"|REFRESH\s+MATERIALIZED\b",
+        s,
+        re.I,
+    ):
+        raise ValueError(
+            "EXPLAIN supports DELETE/UPDATE (the rewrite planners); "
+            f"{_GRAMMAR}"
+        )
+    return None
+
+
 def _refuse_matview_target(catalog, table: str, verb: str) -> None:
     """Materialized views hold maintained aggregate partials; a direct
     write would desynchronize them from the source and every later
@@ -459,6 +549,9 @@ def execute_dml(catalog, sql: str) -> dict | None:
     contract; a rand()-dependent source may pass the probe on rows the
     write never produces)."""
     s = sql.strip().rstrip(";").strip()
+    m = re.fullmatch(r"EXPLAIN\s+(.+)", s, re.I | re.S)
+    if m:
+        return _explain(catalog, m.group(1))
     m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
     if m:
         _refuse_matview_target(catalog, m.group(1), "DELETE")

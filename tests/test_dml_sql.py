@@ -650,3 +650,52 @@ def test_create_table_as_select(spark, tmp_path):
     # still DML-gated: the new table mutates through the façade
     out = execute_dml(cat, "DELETE FROM totals WHERE grp = 'b'")
     assert out == {"table": "totals", "deleted": 1}
+
+
+def test_explain_dml_dry_run(spark, tmp_path):
+    """EXPLAIN DELETE/UPDATE returns the metadata-only rewrite plan —
+    candidate/carried file split and the provable blast radius — and
+    mutates NOTHING (no version bump, no rows moved). EXPLAIN SELECT
+    stays Spark's; EXPLAIN on other engine verbs refuses."""
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    # 4 files with disjoint k ranges: a range predicate prunes cleanly
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    cat.overwrite(df.repartitionByRange(4, "k"), "t")
+    v = cat._read_manifest(strict=False)["version"]
+
+    out = execute_dml(cat, "EXPLAIN DELETE FROM t WHERE k < 50")
+    assert out["explain"] == "DELETE" and out["table"] == "t"
+    assert out["files_total"] == 4
+    assert out["files_candidates"] < 4 and out["files_carried"] >= 1
+    # nothing happened
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert cat.read("t").count() == 400
+
+    # a file whose whole range matches is provable without reading
+    out = execute_dml(cat, "EXPLAIN DELETE FROM t WHERE k >= 0")
+    assert out["rows_provably_matching"] == 400
+    assert out["files_undecidable"] == 0
+
+    out = execute_dml(cat, "EXPLAIN UPDATE t SET g = g + 1 WHERE k < 50")
+    assert out["explain"] == "UPDATE" and out["set_columns"] == ["g"]
+    assert out["files_candidates"] < 4
+
+    with pytest.raises(ValueError, match="not in 't'"):
+        execute_dml(cat, "EXPLAIN UPDATE t SET nope = 1 WHERE k < 50")
+    with pytest.raises(ValueError, match="EXPLAIN supports"):
+        execute_dml(cat, "EXPLAIN INSERT INTO t VALUES (1, 2)")
+    with pytest.raises(ValueError, match="EXPLAIN supports"):
+        execute_dml(cat, "EXPLAIN OPTIMIZE t ZORDER BY (k)")
+    with pytest.raises(FileNotFoundError):
+        execute_dml(cat, "EXPLAIN DELETE FROM ghost WHERE k = 1")
+    # Spark's own EXPLAIN shapes pass through untouched
+    assert execute_dml(cat, "EXPLAIN SELECT 1") is None
+    assert execute_dml(cat, "EXPLAIN EXTENDED SELECT * FROM x") is None
+    # the dry-run is consistent with what the real delete then does
+    out = execute_dml(cat, "DELETE FROM t WHERE k < 50")
+    assert out["deleted"] == 50
+    assert cat.read("t").count() == 350
