@@ -425,6 +425,25 @@ _CANONICAL_WHEN = (
 _CANONICAL_WHEN_DELETE = ("MATCHED THEN DELETE",)
 
 
+def _parse_update_tail(tail: str) -> tuple[dict, str]:
+    """The shared UPDATE grammar: ``<assignments> WHERE <where>`` ->
+    (sets, where). One body for the real run and the EXPLAIN dry run,
+    so a grammar fix can never diverge the two."""
+    # quote/paren-aware WHERE split: a SET expression's string
+    # literal may itself contain the word WHERE
+    pieces = _split_keyword(tail, "WHERE")
+    if len(pieces) != 2:
+        raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+    assigns, where = pieces
+    sets: dict[str, str] = {}
+    for assign in _split_top(assigns):
+        col, eq, expr = assign.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise ValueError(f"bad SET assignment {assign!r}; {_GRAMMAR}")
+        sets[col.strip()] = expr.strip()
+    return sets, where
+
+
 def _explain_rewrite(catalog, table: str, preds, verb: str, extra=None):
     """Dry-run rewrite plan: the file-skipping outcome a
     DELETE/UPDATE would see, computed from sidecar metadata alone — no
@@ -432,8 +451,6 @@ def _explain_rewrite(catalog, table: str, preds, verb: str, extra=None):
     rewritten, ``files_carried`` hardlinked; ``rows_provably_matching``
     counts rows of files the stats PROVE all-match (the certain part of
     the blast radius), ``files_undecidable`` must be read to know."""
-    import os
-
     from gcp_datalake_pipeline_spark import blooms, filestats
 
     if not catalog.exists(table):
@@ -468,24 +485,20 @@ def _explain(catalog, inner: str):
     s = inner.strip().rstrip(";").strip()
     m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
     if m:
+        # mirror the real run exactly: same refusals, same error types
+        _refuse_matview_target(catalog, m.group(1), "DELETE")
         return _explain_rewrite(
             catalog, m.group(1), parse_where(m.group(2)), "DELETE"
         )
     m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
         table = m.group(1)
-        pieces = _split_keyword(m.group(2), "WHERE")
-        if len(pieces) != 2:
-            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
-        assigns, where = pieces
-        set_cols = []
-        for assign in _split_top(assigns):
-            col, eq, expr = assign.partition("=")
-            if not eq or not col.strip() or not expr.strip():
-                raise ValueError(f"bad SET assignment {assign!r}; {_GRAMMAR}")
-            set_cols.append(col.strip())
+        _refuse_matview_target(catalog, table, "UPDATE")
+        if not catalog.exists(table):
+            raise FileNotFoundError(f"no table {table!r}")
+        sets, where = _parse_update_tail(m.group(2))
         names = {f.name for f in _target_schema(catalog, table).fields}
-        missing = [c for c in set_cols if c not in names]
+        missing = [c for c in sets if c not in names]
         if missing:
             raise ValueError(
                 f"UPDATE SET column(s) {missing!r} not in {table!r}; "
@@ -496,10 +509,10 @@ def _explain(catalog, inner: str):
             table,
             parse_where(where),
             "UPDATE",
-            {"set_columns": set_cols},
+            {"set_columns": list(sets)},
         )
     if re.match(
-        r"(INSERT|MERGE|OPTIMIZE|VACUUM|TRUNCATE)\b"
+        r"(DELETE|UPDATE|INSERT|MERGE|OPTIMIZE|VACUUM|TRUNCATE)\b"
         r"|CREATE\s+(TABLE|MATERIALIZED|BLOOMFILTER)\b"
         r"|DROP\s+(TABLE|MATERIALIZED|BLOOMFILTER)\b|ALTER\s+TABLE\b"
         r"|REFRESH\s+MATERIALIZED\b",
@@ -507,8 +520,8 @@ def _explain(catalog, inner: str):
         re.I,
     ):
         raise ValueError(
-            "EXPLAIN supports DELETE/UPDATE (the rewrite planners); "
-            f"{_GRAMMAR}"
+            "EXPLAIN supports well-formed DELETE/UPDATE (the rewrite "
+            f"planners); {_GRAMMAR}"
         )
     return None
 
@@ -560,20 +573,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
     m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
         _refuse_matview_target(catalog, m.group(1), "UPDATE")
-        # quote/paren-aware WHERE split: a SET expression's string
-        # literal may itself contain the word WHERE
-        pieces = _split_keyword(m.group(2), "WHERE")
-        if len(pieces) != 2:
-            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
-        assigns, where = pieces
-        sets: dict[str, str] = {}
-        for assign in _split_top(assigns):
-            col, eq, expr = assign.partition("=")
-            if not eq or not col.strip() or not expr.strip():
-                raise ValueError(
-                    f"bad SET assignment {assign!r}; {_GRAMMAR}"
-                )
-            sets[col.strip()] = expr.strip()
+        sets, where = _parse_update_tail(m.group(2))
         n = catalog.update_where(m.group(1), parse_where(where), sets)
         return {"table": m.group(1), "updated": n}
     m = re.fullmatch(

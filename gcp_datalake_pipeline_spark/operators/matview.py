@@ -104,17 +104,7 @@ def refresh_materialized_view(catalog, name: str) -> dict:
     # source's dir list, nothing changed — no feed, no Spark job, no
     # version published (the watermark stays; re-walking these cheap
     # JSON manifests next time beats spending a commit on a no-op)
-    prev = None
-    touched = False
-    for v in range(as_of, v1 + 1):
-        rels = catalog._version_manifest(v)["tables"].get(
-            spec["source"]
-        ) or []
-        if prev is not None and rels != prev:
-            touched = True
-            break
-        prev = rels
-    if not touched:
+    if not catalog.source_moved(spec["source"], as_of, v1):
         return {"view": name, "as_of": as_of, "applied": 0}
     feed = catalog.table_changes(spec["source"], as_of, v1)
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(

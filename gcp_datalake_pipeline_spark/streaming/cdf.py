@@ -54,20 +54,6 @@ __all__ = ["pump_table_changes", "apply_changes_into"]
 _FEED_COLS = ("_change_type", "_commit_version")
 
 
-def _source_moved(catalog, source: str, v_from: int, v_to: int) -> bool:
-    """Manifest-only probe: did any commit in (v_from, v_to] move the
-    source's dir list? Vacuumed windows answer True (conservative —
-    ``table_changes`` then raises its own precise error)."""
-    prev_rels = None
-    for v in range(v_from, v_to + 1):
-        try:
-            rels = catalog._version_manifest(v)["tables"].get(source) or []
-        except FileNotFoundError:
-            return True
-        if prev_rels is not None and rels != prev_rels:
-            return True
-        prev_rels = rels
-    return False
 
 
 def pump_table_changes(
@@ -112,6 +98,10 @@ def pump_table_changes(
     wm = catalog.stream_watermark(consumer)
     current = catalog._read_manifest(strict=False)["version"]
     if wm is None:
+        # a typoed source would otherwise register fine and every later
+        # pump would report "caught up" forever — no error, no data
+        if not catalog.exists(source):
+            raise FileNotFoundError(f"no table {source!r}")
         as_of = current if start_version is None else int(start_version)
         if as_of > current:
             raise ValueError(
@@ -142,8 +132,8 @@ def pump_table_changes(
             f"{wm['source']!r}, not {source!r}"
         )
     prev = wm["as_of"]
-    if prev >= current or not _source_moved(
-        catalog, source, prev, current
+    if prev >= current or not catalog.source_moved(
+        source, prev, current
     ):
         # idle source: zero-commit no-op (the watermark deliberately
         # stays — re-walking the cheap JSON manifests next pump beats
@@ -254,7 +244,12 @@ def apply_changes_into(
         base = catalog.read(target).join(
             touched, on=list(key_cols), how="left_anti"
         )
-        new = base.unionByName(upserts)
+        # allowMissingColumns: additive source schema evolution makes
+        # the feed wider than a replica bootstrapped earlier — the
+        # replica's pre-evolution rows null-fill, exactly matching the
+        # source's unrewritten rows (without it the union raises and
+        # the consumer wedges forever)
+        new = base.unionByName(upserts, allowMissingColumns=True)
     else:
         new = upserts
     n = feed.count()

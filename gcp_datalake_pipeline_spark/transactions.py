@@ -1862,6 +1862,41 @@ class TransactionalCatalog(Catalog):
     # (index maintenance, replication, incremental gold views) follow a
     # table without re-scanning it.
 
+    def source_moved(
+        self, table: str, v_from: int, v_to: int
+    ) -> bool:
+        """Manifest-only probe shared by the change feed's incremental
+        consumers (matview refresh, stream pumps): did any commit in
+        ``(v_from, v_to]`` move ``table``'s dir list? Costs a JSON read
+        per version, no Spark job. Vacuumed windows answer True
+        (conservative — ``table_changes`` then raises its precise
+        error)."""
+        prev_rels = None
+        for v in range(v_from, v_to + 1):
+            try:
+                rels = self._version_manifest(v)["tables"].get(table) or []
+            except FileNotFoundError:
+                return True
+            if prev_rels is not None and rels != prev_rels:
+                return True
+            prev_rels = rels
+        return False
+
+    def drop_stream(self, consumer: str) -> None:
+        """Deregister a change-feed consumer (the escape hatch when its
+        watermark window was vacuumed, or the pipeline is retired) —
+        one metadata commit; raises KeyError if absent. The consumer's
+        target tables are ordinary tables and stay."""
+        if self._pending is not None:
+            raise RuntimeError("drop_stream inside an open transaction")
+        if self.stream_watermark(consumer) is None:
+            raise KeyError(f"no change-feed consumer {consumer!r}")
+
+        def mutate(m):
+            m["streams"].pop(consumer)
+
+        self._publish_meta(mutate, f"cdf-drop-{consumer}")
+
     def table_changes(
         self, table: str, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -193,3 +193,57 @@ def test_source_mismatch_and_open_txn_refused(spark, tcat):
             pump_table_changes(tcat, "src", "rep")
     finally:
         tcat.rollback()
+
+
+def test_register_requires_existing_source(spark, tcat):
+    """A typoed source must refuse at registration — otherwise every
+    later pump reports 'caught up' forever with nothing flowing (r10
+    review #2 of the wave)."""
+    tcat.overwrite(_src(spark, 0, 5), "src")
+    with pytest.raises(FileNotFoundError, match="ghost"):
+        pump_table_changes(tcat, "ghost", "rep")
+
+
+def test_replica_survives_source_schema_evolution(spark, tcat):
+    """ALTER TABLE ADD COLUMN on the source widens the feed; the keyed
+    apply must null-fill the replica's pre-evolution rows instead of
+    wedging the consumer on a union mismatch (r10 review #1)."""
+    _bootstrap(spark, tcat)
+    tcat.add_column("src", "note", "string")
+    tcat.append(
+        _src(spark, 10, 14).withColumn("note", F.lit("new")), "src"
+    )
+    tcat.update_where("src", [("k", "=", 1)], {"note": "'touched'"})
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] > 0
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+    # evolve again while the consumer is registered: still tracks
+    tcat.add_column("src", "score", "bigint")
+    tcat.append(
+        _src(spark, 14, 16)
+        .withColumn("note", F.lit("x"))
+        .withColumn("score", F.lit(7).cast("bigint")),
+        "src",
+    )
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+
+
+def test_drop_stream_is_the_escape_hatch(spark, tcat):
+    """drop_stream deregisters a consumer (e.g. after vacuum ate its
+    watermark window); re-registering starts a fresh pipeline."""
+    tcat.overwrite(_src(spark, 0, 5), "src")
+    pump_table_changes(tcat, "src", "rep")
+    assert tcat.stream_watermark("rep") is not None
+    tcat.drop_stream("rep")
+    assert tcat.stream_watermark("rep") is None
+    with pytest.raises(KeyError, match="rep"):
+        tcat.drop_stream("rep")
+    out = pump_table_changes(tcat, "src", "rep")
+    assert out["from"] is None  # fresh registration
+    tcat.begin("outer")
+    try:
+        with pytest.raises(RuntimeError, match="open transaction"):
+            tcat.drop_stream("rep")
+    finally:
+        tcat.rollback()

@@ -418,7 +418,6 @@ def test_cli_cdf_pump_lifecycle(workdir):
         "SELECT k, v FROM replica ORDER BY k",
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "2" not in r.stdout.split("ORDER", 1)[-1] or True
     assert "|1  |a  |" in r.stdout and "|3  |c  |" in r.stdout
     assert "|2  |b  |" not in r.stdout
     # idle pump: zero apply, watermark steady

@@ -699,3 +699,35 @@ def test_explain_dml_dry_run(spark, tmp_path):
     out = execute_dml(cat, "DELETE FROM t WHERE k < 50")
     assert out["deleted"] == 50
     assert cat.read("t").count() == 350
+
+
+def test_explain_mirrors_real_run_refusals(spark, tmp_path):
+    """EXPLAIN must fail exactly where the real statement would: same
+    matview refusal, same FileNotFoundError for missing tables, and a
+    malformed engine verb (DELETE without WHERE) refuses loudly
+    instead of leaking to spark.sql (r10 review #3/#4/#6)."""
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+        "t",
+    )
+    execute_dml(
+        cat,
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, SUM(k) AS sk, "
+        "COUNT(*) AS n FROM t GROUP BY g",
+    )
+    with pytest.raises(ValueError, match="materialized view"):
+        execute_dml(cat, "EXPLAIN DELETE FROM mv WHERE g = 1")
+    with pytest.raises(ValueError, match="materialized view"):
+        execute_dml(cat, "EXPLAIN UPDATE mv SET n = 0 WHERE g = 1")
+    with pytest.raises(FileNotFoundError):
+        execute_dml(cat, "EXPLAIN UPDATE ghost SET k = 1 WHERE k = 1")
+    with pytest.raises(ValueError, match="EXPLAIN supports"):
+        execute_dml(cat, "EXPLAIN DELETE FROM t")  # no WHERE
+    # no WHERE on a well-formed UPDATE head: same refusal as the real run
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        execute_dml(cat, "EXPLAIN UPDATE t SET k = 1")
