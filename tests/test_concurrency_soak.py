@@ -165,3 +165,77 @@ def test_concurrent_loops_extend_compact_equal_serial(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_pump_races_source_dml_equal_serial(spark, tmp_path):
+    """The change-feed pump under concurrent source DML: a replica
+    consumer pumping in a loop while another catalog instance appends
+    and deletes on the source must converge to replica == source with
+    every window applied exactly once — ConcurrentWriteError absorbed
+    by retry-from-fresh-read, never a double apply (the watermark
+    expect-check) and never a skipped window (the feed always reads
+    from the committed watermark)."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_into,
+        pump_table_changes,
+    )
+
+    root = str(tmp_path / "lake")
+    writer = TransactionalCatalog(spark=spark, root=root)
+    pumper = TransactionalCatalog(spark=spark, root=root)
+
+    def src(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+
+    writer.overwrite(src(0, 50), "src")
+    pump_table_changes(pumper, "src", "rep")
+    pumper.overwrite(pumper.read("src"), "replica")
+
+    stop = threading.Event()
+    pump_errors = []
+
+    def pump_loop():
+        while not stop.is_set():
+            try:
+                pump_table_changes(
+                    pumper,
+                    "src",
+                    "rep",
+                    lambda f: apply_changes_into(
+                        pumper, f, "replica", ["k"]
+                    ),
+                )
+            except ConcurrentWriteError:
+                continue  # designed retry: next loop reads fresh
+            except Exception as e:  # pragma: no cover - must not happen
+                pump_errors.append(e)
+                return
+
+    t = threading.Thread(target=pump_loop)
+    t.start()
+    try:
+        for i in range(1, 6):
+            writer.append(src(50 * i, 50 * (i + 1)), "src")
+            writer.delete_where("src", [("k", "<", 20 * i)])
+    finally:
+        stop.set()
+        t.join(timeout=600)
+    assert not t.is_alive()
+    assert not pump_errors, pump_errors
+    # final catch-up pump, then the replica must equal the source
+    pump_table_changes(
+        pumper,
+        "src",
+        "rep",
+        lambda f: apply_changes_into(pumper, f, "replica", ["k"]),
+    )
+    got = sorted(map(tuple, pumper.read("replica").collect()))
+    want = sorted(map(tuple, writer.read("src").collect()))
+    assert got == want
+    # the watermark is at the head: one more pump is a zero-commit no-op
+    v = pumper._read_manifest(strict=False)["version"]
+    out = pump_table_changes(pumper, "src", "rep")
+    assert out["from"] == out["to"]
+    assert pumper._read_manifest(strict=False)["version"] == v
