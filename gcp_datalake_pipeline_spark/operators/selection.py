@@ -85,7 +85,8 @@ def dsir_weights(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Importance weight per raw document: (doc_id, weight), weight =
-    (Σ cnt_b · micro(log p̂_t(b) − log q̂_r(b))) / 1e6 rounded to 4,
+    (Σ cnt_b · micro(log p̂_t(b) − log q̂_r(b))) / 1e6 (exact BIGINT
+    sum, one correctly-rounded division — never display-rounded),
     probabilities Laplace-smoothed with ``alpha`` over the ``buckets``
     space and log-ratios quantized to integer micro-units."""
     raw_bc = _doc_bucket_counts(raw, buckets, hash_mode, text_col, id_col)
@@ -129,9 +130,15 @@ def dsir_weights(
         raw_bc.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("cnt") * F.col("lr6")) / 1e6, 4
-            ).alias("weight")
+            # NO final display rounding: the micro-unit sum is an exact
+            # BIGINT and dividing by 1e6 is a single correctly-rounded
+            # op — identical in every engine. A round(x, 4) here sat on
+            # a .00005 boundary at sf0.1 (Spark rounds the shortest
+            # decimal repr half-up, DuckDB rounds the binary double)
+            # and flipped the last digit cross-engine.
+            (F.sum(F.col("cnt") * F.col("lr6")) / F.lit(1e6)).alias(
+                "weight"
+            )
         )
     )
 
@@ -165,7 +172,8 @@ def dsir_topk_oracle_sql(
     bigram feature stream, the 60-bit md5-prefix bucket rebuilt
     nibble-by-nibble (the ``dedup.py`` convention), identical Laplace
     smoothing, log-ratios rounded to 6 BEFORE the weighted sum, weight
-    rounded to 4. ``target_pred`` selects the target slice out of the
+    left as the exact micro-sum / 1e6 (a final round-to-4 flipped a
+    .00005 boundary cross-engine at sf0.1). ``target_pred`` selects the target slice out of the
     same documents table the raw pool reads."""
     return f"""
     WITH tk AS (
@@ -207,7 +215,7 @@ def dsir_topk_oracle_sql(
                * 1e6, 0) AS BIGINT) AS lr6
       FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket CROSS JOIN tot
     )
-    SELECT doc_id, ROUND(SUM(cnt * lr6) / 1e6, 4) AS weight
+    SELECT doc_id, SUM(cnt * lr6) / 1e6 AS weight
     FROM doc_bc JOIN ratios USING (bucket)
     GROUP BY doc_id
     ORDER BY weight DESC, doc_id

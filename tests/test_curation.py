@@ -195,3 +195,24 @@ def test_dsir_md5_matches_duckdb_oracle(spark):
         ).fetchall()
     ]
     assert got == exp and len(exp) == 15
+
+
+def test_dsir_weight_is_exact_micro_units(spark):
+    """Every DSIR weight times 1e6 is an integer — the weighted sum
+    stays an exact BIGINT and the only float op is one division. A
+    final round(weight, 4) used to sit on a .00005 boundary at sf0.1
+    and flip the last digit between Spark and DuckDB (r10 sweep)."""
+    from gcp_datalake_pipeline_spark.operators import selection
+    from gcp_datalake_pipeline_spark.plans.queries import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    w = selection.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), hash_mode="md5"
+    )
+    bad = w.filter(
+        F.abs(F.col("weight") * 1e6 - F.round(F.col("weight") * 1e6, 0))
+        > 1e-6
+    ).count()
+    assert bad == 0
