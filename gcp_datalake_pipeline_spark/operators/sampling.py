@@ -317,3 +317,114 @@ def per_source_cap_oracle_sql(
     QUALIFY row_number() OVER (PARTITION BY {source_col}
                                ORDER BY {id_col}) <= {cap}
     """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> tuple[DataFrame, DataFrame]:
+    """Temperature-scaled mixture resampling (the multilingual
+    LM-data-balancing knob of Conneau et al., XLM-R, arXiv:1911.02116):
+    rebalance so stratum ``l``'s share of the output is proportional to
+    ``n_l ** tau``. ``tau=1`` keeps natural proportions (everything is
+    kept); ``tau -> 0`` approaches a uniform mixture capped by the
+    smallest stratum; the usual ``tau in (0, 1)`` upsamples the tail
+    RELATIVE to the head without the caller having to know the corpus
+    composition — unlike :func:`mixture_rebalance`, no explicit target
+    shares are supplied.
+
+    Entirely in-engine: one per-stratum count (map-side combined,
+    strata-cardinality rows), the share/scale arithmetic on that tiny
+    relation, then the same broadcast-plan + md5-bucket membership
+    filter as the other samplers — no corpus shuffle, no driver
+    collect. The output corpus is the LARGEST one every stratum can
+    supply at its temperature share (the smallest stratum is kept
+    whole at tau=0..1).
+
+    Determinism note: ``tau=0.5`` routes through ``sqrt``, which IEEE
+    754 requires to be correctly rounded — bit-identical across Spark,
+    DuckDB, and numpy, so the whole plan (floors included) is
+    cross-engine exact; other ``tau`` values use ``pow``, whose last
+    ulp is implementation-defined (fine in production, not pinned by
+    the oracle). NULL strata are dropped (no defined share).
+
+    Returns ``(sampled_df, plan_df)``; plan_df is one row per stratum:
+    ``(strata_col, n_rows, keep_buckets)``.
+    """
+    if tau < 0 or tau > 1:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    n = F.col("n_rows")
+    share = F.sqrt(n) if tau == 0.5 else F.pow(n, F.lit(float(tau)))
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("_share", share)
+    )
+    s = counts.agg(
+        F.min(F.floor(n / F.col("_share"))).cast("long").alias("_s")
+    )
+    plan = counts.crossJoin(F.broadcast(s)).withColumn(
+        "keep_buckets",
+        F.floor(
+            F.col("_share") * F.col("_s") / n * F.lit(SPLIT_BUCKETS)
+        ).cast("long"),
+    )
+    sampled = df.join(
+        F.broadcast(plan.select(strata_col, "keep_buckets")), strata_col
+    ).filter(_hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
+    return sampled.drop("keep_buckets"), plan.select(
+        strata_col, "n_rows", "keep_buckets"
+    )
+
+
+def temperature_mixture_oracle_sql(
+    strata_col: str, salt: str = "temp"
+) -> str:
+    """DuckDB oracle for temperature_mixture at tau=0.5 over the
+    documents table: identical sqrt/floor arithmetic (sqrt is correctly
+    rounded in both engines, so every floor boundary agrees), identical
+    md5 bucket membership, plus the realized kept counts."""
+    return f"""
+    WITH counts AS (
+      SELECT {strata_col}, COUNT(*) AS n_rows
+      FROM documents
+      WHERE {strata_col} IS NOT NULL
+      GROUP BY {strata_col}
+    ),
+    shares AS (
+      SELECT {strata_col}, n_rows, sqrt(n_rows) AS _share FROM counts
+    ),
+    s AS (
+      SELECT MIN(CAST(floor(n_rows / _share) AS BIGINT)) AS _s FROM shares
+    ),
+    plan AS (
+      SELECT {strata_col}, n_rows,
+             CAST(floor(_share * s._s / n_rows * {SPLIT_BUCKETS}) AS BIGINT)
+               AS keep_buckets
+      FROM shares, s
+    ),
+    h AS (
+      SELECT {strata_col},
+             ({_nibble_sum_sql()}) % {SPLIT_BUCKETS} AS bucket
+      FROM (
+        SELECT {strata_col},
+               md5(doc_id::VARCHAR || ':{salt}') AS hx
+        FROM documents
+        WHERE {strata_col} IS NOT NULL
+      )
+    ),
+    kept AS (
+      SELECT h.{strata_col}, COUNT(*) AS kept_rows
+      FROM h JOIN plan USING ({strata_col})
+      WHERE h.bucket < plan.keep_buckets
+      GROUP BY h.{strata_col}
+    )
+    SELECT plan.{strata_col}, plan.n_rows, plan.keep_buckets,
+           COALESCE(kept.kept_rows, 0) AS kept_rows
+    FROM plan LEFT JOIN kept USING ({strata_col})
+    ORDER BY plan.{strata_col}
+    """

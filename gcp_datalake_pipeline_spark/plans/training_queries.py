@@ -201,3 +201,34 @@ def incremental_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "month", F.round("revenue", 2).alias("revenue"), "n_orders"
     )
+
+
+@register(
+    "mixture_temperature",
+    sampling.temperature_mixture_oracle_sql("lang"),
+    doc="""Temperature-scaled mixture resampling (Conneau et al., XLM-R,
+    arXiv:1911.02116): stratum shares proportional to n^tau computed
+    FROM the corpus (no explicit targets), tau=0.5 — the multilingual
+    balancing step that upsamples tail languages relative to the head.
+    The whole plan is in-engine sqrt/floor arithmetic (sqrt is IEEE
+    correctly-rounded in both engines, so every floor boundary agrees
+    cross-engine); output is the per-language plan plus REALIZED kept
+    counts after the md5-bucket filter, so the oracle pins the
+    arithmetic AND the sampling membership. Scale: one strata-sized
+    aggregate broadcast onto the corpus, narrow md5 filter — no corpus
+    shuffle, no driver collect.""",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled, plan = sampling.temperature_mixture(docs, "lang", tau=0.5)
+    kept = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("kept_rows"))
+    return (
+        plan.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_rows",
+            "keep_buckets",
+            F.coalesce("kept_rows", F.lit(0)).alias("kept_rows"),
+        )
+        .orderBy("lang")
+    )

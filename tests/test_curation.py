@@ -216,3 +216,78 @@ def test_dsir_weight_is_exact_micro_units(spark):
         > 1e-6
     ).count()
     assert bad == 0
+
+
+def test_temperature_mixture_limits_and_oracle(spark):
+    """Temperature mixture endpoints and cross-engine parity: tau=1
+    keeps the corpus whole (shares = natural proportions), tau=0 caps
+    every stratum near the smallest one (uniform mixture), tau=0.5
+    matches the DuckDB oracle value for value."""
+    import duckdb
+
+    from gcp_datalake_pipeline_spark.operators import sampling
+    from gcp_datalake_pipeline_spark.plans.queries import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_min = min(n_by_lang.values())
+
+    # tau=1: share ∝ n -> keep_buckets = 10000 everywhere, nothing drops
+    sampled, plan = sampling.temperature_mixture(docs, "lang", tau=1.0)
+    assert all(r["keep_buckets"] == 10000 for r in plan.collect())
+    assert sampled.count() == docs.count()
+
+    # tau=0: share = 1 -> every stratum TARGETS n_min rows; the hash
+    # filter realizes that in expectation (binomial, not exact-count),
+    # so allow sampling noise around the target
+    sampled0, plan0 = sampling.temperature_mixture(docs, "lang", tau=0.0)
+    kept0 = {
+        r["lang"]: r["n"]
+        for r in sampled0.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, k in kept0.items():
+        assert abs(k - n_min) <= 0.25 * n_min + 5, (lang, k, n_min)
+    # the smallest stratum is kept whole at tau in [0, 1]
+    smallest = min(n_by_lang, key=n_by_lang.get)
+    assert kept0[smallest] == n_min
+
+    # tau outside [0, 1] refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tau"):
+        sampling.temperature_mixture(docs, "lang", tau=1.5)
+
+    # tau=0.5: value parity with the DuckDB oracle (sqrt is correctly
+    # rounded in both engines, so every floor boundary agrees)
+    sampled5, plan5 = sampling.temperature_mixture(docs, "lang", tau=0.5)
+    kept5 = sampled5.groupBy("lang").agg(F.count("*").alias("kept_rows"))
+    got = sorted(
+        map(
+            tuple,
+            plan5.join(kept5, "lang", "left")
+            .select(
+                "lang",
+                "n_rows",
+                "keep_buckets",
+                F.coalesce("kept_rows", F.lit(0)).alias("kept_rows"),
+            )
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = sorted(
+        (a, int(b), int(c), int(d))
+        for a, b, c, d in con.execute(
+            sampling.temperature_mixture_oracle_sql("lang")
+        ).fetchall()
+    )
+    assert got == exp
