@@ -154,6 +154,27 @@ def hash_split_oracle_sql(
     """
 
 
+def _apply_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """Shared membership tail of the mixture samplers: broadcast the
+    strata-cardinality plan onto the corpus and keep rows whose md5
+    bucket clears the stratum's keep_buckets — one broadcast join +
+    one narrow filter, never a corpus shuffle."""
+    return (
+        df.join(
+            F.broadcast(plan.select(strata_col, "keep_buckets")),
+            strata_col,
+        )
+        .filter(_hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
+        .drop("keep_buckets")
+    )
+
+
 def mixture_rebalance(
     df: DataFrame,
     strata_col: str,
@@ -213,12 +234,32 @@ def mixture_rebalance(
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    sampled = df.join(
-        F.broadcast(plan.select(strata_col, "keep_buckets")), strata_col
-    ).filter(_hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
-    return sampled.drop("keep_buckets"), plan.select(
-        strata_col, "n_rows", "keep_buckets"
+    sampled = _apply_plan(df, plan, strata_col, id_col, salt)
+    return sampled, plan.select(strata_col, "n_rows", "keep_buckets")
+
+
+def _plan_kept_sql(strata_col: str, salt: str, where: str = "") -> str:
+    """Shared oracle tail of the mixture samplers: realized kept counts
+    under the md5-bucket membership, joined back onto the plan. Expects
+    a CTE named ``plan`` with (strata_col, n_rows, keep_buckets) to be
+    in scope; ``where`` filters the membership scan (e.g. the NULL-
+    strata drop)."""
+    return f"""
+    h AS (
+      SELECT doc_id, {strata_col},
+             md5(doc_id::VARCHAR || ':{salt}') AS hx
+      FROM documents
+      {where}
+    ),
+    kept AS (
+      SELECT h.{strata_col}, COUNT(*) AS kept_rows
+      FROM h JOIN plan USING ({strata_col})
+      WHERE ({_nibble_sum_sql()}) % {SPLIT_BUCKETS} < plan.keep_buckets
+      GROUP BY h.{strata_col}
     )
+    SELECT p.{strata_col}, p.n_rows, p.keep_buckets,
+           COALESCE(k.kept_rows, 0) AS kept_rows
+    FROM plan p LEFT JOIN kept k USING ({strata_col})"""
 
 
 def mixture_rebalance_oracle_sql(
@@ -252,20 +293,7 @@ def mixture_rebalance_oracle_sql(
              ELSE 0 END AS keep_buckets
       FROM counts, smax
     ),
-    h AS (
-      SELECT doc_id, {strata_col},
-             md5(doc_id::VARCHAR || ':{salt}') AS hx
-      FROM documents
-    ),
-    kept AS (
-      SELECT h.{strata_col}, COUNT(*) AS kept_rows
-      FROM h JOIN plan USING ({strata_col})
-      WHERE ({_nibble_sum_sql()}) % {SPLIT_BUCKETS} < plan.keep_buckets
-      GROUP BY h.{strata_col}
-    )
-    SELECT p.{strata_col}, p.n_rows, p.keep_buckets,
-           COALESCE(k.kept_rows, 0) AS kept_rows
-    FROM plan p LEFT JOIN kept k USING ({strata_col})
+    {_plan_kept_sql(strata_col, salt)}
     """
 
 
@@ -330,19 +358,22 @@ def temperature_mixture(
     LM-data-balancing knob of Conneau et al., XLM-R, arXiv:1911.02116):
     rebalance so stratum ``l``'s share of the output is proportional to
     ``n_l ** tau``. ``tau=1`` keeps natural proportions (everything is
-    kept); ``tau -> 0`` approaches a uniform mixture capped by the
-    smallest stratum; the usual ``tau in (0, 1)`` upsamples the tail
-    RELATIVE to the head without the caller having to know the corpus
-    composition — unlike :func:`mixture_rebalance`, no explicit target
-    shares are supplied.
+    kept); ``tau=0`` targets a uniform mixture capped by the smallest
+    stratum (which is then kept whole); the usual ``tau in (0, 1)``
+    upsamples the tail RELATIVE to the head without the caller having
+    to know the corpus composition — unlike :func:`mixture_rebalance`,
+    no explicit target shares are supplied. At intermediate ``tau`` the
+    smallest stratum keeps its floor-quantized share (close to, not
+    exactly, whole — the scale floor can shave a few percent).
 
-    Entirely in-engine: one per-stratum count (map-side combined,
-    strata-cardinality rows), the share/scale arithmetic on that tiny
-    relation, then the same broadcast-plan + md5-bucket membership
-    filter as the other samplers — no corpus shuffle, no driver
-    collect. The output corpus is the LARGEST one every stratum can
-    supply at its temperature share (the smallest stratum is kept
-    whole at tau=0..1).
+    Entirely in-engine: ONE per-stratum count (map-side combined,
+    strata-cardinality rows; the scale factor is a window-min over that
+    same tiny relation, so the corpus is scanned once), then the same
+    broadcast-plan + md5-bucket membership filter as the other
+    samplers — no corpus shuffle, no driver collect. A keep fraction
+    the 1/10000-bucket quantization cannot express clamps UP to one
+    bucket: under extreme (>10^4x) skew a head stratum overshoots its
+    tiny target rather than silently vanishing from the mixture.
 
     Determinism note: ``tau=0.5`` routes through ``sqrt``, which IEEE
     754 requires to be correctly rounded — bit-identical across Spark,
@@ -354,6 +385,8 @@ def temperature_mixture(
     Returns ``(sampled_df, plan_df)``; plan_df is one row per stratum:
     ``(strata_col, n_rows, keep_buckets)``.
     """
+    from pyspark.sql import Window
+
     if tau < 0 or tau > 1:
         raise ValueError(f"tau must be in [0, 1], got {tau}")
     n = F.col("n_rows")
@@ -364,30 +397,32 @@ def temperature_mixture(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("_share", share)
     )
-    s = counts.agg(
-        F.min(F.floor(n / F.col("_share"))).cast("long").alias("_s")
-    )
-    plan = counts.crossJoin(F.broadcast(s)).withColumn(
+    # scale factor as a window-min over the counts relation itself:
+    # a separate agg + crossJoin would instantiate the counts subtree
+    # (and its corpus scan) twice per action
+    w = Window.partitionBy()  # strata-cardinality rows, not the corpus
+    plan = counts.withColumn(
+        "_s", F.min(F.floor(n / F.col("_share"))).over(w).cast("long")
+    ).withColumn(
         "keep_buckets",
-        F.floor(
-            F.col("_share") * F.col("_s") / n * F.lit(SPLIT_BUCKETS)
+        F.greatest(
+            F.floor(
+                F.col("_share") * F.col("_s") / n * F.lit(SPLIT_BUCKETS)
+            ),
+            F.lit(1),
         ).cast("long"),
     )
-    sampled = df.join(
-        F.broadcast(plan.select(strata_col, "keep_buckets")), strata_col
-    ).filter(_hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
-    return sampled.drop("keep_buckets"), plan.select(
-        strata_col, "n_rows", "keep_buckets"
-    )
+    sampled = _apply_plan(df, plan, strata_col, id_col, salt)
+    return sampled, plan.select(strata_col, "n_rows", "keep_buckets")
 
 
 def temperature_mixture_oracle_sql(
     strata_col: str, salt: str = "temp"
 ) -> str:
     """DuckDB oracle for temperature_mixture at tau=0.5 over the
-    documents table: identical sqrt/floor arithmetic (sqrt is correctly
-    rounded in both engines, so every floor boundary agrees), identical
-    md5 bucket membership, plus the realized kept counts."""
+    documents table: identical sqrt/floor/clamp arithmetic (sqrt is
+    correctly rounded in both engines, so every floor boundary agrees),
+    identical md5 bucket membership, plus the realized kept counts."""
     return f"""
     WITH counts AS (
       SELECT {strata_col}, COUNT(*) AS n_rows
@@ -398,33 +433,18 @@ def temperature_mixture_oracle_sql(
     shares AS (
       SELECT {strata_col}, n_rows, sqrt(n_rows) AS _share FROM counts
     ),
-    s AS (
-      SELECT MIN(CAST(floor(n_rows / _share) AS BIGINT)) AS _s FROM shares
-    ),
     plan AS (
       SELECT {strata_col}, n_rows,
-             CAST(floor(_share * s._s / n_rows * {SPLIT_BUCKETS}) AS BIGINT)
-               AS keep_buckets
-      FROM shares, s
+             GREATEST(
+               CAST(floor(
+                 _share
+                 * MIN(CAST(floor(n_rows / _share) AS BIGINT)) OVER ()
+                 / n_rows * {SPLIT_BUCKETS}
+               ) AS BIGINT),
+               1
+             ) AS keep_buckets
+      FROM shares
     ),
-    h AS (
-      SELECT {strata_col},
-             ({_nibble_sum_sql()}) % {SPLIT_BUCKETS} AS bucket
-      FROM (
-        SELECT {strata_col},
-               md5(doc_id::VARCHAR || ':{salt}') AS hx
-        FROM documents
-        WHERE {strata_col} IS NOT NULL
-      )
-    ),
-    kept AS (
-      SELECT h.{strata_col}, COUNT(*) AS kept_rows
-      FROM h JOIN plan USING ({strata_col})
-      WHERE h.bucket < plan.keep_buckets
-      GROUP BY h.{strata_col}
-    )
-    SELECT plan.{strata_col}, plan.n_rows, plan.keep_buckets,
-           COALESCE(kept.kept_rows, 0) AS kept_rows
-    FROM plan LEFT JOIN kept USING ({strata_col})
-    ORDER BY plan.{strata_col}
+    {_plan_kept_sql(strata_col, salt,
+                    where=f"WHERE {strata_col} IS NOT NULL")}
     """

@@ -34,15 +34,18 @@ _MIX_SHARES = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
 def domain_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sampled, plan = sampling.mixture_rebalance(docs, "lang", _MIX_SHARES)
+    return _plan_with_kept(plan, sampled)
+
+
+def _plan_with_kept(plan: DataFrame, sampled: DataFrame) -> DataFrame:
+    """Shared gate shape of the mixture samplers: the plan plus the
+    REALIZED kept counts after the membership filter."""
     kept = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("kept_rows"))
-    return (
-        plan.join(kept, "lang", "left")
-        .select(
-            "lang",
-            "n_rows",
-            "keep_buckets",
-            F.coalesce("kept_rows", F.lit(0)).alias("kept_rows"),
-        )
+    return plan.join(kept, "lang", "left").select(
+        "lang",
+        "n_rows",
+        "keep_buckets",
+        F.coalesce("kept_rows", F.lit(0)).alias("kept_rows"),
     )
 
 
@@ -221,14 +224,4 @@ def incremental_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sampled, plan = sampling.temperature_mixture(docs, "lang", tau=0.5)
-    kept = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("kept_rows"))
-    return (
-        plan.join(kept, "lang", "left")
-        .select(
-            "lang",
-            "n_rows",
-            "keep_buckets",
-            F.coalesce("kept_rows", F.lit(0)).alias("kept_rows"),
-        )
-        .orderBy("lang")
-    )
+    return _plan_with_kept(plan, sampled).orderBy("lang")
