@@ -247,3 +247,77 @@ def test_drop_stream_is_the_escape_hatch(spark, tcat):
             tcat.drop_stream("rep")
     finally:
         tcat.rollback()
+
+
+def test_pump_window_splitting_invariance(spark, tmp_path):
+    """Algebraic pin: pumping after EVERY commit and pumping ONCE over
+    the whole window produce identical replicas — the keyed apply is
+    associative over window splits (latest-version-wins makes any
+    partition of the commit range fold to the same state)."""
+    roots = []
+    for mode in ("each", "once"):
+        cat = TransactionalCatalog(
+            spark=spark, root=str(tmp_path / f"lake_{mode}")
+        )
+        cat.overwrite(_src(spark, 0, 12), "src")
+        pump_table_changes(cat, "src", "rep")
+        cat.overwrite(cat.read("src"), "replica")
+        steps = [
+            lambda c: c.append(_src(spark, 12, 20), "src"),
+            lambda c: c.delete_where("src", [("k", "<", 4)]),
+            lambda c: c.update_where(
+                "src", [("g", "=", 1)], {"amt": "amt + 0.5"}
+            ),
+            lambda c: c.delete_where("src", [("g", "=", 3)]),
+            lambda c: c.append(_src(spark, 20, 23), "src"),
+        ]
+        for step in steps:
+            step(cat)
+            if mode == "each":
+                pump_table_changes(cat, "src", "rep", _replica_apply(cat))
+        if mode == "once":
+            pump_table_changes(cat, "src", "rep", _replica_apply(cat))
+        roots.append(
+            (sorted(map(tuple, cat.read("replica").collect())),
+             sorted(map(tuple, cat.read("src").collect())))
+        )
+    (rep_each, src_each), (rep_once, src_once) = roots
+    assert src_each == src_once          # same DML -> same source
+    assert rep_each == rep_once == src_each
+
+
+def test_pump_randomized_dml_sequences(spark, tmp_path):
+    """Property-style pin over seeded pseudo-random DML programs: for
+    several deterministic sequences of append/delete/update with pumps
+    interleaved at arbitrary points, the replica always converges to
+    the source after the final catch-up pump."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        cat = TransactionalCatalog(
+            spark=spark, root=str(tmp_path / f"lake_{seed}")
+        )
+        cat.overwrite(_src(spark, 0, 15), "src")
+        pump_table_changes(cat, "src", "rep")
+        cat.overwrite(cat.read("src"), "replica")
+        hi = 15
+        for _ in range(6):
+            op = rng.choice(("append", "delete", "update", "pump"))
+            if op == "append":
+                cat.append(_src(spark, hi, hi + rng.randint(2, 6)), "src")
+                hi += 6
+            elif op == "delete":
+                cat.delete_where(
+                    "src", [("k", "<", rng.randint(1, hi // 2))]
+                )
+            elif op == "update":
+                cat.update_where(
+                    "src",
+                    [("g", "=", rng.randint(0, 3))],
+                    {"amt": f"amt * {rng.choice(('2', '0.5'))}"},
+                )
+            else:
+                pump_table_changes(cat, "src", "rep", _replica_apply(cat))
+        pump_table_changes(cat, "src", "rep", _replica_apply(cat))
+        assert _rows(cat, "replica") == _rows(cat, "src"), seed
