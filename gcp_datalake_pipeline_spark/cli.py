@@ -309,13 +309,56 @@ def cmd_query(args) -> None:
     df.show(args.limit, truncate=False)
 
 
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) index spans of string literals in ``sql`` — both
+    single- and double-quoted (Spark SQL treats ``"..."`` as a string
+    literal by default), with the doubled-quote escape (``''`` /
+    ``""``) inside a literal. The prompt rewrites below must never
+    substitute INSIDE a literal — ``WHERE note = 'x VERSION AS OF 3'``
+    is user data, not syntax."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        q = sql[i]
+        if q in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == q:
+                    if j + 1 < n and sql[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_quotes(pattern: str, sub, sql: str) -> str:
+    """re.sub that skips matches STARTING inside a quoted literal —
+    the side-effecting ``sub`` (temp-view registration) runs only for
+    real syntax occurrences."""
+    import re as _re
+
+    spans = _quoted_spans(sql)
+
+    def guarded(m):
+        if any(s <= m.start() <= e for s, e in spans):
+            return m.group(0)
+        return sub(m)
+
+    return _re.sub(pattern, guarded, sql, flags=_re.I)
+
+
 def _rewrite_version_as_of(cat, sql: str) -> str:
     """Delta's per-table time travel at the SQL prompt: ``FROM t
     VERSION AS OF n`` registers ``t``'s snapshot-n read (``read_at``,
     stats sidecars included) as a temp view and rewrites the reference
-    — the per-table complement of the catalog-wide ``--as-of``."""
-    import re as _re
-
+    — the per-table complement of the catalog-wide ``--as-of``.
+    Quote-aware: the phrase inside a string literal is data, not
+    syntax, and passes through untouched."""
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
 
     if not isinstance(cat, TransactionalCatalog):
@@ -327,8 +370,8 @@ def _rewrite_version_as_of(cat, sql: str) -> str:
         cat.read_at(t, v).createOrReplaceTempView(name)
         return name
 
-    return _re.sub(
-        r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", sub, sql, flags=_re.I
+    return _sub_outside_quotes(
+        r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", sub, sql
     )
 
 
@@ -338,9 +381,10 @@ def _rewrite_table_changes(cat, sql: str) -> str:
     Python-defined TVFs, so each occurrence materializes as a temp
     view over :meth:`TransactionalCatalog.table_changes` (bounded to
     the changed files) and the reference is rewritten to the view
-    name. Non-transactional catalogs pass through untouched."""
-    import re as _re
-
+    name. Non-transactional catalogs pass through untouched.
+    Quote-aware: the call shape inside a string literal is data and
+    passes through (the match anchors at ``table_changes``, outside
+    its own argument's quotes)."""
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
 
     if not isinstance(cat, TransactionalCatalog):
@@ -353,11 +397,10 @@ def _rewrite_table_changes(cat, sql: str) -> str:
         df.createOrReplaceTempView(name)
         return name
 
-    return _re.sub(
+    return _sub_outside_quotes(
         r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
         sub,
         sql,
-        flags=_re.I,
     )
 
 
@@ -399,6 +442,7 @@ def cmd_cdf_pump(args) -> None:
     replica table, watermark and writes in one commit."""
     from gcp_datalake_pipeline_spark.streaming.cdf import (
         apply_changes_into,
+        bootstrap_changes_target,
         pump_table_changes,
     )
 
@@ -422,9 +466,14 @@ def cmd_cdf_pump(args) -> None:
             # pre-copy version: a crash between the two just
             # re-bootstraps, and a src commit slipping between read
             # and register only re-applies a window the keyed apply
-            # folds idempotently — the replica can never MISS a window
+            # folds idempotently — the replica can never MISS a window.
+            # The replica lands under the _kb bucket layout so every
+            # later pump rewrites only the buckets its window touched.
             v0 = cat._read_manifest(strict=False)["version"]
-            cat.overwrite(cat.read(args.source), args.target)
+            bootstrap_changes_target(
+                cat, args.source, args.target, keys,
+                num_buckets=args.buckets,
+            )
             out = pump_table_changes(
                 cat, args.source, args.consumer, start_version=v0
             )
@@ -1077,6 +1126,11 @@ def main(argv: list[str] | None = None) -> None:
     pcp.add_argument("--target", required=True)
     pcp.add_argument("--keys", required=True, help="comma-separated key columns")
     pcp.add_argument("--start-version", type=int, default=None)
+    pcp.add_argument(
+        "--buckets", type=int, default=64,
+        help="replica _kb bucket count (bootstrap only; pumps rewrite "
+        "only touched buckets)",
+    )
     pcp.set_defaults(fn=cmd_cdf_pump)
 
     pcn = sub.add_parser(

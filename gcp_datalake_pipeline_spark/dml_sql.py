@@ -282,6 +282,20 @@ def _parse_values_literal(tok: str):
     return _parse_literal(t)
 
 
+def _stringify_values_literal(v) -> str | None:
+    """A VALUES literal as the string Spark's OWN SQL INSERT would
+    store in a string column (and castable to the typed column
+    otherwise): booleans lowercase ('true'/'false' — Python str() says
+    'True', a silent divergence for STRING targets), datetimes as
+    their space-separated ISO form (str() of datetime/date already is),
+    everything else via str()."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _target_schema(catalog, table: str):
     """The committed schema of an INSERT/MERGE target (must exist: a
     typed table can't be conjured from untyped literals)."""
@@ -620,7 +634,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
             width = widths.pop()
             src = catalog.spark.createDataFrame(
                 [
-                    tuple(None if v is None else str(v) for v in r)
+                    tuple(_stringify_values_literal(v) for v in r)
                     for r in rows
                 ],
                 ", ".join(f"_c{i} string" for i in range(width)),

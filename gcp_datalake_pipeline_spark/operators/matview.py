@@ -126,9 +126,26 @@ def refresh_materialized_view(catalog, name: str) -> dict:
     if n_applied == 0:
         # commits moved the source's dir list without net row changes
         # (e.g. compaction): only the watermark advances — a pure
-        # metadata commit, no view data moves
+        # metadata commit, no view data moves. Expect-checked like the
+        # stream-watermark fold: a racing refresh may have advanced
+        # (or dropped) the view since we read the spec, and blindly
+        # re-setting the watermark would re-apply an already-applied
+        # change window on the next refresh.
+        from gcp_datalake_pipeline_spark.transactions import (
+            ConcurrentWriteError,
+        )
+
         def mark(m):
-            m.setdefault("views", {})[name] = {**spec, "as_of": v1}
+            cur = m.get("views", {}).get(name)
+            if cur is None or cur["as_of"] != as_of:
+                raise ConcurrentWriteError(
+                    f"materialized view {name!r} was refreshed or "
+                    f"dropped by another process (expected watermark "
+                    f"{as_of!r}, found "
+                    f"{cur['as_of'] if cur else None!r}); retry from "
+                    "a fresh read"
+                )
+            m["views"][name] = {**spec, "as_of": v1}
 
         catalog._publish_meta(mark, f"matview-mark-{name}")
         return {"view": name, "as_of": v1, "applied": 0}

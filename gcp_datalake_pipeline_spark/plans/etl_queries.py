@@ -1349,25 +1349,34 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey < 6000
       AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+      AND o_orderkey <> (
+            SELECT min(o_orderkey) FROM orders
+            WHERE o_orderkey < 6000
+              AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000))
     ORDER BY o_orderkey
     """,
     doc="""Exactly-once change-feed consumption through the real storage
     engine (streaming/cdf.py): a bounded orders subset seeds a source
-    table; a registered consumer bootstraps a keyed replica from the
-    snapshot, then three pumps fold an append, a predicate DELETE, and
-    an in-place UPDATE through apply_changes_into — each window's keyed
-    CDC apply committing atomically with the consumer watermark. The
-    query RAISES unless every pump applied change rows and a final
-    catch-up pump is a zero-commit no-op, then returns the replica.
-    Oracle = the source's logical final state computed directly; the
-    invariant is replica == source after any DML sequence, with no
-    window ever applied twice (the watermark expect-check).""",
+    table; a registered consumer bootstraps a keyed replica UNDER THE
+    _kb BUCKET LAYOUT (bootstrap_changes_target), then four pumps fold
+    an append, a predicate DELETE, an in-place UPDATE, and a one-key
+    DELETE through apply_changes_into — each window's keyed CDC apply
+    committing atomically with the consumer watermark, rewriting ONLY
+    the buckets the window touched. The query RAISES unless every pump
+    applied change rows, the one-key pump left every other bucket's
+    files hardlink-identical (the bounded-write inode pin — a pump
+    must cost O(changes), not O(replica)), and a final catch-up pump
+    is a zero-commit no-op; then returns the replica. Oracle = the
+    source's logical final state computed directly; the invariant is
+    replica == source after any DML sequence, with no window ever
+    applied twice (the watermark expect-check).""",
 )
 def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from gcp_datalake_pipeline_spark.streaming.cdf import (
         apply_changes_into,
+        bootstrap_changes_target,
         pump_table_changes,
     )
     from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
@@ -1377,6 +1386,18 @@ def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply(feed):
         return apply_changes_into(cat, feed, "orders_replica", ["o_orderkey"])
+
+    def bucket_inodes():
+        d = cat._data_dirs("orders_replica")[0]
+        return {
+            b: sorted(
+                os.stat(os.path.join(d, b, f)).st_ino
+                for f in os.listdir(os.path.join(d, b))
+                if f.endswith(".parquet")
+            )
+            for b in os.listdir(d)
+            if b.startswith("_kb=")
+        }
 
     if not cat.exists("orders_cdc_src"):  # warm rerun reuses the lake
         orders = (
@@ -1392,8 +1413,12 @@ def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pump_table_changes(cat, "orders_cdc_src", "replica")
         # bootstrap contract: the feed starts AFTER the watermark, so
-        # the replica copies the registered snapshot first
-        cat.overwrite(cat.read("orders_cdc_src"), "orders_replica")
+        # the replica copies the registered snapshot first — under the
+        # key-hash bucket layout so pumps rewrite only touched buckets
+        bootstrap_changes_target(
+            cat, "orders_cdc_src", "orders_replica", ["o_orderkey"],
+            num_buckets=8,
+        )
         cat.append(
             orders.where(F.year("o_orderdate") >= 1996).coalesce(2),
             "orders_cdc_src",
@@ -1413,6 +1438,23 @@ def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r1["applied"] == 0 or r2["applied"] == 0 or r3["applied"] == 0:
             raise RuntimeError(
                 f"change-feed pump applied no rows ({r1}, {r2}, {r3})"
+            )
+        # one-key pump: the 100 TB write contract — every bucket the
+        # window did not touch keeps hardlink-identical files
+        k0 = cat.read("orders_cdc_src").agg(
+            F.min("o_orderkey")
+        ).first()[0]
+        before = bucket_inodes()
+        cat.delete_where("orders_cdc_src", [("o_orderkey", "=", int(k0))])
+        r4 = pump_table_changes(cat, "orders_cdc_src", "replica", apply)
+        if r4["applied"] != 1:
+            raise RuntimeError(f"one-key pump applied {r4['applied']} rows")
+        after = bucket_inodes()
+        restaged = [b for b in before if after.get(b) != before[b]]
+        if len(restaged) > 1:
+            raise RuntimeError(
+                f"one-key pump re-staged {len(restaged)} buckets "
+                f"({restaged}); the apply is not bucket-bounded"
             )
     v = cat._read_manifest(strict=False)["version"]
     caught_up = pump_table_changes(cat, "orders_cdc_src", "replica", apply)

@@ -58,6 +58,20 @@ class Catalog:
         with open(self._bucket_meta_path(table), "w") as f:
             json.dump({"num_buckets": num_buckets, "key_cols": key_cols}, f)
 
+    def bucket_meta(self, table: str) -> dict | None:
+        """The persisted ``_kb`` key-hash layout of ``table``
+        (``{"num_buckets", "key_cols"}``), recorded when a bucketed
+        merge created it — or None for unbucketed tables. The façade
+        and the CDC consumers use this to route writes through the
+        partition-pruned bucketed paths automatically."""
+        import json
+
+        p = self._bucket_meta_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _check_bucket_meta(
         self, table: str, num_buckets: int, key_cols: list[str]
     ) -> None:
@@ -447,9 +461,23 @@ class Catalog:
         self._write_bucketed_merge(merged, table)
         return self.read(table)
 
-    def _write_bucketed_merge(self, merged: DataFrame, table: str) -> None:
+    def _write_bucketed_merge(
+        self,
+        merged: DataFrame,
+        table: str,
+        replaced: list[int] | None = None,
+    ) -> None:
         # Dynamic partition overwrite: only partitions present in `merged`
         # (exactly the touched buckets) are replaced; others are untouched.
+        # `replaced` (buckets to replace even when merged holds no rows
+        # for them — a delete-fold can empty a bucket) needs the
+        # versioned write path: dynamic overwrite cannot atomically drop
+        # an absent partition.
+        if replaced:
+            raise NotImplementedError(
+                "replacing emptied buckets needs the versioned write "
+                "path; use a TransactionalCatalog"
+            )
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

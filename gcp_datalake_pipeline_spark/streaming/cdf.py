@@ -49,7 +49,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pump_table_changes", "apply_changes_into"]
+__all__ = [
+    "pump_table_changes",
+    "apply_changes_into",
+    "bootstrap_changes_target",
+]
 
 _FEED_COLS = ("_change_type", "_commit_version")
 
@@ -204,6 +208,35 @@ def pump_table_changes(
     }
 
 
+def _kb_col(key_cols: list[str], num_buckets: int):
+    # the SAME hash the bucketed-merge layout uses (storage.py:416) —
+    # a consumer and a MERGE writing one table must agree on placement
+    return F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
+
+
+def bootstrap_changes_target(
+    catalog,
+    source: str,
+    target: str,
+    key_cols: list[str],
+    num_buckets: int = 64,
+) -> int:
+    """Seed a CDC replica from the source's current snapshot, stored
+    under the ``_kb`` key-hash bucket layout so every later
+    :func:`apply_changes_into` pump rewrites ONLY the buckets the
+    window touched (untouched buckets' files are hardlink-carried —
+    the bounded-write form of Delta's MERGE partition pruning). Call
+    right after registering the consumer: the feed starts AFTER the
+    watermark, so the replica must reflect the registered snapshot.
+    Returns the number of rows seeded."""
+    snap = catalog.read(source).withColumn(
+        "_kb", _kb_col(key_cols, num_buckets)
+    )
+    catalog.overwrite(snap, target, partition_cols=["_kb"])
+    catalog._write_bucket_meta(target, num_buckets, list(key_cols))
+    return catalog.count_rows(target)
+
+
 def apply_changes_into(
     catalog, feed: DataFrame, target: str, key_cols: list[str]
 ) -> int:
@@ -215,17 +248,27 @@ def apply_changes_into(
     wins); no inserts there means the key was deleted and it leaves the
     target. Keys the window never touched pass through untouched.
 
+    Write cost is bounded by the CHANGES, not the target, when the
+    target carries the ``_kb`` bucket layout (seed it with
+    :func:`bootstrap_changes_target`): the fold reads only the buckets
+    holding the window's keys (partition-pruned scan), rewrites only
+    those, and hardlink-carries every untouched bucket's files into
+    the new version — a one-key pump on an 8-bucket replica re-stages
+    1/8 of the table and links the rest, instead of rewriting a
+    replica that is itself source-sized. A bucket whose every key was
+    deleted is explicitly replaced (never hardlink-resurrected).
+    Unbucketed targets keep the simple whole-overwrite fold (fine for
+    small projections; not the 100 TB path).
+
     One shuffle on the keys (max-version self-join, AQE-sized), one
-    left-anti against the touched keys, one overwrite of ``target`` —
-    the rewrite is bounded by the target, and the target is a replica/
-    projection, not the 100 TB source. Call inside
-    :func:`pump_table_changes`'s ``apply_fn`` so the overwrite and the
+    left-anti against the touched keys. Call inside
+    :func:`pump_table_changes`'s ``apply_fn`` so the rewrite and the
     watermark commit together. Returns the number of change rows
     folded. Assumes keys are unique and NON-NULL in the source (the
     standard CDC contract — SQL equality can neither match nor anti-
     match a NULL key); duplicate-key inserts at one version all land.
     """
-    # compute the window's feed ONCE: the fold count and the overwrite
+    # compute the window's feed ONCE: the fold count and the rewrite
     # are separate actions and exchange reuse does not span them (the
     # same convention as matview refresh); the feed is bounded by the
     # window's changed files, never the table
@@ -240,6 +283,41 @@ def apply_changes_into(
         "_mv", *_FEED_COLS
     )
     touched = mx.select(*key_cols)
+    n = feed.count()
+    meta = (
+        catalog.bucket_meta(target) if catalog.exists(target) else None
+    )
+    if meta is not None:
+        if meta.get("key_cols") not in (None, list(key_cols)):
+            raise ValueError(
+                f"target {target!r} is bucketed on keys "
+                f"{meta['key_cols']} but this apply passed "
+                f"{list(key_cols)}; mismatched keys would fold changes "
+                "into the wrong buckets"
+            )
+        nb = meta["num_buckets"]
+        kb = _kb_col(key_cols, nb)
+        full = catalog.read(target)
+        upserts_kb = upserts.withColumn("_kb", kb)
+        if any(c not in full.columns for c in upserts.columns):
+            # additive source schema evolution: hardlinked untouched
+            # buckets would keep the narrow schema and the new column
+            # would not survive later reads — one-off full rewrite,
+            # same stance as merge_upsert_bucketed's evolve path
+            base = full.join(touched, on=list(key_cols), how="left_anti")
+            new = base.unionByName(upserts_kb, allowMissingColumns=True)
+            catalog.overwrite(new, target, partition_cols=["_kb"])
+            return n
+        # ≤ num_buckets values by construction — a bounded collect
+        buckets = [
+            r["_kb"]
+            for r in touched.select(kb.alias("_kb")).distinct().collect()
+        ]
+        subset = full.where(F.col("_kb").isin(buckets))
+        base = subset.join(touched, on=list(key_cols), how="left_anti")
+        new = base.unionByName(upserts_kb, allowMissingColumns=True)
+        catalog._write_bucketed_merge(new, target, replaced=buckets)
+        return n
     if catalog.exists(target):
         base = catalog.read(target).join(
             touched, on=list(key_cols), how="left_anti"
@@ -252,6 +330,5 @@ def apply_changes_into(
         new = base.unionByName(upserts, allowMissingColumns=True)
     else:
         new = upserts
-    n = feed.count()
     catalog.overwrite(new, target)
     return n

@@ -528,6 +528,15 @@ class TransactionalCatalog(Catalog):
             return
         super()._write_bucket_meta(table, num_buckets, key_cols)
 
+    def bucket_meta(self, table: str) -> dict | None:
+        # a layout staged by THIS open transaction is already visible
+        # to its own later writes (read-your-writes, like _pending)
+        if self._pending is not None:
+            staged = self._staged_bucket_meta.get(table)
+            if staged is not None:
+                return {"num_buckets": staged[0], "key_cols": staged[1]}
+        return super().bucket_meta(table)
+
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
     ) -> None:
@@ -571,15 +580,27 @@ class TransactionalCatalog(Catalog):
         self._pending[table] = prev + [rel]
         self._note_append(table, rel, schema=df.schema)
 
-    def _write_bucketed_merge(self, merged: DataFrame, table: str) -> None:
+    def _write_bucketed_merge(
+        self,
+        merged: DataFrame,
+        table: str,
+        replaced: list[int] | None = None,
+    ) -> None:
         """Versioned replacement for dynamic partition overwrite: touched
         ``_kb`` partitions are written to the new staged version, untouched
         partitions are hardlinked in from the current version. Readers flip
-        to the complete new version at commit."""
+        to the complete new version at commit.
+
+        ``replaced`` lists bucket ids the caller REPLACED even if
+        ``merged`` holds no rows for them — a CDC apply that deletes a
+        bucket's every key produces no ``_kb=i`` output dir, and the
+        hardlink carry would silently resurrect the old files without
+        this (a merge-upsert never empties a bucket, so it can leave
+        this None)."""
         auto = self._require_txn()
         if auto is not None:
             with auto:
-                self._write_bucketed_merge(merged, table)
+                self._write_bucketed_merge(merged, table, replaced)
             return
         prev = self._data_dirs(table) if self.exists(table) else []
         if len(prev) > 1:
@@ -596,10 +617,11 @@ class TransactionalCatalog(Catalog):
         reuse = None
         bloom_reuse = None
         if prev:
-            written = {d for d in os.listdir(stage) if d.startswith("_kb=")}
+            skip = {d for d in os.listdir(stage) if d.startswith("_kb=")}
+            skip |= {f"_kb={b}" for b in (replaced or ())}
             linked = set()
             for d in os.listdir(prev[0]):
-                if d.startswith("_kb=") and d not in written:
+                if d.startswith("_kb=") and d not in skip:
                     _link_tree(os.path.join(prev[0], d), os.path.join(stage, d))
                     linked.add(d)
             # untouched partitions carried by hardlink reuse their stats
@@ -810,7 +832,25 @@ class TransactionalCatalog(Catalog):
         the retained version manifest, then the pointer swap. The
         caller holds the commit flock. See the committed-load-marker
         notes for the ``.pending`` sidecar semantics the marker write
-        implements."""
+        implements.
+
+        Also maintains ``manifest["moved"]`` — per table, the LAST
+        version at which its dir list changed — by diffing against the
+        still-current on-disk manifest. This is the checkpoint that
+        lets :meth:`source_moved` answer an idle-window probe in O(1)
+        manifest reads instead of walking every version in the window
+        (a consumer resuming after 10k idle commits must not pay 10k
+        JSON reads per pump). Entries appear on a table's first
+        post-upgrade dir-list change; absent entries fall back to the
+        linear walk."""
+        prev = self._read_manifest(strict=False)
+        moved = dict(prev.get("moved", {}))
+        prev_tables = prev.get("tables", {})
+        new_tables = manifest.get("tables", {})
+        for t in set(prev_tables) | set(new_tables):
+            if prev_tables.get(t) != new_tables.get(t):
+                moved[t] = manifest["version"]
+        manifest["moved"] = moved
         self._write_load_marker(manifest["load_id"], manifest["version"])
         vdir = os.path.join(self.root, _VERSIONS)
         os.makedirs(vdir, exist_ok=True)
@@ -1867,10 +1907,24 @@ class TransactionalCatalog(Catalog):
     ) -> bool:
         """Manifest-only probe shared by the change feed's incremental
         consumers (matview refresh, stream pumps): did any commit in
-        ``(v_from, v_to]`` move ``table``'s dir list? Costs a JSON read
-        per version, no Spark job. Vacuumed windows answer True
-        (conservative — ``table_changes`` then raises its precise
-        error)."""
+        ``(v_from, v_to]`` move ``table``'s dir list? O(1) when the
+        window's end manifest carries the ``moved`` checkpoint map
+        (every commit since its introduction maintains it in
+        :meth:`_commit_tail`): the answer is ``moved[table] > v_from``
+        — a consumer resuming across 10k idle commits reads ONE
+        manifest, and the answer is exact even when intermediate
+        manifests were vacuumed. Tables with no checkpoint entry yet
+        (untouched since the map landed) fall back to the linear walk:
+        a JSON read per version, no Spark job; vacuumed windows then
+        answer True (conservative — ``table_changes`` raises its
+        precise error)."""
+        try:
+            end = self._version_manifest(v_to)
+        except FileNotFoundError:
+            return True
+        moved = end.get("moved")
+        if moved is not None and table in moved:
+            return moved[table] > v_from
         prev_rels = None
         for v in range(v_from, v_to + 1):
             try:

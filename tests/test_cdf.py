@@ -176,3 +176,53 @@ def test_reserved_commit_version_column_refused(spark, tcat):
     tcat.append(df, "t")
     with pytest.raises(ValueError, match="_commit_version"):
         tcat.table_changes("t", 1)
+
+
+def test_source_moved_idle_probe_is_o1(spark, tcat):
+    """A consumer resuming across N idle commits must answer the
+    did-anything-move probe from ONE manifest read (the ``moved``
+    checkpoint map maintained by every commit), not a JSON read per
+    version — Delta checkpoints its log for the same reason."""
+    tcat.overwrite(_base(spark, 10), "t")          # v1: t created
+    tcat.overwrite(spark.range(3).toDF("x"), "other")  # v2
+    # 40 idle-for-t commits (metadata + other-table data)
+    for i in range(20):
+        tcat.add_check("other", f"c{i}", "x IS NOT NULL")
+        tcat.append(spark.range(1).toDF("x"), "other")
+    cur = tcat._read_manifest(strict=False)["version"]
+    assert cur >= 42
+
+    calls = {"n": 0}
+    real = tcat._version_manifest
+
+    def counting(v):
+        calls["n"] += 1
+        return real(v)
+
+    tcat._version_manifest = counting
+    try:
+        assert tcat.source_moved("t", 1, cur) is False
+        assert calls["n"] == 1  # O(1): the window-end manifest only
+        calls["n"] = 0
+        assert tcat.source_moved("other", 1, cur) is True
+        assert calls["n"] == 1
+    finally:
+        tcat._version_manifest = real
+
+    # the checkpoint answer stays exact across vacuumed windows: drop
+    # the intermediate version manifests, probe still answers False
+    # (the linear walk would have had to say True conservatively)
+    tcat.vacuum(retain_versions=1)
+    assert tcat.source_moved("t", 1, cur) is False
+    assert tcat.source_moved("t", 0, cur) is True  # creation is a move
+
+    # fallback path: a window-end manifest WITHOUT the map (pre-upgrade
+    # catalog) falls back to the linear walk
+    import json as _json
+    import os as _os
+
+    vpath = _os.path.join(tcat.root, "_versions", f"{cur}.json")
+    vm = _json.load(open(vpath))
+    vm.pop("moved")
+    _json.dump(vm, open(vpath, "w"))
+    assert tcat.source_moved("t", 1, cur) is True  # vacuumed => conservative

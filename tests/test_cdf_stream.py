@@ -321,3 +321,139 @@ def test_pump_randomized_dml_sequences(spark, tmp_path):
                 pump_table_changes(cat, "src", "rep", _replica_apply(cat))
         pump_table_changes(cat, "src", "rep", _replica_apply(cat))
         assert _rows(cat, "replica") == _rows(cat, "src"), seed
+
+
+# -- bucket-bounded apply (r11): pumps rewrite only touched buckets ----------
+
+
+def _bucket_inodes(cat, table):
+    """{_kb=i: sorted data-file inodes} for the table's current version."""
+    import os
+
+    d = cat._data_dirs(table)[0]
+    out = {}
+    for b in os.listdir(d):
+        if not b.startswith("_kb="):
+            continue
+        bd = os.path.join(d, b)
+        out[b] = sorted(
+            os.stat(os.path.join(bd, f)).st_ino
+            for f in os.listdir(bd)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _rows_nokb(tcat, name):
+    df = tcat.read(name)
+    if "_kb" in df.columns:
+        df = df.drop("_kb")
+    return sorted(map(tuple, df.collect()))
+
+
+def _kb_of(spark, keys, nb=8):
+    """bucket id(s) the engine's hash assigns to literal key values."""
+    return {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k long")
+        .select("k", F.pmod(F.xxhash64("k"), F.lit(nb)).cast("int").alias("b"))
+        .collect()
+    }
+
+
+def test_bucketed_replica_rewrites_only_touched_buckets(spark, tcat):
+    """THE 100 TB write contract: after a one-key pump on an 8-bucket
+    replica, every untouched bucket's files are hardlink-identical to
+    the previous version (inode pin) — the pump re-stages O(touched
+    buckets), not O(replica)."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        bootstrap_changes_target,
+    )
+
+    tcat.overwrite(_src(spark, 0, 200).repartition(4), "src")
+    pump_table_changes(tcat, "src", "rep")
+    bootstrap_changes_target(tcat, "src", "replica", ["k"], num_buckets=8)
+    before = _bucket_inodes(tcat, "replica")
+    assert len(before) == 8  # 200 keys cover all buckets
+
+    tcat.update_where("src", [("k", "=", 7)], {"amt": "12345.0"})
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] == 2  # the delete+insert pair
+    after = _bucket_inodes(tcat, "replica")
+    touched = f"_kb={_kb_of(spark, [7])[7]}"
+    for b in before:
+        if b == touched:
+            assert after[b] != before[b], "touched bucket must re-stage"
+        else:
+            assert after[b] == before[b], f"{b} was rewritten needlessly"
+    assert _rows_nokb(tcat, "replica") == _rows(tcat, "src")
+    got = {r["k"]: r["amt"] for r in tcat.read("replica").collect()}
+    assert got[7] == 12345.0
+
+
+def test_bucketed_replica_emptied_bucket_never_resurrects(spark, tcat):
+    """Deleting a bucket's EVERY key must replace (drop) that bucket,
+    not hardlink-carry its old files back in — the failure mode the
+    `replaced` parameter of _write_bucketed_merge exists for."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        bootstrap_changes_target,
+    )
+
+    tcat.overwrite(_src(spark, 0, 60), "src")
+    pump_table_changes(tcat, "src", "rep")
+    bootstrap_changes_target(tcat, "src", "replica", ["k"], num_buckets=8)
+    # every key in bucket 3, deleted at once -> bucket 3 empties
+    kb = _kb_of(spark, list(range(60)))
+    doomed = sorted(k for k, b in kb.items() if b == 3)
+    assert doomed, "fixture must cover bucket 3"
+    tcat.delete_where("src", [("k", "in", doomed)])
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] == len(doomed)
+    assert _rows_nokb(tcat, "replica") == _rows(tcat, "src")
+    assert "_kb=3" not in _bucket_inodes(tcat, "replica")
+    assert tcat.read("replica").where(F.col("k").isin(doomed)).count() == 0
+
+
+def test_bucketed_replica_schema_evolution_full_rewrite(spark, tcat):
+    """Additive source evolution forces a one-off full rewrite (a
+    hardlinked narrow-schema bucket would lose the new column on
+    read), after which bounded pumps resume."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        bootstrap_changes_target,
+    )
+
+    tcat.overwrite(_src(spark, 0, 100), "src")
+    pump_table_changes(tcat, "src", "rep")
+    bootstrap_changes_target(tcat, "src", "replica", ["k"], num_buckets=8)
+    tcat.add_column("src", "note", "string")
+    tcat.append(_src(spark, 100, 110).withColumn("note", F.lit("n")), "src")
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert _rows_nokb(tcat, "replica") == _rows(tcat, "src")
+    # the widened column is readable across EVERY bucket
+    assert tcat.read("replica").where(F.col("note").isNull()).count() == 100
+    # bounded pumps resume post-evolution
+    before = _bucket_inodes(tcat, "replica")
+    tcat.update_where("src", [("k", "=", 2)], {"note": "'touched'"})
+    pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    after = _bucket_inodes(tcat, "replica")
+    untouched = [b for b in before if b != f"_kb={_kb_of(spark, [2])[2]}"]
+    assert untouched and all(after[b] == before[b] for b in untouched)
+    assert _rows_nokb(tcat, "replica") == _rows(tcat, "src")
+
+
+def test_bucketed_apply_refuses_mismatched_keys(spark, tcat):
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        bootstrap_changes_target,
+    )
+
+    tcat.overwrite(_src(spark, 0, 10), "src")
+    pump_table_changes(tcat, "src", "rep")
+    bootstrap_changes_target(tcat, "src", "replica", ["k"], num_buckets=8)
+    tcat.append(_src(spark, 10, 12), "src")
+    with pytest.raises(ValueError, match="bucketed on keys"):
+        pump_table_changes(
+            tcat,
+            "src",
+            "rep",
+            lambda f: apply_changes_into(tcat, f, "replica", ["g"]),
+        )

@@ -427,3 +427,48 @@ def test_cli_cdf_pump_lifecycle(workdir):
     )
     out = json.loads(r.stdout[r.stdout.index("{"):])
     assert out["applied"] == 0 and out["from"] == out["to"]
+
+
+def test_prompt_rewrites_are_quote_aware(spark, tmp_path):
+    """VERSION AS OF / table_changes() INSIDE a string literal are user
+    data, not syntax: the rewrite must pass them through verbatim (and
+    not side-effect a read_at/table_changes call on a phantom table),
+    while a real occurrence in the same statement still rewrites."""
+    from gcp_datalake_pipeline_spark.cli import (
+        _rewrite_table_changes,
+        _rewrite_version_as_of,
+    )
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.range(3).toDF("k"), "t")  # v1
+
+    # literal-only: untouched (a naive rewrite would raise FileNotFound
+    # on table 'x' or rewrite the data into a temp-view name)
+    s = "SELECT * FROM t WHERE note = 'x VERSION AS OF 3'"
+    assert _rewrite_version_as_of(cat, s) == s
+    # double-quoted literals are strings in Spark SQL too — a call
+    # shape inside one must not side-effect a table_changes('x') read
+    s2 = 'SELECT * FROM t WHERE note = "see table_changes(\'x\', 7) docs"'
+    assert _rewrite_table_changes(cat, s2) == s2
+
+    # real occurrence outside the literal still rewrites — even when a
+    # literal CONTAINING the phrase precedes it in the same statement
+    mixed = (
+        "SELECT 'keep t VERSION AS OF 9 verbatim' AS c "
+        "FROM t VERSION AS OF 1"
+    )
+    out = _rewrite_version_as_of(cat, mixed)
+    assert "_asof_t_v1" in out
+    assert "'keep t VERSION AS OF 9 verbatim'" in out
+    assert spark.sql(out).count() == 3
+
+    cat.append(spark.range(3, 5).toDF("k"), "t")  # v2
+    mixed2 = (
+        "SELECT count(*) AS n, 'table_changes(''x'', 7)' AS doc "
+        "FROM table_changes('t', 1) GROUP BY doc"
+    )
+    out2 = _rewrite_table_changes(cat, mixed2)
+    assert "_changes_t_1_cur" in out2
+    assert "'table_changes(''x'', 7)'" in out2
+    assert spark.sql(out2).first()["n"] == 2

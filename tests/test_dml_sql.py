@@ -731,3 +731,31 @@ def test_explain_mirrors_real_run_refusals(spark, tmp_path):
     # no WHERE on a well-formed UPDATE head: same refusal as the real run
     with pytest.raises(ValueError, match="unsupported DML shape"):
         execute_dml(cat, "EXPLAIN UPDATE t SET k = 1")
+
+
+def test_insert_values_boolean_and_temporal_literals_normalize(
+    spark, tmp_path
+):
+    """TRUE/FALSE literals must land the way Spark SQL's own INSERT
+    stores them: 'true'/'false' in a STRING column (Python str() says
+    'True'), real booleans in a BOOLEAN column; TIMESTAMP/DATE
+    literals land as their ISO forms."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame(
+            [],
+            "id long, s string, b boolean, ts timestamp, d date",
+        ),
+        "t",
+    )
+    out = execute_dml(
+        cat,
+        "INSERT INTO t VALUES (1, TRUE, FALSE, "
+        "TIMESTAMP '2024-03-05 06:07:08', DATE '2024-03-05')",
+    )
+    assert out == {"table": "t", "inserted": 1}
+    r = cat.read("t").first()
+    assert r["s"] == "true"  # not Python's 'True'
+    assert r["b"] is False
+    assert str(r["ts"]) == "2024-03-05 06:07:08"
+    assert str(r["d"]) == "2024-03-05"

@@ -262,3 +262,42 @@ def test_spark_refresh_statements_pass_through(spark, tcat):
     assert execute_dml(tcat, "REFRESH FUNCTION f") is None
     with pytest.raises(ValueError, match="unsupported DML shape"):
         execute_dml(tcat, "REFRESH MATERIALIZED VIEW")  # malformed: ours
+
+
+def test_zero_delta_mark_is_expect_checked(spark, tcat):
+    """The zero-delta watermark advance (compaction moved the source's
+    dir list, no net rows) must conflict-check the view's as_of like
+    every other watermark fold: a racing refresh that advanced (or
+    dropped) the view concurrently would otherwise be silently
+    regressed and the next refresh would double-apply its window."""
+    from gcp_datalake_pipeline_spark.transactions import ConcurrentWriteError
+
+    tcat.overwrite(_fact(spark, 0, 40).repartition(4), "fact")
+    create_materialized_view(tcat, "v", "fact", ["g"], {"total": "amt"}, "n")
+    # compaction: dir list moves, zero net row changes -> mark() path
+    assert tcat.compact("fact", min_dirs=1)
+    real = tcat._publish_meta
+    fired = {"n": 0}
+
+    def racing(mutate, load_id):
+        if load_id.startswith("matview-mark-") and fired["n"] == 0:
+            fired["n"] += 1
+            v_now = tcat._read_manifest(strict=False)["version"]
+
+            def bump(m):
+                m["views"]["v"] = {**m["views"]["v"], "as_of": v_now}
+
+            real(bump, "racing-refresh")
+        real(mutate, load_id)
+
+    tcat._publish_meta = racing
+    try:
+        with pytest.raises(ConcurrentWriteError, match="refreshed or dropped"):
+            refresh_materialized_view(tcat, "v")
+    finally:
+        tcat._publish_meta = real
+    # a clean retry from a fresh read converges (the racer had already
+    # advanced past the compaction window)
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] == 0
+    assert _view_rows(tcat) == _recompute(tcat)
