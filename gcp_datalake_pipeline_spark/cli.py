@@ -406,11 +406,18 @@ def _rewrite_table_changes(cat, sql: str) -> str:
 
 def cmd_diff(args) -> None:
     """Change-data-feed summary between two snapshots: per-commit
-    insert/delete counts, I/O bounded to the changed files."""
+    insert/delete counts, I/O bounded to the changed files. With
+    --keys, same-key delete+insert pairs within one commit report as
+    update_preimage/update_postimage (column-level updates)."""
     from pyspark.sql import functions as F
 
     cat = _txn_catalog(args)
-    ch = cat.table_changes(args.table, args.from_version, args.to_version)
+    keys = (
+        [k.strip() for k in args.keys.split(",")] if args.keys else None
+    )
+    ch = cat.table_changes(
+        args.table, args.from_version, args.to_version, key_cols=keys
+    )
     rows = (
         ch.groupBy("_commit_version", "_change_type")
         .agg(F.count("*").alias("n"))
@@ -1112,6 +1119,11 @@ def main(argv: list[str] | None = None) -> None:
     pdf.add_argument("table")
     pdf.add_argument("--from", dest="from_version", type=int, required=True)
     pdf.add_argument("--to", dest="to_version", type=int, default=None)
+    pdf.add_argument(
+        "--keys", default=None,
+        help="comma-separated key columns: pair same-key delete+insert "
+        "within a commit into update_preimage/update_postimage",
+    )
     pdf.set_defaults(fn=cmd_diff)
 
     pcp = sub.add_parser(

@@ -678,6 +678,20 @@ def execute_dml(catalog, sql: str) -> dict | None:
                 f"MERGE key(s) {missing!r} not in target table; {_GRAMMAR}"
             )
         src = _resolve_source(catalog, source_spec)
+        # targets carrying the _kb bucket layout route through the
+        # partition-pruned merges: only the buckets holding source keys
+        # are read and rewritten, everything else hardlink-carries —
+        # on a big table this is the difference between Delta MERGE
+        # and rewrite-the-lake-per-statement. ON keys must equal the
+        # layout's bucket keys (in order — the hash is order-sensitive).
+        meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
+        if meta is not None and meta.get("key_cols") not in (None, keys):
+            raise ValueError(
+                f"MERGE target {table!r} is bucketed on keys "
+                f"{meta['key_cols']}; the ON clause must join exactly "
+                f"those (got {keys}) — a mismatched merge would turn "
+                "updates into silent duplicate inserts"
+            )
         if canon == _CANONICAL_WHEN_DELETE:
             # only the keys matter: probe/align just those (a mismatch
             # on a non-key source column must not block a delete)
@@ -687,10 +701,24 @@ def execute_dml(catalog, sql: str) -> dict | None:
                 [f for f in schema.fields if f.name in keys]
             )
             src, _ = _align_merge_source(catalog, src, key_schema)
-            n = catalog.merge_delete(src, table, key_cols=keys)
+            if meta is not None:
+                n = catalog.merge_delete_bucketed(
+                    src, table, key_cols=keys,
+                    num_buckets=meta["num_buckets"],
+                )
+            else:
+                n = catalog.merge_delete(src, table, key_cols=keys)
             return {"table": table, "merge_deleted": n}
         src, n = _align_merge_source(catalog, src, schema)
-        catalog.merge_upsert(src, table, key_cols=keys, audit_cols=False)
+        if meta is not None:
+            catalog.merge_upsert_bucketed(
+                src, table, key_cols=keys,
+                num_buckets=meta["num_buckets"], audit_cols=False,
+            )
+        else:
+            catalog.merge_upsert(
+                src, table, key_cols=keys, audit_cols=False
+            )
         return {"table": table, "merged": n}
     m = re.fullmatch(
         r"CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\b.+)",

@@ -50,6 +50,17 @@ def _validate_spec(keys, sums, count_col):
     clash = ({count_col} | set(sums)) & set(keys)
     if clash or count_col in sums:
         raise ValueError(f"view column name collision: {sorted(clash)}")
+    if "_kb" in set(keys) | set(sums) | {count_col}:
+        raise ValueError(
+            "'_kb' is the reserved bucket-layout column; rename the "
+            "view column"
+        )
+
+
+def _kb_col(keys: list[str], num_buckets: int):
+    # the SAME key-hash placement as merge_upsert_bucketed / the CDC
+    # replicas (storage.py:416) — one layout convention per engine
+    return F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
 
 
 def create_materialized_view(
@@ -59,11 +70,21 @@ def create_materialized_view(
     keys: list[str],
     sums: dict[str, str],
     count_col: str = "n_rows",
+    num_buckets: int | None = 16,
 ) -> dict:
     """Full first materialization of ``name`` over ``source``: one
     aggregate over a CONSISTENT snapshot (``read_at`` the current
     version — never a racy live read), published together with the
-    spec + watermark in one commit."""
+    spec + watermark in one commit.
+
+    By default the view table lands under the ``_kb`` group-key-hash
+    bucket layout so every later refresh REWRITES only the buckets
+    holding affected groups and hardlink-carries the rest — at 100 TB
+    a view over a big key space is itself big, and an O(view) rewrite
+    per refresh would swamp the O(changes) compute. ``_kb`` is a
+    physical column (visible like any partition column; readers that
+    don't want it drop it). ``num_buckets=None`` opts out for tiny
+    views."""
     _validate_spec(keys, sums, count_col)
     if catalog.view_spec(name) is not None:
         raise ValueError(f"materialized view {name!r} already exists")
@@ -81,7 +102,15 @@ def create_materialized_view(
         "as_of": v0,
     }
     with catalog.transaction(f"matview-create-{name}"):
-        catalog.overwrite(df, name)
+        if num_buckets:
+            catalog.overwrite(
+                df.withColumn("_kb", _kb_col(keys, num_buckets)),
+                name,
+                partition_cols=["_kb"],
+            )
+            catalog._write_bucket_meta(name, num_buckets, list(keys))
+        else:
+            catalog.overwrite(df, name)
         catalog._intents[name]["view"] = spec
     return {"view": name, "as_of": v0, "groups": catalog.count_rows(name)}
 
@@ -149,6 +178,34 @@ def refresh_materialized_view(catalog, name: str) -> dict:
 
         catalog._publish_meta(mark, f"matview-mark-{name}")
         return {"view": name, "as_of": v1, "applied": 0}
+    meta = catalog.bucket_meta(name)
+    if meta is not None:
+        # bucket-bounded refresh: only the buckets holding affected
+        # groups are read (partition-pruned scan), merged, and
+        # re-staged; every other bucket's files hardlink-carry into
+        # the new version. A bucket whose last group vanished is
+        # explicitly replaced, never hardlink-resurrected.
+        nb = meta["num_buckets"]
+        kb = _kb_col(keys, nb)
+        # ≤ num_buckets values by construction — a bounded collect
+        buckets = [
+            r["_kb"]
+            for r in delta.select(kb.alias("_kb")).distinct().collect()
+        ]
+        subset = (
+            catalog.read(name)
+            .where(F.col("_kb").isin(buckets))
+            .drop("_kb")
+        )
+        merged = (
+            refresh_aggregate(subset, delta, keys, list(sums), count_col)
+            .where(F.col(count_col) > 0)
+            .withColumn("_kb", kb)
+        )
+        with catalog.transaction(f"matview-refresh-{name}"):
+            catalog._write_bucketed_merge(merged, name, replaced=buckets)
+            catalog._intents[name]["view"] = {**spec, "as_of": v1}
+        return {"view": name, "as_of": v1, "applied": n_applied}
     merged = refresh_aggregate(
         catalog.read(name), delta, keys, list(sums), count_col
     ).where(F.col(count_col) > 0)

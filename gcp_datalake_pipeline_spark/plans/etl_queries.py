@@ -1249,10 +1249,81 @@ def etl_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_table_changes_updates",
+    """
+    SELECT 'delete' AS change_type, count(*) AS n_rows,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders WHERE o_orderkey < 6000 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'update_postimage', count(*), round(sum(o_totalprice * 2), 2)
+    FROM orders WHERE o_orderkey < 6000 AND o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'update_preimage', count(*), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_orderkey < 6000 AND o_orderpriority = '1-URGENT'
+    ORDER BY change_type
+    """,
+    doc="""Column-level change feed (Delta CDF's update_preimage /
+    update_postimage distinction): a bounded orders subset lands as
+    v1, an UPDATE doubles urgent orders' totals at v2, and a DELETE
+    removes finished orders at v3 — then table_changes(key_cols=
+    [o_orderkey]) relabels v2's same-key delete+insert pairs as the
+    update's pre/post images while v3's lone deletes keep their label.
+    A consumer can diff pre vs post per key to see WHICH columns
+    changed. Returns per-change-type row counts and totals; oracle =
+    the same aggregates computed directly from the rows each commit
+    touched (post-update prices feed the delete totals — history must
+    reconstruct exactly).""",
+)
+def etl_table_changes_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(
+        f"etl_table_changes_upd_{os.path.basename(sf_dir)}"
+    )
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_cdu"):  # warm rerun reuses the staged lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        cat.overwrite(orders.coalesce(2), "orders_cdu")           # v1
+        cat.update_where(                                         # v2
+            "orders_cdu",
+            [("o_orderpriority", "=", "1-URGENT")],
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        cat.delete_where(                                         # v3
+            "orders_cdu", [("o_orderstatus", "=", "F")]
+        )
+    return (
+        cat.table_changes("orders_cdu", 1, key_cols=["o_orderkey"])
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
     "etl_matview_refresh",
     """
     SELECT o_orderpriority,
-           round(sum(o_totalprice), 2) AS total_price,
+           round(sum(CASE WHEN o_orderkey = (
+                    SELECT min(o_orderkey) FROM orders
+                    WHERE o_orderkey < 6000
+                      AND NOT (o_orderpriority = '1-URGENT'
+                               AND year(o_orderdate) < 1996))
+                    THEN 11111.0 ELSE o_totalprice END), 2) AS total_price,
            count(*) AS n_orders
     FROM orders
     WHERE o_orderkey < 6000
@@ -1263,12 +1334,16 @@ def etl_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Incrementally maintained materialized view through the real
     storage engine: a bounded orders subset lands split across two
     commits, a priority+date DELETE lands as a third, and the view —
-    materialized after the FIRST commit only — catches up via two
-    REFRESHes that apply the change feed as signed partials (insert=+,
-    delete=-; operators/matview.py over table_changes +
-    refresh_aggregate). The query RAISES unless each refresh actually
-    applied a delta and a final catch-up refresh is a no-op, then
-    returns the view's rows (sums rounded at the READ — the view
+    materialized after the FIRST commit only, UNDER THE _kb BUCKET
+    LAYOUT — catches up via REFRESHes that apply the change feed as
+    signed partials (insert=+, delete=-; operators/matview.py over
+    table_changes + refresh_aggregate), each rewriting ONLY the
+    buckets holding affected groups. A final one-order UPDATE feeds a
+    one-group refresh whose inode pin RAISES unless every other
+    bucket's files survived hardlink-identical (refresh cost must be
+    O(affected groups), not O(view)). The query also RAISES unless
+    each refresh applied a delta and a catch-up refresh is a no-op,
+    then returns the view's rows (sums rounded at the READ — the view
     stores exact partials). Oracle = the same aggregate computed
     directly over the logical final state; the invariant is refresh ==
     full recompute after any DML sequence.""",
@@ -1305,6 +1380,7 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderpriority"],
             {"total_price": "o_totalprice"},
             "n_orders",
+            num_buckets=8,
         )
         cat.append(
             orders.where(F.year("o_orderdate") >= 1997).coalesce(2),
@@ -1322,6 +1398,42 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r1["applied"] == 0 or r2["applied"] == 0:
             raise RuntimeError(
                 f"matview refresh applied no delta ({r1}, {r2})"
+            )
+        # one-order update -> one-group refresh: the bounded-write
+        # inode pin (refresh re-stages only the affected group's
+        # bucket; the rest hardlink-carry)
+        def bucket_inodes():
+            d = cat._data_dirs("orders_mv")[0]
+            return {
+                b: sorted(
+                    os.stat(os.path.join(d, b, f)).st_ino
+                    for f in os.listdir(os.path.join(d, b))
+                    if f.endswith(".parquet")
+                )
+                for b in os.listdir(d)
+                if b.startswith("_kb=")
+            }
+
+        k0 = cat.read("orders_mv_src").agg(
+            F.min("o_orderkey")
+        ).first()[0]
+        before = bucket_inodes()
+        cat.update_where(
+            "orders_mv_src",
+            [("o_orderkey", "=", int(k0))],
+            {"o_totalprice": "11111.0"},
+        )
+        r3 = refresh_materialized_view(cat, "orders_mv")
+        if r3["applied"] != 1:
+            raise RuntimeError(
+                f"one-group refresh applied {r3['applied']} deltas"
+            )
+        after = bucket_inodes()
+        restaged = [b for b in before if after.get(b) != before[b]]
+        if len(restaged) > 1:
+            raise RuntimeError(
+                f"one-group refresh re-staged {len(restaged)} buckets "
+                f"({restaged}); the refresh is not bucket-bounded"
             )
     caught_up = refresh_materialized_view(cat, "orders_mv")
     if caught_up["applied"] != 0:

@@ -394,6 +394,36 @@ class Catalog:
         self.overwrite(remaining, table)
         return n_matched
 
+    def merge_delete_bucketed(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        num_buckets: int = 64,
+    ) -> int:
+        """``merge_delete`` for ``_kb``-bucketed tables: reads ONLY the
+        partitions holding the source keys' buckets and rewrites only
+        those (a bucket whose every key matched is explicitly
+        replaced); untouched buckets' files carry over untouched. Needs
+        the versioned write path (TransactionalCatalog) — dynamic
+        partition overwrite cannot atomically drop an emptied bucket.
+        Returns the number of rows deleted."""
+        self._check_bucket_meta(table, num_buckets, key_cols)
+        src_keys = source.select(*key_cols).dropDuplicates(key_cols)
+        kb = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
+        # ≤ num_buckets values by construction — a bounded collect
+        buckets = [
+            r["_kb"]
+            for r in src_keys.select(kb.alias("_kb")).distinct().collect()
+        ]
+        subset = self.read(table).filter(F.col("_kb").isin(buckets))
+        n_matched = subset.join(src_keys, key_cols, "left_semi").count()
+        if n_matched == 0:
+            return 0
+        remaining = subset.join(src_keys, key_cols, "left_anti")
+        self._write_bucketed_merge(remaining, table, replaced=buckets)
+        return n_matched
+
     def merge_upsert_bucketed(
         self,
         source: DataFrame,
@@ -404,6 +434,7 @@ class Catalog:
         order_col: str | None = None,
         id_col: str | None = None,
         evolve_schema: bool = False,
+        audit_cols: bool = True,
     ) -> DataFrame:
         """merge_upsert for LARGE tables: the table is stored partitioned by
         a key-hash bucket (``_kb = pmod(xxhash64(keys), num_buckets)``), and
@@ -423,10 +454,13 @@ class Catalog:
         src = dedup_last_wins(source, key_cols, order_col)
         src = src.drop("_row_idx", "_source_file")
         now = F.current_timestamp()
-        if "date_created" not in src.columns:
-            src = src.withColumn("date_created", now)
-        if "date_updated" not in src.columns:
-            src = src.withColumn("date_updated", now)
+        # audit_cols=False: same contract as merge_upsert — the generic
+        # SQL MERGE façade must not widen a table with audit columns
+        if audit_cols:
+            if "date_created" not in src.columns:
+                src = src.withColumn("date_created", now)
+            if "date_updated" not in src.columns:
+                src = src.withColumn("date_updated", now)
         kb = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
         src = src.withColumn("_kb", kb)
 

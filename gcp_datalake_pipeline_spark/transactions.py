@@ -1952,7 +1952,11 @@ class TransactionalCatalog(Catalog):
         self._publish_meta(mutate, f"cdf-drop-{consumer}")
 
     def table_changes(
-        self, table: str, from_version: int, to_version: int | None = None
+        self,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
     ) -> DataFrame:
         """Row-level changes committed AFTER snapshot ``from_version``
         up to and including ``to_version`` (default: current), as the
@@ -1963,7 +1967,19 @@ class TransactionalCatalog(Catalog):
         did not touch the table's dir list contribute nothing without
         any I/O. Raises if a needed version manifest was vacuumed, or
         if a column changed type between the endpoints (a feed across
-        an incompatible rewrite is ill-defined)."""
+        an incompatible rewrite is ill-defined).
+
+        ``key_cols`` (caller-keyed, like ``apply_changes_into``) turns
+        the pairs back into COLUMN-LEVEL updates, Delta CDF style: a
+        key with both a delete and an insert in ONE commit relabels
+        them ``update_preimage`` / ``update_postimage`` — a consumer
+        can then diff pre vs post to see WHICH columns changed; lone
+        inserts/deletes keep their labels (a key-column rewrite is
+        honestly a delete of the old key + insert of the new). Costs
+        one extra shuffle over the feed window (bounded by the changed
+        files, never the table). With duplicate keys at one version,
+        all of the key's deletes become preimages and all its inserts
+        postimages."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -2012,7 +2028,31 @@ class TransactionalCatalog(Catalog):
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        return out
+        if key_cols is None:
+            return out
+        missing = [k for k in key_cols if k not in out.columns]
+        if missing:
+            raise ValueError(
+                f"table_changes({table!r}) key_cols {missing!r} not in "
+                f"the table's columns"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols, "_commit_version")
+        is_ins = (F.col("_change_type") == "insert").cast("int")
+        paired = (F.max(is_ins).over(w) == 1) & (
+            F.min(is_ins).over(w) == 0
+        )
+        return out.withColumn(
+            "_change_type",
+            F.when(
+                paired,
+                F.when(
+                    F.col("_change_type") == "insert",
+                    F.lit("update_postimage"),
+                ).otherwise(F.lit("update_preimage")),
+            ).otherwise(F.col("_change_type")),
+        )
 
     def _version_file_inodes(self, table: str, version: int) -> list[tuple]:
         """(inode, abs_dir, rel_file) for every data file the table

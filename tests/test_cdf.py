@@ -226,3 +226,76 @@ def test_source_moved_idle_probe_is_o1(spark, tcat):
     vm.pop("moved")
     _json.dump(vm, open(vpath, "w"))
     assert tcat.source_moved("t", 1, cur) is True  # vacuumed => conservative
+
+
+def test_keyed_feed_relabels_update_pairs(spark, tcat):
+    """key_cols turns same-key delete+insert pairs WITHIN one commit
+    into update_preimage/update_postimage; lone inserts/deletes keep
+    their labels; pairs across DIFFERENT commits never pair."""
+    tcat.overwrite(_base(spark).repartition(4), "t")                # v1
+    tcat.update_where("t", [("k", "=", 8)], {"g": "g + 100"})       # v2
+    tcat.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ),
+        "t",
+    )                                                               # v3
+    tcat.delete_where("t", [("k", "=", 7)])                         # v4
+    # delete at v5 + re-insert at v6: SEPARATE commits stay honest
+    tcat.delete_where("t", [("k", "=", 9)])                         # v5
+    tcat.append(
+        spark.createDataFrame([(9, 77)], "k long, g long"), "t"
+    )                                                               # v6
+    ch = tcat.table_changes("t", 1, key_cols=["k"])
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["n"])
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == [
+        (2, "update_postimage", 1),
+        (2, "update_preimage", 1),
+        (3, "insert", 5),
+        (4, "delete", 1),
+        (5, "delete", 1),
+        (6, "insert", 1),
+    ]
+    # the pre/post rows carry the actual before/after values
+    pair = {
+        r["_change_type"]: r["g"]
+        for r in ch.where(F.col("k") == 8).collect()
+    }
+    assert pair == {"update_preimage": 3, "update_postimage": 103}
+    # unknown key column refuses
+    with pytest.raises(ValueError, match="key_cols"):
+        tcat.table_changes("t", 1, key_cols=["ghost"])
+
+
+def test_keyed_feed_key_column_rewrite_stays_delete_insert(spark, tcat):
+    """Changing the KEY ITSELF in one commit is a delete of the old
+    key + insert of the new — no false pairing."""
+    tcat.overwrite(_base(spark, 10), "t")                           # v1
+    tcat.update_where("t", [("k", "=", 3)], {"k": "300"})           # v2
+    ch = tcat.table_changes("t", 1, key_cols=["k"])
+    got = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(3, "delete"), (300, "insert")}
+
+
+def test_keyed_feed_duplicate_keys_all_relabel(spark, tcat):
+    """Duplicate-key tables: every delete of the key in the commit
+    becomes a preimage and every insert a postimage (documented
+    caller-keyed semantics)."""
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k long, v long"
+    )
+    tcat.overwrite(dup, "t")                                        # v1
+    tcat.update_where("t", [("k", "=", 1)], {"v": "v + 5"})         # v2
+    ch = tcat.table_changes("t", 1, key_cols=["k"])
+    got = sorted((r["_change_type"], r["v"]) for r in ch.collect())
+    assert got == [
+        ("update_postimage", 15),
+        ("update_postimage", 16),
+        ("update_preimage", 10),
+        ("update_preimage", 11),
+    ]

@@ -759,3 +759,128 @@ def test_insert_values_boolean_and_temporal_literals_normalize(
     assert r["b"] is False
     assert str(r["ts"]) == "2024-03-05 06:07:08"
     assert str(r["d"]) == "2024-03-05"
+
+
+# -- MERGE routing through the bucketed paths (r11) ---------------------------
+
+
+def _kb_inodes(cat, table):
+    import os
+
+    d = cat._data_dirs(table)[0]
+    out = {}
+    for b in os.listdir(d):
+        if not b.startswith("_kb="):
+            continue
+        bd = os.path.join(d, b)
+        out[b] = sorted(
+            os.stat(os.path.join(bd, f)).st_ino
+            for f in os.listdir(bd)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _key_bucket(spark, k, nb=8):
+    return (
+        spark.createDataFrame([(k,)], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(nb)).cast("int").alias("b"))
+        .first()["b"]
+    )
+
+
+def test_merge_into_bucketed_target_is_partition_pruned(spark, tmp_path):
+    """MERGE INTO a table carrying the _kb layout routes through
+    merge_upsert_bucketed: only the buckets holding source keys are
+    re-staged; every other bucket's files survive hardlink-identical
+    (the façade edition of the bounded-write contract)."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cat.merge_upsert_bucketed(
+        base, "t", key_cols=["k"], num_buckets=8, audit_cols=False
+    )
+    before = _kb_inodes(cat, "t")
+    assert len(before) == 8
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 7 AS k, 999 AS v) s ON k = k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {"table": "t", "merged": 1}
+    after = _kb_inodes(cat, "t")
+    touched = f"_kb={_key_bucket(spark, 7)}"
+    assert after[touched] != before[touched]
+    assert all(after[b] == before[b] for b in before if b != touched)
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got[7] == 999 and got[6] == 60 and len(got) == 200
+    # audit columns were NOT injected by the façade
+    assert "date_created" not in cat.read("t").columns
+
+    # matched-delete routes through the bucket-pruned delete fold
+    before = _kb_inodes(cat, "t")
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 7 AS k) s ON k = k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "t", "merge_deleted": 1}
+    after = _kb_inodes(cat, "t")
+    assert after[touched] != before[touched]
+    assert all(after[b] == before[b] for b in before if b != touched)
+    assert cat.read("t").where(F.col("k") == 7).count() == 0
+    assert cat.count_rows("t") == 199
+
+
+def test_merge_delete_bucketed_emptied_bucket_drops(spark, tmp_path):
+    """A matched-delete covering a bucket's every key must DROP that
+    bucket's partition, never hardlink its stale files back."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    base = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cat.merge_upsert_bucketed(
+        base, "t", key_cols=["k"], num_buckets=8, audit_cols=False
+    )
+    doomed = [
+        r["k"]
+        for r in spark.range(60)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("b"),
+        )
+        .where(F.col("b") == 3)
+        .collect()
+    ]
+    assert doomed
+    spark.createDataFrame([(k,) for k in doomed], "k long").createOrReplaceTempView(
+        "doomed_keys"
+    )
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT k FROM doomed_keys) s ON k = k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "t", "merge_deleted": len(doomed)}
+    assert "_kb=3" not in _kb_inodes(cat, "t")
+    assert cat.count_rows("t") == 60 - len(doomed)
+
+
+def test_merge_into_bucketed_target_refuses_mismatched_on_keys(
+    spark, tmp_path
+):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    cat.merge_upsert_bucketed(
+        base, "t", key_cols=["k"], num_buckets=4, audit_cols=False
+    )
+    with pytest.raises(ValueError, match="bucketed on keys"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS g, 9 AS k) s ON g = g "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )

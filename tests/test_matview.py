@@ -42,7 +42,10 @@ def _fact(spark, lo, hi):
 
 
 def _view_rows(tcat, name="v"):
-    return sorted(map(tuple, tcat.read(name).collect()))
+    df = tcat.read(name)
+    if "_kb" in df.columns:  # the physical bucket-layout column
+        df = df.drop("_kb")
+    return sorted(map(tuple, df.collect()))
 
 
 def _recompute(tcat, src="fact"):
@@ -123,7 +126,9 @@ def test_null_group_keys_stay_one_group(spark, tcat):
         "fact",
     )
     refresh_materialized_view(tcat, "v")
-    got = {tuple(r) for r in tcat.read("v").collect()}
+    got = {
+        tuple(r) for r in tcat.read("v").drop("_kb").collect()
+    }
     assert len(got) == 2  # the NULL group did not split
     assert (None, 60.0, 3) in got
 
@@ -301,3 +306,106 @@ def test_zero_delta_mark_is_expect_checked(spark, tcat):
     out = refresh_materialized_view(tcat, "v")
     assert out["applied"] == 0
     assert _view_rows(tcat) == _recompute(tcat)
+
+
+# -- bucket-bounded refresh (r11): rewrites only affected groups' buckets ----
+
+
+def _bucket_inodes(cat, table):
+    d = cat._data_dirs(table)[0]
+    out = {}
+    for b in os.listdir(d):
+        if not b.startswith("_kb="):
+            continue
+        bd = os.path.join(d, b)
+        out[b] = sorted(
+            os.stat(os.path.join(bd, f)).st_ino
+            for f in os.listdir(bd)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _g_bucket(spark, gs, nb=8):
+    return {
+        r["g"]: r["b"]
+        for r in spark.createDataFrame([(g,) for g in gs], "g long")
+        .select("g", F.pmod(F.xxhash64("g"), F.lit(nb)).cast("int").alias("b"))
+        .collect()
+    }
+
+
+def _wide_fact(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 32).alias("g"),
+        (F.col("id") * 1.5).alias("amt"),
+    )
+
+
+def test_bucketed_view_refresh_rewrites_only_affected_buckets(spark, tcat):
+    """THE 100 TB refresh contract: a one-group change window re-stages
+    only the bucket holding that group; every other bucket's files are
+    hardlink-identical across the refresh (inode pin)."""
+    tcat.overwrite(_wide_fact(spark, 0, 640), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n", num_buckets=8
+    )
+    before = _bucket_inodes(tcat, "v")
+    assert len(before) == 8  # 32 groups cover all 8 buckets
+
+    tcat.update_where("fact", [("k", "=", 5)], {"amt": "999.0"})  # group 5
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] == 1  # one affected group's signed delta
+    after = _bucket_inodes(tcat, "v")
+    touched = f"_kb={_g_bucket(spark, [5])[5]}"
+    for b in before:
+        if b == touched:
+            assert after[b] != before[b], "affected bucket must re-stage"
+        else:
+            assert after[b] == before[b], f"{b} was rewritten needlessly"
+    assert _view_rows(tcat) == _recompute(tcat)
+
+
+def test_bucketed_view_emptied_bucket_drops(spark, tcat):
+    """Deleting every row of every group in one bucket must drop that
+    bucket's partition — not hardlink its stale partials back in."""
+    tcat.overwrite(_wide_fact(spark, 0, 640), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n", num_buckets=8
+    )
+    gb = _g_bucket(spark, list(range(32)))
+    doomed = sorted(g for g, b in gb.items() if b == 3)
+    assert doomed, "fixture must cover bucket 3"
+    tcat.delete_where("fact", [("g", "in", doomed)])
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] == len(doomed)
+    assert "_kb=3" not in _bucket_inodes(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+    # and the view still refreshes normally afterwards
+    tcat.append(_wide_fact(spark, 640, 680), "fact")
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+
+
+def test_unbucketed_view_opt_out(spark, tcat):
+    """num_buckets=None keeps the simple whole-table layout (no _kb
+    column) for tiny views; refresh still converges."""
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n", num_buckets=None
+    )
+    assert "_kb" not in tcat.read("v").columns
+    tcat.delete_where("fact", [("k", "<", 8)])
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _recompute(tcat)
+
+
+def test_view_column_named_kb_refused(spark, tcat):
+    tcat.overwrite(
+        _fact(spark, 0, 8).withColumnRenamed("g", "_kb"), "fact2"
+    )
+    with pytest.raises(ValueError, match="reserved bucket-layout"):
+        create_materialized_view(
+            tcat, "v2", "fact2", ["_kb"], {"total": "amt"}, "n"
+        )
