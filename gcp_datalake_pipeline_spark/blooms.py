@@ -160,6 +160,26 @@ def normalize_type(spark_simple: str) -> str | None:
     return _TYPE_MAP.get(spark_simple)
 
 
+def dir_bitmap_bytes(stats: dict | None, n_cols: int, bits_per_row: int) -> int:
+    """Projected driver-side merge footprint of a bloom build over one
+    dir: per file, the bitmap is ``m/8`` bytes with ``m ≈ rows ×
+    bits_per_row`` (see :func:`_sizing`), and the driver holds one per
+    (file, column) while ORing partials — so the total is
+    ``Σ_files m/8 × n_cols ≈ total_rows × bits_per_row / 8 × n_cols``
+    (e.g. 10 bits/row over a 10M-row dir and 2 columns ≈ 25 MB).
+    Used by the ``max_bitmap_bytes`` guard."""
+    if stats is None:
+        return 0
+    total = 0
+    for entry in stats.get("files", {}).values():
+        rows = entry.get("rows")
+        if rows is None:
+            continue
+        m, _k = _sizing(rows, bits_per_row)
+        total += (m // 8) * n_cols
+    return total
+
+
 def _sizing(rows: int, bits_per_row: int) -> tuple[int, int]:
     """(m bits, k probes) for a file of ``rows`` values: Delta-shaped
     bits-per-row sizing, k at the optimal ln2·m/n clamped to [1, 12]."""

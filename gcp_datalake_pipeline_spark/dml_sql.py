@@ -44,7 +44,9 @@ statement):
     REFRESH MATERIALIZED VIEW <name>
     DROP MATERIALIZED VIEW <name>
     VACUUM [RETAIN <n> VERSIONS]
-    EXPLAIN DELETE ... | EXPLAIN UPDATE ...   -- dry-run rewrite plan
+    EXPLAIN DELETE|UPDATE ...   -- dry-run rewrite plan (file skipping)
+    EXPLAIN INSERT|MERGE ...    -- dry-run write plan (rows, cast-loss
+                                   report, buckets to rewrite)
     <where> := <disj> | <conj>
     <disj> := [(]<conj>[)] OR [(]<conj>[)] [OR ...]   -- top-level OR only
     <conj> := <term> [AND <term>]...
@@ -86,7 +88,7 @@ _GRAMMAR = (
     "COUNT(*) AS n FROM t GROUP BY keys; REFRESH|DROP MATERIALIZED "
     "VIEW v; "
     "VACUUM [RETAIN n VERSIONS]; "
-    "EXPLAIN DELETE|UPDATE ... (metadata-only dry-run rewrite plan); "
+    "EXPLAIN DELETE|UPDATE (metadata-only rewrite plan) | INSERT|MERGE (write plan: rows, cast-loss report, buckets); "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
     "(= != <> < <= > >=), col IN (lit, ...), col IS [NOT] NULL; "
@@ -308,12 +310,12 @@ def _target_schema(catalog, table: str):
     return stored if stored is not None else catalog.read(table).schema
 
 
-def _probe_cast_loss(df, types, cols: list[str], verb: str) -> int:
+def _cast_loss_counts(df, types, cols: list[str]) -> tuple[int, dict]:
     """ONE aggregation pass: the source row count plus, per probed
     column, how many non-NULL values the cast to the target type would
-    silently turn NULL. Raises (refusal) on any loss; returns the
-    count — so validation and the reported row count never cost
-    separate evaluations of the source."""
+    silently turn NULL. Shared by the refusing probe (real run) and
+    the reporting probe (EXPLAIN dry run) so the two can never
+    diverge."""
     from pyspark.sql import functions as F
 
     ncol = "__rows"
@@ -328,14 +330,22 @@ def _probe_cast_loss(df, types, cols: list[str], verb: str) -> int:
         for c in cols
     ]
     row = df.agg(*aggs).first()
+    return row[ncol], {c: row[c] or 0 for c in cols}
+
+
+def _probe_cast_loss(df, types, cols: list[str], verb: str) -> int:
+    """Refusing form of the probe: raises on any loss; returns the
+    count — validation and the reported row count never cost separate
+    evaluations of the source."""
+    n, losses = _cast_loss_counts(df, types, cols)
     for c in cols:
-        if row[c]:
+        if losses[c]:
             raise ValueError(
                 f"{verb} value(s) for column {c!r} do not cast to "
-                f"{types[c].simpleString()} ({row[c]} row(s)) — refusing "
-                "to convert them silently"
+                f"{types[c].simpleString()} ({losses[c]} row(s)) — "
+                "refusing to convert them silently"
             )
-    return row[ncol]
+    return n
 
 
 def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
@@ -525,6 +535,85 @@ def _explain(catalog, inner: str):
             "UPDATE",
             {"set_columns": list(sets)},
         )
+    m = _INSERT_RE.fullmatch(s)
+    if m:
+        # dry-run the write path: same grammar body and the same
+        # single-pass probe as the real INSERT, but cast losses are
+        # REPORTED per column instead of refusing — nothing is staged,
+        # nothing commits (version-stability pinned by tests)
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        table = m.group(2)
+        cols, src, schema = _parse_insert_source(
+            catalog, table, m.group(3), m.group(4).strip(), overwrite
+        )
+        names = [f.name for f in schema.fields]
+        targets = cols if cols is not None else names
+        unknown = [c for c in targets if c not in names]
+        if unknown:
+            raise ValueError(
+                f"INSERT column(s) {unknown!r} not in target table; "
+                f"{_GRAMMAR}"
+            )
+        if len(src.columns) != len(targets):
+            raise ValueError(
+                f"INSERT source has {len(src.columns)} column(s) for "
+                f"{len(targets)} target column(s); {_GRAMMAR}"
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        n, losses = _cast_loss_counts(src.toDF(*targets), types, targets)
+        return {
+            "explain": "INSERT",
+            "table": table,
+            "mode": "overwrite" if overwrite else "into",
+            "rows": n,
+            "cast_loss": {c: v for c, v in losses.items() if v},
+            "would_refuse": any(losses.values()),
+        }
+    m = _MERGE_RE.fullmatch(s)
+    if m:
+        table, rest = m.group(1), m.group(2)
+        source_spec, keys, canon, schema, meta = _parse_merge(
+            catalog, table, rest
+        )
+        src = _resolve_source(catalog, source_spec)
+        types = {f.name: f.dataType for f in schema.fields}
+        # same columns the real run's _align_merge_source would probe:
+        # type-mismatched shared columns (keys only for matched-delete)
+        is_delete = canon == _CANONICAL_WHEN_DELETE
+        probe_cols = [
+            c
+            for c in src.columns
+            if c in types
+            and (not is_delete or c in keys)
+            and src.schema[c].dataType != types[c]
+        ]
+        n, losses = _cast_loss_counts(src, types, probe_cols)
+        out = {
+            "explain": "MERGE",
+            "table": table,
+            "mode": "merge_delete" if is_delete else "upsert",
+            "source_rows": n,
+            "cast_loss": {c: v for c, v in losses.items() if v},
+            "would_refuse": any(losses.values()),
+        }
+        if meta is not None:
+            # the write blast radius under the bucketed route: which
+            # key-hash buckets the source would force a re-stage of
+            from pyspark.sql import functions as F
+
+            nb = meta["num_buckets"]
+            kb = F.pmod(F.xxhash64(*keys), F.lit(nb)).cast("int")
+            out["buckets_rewritten"] = (
+                src.select(*keys)
+                .dropDuplicates(keys)
+                .select(kb.alias("_kb"))
+                .distinct()
+                .count()
+            )
+            out["buckets_total"] = nb
+        else:
+            out["rewrite"] = "full-table (no _kb bucket layout recorded)"
+        return out
     if re.match(
         r"(DELETE|UPDATE|INSERT|MERGE|OPTIMIZE|VACUUM|TRUNCATE)\b"
         r"|CREATE\s+(TABLE|MATERIALIZED|BLOOMFILTER)\b"
@@ -534,10 +623,109 @@ def _explain(catalog, inner: str):
         re.I,
     ):
         raise ValueError(
-            "EXPLAIN supports well-formed DELETE/UPDATE (the rewrite "
-            f"planners); {_GRAMMAR}"
+            "EXPLAIN supports well-formed DELETE/UPDATE/INSERT/MERGE "
+            f"(the rewrite and write planners); {_GRAMMAR}"
         )
     return None
+
+
+_INSERT_RE = re.compile(
+    r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*(?:\(([^)]*)\))?\s+(.+)",
+    re.I | re.S,
+)
+_MERGE_RE = re.compile(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", re.I | re.S)
+
+
+def _parse_insert_source(catalog, table, col_list, tail, overwrite):
+    """The INSERT grammar's shared body (real run AND the EXPLAIN dry
+    run — a grammar fix can never diverge the two): refusals, column
+    list, and the source frame (VALUES literals as an all-string frame
+    the cast probe types, or an evaluated SELECT). Returns
+    ``(cols, src_df, target_schema)``."""
+    _refuse_matview_target(
+        catalog, table, "INSERT OVERWRITE" if overwrite else "INSERT"
+    )
+    cols = [c.strip() for c in col_list.split(",")] if col_list else None
+    schema = _target_schema(catalog, table)
+    if re.match(r"SELECT\b", tail, re.I):
+        src = catalog.spark.sql(tail)
+    elif re.match(r"VALUES\b", tail, re.I):
+        rows = []
+        for row_txt in _split_top(tail[len("VALUES"):]):
+            rm = re.fullmatch(r"\((.+)\)", row_txt.strip(), re.S)
+            if not rm:
+                raise ValueError(f"bad VALUES row {row_txt!r}; {_GRAMMAR}")
+            rows.append(
+                tuple(
+                    _parse_values_literal(v)
+                    for v in _split_top(rm.group(1))
+                )
+            )
+        widths = {len(r) for r in rows}
+        if len(widths) != 1:
+            raise ValueError(
+                f"VALUES rows disagree on width ({sorted(widths)}); "
+                f"{_GRAMMAR}"
+            )
+        # literal rows land as an all-string frame (round-trippable
+        # for every literal the grammar produces); the cast probe in
+        # _align_to_schema then enforces the target types exactly
+        # like the SELECT path — a non-castable literal refuses
+        width = widths.pop()
+        src = catalog.spark.createDataFrame(
+            [
+                tuple(_stringify_values_literal(v) for v in r)
+                for r in rows
+            ],
+            ", ".join(f"_c{i} string" for i in range(width)),
+        )
+    else:
+        raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+    return cols, src, schema
+
+
+def _parse_merge(catalog, table, rest):
+    """The MERGE grammar's shared body (real run AND EXPLAIN): WHEN
+    canonicalization, ON keys, target refusals, bucket-layout key
+    check. Returns ``(source_spec, keys, canon, schema, bucket_meta)``."""
+    _refuse_matview_target(catalog, table, "MERGE")
+    pieces = _split_keyword(rest, "ON")
+    if len(pieces) != 2:
+        raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
+    source_spec, on_tail = pieces
+    when_parts = _split_keyword(on_tail, "WHEN")
+    on_clause, whens = when_parts[0], when_parts[1:]
+    canon = tuple(re.sub(r"\s+", " ", w.strip().upper()) for w in whens)
+    if whens and canon not in (_CANONICAL_WHEN, _CANONICAL_WHEN_DELETE):
+        raise ValueError(
+            "unsupported MERGE WHEN clauses (routable: the full "
+            "upsert pair 'WHEN MATCHED THEN UPDATE SET * WHEN NOT "
+            "MATCHED THEN INSERT *' or the matched-delete 'WHEN "
+            f"MATCHED THEN DELETE' alone); {_GRAMMAR}"
+        )
+    keys = _parse_on_keys(on_clause)
+    schema = _target_schema(catalog, table)
+    names = {f.name for f in schema.fields}
+    missing = [k for k in keys if k not in names]
+    if missing:
+        raise ValueError(
+            f"MERGE key(s) {missing!r} not in target table; {_GRAMMAR}"
+        )
+    # targets carrying the _kb bucket layout route through the
+    # partition-pruned merges: only the buckets holding source keys
+    # are read and rewritten, everything else hardlink-carries —
+    # on a big table this is the difference between Delta MERGE
+    # and rewrite-the-lake-per-statement. ON keys must equal the
+    # layout's bucket keys (in order — the hash is order-sensitive).
+    meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
+    if meta is not None and meta.get("key_cols") not in (None, keys):
+        raise ValueError(
+            f"MERGE target {table!r} is bucketed on keys "
+            f"{meta['key_cols']}; the ON clause must join exactly "
+            f"those (got {keys}) — a mismatched merge would turn "
+            "updates into silent duplicate inserts"
+        )
+    return source_spec, keys, canon, schema, meta
 
 
 def _refuse_matview_target(catalog, table: str, verb: str) -> None:
@@ -590,57 +778,13 @@ def execute_dml(catalog, sql: str) -> dict | None:
         sets, where = _parse_update_tail(m.group(2))
         n = catalog.update_where(m.group(1), parse_where(where), sets)
         return {"table": m.group(1), "updated": n}
-    m = re.fullmatch(
-        r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s*(?:\(([^)]*)\))?\s+(.+)",
-        s,
-        re.I | re.S,
-    )
+    m = _INSERT_RE.fullmatch(s)
     if m:
         overwrite = m.group(1).upper() == "OVERWRITE"
-        table, col_list, tail = m.group(2), m.group(3), m.group(4).strip()
-        _refuse_matview_target(
-            catalog, table, "INSERT OVERWRITE" if overwrite else "INSERT"
+        table = m.group(2)
+        cols, src, schema = _parse_insert_source(
+            catalog, table, m.group(3), m.group(4).strip(), overwrite
         )
-        cols = (
-            [c.strip() for c in col_list.split(",")] if col_list else None
-        )
-        schema = _target_schema(catalog, table)
-        if re.match(r"SELECT\b", tail, re.I):
-            src = catalog.spark.sql(tail)
-        elif re.match(r"VALUES\b", tail, re.I):
-            rows = []
-            for row_txt in _split_top(tail[len("VALUES"):]):
-                rm = re.fullmatch(r"\((.+)\)", row_txt.strip(), re.S)
-                if not rm:
-                    raise ValueError(
-                        f"bad VALUES row {row_txt!r}; {_GRAMMAR}"
-                    )
-                rows.append(
-                    tuple(
-                        _parse_values_literal(v)
-                        for v in _split_top(rm.group(1))
-                    )
-                )
-            widths = {len(r) for r in rows}
-            if len(widths) != 1:
-                raise ValueError(
-                    f"VALUES rows disagree on width ({sorted(widths)}); "
-                    f"{_GRAMMAR}"
-                )
-            # literal rows land as an all-string frame (round-trippable
-            # for every literal the grammar produces); the cast probe in
-            # _align_to_schema then enforces the target types exactly
-            # like the SELECT path — a non-castable literal refuses
-            width = widths.pop()
-            src = catalog.spark.createDataFrame(
-                [
-                    tuple(_stringify_values_literal(v) for v in r)
-                    for r in rows
-                ],
-                ", ".join(f"_c{i} string" for i in range(width)),
-            )
-        else:
-            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
         aligned, n = _align_to_schema(catalog, src, schema, cols)
         if overwrite:
             # INSERT OVERWRITE replaces the table's CONTENT, keeping its
@@ -651,47 +795,13 @@ def execute_dml(catalog, sql: str) -> dict | None:
             return {"table": table, "overwritten": n}
         catalog.append(aligned, table)
         return {"table": table, "inserted": n}
-    m = re.fullmatch(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", s, re.I | re.S)
+    m = _MERGE_RE.fullmatch(s)
     if m:
         table, rest = m.group(1), m.group(2)
-        _refuse_matview_target(catalog, table, "MERGE")
-        pieces = _split_keyword(rest, "ON")
-        if len(pieces) != 2:
-            raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
-        source_spec, on_tail = pieces
-        when_parts = _split_keyword(on_tail, "WHEN")
-        on_clause, whens = when_parts[0], when_parts[1:]
-        canon = tuple(re.sub(r"\s+", " ", w.strip().upper()) for w in whens)
-        if whens and canon not in (_CANONICAL_WHEN, _CANONICAL_WHEN_DELETE):
-            raise ValueError(
-                "unsupported MERGE WHEN clauses (routable: the full "
-                "upsert pair 'WHEN MATCHED THEN UPDATE SET * WHEN NOT "
-                "MATCHED THEN INSERT *' or the matched-delete 'WHEN "
-                f"MATCHED THEN DELETE' alone); {_GRAMMAR}"
-            )
-        keys = _parse_on_keys(on_clause)
-        schema = _target_schema(catalog, table)
-        names = {f.name for f in schema.fields}
-        missing = [k for k in keys if k not in names]
-        if missing:
-            raise ValueError(
-                f"MERGE key(s) {missing!r} not in target table; {_GRAMMAR}"
-            )
+        source_spec, keys, canon, schema, meta = _parse_merge(
+            catalog, table, rest
+        )
         src = _resolve_source(catalog, source_spec)
-        # targets carrying the _kb bucket layout route through the
-        # partition-pruned merges: only the buckets holding source keys
-        # are read and rewritten, everything else hardlink-carries —
-        # on a big table this is the difference between Delta MERGE
-        # and rewrite-the-lake-per-statement. ON keys must equal the
-        # layout's bucket keys (in order — the hash is order-sensitive).
-        meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
-        if meta is not None and meta.get("key_cols") not in (None, keys):
-            raise ValueError(
-                f"MERGE target {table!r} is bucketed on keys "
-                f"{meta['key_cols']}; the ON clause must join exactly "
-                f"those (got {keys}) — a mismatched merge would turn "
-                "updates into silent duplicate inserts"
-            )
         if canon == _CANONICAL_WHEN_DELETE:
             # only the keys matter: probe/align just those (a mismatch
             # on a non-key source column must not block a delete)

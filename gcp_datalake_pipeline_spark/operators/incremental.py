@@ -22,13 +22,22 @@ from pyspark.sql import functions as F
 
 
 def partial_aggregate(
-    df: DataFrame, keys: list[str], sum_cols: dict[str, str], count_col: str
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str,
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Build the partial-agg state: per group, SUM of each source column
-    (``sum_cols`` maps output name -> source column) and a row COUNT."""
+    (``sum_cols`` maps output name -> source column) and a row COUNT —
+    plus MIN/MAX partials when given (maintainable only under
+    insert-only feeds; the matview layer enforces that)."""
     return df.groupBy(*keys).agg(
         *[F.sum(src).alias(out) for out, src in sum_cols.items()],
         F.count(F.lit(1)).alias(count_col),
+        *[F.min(src).alias(out) for out, src in (min_cols or {}).items()],
+        *[F.max(src).alias(out) for out, src in (max_cols or {}).items()],
     )
 
 
@@ -39,13 +48,18 @@ def refresh_aggregate(
     sum_cols: list[str],
     count_col: str,
     broadcast_delta: bool = True,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge a delta partial-agg table into an existing one.
 
     ``existing`` and ``delta`` must both be in partial-agg form (same
-    schema: keys + sum_cols + count_col). Groups absent from the delta are
-    passed through without touching their values; affected groups combine
-    by summing partials. New-in-delta groups appear automatically.
+    schema: keys + sum_cols + count_col [+ min/max cols]). Groups absent
+    from the delta are passed through without touching their values;
+    affected groups combine by summing partials (MIN/MAX partials
+    combine by MIN/MAX — valid only under insert-only feeds, where the
+    true extreme can only move one way). New-in-delta groups appear
+    automatically.
     """
     delta_keys = delta.select(*keys).distinct().alias("dk")
     if broadcast_delta:
@@ -66,6 +80,8 @@ def refresh_aggregate(
         .agg(
             *[F.sum(c).alias(c) for c in sum_cols],
             F.sum(count_col).alias(count_col),
+            *[F.min(c).alias(c) for c in (min_cols or [])],
+            *[F.max(c).alias(c) for c in (max_cols or [])],
         )
     )
     return untouched.unionByName(affected)

@@ -38,7 +38,9 @@ from gcp_datalake_pipeline_spark.operators.incremental import (
 )
 
 
-def _validate_spec(keys, sums, count_col):
+def _validate_spec(keys, sums, count_col, mins=None, maxs=None,
+                   insert_only=False):
+    mins, maxs = mins or {}, maxs or {}
     if not keys:
         raise ValueError("materialized view needs at least one group key")
     if not count_col:
@@ -47,10 +49,21 @@ def _validate_spec(keys, sums, count_col):
             "group-liveness state: a group whose count reaches zero "
             "after deletes is dropped)"
         )
-    clash = ({count_col} | set(sums)) & set(keys)
-    if clash or count_col in sums:
-        raise ValueError(f"view column name collision: {sorted(clash)}")
-    if "_kb" in set(keys) | set(sums) | {count_col}:
+    if (mins or maxs) and not insert_only:
+        raise ValueError(
+            "MIN/MAX aggregates are maintainable only over insert-only "
+            "sources (a delete can retract the current extreme, which "
+            "partials cannot recover); pass insert_only=True — the "
+            "refresh then REFUSES loudly on the first delete in the feed"
+        )
+    outs = [count_col, *sums, *mins, *maxs]
+    clash = set(outs) & set(keys)
+    if clash or len(set(outs)) != len(outs):
+        raise ValueError(
+            f"view column name collision: "
+            f"{sorted(clash) or sorted(outs)}"
+        )
+    if "_kb" in set(keys) | set(outs):
         raise ValueError(
             "'_kb' is the reserved bucket-layout column; rename the "
             "view column"
@@ -71,6 +84,9 @@ def create_materialized_view(
     sums: dict[str, str],
     count_col: str = "n_rows",
     num_buckets: int | None = 16,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    insert_only: bool = False,
 ) -> dict:
     """Full first materialization of ``name`` over ``source``: one
     aggregate over a CONSISTENT snapshot (``read_at`` the current
@@ -84,15 +100,23 @@ def create_materialized_view(
     per refresh would swamp the O(changes) compute. ``_kb`` is a
     physical column (visible like any partition column; readers that
     don't want it drop it). ``num_buckets=None`` opts out for tiny
-    views."""
-    _validate_spec(keys, sums, count_col)
+    views.
+
+    ``insert_only=True`` unlocks MIN/MAX aggregates (``mins``/``maxs``
+    map output name -> source column): under pure appends the true
+    extreme only ever moves one way, so partials stay exact; the FIRST
+    delete in a later feed makes every MIN/MAX unrecoverable from
+    partials, and refresh REFUSES loudly (drop + recreate is the
+    exit)."""
+    _validate_spec(keys, sums, count_col, mins, maxs, insert_only)
     if catalog.view_spec(name) is not None:
         raise ValueError(f"materialized view {name!r} already exists")
     if catalog.exists(name):
         raise ValueError(f"{name!r} already exists as a plain table")
     v0 = catalog._read_manifest(strict=False)["version"]
     df = partial_aggregate(
-        catalog.read_at(source, v0), keys, sums, count_col
+        catalog.read_at(source, v0), keys, sums, count_col,
+        min_cols=mins, max_cols=maxs,
     )
     spec = {
         "source": source,
@@ -101,6 +125,10 @@ def create_materialized_view(
         "count_col": count_col,
         "as_of": v0,
     }
+    if insert_only:
+        spec["insert_only"] = True
+        spec["mins"] = dict(mins or {})
+        spec["maxs"] = dict(maxs or {})
     with catalog.transaction(f"matview-create-{name}"):
         if num_buckets:
             catalog.overwrite(
@@ -139,18 +167,41 @@ def refresh_materialized_view(catalog, name: str) -> dict:
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    delta = feed.groupBy(*keys).agg(
-        *[
-            F.sum(F.col(src) * w).alias(out)
-            for out, src in sums.items()
-        ],
-        F.sum(w).alias(count_col),
-    )
+    mins = spec.get("mins") or {}
+    maxs = spec.get("maxs") or {}
+    insert_only = spec.get("insert_only", False)
+    aggs = [
+        F.sum(F.col(src) * w).alias(out) for out, src in sums.items()
+    ] + [F.sum(w).alias(count_col)]
+    if insert_only:
+        # MIN/MAX partials ride the same pass, plus a delete counter:
+        # ONE delete anywhere in the feed makes every extreme
+        # unrecoverable from partials — refuse before merging anything
+        aggs += [F.min(src).alias(out) for out, src in mins.items()]
+        aggs += [F.max(src).alias(out) for out, src in maxs.items()]
+        aggs.append(
+            F.sum(
+                (F.col("_change_type") == "delete").cast("long")
+            ).alias("_n_deletes")
+        )
+    delta = feed.groupBy(*keys).agg(*aggs)
     # compute the feed ONCE: the count below and the overwrite are
     # separate actions, and exchange reuse does not span them — without
     # the checkpoint every refresh would read the changed files and run
     # the signed groupBy twice (delta is O(affected groups), tiny)
     delta = delta.localCheckpoint(eager=True)
+    if insert_only:
+        n_del = delta.agg(F.sum("_n_deletes")).first()[0] or 0
+        if n_del:
+            raise ValueError(
+                f"materialized view {name!r} maintains MIN/MAX under "
+                f"the insert-only contract, but the feed since version "
+                f"{as_of} contains {n_del} delete row(s) — extremes "
+                "cannot be recovered from partials after a retraction. "
+                "DROP MATERIALIZED VIEW and recreate it over the "
+                "current snapshot."
+            )
+        delta = delta.drop("_n_deletes")
     n_applied = delta.count()
     if n_applied == 0:
         # commits moved the source's dir list without net row changes
@@ -198,7 +249,10 @@ def refresh_materialized_view(catalog, name: str) -> dict:
             .drop("_kb")
         )
         merged = (
-            refresh_aggregate(subset, delta, keys, list(sums), count_col)
+            refresh_aggregate(
+                subset, delta, keys, list(sums), count_col,
+                min_cols=list(mins), max_cols=list(maxs),
+            )
             .where(F.col(count_col) > 0)
             .withColumn("_kb", kb)
         )
@@ -207,7 +261,8 @@ def refresh_materialized_view(catalog, name: str) -> dict:
             catalog._intents[name]["view"] = {**spec, "as_of": v1}
         return {"view": name, "as_of": v1, "applied": n_applied}
     merged = refresh_aggregate(
-        catalog.read(name), delta, keys, list(sums), count_col
+        catalog.read(name), delta, keys, list(sums), count_col,
+        min_cols=list(mins), max_cols=list(maxs),
     ).where(F.col(count_col) > 0)
     with catalog.transaction(f"matview-refresh-{name}"):
         catalog.overwrite(merged, name)

@@ -1452,6 +1452,106 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_matview_minmax",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_orderkey < 6000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""MIN/MAX materialized view under the insert-only contract
+    (operators/matview.py insert_only mode): the view materializes over
+    the first half of a bounded orders subset, then one REFRESH folds
+    the second half's append — MIN/MAX partials combine by MIN/MAX,
+    exact because the feed is pure inserts. A DELETE then lands on the
+    source and the query RAISES unless the next refresh REFUSES loudly
+    (a retraction makes extremes unrecoverable from partials; the
+    message names the drop-and-recreate exit) leaving view and
+    watermark untouched. Returns the view (reflecting the pre-delete
+    snapshot both halves complete); oracle = the same aggregate with
+    real MIN/MAX computed directly.""",
+)
+def etl_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.operators.matview import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_matview_mm_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_mm_src"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderdate", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        cat.overwrite(
+            orders.where(F.year("o_orderdate") < 1997).coalesce(2),
+            "orders_mm_src",
+        )
+        create_materialized_view(
+            cat,
+            "orders_mm",
+            "orders_mm_src",
+            ["o_orderpriority"],
+            {"total_price": "o_totalprice"},
+            "n_orders",
+            num_buckets=8,
+            mins={"min_price": "o_totalprice"},
+            maxs={"max_price": "o_totalprice"},
+            insert_only=True,
+        )
+        cat.append(
+            orders.where(F.year("o_orderdate") >= 1997).coalesce(2),
+            "orders_mm_src",
+        )
+        r1 = refresh_materialized_view(cat, "orders_mm")
+        if r1["applied"] == 0:
+            raise RuntimeError(f"insert-only refresh applied nothing: {r1}")
+        k0 = cat.read("orders_mm_src").agg(
+            F.min("o_orderkey")
+        ).first()[0]
+        cat.delete_where("orders_mm_src", [("o_orderkey", "=", int(k0))])
+    # EVERY run: the post-delete refresh must refuse loudly, leaving
+    # view and watermark untouched
+    wm = cat.view_spec("orders_mm")["as_of"]
+    try:
+        refresh_materialized_view(cat, "orders_mm")
+    except ValueError as e:
+        if "insert-only" not in str(e):
+            raise
+    else:
+        raise RuntimeError(
+            "refresh over a delete-bearing feed did not refuse on an "
+            "insert-only MIN/MAX view"
+        )
+    if cat.view_spec("orders_mm")["as_of"] != wm:
+        raise RuntimeError("refused refresh moved the view watermark")
+    return (
+        cat.read("orders_mm")
+        .select(
+            "o_orderpriority",
+            F.round("total_price", 2).alias("total_price"),
+            "n_orders",
+            F.round("min_price", 2).alias("min_price"),
+            F.round("max_price", 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "etl_stream_changes",
     """
     SELECT o_orderkey, o_orderstatus,

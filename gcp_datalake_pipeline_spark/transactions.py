@@ -464,11 +464,23 @@ class TransactionalCatalog(Catalog):
         if not cfg:
             return
         try:
+            st = filestats.read_dir_stats(d)
+            cap = cfg.get("max_bitmap_bytes")
+            if cap and (
+                blooms.dir_bitmap_bytes(
+                    st, len(cfg["columns"]), cfg.get("bits_per_row", 10)
+                )
+                > cap
+            ):
+                # over the recorded driver budget: skip this dir's
+                # bloom build — sidecars are best-effort acceleration
+                # and a missing one just means readers keep its files
+                return
             blooms.build_dir_blooms(
                 self.spark,
                 d,
                 cfg["columns"],
-                filestats.read_dir_stats(d),
+                st,
                 bits_per_row=cfg.get("bits_per_row", 10),
                 reuse=bloom_reuse,
             )
@@ -1508,6 +1520,7 @@ class TransactionalCatalog(Catalog):
         cols: list[str],
         bits_per_row: int = 10,
         backfill: bool = True,
+        max_bitmap_bytes: int = 256 * 1024 * 1024,
     ) -> None:
         """Create/replace the bloom index on ``cols`` (int/long/string
         columns only — range-friendly types stay with min/max, which
@@ -1515,7 +1528,19 @@ class TransactionalCatalog(Catalog):
         committed data dirs in place: the sidecar is purely additive
         acceleration, so appearing inside an immutable committed dir
         can never change results, only skip more files. Future writes
-        maintain the index automatically."""
+        maintain the index automatically.
+
+        ``max_bitmap_bytes`` bounds the DRIVER memory a build may
+        commit to: the per-dir merge holds one ``m/8``-byte bitmap per
+        (file, column) with ``m ≈ rows × bits_per_row``, so a dir's
+        footprint is ``≈ rows × bits_per_row / 8 × n_cols`` (10
+        bits/row × 10M rows × 1 col ≈ 12.5 MB; the 256 MiB default
+        covers ~200M rows × 1 col). An over-budget BACKFILL refuses
+        loudly with the estimate and the levers (fewer columns, lower
+        bits_per_row, a bigger budget); the recorded cap also rides
+        the index config so a later oversized staged write skips its
+        bloom build (best-effort, like every sidecar) instead of
+        pressuring the driver."""
         if self._pending is not None:
             raise RuntimeError("set_bloom_index inside an open transaction")
         if not self.exists(table):
@@ -1546,7 +1571,36 @@ class TransactionalCatalog(Catalog):
             columns[c] = fam
         if int(bits_per_row) < 1:
             raise ValueError("bits_per_row must be >= 1")
-        cfg = {"columns": columns, "bits_per_row": int(bits_per_row)}
+        if int(max_bitmap_bytes) < 1:
+            raise ValueError("max_bitmap_bytes must be >= 1")
+        if backfill:
+            # refuse BEFORE publishing config or touching any sidecar:
+            # the budget check must not leave a half-indexed table
+            projected = max(
+                (
+                    blooms.dir_bitmap_bytes(
+                        filestats.read_dir_stats(d),
+                        len(columns),
+                        int(bits_per_row),
+                    )
+                    for d in self._data_dirs(table)
+                ),
+                default=0,
+            )
+            if projected > int(max_bitmap_bytes):
+                raise ValueError(
+                    f"bloom backfill over {table!r} would merge "
+                    f"~{projected / 1e6:.0f} MB of bitmaps on the driver "
+                    f"(rows x bits_per_row/8 x {len(columns)} column(s)) "
+                    f"— over the {int(max_bitmap_bytes) / 1e6:.0f} MB "
+                    "budget. Index fewer columns, lower bits_per_row, "
+                    "or raise max_bitmap_bytes explicitly."
+                )
+        cfg = {
+            "columns": columns,
+            "bits_per_row": int(bits_per_row),
+            "max_bitmap_bytes": int(max_bitmap_bytes),
+        }
 
         def mutate(m):
             m.setdefault("blooms", {})[table] = cfg

@@ -455,3 +455,44 @@ def test_build_reads_only_files_needing_new_bitmaps(spark, tmp_path):
     }
     probe = next(iter(vals))
     assert blooms.might_contain(fe, int(probe), "long")
+
+
+def test_bloom_backfill_refuses_over_driver_budget(spark, tmp_path):
+    """set_bloom_index's max_bitmap_bytes bounds the driver-side merge
+    footprint (~rows x bits_per_row/8 x n_cols per dir): an over-budget
+    backfill refuses loudly BEFORE publishing config or touching any
+    sidecar; an explicit bigger budget (or fewer bits) proceeds; and a
+    later oversized staged write skips its build instead of merging."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark import blooms as B
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    cat.overwrite(df.repartition(2), "t")
+    v = cat._read_manifest(strict=False)["version"]
+    # 4000 rows x 10 bits / 8 = ~5000 bytes -> a 1KB budget refuses
+    with pytest.raises(ValueError, match="over the .* budget"):
+        cat.set_bloom_index("t", ["k"], max_bitmap_bytes=1024)
+    assert cat.bloom_index("t") is None  # nothing published
+    assert cat._read_manifest(strict=False)["version"] == v
+    for d in cat._data_dirs("t"):
+        assert not os.path.exists(os.path.join(d, B.BLOOM_FILE))
+    # an explicit budget proceeds and records the cap
+    cat.set_bloom_index("t", ["k"], max_bitmap_bytes=10_000_000)
+    assert cat.bloom_index("t")["max_bitmap_bytes"] == 10_000_000
+    kept, _ = cat.pruned_files("t", [("k", "=", -5)])
+    assert kept == []  # the index actually prunes
+    # an oversized LATER write skips its bloom build (best-effort),
+    # never pressures the driver: shrink the cap, append, no sidecar
+    def shrink(m):
+        m["blooms"]["t"]["max_bitmap_bytes"] = 64
+
+    cat._publish_meta(shrink, "shrink-cap")
+    cat.append(spark.range(4000, 8000).select(F.col("id").alias("k")), "t")
+    new_dir = cat._data_dirs("t")[-1]
+    assert not os.path.exists(os.path.join(new_dir, B.BLOOM_FILE))
+    # reads stay correct: the un-bloomed dir's files are simply kept
+    assert cat.read("t", predicates=[("k", "=", 4321)]).count() == 1

@@ -686,8 +686,11 @@ def test_explain_dml_dry_run(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in 't'"):
         execute_dml(cat, "EXPLAIN UPDATE t SET nope = 1 WHERE k < 50")
-    with pytest.raises(ValueError, match="EXPLAIN supports"):
-        execute_dml(cat, "EXPLAIN INSERT INTO t VALUES (1, 2)")
+    # INSERT/MERGE have their own dry runs now (r11) — see
+    # test_explain_insert/_merge; non-plannable verbs still refuse
+    assert execute_dml(cat, "EXPLAIN INSERT INTO t VALUES (1, 2)")[
+        "explain"
+    ] == "INSERT"
     with pytest.raises(ValueError, match="EXPLAIN supports"):
         execute_dml(cat, "EXPLAIN OPTIMIZE t ZORDER BY (k)")
     with pytest.raises(FileNotFoundError):
@@ -883,4 +886,85 @@ def test_merge_into_bucketed_target_refuses_mismatched_on_keys(
             "MERGE INTO t USING (SELECT 1 AS g, 9 AS k) s ON g = g "
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *",
+        )
+
+
+# -- EXPLAIN INSERT/MERGE: write-path dry runs (r11) --------------------------
+
+
+def test_explain_insert_reports_without_writing(spark, tmp_path):
+    """EXPLAIN INSERT runs the same grammar body and single-pass probe
+    as the real INSERT but commits nothing and reports cast losses per
+    column instead of refusing — the warehouse dry-run for the write
+    path (version-stability pinned)."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.append(
+        spark.createDataFrame([(1, "a")], "id long, name string"), "t"
+    )
+    v = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(cat, "EXPLAIN INSERT INTO t VALUES (2, 'b'), (3, 'c')")
+    assert out == {
+        "explain": "INSERT",
+        "table": "t",
+        "mode": "into",
+        "rows": 2,
+        "cast_loss": {},
+        "would_refuse": False,
+    }
+    # a lossy literal REPORTS instead of refusing — and still writes
+    # nothing
+    out = execute_dml(cat, "EXPLAIN INSERT OVERWRITE t VALUES ('x', 'y')")
+    assert out["mode"] == "overwrite" and out["would_refuse"] is True
+    assert out["cast_loss"] == {"id": 1}
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert cat.count_rows("t") == 1
+    # same refusals as the real run for actual grammar errors
+    with pytest.raises(ValueError, match="not in target table"):
+        execute_dml(cat, "EXPLAIN INSERT INTO t (ghost) VALUES (1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_dml(cat, "EXPLAIN INSERT INTO nope VALUES (1)")
+
+
+def test_explain_merge_reports_blast_radius(spark, tmp_path):
+    """EXPLAIN MERGE reports source rows, cast-loss, and — for
+    bucketed targets — exactly which share of the table the write
+    would re-stage; zero commits either way."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cat.merge_upsert_bucketed(
+        base, "bt", key_cols=["k"], num_buckets=8, audit_cols=False
+    )
+    cat.overwrite(base, "plain")
+    v = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        cat,
+        "EXPLAIN MERGE INTO bt USING (SELECT 7 AS k, 1 AS v) s ON k = k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out["explain"] == "MERGE" and out["mode"] == "upsert"
+    assert out["source_rows"] == 1 and out["would_refuse"] is False
+    assert out["buckets_rewritten"] == 1 and out["buckets_total"] == 8
+    out = execute_dml(
+        cat,
+        "EXPLAIN MERGE INTO plain USING (SELECT 7 AS k) s ON k = k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out["mode"] == "merge_delete"
+    assert out["rewrite"].startswith("full-table")
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert cat.count_rows("bt") == 100 and cat.count_rows("plain") == 100
+    # the same WHEN / ON / bucket-key refusals as the real run
+    with pytest.raises(ValueError, match="bucketed on keys"):
+        execute_dml(
+            cat,
+            "EXPLAIN MERGE INTO bt USING (SELECT 1 AS v, 2 AS k) s "
+            "ON v = v WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
+        execute_dml(
+            cat,
+            "EXPLAIN MERGE INTO plain USING (SELECT 1 AS k) s ON k = k "
+            "WHEN MATCHED THEN UPDATE SET v = 1",
         )

@@ -409,3 +409,94 @@ def test_view_column_named_kb_refused(spark, tcat):
         create_materialized_view(
             tcat, "v2", "fact2", ["_kb"], {"total": "amt"}, "n"
         )
+
+
+# -- MIN/MAX under insert-only sources (r11) ----------------------------------
+
+
+def test_insert_only_minmax_view_tracks_appends(spark, tcat):
+    """Under pure appends MIN/MAX partials stay exact: refresh == full
+    recompute including the extremes, and new-in-delta groups appear."""
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+        mins={"lo": "amt"}, maxs={"hi": "amt"}, insert_only=True,
+        num_buckets=8,
+    )
+    tcat.append(_fact(spark, 40, 100), "fact")
+    # a brand-new group too
+    tcat.append(
+        spark.createDataFrame([(999, 7, -3.5)], "k long, g long, amt double"),
+        "fact",
+    )
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] > 0
+    expect = sorted(
+        map(
+            tuple,
+            tcat.read("fact")
+            .groupBy("g")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count("*").alias("n"),
+                F.min("amt").alias("lo"),
+                F.max("amt").alias("hi"),
+            )
+            .collect(),
+        )
+    )
+    assert _view_rows(tcat) == expect
+    # idle catch-up refresh is a no-op
+    assert refresh_materialized_view(tcat, "v")["applied"] == 0
+
+
+def test_insert_only_view_refuses_on_first_delete(spark, tcat):
+    """The FIRST delete in the feed makes every MIN/MAX unrecoverable
+    from partials: refresh must refuse loudly (with the exit path in
+    the message), leaving view and watermark untouched."""
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+        maxs={"hi": "amt"}, insert_only=True,
+    )
+    before_rows = _view_rows(tcat)
+    before_wm = tcat.view_spec("v")["as_of"]
+    tcat.delete_where("fact", [("k", "=", 5)])
+    with pytest.raises(ValueError, match="insert-only"):
+        refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == before_rows
+    assert tcat.view_spec("v")["as_of"] == before_wm
+    # the exit: drop + recreate over the current snapshot
+    drop_materialized_view(tcat, "v")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+        maxs={"hi": "amt"}, insert_only=True,
+    )
+    expect = sorted(
+        map(
+            tuple,
+            tcat.read("fact")
+            .groupBy("g")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count("*").alias("n"),
+                F.max("amt").alias("hi"),
+            )
+            .collect(),
+        )
+    )
+    assert _view_rows(tcat) == expect
+
+
+def test_minmax_without_insert_only_refuses_at_create(spark, tcat):
+    tcat.overwrite(_fact(spark, 0, 10), "fact")
+    with pytest.raises(ValueError, match="insert-only"):
+        create_materialized_view(
+            tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+            mins={"lo": "amt"},
+        )
+    with pytest.raises(ValueError, match="collision"):
+        create_materialized_view(
+            tcat, "v", "fact", ["g"], {"x": "amt"}, "n",
+            mins={"x": "amt"}, insert_only=True,
+        )
