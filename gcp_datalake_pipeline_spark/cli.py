@@ -449,15 +449,24 @@ def cmd_cdf_pump(args) -> None:
     replica table, watermark and writes in one commit."""
     from gcp_datalake_pipeline_spark.streaming.cdf import (
         apply_changes_into,
+        apply_changes_scd2,
         bootstrap_changes_target,
+        bootstrap_scd2_target,
         pump_table_changes,
     )
 
     cat = _txn_catalog(args)
     keys = [k.strip() for k in args.keys.split(",")]
 
-    def apply(feed):
-        return apply_changes_into(cat, feed, args.target, keys)
+    if args.scd2:
+
+        def apply(feed):
+            return apply_changes_scd2(cat, feed, args.target, keys)
+
+    else:
+
+        def apply(feed):
+            return apply_changes_into(cat, feed, args.target, keys)
 
     if cat.stream_watermark(args.consumer) is None:
         if args.start_version is not None:
@@ -477,10 +486,16 @@ def cmd_cdf_pump(args) -> None:
             # The replica lands under the _kb bucket layout so every
             # later pump rewrites only the buckets its window touched.
             v0 = cat._read_manifest(strict=False)["version"]
-            bootstrap_changes_target(
-                cat, args.source, args.target, keys,
-                num_buckets=args.buckets,
-            )
+            if args.scd2:
+                bootstrap_scd2_target(
+                    cat, args.source, args.target, keys,
+                    num_buckets=args.buckets,
+                )
+            else:
+                bootstrap_changes_target(
+                    cat, args.source, args.target, keys,
+                    num_buckets=args.buckets,
+                )
             out = pump_table_changes(
                 cat, args.source, args.consumer, start_version=v0
             )
@@ -1142,6 +1157,12 @@ def main(argv: list[str] | None = None) -> None:
         "--buckets", type=int, default=64,
         help="replica _kb bucket count (bootstrap only; pumps rewrite "
         "only touched buckets)",
+    )
+    pcp.add_argument(
+        "--scd2", action="store_true",
+        help="keep FULL HISTORY instead of latest state: each change "
+        "closes the key's open row (valid_from/valid_to/is_current) "
+        "and opens the new image; deletes close with no successor",
     )
     pcp.set_defaults(fn=cmd_cdf_pump)
 

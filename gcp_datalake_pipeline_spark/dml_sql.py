@@ -28,7 +28,9 @@ statement):
          WHEN NOT MATCHED THEN INSERT *
          | WHEN MATCHED THEN DELETE]
     CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
-    CREATE TABLE [IF NOT EXISTS] <table> AS SELECT ...
+        [CLUSTERED BY (keys) INTO n BUCKETS]
+    CREATE TABLE [IF NOT EXISTS] <table>
+        [CLUSTERED BY (keys) INTO n BUCKETS] AS SELECT ...
     ALTER TABLE <table> ADD COLUMN <name> <ddl-type>
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
     ALTER TABLE <table> DROP CONSTRAINT <name>
@@ -77,7 +79,7 @@ _GRAMMAR = (
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
     "| WHEN MATCHED THEN DELETE]; "
-    "CREATE TABLE [IF NOT EXISTS] t (ddl cols) | AS SELECT ...; "
+    "CREATE TABLE [IF NOT EXISTS] t (ddl cols) [CLUSTERED BY (keys) INTO n BUCKETS] | [CLUSTERED BY ...] AS SELECT ...; "
     "TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
@@ -546,6 +548,14 @@ def _explain(catalog, inner: str):
         cols, src, schema = _parse_insert_source(
             catalog, table, m.group(3), m.group(4).strip(), overwrite
         )
+        # bucketed targets take the LOGICAL columns (same as the real
+        # run — the engine computes _kb)
+        if getattr(catalog, "bucket_meta", lambda _t: None)(table):
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [f for f in schema.fields if f.name != "_kb"]
+            )
         names = [f.name for f in schema.fields]
         targets = cols if cols is not None else names
         unknown = [c for c in targets if c not in names]
@@ -743,6 +753,90 @@ def _refuse_matview_target(catalog, table: str, verb: str) -> None:
         )
 
 
+def _create_clustered(
+    catalog,
+    if_not_exists,
+    table: str,
+    keys_txt: str,
+    num_buckets: int,
+    ddl: str | None = None,
+    select: str | None = None,
+) -> dict:
+    """``CREATE TABLE ... CLUSTERED BY (keys) INTO n BUCKETS`` (the
+    Spark/Hive bucketing DDL): the table lands under the engine's
+    ``_kb`` key-hash layout from DAY ONE, so INSERTs keep it
+    partitioned, OPTIMIZE folds it partition-wise, and MERGE/CDC folds
+    rewrite only touched buckets — the 100 TB table-creation shape.
+    ``_kb`` joins the schema as the physical placement column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    keys = [k.strip() for k in keys_txt.split(",")]
+    if num_buckets < 1:
+        raise ValueError(f"INTO {num_buckets} BUCKETS must be >= 1")
+    if catalog.exists(table):
+        if if_not_exists:
+            return {"table": table, "created": False}
+        raise ValueError(
+            f"CREATE TABLE: {table!r} already exists (use IF NOT "
+            f"EXISTS); {_GRAMMAR}"
+        )
+    if ddl is not None:
+        try:
+            schema = T.StructType.fromDDL(ddl)
+        except Exception as e:
+            raise ValueError(
+                f"bad CREATE TABLE column list {ddl!r}: {e}; {_GRAMMAR}"
+            ) from None
+        names = [f.name for f in schema.fields]
+        if "_kb" in names:
+            raise ValueError(
+                "'_kb' is the reserved bucket-placement column; rename "
+                f"the column; {_GRAMMAR}"
+            )
+        missing = [k for k in keys if k not in names]
+        if missing:
+            raise ValueError(
+                f"CLUSTERED BY column(s) {missing!r} not in the column "
+                f"list; {_GRAMMAR}"
+            )
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_kb", T.IntegerType())]
+        )
+        catalog.create_table(table, schema)
+        catalog._write_bucket_meta(table, num_buckets, keys)
+        return {
+            "table": table,
+            "created": True,
+            "clustered_by": keys,
+            "buckets": num_buckets,
+        }
+    df = catalog.spark.sql(select)
+    if "_kb" in df.columns:
+        raise ValueError(
+            "'_kb' is the reserved bucket-placement column; alias the "
+            f"SELECT column; {_GRAMMAR}"
+        )
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"CLUSTERED BY column(s) {missing!r} not in the SELECT "
+            f"output; {_GRAMMAR}"
+        )
+    kb = F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
+    catalog.overwrite(
+        df.withColumn("_kb", kb), table, partition_cols=["_kb"]
+    )
+    catalog._write_bucket_meta(table, num_buckets, keys)
+    return {
+        "table": table,
+        "created": True,
+        "clustered_by": keys,
+        "buckets": num_buckets,
+        "rows": catalog.read(table).count(),
+    }
+
+
 def execute_dml(catalog, sql: str) -> dict | None:
     """Run a DELETE/UPDATE/INSERT/MERGE statement through the catalog's
     engine and return a result dict — or ``None`` when the statement is
@@ -785,6 +879,31 @@ def execute_dml(catalog, sql: str) -> dict | None:
         cols, src, schema = _parse_insert_source(
             catalog, table, m.group(3), m.group(4).strip(), overwrite
         )
+        meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
+        if meta is not None:
+            # bucketed target: users insert the LOGICAL columns; the
+            # engine computes the _kb placement and keeps the appended
+            # dir partitioned so the layout (and the bounded-merge
+            # contract) survives plain INSERTs
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            logical = T.StructType(
+                [f for f in schema.fields if f.name != "_kb"]
+            )
+            aligned, n = _align_to_schema(catalog, src, logical, cols)
+            kb = F.pmod(
+                F.xxhash64(*meta["key_cols"]),
+                F.lit(meta["num_buckets"]),
+            ).cast("int")
+            aligned = aligned.withColumn("_kb", kb)
+            if overwrite:
+                catalog.overwrite(
+                    aligned, table, partition_cols=["_kb"]
+                )
+                return {"table": table, "overwritten": n}
+            catalog.append(aligned, table, partition_cols=["_kb"])
+            return {"table": table, "inserted": n}
         aligned, n = _align_to_schema(catalog, src, schema, cols)
         if overwrite:
             # INSERT OVERWRITE replaces the table's CONTENT, keeping its
@@ -861,6 +980,29 @@ def execute_dml(catalog, sql: str) -> dict | None:
 
         drop_materialized_view(catalog, m.group(1))
         return {"view": m.group(1), "dropped": True}
+    m = re.fullmatch(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*"
+        r"CLUSTERED\s+BY\s*\(([^)]+)\)\s*INTO\s+(\d+)\s+BUCKETS",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return _create_clustered(
+            catalog, m.group(1), m.group(2), m.group(4), int(m.group(5)),
+            ddl=m.group(3),
+        )
+    m = re.fullmatch(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+        r"CLUSTERED\s+BY\s*\(([^)]+)\)\s*INTO\s+(\d+)\s+BUCKETS\s+"
+        r"AS\s+(SELECT\b.+)",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return _create_clustered(
+            catalog, m.group(1), m.group(2), m.group(3), int(m.group(4)),
+            select=m.group(5),
+        )
     m = re.fullmatch(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\b.+)",
         s,

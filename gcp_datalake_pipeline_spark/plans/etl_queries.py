@@ -1452,6 +1452,118 @@ def etl_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_scd2_changes",
+    """
+    SELECT o_orderkey, round(total_price, 2) AS total_price,
+           valid_from, valid_to, is_current
+    FROM (
+      SELECT o_orderkey, o_totalprice AS total_price,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '2024-01-02 00:00:00' AS valid_to,
+             FALSE AS is_current
+      FROM orders WHERE o_orderkey < 3000 AND o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+             TIMESTAMP '2024-01-01 00:00:00',
+             TIMESTAMP '2024-01-03 00:00:00', FALSE
+      FROM orders WHERE o_orderkey < 3000 AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2,
+             TIMESTAMP '2024-01-02 00:00:00', NULL, TRUE
+      FROM orders WHERE o_orderkey < 3000 AND o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+             TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+      FROM orders
+      WHERE o_orderkey < 3000 AND o_orderstatus NOT IN ('O', 'F')
+    )
+    ORDER BY o_orderkey, valid_from
+    """,
+    doc="""SCD Type-2 change-feed consumer (streaming/cdf.py
+    apply_changes_scd2 — Delta Live Tables' APPLY CHANGES ... STORED AS
+    SCD TYPE 2): a bounded orders subset seeds a bucketed history
+    replica opened at t0; a pump folds an UPDATE window (open-status
+    orders' totals double) closing each old image at t1 and opening
+    the new one; a second pump folds a DELETE window
+    (finished orders) closing those rows at t2 with no successor.
+    Untouched keys keep their single open row. The query RAISES unless
+    both pumps applied rows and a catch-up pump is a no-op, then
+    returns the full history. Oracle = the history reconstructed
+    directly from the source rows and the pumps' literal effective
+    timestamps — per key, the engine's fold must produce exactly the
+    close/open transitions the DML sequence implies.""",
+)
+def etl_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_scd2,
+        bootstrap_scd2_target,
+        pump_table_changes,
+    )
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_scd2_changes_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    t2 = datetime.datetime(2024, 1, 3)
+
+    def pump(eff):
+        return pump_table_changes(
+            cat,
+            "orders_scd_src",
+            "scd",
+            lambda feed: apply_changes_scd2(
+                cat, feed, "orders_hist", ["o_orderkey"], effective_ts=eff
+            ),
+        )
+
+    if not cat.exists("orders_scd_src"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 3000)
+            .select(
+                "o_orderkey", "o_orderstatus",
+                F.col("o_totalprice").alias("total_price"),
+            )
+        )
+        cat.overwrite(orders.coalesce(2), "orders_scd_src")
+        pump_table_changes(cat, "orders_scd_src", "scd")  # register
+        bootstrap_scd2_target(
+            cat, "orders_scd_src", "orders_hist", ["o_orderkey"],
+            effective_ts=t0, num_buckets=8,
+        )
+        cat.update_where(
+            "orders_scd_src",
+            [("o_orderstatus", "=", "O")],
+            {"total_price": "total_price * 2"},
+        )
+        r1 = pump(t1)
+        cat.delete_where(
+            "orders_scd_src", [("o_orderstatus", "=", "F")]
+        )
+        r2 = pump(t2)
+        if r1["applied"] == 0 or r2["applied"] == 0:
+            raise RuntimeError(f"scd2 pump applied no rows ({r1}, {r2})")
+    caught_up = pump(t2)
+    if caught_up["applied"] != 0 or caught_up["from"] != caught_up["to"]:
+        raise RuntimeError(f"scd2 consumer not caught up: {caught_up}")
+    return (
+        cat.read("orders_hist")
+        .select(
+            "o_orderkey",
+            F.round("total_price", 2).alias("total_price"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("o_orderkey", "valid_from")
+    )
+
+
+@register(
     "etl_matview_minmax",
     """
     SELECT o_orderpriority,

@@ -53,6 +53,8 @@ __all__ = [
     "pump_table_changes",
     "apply_changes_into",
     "bootstrap_changes_target",
+    "apply_changes_scd2",
+    "bootstrap_scd2_target",
 ]
 
 _FEED_COLS = ("_change_type", "_commit_version")
@@ -229,7 +231,9 @@ def bootstrap_changes_target(
     right after registering the consumer: the feed starts AFTER the
     watermark, so the replica must reflect the registered snapshot.
     Returns the number of rows seeded."""
-    snap = catalog.read(source).withColumn(
+    # a bucketed SOURCE's own _kb is physical placement, not data —
+    # the replica computes its own
+    snap = catalog.read(source).drop("_kb").withColumn(
         "_kb", _kb_col(key_cols, num_buckets)
     )
     catalog.overwrite(snap, target, partition_cols=["_kb"])
@@ -273,14 +277,21 @@ def apply_changes_into(
     # same convention as matview refresh); the feed is bounded by the
     # window's changed files, never the table
     feed = feed.localCheckpoint(eager=True)
+    if feed.isEmpty():
+        # row-less window (e.g. a compaction moved files without
+        # changing rows): nothing to fold, stage nothing — the pump
+        # advances the watermark with a metadata-only commit
+        return 0
     mx = feed.groupBy(*key_cols).agg(
         F.max("_commit_version").alias("_mv")
     )
     last = feed.join(mx, on=list(key_cols), how="inner").where(
         F.col("_commit_version") == F.col("_mv")
     )
+    # a bucketed SOURCE's feed carries its own _kb placement column:
+    # physical, not data — the target computes its own placement
     upserts = last.where(F.col("_change_type") == "insert").drop(
-        "_mv", *_FEED_COLS
+        "_mv", "_kb", *_FEED_COLS
     )
     touched = mx.select(*key_cols)
     n = feed.count()
@@ -331,4 +342,181 @@ def apply_changes_into(
     else:
         new = upserts
     catalog.overwrite(new, target)
+    return n
+
+
+def bootstrap_scd2_target(
+    catalog,
+    source: str,
+    target: str,
+    key_cols: list[str],
+    tracked_cols: list[str] | None = None,
+    effective_ts=None,
+    num_buckets: int = 64,
+) -> int:
+    """Seed an SCD Type-2 history replica (Delta Live Tables'
+    ``APPLY CHANGES ... STORED AS SCD TYPE 2`` shape) from the source's
+    current snapshot: every row opens at ``effective_ts``
+    (``valid_from``/``valid_to``/``is_current``), stored under the
+    ``_kb`` KEY-hash bucket layout — a key's whole history lives in its
+    key's bucket, so every later :func:`apply_changes_scd2` pump
+    rewrites only the buckets the window touched. Returns rows seeded."""
+    from gcp_datalake_pipeline_spark.operators.scd import scd2_apply
+
+    snap = catalog.read(source).drop("_kb")  # placement, not data
+    tracked = tracked_cols or [
+        c for c in snap.columns if c not in key_cols
+    ]
+    eff = (
+        effective_ts
+        if effective_ts is not None
+        else F.current_timestamp()
+    )
+    hist = scd2_apply(
+        None, snap.select(*key_cols, *tracked), list(key_cols), tracked, eff
+    )
+    catalog.overwrite(
+        hist.withColumn("_kb", _kb_col(key_cols, num_buckets)),
+        target,
+        partition_cols=["_kb"],
+    )
+    catalog._write_bucket_meta(target, num_buckets, list(key_cols))
+    return catalog.count_rows(target)
+
+
+def apply_changes_scd2(
+    catalog,
+    feed: DataFrame,
+    target: str,
+    key_cols: list[str],
+    effective_ts=None,
+) -> int:
+    """Fold a change-feed window into an SCD Type-2 HISTORY of the
+    source (the ``APPLY CHANGES ... STORED AS SCD TYPE 2`` consumer):
+    instead of replacing a key's row, a change CLOSES the key's open
+    row at ``effective_ts`` and opens the new image; a key whose
+    latest change in the window is a delete closes its open row with
+    no successor. Keys the window never touched pass through.
+
+    Window semantics match :func:`apply_changes_into`: the key's
+    HIGHEST ``_commit_version`` in the window wins, so history
+    granularity equals pump granularity (pump per commit for
+    per-commit fidelity; a coarse window records one transition).
+    Keys must be unique per source snapshot (the SCD contract —
+    ambiguous duplicate images have no single history row to open).
+
+    Bucket-bounded writes, same as the type-1 apply: on a
+    :func:`bootstrap_scd2_target`-seeded target only the buckets
+    holding the window's keys are read and re-staged; a key's closed
+    and open rows share its hash, so history never straddles buckets.
+    Returns the number of change rows folded."""
+    from gcp_datalake_pipeline_spark.operators.scd import (
+        META_COLS,
+        scd2_apply,
+    )
+
+    feed = feed.localCheckpoint(eager=True)
+    n = feed.count()
+    if n == 0:
+        # row-less window (e.g. compaction): no history transition,
+        # stage nothing — the pump advances the watermark metadata-only
+        return 0
+    eff = (
+        effective_ts
+        if effective_ts is not None
+        else F.current_timestamp()
+    )
+    eff_col = (
+        eff if isinstance(eff, F.Column) else F.lit(eff)
+    ).cast("timestamp")
+    mx = feed.groupBy(*key_cols).agg(
+        F.max("_commit_version").alias("_mv")
+    )
+    last = feed.join(mx, on=list(key_cols), how="inner").where(
+        F.col("_commit_version") == F.col("_mv")
+    )
+    # the source's own _kb placement column is physical, not data
+    upserts = (
+        last.where(F.col("_change_type") == "insert")
+        .drop("_mv", "_kb", *_FEED_COLS)
+        .dropDuplicates(list(key_cols))
+    )
+    # deleted = latest version had a delete and no insert (an in-place
+    # UPDATE is delete+insert at one version — the insert wins)
+    del_keys = (
+        last.where(F.col("_change_type") == "delete")
+        .select(*key_cols)
+        .join(upserts.select(*key_cols), on=list(key_cols), how="left_anti")
+        .dropDuplicates(list(key_cols))
+    )
+    touched = mx.select(*key_cols)
+
+    def fold(current, tracked):
+        hist = scd2_apply(
+            current, upserts.select(*key_cols, *tracked),
+            list(key_cols), tracked, eff,
+        )
+        # deletes: close the key's open row, no successor
+        d = del_keys.withColumn("_del", F.lit(True))
+        closing = F.col("_del").isNotNull() & F.col("is_current")
+        return (
+            hist.join(F.broadcast(d), on=list(key_cols), how="left")
+            .withColumn(
+                "valid_to",
+                F.when(closing, eff_col).otherwise(F.col("valid_to")),
+            )
+            .withColumn(
+                "is_current",
+                F.when(closing, F.lit(False)).otherwise(
+                    F.col("is_current")
+                ),
+            )
+            .drop("_del")
+        )
+
+    if not catalog.exists(target):
+        tracked = [c for c in upserts.columns if c not in key_cols]
+        catalog.overwrite(fold(None, tracked), target)
+        return n
+    full = catalog.read(target)
+    tracked = [
+        c
+        for c in full.columns
+        if c not in key_cols and c not in META_COLS and c != "_kb"
+    ]
+    new_cols = [
+        c
+        for c in upserts.columns
+        if c not in key_cols and c not in tracked
+    ]
+    if new_cols:
+        raise ValueError(
+            f"SCD2 target {target!r} tracks {tracked} but the feed "
+            f"carries new column(s) {new_cols}; evolve the history "
+            "schema first (add_column) so old rows null-fill explicitly"
+        )
+    meta = catalog.bucket_meta(target)
+    if meta is None:
+        catalog.overwrite(
+            fold(full.select(*key_cols, *tracked, *META_COLS), tracked),
+            target,
+        )
+        return n
+    if meta.get("key_cols") not in (None, list(key_cols)):
+        raise ValueError(
+            f"target {target!r} is bucketed on keys {meta['key_cols']} "
+            f"but this apply passed {list(key_cols)}"
+        )
+    nb = meta["num_buckets"]
+    kb = _kb_col(key_cols, nb)
+    # ≤ num_buckets values by construction — a bounded collect
+    buckets = [
+        r["_kb"]
+        for r in touched.select(kb.alias("_kb")).distinct().collect()
+    ]
+    subset = full.where(F.col("_kb").isin(buckets)).drop("_kb")
+    merged = fold(
+        subset.select(*key_cols, *tracked, *META_COLS), tracked
+    ).withColumn("_kb", kb)
+    catalog._write_bucketed_merge(merged, target, replaced=buckets)
     return n

@@ -618,7 +618,7 @@ class TransactionalCatalog(Catalog):
         if len(prev) > 1:
             raise ValueError(
                 f"bucketed table {table!r} has {len(prev)} data dirs "
-                "(appended without merge); run compact_table first"
+                "(appended without merge); OPTIMIZE/compact it back to one dir first (the fold is partition-wise and keeps the _kb layout)"
             )
         rel = self._stage_dir(table)
         stage = os.path.join(self.root, rel)

@@ -457,3 +457,184 @@ def test_bucketed_apply_refuses_mismatched_keys(spark, tcat):
             "rep",
             lambda f: apply_changes_into(tcat, f, "replica", ["g"]),
         )
+
+
+# -- SCD2 change-feed consumer (r11): history-keeping replicas ---------------
+
+
+def _scd2_pump(tcat, eff):
+    from gcp_datalake_pipeline_spark.streaming.cdf import apply_changes_scd2
+
+    def apply(feed):
+        return apply_changes_scd2(
+            tcat, feed, "hist", ["k"], effective_ts=eff
+        )
+
+    return apply
+
+
+def _hist_rows(tcat):
+    df = tcat.read("hist")
+    if "_kb" in df.columns:
+        df = df.drop("_kb")
+    return sorted(
+        (r["k"], r["g"], r["amt"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_consumer_tracks_update_delete_insert(spark, tcat):
+    """APPLY CHANGES ... STORED AS SCD TYPE 2: an update closes the old
+    image and opens the new one, a delete closes with no successor, a
+    brand-new key opens — all at the pump's effective_ts, and the
+    replica keeps the full history."""
+    import datetime
+
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        bootstrap_scd2_target,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    t2 = datetime.datetime(2024, 1, 3)
+    tcat.overwrite(_src(spark, 0, 6), "src")
+    pump_table_changes(tcat, "src", "h")
+    n = bootstrap_scd2_target(
+        tcat, "src", "hist", ["k"], effective_ts=t0, num_buckets=8
+    )
+    assert n == 6
+    # v: update k=2 (amt 3.0 -> 99.0), delete k=3, insert k=100
+    tcat.update_where("src", [("k", "=", 2)], {"amt": "99.0"})
+    pump_table_changes(tcat, "src", "h", _scd2_pump(tcat, t1))
+    tcat.delete_where("src", [("k", "=", 3)])
+    tcat.append(
+        spark.createDataFrame([(100, 0, 5.0)], "k long, g long, amt double"),
+        "src",
+    )
+    pump_table_changes(tcat, "src", "h", _scd2_pump(tcat, t2))
+
+    rows = _hist_rows(tcat)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    # k=2: closed old image at t1, open new image from t1
+    assert by_key[2] == [
+        (2, 2, 3.0, str(t0), str(t1), False),
+        (2, 2, 99.0, str(t1), "None", True),
+    ]
+    # k=3: closed at t2, no successor
+    assert by_key[3] == [(3, 3, 4.5, str(t0), str(t2), False)]
+    # k=100: opened at t2
+    assert by_key[100] == [(100, 0, 5.0, str(t2), "None", True)]
+    # untouched keys: single open row from t0
+    assert by_key[1] == [(1, 1, 1.5, str(t0), "None", True)]
+    # current-state projection == the source
+    cur = sorted(
+        (r[0], r[1], r[2]) for r in rows if r[5]
+    )
+    src_now = sorted(map(tuple, tcat.read("src").collect()))
+    assert cur == src_now
+
+
+def test_scd2_consumer_bucket_bounded_and_unchanged_rows_pass(spark, tcat):
+    """A one-key pump re-stages only that key's bucket (history and
+    all); an unchanged-value rewrite (compaction-style no-op window)
+    emits no new history rows."""
+    import datetime
+
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        bootstrap_scd2_target,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    tcat.overwrite(_src(spark, 0, 200), "src")
+    pump_table_changes(tcat, "src", "h")
+    bootstrap_scd2_target(
+        tcat, "src", "hist", ["k"], effective_ts=t0, num_buckets=8
+    )
+    before = _bucket_inodes(tcat, "hist")
+    assert len(before) == 8
+    tcat.update_where("src", [("k", "=", 7)], {"amt": "1.25"})
+    pump_table_changes(
+        tcat, "src", "h",
+        _scd2_pump(tcat, datetime.datetime(2024, 1, 2)),
+    )
+    after = _bucket_inodes(tcat, "hist")
+    touched = f"_kb={_kb_of(spark, [7])[7]}"
+    assert after[touched] != before[touched]
+    assert all(after[b] == before[b] for b in before if b != touched)
+    assert tcat.read("hist").count() == 201  # one closed + one open extra
+    # compaction window: files move, no row changes -> no history rows
+    tcat.compact("src", min_dirs=1)
+    out = pump_table_changes(
+        tcat, "src", "h",
+        _scd2_pump(tcat, datetime.datetime(2024, 1, 3)),
+    )
+    assert tcat.read("hist").count() == 201
+    # new tracked column in the feed refuses with the evolution hint
+    tcat.add_column("src", "note", "string")
+    tcat.append(
+        _src(spark, 200, 202).withColumn("note", F.lit("x")), "src"
+    )
+    with pytest.raises(ValueError, match="evolve the history"):
+        pump_table_changes(
+            tcat, "src", "h",
+            _scd2_pump(tcat, datetime.datetime(2024, 1, 4)),
+        )
+
+
+def test_bucketed_source_feed_kb_is_physical_not_data(spark, tcat):
+    """A bucketed SOURCE's feed carries its own _kb placement column;
+    consumers must treat it as physical (drop + recompute), not as a
+    tracked data column — a type-1 replica and an SCD2 history both
+    fold cleanly from a CLUSTERED BY source."""
+    import datetime
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_scd2,
+        bootstrap_changes_target,
+        bootstrap_scd2_target,
+    )
+
+    execute_dml(
+        tcat,
+        "CREATE TABLE bsrc (k BIGINT, v STRING) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS",
+    )
+    execute_dml(tcat, "INSERT INTO bsrc VALUES (1,'a'),(2,'b'),(3,'c')")
+    pump_table_changes(tcat, "bsrc", "r1")
+    pump_table_changes(tcat, "bsrc", "r2")
+    bootstrap_changes_target(tcat, "bsrc", "rep", ["k"], num_buckets=8)
+    bootstrap_scd2_target(
+        tcat, "bsrc", "hist", ["k"],
+        effective_ts=datetime.datetime(2024, 1, 1), num_buckets=8,
+    )
+    execute_dml(tcat, "UPDATE bsrc SET v = 'B' WHERE k = 2")
+    execute_dml(tcat, "DELETE FROM bsrc WHERE k = 3")
+    pump_table_changes(
+        tcat, "bsrc", "r1",
+        lambda f: apply_changes_into(tcat, f, "rep", ["k"]),
+    )
+    pump_table_changes(
+        tcat, "bsrc", "r2",
+        lambda f: apply_changes_scd2(
+            tcat, f, "hist", ["k"],
+            effective_ts=datetime.datetime(2024, 1, 2),
+        ),
+    )
+    rep = {(r["k"], r["v"]) for r in tcat.read("rep").collect()}
+    assert rep == {(1, "a"), (2, "B")}
+    # no stray second _kb-ish data column anywhere
+    assert tcat.read("rep").columns.count("_kb") == 1
+    hist = {
+        (r["k"], r["v"], r["is_current"])
+        for r in tcat.read("hist").collect()
+    }
+    assert hist == {
+        (1, "a", True),
+        (2, "b", False),
+        (2, "B", True),
+        (3, "c", False),
+    }

@@ -968,3 +968,101 @@ def test_explain_merge_reports_blast_radius(spark, tmp_path):
             "EXPLAIN MERGE INTO plain USING (SELECT 1 AS k) s ON k = k "
             "WHEN MATCHED THEN UPDATE SET v = 1",
         )
+
+
+def test_clustered_by_ddl_full_lifecycle(spark, tmp_path):
+    """CREATE TABLE ... CLUSTERED BY (k) INTO n BUCKETS puts the table
+    under the _kb layout from day one: INSERTs append partition-wise,
+    OPTIMIZE folds back to one dir keeping the layout, and MERGE then
+    rewrites only the source's buckets."""
+    import os
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    out = execute_dml(
+        cat,
+        "CREATE TABLE t (k BIGINT, v STRING) "
+        "CLUSTERED BY (k) INTO 8 BUCKETS",
+    )
+    assert out == {
+        "table": "t", "created": True, "clustered_by": ["k"], "buckets": 8,
+    }
+    assert cat.bucket_meta("t") == {"num_buckets": 8, "key_cols": ["k"]}
+    # INSERT takes the LOGICAL columns; the engine computes placement
+    ex = execute_dml(cat, "EXPLAIN INSERT INTO t VALUES (1, 'a')")
+    assert ex["rows"] == 1 and not ex["would_refuse"]
+    execute_dml(cat, "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    execute_dml(cat, "INSERT INTO t SELECT id AS k, 'x' AS v FROM range(4, 60)")
+    assert cat.count_rows("t") == 59
+    got = {r["k"]: r["_kb"] for r in cat.read("t").collect()}
+    kb = {
+        r["k"]: r["b"]
+        for r in spark.range(60)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    assert all(got[k] == kb[k] for k in got)
+    # MERGE before compaction: loud multi-dir refusal naming OPTIMIZE
+    with pytest.raises(ValueError, match="OPTIMIZE"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k, 'z' AS v) s ON k = k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    # OPTIMIZE folds the appended dirs partition-wise
+    assert execute_dml(cat, "OPTIMIZE t")["optimized"] is True
+    assert len(cat._data_dirs("t")) == 1
+    d = cat._data_dirs("t")[0]
+    assert any(e.startswith("_kb=") for e in os.listdir(d))
+    # MERGE now bounded: one source key -> one re-staged bucket
+    before = _kb_inodes(cat, "t")
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k, 'z' AS v) s ON k = k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {"table": "t", "merged": 1}
+    after = _kb_inodes(cat, "t")
+    touched = f"_kb={kb[1]}"
+    assert after[touched] != before[touched]
+    assert all(after[b] == before[b] for b in before if b != touched)
+    assert {r["v"] for r in cat.read("t").where(F.col("k") == 1).collect()} == {"z"}
+
+
+def test_clustered_by_ctas_and_refusals(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).createOrReplaceTempView("ctas_src")
+    out = execute_dml(
+        cat,
+        "CREATE TABLE t CLUSTERED BY (k) INTO 4 BUCKETS "
+        "AS SELECT k, g FROM ctas_src",
+    )
+    assert out["created"] and out["rows"] == 40 and out["buckets"] == 4
+    assert cat.bucket_meta("t") == {"num_buckets": 4, "key_cols": ["k"]}
+    assert len(_kb_inodes(cat, "t")) == 4
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(
+            cat,
+            "CREATE TABLE t (k BIGINT) CLUSTERED BY (k) INTO 4 BUCKETS",
+        )
+    assert execute_dml(
+        cat,
+        "CREATE TABLE IF NOT EXISTS t (k BIGINT) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS",
+    ) == {"table": "t", "created": False}
+    with pytest.raises(ValueError, match="not in the column list"):
+        execute_dml(
+            cat,
+            "CREATE TABLE u (k BIGINT) CLUSTERED BY (ghost) INTO 4 BUCKETS",
+        )
+    with pytest.raises(ValueError, match="reserved bucket-placement"):
+        execute_dml(
+            cat,
+            "CREATE TABLE u (k BIGINT, _kb INT) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS",
+        )
