@@ -312,10 +312,12 @@ def cmd_query(args) -> None:
 def _quoted_spans(sql: str) -> list[tuple[int, int]]:
     """(start, end) index spans of string literals in ``sql`` — both
     single- and double-quoted (Spark SQL treats ``"..."`` as a string
-    literal by default), with the doubled-quote escape (``''`` /
-    ``""``) inside a literal. The prompt rewrites below must never
-    substitute INSIDE a literal — ``WHERE note = 'x VERSION AS OF 3'``
-    is user data, not syntax."""
+    literal by default), honoring BOTH escapes Spark's parser accepts
+    inside a literal: the doubled quote (``''`` / ``""``) and the
+    backslash (``\\'`` — Spark's default parser is C-style unless
+    ``escapedStringLiterals`` is flipped). The prompt rewrites below
+    must never substitute INSIDE a literal — ``WHERE note = 'x VERSION
+    AS OF 3'`` is user data, not syntax."""
     spans = []
     i, n = 0, len(sql)
     while i < n:
@@ -323,13 +325,16 @@ def _quoted_spans(sql: str) -> list[tuple[int, int]]:
         if q in ("'", '"'):
             j = i + 1
             while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
                 if sql[j] == q:
                     if j + 1 < n and sql[j + 1] == q:
                         j += 2
                         continue
                     break
                 j += 1
-            spans.append((i, j))
+            spans.append((i, min(j, n - 1)))
             i = j + 1
         else:
             i += 1

@@ -350,15 +350,12 @@ def _probe_cast_loss(df, types, cols: list[str], verb: str) -> int:
     return n
 
 
-def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
-    """Project an INSERT source onto the target schema: positional
-    rename (SQL INSERT semantics) onto ``insert_cols`` (or the full
-    schema), NULL-fill for omitted columns, and a cast-loss probe — a
-    value the target type cannot hold must refuse, never silently
-    become NULL (same contract as update_where's SET probe). Returns
-    ``(aligned_df, source_row_count)``."""
-    from pyspark.sql import functions as F
-
+def _insert_targets(schema, insert_cols: list[str] | None, df):
+    """The INSERT column-mapping validation, shared by the real run
+    (:func:`_align_to_schema`) and the EXPLAIN dry run so they can
+    never diverge: resolves the positional target list against the
+    schema and refuses unknown columns / width mismatches. Returns
+    ``(names, targets, types)``."""
     names = [f.name for f in schema.fields]
     targets = insert_cols if insert_cols is not None else names
     unknown = [c for c in targets if c not in names]
@@ -371,8 +368,20 @@ def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
             f"INSERT source has {len(df.columns)} column(s) for "
             f"{len(targets)} target column(s); {_GRAMMAR}"
         )
+    return names, targets, {f.name: f.dataType for f in schema.fields}
+
+
+def _align_to_schema(catalog, df, schema, insert_cols: list[str] | None):
+    """Project an INSERT source onto the target schema: positional
+    rename (SQL INSERT semantics) onto ``insert_cols`` (or the full
+    schema), NULL-fill for omitted columns, and a cast-loss probe — a
+    value the target type cannot hold must refuse, never silently
+    become NULL (same contract as update_where's SET probe). Returns
+    ``(aligned_df, source_row_count)``."""
+    from pyspark.sql import functions as F
+
+    names, targets, types = _insert_targets(schema, insert_cols, df)
     renamed = df.toDF(*targets)
-    types = {f.name: f.dataType for f in schema.fields}
     n = _probe_cast_loss(renamed, types, list(targets), "INSERT")
     aligned = renamed.select(
         *[
@@ -556,20 +565,7 @@ def _explain(catalog, inner: str):
             schema = T.StructType(
                 [f for f in schema.fields if f.name != "_kb"]
             )
-        names = [f.name for f in schema.fields]
-        targets = cols if cols is not None else names
-        unknown = [c for c in targets if c not in names]
-        if unknown:
-            raise ValueError(
-                f"INSERT column(s) {unknown!r} not in target table; "
-                f"{_GRAMMAR}"
-            )
-        if len(src.columns) != len(targets):
-            raise ValueError(
-                f"INSERT source has {len(src.columns)} column(s) for "
-                f"{len(targets)} target column(s); {_GRAMMAR}"
-            )
-        types = {f.name: f.dataType for f in schema.fields}
+        _names, targets, types = _insert_targets(schema, cols, src)
         n, losses = _cast_loss_counts(src.toDF(*targets), types, targets)
         return {
             "explain": "INSERT",
@@ -609,14 +605,13 @@ def _explain(catalog, inner: str):
         if meta is not None:
             # the write blast radius under the bucketed route: which
             # key-hash buckets the source would force a re-stage of
-            from pyspark.sql import functions as F
+            from gcp_datalake_pipeline_spark.storage import kb_col
 
             nb = meta["num_buckets"]
-            kb = F.pmod(F.xxhash64(*keys), F.lit(nb)).cast("int")
             out["buckets_rewritten"] = (
                 src.select(*keys)
                 .dropDuplicates(keys)
-                .select(kb.alias("_kb"))
+                .select(kb_col(keys, nb).alias("_kb"))
                 .distinct()
                 .count()
             )
@@ -803,8 +798,9 @@ def _create_clustered(
         schema = T.StructType(
             list(schema.fields) + [T.StructField("_kb", T.IntegerType())]
         )
-        catalog.create_table(table, schema)
-        catalog._write_bucket_meta(table, num_buckets, keys)
+        # schema + bucket meta in ONE commit — a crash between them
+        # would strand the table unbucketed with no error
+        catalog.create_table(table, schema, bucket_meta=(num_buckets, keys))
         return {
             "table": table,
             "created": True,
@@ -823,11 +819,8 @@ def _create_clustered(
             f"CLUSTERED BY column(s) {missing!r} not in the SELECT "
             f"output; {_GRAMMAR}"
         )
-    kb = F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
-    catalog.overwrite(
-        df.withColumn("_kb", kb), table, partition_cols=["_kb"]
-    )
-    catalog._write_bucket_meta(table, num_buckets, keys)
+    # data + bucket meta in ONE commit (overwrite_bucketed)
+    catalog.overwrite_bucketed(df, table, num_buckets, keys)
     return {
         "table": table,
         "created": True,
@@ -885,18 +878,17 @@ def execute_dml(catalog, sql: str) -> dict | None:
             # engine computes the _kb placement and keeps the appended
             # dir partitioned so the layout (and the bounded-merge
             # contract) survives plain INSERTs
-            from pyspark.sql import functions as F
             from pyspark.sql import types as T
+
+            from gcp_datalake_pipeline_spark.storage import kb_col
 
             logical = T.StructType(
                 [f for f in schema.fields if f.name != "_kb"]
             )
             aligned, n = _align_to_schema(catalog, src, logical, cols)
-            kb = F.pmod(
-                F.xxhash64(*meta["key_cols"]),
-                F.lit(meta["num_buckets"]),
-            ).cast("int")
-            aligned = aligned.withColumn("_kb", kb)
+            aligned = aligned.withColumn(
+                "_kb", kb_col(meta["key_cols"], meta["num_buckets"])
+            )
             if overwrite:
                 catalog.overwrite(
                     aligned, table, partition_cols=["_kb"]

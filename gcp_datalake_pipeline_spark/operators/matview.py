@@ -36,6 +36,7 @@ from gcp_datalake_pipeline_spark.operators.incremental import (
     partial_aggregate,
     refresh_aggregate,
 )
+from gcp_datalake_pipeline_spark.storage import kb_col as _kb_col
 
 
 def _validate_spec(keys, sums, count_col, mins=None, maxs=None,
@@ -68,12 +69,6 @@ def _validate_spec(keys, sums, count_col, mins=None, maxs=None,
             "'_kb' is the reserved bucket-layout column; rename the "
             "view column"
         )
-
-
-def _kb_col(keys: list[str], num_buckets: int):
-    # the SAME key-hash placement as merge_upsert_bucketed / the CDC
-    # replicas (storage.py:416) — one layout convention per engine
-    return F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
 
 
 def create_materialized_view(

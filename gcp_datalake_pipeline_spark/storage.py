@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def kb_col(key_cols: list[str], num_buckets: int):
+    """THE engine's bucket-placement hash: ``pmod(xxhash64(*keys), n)``
+    — order-sensitive over ``key_cols``. Every writer of a ``_kb``
+    layout (bucketed merge, CDC replicas, SCD2 histories, matviews, the
+    SQL INSERT/CLUSTERED BY paths) MUST place rows through this one
+    function; a byte-different copy would silently hash keys into the
+    wrong buckets and partition-pruned reads would miss rows."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
+
+
 @dataclass
 class Catalog:
     """A directory of named Parquet tables."""
@@ -394,6 +404,24 @@ class Catalog:
         self.overwrite(remaining, table)
         return n_matched
 
+    def overwrite_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        num_buckets: int,
+        key_cols: list[str],
+    ) -> None:
+        """Write ``df`` (logical columns — ``_kb`` is computed here)
+        under the ``_kb`` layout and record the bucket-meta sidecar.
+        On the plain catalog the two steps are sequential; the
+        transactional subclass overrides this to commit them in ONE
+        transaction — a crash between data and sidecar would otherwise
+        silently strand the table unbucketed (every later bounded-write
+        path would fall back to whole-table rewrites with no error)."""
+        out = df.drop("_kb").withColumn("_kb", kb_col(key_cols, num_buckets))
+        self.overwrite(out, table, partition_cols=["_kb"])
+        self._write_bucket_meta(table, num_buckets, list(key_cols))
+
     def merge_delete_bucketed(
         self,
         source: DataFrame,
@@ -410,7 +438,7 @@ class Catalog:
         Returns the number of rows deleted."""
         self._check_bucket_meta(table, num_buckets, key_cols)
         src_keys = source.select(*key_cols).dropDuplicates(key_cols)
-        kb = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
+        kb = kb_col(key_cols, num_buckets)
         # ≤ num_buckets values by construction — a bounded collect
         buckets = [
             r["_kb"]
@@ -461,14 +489,12 @@ class Catalog:
                 src = src.withColumn("date_created", now)
             if "date_updated" not in src.columns:
                 src = src.withColumn("date_updated", now)
-        kb = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
-        src = src.withColumn("_kb", kb)
+        src = src.withColumn("_kb", kb_col(key_cols, num_buckets))
 
         if not self.exists(table):
             if id_col is not None and id_col not in src.columns:
                 src = assign_dense_ids(src, key_cols, id_col)
-            self.overwrite(src, table, partition_cols=["_kb"])
-            self._write_bucket_meta(table, num_buckets, key_cols)
+            self.overwrite_bucketed(src, table, num_buckets, key_cols)
             return self.read(table)
 
         self._check_bucket_meta(table, num_buckets, key_cols)

@@ -59,6 +59,13 @@ __all__ = [
 
 _FEED_COLS = ("_change_type", "_commit_version")
 
+def _is_image():
+    """A key's NEW image rows: plain feeds label them 'insert'; a feed
+    built with table_changes(key_cols=...) relabels an update's pair to
+    update_preimage/update_postimage — consumers must accept BOTH or a
+    keyed feed's updates would silently fold as deletions."""
+    return F.col("_change_type").isin("insert", "update_postimage")
+
 
 
 
@@ -210,11 +217,7 @@ def pump_table_changes(
     }
 
 
-def _kb_col(key_cols: list[str], num_buckets: int):
-    # the SAME hash the bucketed-merge layout uses (storage.py:416) —
-    # a consumer and a MERGE writing one table must agree on placement
-    return F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
-
+from gcp_datalake_pipeline_spark.storage import kb_col as _kb_col
 
 def bootstrap_changes_target(
     catalog,
@@ -232,12 +235,9 @@ def bootstrap_changes_target(
     watermark, so the replica must reflect the registered snapshot.
     Returns the number of rows seeded."""
     # a bucketed SOURCE's own _kb is physical placement, not data —
-    # the replica computes its own
-    snap = catalog.read(source).drop("_kb").withColumn(
-        "_kb", _kb_col(key_cols, num_buckets)
-    )
-    catalog.overwrite(snap, target, partition_cols=["_kb"])
-    catalog._write_bucket_meta(target, num_buckets, list(key_cols))
+    # the replica computes its own; data + bucket meta commit as one
+    snap = catalog.read(source).drop("_kb")
+    catalog.overwrite_bucketed(snap, target, num_buckets, list(key_cols))
     return catalog.count_rows(target)
 
 
@@ -277,7 +277,8 @@ def apply_changes_into(
     # same convention as matview refresh); the feed is bounded by the
     # window's changed files, never the table
     feed = feed.localCheckpoint(eager=True)
-    if feed.isEmpty():
+    n = feed.count()
+    if n == 0:
         # row-less window (e.g. a compaction moved files without
         # changing rows): nothing to fold, stage nothing — the pump
         # advances the watermark with a metadata-only commit
@@ -290,11 +291,8 @@ def apply_changes_into(
     )
     # a bucketed SOURCE's feed carries its own _kb placement column:
     # physical, not data — the target computes its own placement
-    upserts = last.where(F.col("_change_type") == "insert").drop(
-        "_mv", "_kb", *_FEED_COLS
-    )
+    upserts = last.where(_is_image()).drop("_mv", "_kb", *_FEED_COLS)
     touched = mx.select(*key_cols)
-    n = feed.count()
     meta = (
         catalog.bucket_meta(target) if catalog.exists(target) else None
     )
@@ -375,12 +373,8 @@ def bootstrap_scd2_target(
     hist = scd2_apply(
         None, snap.select(*key_cols, *tracked), list(key_cols), tracked, eff
     )
-    catalog.overwrite(
-        hist.withColumn("_kb", _kb_col(key_cols, num_buckets)),
-        target,
-        partition_cols=["_kb"],
-    )
-    catalog._write_bucket_meta(target, num_buckets, list(key_cols))
+    # data + bucket meta commit as one (overwrite_bucketed)
+    catalog.overwrite_bucketed(hist, target, num_buckets, list(key_cols))
     return catalog.count_rows(target)
 
 
@@ -437,14 +431,14 @@ def apply_changes_scd2(
     )
     # the source's own _kb placement column is physical, not data
     upserts = (
-        last.where(F.col("_change_type") == "insert")
+        last.where(_is_image())
         .drop("_mv", "_kb", *_FEED_COLS)
         .dropDuplicates(list(key_cols))
     )
-    # deleted = latest version had a delete and no insert (an in-place
-    # UPDATE is delete+insert at one version — the insert wins)
+    # deleted = latest version had a delete and no new image (an
+    # in-place UPDATE is delete+insert at one version — the image wins)
     del_keys = (
-        last.where(F.col("_change_type") == "delete")
+        last.where(~_is_image())
         .select(*key_cols)
         .join(upserts.select(*key_cols), on=list(key_cols), how="left_anti")
         .dropDuplicates(list(key_cols))

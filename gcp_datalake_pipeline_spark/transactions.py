@@ -549,6 +549,24 @@ class TransactionalCatalog(Catalog):
                 return {"num_buckets": staged[0], "key_cols": staged[1]}
         return super().bucket_meta(table)
 
+    def overwrite_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        num_buckets: int,
+        key_cols: list[str],
+    ) -> None:
+        # data + bucket-meta sidecar in ONE commit (the sidecar stages
+        # via _staged_bucket_meta and publishes under the flock after
+        # conflict checks) — no crash window that strands the table
+        # unbucketed
+        auto = self._require_txn()
+        if auto is not None:
+            with auto:
+                super().overwrite_bucketed(df, table, num_buckets, key_cols)
+            return
+        super().overwrite_bucketed(df, table, num_buckets, key_cols)
+
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
     ) -> None:
@@ -862,7 +880,10 @@ class TransactionalCatalog(Catalog):
         for t in set(prev_tables) | set(new_tables):
             if prev_tables.get(t) != new_tables.get(t):
                 moved[t] = manifest["version"]
-        manifest["moved"] = moved
+        # dropped tables leave the map (a catalog churning ephemeral
+        # staging tables must not grow every future manifest forever);
+        # probes on a vanished table fall back to the linear walk
+        manifest["moved"] = {t: v for t, v in moved.items() if t in new_tables}
         self._write_load_marker(manifest["load_id"], manifest["version"])
         vdir = os.path.join(self.root, _VERSIONS)
         os.makedirs(vdir, exist_ok=True)
@@ -950,10 +971,16 @@ class TransactionalCatalog(Catalog):
     # dirs live on for retained snapshots; whole-catalog or per-table
     # RESTORE resurrects the table until vacuum reclaims them).
 
-    def create_table(self, table: str, schema) -> None:
+    def create_table(
+        self, table: str, schema, bucket_meta: tuple | None = None
+    ) -> None:
         """CREATE TABLE: commit ``table`` as an empty typed relation
         (``schema`` is a StructType or DDL string). Exists -> raises
-        (CREATE IF NOT EXISTS is the caller's no-op branch)."""
+        (CREATE IF NOT EXISTS is the caller's no-op branch).
+        ``bucket_meta=(num_buckets, key_cols)`` records the ``_kb``
+        layout sidecar IN THE SAME COMMIT (CLUSTERED BY ... INTO n
+        BUCKETS) — a separate write would leave a crash window that
+        silently strands the table unbucketed."""
         from pyspark.sql import types as T
 
         if self._pending is not None:
@@ -971,6 +998,9 @@ class TransactionalCatalog(Catalog):
                 "added": [],
                 "schema": schema.jsonValue(),
             }
+            if bucket_meta is not None:
+                nb, kc = bucket_meta
+                self._write_bucket_meta(table, int(nb), list(kc))
 
     def add_column(self, table: str, name: str, dtype) -> None:
         """ALTER TABLE ... ADD COLUMN: additive schema evolution as a

@@ -299,3 +299,22 @@ def test_keyed_feed_duplicate_keys_all_relabel(spark, tcat):
         ("update_preimage", 10),
         ("update_preimage", 11),
     ]
+
+
+def test_keyed_feed_composes_with_appliers(spark, tcat):
+    """A feed built with key_cols (update_pre/postimage labels) folds
+    through apply_changes_into identically to the plain feed — the
+    postimage is the key's new image, never a deletion (review r11 #2)."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import apply_changes_into
+
+    tcat.overwrite(_base(spark, 20), "t")                        # v1
+    tcat.update_where("t", [("k", "=", 3)], {"g": "g + 100"})    # v2
+    tcat.delete_where("t", [("k", "=", 5)])                      # v3
+    for variant, kc in (("plain", None), ("keyed", ["k"])):
+        feed = tcat.table_changes("t", 1, key_cols=kc)
+        apply_changes_into(tcat, feed, f"rep_{variant}", ["k"])
+    a = sorted(map(tuple, tcat.read("rep_plain").collect()))
+    b = sorted(map(tuple, tcat.read("rep_keyed").collect()))
+    assert a == b
+    got = {r["k"]: r["g"] for r in tcat.read("rep_keyed").collect()}
+    assert got[3] == 103 and 5 not in got

@@ -472,3 +472,16 @@ def test_prompt_rewrites_are_quote_aware(spark, tmp_path):
     assert "_changes_t_1_cur" in out2
     assert "'table_changes(''x'', 7)'" in out2
     assert spark.sql(out2).first()["n"] == 2
+
+
+def test_prompt_rewrites_honor_backslash_escapes(spark, tmp_path):
+    """Spark's default parser treats backslash as an escape inside a
+    literal, so `'it\\'s ... VERSION AS OF 2'` is ONE literal — the
+    rewrite must not treat its tail as syntax (review r11 #1)."""
+    from gcp_datalake_pipeline_spark.cli import _rewrite_version_as_of
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.range(3).toDF("k"), "t")
+    s = "SELECT * FROM t WHERE note = 'it\\'s fine VERSION AS OF 2'"
+    assert _rewrite_version_as_of(cat, s) == s
