@@ -872,3 +872,150 @@ def simhash_pairs_oracle_sql(max_hamming: int = 12) -> str:
     SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
+
+
+# -- exact repeated-span (substring) dedup ------------------------------------
+#
+# MinHash/SimHash find near-duplicate DOCUMENTS; the other famous
+# contamination mode is verbatim repeated SUBSTRINGS scattered across
+# otherwise-distinct documents (boilerplate, licenses, templates —
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499). The paper builds a corpus-wide suffix
+# array; the Spark-native formulation is the standard scalable variant:
+# every w-token sliding window becomes a (doc, pos, span) row, and a
+# span seen more than once is a verbatim duplicate of length >= w.
+# Cost: one explode (~tokens x rows) + one shuffle on the span (or its
+# 64-bit hash at scale — shuffle bytes drop ~10x and a false collision
+# only ever removes a span, never corrupts one).
+
+
+def span_occurrences(
+    df: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every ``window``-token sliding span per document:
+    ``(id_col, pos, span)`` with 1-based token positions. Documents
+    shorter than ``window`` tokens contribute nothing."""
+    df = ensure_scan_parallelism(df)
+    w = int(window)
+    # CASE guard, not greatest(): sequence(1, 0) steps BACKWARDS in
+    # Spark ([1, 0]) and slice(start=0) raises — short docs must yield
+    # an empty span array
+    spans = F.expr(
+        f"CASE WHEN size(_toks) >= {w} THEN "
+        f"transform(sequence(1, size(_toks) - {w} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(_toks, i, {w}), ' ') "
+        f"AS span)) ELSE array() END"
+    )
+    return (
+        df.select(
+            id_col,
+            F.split(F.col(text_col), TOKEN_SPLIT_RE).alias("_toks"),
+        )
+        .select(id_col, F.explode(spans).alias("_s"))
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.span"))
+    )
+
+
+def find_repeated_spans(
+    df: DataFrame,
+    window: int = 10,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Verbatim ``window``-token spans occurring at least
+    ``min_occurrences`` times corpus-wide: ``(span, n_docs, n_occ)``
+    (``span_hash`` instead when ``hash_spans`` — the 100 TB shape: the
+    shuffle carries 8-byte keys, not w-token strings)."""
+    occ = span_occurrences(df, window, text_col, id_col)
+    key = (
+        F.xxhash64("span").alias("span_hash")
+        if hash_spans
+        else F.col("span")
+    )
+    return (
+        occ.groupBy(key)
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_occ") >= min_occurrences)
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every NON-CANONICAL occurrence of a corpus-duplicated
+    ``window``-token span (the paper's dedup step): per duplicated
+    span, the occurrence at the smallest ``(doc, pos)`` stays; every
+    other occurrence's token positions are masked and the document's
+    text is rebuilt from the surviving tokens. Overlapping masked
+    spans union naturally (positions are masked, not substrings).
+    Returns the input frame with ``text_col`` rewritten (documents
+    with nothing masked pass through byte-identical).
+
+    Scale: duplicated-occurrence rows (not the corpus) drive every
+    join; the mask explode is w x duplicate occurrences; the rebuild
+    is one groupBy over affected docs' tokens only — untouched
+    documents never shuffle their tokens."""
+    occ = span_occurrences(df, window, text_col, id_col)
+    w = Window.partitionBy("span")
+    ranked = occ.withColumn(
+        "_n", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "_first",
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(w),
+    )
+    doomed = ranked.where(
+        (F.col("_n") > 1)
+        & ~(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    ).select(id_col, "pos")
+    masked = doomed.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("pos"), F.col("pos") + F.lit(int(window) - 1)
+            )
+        ).alias("tokpos"),
+    ).dropDuplicates([id_col, "tokpos"])
+    affected = masked.select(id_col).distinct()
+    toks = (
+        df.join(affected, on=id_col, how="left_semi")
+        .select(
+            id_col,
+            F.posexplode(
+                F.split(F.col(text_col), TOKEN_SPLIT_RE)
+            ).alias("_p0", "tok"),
+        )
+        .withColumn("tokpos", F.col("_p0") + 1)
+    )
+    rebuilt = (
+        toks.join(masked, on=[id_col, "tokpos"], how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tokpos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_new_text")
+        )
+    )
+    out = df.join(rebuilt, on=id_col, how="left")
+    return out.withColumn(
+        text_col, F.coalesce("_new_text", F.col(text_col))
+    ).drop("_new_text")

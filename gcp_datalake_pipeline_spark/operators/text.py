@@ -285,3 +285,79 @@ def lang_id_oracle_sql() -> str:
            COALESCE(b.predicted_lang, 'und') = d.lang AS is_match
     FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
     """
+
+
+def bm25_term_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(document, query-term) BM25 relevance (the Robertson /
+    Lucene form): ``idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` — TF-IDF's
+    retrieval-grade successor: term-frequency saturation (k1) plus
+    document-length normalization (b). Returns ``(id_col, tok, bm25)``
+    for documents containing at least one query term.
+
+    Scale: the tf aggregation FILTERS to the query terms before its
+    shuffle (the only corpus-sized stage is the token explode); df,
+    N, and avgdl are scalars/tiny frames that broadcast."""
+    toks = tokens(df, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(list(query_terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("dfreq")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5)
+        / (F.col("dfreq") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "tok", (idf * norm).alias("bm25"))
+    )
+
+
+def bm25_topk_docs(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query by summed BM25.
+    The per-term scores are fixed to integer MICRO-units before the
+    sum so the reduction is exact and order-free (float addition is
+    not associative; a nondeterministic partial-agg order would make
+    ranks flap run-to-run). Returns ``(id_col, bm25_micro)``."""
+    per_term = bm25_term_scores(df, query_terms, k1, b, text_col, id_col)
+    return (
+        per_term.select(
+            id_col,
+            F.round(F.col("bm25") * 1e6).cast("bigint").alias("_m"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_m").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), id_col)
+        .limit(k)
+    )

@@ -1187,3 +1187,102 @@ def ann_ivf_index_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ivf_index_pq_topk(
         _ann_pq_index_catalog(spark, sf_dir), ANN_QUERY_IDS, k=5, rerank=20
     )
+
+
+@register(
+    "dedup_exact_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i, array_to_string(toks[i:i+9], ' ') AS span
+      FROM t,
+           unnest(generate_series(1, greatest(len(toks) - 9, 0))) AS u(i)
+    ),
+    d AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+      FROM s GROUP BY span HAVING COUNT(*) >= 2
+    )
+    SELECT span, n_docs, n_occ
+    FROM d
+    ORDER BY n_occ DESC, n_docs DESC, span
+    LIMIT 20
+    """,
+    doc="""Exact repeated-SPAN detection (Lee et al. arXiv:2107.06499's
+    contamination mode: verbatim >=w-token substrings duplicated across
+    otherwise-distinct documents — boilerplate, licenses, templates):
+    every 10-token sliding window, grouped corpus-wide, top-20 most
+    repeated. MinHash finds near-dup documents; this finds the
+    duplicated SUBSTRINGS inside them. Scale: one explode + ONE
+    shuffle keyed on the span (8-byte xxhash64 of it at 100 TB — see
+    find_repeated_spans(hash_spans=True)); the paper's suffix array
+    becomes a hash-group. The strip step
+    (dedup.strip_repeated_spans) keeps each span's first (doc, pos)
+    occurrence and masks the rest, pytest-pinned.""",
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.find_repeated_spans(
+            load_table(spark, sf_dir, "documents"), window=10
+        )
+        .orderBy(
+            F.col("n_occ").desc(), F.col("n_docs").desc(), F.col("span")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "doc_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT AVG(dl * 1.0) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'join', 'merge') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq
+              FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(
+               ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+               4
+             ) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, tok, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id, tok
+    LIMIT 20
+    """,
+    doc="""Per-(document, term) BM25 relevance for the query bag
+    ('spark', 'join', 'merge') — TF-IDF's retrieval-grade successor:
+    term-frequency SATURATION (k1=1.2 caps what repetition can earn)
+    and document-LENGTH normalization (b=0.75 discounts long docs),
+    Robertson/Lucene idf. Top-20 scores with deterministic
+    tiebreakers. Scale: tf filters to the query terms BEFORE its
+    shuffle, so the only corpus-sized stage is the token explode; df,
+    N, avgdl broadcast. The doc-level ranking
+    (text.bm25_topk_docs) sums per-term scores as exact integer
+    micro-units so the reduction is order-free, pytest-pinned.""",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.bm25_term_scores(
+            load_table(spark, sf_dir, "documents"),
+            ["spark", "join", "merge"],
+        )
+        .select("doc_id", "tok", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id", "tok")
+        .limit(20)
+    )

@@ -328,3 +328,44 @@ def test_temperature_mixture_never_drops_a_stratum(spark):
     # head stays IN the mixture (expected ~5 of 50001 at 1/10000;
     # deterministic md5 membership, so this is a fixed number)
     assert kept.get("head", 0) >= 1
+
+
+def test_bm25_topk_docs_exact_and_order_free(spark):
+    """Doc-level BM25 sums per-term scores as integer micro-units
+    (exact, order-free reduction) and ranks deterministically; the
+    per-term scores match a hand-computed reference."""
+    import math
+
+    from gcp_datalake_pipeline_spark.operators.text import (
+        bm25_term_scores,
+        bm25_topk_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark filter"),
+            (2, "join merge"),
+            (3, "noise noise noise noise noise noise"),
+        ],
+        "doc_id long, text string",
+    )
+    per = {
+        (r["doc_id"], r["tok"]): r["bm25"]
+        for r in bm25_term_scores(docs, ["spark", "join"]).collect()
+    }
+    n, avgdl = 3, (4 + 2 + 6) / 3
+    k1, b = 1.2, 0.75
+
+    def ref(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert per[(1, "spark")] == pytest.approx(ref(2, 1, 4), rel=1e-12)
+    assert per[(1, "join")] == pytest.approx(ref(1, 2, 4), rel=1e-12)
+    assert per[(2, "join")] == pytest.approx(ref(1, 2, 2), rel=1e-12)
+    assert (3,) not in {(k[0],) for k in per}
+    top = bm25_topk_docs(docs, ["spark", "join"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+    assert top[0]["bm25_micro"] == round(ref(2, 1, 4) * 1e6) + round(
+        ref(1, 2, 4) * 1e6
+    )

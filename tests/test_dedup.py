@@ -1010,3 +1010,76 @@ def test_opq_rotation_reduces_quantization_error(spark):
     got = out.collect()
     assert len(got) == 10
     assert {r["query_id"] for r in got} == {3, 57}
+
+
+# -- exact repeated-span dedup (r11, Lee et al. arXiv:2107.06499) -------------
+
+
+def test_find_repeated_spans_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),
+            (2, "p q a b c d e r"),   # shares 'a b c d e' with 1
+            (3, "totally different text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    from gcp_datalake_pipeline_spark.operators.dedup import (
+        find_repeated_spans,
+        span_occurrences,
+    )
+
+    got = {
+        (r["span"], r["n_docs"], r["n_occ"])
+        for r in find_repeated_spans(docs, window=5).collect()
+    }
+    assert got == {("a b c d e", 2, 2)}
+    # hashed variant: same groups, 8-byte keys
+    hashed = find_repeated_spans(docs, window=5, hash_spans=True).collect()
+    assert [(r["n_docs"], r["n_occ"]) for r in hashed] == [(2, 2)]
+    # short docs contribute nothing
+    assert (
+        span_occurrences(
+            spark.createDataFrame([(9, "a b")], "doc_id long, text string"),
+            window=5,
+        ).count()
+        == 0
+    )
+
+
+def test_strip_repeated_spans_keeps_first_occurrence(spark):
+    """The canonical (smallest doc, pos) occurrence survives; every
+    other occurrence's tokens are masked; overlapping duplicated spans
+    union; untouched docs pass through byte-identical."""
+    from gcp_datalake_pipeline_spark.operators.dedup import (
+        strip_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e tail one"),
+            (2, "head a b c d e tail"),      # dup of doc1's span
+            (3, "a b c d e f"),              # overlapping dups a..e, b..f
+            (4, "b c d e f end"),
+            (5, "untouched document stays put"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_repeated_spans(docs, window=5).collect()
+    }
+    assert out[1] == "a b c d e tail one"      # canonical for a..e
+    # doc2 loses 'a b c d e' (canonical at doc1 pos1) AND 'tail' —
+    # 'b c d e tail' is ALSO duplicated (doc1 pos2 is canonical), and
+    # masked positions union
+    assert out[2] == "head"
+    # doc3: 'a b c d e' masked (doc1 canonical); 'b c d e f' canonical
+    # occurrence is doc3 pos2 -> only 'a' is additionally masked?? no:
+    # positions 1-5 masked by a..e; span b..f at pos2 IS canonical
+    # (3,2) < (4,1): its tokens 2-6 stay ONLY where not masked by a..e
+    assert out[3] == "f"
+    assert out[4] == "end"                     # b..f dup of doc3's
+    assert out[5] == "untouched document stays put"
+    # row count and other columns preserved
+    assert strip_repeated_spans(docs, window=5).count() == 5
