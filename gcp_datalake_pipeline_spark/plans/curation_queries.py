@@ -18,6 +18,7 @@ from gcp_datalake_pipeline_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_oracle_sql,
 )
+from gcp_datalake_pipeline_spark.operators import lm
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
 
 # The gate treats one source as the held-out benchmark and screens the
@@ -80,4 +81,49 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample(docs, "lang", _LANG_FRACTIONS).select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "doc_lm_perplexity",
+    lm.doc_lm_perplexity_oracle_sql(),
+    doc="""CCNet-style model-based quality scoring (arXiv:1911.00359): an
+    add-alpha bigram LM trained on the reference slice (lang='en'), every
+    document scored by mean negative log probability (monotone in
+    perplexity); top-30 most reference-like. Scale: the LM is
+    reference-bounded and broadcasts; scoring is one corpus scan + one
+    map-side-combined groupBy(doc); -ln P terms are integer micro-units
+    so per-doc sums are exact BIGINTs.""",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return (
+        lm.doc_lm_nll(docs, ref)
+        .orderBy(F.asc("nll"), "doc_id")
+        .limit(30)
+    )
+
+
+@register(
+    "doc_perplexity_bands",
+    lm.perplexity_bands_oracle_sql(),
+    doc="""CCNet's head/middle/tail split: NTILE(3) over the perplexity
+    order, summarized per band (count + score extremes). Scale: the global
+    rank is the sharded two-pass scan (range partition + per-shard
+    row_number + driver offsets bounded by shard count) with a closed-form
+    NTILE bucket formula — never a single-task global window.""",
+)
+def doc_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    banded = lm.perplexity_bands(docs, ref, bands=3)
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nll").alias("min_nll"),
+            F.max("nll").alias("max_nll"),
+        )
+        .orderBy("band")
     )

@@ -369,3 +369,78 @@ def test_bm25_topk_docs_exact_and_order_free(spark):
     assert top[0]["bm25_micro"] == round(ref(2, 1, 4) * 1e6) + round(
         ref(1, 2, 4) * 1e6
     )
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    """Hand-checked LM math: reference 'a b a b' -> c2={(a,b):2,(b,a):1},
+    c1={a:2,b:1}, V=|{a,b}|+1=3. Scoring 'a b c': P(b|a)=(2+1)/(2+3),
+    P(<unk>|b)=(0+1)/(1+3); each -ln P rounded to micro-units, BIGINT
+    sum, one division. A single-token doc has no bigram positions and is
+    excluded."""
+    import math
+
+    from gcp_datalake_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame([(100, "a b a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm.doc_lm_nll(docs, ref).collect()}
+    assert set(rows) == {1}  # doc 2: one token, no positions
+    t1 = round(-math.log((2 + 1.0) / (2 + 3.0)) * 1e6)
+    t2 = round(-math.log((0 + 1.0) / (1 + 3.0)) * 1e6)
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["nll"] == (t1 + t2) / (1e6 * 2)
+
+
+def test_lm_scores_reference_like_docs_lower(spark):
+    """Direction sanity: a document phrased like the reference scores a
+    lower mean NLL (more probable) than OOV gibberish, deterministically."""
+    from gcp_datalake_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "zzq wvk xjp qqn mmz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["nll"] for r in lm.doc_lm_nll(docs, ref).collect()}
+    assert out[1] < out[2]
+    again = {r["doc_id"]: r["nll"] for r in lm.doc_lm_nll(docs, ref).collect()}
+    assert again == out
+
+
+def test_perplexity_bands_match_sql_ntile(spark):
+    """The closed-form bucket formula == SQL NTILE: 10 docs over 3 bands
+    split 4/3/3 in (nll, doc_id) order; with fewer docs than bands each
+    doc gets its own band."""
+    from gcp_datalake_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(100, "w x y z w x y z")], "doc_id long, text string"
+    )
+    # graded OOV share -> strictly increasing nll by doc_id construction
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w x"] * (10 - i) + [f"oov{i} blah"] * i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    banded = lm.perplexity_bands(docs, ref, bands=3).collect()
+    by_band = {}
+    for r in banded:
+        by_band.setdefault(r["band"], []).append((r["nll"], r["doc_id"]))
+    assert sorted(len(v) for v in by_band.values()) == [3, 3, 4]
+    assert len(by_band[1]) == 4  # NTILE: first bucket takes the remainder
+    # band boundaries respect the global (nll, doc_id) order
+    assert max(by_band[1]) <= min(by_band[2])
+    assert max(by_band[2]) <= min(by_band[3])
+
+    two = spark.createDataFrame(
+        [(1, "w x w"), (2, "oov oov oov")], "doc_id long, text string"
+    )
+    small = lm.perplexity_bands(two, ref, bands=3).collect()
+    assert sorted(r["band"] for r in small) == [1, 2]
