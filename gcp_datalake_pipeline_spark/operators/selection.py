@@ -75,6 +75,11 @@ def _doc_bucket_counts(
     ).agg(F.count("*").alias("cnt"))
 
 
+# public alias: the hashed unigram+bigram featurizer is shared with the
+# Naive Bayes classifier (classify.py) — ONE tokenization/hash convention
+doc_bucket_counts = _doc_bucket_counts
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -18,7 +18,7 @@ from gcp_datalake_pipeline_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_oracle_sql,
 )
-from gcp_datalake_pipeline_spark.operators import lm
+from gcp_datalake_pipeline_spark.operators import classify, lm
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
 
 # The gate treats one source as the held-out benchmark and screens the
@@ -126,4 +126,73 @@ def doc_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nll").alias("max_nll"),
         )
         .orderBy("band")
+    )
+
+
+# NB classifier gates: train on the md5 id-hash half of the corpus
+# (the hash_sample convention), classify the held-out half.
+_NB_SALT = "nbtrain"
+_NB_CUT = 5000  # bucket < 5000 of SPLIT_BUCKETS=10000 -> train half
+
+
+def _nb_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import classify, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sampling._hash_bucket(F.col("doc_id"), _NB_SALT)
+    train = docs.filter(bucket < _NB_CUT)
+    test = docs.filter(bucket >= _NB_CUT)
+    preds = classify.nb_classify(test, train, label_col="lang", hash_mode="md5")
+    return preds.join(
+        docs.select("doc_id", F.col("lang").alias("actual")), "doc_id"
+    ).select("doc_id", "actual", "pred", "score")
+
+
+def _nb_preds_sql() -> tuple[str, str]:
+    from gcp_datalake_pipeline_spark.operators.sampling import (
+        SPLIT_BUCKETS,
+        _nibble_sum_sql,
+    )
+
+    bucket = (
+        f"(({_nibble_sum_sql(f'''md5(doc_id::VARCHAR || ':{_NB_SALT}')''')})"
+        f" % {SPLIT_BUCKETS})"
+    )
+    return f"{bucket} < {_NB_CUT}", f"{bucket} >= {_NB_CUT}"
+
+
+_NB_TRAIN_PRED, _NB_TEST_PRED = _nb_preds_sql()
+
+
+@register(
+    "nb_lang_classify",
+    classify.nb_classify_oracle_sql(
+        train_pred=_NB_TRAIN_PRED, test_pred=_NB_TEST_PRED
+    ),
+    doc="""Hashed multinomial Naive Bayes language classification (the
+    exactly-computable fastText stand-in, arXiv:1607.01759): train on the
+    deterministic md5 id-hash half of the corpus, classify the held-out
+    half; per-doc (actual, pred, exact micro-unit score). Scale: the model
+    is classes x 1024 buckets and broadcasts; scoring is one corpus scan
+    + a per-doc-partitioned argmax window.""",
+)
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nb_preds(spark, sf_dir)
+
+
+@register(
+    "nb_confusion_matrix",
+    classify.nb_confusion_oracle_sql(
+        train_pred=_NB_TRAIN_PRED, test_pred=_NB_TEST_PRED
+    ),
+    doc="""The held-out confusion matrix of nb_lang_classify: (actual,
+    pred, n_docs) — the gate that keeps the classifier's ACCURACY surface
+    (not just its determinism) pinned cross-engine.""",
+)
+def nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _nb_preds(spark, sf_dir)
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "pred")
     )

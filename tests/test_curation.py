@@ -444,3 +444,72 @@ def test_perplexity_bands_match_sql_ntile(spark):
     )
     small = lm.perplexity_bands(two, ref, bands=3).collect()
     assert sorted(r["band"] for r in small) == [1, 2]
+
+
+def test_nb_classifier_separable_classes(spark):
+    """On vocabulary-separable classes NB is exact: every held-out doc of
+    each dialect classifies to its own class, under both hash backends,
+    deterministically."""
+    from gcp_datalake_pipeline_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "A") for i in range(4)]
+        + [(10 + i, "omega psi chi phi", "B") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [(100, "beta gamma alpha"), (101, "psi phi omega chi psi")],
+        "doc_id long, text string",
+    )
+    for mode in ("xxhash64", "md5"):
+        out = {
+            r["doc_id"]: r["pred"]
+            for r in classify.nb_classify(test, train, hash_mode=mode).collect()
+        }
+        assert out == {100: "A", 101: "B"}, (mode, out)
+
+
+def test_nb_prior_decides_empty_evidence_ties(spark):
+    """A doc whose features are equally (un)likely under every class gets
+    the class the PRIOR favors; exact tie-breaks fall to label order."""
+    from gcp_datalake_pipeline_spark.operators import classify
+
+    # 3 docs of A, 1 of B -> prior favors A; OOV doc has only alpha-floor
+    # likelihood terms, identical across classes except the denominators
+    train = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x y", "A"), (3, "x y", "A"), (4, "x y", "B")],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [(100, "zzz qqq")], "doc_id long, text string"
+    )
+    out = classify.nb_classify(test, train).collect()
+    assert [r["pred"] for r in out] == ["A"]
+
+
+def test_nb_score_is_exact_micro_units(spark):
+    """Hand-check one score: single class, so pred trivially matches but
+    the SCORE must equal the micro-unit formula exactly."""
+    import math
+
+    from gcp_datalake_pipeline_spark.operators import classify
+    from gcp_datalake_pipeline_spark.operators.selection import (
+        doc_bucket_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b", "A")], "doc_id long, text string, lang string"
+    )
+    test = spark.createDataFrame([(100, "a b")], "doc_id long, text string")
+    out = classify.nb_classify(test, train, buckets=16).collect()
+    assert len(out) == 1 and out[0]["pred"] == "A"
+    # model: features of 'a b' = {a, b, 'a b'} -> 3 counts, tot=3
+    # doc buckets equal train buckets -> each term cnt=1, ccnt=1
+    feats = doc_bucket_counts(
+        test, 16, "xxhash64", "text", "doc_id"
+    ).collect()
+    term = round(math.log((1 + 1.0) / (3 + 1.0 * 16)) * 1e6)
+    expect = (
+        round(math.log(1.0) * 1e6) + sum(r["cnt"] * term for r in feats)
+    ) / 1e6
+    assert out[0]["score"] == expect
