@@ -18,7 +18,7 @@ from gcp_datalake_pipeline_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_oracle_sql,
 )
-from gcp_datalake_pipeline_spark.operators import classify, lm
+from gcp_datalake_pipeline_spark.operators import classify, graph, lm
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
 
 # The gate treats one source as the held-out benchmark and screens the
@@ -196,3 +196,18 @@ def nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "pred")
     )
+
+
+@register(
+    "textrank_keywords",
+    graph.textrank_topk_oracle_sql(k=25, iters=10),
+    doc="""TextRank corpus keyword extraction (Mihalcea & Tarau 2004):
+    exact integer-nano PageRank (10 iterations, d=0.85 as 850/1000 with
+    floor division — bit-identical cross-engine) over the token
+    co-occurrence graph; top-25 by rank. Scale: edges+out-weights persist
+    once; each iteration is one shuffle (join on source key + map-side
+    combined BIGINT sum); lineage truncated per iteration.""",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.textrank_topk(docs, k=25, iters=10)
