@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.operators import (
     dedup,
+    rerank,
     selection,
     similarity,
     text,
@@ -1285,4 +1286,26 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", F.round("bm25", 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id", "tok")
         .limit(20)
+    )
+
+
+@register(
+    "ann_mmr_rerank",
+    rerank.mmr_rerank_oracle_sql(query_id=3, k=10, n_candidates=40),
+    doc="""MMR diversified re-rank (Carbonell & Goldstein, SIGIR 1998) of
+    the query-3 brute-force candidate set: 10 picks balancing relevance
+    against redundancy at lambda=0.7. Scale split: candidate generation
+    and the n^2 candidate similarity matrix are distributed (rounded-
+    cosine convention); the inherently sequential greedy loop runs
+    driver-side over the collected n+n^2 rows, bounded by the candidate
+    budget (the IVF-centroid collect discipline). Scores are pure BIGINT
+    (micro-unit lambda/rel/sim), oracled by macro-expanded greedy CTEs.""",
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rerank.mmr_rerank(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=3,
+        k=10,
+        n_candidates=40,
     )

@@ -513,3 +513,64 @@ def test_nb_score_is_exact_micro_units(spark):
         round(math.log(1.0) * 1e6) + sum(r["cnt"] * term for r in feats)
     ) / 1e6
     assert out[0]["score"] == expect
+
+
+def test_mmr_skips_near_duplicate_candidate(spark):
+    """MMR vs plain top-k: with a near-duplicate pair at the top, the
+    second MMR pick is the DIVERSE candidate, not the duplicate."""
+    from gcp_datalake_pipeline_spark.operators import rerank
+
+    # angles off the query: 1 at +0.57deg, 2 at +1.15deg (near-dup of 1),
+    # 3 at -5.7deg (other side: slightly less relevant, much less
+    # redundant). Pure relevance ranks 2 over 3; MMR at lam=0.5 flips it:
+    # score(2) = (rel2 - sim21)/2 < 0 < (rel3 - sim31)/2 = score(3).
+    rows = [
+        (0, [1.0, 0.0]),      # query
+        (1, [1.0, 0.01]),     # most relevant
+        (2, [1.0, 0.02]),     # near-duplicate of 1
+        (3, [1.0, -0.1]),     # diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = rerank.mmr_rerank(
+        spark, df, query_id=0, k=2, n_candidates=3, lam6=500_000
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert [r["sel_rank"] for r in out] == [1, 2]
+    # pure relevance order would have been [1, 2]
+    assert out[0]["relevance"] > out[1]["relevance"]
+
+
+def test_mmr_negative_similarity_boosts_anti_similar(spark):
+    """The max-sim term is NOT clamped at zero: a candidate pointing
+    AWAY from the picked one gets a positive diversity bonus (the bug
+    the sf0.01 oracle sweep caught: clamping under-penalizes)."""
+    from gcp_datalake_pipeline_spark.operators import rerank
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),       # top pick
+        (2, [-0.1, -0.9]),     # cosine to 1 is NEGATIVE (-0.22)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = rerank.mmr_rerank(
+        spark, df, query_id=0, k=2, n_candidates=2, lam6=700_000
+    ).collect()
+    second = out[1]
+    assert second["vec_id"] == 2
+    # score6 = lam*rel - (1-lam)*maxsim with maxsim < 0 -> score > lam*rel
+    assert second["mmr_score"] > 0.7 * second["relevance"]
+
+
+def test_mmr_exhausts_small_candidate_sets(spark):
+    """k greater than the candidate pool returns every candidate once,
+    in selection order, deterministically."""
+    from gcp_datalake_pipeline_spark.operators import rerank
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = rerank.mmr_rerank(
+        spark, df, query_id=0, k=10, n_candidates=3
+    ).collect()
+    assert len(out) == 3
+    assert sorted(r["vec_id"] for r in out) == [1, 2, 3]
+    assert [r["sel_rank"] for r in out] == [1, 2, 3]
