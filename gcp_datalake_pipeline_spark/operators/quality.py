@@ -246,3 +246,95 @@ def profile_oracle_sql(table: str, cols: list[str]) -> str:
             FROM {table}"""
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact Pearson correlation over every column pair: (col_x, col_y,
+    n_rows, corr), col_x < col_y lexicographically.
+
+    Exactness contract: the five sufficient statistics per pair
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(18,6)-derived exact
+    decimals — order-free, so cross-engine float summation can never
+    diverge — and only the FINAL closed form
+
+        (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²))
+
+    runs in double (identical IEEE ops on identical exact inputs),
+    rounded to 6. Scale: ONE full scan computing all k + k(k+1)/2 sums
+    map-side (no shuffle beyond the single-row final combine); rows with
+    a NULL in any profiled column are excluded (matching SQL CORR's
+    pairwise-complete semantics would need per-pair masks — this is the
+    listwise-complete variant, stated so the oracle can mirror it).
+    """
+    dec = [F.col(c).cast("decimal(18,6)").alias(c) for c in cols]
+    d = df.na.drop(subset=cols).select(*dec)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+    pairs = []
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            nm = f"p_{x}__{y}"
+            aggs.append(F.sum(F.col(x) * F.col(y)).alias(nm))
+            if x != y:
+                pairs.append((x, y))
+    sums = d.agg(*aggs)
+    outs = []
+    for x, y in pairs:
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        sxy = F.col(f"p_{x}__{y}").cast("double")
+        sxx = F.col(f"p_{x}__{x}").cast("double")
+        syy = F.col(f"p_{y}__{y}").cast("double")
+        corr = F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+        outs.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                corr.alias("corr"),
+            )
+        )
+    return sums.select(F.explode(F.array(*outs)).alias("r")).select("r.*")
+
+
+def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB oracle: identical DECIMAL(18,6) sufficient statistics and
+    the identical final double expression (NOT DuckDB's CORR aggregate,
+    whose streaming accumulation is float-order-dependent)."""
+    # DECIMAL(19,6): same exact values as Spark's (18,6), but precision
+    # 19 forces DuckDB's HUGEINT physical type — its int64 decimal
+    # multiply overflows on products of ~1e10-scaled operands otherwise
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(19,6))) AS s_{c}")
+    pairs = []
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            sums.append(
+                f"SUM(CAST({x} AS DECIMAL(19,6)) * CAST({y} AS DECIMAL(19,6)))"
+                f" AS p_{x}__{y}"
+            )
+            if x != y:
+                pairs.append((x, y))
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sel = []
+    for x, y in pairs:
+        sel.append(f"""
+      SELECT '{x}' AS col_x, '{y}' AS col_y, n AS n_rows,
+             ROUND((n::DOUBLE * p_{x}__{y}::DOUBLE - s_{x}::DOUBLE * s_{y}::DOUBLE)
+                   / sqrt((n::DOUBLE * p_{x}__{x}::DOUBLE - s_{x}::DOUBLE * s_{x}::DOUBLE)
+                          * (n::DOUBLE * p_{y}__{y}::DOUBLE - s_{y}::DOUBLE * s_{y}::DOUBLE)),
+                   6) AS corr
+      FROM sums""")
+    union = " UNION ALL ".join(sel)
+    return f"""
+    WITH sums AS (
+      SELECT {", ".join(sums)} FROM {table} WHERE {where}
+    )
+    {union}
+    """

@@ -9,6 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gcp_datalake_pipeline_spark.operators.quality import (
+    corr_matrix_oracle_sql,
+)
 from gcp_datalake_pipeline_spark.operators.temporal import gapfill
 from gcp_datalake_pipeline_spark.plans.queries import load_table, register
 
@@ -194,4 +197,51 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    corr_matrix_oracle_sql(
+        "lineitem", ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ),
+    doc="""Exact Pearson correlation matrix over the lineitem measures:
+    sufficient statistics accumulate as exact DECIMALs (order-free, so
+    cross-engine float summation cannot diverge) and only the final
+    closed form runs in double. Scale: ONE scan, all sums map-side
+    combined into a single row; never DuckDB's/Spark's streaming CORR,
+    whose accumulation order is engine-dependent.""",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.quality import corr_matrix
+
+    return corr_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+    )
+
+
+@register(
+    "events_ntile_cume",
+    """
+    SELECT event_id, event_type,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="""Distribution-rank window breadth (SURVEY §2.8): per-type value
+    quartiles (NTILE) and cumulative distribution (CUME_DIST) with a
+    unique (value, event_id) order so both are deterministic. Scale:
+    one hash-partitioned window by event_type — no global sort.""",
+)
+def events_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )

@@ -1799,3 +1799,41 @@ def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "etl_orc_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="""ORC source/sink roundtrip: documents land as ORC (Spark's
+    second columnar format — schema, types, and values preserved), are
+    read back via the ORC reader, and aggregate identically to the
+    parquet original (the oracle reads parquet — any roundtrip loss
+    breaks the gate). Scale: ORC write/read are the same distributed
+    columnar scans as parquet; the gate pins format interop, not a new
+    execution path.""",
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_orc_roundtrip_{tag}")
+    path = f"{root}/documents_orc"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(
+            path
+        )
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )

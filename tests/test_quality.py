@@ -197,3 +197,28 @@ def test_duplicate_check_names_rejected(spark):
                 Check("x", "unique", cols=("id",)),
             ],
         )
+
+
+def test_corr_matrix_exact_known_values(spark):
+    """corr = +1 for a linear pair, -1 for an anti-linear pair, and rows
+    with a NULL in any profiled column drop listwise."""
+    from gcp_datalake_pipeline_spark.operators.quality import corr_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, -1.0),
+            (2.0, 4.0, -2.0),
+            (3.0, 6.0, -3.0),
+            (4.0, 8.0, -4.0),
+            (None, 9.0, -5.0),  # excluded listwise
+        ],
+        "a double, b double, c double",
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r for r in corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out[("a", "b")]["corr"] == 1.0
+    assert out[("a", "c")]["corr"] == -1.0
+    assert out[("b", "c")]["corr"] == -1.0
