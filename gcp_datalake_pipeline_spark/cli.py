@@ -660,16 +660,21 @@ def _parse_pred(spec: str):
 def cmd_delete(args) -> None:
     """Row-level DELETE: stats prune the candidate files, only those are
     rewritten, everything else carries by hardlink into the new
-    snapshot (old versions stay time-travelable)."""
+    snapshot (old versions stay time-travelable). ``--merge-on-read``
+    writes a deletion vector instead — zero data files rewritten;
+    OPTIMIZE/compact folds the vectors later."""
     cat = _txn_catalog(args)
     preds = [_parse_pred(p) for p in args.pred]
-    n = cat.delete_where(args.table, preds)
-    print(json.dumps({"table": args.table, "deleted": n}))
+    mode = "dv" if args.merge_on_read else "rewrite"
+    n = cat.delete_where(args.table, preds, mode=mode)
+    print(json.dumps({"table": args.table, "deleted": n, "mode": mode}))
 
 
 def cmd_update(args) -> None:
     """Row-level UPDATE: the delete machinery with a SET transform —
-    candidate files rewrite, the rest hardlink."""
+    candidate files rewrite, the rest hardlink. ``--merge-on-read``
+    appends the updated images and vector-deletes the originals —
+    no candidate file rewritten."""
     cat = _txn_catalog(args)
     preds = [_parse_pred(p) for p in args.pred]
     sets = {}
@@ -678,8 +683,9 @@ def cmd_update(args) -> None:
         if not col or not expr:
             sys.exit(f"error: --set must be col=expr, got {s!r}")
         sets[col.strip()] = expr.strip()
-    n = cat.update_where(args.table, preds, sets)
-    print(json.dumps({"table": args.table, "updated": n}))
+    mode = "dv" if args.merge_on_read else "rewrite"
+    n = cat.update_where(args.table, preds, sets, mode=mode)
+    print(json.dumps({"table": args.table, "updated": n, "mode": mode}))
 
 
 def cmd_restore_table(args) -> None:
@@ -748,6 +754,9 @@ def cmd_describe(args) -> None:
                     if pending is not None
                     else {}
                 ),
+                # merge-on-read deletes not yet folded by compact: the
+                # rows count above already subtracts them
+                "pending_deletes": cat.dv_count(args.table),
                 "stats_coverage": (
                     round(n_stats / n_files, 3) if n_files else None
                 ),
@@ -1092,6 +1101,11 @@ def main(argv: list[str] | None = None) -> None:
         "value typed by trial (int, float, ISO datetime, string); "
         "repeat for AND",
     )
+    pdl.add_argument(
+        "--merge-on-read", action="store_true",
+        help="write a deletion vector instead of rewriting candidate "
+        "files (folded by the next compact)",
+    )
     pdl.set_defaults(fn=cmd_delete)
 
     pup = sub.add_parser(
@@ -1108,6 +1122,11 @@ def main(argv: list[str] | None = None) -> None:
     pup.add_argument(
         "--set", action="append", required=True,
         help="col=sql_expr — repeat for multiple columns",
+    )
+    pup.add_argument(
+        "--merge-on-read", action="store_true",
+        help="append updated images + vector-delete the originals "
+        "instead of rewriting candidate files",
     )
     pup.set_defaults(fn=cmd_update)
 

@@ -1837,3 +1837,126 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "etl_dv_dml",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    after_del AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-01-01')
+    ),
+    after_upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 200000 THEN '9-DV'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM after_del
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM after_upd
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""Merge-on-read DML through deletion vectors (Delta's DV
+    shape): a bounded orders subset lands one staged dir per
+    order-year, then a DELETE (drop 1996) and an UPDATE (re-prioritize
+    expensive orders) both run with mode="dv" — matched row POSITIONS
+    land in vector sidecars and the update's images append; the gate
+    RAISES unless every pre-DML data file survives BY INODE (zero
+    files rewritten — the 100 TB contract: a point delete costs
+    O(matched rows), not O(candidate files)), unless the metadata
+    count (count_rows, vector-aware) equals the scan count, unless
+    the change feed reports the delete window as deletes, and unless
+    OPTIMIZE (compact) folds the vectors away (dv_count == 0) while
+    preserving every value — the oracle replays the DELETE as an
+    anti-filter and the UPDATE as a CASE over the survivors.""",
+)
+def etl_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_dv_dml_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_dv"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                    "o_totalprice")
+        )
+        years = sorted(
+            r["y"]
+            for r in orders.select(
+                F.year("o_orderdate").alias("y")
+            ).distinct().collect()
+        )
+        for y in years:
+            with cat.transaction(f"orders-dv-{y}"):
+                cat.append(
+                    orders.where(F.year("o_orderdate") == y).coalesce(1),
+                    "orders_dv",
+                )
+        pre = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_dv")
+            for f in cat._dir_parquet_files(d)
+        }
+        v0 = cat.versions()[-1]["version"]
+        n_del = cat.delete_where(
+            "orders_dv",
+            [
+                ("o_orderdate", ">=", datetime.datetime(1996, 1, 1)),
+                ("o_orderdate", "<", datetime.datetime(1997, 1, 1)),
+            ],
+            mode="dv",
+        )
+        if n_del <= 0:
+            raise RuntimeError("dv delete removed no rows")
+        n_upd = cat.update_where(
+            "orders_dv",
+            [("o_totalprice", ">", 200000.0)],
+            {"o_orderpriority": "'9-DV'"},
+            mode="dv",
+        )
+        if n_upd <= 0:
+            raise RuntimeError("dv update changed no rows")
+        post = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_dv")
+            for f in cat._dir_parquet_files(d)
+        }
+        if not pre <= post:
+            raise RuntimeError(
+                "merge-on-read DML rewrote a data file — vectors must "
+                "leave every pre-DML inode in place"
+            )
+        if cat.dv_count("orders_dv") != n_del + n_upd:
+            raise RuntimeError("pending-delete count does not match DML")
+        if cat.count_rows("orders_dv") != cat.read("orders_dv").count():
+            raise RuntimeError("vector-aware metadata count drifted")
+        feed = cat.table_changes("orders_dv", v0, v0 + 1)
+        if feed.where(F.col("_change_type") == "delete").count() != n_del:
+            raise RuntimeError("change feed missed the vector deletes")
+        if not cat.compact("orders_dv", min_dirs=2):
+            raise RuntimeError("compact refused to fold pending vectors")
+        if cat.dv_count("orders_dv") != 0:
+            raise RuntimeError("compact left pending vectors behind")
+    return (
+        cat.read("orders_dv")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

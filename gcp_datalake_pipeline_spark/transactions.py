@@ -274,18 +274,23 @@ class TransactionalCatalog(Catalog):
             sj = self._read_manifest().get("schemas", {}).get(table)
         return T.StructType.fromJson(sj) if sj is not None else None
 
-    def _read_dirs(self, dirs: list[str], stored) -> DataFrame:
+    def _read_dirs(self, dirs: list[str], stored, dv: dict | None = None) -> DataFrame:
         """Scan a manifest dir list with the committed schema. Hive-
         partitioned dirs (the bucketed corpus layout: ``_kb=N`` subdirs
         per staged append) cannot share one multi-path partition
         discovery in Spark — each root is read separately and unioned;
         filters on the partition column still push into EVERY child scan
         (PartitionFilters per FileScan), so bucket pruning survives the
-        union."""
+        union. ``dv`` (a :meth:`dv_info` entry) subtracts pending
+        deletion vectors: each scan is annotated with its file/row
+        identity BEFORE any union, anti-joined once, and stripped."""
+        ann = self._dv_annotate if dv else (lambda df: df)
 
         def one(d: str) -> DataFrame:
             r = self.spark.read
-            return (r.schema(stored) if stored is not None else r).parquet(d)
+            return ann(
+                (r.schema(stored) if stored is not None else r).parquet(d)
+            )
 
         partitioned = any(
             "=" in e
@@ -298,12 +303,15 @@ class TransactionalCatalog(Catalog):
             out = one(dirs[0])
             for d in dirs[1:]:
                 out = out.unionByName(one(d), allowMissingColumns=True)
-            return out
-        if stored is not None:
-            return self.spark.read.schema(stored).parquet(*dirs)
-        if len(dirs) > 1:
-            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-        return self.spark.read.parquet(*dirs)
+        elif stored is not None:
+            out = ann(self.spark.read.schema(stored).parquet(*dirs))
+        elif len(dirs) > 1:
+            out = ann(
+                self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            )
+        else:
+            out = ann(self.spark.read.parquet(*dirs))
+        return self._dv_strip(out, dv) if dv else out
 
     def read(self, table: str, schema=None, predicates=None) -> DataFrame:
         """Read through the manifest. The COMMITTED schema (recorded at
@@ -342,10 +350,11 @@ class TransactionalCatalog(Catalog):
                     f"{table!r} has no data dirs and no committed schema"
                 )
             return self.spark.createDataFrame([], stored or schema)
+        dv = self.dv_info(table)
         if predicates is None:
-            return self._read_dirs(dirs, stored)
+            return self._read_dirs(dirs, stored, dv=dv)
         dnf = self._as_dnf(predicates)
-        df = self._read_dirs_pruned(dirs, stored, dnf)
+        df = self._read_dirs_pruned(dirs, stored, dnf, dv=dv)
         return df.filter(filestats.dnf_condition(dnf))
 
     def _dir_parquet_files(self, d: str) -> list[str]:
@@ -361,13 +370,17 @@ class TransactionalCatalog(Catalog):
         return sorted(out)
 
     def _read_dirs_pruned(
-        self, dirs: list[str], stored, dnf: list[list[tuple]]
+        self, dirs: list[str], stored, dnf: list[list[tuple]],
+        dv: dict | None = None,
     ) -> DataFrame:
         """Stats-pruned scan over a manifest dir list. Per dir: load the
         sidecar, keep the files whose stats can match ANY disjunct, and
         read ONLY those (``basePath`` preserves Hive partition columns).
         A dir with no sidecar keeps all its files; a dir with zero
-        surviving files contributes nothing to the plan."""
+        surviving files contributes nothing to the plan. ``dv``
+        subtracts pending deletion vectors (stats stay a superset of
+        the live rows, so pruning needs no DV awareness)."""
+        ann = self._dv_annotate if dv else (lambda df: df)
         parts: list[DataFrame] = []
         for d in dirs:
             stats = blooms.attach_blooms(
@@ -378,12 +391,18 @@ class TransactionalCatalog(Catalog):
             if not kept:
                 continue
             if len(kept) == len(all_files):
-                parts.append(self._read_dirs([d], stored))
+                parts.append(self._read_dirs([d], stored, dv=dv))
                 continue
             r = self.spark.read.option("basePath", d)
             if stored is not None:
                 r = r.schema(stored)
-            parts.append(r.parquet(*(os.path.join(d, f) for f in kept)))
+            parts.append(
+                self._dv_strip(
+                    ann(r.parquet(*(os.path.join(d, f) for f in kept))), dv
+                )
+                if dv
+                else r.parquet(*(os.path.join(d, f) for f in kept))
+            )
         if not parts:
             # every file provably mismatches: an empty relation with the
             # committed schema (falling back to a false-filtered full
@@ -723,6 +742,7 @@ class TransactionalCatalog(Catalog):
         blooms_cfg: dict | None = None,
         views: dict | None = None,
         streams: dict | None = None,
+        dvs: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -761,10 +781,31 @@ class TransactionalCatalog(Catalog):
                     manifest["views"] = dict(views)
                 if streams is not None:
                     manifest["streams"] = dict(streams)
+                if dvs is not None:
+                    manifest["dvs"] = dict(dvs)
+                if not manifest.get("dvs"):
+                    manifest.pop("dvs", None)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
                     cur = manifest["tables"].get(table)
+                    dv_add = intent.get("dv_add")
+                    if dv_add is not None:
+                        # a vector references basenames of the snapshot
+                        # it was computed from: a rewrite OR another
+                        # vector landing since then must conflict, never
+                        # silently dangle (the rows would resurrect)
+                        mdvs = manifest.setdefault("dvs", {})
+                        cur_dv = mdvs.get(table) or {"dirs": [], "files": {}}
+                        if (
+                            cur != dv_add["expect_tables"]
+                            or cur_dv["dirs"] != dv_add["expect_dirs"]
+                        ):
+                            raise ConcurrentWriteError(
+                                f"table {table!r} was modified by another "
+                                "writer since this merge-on-read DML read "
+                                "it; retry from a fresh read"
+                            )
                     if "layout" in intent:
                         # clustering spec recorded (compact) or restored
                         # (restore_table); None clears a stale record
@@ -830,6 +871,8 @@ class TransactionalCatalog(Catalog):
                             mschemas[table] = _merge_schema_json(
                                 mschemas.get(table), intent["schema"]
                             )
+                    elif intent["mode"] == "dv":
+                        pass  # vector-only commit: dir list unchanged
                     else:
                         if cur != intent["base"]:
                             raise ConcurrentWriteError(
@@ -842,6 +885,56 @@ class TransactionalCatalog(Catalog):
                         manifest["tables"][table] = list(intent["added"])
                         if intent.get("schema") is not None:
                             mschemas[table] = intent["schema"]
+                    mdvs = manifest.get("dvs", {})
+                    if dv_add is not None:
+                        cur_dv = mdvs.get(table) or {"dirs": [], "files": {}}
+                        files = dict(cur_dv["files"])
+                        for name, cnt in dv_add["files"].items():
+                            files[name] = files.get(name, 0) + cnt
+                        manifest.setdefault("dvs", {})[table] = {
+                            "dirs": cur_dv["dirs"] + [dv_add["dir"]],
+                            "files": files,
+                        }
+                    elif "dv_restore" in intent:
+                        # restore_table: the snapshot's vector state
+                        # returns with its data (None clears a record
+                        # the snapshot predates)
+                        if intent["dv_restore"] is None:
+                            mdvs.pop(table, None)
+                        else:
+                            manifest.setdefault("dvs", {})[table] = intent[
+                                "dv_restore"
+                            ]
+                    elif intent["mode"] == "replace" and table in mdvs:
+                        # a replace rewrote some (or all) files: prune
+                        # the vector map to the basenames the new dir
+                        # list still carries — rewritten files
+                        # materialized their deletes (the DV-aware scan
+                        # fed the rewrite), carried files keep their
+                        # names and therefore their vectors. This keeps
+                        # the per-file counts exact for metadata
+                        # aggregates and retires compacted-away vectors.
+                        names = {
+                            self._dv_name(f)
+                            for rel in intent["added"]
+                            for f in self._dir_parquet_files(
+                                os.path.join(self.root, rel)
+                            )
+                        }
+                        files = {
+                            k: v
+                            for k, v in mdvs[table]["files"].items()
+                            if k in names
+                        }
+                        if files:
+                            mdvs[table] = {
+                                "dirs": mdvs[table]["dirs"],
+                                "files": files,
+                            }
+                        else:
+                            mdvs.pop(table, None)
+                if not manifest.get("dvs"):
+                    manifest.pop("dvs", None)
             # Retained version manifest first (enables time travel),
             # pointer swap second. A crash between the two leaves an
             # orphan version file that the NEXT commit (same version
@@ -879,6 +972,16 @@ class TransactionalCatalog(Catalog):
         new_tables = manifest.get("tables", {})
         for t in set(prev_tables) | set(new_tables):
             if prev_tables.get(t) != new_tables.get(t):
+                moved[t] = manifest["version"]
+        # a vector-only commit changes rows without moving the dir list:
+        # it must still count as movement, or change-feed consumers
+        # would skip merge-on-read deletes as idle windows
+        prev_dvs = prev.get("dvs", {})
+        new_dvs = manifest.get("dvs", {})
+        for t in set(prev_dvs) | set(new_dvs):
+            if (prev_dvs.get(t) or {}).get("dirs") != (
+                new_dvs.get(t) or {}
+            ).get("dirs") and t in new_tables:
                 moved[t] = manifest["version"]
         # dropped tables leave the map (a catalog churning ephemeral
         # staging tables must not grow every future manifest forever);
@@ -959,6 +1062,7 @@ class TransactionalCatalog(Catalog):
                 "layout": vm.get("layouts", {}).get(table),
                 "bloom": vm.get("blooms", {}).get(table),
                 "view": vm.get("views", {}).get(table),
+                "dv_restore": vm.get("dvs", {}).get(table),
             }
 
     # -- DDL: CREATE / TRUNCATE / DROP ----------------------------------------
@@ -1082,6 +1186,9 @@ class TransactionalCatalog(Catalog):
             m.get("layouts", {}).pop(table, None)
             m.get("blooms", {}).pop(table, None)
             m.get("views", {}).pop(table, None)
+            m.get("dvs", {}).pop(table, None)
+            if not m.get("dvs"):
+                m.pop("dvs", None)
 
         self._publish_meta(mutate, f"drop-{table}")
         try:
@@ -1109,6 +1216,8 @@ class TransactionalCatalog(Catalog):
         dnf = self._as_dnf(predicates or [])
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
+        dv = self.dv_info(table)
+        dvf = (dv or {}).get("files", {})
         total = 0
         scan: list[tuple[str, list[str]]] = []
         for d in self._data_dirs(table):
@@ -1116,10 +1225,26 @@ class TransactionalCatalog(Catalog):
                 filestats.read_dir_stats(d), d, dnf
             )
             files = self._dir_parquet_files(d)
+            clean = [
+                f for f in files if dvf.get(self._dv_name(f), 0) == 0
+            ]
             counted, unknown = filestats.classify_files_dnf(
-                stats, files, dnf
+                stats, clean, dnf
             )
             total += counted
+            # vector-deleted files: an all-match file's LIVE matches are
+            # rows - n_deleted (deleted rows are a subset of all rows);
+            # no-match stays zero; undecidable files scan WITH the
+            # vectors applied — bare counts stay metadata-only
+            for f in files:
+                n_del = dvf.get(self._dv_name(f), 0)
+                if n_del == 0:
+                    continue
+                c, u = filestats.classify_files_dnf(stats, [f], dnf)
+                if u:
+                    unknown.append(f)
+                elif c:
+                    total += c - n_del
             if unknown:
                 scan.append((d, unknown))
         if scan:
@@ -1129,7 +1254,12 @@ class TransactionalCatalog(Catalog):
                 r = self.spark.read.option("basePath", d)
                 if stored is not None:
                     r = r.schema(stored)
-                parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+                part = r.parquet(*(os.path.join(d, f) for f in fs))
+                parts.append(
+                    self._dv_strip(self._dv_annotate(part), dv)
+                    if dv
+                    else part
+                )
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
@@ -1151,6 +1281,8 @@ class TransactionalCatalog(Catalog):
         writers carry no stats and simply take the scan path."""
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
+        dv = self.dv_info(table)
+        dvf = (dv or {}).get("files", {})
         mn = mx = None
         scan: list[tuple[str, list[str]]] = []
         for d in self._data_dirs(table):
@@ -1158,6 +1290,11 @@ class TransactionalCatalog(Catalog):
             entries = (stats or {}).get("files", {})
             unknown = []
             for f in self._dir_parquet_files(d):
+                if dvf.get(self._dv_name(f), 0):
+                    # a pending vector may have deleted the extreme row;
+                    # footer min/max can only widen — scan this file
+                    unknown.append(f)
+                    continue
                 entry = entries.get(f)
                 if entry is None:
                     unknown.append(f)
@@ -1198,7 +1335,12 @@ class TransactionalCatalog(Catalog):
                 r = self.spark.read.option("basePath", d)
                 if stored is not None:
                     r = r.schema(stored)
-                parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+                part = r.parquet(*(os.path.join(d, f) for f in fs))
+                parts.append(
+                    self._dv_strip(self._dv_annotate(part), dv)
+                    if dv
+                    else part
+                )
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
@@ -1245,14 +1387,26 @@ class TransactionalCatalog(Catalog):
             return [filestats.validate_predicates(preds)]
         return [filestats.validate_predicates(conj) for conj in preds]
 
-    def delete_where(self, table: str, predicates) -> int:
+    def delete_where(self, table: str, predicates, mode: str = "rewrite") -> int:
         """DELETE rows matching ``predicates`` — either one conjunction
         (the :meth:`read` tuple format) or a LIST of conjunctions,
         OR-ed together (disjunctive normal form; what the SQL façade's
         top-level OR parses to). A row is deleted when the predicate is
         TRUE; NULL keeps the row (SQL DELETE WHERE). Returns the number
         of rows deleted; a no-match delete returns 0 WITHOUT publishing
-        a new version."""
+        a new version.
+
+        ``mode="rewrite"`` (default) is copy-on-write: candidate files
+        are rewritten without the matched rows, everything else carries
+        by hardlink. ``mode="dv"`` is merge-on-read: NO data file is
+        touched — the matched row positions land in a deletion-vector
+        sidecar that readers subtract and the next :meth:`compact`
+        folds. At 100 TB the vector path turns a point delete from
+        O(candidate files rewritten) into O(matched rows written)."""
+        if mode == "dv":
+            return self._delete_where_dv(table, predicates)
+        if mode != "rewrite":
+            raise ValueError(f"delete_where mode {mode!r}: 'rewrite' or 'dv'")
         return self._rewrite_where(
             table,
             predicates,
@@ -1260,7 +1414,9 @@ class TransactionalCatalog(Catalog):
             lambda df, match: df.filter(~match),
         )
 
-    def update_where(self, table: str, predicates, set_exprs: dict) -> int:
+    def update_where(
+        self, table: str, predicates, set_exprs: dict, mode: str = "rewrite"
+    ) -> int:
         """UPDATE ... SET ... WHERE: rows matching ``predicates`` (one
         conjunction or a DNF list, as in :meth:`delete_where`)
         get each ``set_exprs`` column replaced by its SQL
@@ -1268,37 +1424,21 @@ class TransactionalCatalog(Catalog):
         non-candidate FILES — pass through untouched. The staged
         rewrite is validated against the table's CHECK constraints (an
         update CAN introduce a violation; a delete cannot). Returns the
-        number of rows updated; no-match updates publish nothing."""
+        number of rows updated; no-match updates publish nothing.
+
+        ``mode="dv"`` is the merge-on-read UPDATE (Delta's DV shape):
+        the matched rows' positions land in a deletion vector and their
+        SET-applied images APPEND as a new dir — write cost O(matched
+        rows), no candidate file rewritten; :meth:`compact` folds."""
         from pyspark.sql import functions as F
 
+        if mode == "dv":
+            return self._update_where_dv(table, predicates, set_exprs)
+        if mode != "rewrite":
+            raise ValueError(f"update_where mode {mode!r}: 'rewrite' or 'dv'")
+
         def transform(df, match):
-            # ANSI-style cast safety: Spark's default cast turns an
-            # incompatible SET value into NULL — an UPDATE must never
-            # silently null a column, so probe the matched rows for
-            # values the cast loses before rewriting anything
-            for col in set_exprs:
-                if col not in df.columns:
-                    raise ValueError(
-                        f"update_where: unknown column {col!r} in {table!r}"
-                    )
-            bad_casts = [
-                F.sum(
-                    (
-                        F.expr(expr).isNotNull()
-                        & F.expr(expr).cast(df.schema[col].dataType).isNull()
-                    ).cast("long")
-                ).alias(col)
-                for col, expr in set_exprs.items()
-            ]
-            probe = df.filter(match).agg(*bad_casts).first()
-            for col, expr in set_exprs.items():
-                if probe[col]:
-                    raise ValueError(
-                        f"update_where: SET {col} = {expr!r} does not cast "
-                        f"to {df.schema[col].dataType.simpleString()} for "
-                        f"{probe[col]} matched row(s) — refusing to null "
-                        "them silently"
-                    )
+            self._probe_set_casts(df, match, set_exprs, table)
             out = df
             for col, expr in set_exprs.items():
                 out = out.withColumn(
@@ -1311,6 +1451,37 @@ class TransactionalCatalog(Catalog):
         return self._rewrite_where(
             table, predicates, "update", transform, enforce_checks=True
         )
+
+    def _probe_set_casts(self, df, match, set_exprs: dict, table: str) -> None:
+        """ANSI-style cast safety shared by both UPDATE paths: Spark's
+        default cast turns an incompatible SET value into NULL — an
+        UPDATE must never silently null a column, so probe the matched
+        rows for values the cast loses before writing anything."""
+        from pyspark.sql import functions as F
+
+        for col in set_exprs:
+            if col not in df.columns:
+                raise ValueError(
+                    f"update_where: unknown column {col!r} in {table!r}"
+                )
+        bad_casts = [
+            F.sum(
+                (
+                    F.expr(expr).isNotNull()
+                    & F.expr(expr).cast(df.schema[col].dataType).isNull()
+                ).cast("long")
+            ).alias(col)
+            for col, expr in set_exprs.items()
+        ]
+        probe = df.filter(match).agg(*bad_casts).first()
+        for col, expr in set_exprs.items():
+            if probe[col]:
+                raise ValueError(
+                    f"update_where: SET {col} = {expr!r} does not cast "
+                    f"to {df.schema[col].dataType.simpleString()} for "
+                    f"{probe[col]} matched row(s) — refusing to null "
+                    "them silently"
+                )
 
     def _rewrite_where(
         self,
@@ -1369,12 +1540,20 @@ class TransactionalCatalog(Catalog):
                 "to one layout first"
             )
         part_cols = list(layouts.pop()) if layouts else []
+        dv = self.dv_info(table)
         parts = []
         for d, fs in touched.items():
             r = self.spark.read.option("basePath", d)
             if stored is not None:
                 r = r.schema(stored)
-            parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+            part = r.parquet(*(os.path.join(d, f) for f in fs))
+            # pending deletion vectors subtract BEFORE the rewrite: the
+            # rewritten candidate files materialize their deletes (and
+            # the replace-commit prunes their vector entries); carried
+            # files keep their names, so their vectors survive intact
+            parts.append(
+                self._dv_strip(self._dv_annotate(part), dv) if dv else part
+            )
         cand_df = parts[0]
         for p in parts[1:]:
             cand_df = cand_df.unionByName(p, allowMissingColumns=True)
@@ -1430,6 +1609,148 @@ class TransactionalCatalog(Catalog):
             # read and this commit must conflict, never vanish
             self._intents[table]["base"] = snapshot
         return n_matched
+
+    def _dv_matched(self, table: str, predicates):
+        """Shared front half of the merge-on-read DML paths: the LIVE
+        (vector-subtracted), identity-annotated candidate rows that
+        match the predicate, checkpointed so positions and images read
+        the files once. Returns (matched_df, snapshot, dv_info, match)
+        or None when stats prove no candidates."""
+        from pyspark.sql import functions as F
+
+        if self._pending is not None:
+            raise RuntimeError("merge-on-read DML inside an open transaction")
+        dnf = self._as_dnf(predicates)
+        snapshot = self._committed_rels(table)
+        if snapshot is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        info = self.dv_info(table) or {"dirs": [], "files": {}}
+        names: list[str] = []
+        touched: list[tuple[str, list[str]]] = []
+        for rel_dir in snapshot:
+            d = os.path.join(self.root, rel_dir)
+            stats = blooms.attach_blooms(
+                filestats.read_dir_stats(d), d, dnf
+            )
+            files = self._dir_parquet_files(d)
+            names.extend(self._dv_name(f) for f in files)
+            cand = filestats.prune_files_dnf(stats, files, dnf)
+            if cand:
+                touched.append((d, cand))
+        if len(set(names)) != len(names):
+            # basenames ARE the vector identity; Spark part-file names
+            # carry per-job UUIDs so this is astronomically unlikely —
+            # but a collision would fold one file's vector into another
+            raise ValueError(
+                f"table {table!r} carries duplicate data-file names; "
+                "compact it before using deletion vectors"
+            )
+        if not touched:
+            return None
+        stored = self._stored_schema(table)
+        parts = []
+        for d, fs in touched:
+            r = self.spark.read.option("basePath", d)
+            if stored is not None:
+                r = r.schema(stored)
+            parts.append(
+                self._dv_annotate(
+                    r.parquet(*(os.path.join(d, f) for f in fs))
+                )
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p, allowMissingColumns=True)
+        live = self._dv_antijoin(cand, info)
+        match = F.coalesce(filestats.dnf_condition(dnf), F.lit(False))
+        # one read of the candidate files serves the per-file counts,
+        # the vector write, and (for UPDATE) the appended images —
+        # exchange reuse does not span separate actions
+        matched = live.filter(match).localCheckpoint(eager=True)
+        # hive partition columns of the touched dirs (so an UPDATE's
+        # appended images keep the table's layout, e.g. _kb buckets)
+        part_cols = [
+            seg.partition("=")[0]
+            for seg in touched[0][1][0].split(os.sep)[:-1]
+            if "=" in seg
+        ]
+        return matched, snapshot, info, match, part_cols
+
+    def _stage_dv(self, table: str, positions: DataFrame, n: int) -> str:
+        """Write a (file, pos) vector relation as a staged dir; returns
+        the rel path. Sized ~20M positions per output file."""
+        rel = self._stage_dir(table)
+        nout = max(1, -(-n // 20_000_000))
+        positions.select(self._DV_FILE, self._DV_POS).repartition(
+            nout
+        ).write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _delete_where_dv(self, table: str, predicates) -> int:
+        from pyspark.sql import functions as F
+
+        got = self._dv_matched(table, predicates)
+        if got is None:
+            return 0
+        matched, snapshot, info, _match, _pc = got
+        per_file = {
+            r[self._DV_FILE]: r["n"]
+            for r in matched.groupBy(self._DV_FILE)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n = sum(per_file.values())
+        if n == 0:
+            return 0  # conservative candidates held no live matches
+        with self.transaction(f"dv-delete-{table}"):
+            rel = self._stage_dv(table, matched, n)
+            self._intents[table] = {
+                "mode": "dv",
+                "dv_add": {
+                    "dir": rel,
+                    "files": per_file,
+                    "expect_tables": snapshot,
+                    "expect_dirs": list(info["dirs"]),
+                },
+            }
+        return n
+
+    def _update_where_dv(self, table: str, predicates, set_exprs: dict) -> int:
+        from pyspark.sql import functions as F
+
+        got = self._dv_matched(table, predicates)
+        if got is None:
+            return 0
+        matched, snapshot, info, match, part_cols = got
+        per_file = {
+            r[self._DV_FILE]: r["n"]
+            for r in matched.groupBy(self._DV_FILE)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n = sum(per_file.values())
+        if n == 0:
+            return 0
+        self._probe_set_casts(matched, match, set_exprs, table)
+        images = matched
+        for col, expr in set_exprs.items():
+            images = images.withColumn(
+                col, F.expr(expr).cast(images.schema[col].dataType)
+            )
+        images = images.drop(self._DV_FILE, self._DV_POS)
+        with self.transaction(f"dv-update-{table}"):
+            # the appended dir gets checks/stats/blooms via append();
+            # the vector rides the same commit, so readers see the
+            # delete+insert pair atomically
+            self.append(images, table, partition_cols=part_cols or None)
+            rel = self._stage_dv(table, matched, n)
+            self._intents[table]["dv_add"] = {
+                "dir": rel,
+                "files": per_file,
+                "expect_tables": snapshot,
+                "expect_dirs": list(info["dirs"]),
+            }
+        return n
 
     # -- CHECK constraints ----------------------------------------------------
     #
@@ -1519,6 +1840,135 @@ class TransactionalCatalog(Catalog):
         ``{"columns": {col: "int"|"long"|"string"}, "bits_per_row": n}``."""
         cfg = self._read_manifest(strict=False).get("blooms", {}).get(table)
         return json.loads(json.dumps(cfg)) if cfg is not None else None
+
+    # -- deletion vectors (merge-on-read DML) ----------------------------------
+    #
+    # Delta's deletion vectors, recovered as parquet sidecar relations:
+    # ``delete_where(..., mode="dv")`` marks the matched rows DELETED by
+    # writing their ``(file, position)`` pairs to a staged DV dir and
+    # registering it in ``manifest["dvs"][table]`` — NO data file is
+    # rewritten or even re-staged (at 100 TB the GDPR-class point delete
+    # costs O(matched rows), not O(candidate files)). Readers subtract
+    # the vectors with one anti-join keyed on the scan's hidden
+    # ``_metadata`` (file name, row index) columns — broadcast while the
+    # pending-delete count is small (the steady state), and folded away
+    # entirely by the next OPTIMIZE/compact, which materializes the
+    # deletes into rewritten files and clears the table's vectors.
+    #
+    # Identity: vectors key rows by (data-file NAME, row index), where
+    # the name is the filename plus any trailing Hive-partition path
+    # segments (``_kb=3/part-...parquet``) — one partitioned write job
+    # reuses its task indices across partition dirs, so the bare
+    # basename alone is NOT unique, but the partition-qualified name
+    # is (part-file names carry a per-job UUID). Unlike absolute paths
+    # this name survives hardlink carries (DML/merge re-stage
+    # untouched files under new dirs with the same relative layout),
+    # and unlike inodes it survives the copy fallback of
+    # cross-filesystem clones AND can never be recycled onto unrelated
+    # new files (a fresh write always mints fresh names — a dangling
+    # vector row can match nothing). ``delete``/``update`` refuse on
+    # (astronomically unlikely) duplicate names.
+    #
+    # Every replace-commit prunes ``dvs[table]["files"]`` to the
+    # basenames its new dir list still carries, so the per-file counts
+    # that drive metadata COUNT/MIN/MAX stay exact, and ``table_changes``
+    # reads a commit's NEW dv dirs as its delete rows (bounded by the
+    # affected files). Vector dirs ride vacuum/clone/restore/time travel
+    # exactly like data dirs: referenced rel paths in versioned
+    # manifests.
+
+    _DV_FILE = "__dv_file"
+    _DV_POS = "__dv_pos"
+    # trailing run of "="-bearing segments plus the filename — the
+    # Spark-side twin of _dv_name (keep the two in lockstep)
+    _DV_NAME_RE = r"((?:[^/]*=[^/]*/)*[^/]*)$"
+
+    @staticmethod
+    def _dv_name(rel_file: str) -> str:
+        """A data file's vector identity: filename plus any trailing
+        Hive-partition segments of its dir-relative path."""
+        segs = rel_file.split(os.sep)
+        out = [segs[-1]]
+        for s in reversed(segs[:-1]):
+            if "=" not in s:
+                break
+            out.insert(0, s)
+        return "/".join(out)
+
+    def dv_info(self, table: str, version: int | None = None) -> dict | None:
+        """The table's pending deletion-vector state, or None:
+        ``{"dirs": [rel, ...], "files": {basename: n_deleted}}``.
+        ``version`` resolves against a retained snapshot."""
+        m = (
+            self._read_manifest(strict=False)
+            if version is None
+            else self._version_manifest(version)
+        )
+        e = m.get("dvs", {}).get(table)
+        return json.loads(json.dumps(e)) if e is not None else None
+
+    def dv_count(self, table: str) -> int:
+        """Rows deleted by pending vectors (not yet folded by compact)."""
+        info = self.dv_info(table)
+        return sum((info or {}).get("files", {}).values())
+
+    def _dv_schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField(self._DV_FILE, T.StringType()),
+                T.StructField(self._DV_POS, T.LongType()),
+            ]
+        )
+
+    def _dv_relation(self, info: dict | None) -> DataFrame | None:
+        """The (file, pos) relation of pending deletes, or None."""
+        if not info or not info.get("files"):
+            return None
+        paths = [os.path.join(self.root, r) for r in info["dirs"]]
+        return self.spark.read.schema(self._dv_schema()).parquet(*paths)
+
+    def _dv_annotate(self, df: DataFrame) -> DataFrame:
+        """Materialize the hidden scan identity (file basename, row
+        index) as real columns — must run on the SCAN relation, before
+        any union or projection hides ``_metadata``."""
+        from pyspark.sql import functions as F
+
+        clash = [c for c in (self._DV_FILE, self._DV_POS) if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} are reserved for deletion-vector "
+                "bookkeeping; rename them"
+            )
+        return df.select(
+            "*",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), self._DV_NAME_RE, 1
+            ).alias(self._DV_FILE),
+            F.col("_metadata.row_index").alias(self._DV_POS),
+        )
+
+    def _dv_antijoin(self, df: DataFrame, info: dict | None) -> DataFrame:
+        """Drop vector-deleted rows from an annotated scan (keeps the
+        annotation columns). Broadcast while the pending count is small
+        — the steady state between compactions; a huge backlog falls
+        back to a shuffle join (honest, and the cue to OPTIMIZE)."""
+        from pyspark.sql import functions as F
+
+        rel = self._dv_relation(info)
+        if rel is None:
+            return df
+        if sum(info["files"].values()) <= 1_000_000:
+            rel = F.broadcast(rel)
+        return df.join(
+            rel, on=[self._DV_FILE, self._DV_POS], how="left_anti"
+        )
+
+    def _dv_strip(self, df: DataFrame, info: dict | None) -> DataFrame:
+        return self._dv_antijoin(df, info).drop(
+            self._DV_FILE, self._DV_POS
+        )
 
     def view_spec(self, name: str) -> dict | None:
         """A materialized view's recorded spec (see
@@ -1961,10 +2411,11 @@ class TransactionalCatalog(Catalog):
             from pyspark.sql import types as T
 
             stored = T.StructType.fromJson(sj)
+        dv = m.get("dvs", {}).get(table)
         if predicates is None:
-            return self._read_dirs(paths, stored)
+            return self._read_dirs(paths, stored, dv=dv)
         dnf = self._as_dnf(predicates)
-        return self._read_dirs_pruned(paths, stored, dnf).filter(
+        return self._read_dirs_pruned(paths, stored, dnf, dv=dv).filter(
             filestats.dnf_condition(dnf)
         )
 
@@ -2012,9 +2463,13 @@ class TransactionalCatalog(Catalog):
         prev_rels = None
         for v in range(v_from, v_to + 1):
             try:
-                rels = self._version_manifest(v)["tables"].get(table) or []
+                vm = self._version_manifest(v)
             except FileNotFoundError:
                 return True
+            rels = (
+                vm["tables"].get(table) or [],
+                (vm.get("dvs", {}).get(table) or {}).get("dirs") or [],
+            )
             if prev_rels is not None and rels != prev_rels:
                 return True
             prev_rels = rels
@@ -2163,7 +2618,11 @@ class TransactionalCatalog(Catalog):
         new_vm = self._version_manifest(v)
         old_rels = old_vm["tables"].get(table) or []
         new_rels = new_vm["tables"].get(table) or []
-        if old_rels == new_rels:
+        old_dv = old_vm.get("dvs", {}).get(table)
+        new_dv = new_vm.get("dvs", {}).get(table)
+        old_dv_dirs = (old_dv or {}).get("dirs") or []
+        new_dv_dirs = (new_dv or {}).get("dirs") or []
+        if old_rels == new_rels and old_dv_dirs == new_dv_dirs:
             return None
         old_files = self._version_file_inodes(table, v - 1)
         new_files = self._version_file_inodes(table, v)
@@ -2184,7 +2643,11 @@ class TransactionalCatalog(Catalog):
 
         added = pick(new_files, new_ct - old_ct)
         removed = pick(old_files, old_ct - new_ct)
-        if not added and not removed:
+        # vectors the commit ADDED delete rows in files that did not
+        # move (merge-on-read DML); vectors it carried subtract from
+        # the removed-side read (those rows were not logical at v-1)
+        added_dv = [d for d in new_dv_dirs if d not in old_dv_dirs]
+        if not added and not removed and not added_dv:
             return None  # pointer reshuffle only (e.g. restore to same)
         old_sj = old_vm.get("schemas", {}).get(table)
         new_sj = new_vm.get("schemas", {}).get(table)
@@ -2208,7 +2671,17 @@ class TransactionalCatalog(Catalog):
                 "change feed stamps both and cannot disambiguate them"
             )
 
-        def align(by_dir, side_sj):
+        def cast_merged(df):
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged.fields
+                ]
+            )
+
+        def align(by_dir, side_sj, side_dv):
             if not by_dir:
                 return self.spark.createDataFrame([], merged)
             stored = (
@@ -2219,21 +2692,62 @@ class TransactionalCatalog(Catalog):
                 r = self.spark.read.option("basePath", d)
                 if stored is not None:
                     r = r.schema(stored)
-                parts.append(r.parquet(*(os.path.join(d, f) for f in fs)))
+                part = r.parquet(*(os.path.join(d, f) for f in fs))
+                parts.append(
+                    self._dv_strip(self._dv_annotate(part), side_dv)
+                    if side_dv
+                    else part
+                )
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-            return df.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in merged.fields
-                ]
-            )
+            return cast_merged(df)
 
-        a = align(added, new_sj)
-        r = align(removed, old_sj)
+        def dv_delta():
+            """Rows the commit's NEW vectors deleted, read from the
+            files they reference at v-1 — I/O bounded by the affected
+            files, like every other feed read."""
+            if not added_dv:
+                return None
+            rows = self.spark.read.schema(self._dv_schema()).parquet(
+                *(os.path.join(self.root, r) for r in added_dv)
+            )
+            names = {
+                x[self._DV_FILE]
+                for x in rows.select(self._DV_FILE).distinct().collect()
+            }
+            by_dir: dict[str, list[str]] = {}
+            for _ino, d, f in old_files:
+                if self._dv_name(f) in names:
+                    by_dir.setdefault(d, []).append(f)
+            if not by_dir:
+                return None
+            stored = T.StructType.fromJson(old_sj) if old_sj else None
+            parts = []
+            for d, fs in by_dir.items():
+                rd = self.spark.read.option("basePath", d)
+                if stored is not None:
+                    rd = rd.schema(stored)
+                parts.append(
+                    self._dv_annotate(
+                        rd.parquet(*(os.path.join(d, f) for f in fs))
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            hit = df.join(
+                F.broadcast(rows),
+                on=[self._DV_FILE, self._DV_POS],
+                how="left_semi",
+            ).drop(self._DV_FILE, self._DV_POS)
+            return cast_merged(hit)
+
+        a = align(added, new_sj, new_dv)
+        r = align(removed, old_sj, old_dv)
+        dd = dv_delta()
+        if dd is not None:
+            r = r.unionByName(dd)
         return (
             a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
         ).unionByName(
@@ -2270,6 +2784,7 @@ class TransactionalCatalog(Catalog):
             blooms_cfg=old.get("blooms", {}),
             views=old.get("views", {}),
             streams=old.get("streams", {}),
+            dvs=old.get("dvs", {}),
         )
 
     # -- maintenance --------------------------------------------------------
@@ -2347,7 +2862,11 @@ class TransactionalCatalog(Catalog):
             spec = {"kind": "cluster", "cols": list(cluster_by)}
         else:
             spec = self.layout(table)
-        if len(snapshot) < min_dirs and not explicit:
+        dv = self.dv_info(table)
+        if len(snapshot) < min_dirs and not explicit and not dv:
+            # pending vectors always force a fold: OPTIMIZE is how
+            # merge-on-read deletes materialize and the read-side
+            # anti-join retires
             return False
         total_bytes = 0
         for rel in snapshot:
@@ -2364,8 +2883,10 @@ class TransactionalCatalog(Catalog):
             partition_cols = ["_kb"]  # preserve bucketed-merge layout
         paths = [os.path.join(self.root, r) for r in snapshot]
         # the committed schema, not a sampled footer — a compaction
-        # must never narrow an evolved table
-        df = self._read_dirs(paths, self._stored_schema(table))
+        # must never narrow an evolved table; pending deletion vectors
+        # are subtracted here and retire at the commit (the rewritten
+        # files carry fresh names, so the replace-prune clears the map)
+        df = self._read_dirs(paths, self._stored_schema(table), dv=dv)
         if spec is not None:
             missing = [c for c in spec["cols"] if c not in df.columns]
             if explicit and missing:
@@ -2427,7 +2948,12 @@ class TransactionalCatalog(Catalog):
             # commit + zero-age vacuum delete snapshot dirs mid-loop,
             # leaving a partial clone. No source commit can supersede
             # these dirs until the loop finishes.
-            for rels in manifest["tables"].values():
+            dv_rels = [
+                rel
+                for e in manifest.get("dvs", {}).values()
+                for rel in e.get("dirs", [])
+            ]
+            for rels in list(manifest["tables"].values()) + [dv_rels]:
                 for rel in rels:
                     src_dir = os.path.join(self.root, rel)
                     dst_dir = os.path.join(dst_root, rel)
@@ -2467,6 +2993,9 @@ class TransactionalCatalog(Catalog):
             blooms_cfg=manifest.get("blooms", {}),
             views=manifest.get("views", {}),
             streams=manifest.get("streams", {}),
+            # vectors ride the clone: basename identity survives both
+            # the hardlink fast path and the cross-fs copy fallback
+            dvs=manifest.get("dvs", {}),
         )
         return dst
 
@@ -2498,6 +3027,11 @@ class TransactionalCatalog(Catalog):
         live = {
             rel for rels in current["tables"].values() for rel in rels
         }
+        live |= {
+            rel
+            for e in current.get("dvs", {}).values()
+            for rel in e.get("dirs", [])
+        }
         removed: list[str] = []
         vdir = os.path.join(self.root, _VERSIONS)
         if os.path.isdir(vdir):
@@ -2512,6 +3046,11 @@ class TransactionalCatalog(Catalog):
                         m = json.load(f)
                     live |= {
                         rel for rels in m["tables"].values() for rel in rels
+                    }
+                    live |= {
+                        rel
+                        for e in m.get("dvs", {}).values()
+                        for rel in e.get("dirs", [])
                     }
                 else:
                     os.remove(vpath)
