@@ -375,8 +375,24 @@ def _rewrite_version_as_of(cat, sql: str) -> str:
         cat.read_at(t, v).createOrReplaceTempView(name)
         return name
 
-    return _sub_outside_quotes(
+    sql = _sub_outside_quotes(
         r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", sub, sql
+    )
+
+    def sub_ts(m):
+        t, raw = m.group(1), m.group(2)
+        v = cat.version_at(raw)
+        name = f"_asof_{t}_v{v}"
+        cat.read_at(t, v).createOrReplaceTempView(name)
+        return name
+
+    # Delta's TIMESTAMP AS OF '...' — resolved against the retained
+    # commit times, then served exactly like VERSION AS OF. The
+    # literal-matching here is safe: the phrase's own quoted timestamp
+    # is consumed by the match, and _sub_outside_quotes skips matches
+    # STARTING inside some other string literal.
+    return _sub_outside_quotes(
+        r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", sub_ts, sql
     )
 
 
@@ -725,7 +741,7 @@ def cmd_describe(args) -> None:
         n_bytes += sum(
             os.path.getsize(os.path.join(d, f)) for f in files
         )
-    stored = cat._stored_schema(args.table)
+    stored = cat.logical_schema(args.table)
     meta_path = cat._bucket_meta_path(args.table)
     bucket = None
     if os.path.exists(meta_path):
@@ -761,6 +777,8 @@ def cmd_describe(args) -> None:
                     round(n_stats / n_files, 3) if n_files else None
                 ),
                 "checks": cat.checks(args.table),
+                "properties": cat.table_properties(args.table),
+                "column_mapping": cat.colmap(args.table),
                 "layout": cat.layout(args.table),
                 "bloom_index": cat.bloom_index(args.table),
                 "bucket_layout": bucket,

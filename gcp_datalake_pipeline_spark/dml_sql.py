@@ -32,8 +32,12 @@ statement):
     CREATE TABLE [IF NOT EXISTS] <table>
         [CLUSTERED BY (keys) INTO n BUCKETS] AS SELECT ...
     ALTER TABLE <table> ADD COLUMN <name> <ddl-type>
+    ALTER TABLE <table> RENAME COLUMN <old> TO <new>   -- metadata-only
+    ALTER TABLE <table> DROP COLUMN <name>             -- metadata-only
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
     ALTER TABLE <table> DROP CONSTRAINT <name>
+    ALTER TABLE <table> SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')
+    ALTER TABLE <table> UNSET TBLPROPERTIES ('dml.mode')
     TRUNCATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
     OPTIMIZE <table> [CLUSTER BY (cols) | ZORDER BY (cols)]
@@ -82,7 +86,9 @@ _GRAMMAR = (
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols) [CLUSTERED BY (keys) INTO n BUCKETS] | [CLUSTERED BY ...] AS SELECT ...; "
     "TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
-    "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n; "
+    "RENAME COLUMN a TO b | DROP COLUMN c | "
+    "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | "
+    "SET|UNSET TBLPROPERTIES ('k' [= 'v']); "
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
     "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (cols) "
     "[OPTIONS (bits_per_row = n)]; DROP BLOOMFILTER INDEX ON TABLE t; "
@@ -308,7 +314,14 @@ def _target_schema(catalog, table: str):
             f"INSERT/MERGE target table {table!r} does not exist in the "
             "catalog; create it with a typed write first"
         )
-    stored = getattr(catalog, "_stored_schema", lambda _t: None)(table)
+    # logical view: renamed/dropped columns resolve the way users see
+    # them (the writers translate back to physical staging names)
+    get = getattr(
+        catalog,
+        "logical_schema",
+        getattr(catalog, "_stored_schema", lambda _t: None),
+    )
+    stored = get(table)
     return stored if stored is not None else catalog.read(table).schema
 
 
@@ -479,6 +492,14 @@ def _parse_update_tail(tail: str) -> tuple[dict, str]:
     return sets, where
 
 
+def _dml_mode(catalog, table: str) -> str:
+    """The table's recorded DML routing: 'dv' (merge-on-read deletion
+    vectors) when ``dml.mode = merge-on-read`` is set, else the
+    copy-on-write default."""
+    props = getattr(catalog, "table_properties", lambda _t: {})(table)
+    return "dv" if props.get("dml.mode") == "merge-on-read" else "rewrite"
+
+
 def _explain_rewrite(catalog, table: str, preds, verb: str, extra=None):
     """Dry-run rewrite plan: the file-skipping outcome a
     DELETE/UPDATE would see, computed from sidecar metadata alone — no
@@ -491,6 +512,11 @@ def _explain_rewrite(catalog, table: str, preds, verb: str, extra=None):
     if not catalog.exists(table):
         raise FileNotFoundError(f"no table {table!r}")
     dnf = catalog._as_dnf(preds)
+    # sidecars speak physical names; the dry run must prune the way
+    # the real DML will after a RENAME COLUMN
+    cmap = getattr(catalog, "colmap", lambda _t: None)(table)
+    if cmap:
+        dnf = catalog._phys_dnf(cmap, dnf)
     total = candidates = counted = undecidable = 0
     for d in catalog._data_dirs(table):
         stats = blooms.attach_blooms(filestats.read_dir_stats(d), d, dnf)
@@ -523,7 +549,8 @@ def _explain(catalog, inner: str):
         # mirror the real run exactly: same refusals, same error types
         _refuse_matview_target(catalog, m.group(1), "DELETE")
         return _explain_rewrite(
-            catalog, m.group(1), parse_where(m.group(2)), "DELETE"
+            catalog, m.group(1), parse_where(m.group(2)), "DELETE",
+            extra={"mode": _dml_mode(catalog, m.group(1))},
         )
     m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
@@ -544,7 +571,7 @@ def _explain(catalog, inner: str):
             table,
             parse_where(where),
             "UPDATE",
-            {"set_columns": list(sets)},
+            {"set_columns": list(sets), "mode": _dml_mode(catalog, table)},
         )
     m = _INSERT_RE.fullmatch(s)
     if m:
@@ -857,14 +884,26 @@ def execute_dml(catalog, sql: str) -> dict | None:
     m = re.fullmatch(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.I | re.S)
     if m:
         _refuse_matview_target(catalog, m.group(1), "DELETE")
-        n = catalog.delete_where(m.group(1), parse_where(m.group(2)))
-        return {"table": m.group(1), "deleted": n}
+        mode = _dml_mode(catalog, m.group(1))
+        n = catalog.delete_where(
+            m.group(1), parse_where(m.group(2)), mode=mode
+        )
+        out = {"table": m.group(1), "deleted": n}
+        if mode == "dv":
+            out["mode"] = mode  # the copy-on-write default stays terse
+        return out
     m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
         _refuse_matview_target(catalog, m.group(1), "UPDATE")
         sets, where = _parse_update_tail(m.group(2))
-        n = catalog.update_where(m.group(1), parse_where(where), sets)
-        return {"table": m.group(1), "updated": n}
+        mode = _dml_mode(catalog, m.group(1))
+        n = catalog.update_where(
+            m.group(1), parse_where(where), sets, mode=mode
+        )
+        out = {"table": m.group(1), "updated": n}
+        if mode == "dv":
+            out["mode"] = mode
+        return out
     m = _INSERT_RE.fullmatch(s)
     if m:
         overwrite = m.group(1).upper() == "OVERWRITE"
@@ -1050,6 +1089,46 @@ def execute_dml(catalog, sql: str) -> dict | None:
                 f"bad ADD COLUMN type {dtype!r}: {e}; {_GRAMMAR}"
             ) from None
         return {"table": table, "added_column": col}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)",
+        s,
+        re.I,
+    )
+    if m:
+        catalog.rename_column(m.group(1), m.group(2), m.group(3))
+        return {
+            "table": m.group(1),
+            "renamed_column": m.group(2),
+            "to": m.group(3),
+        }
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)", s, re.I
+    )
+    if m:
+        catalog.drop_column(m.group(1), m.group(2))
+        return {"table": m.group(1), "dropped_column": m.group(2)}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
+        r"'([^']+)'\s*=\s*'([^']*)'\s*\)",
+        s,
+        re.I,
+    )
+    if m:
+        catalog.set_table_property(m.group(1), m.group(2), m.group(3))
+        return {
+            "table": m.group(1),
+            "set_property": m.group(2),
+            "value": m.group(3),
+        }
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(\s*"
+        r"'([^']+)'\s*\)",
+        s,
+        re.I,
+    )
+    if m:
+        catalog.unset_table_property(m.group(1), m.group(2))
+        return {"table": m.group(1), "unset_property": m.group(2)}
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)",
         s,

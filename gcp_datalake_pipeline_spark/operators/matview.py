@@ -40,7 +40,7 @@ from gcp_datalake_pipeline_spark.storage import kb_col as _kb_col
 
 
 def _validate_spec(keys, sums, count_col, mins=None, maxs=None,
-                   insert_only=False):
+                   insert_only=False, bucketed=True):
     mins, maxs = mins or {}, maxs or {}
     if not keys:
         raise ValueError("materialized view needs at least one group key")
@@ -64,10 +64,19 @@ def _validate_spec(keys, sums, count_col, mins=None, maxs=None,
             f"view column name collision: "
             f"{sorted(clash) or sorted(outs)}"
         )
-    if "_kb" in set(keys) | set(outs):
+    if "_kb" in outs:
         raise ValueError(
             "'_kb' is the reserved bucket-layout column; rename the "
             "view column"
+        )
+    if "_kb" in keys and bucketed:
+        # grouping by the SOURCE's bucket id is legitimate (a per-bucket
+        # dashboard) — but only when the view table opts out of its own
+        # bucket layout, which would reuse the same column name
+        raise ValueError(
+            "a view grouped by the source's '_kb' cannot itself be "
+            "bucketed (the layouts would share one column); pass "
+            "num_buckets=None"
         )
 
 
@@ -103,7 +112,10 @@ def create_materialized_view(
     delete in a later feed makes every MIN/MAX unrecoverable from
     partials, and refresh REFUSES loudly (drop + recreate is the
     exit)."""
-    _validate_spec(keys, sums, count_col, mins, maxs, insert_only)
+    _validate_spec(
+        keys, sums, count_col, mins, maxs, insert_only,
+        bucketed=bool(num_buckets),
+    )
     if catalog.view_spec(name) is not None:
         raise ValueError(f"materialized view {name!r} already exists")
     if catalog.exists(name):

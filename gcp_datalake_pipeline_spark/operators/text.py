@@ -361,3 +361,76 @@ def bm25_topk_docs(
         .orderBy(F.col("bm25_micro").desc(), id_col)
         .limit(k)
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A) as ONE scan of pure column
+    expressions — no explode, no UDF: every rule folds over the
+    split-word / split-line arrays with higher-order functions, so at
+    100 TB this is a single embarrassingly-parallel projection.
+
+    Per document: the named per-rule booleans plus ``pass_gopher``
+    (their conjunction). Every threshold comparison is an INTEGER
+    cross-multiplication (``10*symbols <= n_words`` instead of
+    ``symbols/n_words <= 0.1``) so the booleans are exact and
+    reproducible across engines — no float-division boundary can flip
+    a flag between this and an oracle.
+
+    Rules (paper defaults, word-count bounds parameterized):
+    word count in [min_words, max_words]; mean word length in [3, 10];
+    '#'-or-'...' symbol ratio <= 0.1; <= 90% of lines start with a
+    bullet; <= 30% of lines end with an ellipsis; >= 80% of words
+    contain an alphabetic character; >= 2 of the 8 required English
+    stopwords present."""
+    text = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.split(text, r"\n")
+    lwords = F.transform(words, F.lower)
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    req = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    n_stop = F.size(F.filter(req, lambda s: F.array_contains(lwords, s)))
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (sum_len >= 3 * n_words)
+        & (sum_len <= 10 * n_words),
+        "ok_symbol_ratio": 10 * n_symbols <= n_words,
+        "ok_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "ok_ellipsis_lines": 10 * n_ell_lines <= 3 * n_lines,
+        "ok_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "ok_stopwords": n_stop >= 2,
+    }
+    out = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    passed = out["ok_word_count"]
+    for name in list(flags)[1:]:
+        passed = passed & out[name]
+    return out.withColumn("pass_gopher", passed)

@@ -1309,3 +1309,71 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_candidates=40,
     )
+
+
+@register(
+    "doc_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_ell
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+               AS sum_len,
+             n_hash + n_ell AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ell_lines,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 sw -> list_contains(list_transform(words, x -> lower(x)),
+                                     sw))) AS n_stop
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 40 AND n_words <= 100000) AS ok_word_count,
+           (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+             AS ok_mean_word_len,
+           (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+           (10 * n_bullet <= 9 * n_lines) AS ok_bullet_lines,
+           (10 * n_ell_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+           (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words >= 40 AND n_words <= 100000)
+            AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (10 * n_bullet <= 9 * n_lines)
+            AND (10 * n_ell_lines <= 3 * n_lines)
+            AND (5 * n_alpha >= 4 * n_words)
+            AND (n_stop >= 2)) AS pass_gopher
+    FROM st
+    ORDER BY doc_id
+    """,
+    doc="""Gopher-style quality rule filter (Rae et al. 2021, Appendix
+    A): the canonical pre-training heuristic gate — word-count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line ratios,
+    alphabetic-word ratio, required-stopword presence — per document
+    with named per-rule booleans and the pass_gopher conjunction. One
+    scan of pure column expressions (higher-order folds over the
+    split arrays, no explode, no UDF); every threshold is an integer
+    cross-multiplication so the booleans are bit-identical across
+    engines. min_words=40 for the synthetic corpus (the paper's 50
+    is the production default).""",
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality(
+        load_table(spark, sf_dir, "documents"), min_words=40
+    ).orderBy("doc_id")

@@ -1960,3 +1960,102 @@ def etl_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_rename_column",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_usd
+    FROM orders
+    WHERE o_orderkey < 6000
+      AND NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""Metadata-only schema evolution (Delta column mapping): a
+    bounded orders subset lands one dir per order-year, then RENAME
+    COLUMN relabels o_totalprice -> price_usd and o_orderdate ->
+    order_ts and DROP COLUMN retires o_orderstatus — all pure manifest
+    commits. The gate RAISES unless every data file survives BY INODE
+    (zero bytes moved — the 100 TB contract: renaming a column of a
+    petabyte table is one JSON swap), unless file skipping still
+    engages for a predicate spelled with the NEW name (the stats
+    sidecars stay keyed by the files' physical names and the read
+    path translates), unless the metadata count equals the scan
+    count, and unless the dropped column is gone from the logical
+    schema. A DELETE phrased against the renamed timestamp column
+    then prunes and rewrites exactly as before the rename; the oracle
+    replays it against the ORIGINAL names — identical values under
+    either naming proves the mapping is pure relabeling.""",
+)
+def etl_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    root = _scratch_root(f"etl_rename_column_{os.path.basename(sf_dir)}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_rc"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                    "o_totalprice", "o_orderstatus")
+        )
+        years = sorted(
+            r["y"]
+            for r in orders.select(
+                F.year("o_orderdate").alias("y")
+            ).distinct().collect()
+        )
+        for y in years:
+            with cat.transaction(f"orders-rc-{y}"):
+                cat.append(
+                    orders.where(F.year("o_orderdate") == y).coalesce(1),
+                    "orders_rc",
+                )
+        pre = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_rc")
+            for f in cat._dir_parquet_files(d)
+        }
+        cat.rename_column("orders_rc", "o_totalprice", "price_usd")
+        cat.rename_column("orders_rc", "o_orderdate", "order_ts")
+        cat.drop_column("orders_rc", "o_orderstatus")
+        post = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_rc")
+            for f in cat._dir_parquet_files(d)
+        }
+        if post != pre:
+            raise RuntimeError(
+                "RENAME/DROP COLUMN moved data — must be metadata-only"
+            )
+        if "o_orderstatus" in cat.read("orders_rc").columns:
+            raise RuntimeError("dropped column still visible")
+        window = [
+            ("order_ts", ">=", datetime.datetime(1996, 1, 1)),
+            ("order_ts", "<", datetime.datetime(1997, 1, 1)),
+        ]
+        kept, total = cat.pruned_files("orders_rc", window)
+        if not kept or len(kept) >= total:
+            raise RuntimeError(
+                "file skipping did not engage under the renamed column"
+            )
+        if cat.delete_where("orders_rc", window) <= 0:
+            raise RuntimeError("delete under the renamed column removed 0")
+        if cat.count_rows("orders_rc") != cat.read("orders_rc").count():
+            raise RuntimeError("metadata count drifted after the rename")
+    return (
+        cat.read("orders_rc")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price_usd"), 2).alias("total_usd"),
+        )
+        .orderBy("o_orderpriority")
+    )

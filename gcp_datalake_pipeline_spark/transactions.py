@@ -342,6 +342,7 @@ class TransactionalCatalog(Catalog):
             return self.spark.createDataFrame([], schema)
         dirs = self._data_dirs(table)
         stored = self._stored_schema(table)
+        cmap = self.colmap(table)
         if not dirs:
             # a truncated (or created-empty) table: zero data dirs, but
             # the committed schema still types the empty relation
@@ -349,13 +350,18 @@ class TransactionalCatalog(Catalog):
                 raise FileNotFoundError(
                     f"{table!r} has no data dirs and no committed schema"
                 )
-            return self.spark.createDataFrame([], stored or schema)
+            return self.spark.createDataFrame(
+                [], self.logical_schema(table) or schema
+            )
         dv = self.dv_info(table)
         if predicates is None:
-            return self._read_dirs(dirs, stored, dv=dv)
+            return self._to_logical(self._read_dirs(dirs, stored, dv=dv), cmap)
         dnf = self._as_dnf(predicates)
-        df = self._read_dirs_pruned(dirs, stored, dnf, dv=dv)
-        return df.filter(filestats.dnf_condition(dnf))
+        # pruning speaks the files' PHYSICAL names; the exact residual
+        # filter runs on the re-labeled logical relation
+        pdnf = self._phys_dnf(cmap, dnf)
+        df = self._read_dirs_pruned(dirs, stored, pdnf, dv=dv)
+        return self._to_logical(df, cmap).filter(filestats.dnf_condition(dnf))
 
     def _dir_parquet_files(self, d: str) -> list[str]:
         """Relative paths of the data files under one staged dir, in a
@@ -424,7 +430,9 @@ class TransactionalCatalog(Catalog):
         file paths a ``read(table, predicates=...)`` would hand to Spark
         and the total file count behind the table (``version`` resolves
         against a retained snapshot instead of the current pointer)."""
-        dnf = self._as_dnf(predicates)
+        dnf = self._phys_dnf(
+            self.colmap(table, version=version), self._as_dnf(predicates)
+        )
         if version is None:
             dirs = self._data_dirs(table)
         else:
@@ -594,6 +602,7 @@ class TransactionalCatalog(Catalog):
             with auto:
                 self.overwrite(df, table, partition_cols)
             return
+        df = self._to_physical_frame(df, self.colmap(table))
         rel = self._stage_dir(table)
         w = df.write.mode("overwrite")
         if partition_cols:
@@ -615,6 +624,7 @@ class TransactionalCatalog(Catalog):
             with auto:
                 self.append(df, table, partition_cols)
             return
+        df = self._to_physical_frame(df, self.colmap(table))
         if self._pending is not None and table in self._pending:
             prev = list(self._pending[table])
         else:
@@ -651,6 +661,9 @@ class TransactionalCatalog(Catalog):
             with auto:
                 self._write_bucketed_merge(merged, table, replaced)
             return
+        merged = self._to_physical_frame(
+            merged, self.colmap(table) if self.exists(table) else None
+        )
         prev = self._data_dirs(table) if self.exists(table) else []
         if len(prev) > 1:
             raise ValueError(
@@ -743,6 +756,8 @@ class TransactionalCatalog(Catalog):
         views: dict | None = None,
         streams: dict | None = None,
         dvs: dict | None = None,
+        colmaps: dict | None = None,
+        properties: dict | None = None,
     ) -> None:
         # The read-modify-write of the manifest must be serialized across
         # committers, or two concurrent commits based on the same version
@@ -785,6 +800,14 @@ class TransactionalCatalog(Catalog):
                     manifest["dvs"] = dict(dvs)
                 if not manifest.get("dvs"):
                     manifest.pop("dvs", None)
+                if colmaps is not None:
+                    manifest["colmaps"] = dict(colmaps)
+                if not manifest.get("colmaps"):
+                    manifest.pop("colmaps", None)
+                if properties is not None:
+                    manifest["properties"] = dict(properties)
+                if not manifest.get("properties"):
+                    manifest.pop("properties", None)
             else:
                 mschemas = manifest.setdefault("schemas", {})
                 for table, intent in tables.items():
@@ -822,6 +845,18 @@ class TransactionalCatalog(Catalog):
                             mbl.pop(table, None)
                         else:
                             mbl[table] = intent["bloom"]
+                    if "colmap" in intent:
+                        # column-mapping state restored with a snapshot
+                        # (restore_table) or rewritten by a retiring
+                        # compact; None clears a record the new state
+                        # has no use for
+                        mcm = manifest.setdefault("colmaps", {})
+                        if intent["colmap"] is None:
+                            mcm.pop(table, None)
+                        else:
+                            mcm[table] = intent["colmap"]
+                        if not manifest.get("colmaps"):
+                            manifest.pop("colmaps", None)
                     if "view" in intent:
                         # materialized-view spec (+ its as_of high-water
                         # version) commits ATOMICALLY with the view
@@ -1063,6 +1098,7 @@ class TransactionalCatalog(Catalog):
                 "bloom": vm.get("blooms", {}).get(table),
                 "view": vm.get("views", {}).get(table),
                 "dv_restore": vm.get("dvs", {}).get(table),
+                "colmap": vm.get("colmaps", {}).get(table),
             }
 
     # -- DDL: CREATE / TRUNCATE / DROP ----------------------------------------
@@ -1128,7 +1164,17 @@ class TransactionalCatalog(Catalog):
                 f"table {table!r} predates schema tracking; rewrite it "
                 "once (compact) before ALTER TABLE"
             )
-        if name in stored.fieldNames():
+        cmap = self.colmap(table) or {}
+        if name in cmap.get("dropped", []):
+            raise ValueError(
+                f"column name {name!r} was dropped from {table!r} and old "
+                "files still carry its values; a full rewrite must retire "
+                "them before the name can return"
+            )
+        if (
+            name in stored.fieldNames()
+            or name in cmap.get("renames", {}).values()
+        ):
             raise ValueError(f"column {name!r} already exists on {table!r}")
         field = T.StructField(name, dtype, True).jsonValue()
 
@@ -1189,6 +1235,12 @@ class TransactionalCatalog(Catalog):
             m.get("dvs", {}).pop(table, None)
             if not m.get("dvs"):
                 m.pop("dvs", None)
+            m.get("colmaps", {}).pop(table, None)
+            if not m.get("colmaps"):
+                m.pop("colmaps", None)
+            m.get("properties", {}).pop(table, None)
+            if not m.get("properties"):
+                m.pop("properties", None)
 
         self._publish_meta(mutate, f"drop-{table}")
         try:
@@ -1213,9 +1265,12 @@ class TransactionalCatalog(Catalog):
         :meth:`delete_where`): a file counts without I/O when one OR
         branch provably matches all its rows, drops when every branch
         provably matches none."""
-        dnf = self._as_dnf(predicates or [])
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
+        # everything below speaks physical names (sidecars, scans)
+        dnf = self._phys_dnf(
+            self.colmap(table), self._as_dnf(predicates or [])
+        )
         dv = self.dv_info(table)
         dvf = (dv or {}).get("files", {})
         total = 0
@@ -1281,6 +1336,7 @@ class TransactionalCatalog(Catalog):
         writers carry no stats and simply take the scan path."""
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
+        col = self._phys_name(self.colmap(table), col)
         dv = self.dv_info(table)
         dvf = (dv or {}).get("files", {})
         mn = mx = None
@@ -1495,7 +1551,9 @@ class TransactionalCatalog(Catalog):
 
         if self._pending is not None:
             raise RuntimeError(f"{tag}_where inside an open transaction")
-        dnf = self._as_dnf(predicates)
+        cmap = self.colmap(table)
+        dnf_logical = self._as_dnf(predicates)
+        dnf = self._phys_dnf(cmap, dnf_logical)  # pruning + carry checks
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
@@ -1557,15 +1615,18 @@ class TransactionalCatalog(Catalog):
         cand_df = parts[0]
         for p in parts[1:]:
             cand_df = cand_df.unionByName(p, allowMissingColumns=True)
+        # the transform (and the user's SET expressions) see LOGICAL
+        # names; the staged rewrite translates back to physical below
+        cand_df = self._to_logical(cand_df, cmap)
         match = F.coalesce(
-            filestats.dnf_condition(dnf), F.lit(False)
+            filestats.dnf_condition(dnf_logical), F.lit(False)
         )  # NULL never matches
         n_matched = cand_df.filter(match).count()
         if n_matched == 0:
             # conservative candidates held no true matches: still no
             # rewrite, no version
             return 0
-        new_df = transform(cand_df, match)
+        new_df = self._to_physical_frame(transform(cand_df, match), cmap)
         # re-apply the table's recorded clustering to the rewritten slice
         # (file granularity preserved: one output file per candidate
         # file), so selective predicates keep their pre-DML skip rate —
@@ -1620,7 +1681,7 @@ class TransactionalCatalog(Catalog):
 
         if self._pending is not None:
             raise RuntimeError("merge-on-read DML inside an open transaction")
-        dnf = self._as_dnf(predicates)
+        dnf = self._phys_dnf(self.colmap(table), self._as_dnf(predicates))
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
@@ -1721,7 +1782,7 @@ class TransactionalCatalog(Catalog):
         got = self._dv_matched(table, predicates)
         if got is None:
             return 0
-        matched, snapshot, info, match, part_cols = got
+        matched, snapshot, info, _match, part_cols = got
         per_file = {
             r[self._DV_FILE]: r["n"]
             for r in matched.groupBy(self._DV_FILE)
@@ -1731,8 +1792,11 @@ class TransactionalCatalog(Catalog):
         n = sum(per_file.values())
         if n == 0:
             return 0
-        self._probe_set_casts(matched, match, set_exprs, table)
-        images = matched
+        # SET expressions speak logical names (every matched row is a
+        # hit, so the probe condition is simply TRUE); append()
+        # translates the images back to physical staging names
+        images = self._to_logical(matched, self.colmap(table))
+        self._probe_set_casts(images, F.lit(True), set_exprs, table)
         for col, expr in set_exprs.items():
             images = images.withColumn(
                 col, F.expr(expr).cast(images.schema[col].dataType)
@@ -1970,6 +2034,299 @@ class TransactionalCatalog(Catalog):
             self._DV_FILE, self._DV_POS
         )
 
+    # -- table properties -------------------------------------------------------
+    #
+    # Delta TBLPROPERTIES, reduced to the keys this engine actually
+    # honors — unknown keys and values refuse loudly (a typo'd property
+    # that silently does nothing is worse than an error).
+    #
+    #   dml.mode = copy-on-write (default) | merge-on-read
+    #     routes the SQL façade's DELETE/UPDATE through deletion
+    #     vectors instead of candidate-file rewrites.
+
+    _KNOWN_PROPERTIES = {"dml.mode": {"copy-on-write", "merge-on-read"}}
+
+    def table_properties(self, table: str) -> dict:
+        """The table's recorded properties (empty dict when none)."""
+        props = (
+            self._read_manifest(strict=False)
+            .get("properties", {})
+            .get(table)
+        )
+        return dict(props) if props else {}
+
+    def set_table_property(self, table: str, key: str, value: str) -> None:
+        """``ALTER TABLE ... SET TBLPROPERTIES`` — one metadata commit."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "set_table_property inside an open transaction"
+            )
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        allowed = self._KNOWN_PROPERTIES.get(key)
+        if allowed is None:
+            raise ValueError(
+                f"unknown table property {key!r}; supported: "
+                f"{sorted(self._KNOWN_PROPERTIES)}"
+            )
+        if value not in allowed:
+            raise ValueError(
+                f"property {key!r} takes {sorted(allowed)}, not {value!r}"
+            )
+
+        def mutate(m):
+            m.setdefault("properties", {}).setdefault(table, {})[key] = value
+
+        self._publish_meta(mutate, f"set-property-{table}-{key}")
+
+    def unset_table_property(self, table: str, key: str) -> None:
+        """``ALTER TABLE ... UNSET TBLPROPERTIES`` — back to defaults."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "unset_table_property inside an open transaction"
+            )
+        if key not in self.table_properties(table):
+            raise KeyError(f"table {table!r} has no property {key!r}")
+
+        def mutate(m):
+            m["properties"][table].pop(key, None)
+            if not m["properties"][table]:
+                m["properties"].pop(table)
+            if not m.get("properties"):
+                m.pop("properties", None)
+
+        self._publish_meta(mutate, f"unset-property-{table}-{key}")
+
+    # -- column mapping (metadata-only RENAME / DROP COLUMN) -------------------
+    #
+    # Delta column mapping, recovered as a manifest-level name map: data
+    # files keep their PHYSICAL column names forever; ``rename_column``
+    # records ``{physical: logical}`` and ``drop_column`` records the
+    # physical name as dropped — both are pure manifest commits, so at
+    # 100 TB a rename or drop touches ZERO data bytes. Readers scan
+    # physically and re-label at the end; writers accept logical frames
+    # and translate back before staging; the stats/bloom sidecars and
+    # clustering layouts stay keyed physically (they describe the
+    # files), and every predicate-taking surface translates logical ->
+    # physical at its entry. Reusing a dropped physical name is refused
+    # until a full rewrite retires it (old files still carry values
+    # that would silently leak into the reborn column otherwise).
+
+    def colmap(self, table: str, version: int | None = None) -> dict | None:
+        """The table's column mapping, or None:
+        ``{"renames": {physical: logical}, "dropped": [physical, ...]}``."""
+        m = (
+            self._read_manifest(strict=False)
+            if version is None
+            else self._version_manifest(version)
+        )
+        e = m.get("colmaps", {}).get(table)
+        return json.loads(json.dumps(e)) if e is not None else None
+
+    @staticmethod
+    def _phys_name(cmap: dict | None, name: str) -> str:
+        """Logical -> physical for one column (dropped names refuse:
+        a predicate or aggregate over a dropped column would silently
+        read stale values out of old files)."""
+        if not cmap:
+            return name
+        if name in cmap.get("dropped", []):
+            raise ValueError(f"column {name!r} was dropped")
+        inv = {v: k for k, v in cmap.get("renames", {}).items()}
+        return inv.get(name, name)
+
+    def _phys_dnf(self, cmap: dict | None, dnf):
+        if not cmap:
+            return dnf
+        return [
+            [(self._phys_name(cmap, p[0]), *p[1:]) for p in conj]
+            for conj in dnf
+        ]
+
+    @staticmethod
+    def _to_logical(df: DataFrame, cmap: dict | None) -> DataFrame:
+        """Physical scan -> logical relation: re-label renamed columns,
+        project dropped ones away. Columns outside the map (including
+        the DV annotation pair) pass through."""
+        if not cmap:
+            return df
+        for phys, logical in cmap.get("renames", {}).items():
+            if phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        drop = [c for c in cmap.get("dropped", []) if c in df.columns]
+        return df.drop(*drop) if drop else df
+
+    @staticmethod
+    def _to_physical_frame(df: DataFrame, cmap: dict | None) -> DataFrame:
+        """Logical writer input -> physical staging frame. Refuses
+        frames that would resurrect a dropped physical name (new rows
+        would be invisible to readers — or worse, un-drop old values)."""
+        if not cmap:
+            return df
+        clash = [c for c in df.columns if c in cmap.get("dropped", [])]
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} were dropped from this table; a full "
+                "rewrite must retire the old values before the name can "
+                "return"
+            )
+        for phys, logical in cmap.get("renames", {}).items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, phys)
+        return df
+
+    def logical_schema(self, table: str):
+        """The committed schema as USERS see it — renames applied,
+        dropped columns projected away (:meth:`_stored_schema` stays
+        the physical scan schema)."""
+        from pyspark.sql import types as T
+
+        stored = self._stored_schema(table)
+        cmap = self.colmap(table)
+        if stored is None or not cmap:
+            return stored
+        ren = cmap.get("renames", {})
+        dropped = set(cmap.get("dropped", []))
+        return T.StructType(
+            [
+                T.StructField(ren.get(f.name, f.name), f.dataType, f.nullable)
+                for f in stored.fields
+                if f.name not in dropped
+            ]
+        )
+
+    def _refuse_mapped_refs(self, table: str, name: str, verb: str) -> None:
+        """Shared rename/drop guards: a column wired into CHECK
+        constraints, a bucket layout, or a materialized-view spec
+        cannot be re-labeled out from under them."""
+        for cname, expr in self.checks(table).items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"cannot {verb} {name!r}: CHECK constraint {cname!r} "
+                    f"references it ({expr}); drop the constraint first"
+                )
+        meta = self.bucket_meta(table)
+        if meta and name in (meta.get("key_cols") or []):
+            raise ValueError(
+                f"cannot {verb} {name!r}: it is a bucket key of "
+                f"{table!r}; re-bucket the table first"
+            )
+        if name == "_kb":
+            raise ValueError("'_kb' is the reserved bucket-layout column")
+        views = self._read_manifest(strict=False).get("views", {})
+        for vname, spec in views.items():
+            if vname == table:
+                raise ValueError(
+                    f"cannot {verb} columns of materialized view "
+                    f"{table!r}; drop and recreate the view"
+                )
+            if spec.get("source") != table:
+                continue
+            used = (
+                set(spec.get("keys", []))
+                | set(spec.get("sums", {}).values())
+                | set((spec.get("mins") or {}).values())
+                | set((spec.get("maxs") or {}).values())
+            )
+            if name in used:
+                raise ValueError(
+                    f"cannot {verb} {name!r}: materialized view {vname!r} "
+                    "aggregates it; drop the view first"
+                )
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN — one manifest commit, zero
+        data movement. ``old`` is the current LOGICAL name; ``new``
+        must be a fresh identifier (colliding with any current logical
+        OR physical name is refused — a physical collision would make
+        a later write ambiguous). Renaming back to the physical name
+        erases the mapping entry."""
+        import re as _re
+
+        if self._pending is not None:
+            raise RuntimeError("rename_column inside an open transaction")
+        stored = self._stored_schema(table)
+        if stored is None:
+            if not self.exists(table):
+                raise FileNotFoundError(f"{table!r} not in manifest")
+            raise ValueError(
+                f"table {table!r} predates schema tracking; rewrite it "
+                "once (compact) before ALTER TABLE"
+            )
+        if not _re.fullmatch(r"\w+", new):
+            raise ValueError(f"bad column name {new!r}")
+        logical = self.logical_schema(table).fieldNames()
+        if old not in logical:
+            raise ValueError(f"no column {old!r} on {table!r}")
+        cmap = self.colmap(table) or {"renames": {}, "dropped": []}
+        if new == old:
+            raise ValueError("RENAME COLUMN to the same name")
+        physical = self._phys_name(cmap, old)
+        if (
+            new in logical
+            # a foreign physical name would make later writes ambiguous
+            # (renaming BACK to the column's OWN physical name is fine —
+            # it just erases the mapping entry)
+            or (new in stored.fieldNames() and new != physical)
+            or new in cmap.get("dropped", [])
+        ):
+            raise ValueError(
+                f"column name {new!r} is already in use on {table!r} "
+                "(as a logical, physical, or dropped name)"
+            )
+        self._refuse_mapped_refs(table, old, "rename")
+
+        def mutate(m):
+            cm = m.setdefault("colmaps", {}).setdefault(
+                table, {"renames": {}, "dropped": []}
+            )
+            if new == physical:
+                cm["renames"].pop(physical, None)
+            else:
+                cm["renames"][physical] = new
+            if not cm["renames"] and not cm["dropped"]:
+                m["colmaps"].pop(table)
+            if not m.get("colmaps"):
+                m.pop("colmaps", None)
+
+        self._publish_meta(mutate, f"rename-column-{table}-{old}-{new}")
+
+    def drop_column(self, table: str, name: str) -> None:
+        """ALTER TABLE ... DROP COLUMN — one manifest commit, zero data
+        movement: the physical column stays in the files (old snapshots
+        still read it; vacuumed-horizon rewrites retire it) but every
+        logical surface projects it away. The name cannot be re-added
+        until a full rewrite retires the stale values."""
+        if self._pending is not None:
+            raise RuntimeError("drop_column inside an open transaction")
+        stored = self._stored_schema(table)
+        if stored is None:
+            if not self.exists(table):
+                raise FileNotFoundError(f"{table!r} not in manifest")
+            raise ValueError(
+                f"table {table!r} predates schema tracking; rewrite it "
+                "once (compact) before ALTER TABLE"
+            )
+        logical = self.logical_schema(table).fieldNames()
+        if name not in logical:
+            raise ValueError(f"no column {name!r} on {table!r}")
+        if len(logical) <= 1:
+            raise ValueError(f"cannot drop the last column of {table!r}")
+        self._refuse_mapped_refs(table, name, "drop")
+        cmap = self.colmap(table) or {"renames": {}, "dropped": []}
+        physical = self._phys_name(cmap, name)
+
+        def mutate(m):
+            cm = m.setdefault("colmaps", {}).setdefault(
+                table, {"renames": {}, "dropped": []}
+            )
+            cm["renames"].pop(physical, None)
+            cm["dropped"].append(physical)
+
+        self._publish_meta(mutate, f"drop-column-{table}-{name}")
+
     def view_spec(self, name: str) -> dict | None:
         """A materialized view's recorded spec (see
         :mod:`~gcp_datalake_pipeline_spark.operators.matview`), or None:
@@ -2033,6 +2390,10 @@ class TransactionalCatalog(Catalog):
             )
         if not cols:
             raise ValueError("bloom index needs at least one column")
+        # the index describes the FILES: record physical names (user
+        # args arrive logical; read/count translate predicates the
+        # same way, so probes keep lining up after renames)
+        cols = [self._phys_name(self.colmap(table), c) for c in cols]
         types = {f.name: f.dataType.simpleString() for f in stored.fields}
         columns: dict[str, str] = {}
         for c in cols:
@@ -2189,7 +2550,10 @@ class TransactionalCatalog(Catalog):
         chk = self._read_manifest(strict=False).get("checks", {}).get(table)
         if not chk:
             return
-        df = self.spark.read.parquet(stage_path)
+        # CHECK expressions speak logical names; staged files are physical
+        df = self._to_logical(
+            self.spark.read.parquet(stage_path), self.colmap(table)
+        )
         for name, expr in chk.items():
             bad = df.filter(self._violates(expr)).count()
             if bad:
@@ -2377,6 +2741,42 @@ class TransactionalCatalog(Catalog):
             )
         return out
 
+    def version_at(self, ts) -> int:
+        """The snapshot version current AS OF ``ts`` — the greatest
+        RETAINED version whose commit time is <= ts (Delta's
+        ``TIMESTAMP AS OF`` resolution). ``ts`` is a datetime, an ISO
+        string (naive = local time, like Delta), or unix seconds.
+        Raises when ts precedes the earliest retained snapshot (the
+        honest answer after vacuum — never silently the oldest) or
+        when no snapshot is old enough."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = None
+        earliest = None
+        for v in self.versions():
+            at = v.get("committed_at")
+            if at is None:
+                continue
+            if earliest is None or at < earliest:
+                earliest = at
+            # one-microsecond slack: datetime/ISO inputs truncate to
+            # micros while commit times carry full float precision — a
+            # user pasting a commit's own printed timestamp must hit it
+            if at <= ts + 1e-6 and (best is None or v["version"] > best):
+                best = v["version"]
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before timestamp {ts} "
+                f"(earliest retained commit: {earliest}); history before "
+                "the vacuum horizon is gone"
+            )
+        return best
+
     def _version_manifest(self, version: int) -> dict:
         vpath = os.path.join(self.root, _VERSIONS, f"{version}.json")
         try:
@@ -2412,12 +2812,14 @@ class TransactionalCatalog(Catalog):
 
             stored = T.StructType.fromJson(sj)
         dv = m.get("dvs", {}).get(table)
+        cmap = m.get("colmaps", {}).get(table)
         if predicates is None:
-            return self._read_dirs(paths, stored, dv=dv)
+            return self._to_logical(self._read_dirs(paths, stored, dv=dv), cmap)
         dnf = self._as_dnf(predicates)
-        return self._read_dirs_pruned(paths, stored, dnf, dv=dv).filter(
-            filestats.dnf_condition(dnf)
-        )
+        pdnf = self._phys_dnf(cmap, dnf)
+        return self._to_logical(
+            self._read_dirs_pruned(paths, stored, pdnf, dv=dv), cmap
+        ).filter(filestats.dnf_condition(dnf))
 
     # -- change data feed -----------------------------------------------------
     #
@@ -2550,14 +2952,27 @@ class TransactionalCatalog(Catalog):
                 f"{table!r} did not exist at any version in "
                 f"[{from_version}, {to_version}]"
             )
+        # consumers see the feed under the CURRENT logical names (the
+        # to_version snapshot's view; files stay physical underneath)
+        cmap = self._version_manifest(to_version).get("colmaps", {}).get(
+            table
+        )
         if not frames:
             base = (
                 T.StructType.fromJson(last_sj)
                 if last_sj is not None
                 else T.StructType()
             )
+            ren = (cmap or {}).get("renames", {})
+            dropped = set((cmap or {}).get("dropped", []))
             schema = T.StructType(
-                list(base.fields)
+                [
+                    T.StructField(
+                        ren.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in base.fields
+                    if f.name not in dropped
+                ]
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_commit_version", T.IntegerType()),
@@ -2567,6 +2982,7 @@ class TransactionalCatalog(Catalog):
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
+        out = self._to_logical(out, cmap)
         if key_cols is None:
             return out
         missing = [k for k in key_cols if k not in out.columns]
@@ -2785,6 +3201,8 @@ class TransactionalCatalog(Catalog):
             views=old.get("views", {}),
             streams=old.get("streams", {}),
             dvs=old.get("dvs", {}),
+            colmaps=old.get("colmaps", {}),
+            properties=old.get("properties", {}),
         )
 
     # -- maintenance --------------------------------------------------------
@@ -2846,6 +3264,14 @@ class TransactionalCatalog(Catalog):
             raise RuntimeError("cannot compact inside an open transaction")
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        # clustering specs are recorded in the files' PHYSICAL names
+        # (the sidecars they make selective are physical); user args
+        # arrive logical
+        cmap = self.colmap(table)
+        if cluster_by:
+            cluster_by = [self._phys_name(cmap, c) for c in cluster_by]
+        if zorder_by:
+            zorder_by = [self._phys_name(cmap, c) for c in zorder_by]
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
@@ -2863,10 +3289,16 @@ class TransactionalCatalog(Catalog):
         else:
             spec = self.layout(table)
         dv = self.dv_info(table)
-        if len(snapshot) < min_dirs and not explicit and not dv:
-            # pending vectors always force a fold: OPTIMIZE is how
-            # merge-on-read deletes materialize and the read-side
-            # anti-join retires
+        has_dropped = bool((cmap or {}).get("dropped"))
+        if (
+            len(snapshot) < min_dirs
+            and not explicit
+            and not dv
+            and not has_dropped
+        ):
+            # pending vectors (and retired-column cleanup) always force
+            # a fold: OPTIMIZE is how merge-on-read deletes materialize
+            # and how a dropped physical name becomes reusable
             return False
         total_bytes = 0
         for rel in snapshot:
@@ -2887,6 +3319,14 @@ class TransactionalCatalog(Catalog):
         # are subtracted here and retire at the commit (the rewritten
         # files carry fresh names, so the replace-prune clears the map)
         df = self._read_dirs(paths, self._stored_schema(table), dv=dv)
+        # a full rewrite is the one write that can RETIRE dropped
+        # physical columns: project them out of the new files and clear
+        # the dropped list at the commit (renames stay — files keep
+        # physical names). After this, the dropped name is reusable.
+        dropped = (cmap or {}).get("dropped", [])
+        dropped = [c for c in dropped if c in df.columns]
+        if dropped:
+            df = df.drop(*dropped)
         if spec is not None:
             missing = [c for c in spec["cols"] if c not in df.columns]
             if explicit and missing:
@@ -2913,6 +3353,11 @@ class TransactionalCatalog(Catalog):
                 # persist the clustering spec with the commit so every
                 # later plain compact AND every DML rewrite re-applies it
                 self._intents[table]["layout"] = spec
+            if has_dropped:
+                renames = (cmap or {}).get("renames", {})
+                self._intents[table]["colmap"] = (
+                    {"renames": renames, "dropped": []} if renames else None
+                )
         return True
 
     def clone_to(self, dst_root: str) -> "TransactionalCatalog":
@@ -2996,6 +3441,8 @@ class TransactionalCatalog(Catalog):
             # vectors ride the clone: basename identity survives both
             # the hardlink fast path and the cross-fs copy fallback
             dvs=manifest.get("dvs", {}),
+            colmaps=manifest.get("colmaps", {}),
+            properties=manifest.get("properties", {}),
         )
         return dst
 

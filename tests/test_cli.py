@@ -485,3 +485,39 @@ def test_prompt_rewrites_honor_backslash_escapes(spark, tmp_path):
     cat.overwrite(spark.range(3).toDF("k"), "t")
     s = "SELECT * FROM t WHERE note = 'it\\'s fine VERSION AS OF 2'"
     assert _rewrite_version_as_of(cat, s) == s
+
+
+def test_timestamp_as_of_resolution_and_prompt(spark, tmp_path):
+    """Delta's TIMESTAMP AS OF: version_at picks the greatest retained
+    commit at-or-before the timestamp (refusing pre-horizon asks), and
+    the SQL-prompt phrase serves that snapshot — quote-aware like the
+    VERSION AS OF rewrite it extends."""
+    import datetime
+
+    from gcp_datalake_pipeline_spark.cli import _rewrite_version_as_of
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.range(3).toDF("k"), "t")  # v1
+    t1 = cat.versions()[-1]["committed_at"]
+    cat.append(spark.range(3, 5).toDF("k"), "t")  # v2
+    t2 = cat.versions()[-1]["committed_at"]
+
+    assert cat.version_at(t1) == 1
+    assert cat.version_at((t1 + t2) / 2) == 1  # between commits -> earlier
+    assert cat.version_at(t2 + 60) == 2  # after the last -> current
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        cat.version_at(t1 - 60)  # before the earliest retained
+    # ISO strings and datetimes resolve too
+    iso = datetime.datetime.fromtimestamp(t1).isoformat()
+    assert cat.version_at(iso) == 1
+    assert cat.version_at(datetime.datetime.fromtimestamp(t2)) == 2
+
+    out = _rewrite_version_as_of(
+        cat, f"SELECT count(*) AS n FROM t TIMESTAMP AS OF '{iso}'"
+    )
+    assert "_asof_t_v1" in out
+    assert spark.sql(out).first()["n"] == 3
+    # inside a string literal the phrase is data, not syntax
+    s = "SELECT * FROM t WHERE note = 'x TIMESTAMP AS OF ''2020-01-01'''"
+    assert _rewrite_version_as_of(cat, s) == s

@@ -574,3 +574,42 @@ def test_mmr_exhausts_small_candidate_sets(spark):
     assert len(out) == 3
     assert sorted(r["vec_id"] for r in out) == [1, 2, 3]
     assert [r["sel_rank"] for r in out] == [1, 2, 3]
+
+
+def test_gopher_quality_rules_on_constructed_docs(spark):
+    """Each Gopher rule fires on a purpose-built document and passes on
+    a clean one; thresholds are integer-exact at their boundaries."""
+    from gcp_datalake_pipeline_spark.operators.text import gopher_quality
+
+    clean = (
+        "the cat sat with the dog and that was fine to see have been "
+        "good words here more text of prose " * 3
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                  # passes all
+            (2, "too short to count"),                   # word count
+            (3, "the " + "a " * 80 + "of that have with be to"),  # mean len < 3
+            (4, clean + " ##########" * 8),              # symbol ratio
+            (5, "\n".join("- bullet line" for _ in range(10)) + "\n"
+                + clean),                                # >90% bullets? 10/11 lines
+            (6, "\n".join(f"{clean[:20]}..." for _ in range(10))),  # ellipsis lines
+            (7, ("12345 " * 30) + "the of"),             # alpha ratio
+            (8, "words without any required stopword list items " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(docs, min_words=20).collect()
+    }
+    assert out[1]["pass_gopher"]
+    assert not out[2]["ok_word_count"]
+    assert not out[3]["ok_mean_word_len"]
+    assert not out[4]["ok_symbol_ratio"]
+    assert not out[5]["ok_bullet_lines"]
+    assert not out[6]["ok_ellipsis_lines"]
+    assert not out[7]["ok_alpha_words"]
+    assert not out[8]["ok_stopwords"]
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert not out[d]["pass_gopher"]

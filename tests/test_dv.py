@@ -286,3 +286,39 @@ def test_dv_on_bucketed_table_keeps_layout(tcat):
     assert got.count() == 70
     assert got.where("v < 0").count() == 10
     assert "_kb" in got.columns
+
+def test_tblproperties_route_sql_dml_through_vectors(tcat):
+    """dml.mode = merge-on-read makes the SQL façade's DELETE/UPDATE
+    vector-based (zero files rewritten) until UNSET returns the
+    copy-on-write default; unknown keys/values refuse loudly."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    _seed(tcat)
+    with pytest.raises(ValueError, match="unknown table property"):
+        tcat.set_table_property("t", "nope", "x")
+    with pytest.raises(ValueError, match="takes"):
+        tcat.set_table_property("t", "dml.mode", "warp-speed")
+    r = execute_dml(
+        tcat, "ALTER TABLE t SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')"
+    )
+    assert r == {"table": "t", "set_property": "dml.mode",
+                 "value": "merge-on-read"}
+    pre = _inodes(tcat, "t")
+    plan = execute_dml(tcat, "EXPLAIN DELETE FROM t WHERE g = 3")
+    assert plan["mode"] == "dv"
+    assert execute_dml(tcat, "DELETE FROM t WHERE g = 3") == {
+        "table": "t", "deleted": 10, "mode": "dv",
+    }
+    assert pre == _inodes(tcat, "t")  # no data file rewritten
+    assert execute_dml(tcat, "UPDATE t SET v = v + 1 WHERE g = 4")[
+        "mode"
+    ] == "dv"
+    assert pre <= _inodes(tcat, "t")  # originals intact, images appended
+    assert tcat.dv_count("t") == 20
+    # UNSET restores copy-on-write; property rides describe/clone paths
+    execute_dml(tcat, "ALTER TABLE t UNSET TBLPROPERTIES ('dml.mode')")
+    assert tcat.table_properties("t") == {}
+    assert execute_dml(tcat, "DELETE FROM t WHERE g = 5")["mode"] == "rewrite"
+    assert tcat.read("t").count() == 80
+    with pytest.raises(KeyError):
+        tcat.unset_table_property("t", "dml.mode")

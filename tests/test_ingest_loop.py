@@ -1179,8 +1179,11 @@ def test_streaming_loop_refreshes_materialized_views(spark, tmp_path):
     # seed round 1 so the view's source table exists, then register the
     # view and stream the remaining files with auto-refresh
     corpus.dedup_ingest_batch(cat, _batches(docs, "doc_id")[0])
+    # grouped by the SOURCE's bucket id: the view itself must opt out
+    # of its own _kb layout (the names would collide)
     create_materialized_view(
-        cat, "docs_by_bucket", "corpus_docs", ["_kb"], {}, "n_docs"
+        cat, "docs_by_bucket", "corpus_docs", ["_kb"], {}, "n_docs",
+        num_buckets=None,
     )
     import os
 

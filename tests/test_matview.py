@@ -405,10 +405,34 @@ def test_view_column_named_kb_refused(spark, tcat):
     tcat.overwrite(
         _fact(spark, 0, 8).withColumnRenamed("g", "_kb"), "fact2"
     )
-    with pytest.raises(ValueError, match="reserved bucket-layout"):
+    # a BUCKETED view grouped by the source's _kb would reuse the
+    # layout column for two meanings — refused with the exit named
+    with pytest.raises(ValueError, match="num_buckets=None"):
         create_materialized_view(
             tcat, "v2", "fact2", ["_kb"], {"total": "amt"}, "n"
         )
+    # an _kb OUTPUT column is refused outright
+    with pytest.raises(ValueError, match="reserved bucket-layout"):
+        create_materialized_view(
+            tcat, "v2", "fact2", ["amt"], {"_kb": "amt"}, "n",
+            num_buckets=None,
+        )
+    # unbucketed, the per-source-bucket dashboard is legitimate
+    create_materialized_view(
+        tcat, "v2", "fact2", ["_kb"], {"total": "amt"}, "n",
+        num_buckets=None,
+    )
+    got = {
+        (r["_kb"], r["n"]) for r in tcat.read("v2").collect()
+    }
+    want = {
+        (r["_kb"], r["n"])
+        for r in tcat.read("fact2")
+        .groupBy("_kb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
 
 
 # -- MIN/MAX under insert-only sources (r11) ----------------------------------
