@@ -397,18 +397,15 @@ class TransactionalCatalog(Catalog):
             if not kept:
                 continue
             if len(kept) == len(all_files):
-                parts.append(self._read_dirs([d], stored, dv=dv))
+                # dirs arrive one at a time here, so _read_dirs takes
+                # its single-scan branch and the annotation can attach
+                # post-hoc — the vectors strip ONCE after the union
+                parts.append(ann(self._read_dirs([d], stored)))
                 continue
             r = self.spark.read.option("basePath", d)
             if stored is not None:
                 r = r.schema(stored)
-            parts.append(
-                self._dv_strip(
-                    ann(r.parquet(*(os.path.join(d, f) for f in kept))), dv
-                )
-                if dv
-                else r.parquet(*(os.path.join(d, f) for f in kept))
-            )
+            parts.append(ann(r.parquet(*(os.path.join(d, f) for f in kept))))
         if not parts:
             # every file provably mismatches: an empty relation with the
             # committed schema (falling back to a false-filtered full
@@ -421,7 +418,7 @@ class TransactionalCatalog(Catalog):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return self._dv_strip(out, dv) if dv else out
 
     def pruned_files(
         self, table: str, predicates, version: int | None = None
@@ -1310,14 +1307,12 @@ class TransactionalCatalog(Catalog):
                 if stored is not None:
                     r = r.schema(stored)
                 part = r.parquet(*(os.path.join(d, f) for f in fs))
-                parts.append(
-                    self._dv_strip(self._dv_annotate(part), dv)
-                    if dv
-                    else part
-                )
+                parts.append(self._dv_annotate(part) if dv else part)
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
+            if dv:
+                df = self._dv_strip(df, dv)  # one anti-join for all dirs
             total += df.filter(filestats.dnf_condition(dnf)).count()
         return total
 
@@ -1392,14 +1387,12 @@ class TransactionalCatalog(Catalog):
                 if stored is not None:
                     r = r.schema(stored)
                 part = r.parquet(*(os.path.join(d, f) for f in fs))
-                parts.append(
-                    self._dv_strip(self._dv_annotate(part), dv)
-                    if dv
-                    else part
-                )
+                parts.append(self._dv_annotate(part) if dv else part)
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
+            if dv:
+                df = self._dv_strip(df, dv)  # one anti-join for all dirs
             row = df.agg(
                 F.min(col).alias("mn"), F.max(col).alias("mx")
             ).first()
@@ -1609,12 +1602,12 @@ class TransactionalCatalog(Catalog):
             # rewritten candidate files materialize their deletes (and
             # the replace-commit prunes their vector entries); carried
             # files keep their names, so their vectors survive intact
-            parts.append(
-                self._dv_strip(self._dv_annotate(part), dv) if dv else part
-            )
+            parts.append(self._dv_annotate(part) if dv else part)
         cand_df = parts[0]
         for p in parts[1:]:
             cand_df = cand_df.unionByName(p, allowMissingColumns=True)
+        if dv:
+            cand_df = self._dv_strip(cand_df, dv)  # one anti-join total
         # the transform (and the user's SET expressions) see LOGICAL
         # names; the staged rewrite translates back to physical below
         cand_df = self._to_logical(cand_df, cmap)

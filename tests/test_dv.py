@@ -318,7 +318,10 @@ def test_tblproperties_route_sql_dml_through_vectors(tcat):
     # UNSET restores copy-on-write; property rides describe/clone paths
     execute_dml(tcat, "ALTER TABLE t UNSET TBLPROPERTIES ('dml.mode')")
     assert tcat.table_properties("t") == {}
-    assert execute_dml(tcat, "DELETE FROM t WHERE g = 5")["mode"] == "rewrite"
+    # back to copy-on-write: the default result stays terse (no mode key)
+    assert execute_dml(tcat, "DELETE FROM t WHERE g = 5") == {
+        "table": "t", "deleted": 10,
+    }
     assert tcat.read("t").count() == 80
     with pytest.raises(KeyError):
         tcat.unset_table_property("t", "dml.mode")
