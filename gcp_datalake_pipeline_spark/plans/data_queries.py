@@ -1377,3 +1377,26 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality(
         load_table(spark, sf_dir, "documents"), min_words=40
     ).orderBy("doc_id")
+
+
+@register(
+    "bpe_train_merges",
+    None,  # iterative argmax has no single-statement SQL oracle;
+    # the merge sequence is pinned EXACTLY against a pure-Python
+    # reference implementation in tests/test_curation.py
+    doc="""BPE tokenizer-merge training (Sennrich et al. 2016) over the
+    documents corpus: ONE corpus scan builds the word-frequency
+    dictionary, then each merge round is one aggregation over that
+    dictionary (explode adjacent symbol pairs weighted by word count,
+    take the max with a lexicographic tie-break, fold the winner into
+    every word with a higher-order aggregate — no UDF, no corpus
+    re-scan). Deterministic: the merge table is a pure function of the
+    corpus, pinned rank-for-rank against a pure-Python reference in
+    pytest. Returns (rank, left, right, merged, pair_count).""",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators import bpe
+
+    return bpe.bpe_train_df(
+        load_table(spark, sf_dir, "documents"), n_merges=16
+    ).orderBy("rank")

@@ -613,3 +613,78 @@ def test_gopher_quality_rules_on_constructed_docs(spark):
     assert not out[8]["ok_stopwords"]
     for d in (2, 3, 4, 5, 6, 7, 8):
         assert not out[d]["pass_gopher"]
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Pure-Python reference BPE trainer (Sennrich et al. 2016): word
+    frequency dict, per-round pair counts, max with lexicographic
+    tie-break, left-to-right non-overlapping merge."""
+    import collections
+
+    wc = collections.Counter(w for t in texts for w in t.lower().split())
+    words = {tuple(list(w) + ["▁"]): c for w, c in wc.items()}
+    out = []
+    for rank in range(n_merges):
+        pc = collections.Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        if c < min_count:
+            break
+        out.append((rank, a, b, a + b, c))
+        neww = {}
+        for syms, cnt in words.items():
+            res = []
+            for x in syms:
+                if res and res[-1] == a and x == b:
+                    res[-1] = a + b
+                else:
+                    res.append(x)
+            neww[tuple(res)] = neww.get(tuple(res), 0) + cnt
+        words = neww
+    return out
+
+
+def test_bpe_train_matches_reference_exactly(spark):
+    """The distributed trainer reproduces the reference merge sequence
+    rank-for-rank — including counts — on a corpus with overlapping
+    subwords, and the encoder's piece counts follow the merges."""
+    from gcp_datalake_pipeline_spark.operators import bpe
+
+    rows = [(1, "low lower lowest low low"),
+            (2, "new newer newest new lower")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in bpe.bpe_train(docs, n_merges=10)
+    ]
+    assert got == _ref_bpe([t for _i, t in rows], 10)
+    # encode: 'low'+END merged => 'low' is 2 pieces; unmerged words more
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(docs, bpe.bpe_train(
+        docs, n_merges=10)).collect()}
+    assert enc[1]["n_pieces"] < sum(len(w) + 1 for w in rows[0][1].split())
+    # min_pair_count floor: a huge floor stops training immediately
+    assert bpe.bpe_train(docs, n_merges=5, min_pair_count=10**9) == []
+
+
+def test_bpe_train_matches_reference_on_real_docs(spark):
+    """Same pin on a real documents sample — the corpus the registry
+    query trains on (rows-only entry; this test is its oracle)."""
+    from gcp_datalake_pipeline_spark.operators import bpe
+
+    real = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+        .cache()
+    )
+    texts = [r["text"] for r in real.collect()]
+    got = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in bpe.bpe_train(real, n_merges=12)
+    ]
+    assert got == _ref_bpe(texts, 12)
+    assert len(got) == 12
