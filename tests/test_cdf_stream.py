@@ -638,3 +638,24 @@ def test_bucketed_source_feed_kb_is_physical_not_data(spark, tcat):
         (2, "B", True),
         (3, "c", False),
     }
+
+
+def test_replica_tracks_merge_on_read_source_dml(spark, tcat):
+    """Composition: DELETE/UPDATE executed as deletion vectors on the
+    SOURCE (zero source files rewritten) still flow through the change
+    feed and fold into the replica — the consumer cannot tell (and
+    must not care) which write mode the producer used."""
+    _bootstrap(spark, tcat)
+    tcat.delete_where("src", [("k", "<", 3)], mode="dv")
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] == 3  # three delete rows folded
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+    tcat.update_where("src", [("g", "=", 2)], {"amt": "amt * 10"}, mode="dv")
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert out["applied"] > 0
+    assert _rows(tcat, "replica") == _rows(tcat, "src")
+    # the source folds its vectors later; the pump sees a compaction
+    # window (net row change zero) and applies nothing new
+    assert tcat.compact("src", min_dirs=1)
+    out = pump_table_changes(tcat, "src", "rep", _replica_apply(tcat))
+    assert _rows(tcat, "replica") == _rows(tcat, "src")

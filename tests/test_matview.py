@@ -524,3 +524,31 @@ def test_minmax_without_insert_only_refuses_at_create(spark, tcat):
             tcat, "v", "fact", ["g"], {"x": "amt"}, "n",
             mins={"x": "amt"}, insert_only=True,
         )
+
+
+def test_refresh_folds_merge_on_read_source_dml(spark, tcat):
+    """Composition: vector-mode DELETE/UPDATE on the source feed the
+    refresh as signed partials exactly like copy-on-write DML —
+    refresh == full recompute, and a group whose rows all vector-delete
+    vanishes."""
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n", num_buckets=4
+    )
+    tcat.delete_where("fact", [("g", "=", 1)], mode="dv")
+    tcat.update_where("fact", [("g", "=", 2)], {"amt": "amt + 5"}, mode="dv")
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] > 0
+    got = sorted(
+        (r["g"], r["total"], r["n"])
+        for r in tcat.read("v").drop("_kb").collect()
+    )
+    want = sorted(
+        (r["g"], r["total"], r["n"])
+        for r in tcat.read("fact")
+        .groupBy("g")
+        .agg(F.sum("amt").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want
+    assert not any(g == 1 for g, _t, _n in got)  # group fully deleted
