@@ -2310,6 +2310,20 @@ class TransactionalCatalog(Catalog):
         self._refuse_mapped_refs(table, name, "drop")
         cmap = self.colmap(table) or {"renames": {}, "dropped": []}
         physical = self._phys_name(cmap, name)
+        # a Hive partition column IS the directory layout: dropping it
+        # would strand later rewrites (partitionBy over a projected-away
+        # column) — re-layout the table first
+        for d in self._data_dirs(table):
+            for f in self._dir_parquet_files(d):
+                if any(
+                    seg.partition("=")[0] == physical
+                    for seg in f.split(os.sep)[:-1]
+                ):
+                    raise ValueError(
+                        f"cannot drop {name!r}: it is a partition column "
+                        f"of {table!r}'s layout; compact to a new layout "
+                        "first"
+                    )
 
         def mutate(m):
             cm = m.setdefault("colmaps", {}).setdefault(

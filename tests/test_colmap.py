@@ -247,3 +247,22 @@ def test_rename_interops_with_deletion_vectors(tcat):
     assert tcat.dv_info("t") is None
     assert tcat.read("t").count() == 98
     assert tcat.read("t").columns == ["k", "g", "val"]
+
+def test_drop_partition_column_refused(tcat):
+    """Dropping a Hive partition column would strand later rewrites
+    (partitionBy over a projected-away column) — refused with the
+    re-layout exit; renaming one is fine (files keep physical dirs)."""
+    df = tcat.spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    tcat.overwrite(df, "pt", partition_cols=["p"])
+    with pytest.raises(ValueError, match="partition column"):
+        tcat.drop_column("pt", "p")
+    tcat.rename_column("pt", "p", "part_id")
+    assert set(tcat.read("pt").columns) == {"k", "part_id", "v"}
+    # cow DML still rewrites faithfully under the renamed partition col
+    assert tcat.delete_where("pt", [("part_id", "=", 1)]) == 10
+    got = tcat.read("pt")
+    assert got.count() == 30 and got.where("part_id = 1").count() == 0
