@@ -38,6 +38,8 @@ statement):
     ALTER TABLE <table> DROP CONSTRAINT <name>
     ALTER TABLE <table> SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')
     ALTER TABLE <table> UNSET TBLPROPERTIES ('dml.mode')
+    DESCRIBE HISTORY <table>
+    RESTORE TABLE <table> TO VERSION AS OF <n>
     TRUNCATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
     OPTIMIZE <table> [CLUSTER BY (cols) | ZORDER BY (cols)]
@@ -1129,6 +1131,21 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         catalog.unset_table_property(m.group(1), m.group(2))
         return {"table": m.group(1), "unset_property": m.group(2)}
+    m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(\w+)", s, re.I)
+    if m:
+        return {"table": m.group(1), "history": catalog.history(m.group(1))}
+    m = re.fullmatch(
+        r"RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
+        s,
+        re.I,
+    )
+    if m:
+        catalog.restore_table(m.group(1), int(m.group(2)))
+        return {
+            "table": m.group(1),
+            "restored_to": int(m.group(2)),
+            "rows": catalog.count_rows(m.group(1)),
+        }
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)",
         s,
@@ -1210,7 +1227,8 @@ def execute_dml(catalog, sql: str) -> dict | None:
         r"|CREATE\s+TABLE\b|DROP\s+TABLE\b|TRUNCATE\b|ALTER\s+TABLE\b"
         r"|CREATE\s+BLOOMFILTER\b|DROP\s+BLOOMFILTER\b"
         r"|CREATE\s+MATERIALIZED\b|REFRESH\s+MATERIALIZED\b"
-        r"|DROP\s+MATERIALIZED\b",
+        r"|DROP\s+MATERIALIZED\b|DESCRIBE\s+HISTORY\b"
+        r"|RESTORE\s+TABLE\b",
         s,
         re.I,
     ):

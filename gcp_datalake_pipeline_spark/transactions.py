@@ -2748,6 +2748,44 @@ class TransactionalCatalog(Catalog):
             )
         return out
 
+    def history(self, table: str) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY``: the retained commits that
+        CHANGED ``table`` — its dir list, schema, checks, layout,
+        bloom config, vectors, column mapping, or properties — oldest
+        first, each with version / load_id (the operation tag every
+        engine write stamps: ``dv-delete-t``, ``compact-t``, ...) /
+        committed_at. Pure manifest walk over the retained window;
+        vacuumed history is gone (the honest answer)."""
+        if not self.exists(table):
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        out: list[dict] = []
+        prev = None
+        for v in self.versions():
+            vm = self._version_manifest(v["version"])
+            if table not in vm["tables"]:
+                prev = None
+                continue
+            snap = (
+                vm["tables"].get(table),
+                vm.get("schemas", {}).get(table),
+                vm.get("checks", {}).get(table),
+                vm.get("layouts", {}).get(table),
+                vm.get("blooms", {}).get(table),
+                vm.get("dvs", {}).get(table),
+                vm.get("colmaps", {}).get(table),
+                vm.get("properties", {}).get(table),
+            )
+            if snap != prev:
+                out.append(
+                    {
+                        "version": v["version"],
+                        "operation": v.get("load_id"),
+                        "committed_at": v.get("committed_at"),
+                    }
+                )
+            prev = snap
+        return out
+
     def version_at(self, ts) -> int:
         """The snapshot version current AS OF ``ts`` — the greatest
         RETAINED version whose commit time is <= ts (Delta's

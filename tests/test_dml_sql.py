@@ -1066,3 +1066,28 @@ def test_clustered_by_ctas_and_refusals(spark, tmp_path):
             "CREATE TABLE u (k BIGINT, _kb INT) "
             "CLUSTERED BY (k) INTO 4 BUCKETS",
         )
+
+
+def test_describe_history_and_restore_table_sql(spark, tmp_path):
+    """DESCRIBE HISTORY lists exactly the commits that changed the
+    table (operation-tagged load ids); RESTORE TABLE ... TO VERSION AS
+    OF rolls one table back as a new commit."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.range(5).toDF("k"), "t")          # v1
+    cat.overwrite(spark.range(3).toDF("x"), "other")      # v2: not t
+    cat.delete_where("t", [("k", "=", 1)], mode="dv")     # v3
+    cat.rename_column("t", "k", "pk")                     # v4
+    out = execute_dml(cat, "DESCRIBE HISTORY t")
+    versions = [h["version"] for h in out["history"]]
+    assert versions == [1, 3, 4]  # v2 touched only the other table
+    ops = [h["operation"] for h in out["history"]]
+    assert any("dv-delete-t" in o for o in ops)
+    assert any("rename-column-t" in o for o in ops)
+    out = execute_dml(cat, "RESTORE TABLE t TO VERSION AS OF 1")
+    assert out == {"table": "t", "restored_to": 1, "rows": 5}
+    assert cat.read("t").columns == ["k"]  # rename + vector rolled back
+    # the restore itself is a new history entry
+    hist = execute_dml(cat, "DESCRIBE HISTORY t")["history"]
+    assert hist[-1]["version"] == cat.versions()[-1]["version"]
+    with pytest.raises(FileNotFoundError):
+        execute_dml(cat, "DESCRIBE HISTORY nope")
