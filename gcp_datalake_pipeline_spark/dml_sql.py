@@ -33,6 +33,7 @@ statement):
         [CLUSTERED BY (keys) INTO n BUCKETS] AS SELECT ...
     ALTER TABLE <table> ADD COLUMN <name> <ddl-type>
     ALTER TABLE <table> RENAME COLUMN <old> TO <new>   -- metadata-only
+    ALTER TABLE <table> RENAME TO <new-table>          -- metadata-only
     ALTER TABLE <table> DROP COLUMN <name>             -- metadata-only
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
     ALTER TABLE <table> DROP CONSTRAINT <name>
@@ -1131,6 +1132,12 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         catalog.unset_table_property(m.group(1), m.group(2))
         return {"table": m.group(1), "unset_property": m.group(2)}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)", s, re.I
+    )
+    if m:
+        catalog.rename_table(m.group(1), m.group(2))
+        return {"table": m.group(1), "renamed_to": m.group(2)}
     m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(\w+)", s, re.I)
     if m:
         return {"table": m.group(1), "history": catalog.history(m.group(1))}

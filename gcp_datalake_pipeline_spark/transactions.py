@@ -1238,6 +1238,9 @@ class TransactionalCatalog(Catalog):
             m.get("properties", {}).pop(table, None)
             if not m.get("properties"):
                 m.pop("properties", None)
+            m.get("renamed", {}).pop(table, None)
+            if not m.get("renamed"):
+                m.pop("renamed", None)
 
         self._publish_meta(mutate, f"drop-{table}")
         try:
@@ -2786,6 +2789,78 @@ class TransactionalCatalog(Catalog):
             prev = snap
         return out
 
+    def rename_table(self, old: str, new: str) -> None:
+        """``ALTER TABLE ... RENAME TO`` — one manifest commit, zero
+        data movement: every per-table manifest record (dirs, schema,
+        checks, layout, blooms, vectors, column mapping, properties)
+        moves to the new name; the bucket sidecar follows after the
+        swap (a crash between the two leaves the bucketed-path
+        machinery refusing loudly, never silently mis-bucketing).
+
+        Identity boundaries, stated honestly: retained snapshots keep
+        the OLD name (``read_at``/restore see history as it was), and
+        a ``table_changes`` window that CROSSES the rename RAISES —
+        the manifest records ``renamed[new] = old`` at the rename
+        commit, and a name-keyed feed cannot silently bridge an
+        identity change (re-register consumers on the new name).
+        Renaming is refused while a materialized view or change-feed
+        consumer references the table (their specs are name-keyed)."""
+        import re as _re
+
+        if self._pending is not None:
+            raise RuntimeError("rename_table inside an open transaction")
+        if not self.exists(old):
+            raise FileNotFoundError(f"{old!r} not in manifest")
+        if not _re.fullmatch(r"\w+", new):
+            raise ValueError(f"bad table name {new!r}")
+        if new == old:
+            raise ValueError("RENAME TO the same name")
+        if self.exists(new):
+            raise ValueError(f"table {new!r} already exists")
+        m0 = self._read_manifest(strict=False)
+        if old in m0.get("views", {}) or new in m0.get("views", {}):
+            raise ValueError(
+                "cannot rename a materialized view; drop and recreate it"
+            )
+        for vname, spec in m0.get("views", {}).items():
+            if spec.get("source") == old:
+                raise ValueError(
+                    f"cannot rename {old!r}: materialized view {vname!r} "
+                    "sources it; drop the view first"
+                )
+        for cname, wm in m0.get("streams", {}).items():
+            if wm.get("source") == old:
+                raise ValueError(
+                    f"cannot rename {old!r}: change-feed consumer "
+                    f"{cname!r} follows it; drop the consumer first"
+                )
+
+        def mutate(m):
+            if new in m["tables"]:
+                raise ConcurrentWriteError(
+                    f"table {new!r} was created by another writer"
+                )
+            for key in (
+                "tables", "schemas", "checks", "layouts", "blooms",
+                "dvs", "colmaps", "properties",
+            ):
+                sub = m.get(key)
+                if sub and old in sub:
+                    sub[new] = sub.pop(old)
+            moved = m.get("moved")
+            if moved is not None:
+                moved.pop(old, None)
+            # the feed boundary marker _diff_pair refuses across
+            m.setdefault("renamed", {})[new] = old
+
+        self._publish_meta(mutate, f"rename-table-{old}-{new}")
+        # sidecar follows the committed swap: a crash here leaves the
+        # bucketed paths REFUSING on the missing sidecar (loud), and
+        # the stale old-name sidecar is removed like drop_table does
+        src = self._bucket_meta_path(old)
+        if os.path.exists(src):
+            os.replace(src, self._bucket_meta_path(new))
+
     def version_at(self, ts) -> int:
         """The snapshot version current AS OF ``ts`` — the greatest
         RETAINED version whose commit time is <= ts (Delta's
@@ -3077,6 +3152,16 @@ class TransactionalCatalog(Catalog):
 
         old_vm = self._version_manifest(v - 1)
         new_vm = self._version_manifest(v)
+        if new_vm.get("renamed", {}).get(table) != old_vm.get(
+            "renamed", {}
+        ).get(table):
+            # a name-keyed feed cannot bridge an identity change: the
+            # pre-rename files would read as one giant spurious insert
+            raise ValueError(
+                f"table_changes({table!r}): commit {v} renamed the table "
+                f"(from {new_vm['renamed'][table]!r}); start the window "
+                "at or after the rename, or re-register the consumer"
+            )
         old_rels = old_vm["tables"].get(table) or []
         new_rels = new_vm["tables"].get(table) or []
         old_dv = old_vm.get("dvs", {}).get(table)

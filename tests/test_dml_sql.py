@@ -1091,3 +1091,67 @@ def test_describe_history_and_restore_table_sql(spark, tmp_path):
     assert hist[-1]["version"] == cat.versions()[-1]["version"]
     with pytest.raises(FileNotFoundError):
         execute_dml(cat, "DESCRIBE HISTORY nope")
+
+
+def test_rename_table_sql(spark, tmp_path):
+    """ALTER TABLE ... RENAME TO: one metadata commit moves every
+    per-table record (schema, checks, layout, vectors, mapping,
+    properties, bucket sidecar) — zero data movement; history keeps the
+    old name; a feed window crossing the rename RAISES instead of
+    fabricating inserts; views/consumers on the table refuse."""
+    import os
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite_bucketed(
+        spark.range(20).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ),
+        "t", 4, ["k"],
+    )
+    cat.add_check("t", "v_ok", "v >= 0")
+    cat.set_table_property("t", "dml.mode", "merge-on-read")
+    cat.delete_where("t", [("k", "=", 3)], mode="dv")
+    v_pre = cat.versions()[-1]["version"]
+    inodes = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    out = execute_dml(cat, "ALTER TABLE t RENAME TO t2")
+    assert out == {"table": "t", "renamed_to": "t2"}
+    assert not cat.exists("t") and cat.exists("t2")
+    assert {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t2")
+        for f in cat._dir_parquet_files(d)
+    } == inodes
+    assert cat.read("t2").count() == 19  # the vector followed
+    assert cat.checks("t2") == {"v_ok": "v >= 0"}
+    assert cat.table_properties("t2") == {"dml.mode": "merge-on-read"}
+    assert cat.bucket_meta("t2") == {"num_buckets": 4, "key_cols": ["k"]}
+    # bucketed merge still bounded under the new name
+    from gcp_datalake_pipeline_spark.storage import kb_col  # noqa: F401
+
+    cat.merge_upsert_bucketed(
+        spark.createDataFrame([(1, 99.0)], "k long, v double"),
+        "t2", ["k"], 4, audit_cols=False,
+    )
+    assert cat.read("t2").where("k = 1").first()["v"] == 99.0
+    # history as it was: the old name still time-travels
+    assert cat.read_at("t", v_pre).count() == 19
+    # a feed crossing the rename refuses loudly
+    with pytest.raises(ValueError, match="renamed the table"):
+        cat.table_changes("t2", v_pre).count()
+    # ...but a post-rename window works
+    v_now = cat.versions()[-1]["version"]
+    cat.delete_where("t2", [("k", "=", 5)])
+    assert cat.table_changes("t2", v_now).count() == 1
+    # collisions and dependency guards
+    cat.overwrite(spark.range(3).toDF("x"), "other")
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(cat, "ALTER TABLE t2 RENAME TO other")
+    from gcp_datalake_pipeline_spark.streaming.cdf import pump_table_changes
+
+    pump_table_changes(cat, "t2", "cons")
+    with pytest.raises(ValueError, match="change-feed consumer"):
+        cat.rename_table("t2", "t3")
