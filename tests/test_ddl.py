@@ -193,7 +193,12 @@ def test_alter_table_add_column_is_metadata_only(spark, tcat):
     with pytest.raises(ValueError, match="bad ADD COLUMN type"):
         execute_dml(tcat, "ALTER TABLE t ADD COLUMN x WIBBLE")
     with pytest.raises(ValueError, match="unsupported DML shape"):
-        execute_dml(tcat, "ALTER TABLE t RENAME TO u")
+        execute_dml(tcat, "ALTER TABLE t SET LOCATION '/elsewhere'")
+    # RENAME TO graduated from refusal to support in r11
+    assert execute_dml(tcat, "ALTER TABLE t RENAME TO u") == {
+        "table": "t", "renamed_to": "u",
+    }
+    assert tcat.read("u").filter(F.col("score") == 9.5).count() == 1
 
 
 def test_alter_table_constraint_lifecycle(spark, tcat):
