@@ -43,7 +43,8 @@ statement):
     RESTORE TABLE <table> TO VERSION AS OF <n>
     TRUNCATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
-    OPTIMIZE <table> [CLUSTER BY (cols) | ZORDER BY (cols)]
+    OPTIMIZE <table> [CLUSTER BY (cols) | ZORDER BY (cols)
+                      | WHERE _kb = n | WHERE _kb IN (n, ...)]
     CREATE BLOOMFILTER INDEX ON TABLE <table> FOR COLUMNS (cols)
         [OPTIONS (bits_per_row = <n>)]
     DROP BLOOMFILTER INDEX ON TABLE <table>
@@ -1169,12 +1170,44 @@ def execute_dml(catalog, sql: str) -> dict | None:
         return {"table": m.group(1), "dropped_check": m.group(2)}
     m = re.fullmatch(
         r"OPTIMIZE\s+(\w+)"
-        r"(?:\s+CLUSTER\s+BY\s*\(([^)]+)\)|\s+ZORDER\s+BY\s*\(([^)]+)\))?",
+        r"(?:\s+CLUSTER\s+BY\s*\(([^)]+)\)|\s+ZORDER\s+BY\s*\(([^)]+)\)"
+        r"|\s+WHERE\s+(.+))?",
         s,
-        re.I,
+        re.I | re.S,
     )
     if m:
         table = m.group(1)
+        if m.group(4):
+            # partial OPTIMIZE (Delta's partition-predicate form): the
+            # predicate must name ONLY the _kb bucket column — that is
+            # the table's physical partitioning, the unit a bounded
+            # rewrite can honor
+            parsed = parse_where(m.group(4))
+            conjs = (
+                parsed
+                if parsed and isinstance(parsed[0], list)
+                else [parsed]
+            )
+            buckets: set[int] = set()
+            for col, op, *val in (p for conj in conjs for p in conj):
+                if col != "_kb" or op not in ("=", "in"):
+                    raise ValueError(
+                        "OPTIMIZE ... WHERE takes only _kb = n or _kb "
+                        f"IN (...) (got {col!r} {op!r}); {_GRAMMAR}"
+                    )
+                vals = val[0] if op == "in" else [val[0]]
+                if not all(isinstance(v, int) for v in vals):
+                    raise ValueError(
+                        f"OPTIMIZE ... WHERE _kb takes integer bucket "
+                        f"ids, got {vals!r}; {_GRAMMAR}"
+                    )
+                buckets.update(vals)
+            done = catalog.compact_buckets(table, sorted(buckets))
+            return {
+                "table": table,
+                "optimized": done,
+                "buckets": sorted(buckets),
+            }
         cluster = (
             [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
         )

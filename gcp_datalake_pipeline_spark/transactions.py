@@ -3337,6 +3337,110 @@ class TransactionalCatalog(Catalog):
 
     # -- maintenance --------------------------------------------------------
 
+    def compact_buckets(
+        self,
+        table: str,
+        buckets: list[int],
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> bool:
+        """PARTIAL OPTIMIZE for ``_kb``-bucketed tables (Delta's
+        ``OPTIMIZE ... WHERE <partition predicate>``): fold ONLY the
+        named buckets' files — across every appended dir — into
+        size-targeted files, and hardlink-carry every other bucket's
+        files into the new snapshot untouched. At 100 TB a table
+        cannot afford whole-table OPTIMIZE after every CDC window;
+        this is the bounded form: rewrite cost is O(named buckets),
+        and the named buckets' pending deletion vectors fold while
+        the carried buckets keep theirs (a PARTIAL vector fold —
+        the name-keyed prune retires exactly the rewritten files'
+        entries). Stats/bloom sidecar entries for carried files
+        reuse verbatim (zero footer re-reads). Returns False when
+        the named buckets hold no files (nothing published).
+
+        Checks are NOT re-enforced: a compaction is row-preserving
+        by construction, and validating the hardlink-carried bulk
+        would cost O(table) — the write-time gates already vetted
+        every row when it first landed."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "compact_buckets inside an open transaction"
+            )
+        meta = self.bucket_meta(table)
+        if meta is None:
+            raise ValueError(
+                f"compact_buckets: {table!r} has no _kb bucket layout; "
+                "use compact() or overwrite_bucketed first"
+            )
+        buckets = sorted({int(b) for b in buckets})
+        bad = [b for b in buckets if not 0 <= b < meta["num_buckets"]]
+        if bad:
+            raise ValueError(
+                f"bucket id(s) {bad} outside [0, {meta['num_buckets']})"
+            )
+        snapshot = self._committed_rels(table)
+        if snapshot is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        from pyspark.sql import functions as F
+
+        touched_parts = {f"_kb={b}" for b in buckets}
+        # split every dir's files into fold vs carry, driver-side
+        carry: list[tuple[str, str, dict | None, dict | None]] = []
+        total_bytes = 0
+        n_touched = 0
+        for rel_dir in snapshot:
+            d = os.path.join(self.root, rel_dir)
+            stats = (filestats.read_dir_stats(d) or {}).get("files", {})
+            bstats = (blooms.read_dir_blooms(d) or {}).get("files", {})
+            for f in self._dir_parquet_files(d):
+                part = next(
+                    (s for s in f.split(os.sep) if s.startswith("_kb=")),
+                    None,
+                )
+                if part in touched_parts:
+                    n_touched += 1
+                    total_bytes += os.path.getsize(os.path.join(d, f))
+                else:
+                    carry.append((d, f, stats.get(f), bstats.get(f)))
+        if n_touched == 0:
+            return False
+        stored = self._stored_schema(table)
+        dv = self.dv_info(table)
+        sub = self._read_dirs(
+            [os.path.join(self.root, r) for r in snapshot], stored, dv=dv
+        ).where(F.col("_kb").isin(buckets))
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        spec = self.layout(table)
+        if spec is not None and all(
+            c in sub.columns for c in spec["cols"]
+        ):
+            sub = self._apply_layout(sub, spec, n_files)
+        else:
+            sub = sub.repartition(n_files, "_kb")
+        with self.transaction(f"compact-buckets-{table}"):
+            rel = self._stage_dir(table)
+            stage = os.path.join(self.root, rel)
+            sub.write.mode("overwrite").partitionBy("_kb").parquet(stage)
+            reuse: dict = {}
+            bloom_reuse: dict = {}
+            for d, f, entry, bentry in carry:
+                dst = os.path.join(stage, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(d, f), dst)
+                if entry is not None:
+                    reuse[f] = {
+                        k: v for k, v in entry.items() if k != "bloom"
+                    }
+                if bentry is not None:
+                    bloom_reuse[f] = bentry
+            self._write_stage_stats(
+                rel, reuse=reuse or None, table=table,
+                bloom_reuse=bloom_reuse or None,
+            )
+            self._pending[table] = [rel]
+            self._note_replace(table, rel, schema=stored)
+            self._intents[table]["base"] = snapshot
+        return True
+
     def compact(
         self,
         table: str,

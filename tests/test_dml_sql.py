@@ -1155,3 +1155,89 @@ def test_rename_table_sql(spark, tmp_path):
     pump_table_changes(cat, "t2", "cons")
     with pytest.raises(ValueError, match="change-feed consumer"):
         cat.rename_table("t2", "t3")
+
+
+def test_partial_optimize_rewrites_only_named_buckets(spark, tmp_path):
+    """OPTIMIZE ... WHERE _kb IN (...): the named buckets' appended
+    fragments fold across every dir while every OTHER bucket's files
+    hardlink-carry (inode pins) — and the named buckets' pending
+    deletion vectors fold while carried buckets keep theirs (a partial
+    vector fold). Values match a full recompute throughout."""
+    import os
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    df = spark.range(0, 80).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    cat.overwrite_bucketed(df, "t", 4, ["k"])
+    # two appends fragment every bucket across three dirs
+    for lo, hi in ((80, 120), (120, 160)):
+        more = spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        )
+        from gcp_datalake_pipeline_spark.storage import kb_col
+
+        cat.append(
+            more.withColumn("_kb", kb_col(["k"], 4)), "t",
+            partition_cols=["_kb"],
+        )
+    # vectors in (probably) several buckets
+    assert cat.delete_where("t", [("k", "<", 8)], mode="dv") == 8
+    want = sorted(
+        (r["k"], r["v"]) for r in cat.read("t").drop("_kb").collect()
+    )
+    pre = {
+        os.path.join(d, f): os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    pre_by_bucket = {}
+    for p, ino in pre.items():
+        part = next(s for s in p.split(os.sep) if s.startswith("_kb="))
+        pre_by_bucket.setdefault(part, set()).add(ino)
+    out = execute_dml(cat, "OPTIMIZE t WHERE _kb IN (1, 2)")
+    assert out == {"table": "t", "optimized": True, "buckets": [1, 2]}
+    post = {
+        os.path.join(d, f): os.stat(os.path.join(d, f)).st_ino
+        for d in cat._data_dirs("t")
+        for f in cat._dir_parquet_files(d)
+    }
+    post_by_bucket = {}
+    for p, ino in post.items():
+        part = next(s for s in p.split(os.sep) if s.startswith("_kb="))
+        post_by_bucket.setdefault(part, set()).add(ino)
+    # carried buckets: identical inodes; named buckets: all-new files
+    for part in ("_kb=0", "_kb=3"):
+        assert post_by_bucket[part] == pre_by_bucket[part]
+    for part in ("_kb=1", "_kb=2"):
+        assert not (post_by_bucket[part] & pre_by_bucket[part])
+    got = sorted(
+        (r["k"], r["v"]) for r in cat.read("t").drop("_kb").collect()
+    )
+    assert got == want
+    # partial vector fold: folded buckets' entries retired, carried kept
+    info = cat.dv_info("t")
+    if info is not None:  # some deleted keys may hash into 1/2 only
+        live_names = {
+            cat._dv_name(f)
+            for d in cat._data_dirs("t")
+            for f in cat._dir_parquet_files(d)
+        }
+        assert set(info["files"]) <= live_names
+    assert cat.count_rows("t") == 152
+    # bucket ids out of range / non-_kb predicates refuse
+    with pytest.raises(ValueError, match="outside"):
+        cat.compact_buckets("t", [9])
+    with pytest.raises(ValueError, match="only _kb"):
+        execute_dml(cat, "OPTIMIZE t WHERE k = 3")
+    # unbucketed tables refuse the partial form
+    cat.overwrite(spark.range(4).toDF("x"), "plain")
+    with pytest.raises(ValueError, match="no _kb bucket layout"):
+        execute_dml(cat, "OPTIMIZE plain WHERE _kb = 0")
+    # a no-file bucket set publishes nothing
+    v = cat.versions()[-1]["version"]
+    empty_bucket = [
+        b for b in range(4)
+        if not any(f"_kb={b}" in p for p in post)
+    ]
+    if empty_bucket:
+        assert cat.compact_buckets("t", empty_bucket[:1]) is False
+        assert cat.versions()[-1]["version"] == v
