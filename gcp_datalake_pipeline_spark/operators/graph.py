@@ -156,7 +156,7 @@ def textrank_topk_oracle_sql(k: int = 25, iters: int = 10) -> str:
     wout AS (SELECT u, SUM(w) AS wu FROM edges GROUP BY 1),
     nodes AS (SELECT DISTINCT u AS token FROM edges),
     r0 AS (SELECT token, {INIT_RANK}::BIGINT AS r FROM nodes){steps}
-    SELECT token, r FROM r{iters}
+    SELECT token, CAST(r AS BIGINT) AS r FROM r{iters}
     ORDER BY r DESC, token
     LIMIT {k}
     """

@@ -239,7 +239,8 @@ def profile_oracle_sql(table: str, cols: list[str]) -> str:
     for c in cols:
         selects.append(
             f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-            SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_nulls,
             COUNT(DISTINCT {c}) AS n_distinct,
             CAST(MIN({c}) AS VARCHAR) AS min_value,
             CAST(MAX({c}) AS VARCHAR) AS max_value

@@ -81,19 +81,61 @@ class CompareResult:
     oracle_rows: int
 
 
+def _pandas_rows(con: duckdb.DuckDBPyConnection, oracle_sql: str):
+    """Fetch the oracle through the pandas path (``rel.df()``), mirroring
+    the driver's canonicalization route. This is where DuckDB's HUGEINT
+    silently widens to float64 (1094879185 → 1094879185.0), so running
+    the compare under BOTH canons catches oracle result types the
+    Python-``fetchall`` path masks (see VERDICT r11: textrank_keywords)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = con.execute(oracle_sql).df()
+    cols = list(pdf.columns)
+    out = []
+    for tup in pdf.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if isinstance(v, (list, tuple, np.ndarray)):
+                row.append([x.item() if hasattr(x, "item") else x for x in v])
+                continue
+            if v is pd.NaT:
+                row.append(None)
+                continue
+            try:
+                if pd.isna(v):
+                    row.append(None)
+                    continue
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, pd.Timestamp):
+                row.append(v.to_pydatetime())
+                continue
+            # numpy scalar → Python scalar; floats stay floats so a
+            # HUGEINT→float64 widening remains visible to _canon
+            item = getattr(v, "item", None)
+            row.append(item() if item is not None and not isinstance(v, str) else v)
+        out.append(tuple(row))
+    return cols, out
+
+
 def compare_query(
     spark: SparkSession,
     con: duckdb.DuckDBPyConnection,
     name: str,
     df: DataFrame,
     oracle_sql: str,
+    pandas_canon: bool = False,
 ) -> CompareResult:
     spark_cols = sorted(df.columns)
     spark_rows = df.select(*spark_cols).collect()
 
-    rel = con.execute(oracle_sql)
-    oracle_cols_raw = [d[0] for d in rel.description]
-    oracle_data = rel.fetchall()
+    if pandas_canon:
+        oracle_cols_raw, oracle_data = _pandas_rows(con, oracle_sql)
+    else:
+        rel = con.execute(oracle_sql)
+        oracle_cols_raw = [d[0] for d in rel.description]
+        oracle_data = rel.fetchall()
     order = sorted(range(len(oracle_cols_raw)), key=lambda i: oracle_cols_raw[i])
     oracle_cols = [oracle_cols_raw[i] for i in order]
 
@@ -125,7 +167,12 @@ def compare_query(
     return CompareResult(name, True, "ok", len(spark_rows), len(oracle_data))
 
 
-def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+def run_all(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    pandas_canon: bool = False,
+):
     from gcp_datalake_pipeline_spark.plans import QUERIES
 
     con = duckdb_connection(sf_dir, cached=True)
@@ -138,5 +185,9 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
             n = df.count()
             results.append(CompareResult(qname, n >= 0, "rows-only", n, -1))
             continue
-        results.append(compare_query(spark, con, qname, df, q.oracle))
+        results.append(
+            compare_query(
+                spark, con, qname, df, q.oracle, pandas_canon=pandas_canon
+            )
+        )
     return results

@@ -493,17 +493,18 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_orders_constraints",
     """
     SELECT 'o_custkey_not_null' AS "check",
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'o_orderkey_unique',
-           COALESCE((SELECT SUM(c) FROM (
+           CAST(COALESCE((SELECT SUM(c) FROM (
                SELECT COUNT(*) AS c FROM orders
-               GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0)
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT)
     UNION ALL
     SELECT 'o_totalprice_nonneg',
-           SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
-               THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+               THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'o_custkey_fk',
@@ -1804,7 +1805,8 @@ def etl_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_orc_roundtrip",
     """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM documents GROUP BY lang ORDER BY lang
     """,
