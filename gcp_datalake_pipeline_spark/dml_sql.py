@@ -996,9 +996,12 @@ def execute_dml(catalog, sql: str) -> dict | None:
         )
 
         name = m.group(1)
-        source, keys, sums, count_col = parse_matview_select(m.group(2))
+        source, keys, sums, count_col, mins, maxs = parse_matview_select(
+            m.group(2)
+        )
         return create_materialized_view(
-            catalog, name, source, keys, sums, count_col
+            catalog, name, source, keys, sums, count_col,
+            mins=mins, maxs=maxs,
         )
     m = re.fullmatch(r"REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)", s, re.I)
     if m:

@@ -31,8 +31,8 @@ def partial_aggregate(
 ) -> DataFrame:
     """Build the partial-agg state: per group, SUM of each source column
     (``sum_cols`` maps output name -> source column) and a row COUNT —
-    plus MIN/MAX partials when given (maintainable only under
-    insert-only feeds; the matview layer enforces that)."""
+    plus MIN/MAX partials when given (exact under insert feeds; the
+    matview layer recomputes delete-retracted groups exactly)."""
     return df.groupBy(*keys).agg(
         *[F.sum(src).alias(out) for out, src in sum_cols.items()],
         F.count(F.lit(1)).alias(count_col),
@@ -57,9 +57,10 @@ def refresh_aggregate(
     schema: keys + sum_cols + count_col [+ min/max cols]). Groups absent
     from the delta are passed through without touching their values;
     affected groups combine by summing partials (MIN/MAX partials
-    combine by MIN/MAX — valid only under insert-only feeds, where the
-    true extreme can only move one way). New-in-delta groups appear
-    automatically.
+    combine by MIN/MAX — exact only for insert-touched groups, where
+    the true extreme can only move one way; the matview layer overrides
+    delete-touched groups with an exact recompute). New-in-delta
+    groups appear automatically.
     """
     delta_keys = delta.select(*keys).distinct().alias("dk")
     if broadcast_delta:

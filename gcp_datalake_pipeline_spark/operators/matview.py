@@ -14,9 +14,16 @@ pieces:
   merges per-group partial states without touching unaffected groups.
 
 A view is a decomposable aggregate — group keys + SUMs + a COUNT(*)
-(AVG derives; MIN/MAX are NOT maintainable under deletes and are
-refused) — registered in the catalog manifest with the SOURCE SNAPSHOT
-VERSION it reflects. ``refresh`` turns the feed since that watermark
+(AVG derives) plus optional MIN/MAX columns — registered in the catalog
+manifest with the SOURCE SNAPSHOT VERSION it reflects. SUM/COUNT merge
+as signed partials under any DML. MIN/MAX partials are exact under
+inserts (the true extreme only moves one way); a DELETE can retract
+the current extreme, which no partial can recover — so the refresh
+recomputes extremes ONLY for the groups the feed deleted from, reading
+the source's current snapshot bounded to the ``_kb`` buckets holding
+those groups when the source is bucketed on the view keys (the same
+partition-pruned navigation partial OPTIMIZE uses). Every other
+group keeps the O(changes) incremental contract. ``refresh`` turns the feed since that watermark
 into SIGNED partials (insert rows weigh +1, delete rows -1, so an
 UPDATE's pair nets the value delta and a vanished group's count
 reaches zero and is dropped), merges them, and commits the new table
@@ -49,13 +56,6 @@ def _validate_spec(keys, sums, count_col, mins=None, maxs=None,
             "materialized view needs a COUNT(*) column (it is the "
             "group-liveness state: a group whose count reaches zero "
             "after deletes is dropped)"
-        )
-    if (mins or maxs) and not insert_only:
-        raise ValueError(
-            "MIN/MAX aggregates are maintainable only over insert-only "
-            "sources (a delete can retract the current extreme, which "
-            "partials cannot recover); pass insert_only=True — the "
-            "refresh then REFUSES loudly on the first delete in the feed"
         )
     outs = [count_col, *sums, *mins, *maxs]
     clash = set(outs) & set(keys)
@@ -106,12 +106,12 @@ def create_materialized_view(
     don't want it drop it). ``num_buckets=None`` opts out for tiny
     views.
 
-    ``insert_only=True`` unlocks MIN/MAX aggregates (``mins``/``maxs``
-    map output name -> source column): under pure appends the true
-    extreme only ever moves one way, so partials stay exact; the FIRST
-    delete in a later feed makes every MIN/MAX unrecoverable from
-    partials, and refresh REFUSES loudly (drop + recreate is the
-    exit)."""
+    ``mins``/``maxs`` (output name -> source column) add MIN/MAX
+    aggregates: exact from partials under inserts; a later delete
+    triggers a bucket-scoped exact recompute of ONLY the retracted
+    groups' extremes at refresh time (see module docstring).
+    ``insert_only`` is retained for API compatibility and no longer
+    gates anything — deletes are handled, not refused."""
     _validate_spec(
         keys, sums, count_col, mins, maxs, insert_only,
         bucketed=bool(num_buckets),
@@ -132,8 +132,7 @@ def create_materialized_view(
         "count_col": count_col,
         "as_of": v0,
     }
-    if insert_only:
-        spec["insert_only"] = True
+    if mins or maxs:
         spec["mins"] = dict(mins or {})
         spec["maxs"] = dict(maxs or {})
     with catalog.transaction(f"matview-create-{name}"):
@@ -176,39 +175,41 @@ def refresh_materialized_view(catalog, name: str) -> dict:
     )
     mins = spec.get("mins") or {}
     maxs = spec.get("maxs") or {}
-    insert_only = spec.get("insert_only", False)
+    has_extremes = bool(mins or maxs)
+    ins = F.col("_change_type") == "insert"
     aggs = [
         F.sum(F.col(src) * w).alias(out) for out, src in sums.items()
     ] + [F.sum(w).alias(count_col)]
-    if insert_only:
-        # MIN/MAX partials ride the same pass, plus a delete counter:
-        # ONE delete anywhere in the feed makes every extreme
-        # unrecoverable from partials — refuse before merging anything
-        aggs += [F.min(src).alias(out) for out, src in mins.items()]
-        aggs += [F.max(src).alias(out) for out, src in maxs.items()]
-        aggs.append(
-            F.sum(
-                (F.col("_change_type") == "delete").cast("long")
-            ).alias("_n_deletes")
-        )
+    if has_extremes:
+        # MIN/MAX partials over the feed's INSERT rows ride the same
+        # pass (exact for insert-only-touched groups); a per-group
+        # delete counter marks the groups whose extremes a retraction
+        # may have invalidated — those get an exact bucket-scoped
+        # recompute below instead of a partial merge
+        aggs += [
+            F.min(F.when(ins, F.col(src))).alias(out)
+            for out, src in mins.items()
+        ]
+        aggs += [
+            F.max(F.when(ins, F.col(src))).alias(out)
+            for out, src in maxs.items()
+        ]
+        aggs.append(F.sum((~ins).cast("long")).alias("_n_deletes"))
     delta = feed.groupBy(*keys).agg(*aggs)
     # compute the feed ONCE: the count below and the overwrite are
     # separate actions, and exchange reuse does not span them — without
     # the checkpoint every refresh would read the changed files and run
     # the signed groupBy twice (delta is O(affected groups), tiny)
     delta = delta.localCheckpoint(eager=True)
-    if insert_only:
-        n_del = delta.agg(F.sum("_n_deletes")).first()[0] or 0
-        if n_del:
-            raise ValueError(
-                f"materialized view {name!r} maintains MIN/MAX under "
-                f"the insert-only contract, but the feed since version "
-                f"{as_of} contains {n_del} delete row(s) — extremes "
-                "cannot be recovered from partials after a retraction. "
-                "DROP MATERIALIZED VIEW and recreate it over the "
-                "current snapshot."
-            )
+    rx = None
+    src_buckets_read: list | None = None
+    if has_extremes:
+        del_groups = delta.where(F.col("_n_deletes") > 0).select(*keys)
         delta = delta.drop("_n_deletes")
+        if del_groups.count():  # bounded: delta is the checkpointed agg
+            rx, src_buckets_read = _recompute_extremes(
+                catalog, spec, del_groups, v1
+            )
     n_applied = delta.count()
     if n_applied == 0:
         # commits moved the source's dir list without net row changes
@@ -255,26 +256,108 @@ def refresh_materialized_view(catalog, name: str) -> dict:
             .where(F.col("_kb").isin(buckets))
             .drop("_kb")
         )
-        merged = (
-            refresh_aggregate(
-                subset, delta, keys, list(sums), count_col,
-                min_cols=list(mins), max_cols=list(maxs),
-            )
-            .where(F.col(count_col) > 0)
-            .withColumn("_kb", kb)
+        merged = refresh_aggregate(
+            subset, delta, keys, list(sums), count_col,
+            min_cols=list(mins), max_cols=list(maxs),
         )
+        if rx is not None:
+            merged = _override_extremes(merged, rx, keys, mins, maxs)
+        merged = merged.where(F.col(count_col) > 0).withColumn("_kb", kb)
         with catalog.transaction(f"matview-refresh-{name}"):
             catalog._write_bucketed_merge(merged, name, replaced=buckets)
             catalog._intents[name]["view"] = {**spec, "as_of": v1}
-        return {"view": name, "as_of": v1, "applied": n_applied}
+        return {
+            "view": name, "as_of": v1, "applied": n_applied,
+            "src_buckets_read": src_buckets_read,
+        }
     merged = refresh_aggregate(
         catalog.read(name), delta, keys, list(sums), count_col,
         min_cols=list(mins), max_cols=list(maxs),
-    ).where(F.col(count_col) > 0)
+    )
+    if rx is not None:
+        merged = _override_extremes(merged, rx, keys, mins, maxs)
+    merged = merged.where(F.col(count_col) > 0)
     with catalog.transaction(f"matview-refresh-{name}"):
         catalog.overwrite(merged, name)
         catalog._intents[name]["view"] = {**spec, "as_of": v1}
-    return {"view": name, "as_of": v1, "applied": n_applied}
+    return {
+        "view": name, "as_of": v1, "applied": n_applied,
+        "src_buckets_read": src_buckets_read,
+    }
+
+
+def _recompute_extremes(catalog, spec, del_groups, v1):
+    """Exact per-group MIN/MAX for the delete-touched groups, read from
+    the SOURCE's snapshot ``v1`` (the version the refreshed view will
+    claim as its watermark — never a racy live read).
+
+    100 TB shape: when the source is ``_kb``-bucketed on exactly the
+    view keys, the scan is partition-pruned to the buckets holding the
+    retracted groups (returned so callers/tests can pin the bound);
+    otherwise ONE filtered scan of the source with the bounded group
+    set broadcast into a semi-join (filter pushdown applies, documented
+    honest fallback). A fully-deleted group simply yields no recompute
+    row — its count reaches zero downstream and the group drops."""
+    keys = spec["keys"]
+    mins = spec.get("mins") or {}
+    maxs = spec.get("maxs") or {}
+    src = catalog.read_at(spec["source"], v1)
+    smeta = catalog.bucket_meta(spec["source"])
+    pruned: list | None = None
+    if smeta is not None and list(smeta["key_cols"]) == list(keys):
+        kb = _kb_col(keys, smeta["num_buckets"])
+        # ≤ num_buckets values by construction — a bounded collect
+        pruned = sorted(
+            r["_kb"]
+            for r in del_groups.select(kb.alias("_kb")).distinct().collect()
+        )
+        src = src.where(F.col("_kb").isin(pruned))
+    s, dg = src.alias("s"), del_groups.alias("dg")
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"dg.{k}"))
+        cond = c if cond is None else cond & c
+    rx = (
+        s.join(F.broadcast(dg), cond, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(c).alias(out) for out, c in mins.items()],
+            *[F.max(c).alias(out) for out, c in maxs.items()],
+        )
+    )
+    return rx, pruned
+
+
+def _override_extremes(merged, rx, keys, mins, maxs):
+    """Replace the partial-merged MIN/MAX of every recomputed group with
+    its exact value (null-safe key match; ``rx`` is bounded by the
+    delete-touched group count, so the join broadcasts). A recomputed
+    NULL extreme (all surviving values NULL) must still override, so
+    membership rides an explicit marker, not a coalesce."""
+    ext = [*mins, *maxs]
+    r = F.broadcast(
+        rx.select(
+            *[F.col(k).alias(f"_rxk_{k}") for k in keys],
+            F.lit(1).alias("_rx"),
+            *[F.col(c).alias(f"_rx_{c}") for c in ext],
+        ).alias("r")
+    )
+    m = merged.alias("m")
+    cond = None
+    for k in keys:
+        c = F.col(f"m.{k}").eqNullSafe(F.col(f"r._rxk_{k}"))
+        cond = c if cond is None else cond & c
+    out = []
+    for c in merged.columns:
+        if c in ext:
+            out.append(
+                F.when(F.col("r._rx").isNotNull(), F.col(f"r._rx_{c}"))
+                .otherwise(F.col(f"m.{c}"))
+                .alias(c)
+            )
+        else:
+            out.append(F.col(f"m.{c}").alias(c))
+    return m.join(r, cond, "left").select(*out)
 
 
 def drop_materialized_view(catalog, name: str) -> None:
@@ -285,22 +368,27 @@ def drop_materialized_view(catalog, name: str) -> None:
     catalog.drop_table(name)
 
 
-def parse_matview_select(select: str) -> tuple[str, list, dict, str]:
+def parse_matview_select(
+    select: str,
+) -> tuple[str, list, dict, str, dict, dict]:
     """STRICT parse of the maintainable-aggregate SELECT shape:
 
-        SELECT k1[, k2...], SUM(col) AS out[, ...], COUNT(*) AS n
+        SELECT k1[, k2...], SUM(col) AS out[, ...],
+               [MIN(col) AS out, ...] [MAX(col) AS out, ...]
+               COUNT(*) AS n
         FROM t GROUP BY k1[, k2...]
 
-    Returns (source, keys, sums, count_col); raises ValueError (with
-    the shape) for anything else — a MIN/MAX/AVG or expression view
-    must refuse, not silently materialize something unmaintainable."""
+    Returns (source, keys, sums, count_col, mins, maxs); raises
+    ValueError (with the shape) for anything else — an AVG or
+    expression view must refuse, not silently materialize something
+    unmaintainable."""
     import re
 
     shape = (
         "materialized views take exactly: SELECT <keys>, SUM(col) AS "
-        "name [, ...], COUNT(*) AS name FROM table GROUP BY <keys> "
-        "(AVG derives from SUM/COUNT; MIN/MAX cannot be maintained "
-        "under deletes)"
+        "name [, ...], MIN(col)/MAX(col) AS name [, ...], COUNT(*) AS "
+        "name FROM table GROUP BY <keys> (AVG derives from SUM/COUNT; "
+        "MIN/MAX under deletes recompute only the retracted groups)"
     )
     m = re.fullmatch(
         r"SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.+)",
@@ -312,6 +400,8 @@ def parse_matview_select(select: str) -> tuple[str, list, dict, str]:
     items, source, group_by = m.group(1), m.group(2), m.group(3)
     keys: list[str] = []
     sums: dict[str, str] = {}
+    mins: dict[str, str] = {}
+    maxs: dict[str, str] = {}
     count_col = None
     for item in items.split(","):
         item = item.strip()
@@ -319,11 +409,17 @@ def parse_matview_select(select: str) -> tuple[str, list, dict, str]:
         sm = re.fullmatch(
             r"SUM\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)", item, re.I
         )
+        mm = re.fullmatch(
+            r"(MIN|MAX)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)", item, re.I
+        )
         cm = re.fullmatch(r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", item, re.I)
         if km:
             keys.append(item)
         elif sm:
             sums[sm.group(2)] = sm.group(1)
+        elif mm:
+            target = mins if mm.group(1).upper() == "MIN" else maxs
+            target[mm.group(3)] = mm.group(2)
         elif cm:
             if count_col is not None:
                 raise ValueError(f"duplicate COUNT(*) column; {shape}")
@@ -338,4 +434,4 @@ def parse_matview_select(select: str) -> tuple[str, list, dict, str]:
         )
     if count_col is None:
         raise ValueError(f"COUNT(*) AS <name> is required; {shape}")
-    return source, keys, sums, count_col
+    return source, keys, sums, count_col, mins, maxs

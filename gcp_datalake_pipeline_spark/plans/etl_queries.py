@@ -1567,6 +1567,10 @@ def etl_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_matview_minmax",
     """
+    WITH doomed AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 6000
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    )
     SELECT o_orderpriority,
            round(sum(o_totalprice), 2) AS total_price,
            count(*) AS n_orders,
@@ -1574,20 +1578,20 @@ def etl_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(o_totalprice), 2) AS max_price
     FROM orders
     WHERE o_orderkey < 6000
+      AND o_orderkey <> (SELECT o_orderkey FROM doomed)
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    doc="""MIN/MAX materialized view under the insert-only contract
-    (operators/matview.py insert_only mode): the view materializes over
-    the first half of a bounded orders subset, then one REFRESH folds
-    the second half's append — MIN/MAX partials combine by MIN/MAX,
-    exact because the feed is pure inserts. A DELETE then lands on the
-    source and the query RAISES unless the next refresh REFUSES loudly
-    (a retraction makes extremes unrecoverable from partials; the
-    message names the drop-and-recreate exit) leaving view and
-    watermark untouched. Returns the view (reflecting the pre-delete
-    snapshot both halves complete); oracle = the same aggregate with
-    real MIN/MAX computed directly.""",
+    doc="""MIN/MAX materialized view surviving a retraction
+    (operators/matview.py): the view materializes over the first half
+    of a bounded orders subset, one REFRESH folds the second half's
+    append (pure-insert feed — MIN/MAX partials combine exactly), then
+    a DELETE retracts the row holding the CURRENT GLOBAL MAX price and
+    the next refresh must converge by recomputing extremes for ONLY
+    the retracted group (bucket-scoped when the source is co-bucketed;
+    every other group keeps its partials). Oracle = the post-delete
+    aggregate with real MIN/MAX computed directly — one group's
+    max_price provably changed.""",
 )
 def etl_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1623,7 +1627,6 @@ def etl_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_buckets=8,
             mins={"min_price": "o_totalprice"},
             maxs={"max_price": "o_totalprice"},
-            insert_only=True,
         )
         cat.append(
             orders.where(F.year("o_orderdate") >= 1997).coalesce(2),
@@ -1632,25 +1635,26 @@ def etl_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1 = refresh_materialized_view(cat, "orders_mm")
         if r1["applied"] == 0:
             raise RuntimeError(f"insert-only refresh applied nothing: {r1}")
-        k0 = cat.read("orders_mm_src").agg(
-            F.min("o_orderkey")
-        ).first()[0]
-        cat.delete_where("orders_mm_src", [("o_orderkey", "=", int(k0))])
-    # EVERY run: the post-delete refresh must refuse loudly, leaving
-    # view and watermark untouched
-    wm = cat.view_spec("orders_mm")["as_of"]
-    try:
-        refresh_materialized_view(cat, "orders_mm")
-    except ValueError as e:
-        if "insert-only" not in str(e):
-            raise
-    else:
-        raise RuntimeError(
-            "refresh over a delete-bearing feed did not refuse on an "
-            "insert-only MIN/MAX view"
+        if r1["src_buckets_read"] is not None:
+            raise RuntimeError(
+                f"pure-insert refresh took the recompute leg: {r1}"
+            )
+        # retract the row holding the current global-max price — one
+        # group's max_price MUST move, exercising the recompute leg
+        doomed = (
+            cat.read("orders_mm_src")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .select("o_orderkey")
+            .first()[0]
         )
-    if cat.view_spec("orders_mm")["as_of"] != wm:
-        raise RuntimeError("refused refresh moved the view watermark")
+        cat.delete_where("orders_mm_src", [("o_orderkey", "=", int(doomed))])
+        r2 = refresh_materialized_view(cat, "orders_mm")
+        if r2["applied"] == 0:
+            raise RuntimeError(f"delete-leg refresh applied nothing: {r2}")
+    # EVERY run: an idle catch-up refresh is a no-op and the view
+    # reflects the post-delete extremes (the oracle checks values)
+    if refresh_materialized_view(cat, "orders_mm")["applied"] != 0:
+        raise RuntimeError("idle refresh applied a phantom delta")
     return (
         cat.read("orders_mm")
         .select(

@@ -180,18 +180,24 @@ def test_drop_and_refusals(spark, tcat):
 
 
 def test_parse_matview_select():
-    src, keys, sums, n = parse_matview_select(
+    src, keys, sums, n, mins, maxs = parse_matview_select(
         "SELECT g, h, SUM(amt) AS total, SUM(qty) AS q, COUNT(*) AS n "
         "FROM fact GROUP BY g, h"
     )
     assert (src, keys, n) == ("fact", ["g", "h"], "n")
     assert sums == {"total": "amt", "q": "qty"}
+    assert mins == {} and maxs == {}
+    src, keys, sums, n, mins, maxs = parse_matview_select(
+        "SELECT g, SUM(amt) AS total, MIN(amt) AS lo, MAX(qty) AS hi, "
+        "COUNT(*) AS n FROM fact GROUP BY g"
+    )
+    assert mins == {"lo": "amt"} and maxs == {"hi": "qty"}
     for bad in (
-        "SELECT g, MIN(amt) AS lo, COUNT(*) AS n FROM fact GROUP BY g",
         "SELECT g, AVG(amt) AS a, COUNT(*) AS n FROM fact GROUP BY g",
         "SELECT g, SUM(amt) AS t FROM fact GROUP BY g",  # no COUNT(*)
         "SELECT g, SUM(amt) AS t, COUNT(*) AS n FROM fact GROUP BY h",
         "SELECT g, SUM(amt+1) AS t, COUNT(*) AS n FROM fact GROUP BY g",
+        "SELECT g, MIN(amt+1) AS lo, COUNT(*) AS n FROM fact GROUP BY g",
     ):
         with pytest.raises(ValueError):
             parse_matview_select(bad)
@@ -215,12 +221,28 @@ def test_sql_facade_matview_lifecycle(spark, tcat):
         "view": "v",
         "dropped": True,
     }
-    with pytest.raises(ValueError, match="materialized views take"):
-        execute_dml(
-            tcat,
-            "CREATE MATERIALIZED VIEW v AS SELECT g, MAX(amt) AS hi, "
-            "COUNT(*) AS n FROM fact GROUP BY g",
+    # MIN/MAX views ride the SQL front door too, and converge under a
+    # later delete (the bucket-scoped recompute path)
+    execute_dml(
+        tcat,
+        "CREATE MATERIALIZED VIEW v AS SELECT g, MAX(amt) AS hi, "
+        "COUNT(*) AS n FROM fact GROUP BY g",
+    )
+    execute_dml(tcat, "DELETE FROM fact WHERE amt > 50")
+    assert execute_dml(tcat, "REFRESH MATERIALIZED VIEW v")["applied"] > 0
+    got = sorted(
+        map(tuple, tcat.read("v").select("g", "n", "hi").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            tcat.read("fact")
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.max("amt").alias("hi"))
+            .collect(),
         )
+    )
+    assert got == want
 
 
 def test_direct_writes_to_matview_refused(spark, tcat):
@@ -474,55 +496,112 @@ def test_insert_only_minmax_view_tracks_appends(spark, tcat):
     assert refresh_materialized_view(tcat, "v")["applied"] == 0
 
 
-def test_insert_only_view_refuses_on_first_delete(spark, tcat):
-    """The FIRST delete in the feed makes every MIN/MAX unrecoverable
-    from partials: refresh must refuse loudly (with the exit path in
-    the message), leaving view and watermark untouched."""
-    tcat.overwrite(_fact(spark, 0, 40), "fact")
-    create_materialized_view(
-        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
-        maxs={"hi": "amt"}, insert_only=True,
-    )
-    before_rows = _view_rows(tcat)
-    before_wm = tcat.view_spec("v")["as_of"]
-    tcat.delete_where("fact", [("k", "=", 5)])
-    with pytest.raises(ValueError, match="insert-only"):
-        refresh_materialized_view(tcat, "v")
-    assert _view_rows(tcat) == before_rows
-    assert tcat.view_spec("v")["as_of"] == before_wm
-    # the exit: drop + recreate over the current snapshot
-    drop_materialized_view(tcat, "v")
-    create_materialized_view(
-        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
-        maxs={"hi": "amt"}, insert_only=True,
-    )
-    expect = sorted(
+def _minmax_recompute(tcat, src="fact"):
+    return sorted(
         map(
             tuple,
-            tcat.read("fact")
+            tcat.read(src)
             .groupBy("g")
             .agg(
                 F.sum("amt").alias("total"),
                 F.count("*").alias("n"),
+                F.min("amt").alias("lo"),
                 F.max("amt").alias("hi"),
             )
             .collect(),
         )
     )
-    assert _view_rows(tcat) == expect
 
 
-def test_minmax_without_insert_only_refuses_at_create(spark, tcat):
-    tcat.overwrite(_fact(spark, 0, 10), "fact")
-    with pytest.raises(ValueError, match="insert-only"):
-        create_materialized_view(
-            tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
-            mins={"lo": "amt"},
+def test_minmax_view_converges_under_deletes(spark, tcat):
+    """A delete that retracts the current extreme triggers an exact
+    recompute of ONLY the retracted groups' MIN/MAX (r11 verdict #2 —
+    the insert-only refusal is retired): refresh == full recompute
+    after extreme-retracting deletes, updates, and whole-group
+    deletes, and the watermark advances normally."""
+    tcat.overwrite(_fact(spark, 0, 40), "fact")
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+        mins={"lo": "amt"}, maxs={"hi": "amt"}, num_buckets=8,
+    )
+    # retract group 3's max (k=39 holds amt=58.5, the group-3 extreme)
+    tcat.delete_where("fact", [("k", "=", 39)])
+    out = refresh_materialized_view(tcat, "v")
+    assert out["applied"] > 0
+    assert _view_rows(tcat) == _minmax_recompute(tcat)
+    # an UPDATE arrives as delete+insert — both legs must fold
+    tcat.update_where("fact", [("g", "=", 2)], {"amt": "amt - 100"})
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _minmax_recompute(tcat)
+    # a whole group vanishing drops its row, extremes included
+    tcat.delete_where("fact", [("g", "=", 1)])
+    refresh_materialized_view(tcat, "v")
+    assert _view_rows(tcat) == _minmax_recompute(tcat)
+    assert not any(r[0] == 1 for r in _view_rows(tcat))
+    # and a later pure append still takes the cheap partial path
+    tcat.append(_fact(spark, 40, 60), "fact")
+    out = refresh_materialized_view(tcat, "v")
+    assert out["src_buckets_read"] is None  # no recompute leg ran
+    assert _view_rows(tcat) == _minmax_recompute(tcat)
+
+
+def test_minmax_recompute_reads_only_retracted_groups_buckets(spark, tcat):
+    """THE 100 TB bound for the delete leg: with the SOURCE bucketed on
+    the view keys, the extreme recompute partition-prunes to exactly
+    the buckets holding the delete-touched groups (pinned via the
+    refresh's reported src_buckets_read), and untouched VIEW buckets
+    stay hardlink-identical across the refresh (inode pin)."""
+    tcat.overwrite_bucketed(_wide_fact(spark, 0, 640), "fact", 8, ["g"])
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+        mins={"lo": "amt"}, maxs={"hi": "amt"}, num_buckets=8,
+    )
+    before = _bucket_inodes(tcat, "v")
+    assert len(before) == 8
+    # delete group 5's current max row (k = 5 + 19*32 = 613)
+    tcat.delete_where("fact", [("k", "=", 613)])
+    out = refresh_materialized_view(tcat, "v")
+    gb = _g_bucket(spark, [5])[5]
+    assert out["src_buckets_read"] == [gb]
+    after = _bucket_inodes(tcat, "v")
+    for b in before:
+        if b == f"_kb={gb}":
+            assert after[b] != before[b], "affected bucket must re-stage"
+        else:
+            assert after[b] == before[b], f"{b} was rewritten needlessly"
+    got = sorted(
+        map(tuple, tcat.read("v").drop("_kb").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            tcat.read("fact")
+            .drop("_kb")
+            .groupBy("g")
+            .agg(
+                F.sum("amt").alias("total"),
+                F.count("*").alias("n"),
+                F.min("amt").alias("lo"),
+                F.max("amt").alias("hi"),
+            )
+            .collect(),
         )
+    )
+    assert got == want
+
+
+def test_minmax_create_and_collision_checks(spark, tcat):
+    tcat.overwrite(_fact(spark, 0, 10), "fact")
+    # mins/maxs no longer require insert_only (deletes are handled)
+    create_materialized_view(
+        tcat, "v", "fact", ["g"], {"total": "amt"}, "n",
+        mins={"lo": "amt"},
+    )
+    drop_materialized_view(tcat, "v")
     with pytest.raises(ValueError, match="collision"):
         create_materialized_view(
             tcat, "v", "fact", ["g"], {"x": "amt"}, "n",
-            mins={"x": "amt"}, insert_only=True,
+            mins={"x": "amt"},
         )
 
 
