@@ -289,8 +289,11 @@ def cmd_query(args) -> None:
         from gcp_datalake_pipeline_spark.dml_sql import execute_dml
 
         if _re.match(
+            # any CTAS needs the views — including the CLUSTERED BY
+            # form, whose parenthesized key list must not be mistaken
+            # for a typed column-DDL body (those never carry AS SELECT)
             r"\s*(INSERT|MERGE)\b"
-            r"|\s*CREATE\s+TABLE\b(?:(?!\().)*\bAS\s+SELECT\b",
+            r"|\s*CREATE\s+TABLE\b.*\bAS\s+SELECT\b",
             args.sql,
             _re.I | _re.S,
         ):

@@ -92,7 +92,8 @@ _GRAMMAR = (
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "RENAME COLUMN a TO b | DROP COLUMN c | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | "
-    "SET|UNSET TBLPROPERTIES ('k' [= 'v']); "
+    "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
+    "CLUSTERED BY (keys) INTO m BUCKETS (online re-bucketing); "
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
     "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (cols) "
     "[OPTIONS (bits_per_row = n)]; DROP BLOOMFILTER INDEX ON TABLE t; "
@@ -1082,6 +1083,15 @@ def execute_dml(catalog, sql: str) -> dict | None:
             ) from None
         catalog.create_table(table, schema)
         return {"table": table, "created": True}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+CLUSTERED\s+BY\s*\(([^)]+)\)\s*"
+        r"INTO\s+(\d+)\s+BUCKETS",
+        s,
+        re.I,
+    )
+    if m:
+        keys = [c.strip() for c in m.group(2).split(",")]
+        return catalog.recluster(m.group(1), int(m.group(3)), keys)
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+)", s, re.I | re.S
     )

@@ -2065,3 +2065,70 @@ def etl_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_recluster",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 8000 AND o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""Online bucket-count evolution (ALTER TABLE ... CLUSTERED BY
+    ... INTO m BUCKETS on a live table, transactions.py recluster): a
+    bounded orders subset lands bucketed on o_orderkey INTO 8, folds to
+    4 (divisor fast path — pure hardlink move, zero rows rewritten,
+    inode-preserving so the change feed across the commit is EMPTY,
+    asserted in-query), splits to 12 (map-only re-placement, no
+    shuffle), then a real DELETE lands through the NEW layout. Oracle =
+    the post-delete aggregate straight off parquet — any row lost or
+    duplicated by either re-bucketing breaks the gate. At 100 TB this
+    is the lifecycle op that fixes a day-one bucket count without an
+    outage.""",
+)
+def etl_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_recluster_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_rb"):  # warm rerun reuses the lake
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 8000)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        cat.overwrite_bucketed(orders, "orders_rb", 8, ["o_orderkey"])
+        v0 = cat._read_manifest(strict=False)["version"]
+        r1 = cat.recluster("orders_rb", 4)
+        if r1["strategy"] != "fold":
+            raise RuntimeError(f"8->4 must fold, got {r1}")
+        v1 = cat._read_manifest(strict=False)["version"]
+        if cat.table_changes("orders_rb", v0, v1).count() != 0:
+            raise RuntimeError(
+                "fold produced a non-empty change feed (inodes moved)"
+            )
+        r2 = cat.recluster("orders_rb", 12)
+        if r2["strategy"] != "split":
+            raise RuntimeError(f"4->12 must split, got {r2}")
+        if cat.delete_where(
+            "orders_rb", [("o_orderstatus", "=", "F")]
+        ) <= 0:
+            raise RuntimeError("post-recluster delete removed nothing")
+    return (
+        cat.read("orders_rb")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

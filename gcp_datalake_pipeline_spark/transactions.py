@@ -3441,6 +3441,195 @@ class TransactionalCatalog(Catalog):
             self._intents[table]["base"] = snapshot
         return True
 
+    def recluster(
+        self,
+        table: str,
+        num_buckets: int,
+        key_cols: list[str] | None = None,
+    ) -> dict:
+        """Online bucket-count (or bucket-key) evolution — ``ALTER TABLE
+        t CLUSTERED BY (keys) INTO m BUCKETS`` on a LIVE table, one
+        versioned commit carrying data AND the new layout sidecar (no
+        crash window that strands the table under the old modulus).
+
+        At 100 TB a bucket count chosen at day one is wrong by year two;
+        the placement hash (``pmod(xxhash64(keys), n)`` — storage.py
+        ``kb_col``) makes two of the three moves cheap:
+
+        - **fold** (same keys, new count divides old, no pending
+          deletion vectors): ``pmod(h, n) == b`` implies
+          ``pmod(h, m) == b % m``, so every old bucket maps WHOLE into
+          one new bucket — files hardlink into the merged dirs
+          (collision-safe rename), zero rows rewritten, zero Spark
+          jobs, stats/bloom sidecar entries re-keyed verbatim. Inodes
+          survive, so the change feed across the commit is EMPTY and
+          every CDC consumer / matview resumes for free.
+        - **split** (same keys, new count a multiple of old): each old
+          bucket's rows land only in its ``m/n`` sub-buckets, so ONE
+          map-only pass re-places them — no exchange anywhere in the
+          plan (the partitioned write fans each task's rows into its
+          local sub-dirs).
+        - **reshuffle** (key change, non-multiple count, or pending
+          vectors): the honest full rewrite, one shuffle on the new
+          placement hash; pending vectors fold away through the
+          DV-aware scan.
+
+        split/reshuffle rewrite every file, so the feed shows a full
+        delete+insert of identical rows: signed-partial consumers net
+        to zero per group, keyed CDC replicas see same-value
+        update pairs — all converge (pytest-pinned), at an O(table)
+        feed cost like any compaction. Old versions stay
+        time-travelable under their old layout (reads never consult
+        the modulus; only writers and pruners do)."""
+        from pyspark.sql import functions as F
+
+        from gcp_datalake_pipeline_spark.storage import kb_col
+
+        if self._pending is not None:
+            raise RuntimeError("recluster inside an open transaction")
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        meta = self.bucket_meta(table)
+        if key_cols is None:
+            if meta is None:
+                raise ValueError(
+                    f"recluster: {table!r} has no _kb layout and no "
+                    "key_cols were given; name the bucket keys"
+                )
+            key_cols = list(meta["key_cols"])
+        key_cols = list(key_cols)
+        vs = self.view_spec(table)
+        if vs is not None and key_cols != list(vs["keys"]):
+            # a matview's refresh places merged rows by hashing its
+            # GROUP KEYS; re-keying the layout would silently break
+            # every later partition-pruned refresh
+            raise ValueError(
+                f"{table!r} is a materialized view bucketed on its "
+                f"group keys {vs['keys']!r}; recluster may change the "
+                "bucket COUNT but not the keys"
+            )
+        snapshot = self._committed_rels(table)
+        if snapshot is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        logical = [
+            c for c in self.read(table).columns if c != "_kb"
+        ]
+        missing = [k for k in key_cols if k not in logical]
+        if missing:
+            raise ValueError(
+                f"recluster: key column(s) {missing!r} not in {table!r}"
+            )
+        old_n = meta["num_buckets"] if meta else None
+        same_keys = meta is not None and list(meta["key_cols"]) == key_cols
+        if same_keys and old_n == num_buckets:
+            return {
+                "table": table, "strategy": "noop",
+                "num_buckets": num_buckets, "key_cols": key_cols,
+            }
+        has_dv = bool(self.dv_count(table))
+        if (
+            same_keys
+            and old_n % num_buckets == 0
+            and not has_dv
+        ):
+            return self._recluster_fold(
+                table, snapshot, num_buckets, key_cols
+            )
+        strategy = (
+            "split"
+            if same_keys and num_buckets % old_n == 0
+            else "reshuffle"
+        )
+        df = self.read(table)
+        if "_kb" in df.columns:
+            df = df.drop("_kb")
+        df = df.withColumn("_kb", kb_col(key_cols, num_buckets))
+        if strategy == "reshuffle":
+            df = df.repartition(num_buckets, F.col("_kb"))
+        out = self._to_physical_frame(df, self.colmap(table))
+        with self.transaction(f"recluster-{table}"):
+            rel = self._stage_dir(table)
+            stage = os.path.join(self.root, rel)
+            out.write.mode("overwrite").partitionBy("_kb").parquet(stage)
+            # row-preserving by construction — like compact, the
+            # write-time gates already vetted every row
+            self._write_stage_stats(rel, table=table)
+            self._pending[table] = [rel]
+            self._note_replace(table, rel, schema=out.schema)
+            self._intents[table]["base"] = snapshot
+            self._write_bucket_meta(table, num_buckets, key_cols)
+        return {
+            "table": table, "strategy": strategy,
+            "num_buckets": num_buckets, "key_cols": key_cols,
+        }
+
+    def _recluster_fold(
+        self, table: str, snapshot: list[str], new_n: int,
+        key_cols: list[str],
+    ) -> dict:
+        """The divisor fast path: move every ``_kb=b`` file whole into
+        ``_kb=(b % new_n)`` by hardlink (renamed to stay collision-free
+        across source buckets and appended dirs). Zero data rewritten,
+        zero Spark jobs; the commit is pure metadata + links."""
+        with self.transaction(f"recluster-{table}"):
+            rel = self._stage_dir(table)
+            stage = os.path.join(self.root, rel)
+            reuse: dict = {}
+            bloom_reuse: dict = {}
+            for di, rel_dir in enumerate(snapshot):
+                d = os.path.join(self.root, rel_dir)
+                stats = (filestats.read_dir_stats(d) or {}).get(
+                    "files", {}
+                )
+                bstats = (blooms.read_dir_blooms(d) or {}).get(
+                    "files", {}
+                )
+                for f in self._dir_parquet_files(d):
+                    part = next(
+                        (
+                            s
+                            for s in f.split(os.sep)
+                            if s.startswith("_kb=")
+                        ),
+                        None,
+                    )
+                    if part is None:
+                        raise ValueError(
+                            f"recluster: {table!r} holds an "
+                            f"unpartitioned file ({f}); OPTIMIZE it "
+                            "into the _kb layout first"
+                        )
+                    b = int(part.split("=", 1)[1])
+                    newf = os.path.join(
+                        f"_kb={b % new_n}",
+                        f"b{b}d{di}_{os.path.basename(f)}",
+                    )
+                    dst = os.path.join(stage, newf)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(os.path.join(d, f), dst)
+                    if stats.get(f) is not None:
+                        reuse[newf] = {
+                            k: v
+                            for k, v in stats[f].items()
+                            if k != "bloom"
+                        }
+                    if bstats.get(f) is not None:
+                        bloom_reuse[newf] = bstats[f]
+            self._write_stage_stats(
+                rel, reuse=reuse or None, table=table,
+                bloom_reuse=bloom_reuse or None,
+            )
+            self._pending[table] = [rel]
+            self._note_replace(
+                table, rel, schema=self._stored_schema(table)
+            )
+            self._intents[table]["base"] = snapshot
+            self._write_bucket_meta(table, new_n, key_cols)
+        return {
+            "table": table, "strategy": "fold",
+            "num_buckets": new_n, "key_cols": key_cols,
+        }
+
     def compact(
         self,
         table: str,

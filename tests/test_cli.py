@@ -521,3 +521,40 @@ def test_timestamp_as_of_resolution_and_prompt(spark, tmp_path):
     # inside a string literal the phrase is data, not syntax
     s = "SELECT * FROM t WHERE note = 'x TIMESTAMP AS OF ''2020-01-01'''"
     assert _rewrite_version_as_of(cat, s) == s
+
+
+def test_cli_clustered_ctas_and_recluster(workdir):
+    """The CLUSTERED BY CTAS must get the catalog views registered (its
+    key-list parens once made the CLI mistake it for a typed CREATE and
+    skip registration — UnresolvedRelation), and ALTER TABLE ...
+    CLUSTERED BY ... INTO m BUCKETS re-buckets online, value-invariant,
+    reporting the strategy."""
+    import os
+
+    cat = f"{workdir}/atomic_lake"  # reuses the module's atomic lake
+    if not os.path.exists(f"{cat}/_MANIFEST.json"):
+        r = run_cli(
+            "ingest", "--atomic", "--catalog", cat, "tests/fixtures/*.csv"
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "query", "--catalog", cat,
+        "CREATE TABLE emp_rb CLUSTERED BY (carrier_id) INTO 8 BUCKETS "
+        "AS SELECT carrier_id, carrier_name FROM empresa",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert out["buckets"] == 8 and out["rows"] == 3
+    r = run_cli(
+        "query", "--catalog", cat,
+        "ALTER TABLE emp_rb CLUSTERED BY (carrier_id) INTO 4 BUCKETS",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert out["strategy"] == "fold" and out["num_buckets"] == 4
+    r = run_cli(
+        "query", "--catalog", cat,
+        "SELECT count(*) AS n FROM emp_rb",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "|3" in r.stdout.replace(" ", "")
