@@ -2132,3 +2132,91 @@ def etl_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "etl_changes_across_rename",
+    """
+    SELECT 'delete' AS change_type,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey < 700 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'insert',
+           count(*),
+           round(sum(o_totalprice), 2)
+    FROM orders WHERE o_orderkey >= 700 AND o_orderkey < 1400
+    ORDER BY change_type
+    """,
+    doc="""Change feed following a table rename (transactions.py
+    table_changes(follow_renames=True)): a bounded orders subset lands
+    as one table, a DELETE retires its 'F' rows, ALTER TABLE RENAME TO
+    moves the identity, and a second half appends under the NEW name.
+    One feed spanning the whole window — opted into the renamed[new]=
+    old name-lineage chain — must carry exactly the delete and the
+    post-rename insert (the rename commit itself contributes nothing;
+    the default un-opted call must still refuse, asserted in-query).
+    Oracle = the same deletes/inserts recomputed straight off parquet.
+    At 100 TB this keeps long-lived consumers alive across the table
+    renames an evolving lake performs routinely.""",
+)
+def etl_changes_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_chg_rename_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    marker = os.path.join(root, "_window.json")
+    if not os.path.exists(marker):
+        import json
+
+        orders = load_table(spark, sf_dir, "orders").select(*cols)
+        cat.overwrite(
+            orders.where(F.col("o_orderkey") < 700).coalesce(2),
+            "orders_cr_src",
+        )
+        v0 = cat._read_manifest(strict=False)["version"]
+        if cat.delete_where(
+            "orders_cr_src", [("o_orderstatus", "=", "F")]
+        ) <= 0:
+            raise RuntimeError("pre-rename delete removed nothing")
+        cat.rename_table("orders_cr_src", "orders_cr_dst")
+        cat.append(
+            orders.where(
+                (F.col("o_orderkey") >= 700) & (F.col("o_orderkey") < 1400)
+            ).coalesce(2),
+            "orders_cr_dst",
+        )
+        v1 = cat._read_manifest(strict=False)["version"]
+        with open(marker, "w") as f:
+            json.dump({"v0": v0, "v1": v1}, f)
+    else:
+        import json
+
+        with open(marker) as f:
+            w = json.load(f)
+        v0, v1 = w["v0"], w["v1"]
+    # EVERY run: the un-opted window must still refuse at the rename
+    try:
+        cat.table_changes("orders_cr_dst", v0, v1).count()
+    except ValueError as e:
+        if "follow_renames" not in str(e):
+            raise
+    else:
+        raise RuntimeError(
+            "feed crossed a rename without follow_renames=True"
+        )
+    feed = cat.table_changes(
+        "orders_cr_dst", v0, v1, follow_renames=True
+    )
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("change_type")
+    )

@@ -3018,6 +3018,7 @@ class TransactionalCatalog(Catalog):
         from_version: int,
         to_version: int | None = None,
         key_cols: list[str] | None = None,
+        follow_renames: bool = False,
     ) -> DataFrame:
         """Row-level changes committed AFTER snapshot ``from_version``
         up to and including ``to_version`` (default: current), as the
@@ -3040,7 +3041,16 @@ class TransactionalCatalog(Catalog):
         one extra shuffle over the feed window (bounded by the changed
         files, never the table). With duplicate keys at one version,
         all of the key's deletes become preimages and all its inserts
-        postimages."""
+        postimages.
+
+        ``follow_renames=True`` lets the window cross ``ALTER TABLE
+        ... RENAME TO`` commits: the manifest's ``renamed[new] = old``
+        markers form a name-lineage chain, and the feed reads each
+        commit's diff under the name the table BORE at that commit (a
+        rename commit itself moves no data and contributes nothing).
+        The default remains a loud refusal — a name-keyed consumer
+        must opt in to treating the renamed table as the same
+        identity."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -3050,19 +3060,33 @@ class TransactionalCatalog(Catalog):
             raise ValueError(
                 f"from_version {from_version} > to_version {to_version}"
             )
+        # the name the table bore at each version in the window: walk
+        # the renamed[new]=old lineage chain backwards from to_version
+        names = {to_version: table}
+        cur = table
+        for v in range(to_version, from_version, -1):
+            new_r = self._version_manifest(v).get("renamed", {})
+            old_r = self._version_manifest(v - 1).get("renamed", {})
+            if follow_renames and new_r.get(cur) != old_r.get(cur):
+                cur = new_r[cur]
+            names[v - 1] = cur
         frames = []
         last_sj = None
         seen = False
         for v in range(from_version, to_version + 1):
+            nm = names[v]
             vm = self._version_manifest(v)
-            sj = vm.get("schemas", {}).get(table)
-            if table in vm["tables"]:
+            sj = vm.get("schemas", {}).get(nm)
+            if nm in vm["tables"]:
                 seen = True
                 if sj is not None:
                     last_sj = sj
             if v == from_version:
                 continue
-            pair = self._diff_pair(table, v)
+            if names[v] != names[v - 1]:
+                # the rename commit: pure metadata, zero row changes
+                continue
+            pair = self._diff_pair(nm, v)
             if pair is not None:
                 frames.append(
                     pair.withColumn("_commit_version", F.lit(v))
@@ -3160,7 +3184,8 @@ class TransactionalCatalog(Catalog):
             raise ValueError(
                 f"table_changes({table!r}): commit {v} renamed the table "
                 f"(from {new_vm['renamed'][table]!r}); start the window "
-                "at or after the rename, or re-register the consumer"
+                "at or after the rename, re-register the consumer, or "
+                "pass follow_renames=True to follow the name lineage"
             )
         old_rels = old_vm["tables"].get(table) or []
         new_rels = new_vm["tables"].get(table) or []

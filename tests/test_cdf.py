@@ -318,3 +318,57 @@ def test_keyed_feed_composes_with_appliers(spark, tcat):
     assert a == b
     got = {r["k"]: r["g"] for r in tcat.read("rep_keyed").collect()}
     assert got[3] == 103 and 5 not in got
+
+
+def test_feed_across_rename_opt_in(spark, tcat):
+    """A window crossing ALTER TABLE RENAME TO refuses by default
+    (name-keyed identity), and follows the manifest's renamed[new]=old
+    lineage with follow_renames=True: each commit's diff reads under
+    the name the table bore THEN, the rename commit itself contributes
+    nothing, and a double rename chains."""
+    tcat.overwrite(_base(spark, 50), "a")
+    v0 = tcat._read_manifest(strict=False)["version"]
+    tcat.delete_where("a", [("k", "<", 10)])
+    tcat.rename_table("a", "b")
+    tcat.append(_base(spark, 20).withColumn("k", F.col("k") + 100), "b")
+    tcat.rename_table("b", "c")
+    tcat.delete_where("c", [("k", "=", 110)])
+    v1 = tcat._read_manifest(strict=False)["version"]
+
+    with pytest.raises(ValueError, match="follow_renames"):
+        tcat.table_changes("c", v0, v1).count()
+
+    feed = tcat.table_changes("c", v0, v1, follow_renames=True)
+    got = sorted(
+        (r["_change_type"], r["n"])
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == [("delete", 11), ("insert", 20)]
+    # replaying the feed over the v0 snapshot reconstructs the table
+    net = (
+        tcat.read_at("a", v0)
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            feed.select(
+                "k", "g",
+                F.when(F.col("_change_type") == "insert", 1)
+                .otherwise(-1)
+                .alias("_w"),
+            )
+        )
+        .groupBy("k", "g")
+        .agg(F.sum("_w").alias("w"))
+        .where(F.col("w") > 0)
+    )
+    assert sorted(
+        (r["k"], r["g"]) for r in net.select("k", "g").collect()
+    ) == sorted(
+        (r["k"], r["g"]) for r in tcat.read("c").collect()
+    )
+    # windows entirely after the last rename never consult the lineage
+    assert (
+        tcat.table_changes("c", v1 - 1, v1, follow_renames=True).count()
+        == tcat.table_changes("c", v1 - 1, v1).count()
+    )
