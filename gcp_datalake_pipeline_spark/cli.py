@@ -217,6 +217,13 @@ def cmd_ann(args) -> None:
         out = ann_index.compact_index(cat, index_table=args.index)
         out["vectors"] = cat.read(f"{args.index}_cells").count()
         print(json.dumps(out))
+    elif args.action == "recluster":
+        out = ann_index.recluster_index(
+            cat, index_table=args.index, n_iter=args.iters,
+            sample_fraction=args.sample or None,
+            move_threshold=args.move_threshold,
+        )
+        print(json.dumps(out))
     else:  # query
         ids = [int(x) for x in args.ids.split(",")]
         if args.adc:
@@ -950,7 +957,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "build", "extend", "stream-extend", "query", "remove",
-            "compact-index",
+            "compact-index", "recluster",
         ],
     )
     pa.add_argument("--catalog", required=True)
@@ -999,6 +1006,15 @@ def main(argv: list[str] | None = None) -> None:
         "--rerank", type=int, default=0,
         help="query --adc: refine the ADC top-N shortlist by exact "
         "cosine (fetches true vectors for only those rows)",
+    )
+    pa.add_argument(
+        "--sample", type=float, default=0.0,
+        help="recluster: re-center on this corpus fraction (0 = all)",
+    )
+    pa.add_argument(
+        "--move-threshold", type=float, default=0.01,
+        help="recluster: minimum centroid L2 movement that re-opens a "
+        "cell (unmoved cells hardlink-carry)",
     )
     pa.add_argument(
         "--compact-every", type=int, default=0,

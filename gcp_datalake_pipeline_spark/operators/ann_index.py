@@ -1067,3 +1067,168 @@ def compact_index(catalog, index_table: str = "ann_ivf") -> dict:
         "dropped": n_before - catalog.read(cells_table).count(),
         "tombstones_cleared": n_tomb,
     }
+
+
+def _lloyd_refine(ev: DataFrame, cents: dict, n_iter: int) -> dict:
+    """Bounded Lloyd steps starting FROM the given centroids (the
+    re-centering complement of ``kmeans_centroids``' cold seed): each
+    iteration is one fused assign+partial-sums pass (nlist*dim partial
+    rows per task on the exchange, never corpus*dim) and one bounded
+    collect; means round to 6 like every centroid in the engine.
+    Cells that empty out keep their previous centroid."""
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        _cell_partial_sums_arrow,
+    )
+
+    cents = {int(c): [float(x) for x in v] for c, v in cents.items()}
+    e = ev.persist()
+    try:
+        for _ in range(n_iter):
+            mean_rows = (
+                _cell_partial_sums_arrow(e.select("v"), cents)
+                .groupBy("cid", "pos")
+                .agg(F.round(F.sum("s") / F.sum("c"), 6).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in mean_rows:
+                by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = (
+                    float(r["m"])
+                )
+            for cid, posmap in by_cid.items():
+                cents[cid] = [posmap[p] for p in range(len(posmap))]
+    finally:
+        e.unpersist()
+    return cents
+
+
+def recluster_index(
+    catalog,
+    index_table: str = "ann_ivf",
+    n_iter: int = 2,
+    sample_fraction: float | None = None,
+    move_threshold: float = 0.01,
+) -> dict:
+    """Re-center a DRIFTED persisted index: ``extend_ivf_index`` freezes
+    centroids forever, so after heavy extends the cells skew away from
+    the data and fixed-``nprobe`` recall drifts down. This runs bounded
+    Lloyd from the CURRENT centroids (on the stored corpus, or a
+    ``sample_fraction`` of it — re-centering needs a representative
+    sample, not the corpus), then reassigns ONLY the cells whose
+    centroid moved beyond ``move_threshold`` (L2):
+
+    - unmoved cells keep their OLD centroid EXACTLY — stored rows (and,
+      on a PQ-residual index, their codes, which are relative to the
+      encoding centroid) stay byte-valid;
+    - ONE map-only corpus pass (vid+v columns only, no shuffle — the
+      same cost as each Lloyd iteration) re-assigns every surviving
+      vector against the updated centroid set; the REWRITE is then
+      bounded to the cells that actually exchange vectors — the moved
+      cells plus any cell a vector migrated out of — via ONE
+      :meth:`~...transactions.TransactionalCatalog.replace_partitions`
+      commit. Cells that neither moved nor lost a vector hardlink-carry
+      (inode-pinned in pytest) and the partition-pruned probe contract
+      is untouched. Migrated vectors re-encode through the frozen
+      codebook on PQ indexes (residual or raw);
+    - tombstoned vids drop out of rewritten cells (their rows are not
+      re-added); the rest of the tombstone set stays pending for
+      ``compact_index``.
+
+    Centroids + cells + map commit in one transaction. Returns
+    ``{"moved_cells", "dropped_cells", "reassigned", "max_move"}``."""
+    import math
+
+    cells_table = f"{index_table}_cells"
+    map_table = f"{index_table}_vid_map"
+    cents_table = f"{index_table}_centroids"
+    old = _cents_dict(catalog.read(cents_table).collect())
+    corpus = catalog.read(cells_table).select(
+        "vid", "v", F.col("cid").alias("cid_old")
+    )
+    tomb = _tombstones(catalog, index_table)
+    if tomb is not None:
+        tomb = tomb.distinct()
+        corpus = corpus.join(F.broadcast(tomb), "vid", "left_anti")
+    train = (
+        corpus.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction
+        else corpus
+    )
+    new = _lloyd_refine(train.select("v"), old, n_iter)
+    moves = {
+        cid: math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(old[cid], new[cid]))
+        )
+        for cid in old
+    }
+    moved = sorted(c for c, m in moves.items() if m > move_threshold)
+    max_move = round(max(moves.values()), 6) if moves else 0.0
+    if not moved:
+        return {
+            "moved_cells": [], "dropped_cells": [], "reassigned": 0,
+            "max_move": max_move,
+        }
+    final = {c: (new[c] if c in set(moved) else old[c]) for c in old}
+    cb, cb_residual = _pq_codebook(catalog, index_table)
+    if cb is not None:
+        na = _assign_encode_arrow(corpus, final, cb, residual=cb_residual)
+    else:
+        na = _assign_cells_arrow(corpus, final)
+    from pyspark import StorageLevel
+
+    na = na.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # cells losing a vector: bounded collect (≤ nlist values)
+        lost = {
+            r["cid_old"]
+            for r in na.where(F.col("cid") != F.col("cid_old"))
+            .select("cid_old")
+            .distinct()
+            .collect()
+        }
+        dropped = sorted(set(moved) | lost)
+        assigned = (
+            na.where(F.col("cid_old").isin(dropped))
+            .drop("cid_old")
+            .localCheckpoint(eager=True)  # bounded: affected cells
+        )
+        chg = (
+            na.where(F.col("cid") != F.col("cid_old"))
+            .select("vid", "cid")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        na.unpersist()
+    n_re = chg.count()
+    cents_df = catalog.spark.createDataFrame(
+        [(c, final[c]) for c in sorted(final)], "cid long, cv array<double>"
+    )
+    has_map = catalog.exists(map_table)
+    # the bucketed map merge needs a single data dir; extends append
+    # one dir each, so fold first (its own commit, layout preserved)
+    if (
+        has_map
+        and hasattr(catalog, "compact")
+        and len(catalog._data_dirs(map_table)) > 1
+    ):
+        catalog.compact(map_table, partition_cols=["_kb"])
+
+    def _writes():
+        catalog.overwrite(cents_df, cents_table)
+        catalog.replace_partitions(cells_table, "cid", dropped, assigned)
+        if has_map and n_re:
+            nb = _effective_buckets(catalog, map_table, ["vid"], 64)
+            catalog.merge_upsert_bucketed(
+                chg, map_table, ["vid"], num_buckets=nb, audit_cols=False,
+            )
+
+    txn = getattr(catalog, "transaction", None)
+    if txn is not None:
+        with txn(f"recluster-{index_table}"):
+            _writes()
+    else:
+        _writes()
+    return {
+        "moved_cells": moved, "dropped_cells": dropped,
+        "reassigned": n_re, "max_move": max_move,
+    }

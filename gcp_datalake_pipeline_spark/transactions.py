@@ -3655,6 +3655,74 @@ class TransactionalCatalog(Catalog):
             "num_buckets": new_n, "key_cols": key_cols,
         }
 
+    def replace_partitions(
+        self,
+        table: str,
+        part_col: str,
+        dropped,
+        add_df: DataFrame,
+    ) -> None:
+        """Versioned partial rewrite keyed on an arbitrary hive
+        partition column: partitions named in ``dropped`` vanish,
+        ``add_df``'s rows land as NEW files in whatever partitions they
+        carry (ADDITIVE — existing files in those partitions hardlink-
+        carry alongside), and every other file carries untouched with
+        its stats/bloom sidecar entries reused verbatim. One commit;
+        rewrite cost is O(add_df) + links.
+
+        This is the move-rows-between-partitions shape ``_kb`` merges
+        cannot express (their staged output REPLACES the partitions it
+        lands in): the IVF re-centering path drops the re-assigned
+        ``cid`` partitions and appends their vectors' new placements in
+        the same snapshot. Carried files keep their names, so pending
+        deletion vectors on them stay valid across the commit."""
+        auto = self._require_txn()
+        if auto is not None:
+            with auto:
+                self.replace_partitions(table, part_col, dropped, add_df)
+            return
+        snapshot = self._committed_rels(table)
+        if snapshot is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        add_df = self._to_physical_frame(add_df, self.colmap(table))
+        dropped_parts = {f"{part_col}={v}" for v in dropped}
+        rel = self._stage_dir(table)
+        stage = os.path.join(self.root, rel)
+        add_df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        reuse: dict = {}
+        bloom_reuse: dict = {}
+        for rel_dir in snapshot:
+            d = os.path.join(self.root, rel_dir)
+            stats = (filestats.read_dir_stats(d) or {}).get("files", {})
+            bstats = (blooms.read_dir_blooms(d) or {}).get("files", {})
+            for f in self._dir_parquet_files(d):
+                part = next(
+                    (
+                        s
+                        for s in f.split(os.sep)
+                        if s.startswith(f"{part_col}=")
+                    ),
+                    None,
+                )
+                if part in dropped_parts:
+                    continue
+                dst = os.path.join(stage, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(d, f), dst)
+                if stats.get(f) is not None:
+                    reuse[f] = {
+                        k: v for k, v in stats[f].items() if k != "bloom"
+                    }
+                if bstats.get(f) is not None:
+                    bloom_reuse[f] = bstats[f]
+        self._write_stage_stats(
+            rel, reuse=reuse or None, table=table,
+            bloom_reuse=bloom_reuse or None,
+        )
+        self._pending[table] = [rel]
+        self._note_replace(table, rel, schema=add_df.schema)
+        self._intents[table]["base"] = snapshot
+
     def compact(
         self,
         table: str,

@@ -791,3 +791,171 @@ def test_pending_tombstones_and_compact_report(spark, tmp_path):
     assert ann_index.compact_index(cat) == {
         "dropped": 0, "tombstones_cleared": 0,
     }
+
+
+# -- re-centering a drifted index (r12) --------------------------------------
+
+
+def _drifted_lake(spark, tmp_path, pq=False):
+    """Deterministic drift fixture: build on clusters A (40 pts ~e1),
+    B (6 pts ~e2), D (20 pts ~e3) with one seed vid per cluster
+    (nlist=3), then extend with cluster C (30 pts ~(e1+e2)/sqrt2) whose
+    members straddle the frozen A/B boundary 15/15."""
+    rows = []
+    rows.append((0, [1.0, 0.0, 0.0, 0.0]))          # seed cell 0 (A)
+    rows.append((1, [0.0, 1.0, 0.0, 0.0]))          # seed cell 1 (B)
+    rows.append((2, [0.0, 0.0, 1.0, 0.0]))          # seed cell 2 (D)
+    vid = 3
+    for i in range(39):
+        rows.append((vid, [1.0, 1e-4 * i, 0.0, 0.0])); vid += 1   # A
+    for i in range(5):
+        rows.append((vid, [1e-4 * i, 1.0, 0.0, 0.0])); vid += 1   # B
+    for i in range(19):
+        rows.append((vid, [0.0, 0.0, 1.0, 1e-4 * i])); vid += 1   # D
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    crows = []
+    for i in range(30):
+        s = 0.01 if i % 2 == 0 else -0.01
+        crows.append((100 + i, [0.7071 + s, 0.7071 - s, 0.0, 0.0]))
+    drift = spark.createDataFrame(
+        crows, "vec_id long, embedding array<double>"
+    )
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    kw = dict(nlist=3, n_iter=2)
+    if pq:
+        kw.update(pq_m=4, pq_ksub=3, pq_residual=True)
+    ann_index.build_ivf_index(cat, base, **kw)
+    ann_index.extend_ivf_index(cat, drift)
+    return cat
+
+
+def _c_recall(cat, k=20):
+    """How many of query vid 100's top-k are fellow C members
+    (cosine > 0.9) under nprobe=1 — tie-order-independent."""
+    out = ann_index.ivf_index_topk(cat, [100], k=k, nprobe=1)
+    return sum(1 for r in out.collect() if r["cosine_sim"] > 0.9)
+
+
+def test_recluster_index_recovers_recall_and_bounds_the_rewrite(
+    spark, tmp_path
+):
+    """After drift, fixed-nprobe recall is degraded (C straddles two
+    stale cells); recluster_index re-centers and reassigns ONLY the
+    moved cells — recall recovers, the unmoved cell's centroid is
+    byte-identical, its cid partition's files are inode-identical
+    (hardlink carry), and the probe plan stays partition-pruned."""
+    import os
+
+    cat = _drifted_lake(spark, tmp_path)
+    before = _c_recall(cat)
+    assert before <= 15, f"drift fixture lost its degradation: {before}"
+    d2_before = None
+    for d in cat._data_dirs("ann_ivf_cells"):
+        p = os.path.join(d, "cid=2")
+        if os.path.isdir(p):
+            d2_before = sorted(
+                os.stat(os.path.join(p, f)).st_ino
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+    c2_before = {
+        r["cid"]: r["cv"]
+        for r in cat.read("ann_ivf_centroids").collect()
+    }[2]
+
+    out = ann_index.recluster_index(cat, n_iter=2, move_threshold=0.05)
+    assert 2 not in out["moved_cells"] and out["moved_cells"]
+    assert out["reassigned"] > 0
+
+    after = _c_recall(cat)
+    assert after == 20, f"recall did not recover: {after}"
+    # all of C now serves from ONE cell
+    cids = {
+        r["cid"]
+        for r in cat.read("ann_ivf_cells")
+        .where(F.col("vid") >= 100)
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    assert len(cids) == 1
+    # unmoved cell: centroid byte-identical, partition carried by inode
+    c2_after = {
+        r["cid"]: r["cv"]
+        for r in cat.read("ann_ivf_centroids").collect()
+    }[2]
+    assert c2_after == c2_before
+    d2_after = None
+    for d in cat._data_dirs("ann_ivf_cells"):
+        p = os.path.join(d, "cid=2")
+        if os.path.isdir(p):
+            d2_after = sorted(
+                os.stat(os.path.join(p, f)).st_ino
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+    assert d2_before and d2_after == d2_before
+    # the probe contract survives re-centering
+    plan = (
+        ann_index.ivf_index_topk(cat, [100], k=5, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^]]*cid#", plan), plan
+    # D members still serve from their untouched cell
+    outd = ann_index.ivf_index_topk(cat, [2], k=3, nprobe=1)
+    assert all(r["cosine_sim"] > 0.9 for r in outd.collect())
+
+
+def test_recluster_index_is_tombstone_aware_and_noop_without_drift(
+    spark, tmp_path
+):
+    cat = _drifted_lake(spark, tmp_path)
+    ann_index.remove_ids(cat, [101], index_table="ann_ivf")
+    out = ann_index.recluster_index(cat, n_iter=2, move_threshold=0.05)
+    assert out["reassigned"] > 0
+    # the tombstoned vid's moved-cell row was not re-added
+    assert (
+        cat.read("ann_ivf_cells").where(F.col("vid") == 101).count() == 0
+    )
+    # and it still never appears in results
+    got = {
+        r["neighbor_id"]
+        for r in ann_index.ivf_index_topk(cat, [100], k=20, nprobe=1)
+        .collect()
+    }
+    assert 101 not in got and got
+    # a second re-centering finds nothing left to move
+    again = ann_index.recluster_index(cat, n_iter=2, move_threshold=0.05)
+    assert again["moved_cells"] == [] and again["reassigned"] == 0
+    assert again["max_move"] <= 0.05
+
+
+def test_recluster_pq_residual_index_reencodes_moved_cells(
+    spark, tmp_path
+):
+    """On a PQ-residual index the codes are relative to the encoding
+    centroid: moved cells' vectors re-encode against their NEW cell
+    (ADC serving stays consistent), unmoved cells keep their codes."""
+    cat = _drifted_lake(spark, tmp_path, pq=True)
+    codes2_before = sorted(
+        (r["vid"], tuple(r["codes"]))
+        for r in cat.read("ann_ivf_cells")
+        .where(F.col("cid") == 2)
+        .select("vid", "codes")
+        .collect()
+    )
+    out = ann_index.recluster_index(cat, n_iter=2, move_threshold=0.05)
+    assert out["reassigned"] > 0
+    codes2_after = sorted(
+        (r["vid"], tuple(r["codes"]))
+        for r in cat.read("ann_ivf_cells")
+        .where(F.col("cid") == 2)
+        .select("vid", "codes")
+        .collect()
+    )
+    assert codes2_after == codes2_before
+    # ADC serving still answers over the re-centered index
+    adc = ann_index.ivf_index_pq_topk(cat, [100], k=5, nprobe=1)
+    assert adc.count() == 5
