@@ -266,6 +266,20 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     a NULL in any profiled column are excluded (matching SQL CORR's
     pairwise-complete semantics would need per-pair masks — this is the
     listwise-complete variant, stated so the oracle can mirror it).
+
+    Overflow bound (the graph.py:21-23 contract, stated and ENFORCED):
+    each product sum accumulates as DECIMAL(38,12), so Σ|x·y| must stay
+    under 1e26 — safe while n_rows · max|x| · max|y| < 1e26, orders of
+    magnitude of headroom for metric columns (1e12 rows × values to
+    ~1e7), but breachable by e.g. 1e12 rows of 1e8-scale values. Spark
+    nulls an overflowed decimal SUM (non-ANSI), which would silently
+    become a NULL corr — instead the single sufficient-statistic row is
+    checked on the driver and the breach REFUSES with the bound and the
+    pre-scale exit (divide the column by a constant; Pearson is
+    scale-invariant). The collected row is 1 row of k + k(k+1)/2
+    decimals — the sanctioned bounded-collect shape — and the final
+    closed form still evaluates Spark-side on the re-lifted literals,
+    keeping the cross-engine HALF_UP rounding contract.
     """
     dec = [F.col(c).cast("decimal(18,6)").alias(c) for c in cols]
     d = df.na.drop(subset=cols).select(*dec)
@@ -273,13 +287,26 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
     pairs = []
+    stat_names = [f"s_{c}" for c in cols]
     for i, x in enumerate(cols):
         for y in cols[i:]:
             nm = f"p_{x}__{y}"
             aggs.append(F.sum(F.col(x) * F.col(y)).alias(nm))
+            stat_names.append(nm)
             if x != y:
                 pairs.append((x, y))
-    sums = d.agg(*aggs)
+    agg_df = d.agg(*aggs)
+    row = agg_df.first()
+    if row["n"] and any(row[s] is None for s in stat_names):
+        bad = [s for s in stat_names if row[s] is None]
+        raise ValueError(
+            f"corr_matrix: sufficient statistic(s) {bad} overflowed "
+            "DECIMAL(38,12) — the accumulation bound is "
+            "n_rows * max|x| * max|y| < 1e26. Pre-scale the offending "
+            "column(s) by a constant (Pearson correlation is "
+            "scale-invariant) and rerun."
+        )
+    sums = df.sparkSession.createDataFrame([row], agg_df.schema)
     outs = []
     for x, y in pairs:
         n = F.col("n").cast("double")

@@ -222,3 +222,23 @@ def test_corr_matrix_exact_known_values(spark):
     assert out[("a", "b")]["corr"] == 1.0
     assert out[("a", "c")]["corr"] == -1.0
     assert out[("b", "c")]["corr"] == -1.0
+
+
+def test_corr_matrix_overflow_refuses_with_the_bound(spark):
+    """DECIMAL(38,12) product sums overflow at Σ|x·y| ≥ 1e26; Spark
+    nulls the overflowed SUM (non-ANSI), which corr_matrix must turn
+    into a loud refusal naming the bound and the pre-scale exit —
+    never a silent NULL correlation (VERDICT r11 watch-item)."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.operators.quality import corr_matrix
+
+    big = spark.range(200).selectExpr(
+        "CAST(1e12 AS DOUBLE) AS a", "CAST(1e12 AS DOUBLE) AS b"
+    )
+    with pytest.raises(ValueError, match="1e26"):
+        corr_matrix(big, ["a", "b"])
+    # pre-scaling is the documented exit and succeeds
+    scaled = big.selectExpr("a / 1e6 AS a", "b / 1e6 AS b")
+    out = corr_matrix(scaled, ["a", "b"]).collect()
+    assert len(out) == 1 and out[0]["n_rows"] == 200
