@@ -422,14 +422,18 @@ def _rewrite_table_changes(cat, sql: str) -> str:
         return sql
 
     def sub(m):
-        t, v1, v2 = m.group(1), int(m.group(2)), m.group(3)
-        df = cat.table_changes(t, v1, int(v2) if v2 else None)
-        name = f"_changes_{t}_{v1}_{v2 or 'cur'}"
+        t, v1, v2, fr = m.group(1), int(m.group(2)), m.group(3), m.group(4)
+        follow = bool(fr) and fr.lower() == "true"
+        df = cat.table_changes(
+            t, v1, int(v2) if v2 else None, follow_renames=follow
+        )
+        name = f"_changes_{t}_{v1}_{v2 or 'cur'}{'_fr' if follow else ''}"
         df.createOrReplaceTempView(name)
         return name
 
     return _sub_outside_quotes(
-        r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*"
+        r"(?:,\s*(\d+)\s*)?(?:,\s*(true|false)\s*)?\)",
         sub,
         sql,
     )

@@ -558,3 +558,34 @@ def test_cli_clustered_ctas_and_recluster(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "|3" in r.stdout.replace(" ", "")
+
+
+def test_table_changes_tvf_follow_renames(spark, tmp_path):
+    """The TVF accepts a trailing boolean — table_changes('t', v1[,
+    v2], true) — mapping to follow_renames; without it a window
+    crossing a rename still refuses."""
+    import pytest as _pytest
+
+    from gcp_datalake_pipeline_spark.cli import _rewrite_table_changes
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.range(3).toDF("k"), "a")   # v1
+    cat.append(spark.range(3, 5).toDF("k"), "a")   # v2
+    cat.rename_table("a", "b")                     # v3
+    cat.append(spark.range(5, 9).toDF("k"), "b")   # v4
+
+    with _pytest.raises(ValueError, match="follow_renames"):
+        _rewrite_table_changes(
+            cat, "SELECT count(*) FROM table_changes('b', 1)"
+        )
+    out = _rewrite_table_changes(
+        cat, "SELECT count(*) AS n FROM table_changes('b', 1, true)"
+    )
+    assert "_changes_b_1_cur_fr" in out
+    assert spark.sql(out).first()["n"] == 6  # v2's 2 + v4's 4 inserts
+    # explicit to_version + the flag
+    out2 = _rewrite_table_changes(
+        cat, "SELECT count(*) AS n FROM table_changes('b', 1, 4, true)"
+    )
+    assert spark.sql(out2).first()["n"] == 6
