@@ -366,3 +366,140 @@ def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
     )
     {union}
     """
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXACT discrete quantiles of ``col`` at each q in ``qs``: one
+    (q, value) row per quantile, value = the element at 1-based sorted
+    position ``max(1, ceil(q * n))`` over the non-null values (type-1 /
+    lower discrete quantile — DuckDB's ``quantile_disc`` agrees, but
+    the oracle states the definition itself via row_number, not the
+    aggregate). NULLs are excluded; q must lie in [0, 1].
+
+    Why not the built-ins: Spark's exact ``percentile`` accumulates a
+    per-group value->count map in executor memory (OOM-bound at 100 TB
+    cardinality) and ``approx_percentile`` is not exact. This is the
+    distributed SELECTION shape instead:
+
+    1. ONE corpus scan folds the column to a (value, count) histogram
+       (map-side combined — the exchange carries distinct values, not
+       rows);
+    2. the histogram is range-partitioned on value and sorted within
+       partitions (one bounded shuffle of distinct values), then
+       PERSISTED so the two selection jobs see identical partitioning;
+    3. per-partition totals (<= num_partitions rows) collect to the
+       driver, which prefix-sums them and routes each global target
+       index to (partition, local offset) — the only driver state is
+       O(num_partitions + len(qs));
+    4. one Arrow pass (``mapInPandas`` + cumsum) over ONLY the targeted
+       partitions' histograms emits the selected values; untargeted
+       partitions return without materializing a batch.
+
+    Exactness is positional, so the result is bit-identical across
+    engines — no float summation anywhere."""
+    import math
+
+    from pyspark import StorageLevel, TaskContext
+    from pyspark.sql import types as T
+
+    qs = sorted({float(q) for q in qs})
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles outside [0, 1]: {bad}")
+    spark = df.sparkSession
+    vtype = df.schema[col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q", T.DoubleType()),
+            T.StructField("value", vtype),
+        ]
+    )
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .repartitionByRange(num_partitions, F.col("_v"))
+        .sortWithinPartitions("_v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        totals = {
+            int(r["pid"]): int(r["c"])
+            for r in hist.groupBy(
+                F.spark_partition_id().alias("pid")
+            )
+            .agg(F.sum("_c").alias("c"))
+            .collect()
+        }
+        n = sum(totals.values())
+        if n == 0 or not qs:
+            return spark.createDataFrame([], out_schema)
+        by_pid: dict[int, list[tuple[float, int]]] = {}
+        acc = 0
+        bounds = []
+        for pid in range(num_partitions):
+            bounds.append((pid, acc, acc + totals.get(pid, 0)))
+            acc += totals.get(pid, 0)
+        for q in qs:
+            k = max(1, math.ceil(q * n))
+            for pid, lo, hi in bounds:
+                if lo < k <= hi:
+                    by_pid.setdefault(pid, []).append((q, k - lo))
+                    break
+
+        def pick(batches):
+            import pandas as pd
+
+            pid = TaskContext.get().partitionId()
+            want = sorted(by_pid.get(pid, []), key=lambda t: t[1])
+            if not want:
+                return
+            seen = 0
+            wi = 0
+            for pdf in batches:
+                if wi >= len(want):
+                    return
+                cum = seen + pdf["_c"].cumsum()
+                out_q, out_v = [], []
+                while wi < len(want) and want[wi][1] <= int(cum.iloc[-1]):
+                    idx = int((cum >= want[wi][1]).idxmax())
+                    out_q.append(want[wi][0])
+                    out_v.append(pdf["_v"].iloc[idx])
+                    wi += 1
+                seen = int(cum.iloc[-1])
+                if out_q:
+                    yield pd.DataFrame({"q": out_q, "value": out_v})
+
+        # the selection result is bounded (<= len(qs) rows): materialize
+        # it so the histogram cache can release before returning
+        rows = hist.mapInPandas(pick, out_schema).collect()
+    finally:
+        hist.unpersist()
+    return spark.createDataFrame(rows, out_schema).orderBy("q")
+
+
+def exact_quantiles_oracle_sql(
+    table: str, col: str, qs: list[float]
+) -> str:
+    """DuckDB oracle stating the SAME positional definition (1-based
+    row_number == max(1, ceil(q*n))) rather than trusting any engine's
+    quantile aggregate."""
+    qs = sorted({float(q) for q in qs})
+    values = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH s AS (
+      SELECT {col} AS v,
+             row_number() OVER (ORDER BY {col}) AS rn,
+             count(*) OVER () AS n
+      FROM {table} WHERE {col} IS NOT NULL
+    ), qs(q) AS (VALUES {values})
+    SELECT CAST(q AS DOUBLE) AS q, min(v) AS value
+    FROM s JOIN qs
+      ON s.rn = GREATEST(1, CAST(CEIL(q * s.n) AS BIGINT))
+    GROUP BY q ORDER BY q
+    """

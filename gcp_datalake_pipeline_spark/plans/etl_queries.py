@@ -2220,3 +2220,26 @@ def etl_changes_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+_QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "dq_orders_quantiles",
+    quality.exact_quantiles_oracle_sql("orders", "o_totalprice", _QUANTILES),
+    doc="""EXACT discrete quantiles of o_totalprice via distributed
+    selection (quality.exact_quantiles): one histogram fold (exchange
+    carries distinct values, map-side combined), one bounded range
+    shuffle of the histogram, O(num_partitions) driver routing, one
+    Arrow cumsum pass over only the targeted partitions. Positional
+    definition (1-based ceil(q*n)) stated identically on both sides —
+    bit-exact, no float summation. The scale story vs the built-ins:
+    Spark's exact percentile accumulates a value->count map in executor
+    memory; this never holds more than a partition's histogram
+    slice.""",
+)
+def dq_orders_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.exact_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", _QUANTILES
+    )

@@ -242,3 +242,52 @@ def test_corr_matrix_overflow_refuses_with_the_bound(spark):
     scaled = big.selectExpr("a / 1e6 AS a", "b / 1e6 AS b")
     out = corr_matrix(scaled, ["a", "b"]).collect()
     assert len(out) == 1 and out[0]["n_rows"] == 200
+
+
+def test_exact_quantiles_positional_definition(spark):
+    """value at 1-based position max(1, ceil(q*n)) over sorted non-null
+    values — pinned on a known sequence, plus NULL exclusion, q bounds
+    validation, and the empty-input shape."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.operators.quality import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)] + [(None,)], "x double"
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.75, 1.0]).collect()
+    }
+    # n=10: ceil(0*10)->1(->max 1), ceil(2.5)=3, ceil(5)=5, ceil(7.5)=8, 10
+    assert got == {0.0: 1.0, 0.25: 3.0, 0.5: 5.0, 0.75: 8.0, 1.0: 10.0}
+    with pytest.raises(ValueError, match=r"outside \[0, 1\]"):
+        exact_quantiles(df, "x", [1.5])
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", [0.5]).collect() == []
+
+
+def test_exact_quantiles_match_duckdb_on_heavy_ties(spark):
+    """Duplicate-heavy input (the histogram path's interesting case):
+    selection over counts must agree with the oracle's row_number
+    definition value-for-value."""
+    import duckdb
+
+    from gcp_datalake_pipeline_spark.operators.quality import (
+        exact_quantiles,
+        exact_quantiles_oracle_sql,
+    )
+
+    rows = [(float(i % 7),) for i in range(500)] + [(99.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    qs = [0.1, 0.5, 0.9, 0.999]
+    got = [
+        (r["q"], r["value"]) for r in exact_quantiles(df, "x", qs).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = con.execute(
+        exact_quantiles_oracle_sql("t", "x", qs)
+    ).fetchall()
+    assert got == [(float(q), float(v)) for q, v in want]
