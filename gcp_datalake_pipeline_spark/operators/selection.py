@@ -226,3 +226,152 @@ def dsir_topk_oracle_sql(
     ORDER BY weight DESC, doc_id
     LIMIT {k}
     """
+
+
+_MOD32 = 1 << 32
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cap: int,
+    nlist: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cbal",
+    margin: float = 4.0,
+) -> DataFrame:
+    """Cluster-balanced selection — the diversity step of the
+    SemDeDup/D4 pretraining-pool line (Abbas et al. 2023, Tirumala et
+    al. 2023): assign every vector to its kmeans cell, keep at most
+    ``cap`` per cell, chosen by DETERMINISTIC md5 rank with id tiebreak
+    (engine-portable, re-rollable via ``salt``). Dominant clusters are
+    capped, rare clusters survive whole. Output: (vec_id, cid, r) with
+    r the 1-based within-cell keep rank.
+
+    Scale shape: centroid training is the bounded Lloyd loop
+    (:func:`~...similarity.kmeans_centroids`), assignment one Arrow
+    matmul pass, and the per-cell top-``cap`` NEVER sorts a whole cell
+    in one task: because the rank key is a uniform 32-bit hash, rows
+    are pre-filtered to a per-cell cutoff ``margin * cap / cell_count``
+    (bounded collects: cell counts ≤ nlist), which keeps ~margin*cap
+    survivors per cell; every excluded row hashes strictly above every
+    survivor, so the exact within-cell window over survivors equals the
+    window over the full cell whenever survivors ≥ cap — VERIFIED per
+    cell, with a loud deterministic refusal naming ``margin`` if the
+    oversample ever falls short (probability ~exp(-margin·cap/ e) —
+    astronomically small at real caps)."""
+    from pyspark.sql import Window
+
+    from gcp_datalake_pipeline_spark.operators.similarity import (
+        _as_double,
+        _assign_cells_arrow,
+        kmeans_centroids,
+    )
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    cents_df = kmeans_centroids(
+        df, nlist=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cents = {
+        int(r["cid"]): [float(x) for x in r["cv"]]
+        for r in cents_df.collect()
+    }
+    e = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    )
+    b32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vid").cast("string"), F.lit(":" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assigned = (
+        _assign_cells_arrow(e, cents)
+        .select("vid", "cid")
+        .withColumn("_b", b32)
+    )
+    counts = {
+        int(r["cid"]): int(r["n"])
+        for r in assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cut = None
+    for cid, n in counts.items():
+        p = 1.0 if n <= cap else min(1.0, margin * cap / n)
+        c = _MOD32 if p >= 1.0 else int(p * _MOD32) + 1
+        branch = (F.col("cid") == cid, F.lit(c))
+        cut = (
+            F.when(*branch) if cut is None else cut.when(*branch)
+        )
+    surv = assigned.where(F.col("_b") < cut)
+    short = {
+        int(r["cid"]): int(r["n"])
+        for r in surv.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    under = [
+        cid
+        for cid, n in counts.items()
+        if short.get(cid, 0) < min(cap, n)
+    ]
+    if under:
+        raise ValueError(
+            f"cluster_balanced_sample: the hash oversample missed the "
+            f"cap in cell(s) {under} — rerun with a larger margin "
+            f"(currently {margin})"
+        )
+    w = Window.partitionBy("cid").orderBy("_b", "vid")
+    return (
+        surv.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= cap)
+        .select(F.col("vid").alias("vec_id"), "cid", "r")
+    )
+
+
+def cluster_balanced_sample_oracle_sql(
+    cap: int,
+    nlist: int = 16,
+    n_iter: int = 2,
+    salt: str = "cbal",
+) -> str:
+    """DuckDB oracle: the shared unrolled-Lloyd assignment CTEs, then
+    the SAME md5-prefix rank (nibble arithmetic twin of Spark's
+    conv(substring(md5, 1, 8), 16, 10)) capped per cell."""
+    from gcp_datalake_pipeline_spark.operators.sampling import (
+        _nibble_sum_sql,
+    )
+    from gcp_datalake_pipeline_spark.operators.similarity import _lloyd_ctes
+
+    ctes, cent = _lloyd_ctes(nlist, n_iter)
+    from gcp_datalake_pipeline_spark.operators.similarity import _csim_sql
+
+    return f"""
+    WITH {",".join(ctes)},
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_csim_sql("e.v", "c.cv")} DESC, c.cid) AS arnk
+        FROM e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    ),
+    h AS (
+      SELECT vec_id, cid,
+             md5(vec_id::VARCHAR || ':{salt}') AS hx
+      FROM assigned
+    )
+    SELECT vec_id, cid, r FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY ({_nibble_sum_sql()}), vec_id) AS r
+      FROM h
+    ) WHERE r <= {cap}
+    ORDER BY cid, r
+    """

@@ -1400,3 +1400,32 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train_df(
         load_table(spark, sf_dir, "documents"), n_merges=16
     ).orderBy("rank")
+
+
+from gcp_datalake_pipeline_spark.operators.selection import (  # noqa: E402
+    cluster_balanced_sample_oracle_sql as _cbs_oracle_sql,
+)
+
+
+@register(
+    "cluster_balanced_sample",
+    _cbs_oracle_sql(cap=24),
+    doc="""Cluster-balanced selection (the SemDeDup/D4 diversity step):
+    kmeans cells over the embedding corpus, at most 24 vectors kept per
+    cell by deterministic md5 rank with id tiebreak — dominant clusters
+    capped, rare clusters whole. Fully value-level oracled: the Lloyd
+    steps unroll in SQL (shared CTEs with the kmeans gate) and the rank
+    hash is the md5-prefix nibble twin the sampling gates already pin.
+    Scale: per-cell top-cap never sorts a whole cell — rows pre-filter
+    to a uniform-hash cutoff (~margin*cap survivors/cell, verified
+    exactly, loud refusal otherwise) before the bounded window.""",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.selection import (
+        cluster_balanced_sample as _cbs,
+    )
+
+    return _cbs(
+        load_table(spark, sf_dir, "embeddings"), cap=24
+    ).orderBy("cid", "r")
+

@@ -688,3 +688,39 @@ def test_bpe_train_matches_reference_on_real_docs(spark):
     ]
     assert got == _ref_bpe(texts, 12)
     assert len(got) == 12
+
+
+def test_cluster_balanced_sample_caps_and_verifies(spark):
+    """At most `cap` per cell; rare cells survive whole; ranks dense
+    from 1; a starved oversample (absurd margin) refuses loudly naming
+    the parameter instead of silently under-selecting."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.operators.selection import (
+        cluster_balanced_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cluster_balanced_sample(emb, cap=8, nlist=16, n_iter=1)
+    per = {
+        r["cid"]: r["n"]
+        for r in out.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    assert per and all(n <= 8 for n in per.values())
+    ranks = out.groupBy("cid").agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    assert all(
+        r["lo"] == 1 and r["hi"] == r["n"] for r in ranks.collect()
+    )
+    # deterministic: same salt -> identical selection
+    again = cluster_balanced_sample(emb, cap=8, nlist=16, n_iter=1)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    with pytest.raises(ValueError, match="margin"):
+        cluster_balanced_sample(
+            emb, cap=8, nlist=16, n_iter=1, margin=1e-6
+        )
