@@ -434,3 +434,110 @@ def gopher_quality(
     for name in list(flags)[1:]:
         passed = passed & out[name]
     return out.withColumn("pass_gopher", passed)
+
+
+def _ctfidf_idf_micro(n_classes: int, dfreq: int) -> int:
+    """The c-TF-IDF inverse-class-frequency weight ln(n/df) in INTEGER
+    MICRO-UNITS, computed ONCE in Python and embedded as literals on
+    BOTH engines — cross-libm ln() drift can never flip a ranking
+    boundary (the PQ/SQ8 literal-table discipline)."""
+    import math
+
+    return int(round(math.log(n_classes / dfreq) * 1_000_000))
+
+
+def class_distinctive_terms(
+    df: DataFrame,
+    class_col: str = "lang",
+    k: int = 10,
+    min_tf: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` DISTINCTIVE terms per class by c-TF-IDF (Grootendorst's
+    class-based TF-IDF, the BERTopic representation): score(tok, c) =
+    tf(tok in class c) * ln(n_classes / classes_containing(tok)), with
+    the log weight quantized to integer micro-units so the per-term
+    score is an exact BIGINT on both engines. Output (class, tok,
+    score, r), r the 1-based within-class rank (score desc, tok asc).
+
+    Scale: ONE token explode (the only corpus-sized stage), map-side
+    combined tf aggregation on (class, tok), a class-count aggregate
+    over the VOCABULARY (not the corpus), and a per-class top-k window
+    over vocabulary-sized groups (bounded by distinct terms; ``min_tf``
+    prunes the tail before the window). n_classes is a bounded collect
+    (class cardinality is small by definition of the operator)."""
+    toks = tokens(df, text_col, id_col).join(
+        df.select(id_col, class_col), id_col
+    )
+    tf = toks.groupBy(class_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    if min_tf > 1:
+        tf = tf.where(F.col("tf") >= min_tf)
+    dfreq = tf.groupBy("tok").agg(
+        F.count_distinct(class_col).alias("dfreq")
+    )
+    n_classes = df.select(class_col).distinct().count()
+    idf = None
+    for d in range(1, n_classes + 1):
+        branch = (
+            F.col("dfreq") == d,
+            F.lit(_ctfidf_idf_micro(n_classes, d)),
+        )
+        idf = F.when(*branch) if idf is None else idf.when(*branch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        F.col("score").desc(), "tok"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .select(
+            class_col,
+            "tok",
+            (F.col("tf") * idf).cast("long").alias("score"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+    )
+
+
+def class_distinctive_terms_oracle_sql(
+    class_col: str = "lang",
+    k: int = 10,
+    min_tf: int = 1,
+    max_classes: int = 32,
+) -> str:
+    """DuckDB oracle over the documents view: identical tokenization,
+    tf/df aggregation, and the SAME Python-computed micro-unit idf
+    literals — indexed by (runtime n_classes, df) through a 2-D CASE
+    covering n_classes <= ``max_classes``."""
+    cases = []
+    for n in range(1, max_classes + 1):
+        for d in range(1, n + 1):
+            cases.append(
+                f"WHEN nc.n = {n} AND d.dfreq = {d} "
+                f"THEN {_ctfidf_idf_micro(n, d)}::BIGINT"
+            )
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+    WITH tk AS (
+      SELECT {class_col}, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT {class_col}, tok, COUNT(*) AS tf FROM tk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_tf}
+    ),
+    d AS (SELECT tok, COUNT(DISTINCT {class_col}) AS dfreq FROM tf GROUP BY 1),
+    nc AS (SELECT COUNT(DISTINCT {class_col}) AS n FROM documents)
+    SELECT {class_col}, tok, score, r FROM (
+      SELECT tf.{class_col}, tf.tok,
+             CAST(tf.tf * ({case}) AS BIGINT) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.{class_col}
+               ORDER BY tf.tf * ({case}) DESC, tf.tok) AS r
+      FROM tf JOIN d USING (tok) CROSS JOIN nc
+    ) WHERE r <= {k}
+    ORDER BY {class_col}, r
+    """

@@ -1429,3 +1429,31 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), cap=24
     ).orderBy("cid", "r")
 
+
+
+from gcp_datalake_pipeline_spark.operators.text import (  # noqa: E402
+    class_distinctive_terms_oracle_sql as _cdt_oracle_sql,
+)
+
+
+@register(
+    "lang_distinctive_terms",
+    _cdt_oracle_sql(class_col="lang", k=10, min_tf=3),
+    doc="""Top-10 distinctive terms per language by c-TF-IDF
+    (Grootendorst's class-based TF-IDF — the BERTopic representation):
+    tf within the class times ln(n_classes/df), with the log weight
+    quantized to Python-computed integer micro-units embedded as
+    literals on BOTH engines (a 2-D CASE indexed by runtime n_classes
+    on the oracle side), so every score is an exact BIGINT and ranking
+    can never drift on cross-libm ln(). One token explode, map-side tf,
+    vocabulary-sized class-count aggregate, per-class top-k window over
+    the min_tf-pruned vocabulary.""",
+)
+def lang_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.text import (
+        class_distinctive_terms,
+    )
+
+    return class_distinctive_terms(
+        load_table(spark, sf_dir, "documents"), "lang", k=10, min_tf=3
+    ).orderBy("lang", "r")
