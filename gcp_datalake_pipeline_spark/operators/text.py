@@ -541,3 +541,99 @@ def class_distinctive_terms_oracle_sql(
     ) WHERE r <= {k}
     ORDER BY {class_col}, r
     """
+
+
+def pseudonymize_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+    salt: str = "pseud",
+) -> DataFrame:
+    """Consistent pseudonym DICTIONARY for the corpus' PII entities:
+    one row per (entity_type, entity) with a deterministic surrogate
+    ``<TYPE_xxxxxxxx>`` (first 8 md5 hex chars of ``entity:salt``) and
+    its corpus-wide occurrence count. The same email maps to the same
+    token in every document — referential structure survives
+    de-identification (the k-anonymity-style join key), identity does
+    not; re-salting re-rolls the whole mapping. Earlier patterns mask
+    the text before later ones count (redact_pii's no-double-count
+    discipline: an email's digits are never also an id_number).
+
+    Output: (entity_type, entity, pseudonym, n_occurrences), ordered.
+    Scale: regexp_extract_all + ONE explode per pattern (unioned before
+    the single groupBy) — the shuffle carries distinct-entity-sized
+    data, never the corpus; applying the mapping back to text is a
+    broadcast join + aggregate replace for bounded dictionaries (the
+    dictionary IS the artifact here)."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    branches = []
+    for name, pat in patterns:
+        branches.append(
+            df.select(
+                F.lit(name).alias("entity_type"),
+                F.explode(
+                    F.regexp_extract_all(cur, F.lit(pat), 0)
+                ).alias("entity"),
+            )
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    ents = branches[0]
+    for b in branches[1:]:
+        ents = ents.unionByName(b)
+    pseud = F.concat(
+        F.lit("<"),
+        F.upper("entity_type"),
+        F.lit("_"),
+        F.substring(
+            F.md5(F.concat(F.col("entity"), F.lit(":" + salt))), 1, 8
+        ),
+        F.lit(">"),
+    )
+    return (
+        ents.groupBy("entity_type", "entity")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            "entity_type", "entity", pseud.alias("pseudonym"),
+            "n_occurrences",
+        )
+        .orderBy("entity_type", "entity")
+    )
+
+
+def pseudonymize_pii_oracle_sql(
+    base_cte: str,
+    id_col: str,
+    patterns: list[tuple[str, str]] | None = None,
+    salt: str = "pseud",
+) -> str:
+    """DuckDB oracle: the same sequentially-masked extraction (one CTE
+    per pattern), unioned, grouped, with the identical md5-prefix
+    surrogate. ``base_cte`` must define ``base(<id_col>, t)`` (the
+    redact_pii_sql convention)."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    ctes = [base_cte, f"s0 AS (SELECT {id_col}, t FROM base)"]
+    ext = []
+    for i, (name, pat) in enumerate(patterns):
+        ext.append(
+            f"e{i} AS (SELECT '{name}' AS entity_type, "
+            f"unnest(regexp_extract_all(t, '{pat}')) AS entity FROM s{i})"
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT {id_col}, "
+            f"regexp_replace(t, '{pat}', '<{name.upper()}>', 'g') AS t "
+            f"FROM s{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM e{i}" for i in range(len(ext)))
+    return f"""
+    WITH {", ".join(ctes + ext)},
+    ents AS ({union})
+    SELECT entity_type, entity,
+           '<' || upper(entity_type) || '_' ||
+           substr(md5(entity || ':{salt}'), 1, 8) || '>' AS pseudonym,
+           COUNT(*) AS n_occurrences
+    FROM ents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """

@@ -255,6 +255,25 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_text_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic-PII text (_PII_BASE_CTE's Spark twin),
+    shared by the redaction and pseudonymization gates."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.col("c_mktsegment")),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com> tel 600-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.lpad((F.col("c_custkey") * 13).cast("string"), 9, "0"),
+    )
+    return cust.select("c_custkey", t.alias("text"))
+
+
 _PII_BASE_CTE = (
     "base AS (SELECT c_custkey, c_name || ' <' || lower(c_mktsegment) || "
     "c_custkey::VARCHAR || '@mail.example.com> tel 600-' || "
@@ -273,21 +292,8 @@ _PII_BASE_CTE = (
     count-then-redact, narrow codegen'd regex, zero shuffles.""",
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    t = F.concat(
-        F.col("c_name"),
-        F.lit(" <"),
-        F.lower(F.col("c_mktsegment")),
-        F.col("c_custkey").cast("string"),
-        F.lit("@mail.example.com> tel 600-"),
-        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
-        F.lit("-"),
-        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
-        F.lit(" ref "),
-        F.lpad((F.col("c_custkey") * 13).cast("string"), 9, "0"),
-    )
     return text.redact_pii(
-        cust.select("c_custkey", t.alias("text")), id_col="c_custkey"
+        _pii_text_frame(spark, sf_dir), id_col="c_custkey"
     )
 
 
@@ -1457,3 +1463,28 @@ def lang_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_distinctive_terms(
         load_table(spark, sf_dir, "documents"), "lang", k=10, min_tf=3
     ).orderBy("lang", "r")
+
+
+from gcp_datalake_pipeline_spark.operators.text import (  # noqa: E402
+    pseudonymize_pii_oracle_sql as _pseud_oracle_sql,
+)
+
+
+@register(
+    "pii_pseudonyms",
+    _pseud_oracle_sql(_PII_BASE_CTE, id_col="c_custkey"),
+    doc="""Consistent PII pseudonym dictionary: every email/phone/id
+    entity in the corpus maps to a deterministic salted md5-prefix
+    surrogate (<EMAIL_xxxxxxxx>) with its corpus-wide occurrence count
+    — referential structure survives de-identification, identity does
+    not. Earlier patterns mask the text before later ones extract
+    (redact_pii's no-double-count discipline). One regexp explode per
+    pattern, one distinct-entity-sized groupBy — the corpus is scanned
+    once and never shuffled.""",
+)
+def pii_pseudonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_datalake_pipeline_spark.operators.text import pseudonymize_pii
+
+    return pseudonymize_pii(
+        _pii_text_frame(spark, sf_dir), id_col="c_custkey"
+    )
