@@ -93,6 +93,7 @@ _GRAMMAR = (
     "RENAME COLUMN a TO b | DROP COLUMN c | "
     "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | "
     "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
+    "ALTER COLUMN c [SET DATA] TYPE t (metadata-only widening) | "
     "CLUSTERED BY (keys) INTO m BUCKETS (online re-bucketing); "
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
     "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (cols) "
@@ -1092,6 +1093,23 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         keys = [c.strip() for c in m.group(2).split(",")]
         return catalog.recluster(m.group(1), int(m.group(3)), keys)
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+        r"(?:SET\s+DATA\s+)?TYPE\s+(.+)",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        table, col, dtype = m.group(1), m.group(2), m.group(3).strip()
+        try:
+            catalog.widen_column(table, col, dtype)
+        except (ValueError, FileNotFoundError):
+            raise
+        except Exception as e:  # unparseable DDL type
+            raise ValueError(
+                f"bad ALTER COLUMN type {dtype!r}: {e}; {_GRAMMAR}"
+            ) from None
+        return {"table": table, "widened_column": col, "type": dtype}
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+)", s, re.I | re.S
     )

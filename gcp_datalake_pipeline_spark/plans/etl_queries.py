@@ -2243,3 +2243,75 @@ def dq_orders_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.exact_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _QUANTILES
     )
+
+
+@register(
+    "etl_widen_column",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 6000
+      UNION ALL SELECT 6000000000, 123.45
+    )
+    SELECT count(*) AS n_orders,
+           max(o_orderkey) AS max_key,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM base
+    """,
+    doc="""Metadata-only type widening (ALTER TABLE ... ALTER COLUMN c
+    TYPE <wider>; transactions.py widen_column — Delta's type-widening
+    shape): a bounded orders subset lands with an INT order key, a
+    beyond-int32 key append REFUSES under the narrow schema (asserted
+    in-query), the widening commits with every data inode untouched
+    (asserted), and the same append then lands — the committed-schema
+    scan promotes the old files' int32 values natively. Oracle = the
+    subset plus the wide row, aggregated straight off parquet.""",
+)
+def etl_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_widen_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_w"):
+        cat.overwrite(
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_totalprice",
+            )
+            .coalesce(2),
+            "orders_w",
+        )
+        wide = spark.createDataFrame(
+            [(6000000000, 123.45)], "o_orderkey bigint, o_totalprice double"
+        )
+        try:
+            cat.append(wide, "orders_w")
+        except Exception:
+            pass
+        else:
+            raise RuntimeError(
+                "a beyond-int32 key landed under the narrow schema"
+            )
+        pre = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_w")
+            for f in cat._dir_parquet_files(d)
+        }
+        cat.widen_column("orders_w", "o_orderkey", "bigint")
+        post = {
+            os.stat(os.path.join(d, f)).st_ino
+            for d in cat._data_dirs("orders_w")
+            for f in cat._dir_parquet_files(d)
+        }
+        if post != pre:
+            raise RuntimeError("widening moved data — must be metadata-only")
+        cat.append(wide, "orders_w")
+    return cat.read("orders_w").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

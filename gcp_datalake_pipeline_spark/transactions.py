@@ -2337,6 +2337,124 @@ class TransactionalCatalog(Catalog):
 
         self._publish_meta(mutate, f"drop-column-{table}-{name}")
 
+    @staticmethod
+    def _widening_ok(old, new) -> bool:
+        """Delta-style type-widening matrix: integral up-casts, float →
+        double, integral → decimal with enough integer digits, decimal
+        → decimal with no loss on either side of the point. Everything
+        the Spark 4 parquet reader promotes natively (probed) and
+        nothing that can lose a value."""
+        from pyspark.sql import types as T
+
+        order = {
+            T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2,
+            T.LongType: 3,
+        }
+        ot, nt = type(old), type(new)
+        if ot in order and nt in order:
+            return order[nt] > order[ot]
+        if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+            return True
+        if ot in order and isinstance(new, T.DecimalType):
+            need = {0: 3, 1: 5, 2: 10, 3: 20}[order[ot]]
+            return new.precision - new.scale >= need
+        if isinstance(old, T.DecimalType) and isinstance(
+            new, T.DecimalType
+        ):
+            return (
+                new.scale >= old.scale
+                and new.precision - new.scale
+                >= old.precision - old.scale
+                and (new.precision, new.scale)
+                != (old.precision, old.scale)
+            )
+        return False
+
+    def widen_column(self, table: str, name: str, dtype) -> None:
+        """``ALTER TABLE ... ALTER COLUMN c TYPE <wider>`` — type
+        widening as a PURE METADATA commit (Delta's type-widening
+        feature): the committed schema's field changes type, zero files
+        move, and the committed-schema scan promotes old files' values
+        natively (byte→short→int→long, float→double, integral→decimal,
+        decimal precision growth — the Spark 4 parquet reader does the
+        up-cast; probed, and the matrix admits nothing lossy).
+
+        Refusals, each a silent-corruption on the other side of it:
+        - narrowing or cross-family changes (the matrix);
+        - BUCKET KEY columns — ``xxhash64`` is type-dependent, so the
+          same logical value would hash to a DIFFERENT ``_kb`` bucket
+          under the new type and every pruned read would miss rows;
+          recluster to new keys instead;
+        - BLOOM-INDEXED columns — the sidecar bitmaps hold old-type
+          hashes and probes under the new type would false-skip files;
+          drop the index first, widen, re-create.
+        A ``table_changes`` window crossing the widening refuses like
+        any type change (the feed contract); start consumers at or
+        after it."""
+        from pyspark.sql import types as T
+
+        if self._pending is not None:
+            raise RuntimeError("widen_column inside an open transaction")
+        stored = self._stored_schema(table)
+        if stored is None:
+            if not self.exists(table):
+                raise FileNotFoundError(f"{table!r} not in manifest")
+            raise ValueError(
+                f"table {table!r} predates schema tracking; rewrite it "
+                "once (compact) before ALTER TABLE"
+            )
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"x {dtype}")[0].dataType
+        logical = self.logical_schema(table).fieldNames()
+        if name not in logical:
+            raise ValueError(f"no column {name!r} on {table!r}")
+        physical = self._phys_name(self.colmap(table), name)
+        old = stored[physical].dataType
+        if not self._widening_ok(old, dtype):
+            raise ValueError(
+                f"ALTER COLUMN TYPE on {table}.{name}: "
+                f"{old.simpleString()} -> {dtype.simpleString()} is not "
+                "a widening (allowed: byte<short<int<long, "
+                "float->double, integral->decimal with enough integer "
+                "digits, decimal growth losing nothing on either side "
+                "of the point)"
+            )
+        meta = self.bucket_meta(table)
+        if meta is not None and (
+            name in meta["key_cols"] or physical in meta["key_cols"]
+        ):
+            raise ValueError(
+                f"cannot widen {name!r}: it is a bucket key of "
+                f"{table!r} and xxhash64 placement is type-dependent — "
+                "the same value would land in a different _kb bucket; "
+                "recluster the table instead"
+            )
+        bloom = self.bloom_index(table)
+        if bloom is not None and (
+            name in bloom.get("columns", ())
+            or physical in bloom.get("columns", ())
+        ):
+            raise ValueError(
+                f"cannot widen {name!r}: a bloom index covers it and "
+                "its bitmaps hold old-type hashes (probes would "
+                "false-skip files); DROP BLOOMFILTER INDEX, widen, "
+                "then re-create"
+            )
+        new_field = T.StructField(physical, dtype, True).jsonValue()
+
+        def mutate(m):
+            fields = m["schemas"][table]["fields"]
+            for i, f in enumerate(fields):
+                if f["name"] == physical:
+                    fields[i] = new_field
+                    return
+            raise ConcurrentWriteError(
+                f"column {physical!r} vanished from {table!r} under "
+                "this ALTER; retry from a fresh read"
+            )
+
+        self._publish_meta(mutate, f"widen-column-{table}-{name}")
+
     def view_spec(self, name: str) -> dict | None:
         """A materialized view's recorded spec (see
         :mod:`~gcp_datalake_pipeline_spark.operators.matview`), or None:

@@ -246,3 +246,108 @@ def test_optimize_and_vacuum_facade(spark, tcat):
     assert tcat.read("t").count() == 3000
     with pytest.raises(ValueError, match="unsupported DML shape"):
         execute_dml(tcat, "OPTIMIZE")  # no table
+
+
+# -- ALTER COLUMN TYPE: metadata-only widening (r12) --------------------------
+
+
+def _widen_fixture(spark, tcat):
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("a"),
+        F.col("id").cast("float").alias("f"),
+        (F.col("id") % 3).cast("smallint").alias("s"),
+        F.col("id").cast("decimal(10,2)").alias("d"),
+    )
+    tcat.overwrite(df, "t")
+    return df
+
+
+def test_widen_column_is_metadata_only_and_values_survive(spark, tcat):
+    import os
+
+    from pyspark.sql import functions as F
+
+    _widen_fixture(spark, tcat)
+    pre = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in tcat._data_dirs("t")
+        for f in tcat._dir_parquet_files(d)
+    }
+    tcat.widen_column("t", "a", "bigint")
+    tcat.widen_column("t", "f", "double")
+    tcat.widen_column("t", "s", "int")
+    tcat.widen_column("t", "d", "decimal(16,2)")
+    post = {
+        os.stat(os.path.join(d, f)).st_ino
+        for d in tcat._data_dirs("t")
+        for f in tcat._dir_parquet_files(d)
+    }
+    assert post == pre, "widening moved data — must be metadata-only"
+    got = tcat.read("t")
+    types = dict(got.dtypes)
+    assert types == {
+        "a": "bigint", "f": "double", "s": "int", "d": "decimal(16,2)",
+    }
+    assert got.agg(F.sum("a")).first()[0] == 45
+    assert got.where(F.col("d") == 4.00).count() == 1
+    # appends after the widening land under the wide schema
+    tcat.append(
+        spark.createDataFrame(
+            [(2**40, 1.5, 7, None)],
+            "a bigint, f double, s int, d decimal(16,2)",
+        ),
+        "t",
+    )
+    assert tcat.read("t").agg(F.max("a")).first()[0] == 2**40
+    # old snapshots keep their old types (time travel unaffected)
+    assert dict(tcat.read_at("t", 1).dtypes)["a"] == "int"
+
+
+def test_widen_column_refusals(spark, tcat):
+    import pytest
+    from pyspark.sql import functions as F
+
+    _widen_fixture(spark, tcat)
+    for bad in [("a", "int"), ("a", "smallint"), ("f", "float"),
+                ("a", "string"), ("d", "decimal(10,1)"),
+                ("a", "decimal(9,0)")]:
+        with pytest.raises(ValueError, match="not a widening"):
+            tcat.widen_column("t", *bad)
+    with pytest.raises(ValueError, match="no column"):
+        tcat.widen_column("t", "ghost", "bigint")
+    # bucket keys refuse: xxhash64 placement is type-dependent
+    tcat.overwrite_bucketed(
+        spark.range(8).select(F.col("id").cast("int").alias("k")),
+        "bk", 4, ["k"],
+    )
+    with pytest.raises(ValueError, match="bucket key"):
+        tcat.widen_column("bk", "k", "bigint")
+    # bloom-indexed columns refuse: bitmaps hold old-type hashes
+    tcat.overwrite(
+        spark.range(8).select(F.col("id").cast("int").alias("x")), "bl"
+    )
+    tcat.set_bloom_index("bl", ["x"])
+    with pytest.raises(ValueError, match="bloom"):
+        tcat.widen_column("bl", "x", "bigint")
+
+
+def test_widen_column_sql_front_door_and_rename_interop(spark, tcat):
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    _widen_fixture(spark, tcat)
+    out = execute_dml(tcat, "ALTER TABLE t ALTER COLUMN a TYPE BIGINT")
+    assert out == {"table": "t", "widened_column": "a", "type": "BIGINT"}
+    # widening follows a RENAME COLUMN through the mapping (the stored
+    # schema keys physical names)
+    execute_dml(tcat, "ALTER TABLE t RENAME COLUMN f TO f2")
+    out = execute_dml(
+        tcat, "ALTER TABLE t ALTER COLUMN f2 SET DATA TYPE DOUBLE"
+    )
+    assert out["widened_column"] == "f2"
+    types = dict(tcat.read("t").dtypes)
+    assert types["a"] == "bigint" and types["f2"] == "double"
+    assert tcat.read("t").agg(F.sum("f2")).first()[0] == 45.0
