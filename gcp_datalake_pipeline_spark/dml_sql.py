@@ -674,6 +674,61 @@ _INSERT_RE = re.compile(
 _MERGE_RE = re.compile(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", re.I | re.S)
 
 
+def _insert_identity(
+    catalog, table, cols, src, schema, ident, overwrite
+):
+    """INSERT into a GENERATED ALWAYS AS IDENTITY table: the identity
+    column may never be supplied (Delta semantics — a loud refusal),
+    defaults to being omitted from the positional target list, and the
+    engine mints ids starting at the recorded high-water mark via the
+    sharded deterministic ranker (assign_dense_ids — no single-task
+    window). The advanced mark commits ATOMICALLY with the rows and is
+    expect-checked, so concurrent identity INSERTs can never mint
+    overlapping ranges; the mark only grows (ids are never reused,
+    even across deletes or INSERT OVERWRITE)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
+
+    icol = ident["col"]
+    if cols is not None and icol in cols:
+        raise ValueError(
+            f"column {icol!r} of {table!r} is GENERATED ALWAYS AS "
+            f"IDENTITY and cannot be inserted explicitly; omit it "
+            f"(the engine assigns the next ids); {_GRAMMAR}"
+        )
+    if getattr(catalog, "bucket_meta", lambda _t: None)(table):
+        raise ValueError(
+            f"identity INSERT into the bucketed table {table!r} is not "
+            "supported; recluster without the identity column or drop "
+            f"the bucket layout; {_GRAMMAR}"
+        )
+    if cols is None:
+        cols = [n for n in schema.fieldNames() if n != icol]
+    narrow = T.StructType([f for f in schema.fields if f.name != icol])
+    aligned, n = _align_to_schema(catalog, src, narrow, cols)
+    start = int(ident["next"])
+    # assign_dense_ids yields start + 1-based rank, so anchor one below
+    assigned = assign_dense_ids(
+        aligned, list(aligned.columns), icol, start=start - 1
+    ).select(*[f.name for f in schema.fields])
+    verb = "overwritten" if overwrite else "inserted"
+    load = f"insert-identity-{table}"
+    with catalog.transaction(load):
+        if overwrite:
+            catalog.overwrite(assigned, table)
+        else:
+            catalog.append(assigned, table)
+        catalog._intents[table]["identity"] = {
+            "col": icol, "next": start + n, "expect_next": start,
+        }
+    return {
+        "table": table, verb: n,
+        "identity_range": [start, start + n - 1] if n else [],
+    }
+
+
 def _parse_insert_source(catalog, table, col_list, tail, overwrite):
     """The INSERT grammar's shared body (real run AND the EXPLAIN dry
     run — a grammar fix can never diverge the two): refusals, column
@@ -917,6 +972,11 @@ def execute_dml(catalog, sql: str) -> dict | None:
         cols, src, schema = _parse_insert_source(
             catalog, table, m.group(3), m.group(4).strip(), overwrite
         )
+        ident = getattr(catalog, "identity_spec", lambda _t: None)(table)
+        if ident is not None:
+            return _insert_identity(
+                catalog, table, cols, src, schema, ident, overwrite
+            )
         meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
         if meta is not None:
             # bucketed target: users insert the LOGICAL columns; the
@@ -1074,6 +1134,23 @@ def execute_dml(catalog, sql: str) -> dict | None:
         if_not_exists, table, ddl = m.group(1), m.group(2), m.group(3)
         if if_not_exists and catalog.exists(table):
             return {"table": table, "created": False}
+        # GENERATED ALWAYS AS IDENTITY: strip the clause (a plain
+        # BIGINT remains for the DDL parser) and register the column
+        # in the SAME create commit
+        identity_col = None
+        idm = re.search(
+            r"(\w+)\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY",
+            ddl,
+            re.I,
+        )
+        if idm:
+            identity_col = idm.group(1)
+            ddl = re.sub(
+                r"(\w+\s+BIGINT)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY",
+                r"\1",
+                ddl,
+                flags=re.I,
+            )
         try:
             from pyspark.sql import types as T
 
@@ -1082,6 +1159,12 @@ def execute_dml(catalog, sql: str) -> dict | None:
             raise ValueError(
                 f"bad CREATE TABLE column list {ddl!r}: {e}; {_GRAMMAR}"
             ) from None
+        if identity_col is not None:
+            catalog.create_table(table, schema, identity_col=identity_col)
+            return {
+                "table": table, "created": True,
+                "identity": identity_col,
+            }
         catalog.create_table(table, schema)
         return {"table": table, "created": True}
     m = re.fullmatch(

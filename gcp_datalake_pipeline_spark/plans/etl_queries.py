@@ -2315,3 +2315,81 @@ def etl_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "etl_identity_inserts",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey AS okey, o_totalprice AS price,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey, o_totalprice) AS id
+      FROM orders WHERE o_orderkey < 700
+    ),
+    n1 AS (SELECT count(*) AS n FROM b1),
+    b2 AS (
+      SELECT o_orderkey AS okey, o_totalprice AS price,
+             (SELECT n FROM n1)
+             + ROW_NUMBER() OVER (ORDER BY o_orderkey, o_totalprice) AS id
+      FROM orders WHERE o_orderkey >= 700 AND o_orderkey < 1400
+    )
+    SELECT id, okey, round(price, 2) AS price
+    FROM (
+      SELECT * FROM b1 WHERE okey >= 200
+      UNION ALL SELECT * FROM b2
+    )
+    ORDER BY id
+    """,
+    doc="""GENERATED ALWAYS AS IDENTITY through the SQL front door
+    (dml_sql._insert_identity): two INSERT...SELECT batches mint dense
+    ids from the expect-checked high-water mark (sharded deterministic
+    ranking over the inserted values — no single-task window), a DELETE
+    between them proves ids are never reused, and supplying the column
+    explicitly refuses (asserted in-query). Oracle reconstructs the
+    exact ids as per-batch ROW_NUMBER over the same value order plus
+    the batch offset.""",
+)
+def etl_identity_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_identity_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_id"):
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "orders_src_iv"
+        )
+        execute_dml(
+            cat,
+            "CREATE TABLE orders_id (id BIGINT GENERATED ALWAYS AS "
+            "IDENTITY, okey BIGINT, price DOUBLE)",
+        )
+        execute_dml(
+            cat,
+            "INSERT INTO orders_id (okey, price) SELECT o_orderkey, "
+            "o_totalprice FROM orders_src_iv WHERE o_orderkey < 700",
+        )
+        execute_dml(cat, "DELETE FROM orders_id WHERE okey < 200")
+        execute_dml(
+            cat,
+            "INSERT INTO orders_id (okey, price) SELECT o_orderkey, "
+            "o_totalprice FROM orders_src_iv WHERE o_orderkey >= 700 "
+            "AND o_orderkey < 1400",
+        )
+    # EVERY run: GENERATED ALWAYS refuses an explicit id
+    try:
+        execute_dml(
+            cat, "INSERT INTO orders_id (id, okey, price) VALUES (1, 1, 1.0)"
+        )
+    except ValueError as e:
+        if "GENERATED ALWAYS" not in str(e):
+            raise
+    else:
+        raise RuntimeError("explicit identity insert did not refuse")
+    return (
+        cat.read("orders_id")
+        .select("id", "okey", F.round("price", 2).alias("price"))
+        .orderBy("id")
+    )

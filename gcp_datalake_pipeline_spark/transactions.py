@@ -865,6 +865,27 @@ class TransactionalCatalog(Catalog):
                             mv.pop(table, None)
                         else:
                             mv[table] = intent["view"]
+                    if "identity" in intent:
+                        # identity high-water mark, committed ATOMICALLY
+                        # with the assigned rows and expect-checked:
+                        # two concurrent identity INSERTs would
+                        # otherwise mint overlapping id ranges
+                        mid = manifest.setdefault("identity", {})
+                        upd = intent["identity"]
+                        cur_id = mid.get(table)
+                        cur_next = (
+                            cur_id["next"] if cur_id is not None else None
+                        )
+                        if cur_next != upd["expect_next"]:
+                            raise ConcurrentWriteError(
+                                f"identity column of {table!r} was "
+                                f"advanced by another writer (expected "
+                                f"next id {upd['expect_next']!r}, found "
+                                f"{cur_next!r}); retry from a fresh read"
+                            )
+                        mid[table] = {
+                            "col": upd["col"], "next": upd["next"],
+                        }
                     if "stream" in intent:
                         # change-feed consumer watermark(s), committed
                         # ATOMICALLY with the applied writes AND
@@ -1108,8 +1129,25 @@ class TransactionalCatalog(Catalog):
     # dirs live on for retained snapshots; whole-catalog or per-table
     # RESTORE resurrects the table until vacuum reclaims them).
 
+    def identity_spec(self, table: str) -> dict | None:
+        """The table's GENERATED ALWAYS AS IDENTITY column record
+        (``{"col": name, "next": next_id}``) or None. ``next`` is the
+        high-water mark the next identity INSERT starts at — advanced
+        atomically with the rows it minted and never reused, even
+        across deletes or INSERT OVERWRITE (Delta identity
+        semantics)."""
+        return (
+            self._read_manifest(strict=False)
+            .get("identity", {})
+            .get(table)
+        )
+
     def create_table(
-        self, table: str, schema, bucket_meta: tuple | None = None
+        self,
+        table: str,
+        schema,
+        bucket_meta: tuple | None = None,
+        identity_col: str | None = None,
     ) -> None:
         """CREATE TABLE: commit ``table`` as an empty typed relation
         (``schema`` is a StructType or DDL string). Exists -> raises
@@ -1126,6 +1164,19 @@ class TransactionalCatalog(Catalog):
             schema = T.StructType.fromDDL(schema)
         if self.exists(table):
             raise FileExistsError(f"table {table!r} already exists")
+        if identity_col is not None:
+            if identity_col not in schema.fieldNames():
+                raise ValueError(
+                    f"identity column {identity_col!r} not in the schema"
+                )
+            if not isinstance(
+                schema[identity_col].dataType, T.LongType
+            ):
+                raise ValueError(
+                    "GENERATED ALWAYS AS IDENTITY requires a BIGINT "
+                    f"column ({identity_col!r} is "
+                    f"{schema[identity_col].dataType.simpleString()})"
+                )
         base = self._committed_rels(table)  # None: conflicts if created
         with self.transaction(f"create-{table}"):
             self._pending[table] = []
@@ -1135,6 +1186,12 @@ class TransactionalCatalog(Catalog):
                 "added": [],
                 "schema": schema.jsonValue(),
             }
+            if identity_col is not None:
+                # registered in the SAME commit as the table — no crash
+                # window where INSERTs would mint unchecked ids
+                self._intents[table]["identity"] = {
+                    "col": identity_col, "next": 1, "expect_next": None,
+                }
             if bucket_meta is not None:
                 nb, kc = bucket_meta
                 self._write_bucket_meta(table, int(nb), list(kc))
@@ -1238,6 +1295,9 @@ class TransactionalCatalog(Catalog):
             m.get("properties", {}).pop(table, None)
             if not m.get("properties"):
                 m.pop("properties", None)
+            m.get("identity", {}).pop(table, None)
+            if not m.get("identity"):
+                m.pop("identity", None)
             m.get("renamed", {}).pop(table, None)
             if not m.get("renamed"):
                 m.pop("renamed", None)
@@ -2960,7 +3020,7 @@ class TransactionalCatalog(Catalog):
                 )
             for key in (
                 "tables", "schemas", "checks", "layouts", "blooms",
-                "dvs", "colmaps", "properties",
+                "dvs", "colmaps", "properties", "identity",
             ):
                 sub = m.get(key)
                 if sub and old in sub:

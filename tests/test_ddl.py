@@ -351,3 +351,114 @@ def test_widen_column_sql_front_door_and_rename_interop(spark, tcat):
     types = dict(tcat.read("t").dtypes)
     assert types["a"] == "bigint" and types["f2"] == "double"
     assert tcat.read("t").agg(F.sum("f2")).first()[0] == 45.0
+
+
+# -- GENERATED ALWAYS AS IDENTITY (r12) ---------------------------------------
+
+
+def test_identity_column_lifecycle(spark, tcat):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    out = execute_dml(
+        tcat,
+        "CREATE TABLE ev (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "name STRING, amt DOUBLE)",
+    )
+    assert out == {"table": "ev", "created": True, "identity": "id"}
+    assert tcat.identity_spec("ev") == {"col": "id", "next": 1}
+    out = execute_dml(
+        tcat, "INSERT INTO ev (name, amt) VALUES ('a', 1.0), ('b', 2.0)"
+    )
+    assert out["inserted"] == 2 and out["identity_range"] == [1, 2]
+    # default target list omits the identity column
+    out = execute_dml(tcat, "INSERT INTO ev VALUES ('c', 3.0)")
+    assert out["identity_range"] == [3, 3]
+    got = sorted(map(tuple, tcat.read("ev").collect()))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # GENERATED ALWAYS: supplying the column refuses
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        execute_dml(tcat, "INSERT INTO ev (id, name, amt) VALUES (9, 'x', 0.0)")
+    # ids never reuse: delete everything, insert again
+    execute_dml(tcat, "DELETE FROM ev WHERE amt < 10.0")
+    out = execute_dml(tcat, "INSERT INTO ev (name, amt) VALUES ('d', 4.0)")
+    assert out["identity_range"] == [4, 4]
+    # INSERT OVERWRITE replaces content but the mark only grows
+    out = execute_dml(tcat, "INSERT OVERWRITE ev (name, amt) VALUES ('e', 5.0)")
+    assert out["identity_range"] == [5, 5]
+    assert [tuple(r) for r in tcat.read("ev").collect()] == [(5, "e", 5.0)]
+    assert tcat.identity_spec("ev")["next"] == 6
+    # direct append without the column refuses nothing today — but the
+    # SQL surface is the contract; the spec survives rename and clears
+    # on drop
+    tcat.rename_table("ev", "ev2")
+    assert tcat.identity_spec("ev2") == {"col": "id", "next": 6}
+    assert tcat.identity_spec("ev") is None
+    out = execute_dml(tcat, "INSERT INTO ev2 (name, amt) VALUES ('f', 6.0)")
+    assert out["identity_range"] == [6, 6]
+    tcat.drop_table("ev2")
+    assert tcat.identity_spec("ev2") is None
+
+
+def test_identity_concurrent_mint_conflicts(spark, tcat):
+    """Two writers reading the same high-water mark: the second commit
+    must raise ConcurrentWriteError, never mint overlapping ids."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        ConcurrentWriteError,
+        TransactionalCatalog,
+    )
+
+    execute_dml(
+        tcat,
+        "CREATE TABLE ev (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "name STRING)",
+    )
+    execute_dml(tcat, "INSERT INTO ev (name) VALUES ('a')")
+    # a second handle to the same lake, racing on the same mark
+    other = TransactionalCatalog(spark=spark, root=tcat.root)
+    df = spark.createDataFrame([("x",)], "name string")
+    with tcat.transaction("race-1") as t1:
+        t1.append(
+            spark.createDataFrame([(2, "b")], "id long, name string"), "ev"
+        )
+        t1._intents["ev"]["identity"] = {
+            "col": "id", "next": 3, "expect_next": 2,
+        }
+    # t1 advanced the mark to 3; a stale writer expecting 2 must fail
+    with pytest.raises(ConcurrentWriteError, match="identity"):
+        with other.transaction("race-2") as t2:
+            t2.append(
+                spark.createDataFrame([(2, "dup")], "id long, name string"),
+                "ev",
+            )
+            t2._intents["ev"]["identity"] = {
+                "col": "id", "next": 3, "expect_next": 2,
+            }
+    assert df.count() == 1  # keep the frame referenced
+
+
+def test_identity_create_refusals(spark, tcat):
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    with pytest.raises(ValueError, match="BIGINT"):
+        tcat.create_table(
+            "bad", "id INT, name STRING", identity_col="id"
+        )
+    with pytest.raises(ValueError, match="not in the schema"):
+        tcat.create_table(
+            "bad", "name STRING", identity_col="ghost"
+        )
+    # the SQL clause parses only on BIGINT (anything else fails DDL)
+    out = execute_dml(
+        tcat,
+        "CREATE TABLE ok (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "v DOUBLE)",
+    )
+    assert out["identity"] == "id"
