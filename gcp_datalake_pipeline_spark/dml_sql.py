@@ -91,7 +91,8 @@ _GRAMMAR = (
     "TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "RENAME COLUMN a TO b | DROP COLUMN c | "
-    "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | "
+    "ADD CONSTRAINT n CHECK (expr) | UNIQUE|PRIMARY KEY (cols) "
+    "(write-enforced) | DROP CONSTRAINT n | "
     "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
     "ALTER COLUMN c [SET DATA] TYPE t (metadata-only widening) | "
     "CLUSTERED BY (keys) INTO m BUCKETS (online re-bucketing); "
@@ -1276,6 +1277,19 @@ def execute_dml(catalog, sql: str) -> dict | None:
     if m:
         catalog.add_check(m.group(1), m.group(2), m.group(3).strip())
         return {"table": m.group(1), "added_check": m.group(2)}
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"(?:UNIQUE|PRIMARY\s+KEY)\s*\(([^)]+)\)",
+        s,
+        re.I,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(3).split(",")]
+        catalog.add_unique_constraint(m.group(1), m.group(2), cols)
+        return {
+            "table": m.group(1), "added_unique": m.group(2),
+            "columns": cols,
+        }
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)", s, re.I
     )

@@ -2393,3 +2393,70 @@ def etl_identity_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "okey", F.round("price", 2).alias("price"))
         .orderBy("id")
     )
+
+
+@register(
+    "etl_unique_constraint",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey < 1400
+    """,
+    doc="""Write-enforced UNIQUE / PRIMARY KEY (transactions.py
+    add_unique_constraint — the enforcement Delta declines): a bounded
+    orders subset lands, UNIQUE(o_orderkey) registers (validating the
+    existing rows), a second disjoint batch appends, and then BOTH a
+    key-colliding insert and an intra-batch-duplicate insert must
+    refuse WITHOUT publishing a version (asserted in-query; the probe
+    is one column-pruned semi-join, bucket-pruned when co-bucketed).
+    Oracle = the surviving rows straight off parquet — n_rows ==
+    n_keys is the enforced invariant.""",
+)
+def etl_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import (
+        CheckViolation,
+        TransactionalCatalog,
+    )
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_unique_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    cols = ["o_orderkey", "o_totalprice"]
+    if not cat.exists("orders_u"):
+        orders = load_table(spark, sf_dir, "orders").select(*cols)
+        cat.overwrite(
+            orders.where(F.col("o_orderkey") < 700).coalesce(2), "orders_u"
+        )
+        cat.add_unique_constraint("orders_u", "pk", ["o_orderkey"])
+        cat.append(
+            orders.where(
+                (F.col("o_orderkey") >= 700) & (F.col("o_orderkey") < 1400)
+            ).coalesce(2),
+            "orders_u",
+        )
+    # EVERY run: collisions refuse and publish nothing
+    v = cat._read_manifest(strict=False)["version"]
+    dup = spark.createDataFrame(
+        [(5, 1.0)], "o_orderkey long, o_totalprice double"
+    )
+    for batch, what in (
+        (dup, "existing-key collision"),
+        (dup.unionAll(dup.selectExpr("o_orderkey", "o_totalprice + 1")),
+         "intra-batch duplicate"),
+    ):
+        try:
+            cat.append(batch, "orders_u")
+        except CheckViolation:
+            pass
+        else:
+            raise RuntimeError(f"{what} landed through UNIQUE")
+    if cat._read_manifest(strict=False)["version"] != v:
+        raise RuntimeError("a refused write still published a version")
+    return cat.read("orders_u").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -605,21 +605,31 @@ class TransactionalCatalog(Catalog):
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
-        self._enforce_checks(table, os.path.join(self.root, rel))
+        # content replace: staged rows ARE the table — no cross-key probe
+        self._enforce_checks(
+            table, os.path.join(self.root, rel), cross_table=False
+        )
         self._write_stage_stats(rel, table=table)
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=df.schema)
 
     def append(
-        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str] | None = None,
+        unique_cross: bool = True,
     ) -> None:
         # An append publishes NEW files only — the pointer list grows by
         # one staged dir and existing data is never rewritten (the 100 TB
         # append path; compact_table folds the list back to one dir).
+        # ``unique_cross=False`` skips the UNIQUE constraints' existing-
+        # key probe — ONLY for writes whose keys are simultaneously
+        # retired in the same commit (the DV update's in-place images).
         auto = self._require_txn()
         if auto is not None:
             with auto:
-                self.append(df, table, partition_cols)
+                self.append(df, table, partition_cols, unique_cross)
             return
         df = self._to_physical_frame(df, self.colmap(table))
         if self._pending is not None and table in self._pending:
@@ -631,7 +641,9 @@ class TransactionalCatalog(Catalog):
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
-        self._enforce_checks(table, os.path.join(self.root, rel))
+        self._enforce_checks(
+            table, os.path.join(self.root, rel), cross_table=unique_cross
+        )
         self._write_stage_stats(rel, table=table)
         self._pending[table] = prev + [rel]
         self._note_append(table, rel, schema=df.schema)
@@ -671,8 +683,9 @@ class TransactionalCatalog(Catalog):
         stage = os.path.join(self.root, rel)
         merged.write.mode("overwrite").partitionBy("_kb").parquet(stage)
         # checks run BEFORE hardlinking untouched partitions in: merge
-        # enforcement reads only the touched partitions' rows
-        self._enforce_checks(table, stage)
+        # enforcement reads only the touched partitions' rows (a merge
+        # re-states existing keys by construction — intra-stage only)
+        self._enforce_checks(table, stage, cross_table=False)
         reuse = None
         bloom_reuse = None
         if prev:
@@ -1090,8 +1103,27 @@ class TransactionalCatalog(Catalog):
         if validate_checks:
             chk = self.checks(table)
             if chk:
+                from pyspark.sql import functions as F
+
                 restored = self.read_at(table, version)
                 for name, expr in chk.items():
+                    if isinstance(expr, dict) and "unique" in expr:
+                        cols = expr["unique"]
+                        bad = (
+                            restored.groupBy(*cols)
+                            .agg(F.count(F.lit(1)).alias("__c"))
+                            .where(F.col("__c") > 1)
+                            .count()
+                        )
+                        if bad:
+                            raise CheckViolation(
+                                f"restoring {table!r} to v{version} "
+                                f"would reintroduce {bad} duplicated "
+                                f"key(s) under UNIQUE {name!r} over "
+                                f"{cols}; drop the constraint or pass "
+                                "validate_checks=False"
+                            )
+                        continue
                     bad = restored.filter(self._violates(expr)).count()
                     if bad:
                         raise CheckViolation(
@@ -1544,6 +1576,22 @@ class TransactionalCatalog(Catalog):
         rows), no candidate file rewritten; :meth:`compact` folds."""
         from pyspark.sql import functions as F
 
+        # a SET on a UNIQUE-constrained column could collide with a key
+        # in a CARRIED (unrewritten) file, which no staged-write check
+        # can see — refuse up front (delete the old row and INSERT the
+        # new key instead)
+        for cname, expr in self.checks(table).items():
+            if isinstance(expr, dict):
+                hit = sorted(
+                    set(expr.get("unique", ())) & set(set_exprs)
+                )
+                if hit:
+                    raise ValueError(
+                        f"UPDATE SET on {hit!r} refused: UNIQUE "
+                        f"constraint {cname!r} covers the column(s) and "
+                        "a rewrite cannot see collisions in carried "
+                        "files; DELETE + INSERT the new key instead"
+                    )
         if mode == "dv":
             return self._update_where_dv(table, predicates, set_exprs)
         if mode != "rewrite":
@@ -1700,7 +1748,10 @@ class TransactionalCatalog(Catalog):
                 w = w.partitionBy(*part_cols)
             w.parquet(stage)
             if enforce_checks:
-                self._enforce_checks(table, stage)
+                # rewritten candidates re-state surviving rows — the
+                # cross-key probe would self-collide; UPDATE SET on a
+                # UNIQUE column refuses upstream instead
+                self._enforce_checks(table, stage, cross_table=False)
             # carry untouched files by hardlink, preserving layout
             reuse = {}
             bloom_reuse = {}
@@ -1862,7 +1913,10 @@ class TransactionalCatalog(Catalog):
             # the appended dir gets checks/stats/blooms via append();
             # the vector rides the same commit, so readers see the
             # delete+insert pair atomically
-            self.append(images, table, partition_cols=part_cols or None)
+            self.append(
+                images, table, partition_cols=part_cols or None,
+                unique_cross=False,  # these keys retire via the vector
+            )
             rel = self._stage_dv(table, matched, n)
             self._intents[table]["dv_add"] = {
                 "dir": rel,
@@ -2258,6 +2312,13 @@ class TransactionalCatalog(Catalog):
         for cname, expr in self.checks(table).items():
             import re as _re
 
+            if isinstance(expr, dict):
+                if name in expr.get("unique", ()):
+                    raise ValueError(
+                        f"cannot {verb} {name!r}: UNIQUE constraint "
+                        f"{cname!r} covers it; drop the constraint first"
+                    )
+                continue
             if _re.search(rf"\b{_re.escape(name)}\b", expr):
                 raise ValueError(
                     f"cannot {verb} {name!r}: CHECK constraint {cname!r} "
@@ -2701,6 +2762,62 @@ class TransactionalCatalog(Catalog):
 
         self._publish_meta(mutate, f"add-check-{table}-{name}")
 
+    def add_unique_constraint(
+        self, table: str, name: str, cols: list[str]
+    ) -> None:
+        """Register a WRITE-ENFORCED UNIQUE constraint over ``cols``
+        (``ALTER TABLE ... ADD CONSTRAINT nm UNIQUE (cols)`` / PRIMARY
+        KEY): every later append/INSERT must neither duplicate a key
+        within itself nor collide with an existing key, or the write
+        fails with :class:`CheckViolation` — the enforcement Delta
+        declines to do. Existing rows are validated first. NULL keys
+        group like values (stricter than SQL UNIQUE's multi-NULL
+        allowance, stated).
+
+        Enforcement cost is O(write): the staged keys self-check with
+        one bounded aggregate, and the existing-key probe is ONE
+        column-pruned semi-join — partition-pruned to the staged keys'
+        buckets when the table is bucketed on exactly these columns.
+        Content-replacing writes (overwrite, bucketed merge — whose
+        staged output necessarily re-states existing keys) check
+        intra-stage uniqueness only; UPDATE ... SET on a constrained
+        column refuses (a carried file's key could collide unseen)."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "add_unique_constraint inside an open transaction"
+            )
+        from pyspark.sql import functions as F
+
+        cols = list(cols)
+        if not cols:
+            raise ValueError("UNIQUE constraint needs at least one column")
+        if self.exists(table):
+            logical = self.logical_schema(table).fieldNames()
+            missing = [c for c in cols if c not in logical]
+            if missing:
+                raise ValueError(
+                    f"UNIQUE column(s) {missing!r} not in {table!r}"
+                )
+            dups = (
+                self.read(table)
+                .groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") > 1)
+                .count()
+            )
+            if dups:
+                raise CheckViolation(
+                    f"cannot add UNIQUE {name!r} to {table!r}: {dups} "
+                    f"existing key(s) over {cols} are duplicated"
+                )
+
+        def mutate(m):
+            m.setdefault("checks", {}).setdefault(table, {})[name] = {
+                "unique": cols
+            }
+
+        self._publish_meta(mutate, f"add-unique-{table}-{name}")
+
     def drop_check(self, table: str, name: str) -> None:
         """Remove a CHECK constraint; raises KeyError if absent."""
         if self._pending is not None:
@@ -2731,10 +2848,19 @@ class TransactionalCatalog(Catalog):
             manifest["committed_at"] = time.time()
             self._commit_tail(manifest)
 
-    def _enforce_checks(self, table: str, stage_path: str) -> None:
+    def _enforce_checks(
+        self, table: str, stage_path: str, cross_table: bool = True
+    ) -> None:
         """Validate a freshly staged dir against the table's committed
-        CHECK constraints — reads back only the staged files (never the
-        table), so enforcement cost is proportional to the write."""
+        constraints. Row CHECKs read back only the staged files, so
+        enforcement cost is proportional to the write. UNIQUE
+        constraints additionally probe the EXISTING keys with one
+        column-pruned semi-join (bucket-pruned when co-bucketed) —
+        skipped under ``cross_table=False`` for content-REPLACING
+        writes (overwrite, bucketed merge), whose staged output
+        legitimately re-states existing keys."""
+        from pyspark.sql import functions as F
+
         chk = self._read_manifest(strict=False).get("checks", {}).get(table)
         if not chk:
             return
@@ -2743,12 +2869,67 @@ class TransactionalCatalog(Catalog):
             self.spark.read.parquet(stage_path), self.colmap(table)
         )
         for name, expr in chk.items():
+            if isinstance(expr, dict) and "unique" in expr:
+                self._enforce_unique(
+                    table, name, expr["unique"], df, cross_table
+                )
+                continue
             bad = df.filter(self._violates(expr)).count()
             if bad:
                 raise CheckViolation(
                     f"write to {table!r} violates CHECK {name!r} ({expr}):"
                     f" {bad} staged row(s)"
                 )
+
+    def _enforce_unique(
+        self, table: str, name: str, cols: list[str], staged, cross: bool
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        from gcp_datalake_pipeline_spark.storage import kb_col
+
+        keys = staged.select(*cols)
+        dups = (
+            keys.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .count()
+        )
+        if dups:
+            raise CheckViolation(
+                f"write to {table!r} violates UNIQUE {name!r} over "
+                f"{cols}: {dups} staged key(s) duplicated within the "
+                "write"
+            )
+        if not cross or not self.exists(table):
+            return
+        if not self._read_manifest(strict=False)["tables"].get(table):
+            return  # freshly created, no committed data yet
+        existing = self.read(table)
+        meta = self.bucket_meta(table)
+        if meta is not None and list(meta["key_cols"]) == list(cols):
+            buckets = [
+                r["_kb"]
+                for r in keys.select(
+                    kb_col(cols, meta["num_buckets"]).alias("_kb")
+                )
+                .distinct()
+                .collect()
+            ]
+            existing = existing.where(F.col("_kb").isin(buckets))
+        # AQE sizes the join: a small staged write broadcasts itself, a
+        # bulk load shuffles honestly — never force a broadcast of an
+        # unbounded write
+        hits = (
+            existing.select(*cols)
+            .join(keys.distinct(), cols, "left_semi")
+            .count()
+        )
+        if hits:
+            raise CheckViolation(
+                f"write to {table!r} violates UNIQUE {name!r} over "
+                f"{cols}: {hits} staged key(s) already exist"
+            )
 
     def rollback(self) -> None:
         if self._pending is None:

@@ -156,3 +156,96 @@ def test_catalog_restore_reverts_checks_with_the_data(spark, tmp_path):
     cat.restore(v_pre)
     assert cat.checks("t") == {}  # pre-check snapshot: gate reverted
     assert cat.read("t").count() == 5
+
+
+# -- write-enforced UNIQUE / PRIMARY KEY (r12) --------------------------------
+
+
+def test_unique_constraint_write_enforcement(spark, tmp_path):
+    tcat = _cat(spark, tmp_path)
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    tcat.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), "t"
+    )
+    out = execute_dml(tcat, "ALTER TABLE t ADD CONSTRAINT pk UNIQUE (k)")
+    assert out == {"table": "t", "added_unique": "pk", "columns": ["k"]}
+    # appends with fresh keys land
+    execute_dml(tcat, "INSERT INTO t VALUES (3, 'c')")
+    # a colliding key refuses — and publishes NOTHING
+    v = tcat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="already exist"):
+        execute_dml(tcat, "INSERT INTO t VALUES (2, 'dup')")
+    assert tcat._read_manifest(strict=False)["version"] == v
+    # an intra-batch duplicate refuses too
+    with pytest.raises(CheckViolation, match="within the write"):
+        execute_dml(tcat, "INSERT INTO t VALUES (9, 'x'), (9, 'y')")
+    # overwrite replaces content: restating keys is legitimate
+    tcat.overwrite(
+        spark.createDataFrame([(1, "z"), (4, "w")], "k long, v string"), "t"
+    )
+    assert tcat.read("t").count() == 2
+    # but an overwrite with internal duplicates still refuses
+    with pytest.raises(CheckViolation, match="within the write"):
+        tcat.overwrite(
+            spark.createDataFrame([(5, "p"), (5, "q")], "k long, v string"),
+            "t",
+        )
+    # UPDATE SET on the constrained column refuses up front
+    with pytest.raises(ValueError, match="UNIQUE"):
+        execute_dml(tcat, "UPDATE t SET k = 1 WHERE v = 'w'")
+    # ...while SET on other columns works (dv mode too: the in-place
+    # images' keys retire via the vector, no false collision)
+    execute_dml(tcat, "UPDATE t SET v = 'zz' WHERE k = 1")
+    tcat.update_where("t", [("k", "=", 4)], {"v": "'ww'"}, mode="dv")
+    got = {(r["k"], r["v"]) for r in tcat.read("t").collect()}
+    assert got == {(1, "zz"), (4, "ww")}
+    # adding the constraint over existing duplicates refuses
+    tcat.overwrite(
+        spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string"), "d"
+    )
+    with pytest.raises(CheckViolation, match="duplicated"):
+        tcat.add_unique_constraint("d", "pk", ["k"])
+    # rename/drop of a covered column refuses; DROP CONSTRAINT frees it
+    with pytest.raises(ValueError, match="UNIQUE constraint"):
+        tcat.rename_column("t", "k", "k2")
+    execute_dml(tcat, "ALTER TABLE t DROP CONSTRAINT pk")
+    tcat.rename_column("t", "k", "k2")
+    assert "k2" in tcat.read("t").columns
+
+
+def test_unique_constraint_bucket_pruned_probe(spark, tmp_path):
+    tcat = _cat(spark, tmp_path)
+    """On a table bucketed on the unique columns, the existing-key
+    probe partition-prunes to the staged keys' buckets (plan pin)."""
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.storage import kb_col
+
+    tcat.overwrite_bucketed(
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        "bt", 16, ["k"],
+    )
+    tcat.add_unique_constraint("bt", "pk", ["k"])
+    # the INSERT path computes _kb itself; fresh keys land
+    out = execute_dml(tcat, "INSERT INTO bt (k, v) VALUES (1000, 1), (2000, 2)")
+    assert out["inserted"] == 2
+    import pytest
+
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    with pytest.raises(CheckViolation, match="already exist"):
+        execute_dml(tcat, "INSERT INTO bt (k, v) VALUES (7, 0)")
+    # PRIMARY KEY is an accepted alias
+    execute_dml(tcat, "ALTER TABLE bt DROP CONSTRAINT pk")
+    out = execute_dml(
+        tcat, "ALTER TABLE bt ADD CONSTRAINT pk PRIMARY KEY (k)"
+    )
+    assert out["added_unique"] == "pk"
