@@ -209,6 +209,39 @@ def _parse_literal(tok: str):
         raise ValueError(f"unparseable literal {tok!r}; {_GRAMMAR}") from None
 
 
+def _strip_generated(ddl: str) -> tuple[str, dict[str, str]]:
+    """Extract every ``<col> <type> GENERATED ALWAYS AS (expr)`` clause
+    from a CREATE column list: returns the DDL with the clauses removed
+    (plain ``<col> <type>`` remains for the parser) and ``{col: expr}``.
+    The expression's parentheses balance by scan, so nesting depth is
+    unbounded (regex alternation caps it)."""
+    generated: dict[str, str] = {}
+    head = re.compile(
+        r"(\w+)\s+([A-Za-z]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"\s+GENERATED\s+ALWAYS\s+AS\s*\(",
+        re.I,
+    )
+    out = ddl
+    while True:
+        m = head.search(out)
+        if not m:
+            return out, generated
+        depth, i = 1, m.end()
+        while i < len(out) and depth:
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                f"unbalanced parentheses in GENERATED ALWAYS AS "
+                f"clause of {m.group(1)!r}; {_GRAMMAR}"
+            )
+        generated[m.group(1)] = out[m.end(): i - 1].strip()
+        out = out[: m.start()] + f"{m.group(1)} {m.group(2)}" + out[i:]
+
+
 def _strip_outer_parens(s: str) -> str:
     """Remove parentheses that wrap the WHOLE expression (quote-aware;
     never touches parens that close before the end, e.g. ``(a) AND
@@ -675,59 +708,84 @@ _INSERT_RE = re.compile(
 _MERGE_RE = re.compile(r"MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)", re.I | re.S)
 
 
-def _insert_identity(
-    catalog, table, cols, src, schema, ident, overwrite
+def _insert_computed(
+    catalog, table, cols, src, schema, ident, gen, overwrite
 ):
-    """INSERT into a GENERATED ALWAYS AS IDENTITY table: the identity
-    column may never be supplied (Delta semantics — a loud refusal),
-    defaults to being omitted from the positional target list, and the
-    engine mints ids starting at the recorded high-water mark via the
-    sharded deterministic ranker (assign_dense_ids — no single-task
-    window). The advanced mark commits ATOMICALLY with the rows and is
-    expect-checked, so concurrent identity INSERTs can never mint
-    overlapping ranges; the mark only grows (ids are never reused,
-    even across deletes or INSERT OVERWRITE)."""
+    """INSERT into a table with engine-computed columns — GENERATED
+    ALWAYS AS IDENTITY and/or GENERATED ALWAYS AS (expr):
+
+    - a computed column may never be supplied (Delta semantics — a
+      loud refusal) and is omitted from the default positional target
+      list;
+    - expression columns evaluate over the inserted row's OTHER
+      columns in one narrow select (pure codegen, zero shuffles);
+    - identity ids mint from the recorded high-water mark via the
+      sharded deterministic ranker (assign_dense_ids — no single-task
+      window) over the PROVIDED values only, and the advanced mark
+      commits ATOMICALLY with the rows, expect-checked, so concurrent
+      identity INSERTs can never mint overlapping ranges; the mark
+      only grows (ids never reuse, even across deletes or INSERT
+      OVERWRITE)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from gcp_datalake_pipeline_spark.operators.dims import assign_dense_ids
-
-    icol = ident["col"]
-    if cols is not None and icol in cols:
-        raise ValueError(
-            f"column {icol!r} of {table!r} is GENERATED ALWAYS AS "
-            f"IDENTITY and cannot be inserted explicitly; omit it "
-            f"(the engine assigns the next ids); {_GRAMMAR}"
-        )
+    icol = ident["col"] if ident else None
+    computed = set(gen) | ({icol} if icol else set())
+    if cols is not None:
+        hit = sorted(computed & set(cols))
+        if hit:
+            raise ValueError(
+                f"column(s) {hit!r} of {table!r} are GENERATED ALWAYS "
+                f"and cannot be inserted explicitly; omit them (the "
+                f"engine computes them); {_GRAMMAR}"
+            )
     if getattr(catalog, "bucket_meta", lambda _t: None)(table):
         raise ValueError(
-            f"identity INSERT into the bucketed table {table!r} is not "
-            "supported; recluster without the identity column or drop "
-            f"the bucket layout; {_GRAMMAR}"
+            f"INSERT with engine-computed columns into the bucketed "
+            f"table {table!r} is not supported; drop the bucket layout "
+            f"or the computed columns; {_GRAMMAR}"
         )
     if cols is None:
-        cols = [n for n in schema.fieldNames() if n != icol]
-    narrow = T.StructType([f for f in schema.fields if f.name != icol])
+        cols = [n for n in schema.fieldNames() if n not in computed]
+    narrow = T.StructType(
+        [f for f in schema.fields if f.name not in computed]
+    )
     aligned, n = _align_to_schema(catalog, src, narrow, cols)
-    start = int(ident["next"])
-    # assign_dense_ids yields start + 1-based rank, so anchor one below
-    assigned = assign_dense_ids(
-        aligned, list(aligned.columns), icol, start=start - 1
-    ).select(*[f.name for f in schema.fields])
+    types = {f.name: f.dataType for f in schema.fields}
+    if gen:
+        aligned = aligned.select(
+            *aligned.columns,
+            *[
+                F.expr(expr).cast(types[c]).alias(c)
+                for c, expr in gen.items()
+            ],
+        )
+    if icol is not None:
+        from gcp_datalake_pipeline_spark.operators.dims import (
+            assign_dense_ids,
+        )
+
+        start = int(ident["next"])
+        value_cols = [c for c in aligned.columns if c not in computed]
+        # assign_dense_ids yields start + 1-based rank: anchor one below
+        aligned = assign_dense_ids(
+            aligned, value_cols, icol, start=start - 1
+        )
+    assigned = aligned.select(*[f.name for f in schema.fields])
     verb = "overwritten" if overwrite else "inserted"
-    load = f"insert-identity-{table}"
-    with catalog.transaction(load):
+    with catalog.transaction(f"insert-computed-{table}"):
         if overwrite:
             catalog.overwrite(assigned, table)
         else:
             catalog.append(assigned, table)
-        catalog._intents[table]["identity"] = {
-            "col": icol, "next": start + n, "expect_next": start,
-        }
-    return {
-        "table": table, verb: n,
-        "identity_range": [start, start + n - 1] if n else [],
-    }
+        if icol is not None:
+            catalog._intents[table]["identity"] = {
+                "col": icol, "next": start + n, "expect_next": start,
+            }
+    out = {"table": table, verb: n}
+    if icol is not None:
+        out["identity_range"] = [start, start + n - 1] if n else []
+    return out
 
 
 def _parse_insert_source(catalog, table, col_list, tail, overwrite):
@@ -974,9 +1032,11 @@ def execute_dml(catalog, sql: str) -> dict | None:
             catalog, table, m.group(3), m.group(4).strip(), overwrite
         )
         ident = getattr(catalog, "identity_spec", lambda _t: None)(table)
-        if ident is not None:
-            return _insert_identity(
-                catalog, table, cols, src, schema, ident, overwrite
+        gen = getattr(catalog, "generated_spec", lambda _t: None)(table)
+        if ident is not None or gen:
+            return _insert_computed(
+                catalog, table, cols, src, schema, ident, gen or {},
+                overwrite,
             )
         meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
         if meta is not None:
@@ -1152,6 +1212,10 @@ def execute_dml(catalog, sql: str) -> dict | None:
                 ddl,
                 flags=re.I,
             )
+        # GENERATED ALWAYS AS (expr): computed columns — strip each
+        # clause (balanced-paren scan, so exprs nest freely) and
+        # collect {col: expr} for the create commit
+        ddl, generated = _strip_generated(ddl)
         try:
             from pyspark.sql import types as T
 
@@ -1160,12 +1224,17 @@ def execute_dml(catalog, sql: str) -> dict | None:
             raise ValueError(
                 f"bad CREATE TABLE column list {ddl!r}: {e}; {_GRAMMAR}"
             ) from None
-        if identity_col is not None:
-            catalog.create_table(table, schema, identity_col=identity_col)
-            return {
-                "table": table, "created": True,
-                "identity": identity_col,
-            }
+        if identity_col is not None or generated:
+            catalog.create_table(
+                table, schema, identity_col=identity_col,
+                generated=generated or None,
+            )
+            out = {"table": table, "created": True}
+            if identity_col is not None:
+                out["identity"] = identity_col
+            if generated:
+                out["generated"] = sorted(generated)
+            return out
         catalog.create_table(table, schema)
         return {"table": table, "created": True}
     m = re.fullmatch(

@@ -2460,3 +2460,76 @@ def etl_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderkey").alias("n_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "etl_generated_columns",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           count(*) AS n_orders,
+           CAST(SUM((CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 19)
+                    // 100) AS BIGINT) AS tax_cents
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="""GENERATED ALWAYS AS (expr) computed columns (dml_sql
+    _insert_computed + transactions create_table(generated=...)): the
+    engine fills tax = round(price*0.19, 2) and yr = year(date) on
+    every INSERT from the row's other values — one narrow codegen
+    select, zero shuffles — and supplying a computed column refuses
+    (asserted in-query). Oracle recomputes the same expressions
+    straight off parquet and aggregates per generated year.""",
+)
+def etl_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_gen_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_g"):
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "orders_src_gv"
+        )
+        execute_dml(
+            cat,
+            "CREATE TABLE orders_g (okey BIGINT, price DOUBLE, "
+            "odate TIMESTAMP, "
+            # integer-exact tax: recover exact cents (the true product
+            # is integral, so ROUND(...,0) never sits on a .5), then
+            # BIGINT floor-div — no double rounding boundary on either
+            # engine
+            "tax_cents BIGINT GENERATED ALWAYS AS "
+            "(CAST(ROUND(price * 100, 0) AS BIGINT) * 19 DIV 100), "
+            "yr INT GENERATED ALWAYS AS (year(odate)))",
+        )
+        execute_dml(
+            cat,
+            "INSERT INTO orders_g (okey, price, odate) SELECT "
+            "o_orderkey, o_totalprice, o_orderdate FROM orders_src_gv "
+            "WHERE o_orderkey < 2000",
+        )
+    # EVERY run: supplying a computed column refuses
+    try:
+        execute_dml(
+            cat,
+            "INSERT INTO orders_g (okey, price, odate, tax_cents) "
+            "VALUES (1, 1.0, TIMESTAMP '2024-01-01 00:00:00', 0)",
+        )
+    except ValueError as e:
+        if "GENERATED ALWAYS" not in str(e):
+            raise
+    else:
+        raise RuntimeError("explicit computed-column insert did not refuse")
+    return (
+        cat.read("orders_g")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("tax_cents").alias("tax_cents"),
+        )
+        .orderBy("yr")
+    )

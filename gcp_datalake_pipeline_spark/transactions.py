@@ -878,6 +878,12 @@ class TransactionalCatalog(Catalog):
                             mv.pop(table, None)
                         else:
                             mv[table] = intent["view"]
+                    if "generated" in intent:
+                        # computed-column exprs, registered with the
+                        # create commit (set-once; no expect check)
+                        manifest.setdefault("generated", {})[table] = (
+                            dict(intent["generated"])
+                        )
                     if "identity" in intent:
                         # identity high-water mark, committed ATOMICALLY
                         # with the assigned rows and expect-checked:
@@ -1174,12 +1180,24 @@ class TransactionalCatalog(Catalog):
             .get(table)
         )
 
+    def generated_spec(self, table: str) -> dict | None:
+        """The table's GENERATED ALWAYS AS (expr) computed columns
+        (``{col: sql_expr}``) or None — filled by the engine on every
+        INSERT (Delta generated-column semantics; supplying one
+        explicitly refuses)."""
+        return (
+            self._read_manifest(strict=False)
+            .get("generated", {})
+            .get(table)
+        )
+
     def create_table(
         self,
         table: str,
         schema,
         bucket_meta: tuple | None = None,
         identity_col: str | None = None,
+        generated: dict | None = None,
     ) -> None:
         """CREATE TABLE: commit ``table`` as an empty typed relation
         (``schema`` is a StructType or DDL string). Exists -> raises
@@ -1209,6 +1227,36 @@ class TransactionalCatalog(Catalog):
                     f"column ({identity_col!r} is "
                     f"{schema[identity_col].dataType.simpleString()})"
                 )
+        if generated:
+            from pyspark.sql import functions as F
+
+            # analysis against an empty frame of the NON-computed
+            # columns: catches bad syntax, unknown column references,
+            # and computed-on-computed in one shot, before the commit
+            plain = T.StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in generated and f.name != identity_col
+                ]
+            )
+            dummy = self.spark.createDataFrame([], plain)
+            for col, expr in generated.items():
+                if col not in schema.fieldNames():
+                    raise ValueError(
+                        f"generated column {col!r} not in the schema"
+                    )
+                if col == identity_col:
+                    raise ValueError(
+                        f"{col!r} cannot be both IDENTITY and computed"
+                    )
+                try:
+                    dummy.select(F.expr(expr)).schema
+                except Exception as e:
+                    raise ValueError(
+                        f"generated column {col!r}: bad expression "
+                        f"({expr!r}): {e}"
+                    ) from None
         base = self._committed_rels(table)  # None: conflicts if created
         with self.transaction(f"create-{table}"):
             self._pending[table] = []
@@ -1218,6 +1266,8 @@ class TransactionalCatalog(Catalog):
                 "added": [],
                 "schema": schema.jsonValue(),
             }
+            if generated:
+                self._intents[table]["generated"] = dict(generated)
             if identity_col is not None:
                 # registered in the SAME commit as the table — no crash
                 # window where INSERTs would mint unchecked ids
@@ -1330,6 +1380,9 @@ class TransactionalCatalog(Catalog):
             m.get("identity", {}).pop(table, None)
             if not m.get("identity"):
                 m.pop("identity", None)
+            m.get("generated", {}).pop(table, None)
+            if not m.get("generated"):
+                m.pop("generated", None)
             m.get("renamed", {}).pop(table, None)
             if not m.get("renamed"):
                 m.pop("renamed", None)
@@ -3201,7 +3254,7 @@ class TransactionalCatalog(Catalog):
                 )
             for key in (
                 "tables", "schemas", "checks", "layouts", "blooms",
-                "dvs", "colmaps", "properties", "identity",
+                "dvs", "colmaps", "properties", "identity", "generated",
             ):
                 sub = m.get(key)
                 if sub and old in sub:

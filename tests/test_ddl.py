@@ -462,3 +462,57 @@ def test_identity_create_refusals(spark, tcat):
         "v DOUBLE)",
     )
     assert out["identity"] == "id"
+
+
+def test_generated_expression_columns(spark, tcat):
+    """GENERATED ALWAYS AS (expr): the engine computes the column on
+    every INSERT from the row's other values; supplying it refuses;
+    it composes with IDENTITY in one table."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    out = execute_dml(
+        tcat,
+        "CREATE TABLE g (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "amt DOUBLE, tax DOUBLE GENERATED ALWAYS AS (round(amt * 0.19, 2)), "
+        "yr INT GENERATED ALWAYS AS (year(ts)), ts TIMESTAMP)",
+    )
+    assert out["identity"] == "id" and out["generated"] == ["tax", "yr"]
+    assert tcat.generated_spec("g") == {
+        "tax": "round(amt * 0.19, 2)", "yr": "year(ts)",
+    }
+    out = execute_dml(
+        tcat,
+        "INSERT INTO g (amt, ts) VALUES "
+        "(100.0, TIMESTAMP '2024-03-01 00:00:00'), "
+        "(10.0, TIMESTAMP '2025-07-01 00:00:00')",
+    )
+    assert out["inserted"] == 2 and out["identity_range"] == [1, 2]
+    got = sorted(map(tuple, tcat.read("g").collect()))
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == [
+        (1, 10.0, 1.9, 2025), (2, 100.0, 19.0, 2024),
+    ]
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        execute_dml(
+            tcat,
+            "INSERT INTO g (amt, tax, ts) VALUES "
+            "(1.0, 0.0, TIMESTAMP '2024-01-01 00:00:00')",
+        )
+    # spec clears on drop; a computed-only table needs no identity
+    execute_dml(tcat, "DROP TABLE g")
+    assert tcat.generated_spec("g") is None
+    execute_dml(
+        tcat,
+        "CREATE TABLE g2 (a BIGINT, b BIGINT "
+        "GENERATED ALWAYS AS (a * 2 + 1))",
+    )
+    execute_dml(tcat, "INSERT INTO g2 (a) VALUES (5), (7)")
+    assert sorted(map(tuple, tcat.read("g2").collect())) == [
+        (5, 11), (7, 15),
+    ]
+    # an unparseable expression refuses at CREATE
+    with pytest.raises(Exception):
+        tcat.create_table(
+            "bad", "a BIGINT, b BIGINT", generated={"b": "a +* 2"}
+        )
