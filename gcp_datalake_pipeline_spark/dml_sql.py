@@ -632,6 +632,31 @@ def _explain(catalog, inner: str):
             schema = T.StructType(
                 [f for f in schema.fields if f.name != "_kb"]
             )
+        # engine-computed columns: the same default-exclusion (and the
+        # same explicit-supply refusal) as the real _insert_computed —
+        # a dry run must never diverge from the run it previews
+        ident = getattr(catalog, "identity_spec", lambda _t: None)(table)
+        gen = getattr(catalog, "generated_spec", lambda _t: None)(table)
+        computed = set(gen or ()) | (
+            {ident["col"]} if ident is not None else set()
+        )
+        if computed:
+            from pyspark.sql import types as T
+
+            hit = sorted(computed & set(cols or ()))
+            if hit:
+                raise ValueError(
+                    f"column(s) {hit!r} of {table!r} are GENERATED "
+                    f"ALWAYS and cannot be inserted explicitly; "
+                    f"{_GRAMMAR}"
+                )
+            if cols is None:
+                cols = [
+                    n for n in schema.fieldNames() if n not in computed
+                ]
+            schema = T.StructType(
+                [f for f in schema.fields if f.name not in computed]
+            )
         _names, targets, types = _insert_targets(schema, cols, src)
         n, losses = _cast_loss_counts(src.toDF(*targets), types, targets)
         return {

@@ -2603,6 +2603,12 @@ class TransactionalCatalog(Catalog):
                 "the same value would land in a different _kb bucket; "
                 "recluster the table instead"
             )
+        ident = self.identity_spec(table)
+        if ident is not None and name == ident["col"]:
+            raise ValueError(
+                f"cannot widen {name!r}: it is the GENERATED ALWAYS AS "
+                f"IDENTITY column of {table!r} (ids mint as BIGINT)"
+            )
         bloom = self.bloom_index(table)
         if bloom is not None and (
             name in bloom.get("columns", ())
@@ -3480,6 +3486,16 @@ class TransactionalCatalog(Catalog):
             new_r = self._version_manifest(v).get("renamed", {})
             old_r = self._version_manifest(v - 1).get("renamed", {})
             if follow_renames and new_r.get(cur) != old_r.get(cur):
+                if new_r.get(cur) is None:
+                    # the marker VANISHED at this commit (a restore or
+                    # drop rolled the rename back) — the lineage chain
+                    # is broken, not followable
+                    raise ValueError(
+                        f"table_changes({table!r}): commit {v} removed "
+                        f"the rename lineage marker for {cur!r} (a "
+                        "restore/drop rolled a rename back); start the "
+                        "window at or after that commit"
+                    )
                 cur = new_r[cur]
             names[v - 1] = cur
         frames = []

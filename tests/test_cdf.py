@@ -372,3 +372,17 @@ def test_feed_across_rename_opt_in(spark, tcat):
         tcat.table_changes("c", v1 - 1, v1, follow_renames=True).count()
         == tcat.table_changes("c", v1 - 1, v1).count()
     )
+
+
+def test_followed_feed_refuses_across_a_broken_lineage(spark, tcat):
+    """DROP after a rename removes the lineage marker; a followed
+    window crossing that commit must refuse cleanly, never KeyError
+    or silently bridge two identities (round-12 self-review #1)."""
+    tcat.overwrite(_base(spark, 10), "a")
+    v0 = tcat._read_manifest(strict=False)["version"]
+    tcat.rename_table("a", "b")
+    tcat.drop_table("b")
+    tcat.overwrite(_base(spark, 3), "b")  # a NEW identity, same name
+    v1 = tcat._read_manifest(strict=False)["version"]
+    with pytest.raises(ValueError, match="lineage marker"):
+        tcat.table_changes("b", v0, v1, follow_renames=True).count()

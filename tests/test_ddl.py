@@ -516,3 +516,28 @@ def test_generated_expression_columns(spark, tcat):
         tcat.create_table(
             "bad", "a BIGINT, b BIGINT", generated={"b": "a +* 2"}
         )
+
+
+def test_explain_insert_mirrors_computed_columns(spark, tcat):
+    """EXPLAIN INSERT on identity/computed tables applies the same
+    default-exclusion and explicit-supply refusal as the real run
+    (round-12 self-review #2), and widening the identity column
+    refuses."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    execute_dml(
+        tcat,
+        "CREATE TABLE x (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "a BIGINT, b BIGINT GENERATED ALWAYS AS (a + 1))",
+    )
+    out = execute_dml(tcat, "EXPLAIN INSERT INTO x VALUES (5)")
+    assert out["explain"] == "INSERT" and out["rows"] == 1
+    assert not out["would_refuse"]
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        execute_dml(tcat, "EXPLAIN INSERT INTO x (id, a) VALUES (1, 5)")
+    # the dry run committed nothing and minted nothing
+    assert tcat.identity_spec("x")["next"] == 1
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tcat.widen_column("x", "id", "decimal(38,0)")
