@@ -81,21 +81,35 @@ class CompareResult:
     oracle_rows: int
 
 
+_PANDAS_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
 def _pandas_rows(con: duckdb.DuckDBPyConnection, oracle_sql: str):
-    """Fetch the oracle through the pandas path (``rel.df()``), mirroring
-    the driver's canonicalization route. This is where DuckDB's HUGEINT
-    silently widens to float64 (1094879185 → 1094879185.0), so running
-    the compare under BOTH canons catches oracle result types the
-    Python-``fetchall`` path masks (see VERDICT r11: textrank_keywords)."""
+    """Fetch the oracle through the pandas path (``rel.df()``),
+    mirroring the driver's canonicalization route, TYPE-AWARE the way
+    the driver provably is (nullable-int and DATE oracles have been
+    driver-green for rounds): a declared integer column that pandas
+    widened to float64 (NULLs present) recovers to int, a DATE column's
+    Timestamps recover to dates. HUGEINT/UHUGEINT get NO recovery —
+    that is the class the widening genuinely corrupts (1094879185 →
+    1094879185.0, beyond-2^53 precision loss), and leaving it visible
+    is what lets the pandas canon catch driver-hostile oracle types
+    before the driver does (VERDICT r11: textrank_keywords)."""
     import numpy as np
     import pandas as pd
 
-    pdf = con.execute(oracle_sql).df()
-    cols = list(pdf.columns)
+    rel = con.sql(oracle_sql)
+    cols = list(rel.columns)
+    tnames = [str(t) for t in rel.types]
+    pdf = rel.df()
     out = []
     for tup in pdf.itertuples(index=False, name=None):
         row = []
-        for v in tup:
+        for j, v in enumerate(tup):
+            t = tnames[j]
             if isinstance(v, (list, tuple, np.ndarray)):
                 row.append([x.item() if hasattr(x, "item") else x for x in v])
                 continue
@@ -109,10 +123,16 @@ def _pandas_rows(con: duckdb.DuckDBPyConnection, oracle_sql: str):
             except (TypeError, ValueError):
                 pass
             if isinstance(v, pd.Timestamp):
-                row.append(v.to_pydatetime())
+                row.append(
+                    v.to_pydatetime().date() if t == "DATE"
+                    else v.to_pydatetime()
+                )
                 continue
-            # numpy scalar → Python scalar; floats stay floats so a
-            # HUGEINT→float64 widening remains visible to _canon
+            if t in _PANDAS_INT_TYPES and isinstance(
+                v, (float, np.floating)
+            ):
+                row.append(int(v))  # nullable-int float64 widening
+                continue
             item = getattr(v, "item", None)
             row.append(item() if item is not None and not isinstance(v, str) else v)
         out.append(tuple(row))
