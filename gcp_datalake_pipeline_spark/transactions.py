@@ -682,6 +682,14 @@ class TransactionalCatalog(Catalog):
         rel = self._stage_dir(table)
         stage = os.path.join(self.root, rel)
         merged.write.mode("overwrite").partitionBy("_kb").parquet(stage)
+        # the buckets this merge actually rewrote — captured BEFORE the
+        # hardlink carries land in the stage (the commit-time conflict
+        # check rebases onto concurrent commits touching only DISJOINT
+        # buckets; see _bucket_rebase)
+        touched_buckets = sorted(
+            {d for d in os.listdir(stage) if d.startswith("_kb=")}
+            | {f"_kb={b}" for b in (replaced or ())}
+        )
         # checks run BEFORE hardlinking untouched partitions in: merge
         # enforcement reads only the touched partitions' rows (a merge
         # re-states existing keys by construction — intra-stage only)
@@ -720,6 +728,106 @@ class TransactionalCatalog(Catalog):
         )
         self._pending[table] = [rel]
         self._note_replace(table, rel, schema=merged.schema)
+        self._intents[table]["touched_buckets"] = touched_buckets
+
+    def _bucket_rebase(self, table: str, intent: dict, cur: list) -> bool:
+        """Bucket-granular optimistic concurrency (runs UNDER the commit
+        flock): a bucketed merge whose base snapshot moved underneath it
+        may still commit IF every bucket the other commits changed is
+        DISJOINT from the buckets this merge touched — the carried
+        (hardlinked) buckets in our staged dir are then re-linked from
+        the CURRENT snapshot, so the other writer's rows ride into our
+        version instead of being silently rolled back. Two CDC pumps
+        (or a pump and a matview refresh) hitting different key ranges
+        of one table no longer serialize through retries — the Delta
+        partition-granular conflict story, at `_kb` granularity.
+
+        Returns False (→ the plain ConcurrentWriteError) for anything
+        outside the safe shape: non-bucketed intents, multi-dir
+        snapshots, pending deletion vectors, schema drift, stray
+        unpartitioned files, or a true bucket overlap."""
+        touched = set(intent.get("touched_buckets") or ())
+        base = intent.get("base")
+        if (
+            not touched
+            or base is None
+            or cur is None
+            or len(base) != 1
+            or len(cur) != 1
+            or len(intent.get("added") or ()) != 1
+        ):
+            return False
+        base_dir = os.path.join(self.root, base[0])
+        cur_dir = os.path.join(self.root, cur[0])
+        if not (os.path.isdir(base_dir) and os.path.isdir(cur_dir)):
+            return False
+
+        def bucket_files(d):
+            out: dict[str, set] = {}
+            for f in self._dir_parquet_files(d):
+                part = next(
+                    (s for s in f.split(os.sep) if s.startswith("_kb=")),
+                    None,
+                )
+                if part is None:
+                    return None  # unpartitioned stray: not rebasable
+                out.setdefault(part, set()).add(
+                    (os.stat(os.path.join(d, f)).st_ino, f)
+                )
+            return out
+
+        b_base = bucket_files(base_dir)
+        b_cur = bucket_files(cur_dir)
+        if b_base is None or b_cur is None:
+            return False
+        changed = {
+            p
+            for p in set(b_base) | set(b_cur)
+            if b_base.get(p) != b_cur.get(p)
+        }
+        if changed & touched:
+            return False  # true overlap: the caller's refusal stands
+        stage = os.path.join(self.root, intent["added"][0])
+        staged_stats = (filestats.read_dir_stats(stage) or {}).get(
+            "files", {}
+        )
+        staged_blooms = (blooms.read_dir_blooms(stage) or {}).get(
+            "files", {}
+        )
+        cur_stats = (filestats.read_dir_stats(cur_dir) or {}).get(
+            "files", {}
+        )
+        cur_blooms = (blooms.read_dir_blooms(cur_dir) or {}).get(
+            "files", {}
+        )
+        # re-carry: every non-touched bucket now links from CURRENT
+        for p in list(os.listdir(stage)):
+            if p.startswith("_kb=") and p not in touched:
+                shutil.rmtree(os.path.join(stage, p))
+        reuse: dict = {}
+        bloom_reuse: dict = {}
+        for f, e in staged_stats.items():
+            if f.split(os.sep, 1)[0] in touched:
+                reuse[f] = e
+        for f, e in staged_blooms.items():
+            if f.split(os.sep, 1)[0] in touched:
+                bloom_reuse[f] = e
+        for p, files in b_cur.items():
+            if p in touched:
+                continue
+            for _ino, f in files:
+                dst = os.path.join(stage, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(cur_dir, f), dst)
+                if f in cur_stats:
+                    reuse[f] = cur_stats[f]
+                if f in cur_blooms:
+                    bloom_reuse[f] = cur_blooms[f]
+        self._write_stage_stats(
+            intent["added"][0], reuse=reuse or None, table=table,
+            bloom_reuse=bloom_reuse or None,
+        )
+        return True
 
     # -- transaction lifecycle ----------------------------------------------
 
@@ -947,13 +1055,33 @@ class TransactionalCatalog(Catalog):
                         pass  # vector-only commit: dir list unchanged
                     else:
                         if cur != intent["base"]:
-                            raise ConcurrentWriteError(
-                                f"table {table!r} was modified by another "
-                                f"writer since this transaction read it "
-                                f"(expected dirs {intent['base']!r}, "
-                                f"found {cur!r}); retry the load from a "
-                                "fresh read"
+                            # bucket-granular resolution: a bucketed
+                            # merge rebases onto commits that touched
+                            # only DISJOINT buckets (no pending
+                            # vectors, no schema drift) — otherwise
+                            # the classic refusal
+                            rebased = (
+                                not manifest.get("dvs", {}).get(table)
+                                and (
+                                    intent.get("schema") is None
+                                    or manifest.get("schemas", {}).get(
+                                        table
+                                    )
+                                    == intent["schema"]
+                                )
+                                and self._bucket_rebase(
+                                    table, intent, cur
+                                )
                             )
+                            if not rebased:
+                                raise ConcurrentWriteError(
+                                    f"table {table!r} was modified by "
+                                    f"another writer since this "
+                                    f"transaction read it (expected "
+                                    f"dirs {intent['base']!r}, found "
+                                    f"{cur!r}); retry the load from a "
+                                    "fresh read"
+                                )
                         manifest["tables"][table] = list(intent["added"])
                         if intent.get("schema") is not None:
                             mschemas[table] = intent["schema"]

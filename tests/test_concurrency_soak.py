@@ -239,3 +239,157 @@ def test_pump_races_source_dml_equal_serial(spark, tmp_path):
     out = pump_table_changes(pumper, "src", "rep")
     assert out["from"] == out["to"]
     assert pumper._read_manifest(strict=False)["version"] == v
+
+
+# -- bucket-disjoint concurrent writers (r12) ---------------------------------
+
+
+def _keys_in_bucket(spark, bucket, nb, n=6, lo=0, hi=10_000):
+    from gcp_datalake_pipeline_spark.storage import kb_col
+
+    rows = (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), kb_col(["k"], nb).alias("b"))
+        .where(F.col("b") == bucket)
+        .limit(n)
+        .collect()
+    )
+    assert len(rows) == n
+    return [r["k"] for r in rows]
+
+
+def test_disjoint_bucket_merges_both_commit(spark, tmp_path):
+    """Two writers staging bucketed merges from the SAME base snapshot:
+    when their touched buckets are disjoint, the second commit REBASES
+    onto the first instead of refusing — both writers' rows land, the
+    carried buckets re-link from the winner, metadata count stays
+    exact, and a TRUE overlap still raises ConcurrentWriteError."""
+    root = str(tmp_path / "lake")
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    a.overwrite_bucketed(base, "t", 8, ["k"])
+    k1 = _keys_in_bucket(spark, 1, 8, n=4)
+    k2 = _keys_in_bucket(spark, 5, 8, n=4)
+
+    def upsert_txn(cat, keys, bump):
+        t = cat.begin(f"w-{bump}")
+        src = spark.createDataFrame(
+            [(int(k), float(k) + bump) for k in keys], "k long, v double"
+        )
+        t.merge_upsert_bucketed(
+            src, "t", ["k"], num_buckets=8, audit_cols=False
+        )
+        return t
+
+    # BOTH stage against the same committed snapshot, then commit in
+    # sequence: the second lands via bucket rebase
+    t1 = upsert_txn(a, k1, 1000.0)
+    t1.commit()
+    t2 = upsert_txn(b, k2, 2000.0)
+    t2.commit()
+    got = {r["k"]: r["v"] for r in a.read("t").collect()}
+    for k in k1:
+        assert got[k] == k + 1000.0, "writer 1's bucket was rolled back"
+    for k in k2:
+        assert got[k] == k + 2000.0
+    untouched = [k for k in range(400) if k not in set(k1) | set(k2)]
+    assert all(got[k] == float(k) for k in untouched)
+    assert len(got) == 400 + sum(1 for k in k1 + k2 if k >= 400)
+    # metadata aggregates ride the refreshed stats sidecar
+    assert a.count_rows("t") == a.read("t").count()
+
+    # a TRUE overlap (same bucket) still refuses
+    t3 = upsert_txn(a, k1[:2], 3000.0)
+    t4 = upsert_txn(b, k1[2:], 4000.0)
+    t3.commit()
+    import pytest
+
+    with pytest.raises(ConcurrentWriteError):
+        t4.commit()
+    b.rollback()
+
+
+def test_disjoint_rebase_wrong_order_still_works(spark, tmp_path):
+    """Order independence: stage both FIRST, commit in either order —
+    the later committer always rebases."""
+    root = str(tmp_path / "lake")
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    base = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )
+    a.overwrite_bucketed(base, "t", 4, ["k"])
+    k1 = _keys_in_bucket(spark, 0, 4, n=3)
+    k2 = _keys_in_bucket(spark, 3, 4, n=3)
+    t1 = a.begin("w1")
+    t1.merge_upsert_bucketed(
+        spark.createDataFrame([(int(k), 1.0) for k in k1], "k long, v double"),
+        "t", ["k"], num_buckets=4, audit_cols=False,
+    )
+    t2 = b.begin("w2")
+    t2.merge_upsert_bucketed(
+        spark.createDataFrame([(int(k), 2.0) for k in k2], "k long, v double"),
+        "t", ["k"], num_buckets=4, audit_cols=False,
+    )
+    t2.commit()
+    t1.commit()  # stale base; rebases onto t2's snapshot
+    got = {r["k"]: r["v"] for r in a.read("t").collect()}
+    assert all(got[k] == 1.0 for k in k1)
+    assert all(got[k] == 2.0 for k in k2)
+    assert a.count_rows("t") == 200
+
+
+def test_rebase_refuses_with_pending_vectors(spark, tmp_path):
+    """A rebase window containing PENDING DELETION VECTORS refuses:
+    vector identity is per-file and a rebased carry cannot prove the
+    vectors' files survived every interleaved commit. (A vector-only
+    commit never moves the dir list, so no conflict path runs at all —
+    carried names keep their vectors; the guard matters when a
+    dir-moving commit AND vectors both landed in the window.)"""
+    import pytest
+
+    root = str(tmp_path / "lake")
+    a = TransactionalCatalog(spark=spark, root=root)
+    b = TransactionalCatalog(spark=spark, root=root)
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )
+    a.overwrite_bucketed(base, "t", 4, ["k"])
+    k2 = _keys_in_bucket(spark, 3, 4, n=2)
+    t2 = b.begin("w2")
+    t2.merge_upsert_bucketed(
+        spark.createDataFrame([(int(k), 2.0) for k in k2], "k long, v double"),
+        "t", ["k"], num_buckets=4, audit_cols=False,
+    )
+    # interleave: a DISJOINT-bucket merge (moves the dir list) ...
+    k1 = _keys_in_bucket(spark, 1, 4, n=2)
+    a.merge_upsert_bucketed(
+        spark.createDataFrame([(int(k), 1.0) for k in k1], "k long, v double"),
+        "t", ["k"], num_buckets=4, audit_cols=False,
+    )
+    # ... AND a vector delete (registers pending DVs)
+    k0 = _keys_in_bucket(spark, 0, 4, n=1)[0]
+    a.delete_where("t", [("k", "=", int(k0))], mode="dv")
+    with pytest.raises(ConcurrentWriteError):
+        t2.commit()
+    b.rollback()
+    # without the vectors the same interleaving rebases fine
+    a.compact("t", min_dirs=1)  # folds the vector away
+    assert a.dv_count("t") == 0
+    t3 = b.begin("w3")
+    t3.merge_upsert_bucketed(
+        spark.createDataFrame([(int(k), 4.0) for k in k2], "k long, v double"),
+        "t", ["k"], num_buckets=4, audit_cols=False,
+    )
+    a.merge_upsert_bucketed(
+        spark.createDataFrame([(int(k), 5.0) for k in k1], "k long, v double"),
+        "t", ["k"], num_buckets=4, audit_cols=False,
+    )
+    t3.commit()
+    got = {r["k"]: r["v"] for r in a.read("t").collect()}
+    assert all(got[k] == 4.0 for k in k2)
+    assert all(got[k] == 5.0 for k in k1)
+    assert int(k0) not in got  # the folded delete stayed deleted
