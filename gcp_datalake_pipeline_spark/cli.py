@@ -791,6 +791,8 @@ def cmd_describe(args) -> None:
                     round(n_stats / n_files, 3) if n_files else None
                 ),
                 "checks": cat.checks(args.table),
+                "identity": cat.identity_spec(args.table),
+                "generated": cat.generated_spec(args.table),
                 "properties": cat.table_properties(args.table),
                 "column_mapping": cat.colmap(args.table),
                 "layout": cat.layout(args.table),

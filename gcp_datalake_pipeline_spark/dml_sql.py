@@ -102,6 +102,7 @@ _GRAMMAR = (
     "CREATE MATERIALIZED VIEW v AS SELECT keys, SUM(c) AS out, "
     "COUNT(*) AS n FROM t GROUP BY keys; REFRESH|DROP MATERIALIZED "
     "VIEW v; "
+    "SHOW CREATE TABLE t (round-trippable definition); "
     "VACUUM [RETAIN n VERSIONS]; "
     "EXPLAIN DELETE|UPDATE (metadata-only rewrite plan) | INSERT|MERGE (write plan: rows, cast-loss report, buckets); "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
@@ -207,6 +208,54 @@ def _parse_literal(tok: str):
         return float(tok)
     except ValueError:
         raise ValueError(f"unparseable literal {tok!r}; {_GRAMMAR}") from None
+
+
+def _show_create(catalog, table: str) -> str:
+    """Reconstruct the statements that would recreate ``table``'s
+    logical definition — columns (with IDENTITY / GENERATED ALWAYS AS
+    clauses), bucket layout, constraints (CHECK and UNIQUE), and table
+    properties — from the manifest alone (zero data reads). The output
+    is valid front-door DML: executing it against a fresh catalog
+    yields the same definition (round-trip pinned in tests)."""
+    if not catalog.exists(table):
+        raise FileNotFoundError(f"no table {table!r}")
+    schema = catalog.logical_schema(table)
+    ident = getattr(catalog, "identity_spec", lambda _t: None)(table)
+    gen = getattr(catalog, "generated_spec", lambda _t: None)(table) or {}
+    cols = []
+    for f in schema.fields:
+        if f.name == "_kb":
+            continue
+        piece = f"{f.name} {f.dataType.simpleString().upper()}"
+        if ident is not None and f.name == ident["col"]:
+            piece += " GENERATED ALWAYS AS IDENTITY"
+        elif f.name in gen:
+            piece += f" GENERATED ALWAYS AS ({gen[f.name]})"
+        cols.append(piece)
+    ddl = f"CREATE TABLE {table} (" + ", ".join(cols) + ")"
+    meta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
+    if meta is not None:
+        ddl += (
+            f" CLUSTERED BY ({', '.join(meta['key_cols'])}) "
+            f"INTO {meta['num_buckets']} BUCKETS"
+        )
+    stmts = [ddl]
+    for name, expr in catalog.checks(table).items():
+        if isinstance(expr, dict) and "unique" in expr:
+            stmts.append(
+                f"ALTER TABLE {table} ADD CONSTRAINT {name} "
+                f"UNIQUE ({', '.join(expr['unique'])})"
+            )
+        else:
+            stmts.append(
+                f"ALTER TABLE {table} ADD CONSTRAINT {name} "
+                f"CHECK ({expr})"
+            )
+    for k, v in sorted(catalog.table_properties(table).items()):
+        stmts.append(
+            f"ALTER TABLE {table} SET TBLPROPERTIES ('{k}' = '{v}')"
+        )
+    return ";\n".join(stmts)
 
 
 def _strip_generated(ddl: str) -> tuple[str, dict[str, str]]:
@@ -1351,6 +1400,9 @@ def execute_dml(catalog, sql: str) -> dict | None:
     m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(\w+)", s, re.I)
     if m:
         return {"table": m.group(1), "history": catalog.history(m.group(1))}
+    m = re.fullmatch(r"SHOW\s+CREATE\s+TABLE\s+(\w+)", s, re.I)
+    if m:
+        return {"table": m.group(1), "create": _show_create(catalog, m.group(1))}
     m = re.fullmatch(
         r"RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
         s,
@@ -1490,7 +1542,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
         r"|CREATE\s+BLOOMFILTER\b|DROP\s+BLOOMFILTER\b"
         r"|CREATE\s+MATERIALIZED\b|REFRESH\s+MATERIALIZED\b"
         r"|DROP\s+MATERIALIZED\b|DESCRIBE\s+HISTORY\b"
-        r"|RESTORE\s+TABLE\b",
+        r"|SHOW\s+CREATE\s+TABLE\b|RESTORE\s+TABLE\b",
         s,
         re.I,
     ):

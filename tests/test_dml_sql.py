@@ -1241,3 +1241,49 @@ def test_partial_optimize_rewrites_only_named_buckets(spark, tmp_path):
     if empty_bucket:
         assert cat.compact_buckets("t", empty_bucket[:1]) is False
         assert cat.versions()[-1]["version"] == v
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE reconstructs the logical definition from the
+    manifest alone, and executing its output against a FRESH catalog
+    reproduces the same definition (identity, generated, bucket
+    layout, UNIQUE + CHECK constraints, properties)."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    a = TransactionalCatalog(spark=spark, root=str(tmp_path / "a"))
+    execute_dml(
+        a,
+        "CREATE TABLE t (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "k BIGINT, amt DOUBLE, "
+        "tax BIGINT GENERATED ALWAYS AS (CAST(ROUND(amt * 100, 0) AS "
+        "BIGINT) * 19 DIV 100))",
+    )
+    execute_dml(a, "ALTER TABLE t ADD CONSTRAINT ku UNIQUE (k)")
+    execute_dml(a, "ALTER TABLE t ADD CONSTRAINT pos CHECK (amt >= 0)")
+    execute_dml(
+        a, "ALTER TABLE t SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')"
+    )
+    out = execute_dml(a, "SHOW CREATE TABLE t")
+    assert "GENERATED ALWAYS AS IDENTITY" in out["create"]
+    assert "GENERATED ALWAYS AS (CAST" in out["create"]
+    assert "UNIQUE (k)" in out["create"]
+
+    b = TransactionalCatalog(spark=spark, root=str(tmp_path / "b"))
+    for stmt in out["create"].split(";\n"):
+        execute_dml(b, stmt)
+    out2 = execute_dml(b, "SHOW CREATE TABLE t")
+    assert out2["create"] == out["create"]
+    # the recreated definition behaves: identity mints, unique enforces
+    r = execute_dml(b, "INSERT INTO t (k, amt) VALUES (1, 100.0)")
+    assert r["identity_range"] == [1, 1]
+    got = b.read("t").first()
+    assert (got["id"], got["k"], got["tax"]) == (1, 1, 1900)  # cents
+    # bucketed tables round-trip their CLUSTERED BY clause too
+    execute_dml(
+        a, "CREATE TABLE bt (k BIGINT, v DOUBLE) "
+        "CLUSTERED BY (k) INTO 8 BUCKETS",
+    )
+    out3 = execute_dml(a, "SHOW CREATE TABLE bt")
+    assert "CLUSTERED BY (k) INTO 8 BUCKETS" in out3["create"]
+    assert "_kb" not in out3["create"]
