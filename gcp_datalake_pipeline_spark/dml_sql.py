@@ -103,7 +103,7 @@ _GRAMMAR = (
     "COUNT(*) AS n FROM t GROUP BY keys; REFRESH|DROP MATERIALIZED "
     "VIEW v; "
     "SHOW CREATE TABLE t (round-trippable definition); "
-    "VACUUM [RETAIN n VERSIONS]; "
+    "VACUUM [RETAIN n VERSIONS] [DRY RUN]; "
     "EXPLAIN DELETE|UPDATE (metadata-only rewrite plan) | INSERT|MERGE (write plan: rows, cast-loss report, buckets); "
     "<where> = <conj> [OR <conj>]... (parens allowed around each OR "
     "branch); <conj> = col op literal [AND ...] with op in "
@@ -1493,17 +1493,25 @@ def execute_dml(catalog, sql: str) -> dict | None:
         )
         return {"table": table, "optimized": done}
     m = re.fullmatch(
-        r"VACUUM(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?", s, re.I
+        r"VACUUM(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?",
+        s,
+        re.I,
     )
     if m:
+        dry = bool(m.group(2))
         removed = catalog.vacuum(
-            retain_versions=int(m.group(1)) if m.group(1) else 1
+            retain_versions=int(m.group(1)) if m.group(1) else 1,
+            dry_run=dry,
         )
         n_dirs = sum(1 for r in removed if r.startswith("_loads"))
-        return {
+        out = {
             "vacuumed_dirs": n_dirs,
             "vacuumed_versions": len(removed) - n_dirs,
         }
+        if dry:
+            out["dry_run"] = True
+            out["would_remove"] = sorted(removed)
+        return out
     m = re.fullmatch(
         r"CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+(\w+)\s+FOR\s+"
         r"COLUMNS\s*\(([^)]+)\)(?:\s+OPTIONS\s*\(\s*bits_per_row\s*=\s*"

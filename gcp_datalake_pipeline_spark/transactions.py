@@ -4519,7 +4519,10 @@ class TransactionalCatalog(Catalog):
         return dst
 
     def vacuum(
-        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+        self,
+        retain_versions: int = 1,
+        min_age_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete staged dirs that no RETAINED manifest references —
         leftovers of crashed (never-committed) loads and data superseded
@@ -4537,7 +4540,12 @@ class TransactionalCatalog(Catalog):
         Committed-load markers (``_load_ids/``) are NEVER vacuumed:
         they are the streaming loops' replay guard, and dropping one
         inside a checkpoint-replay window would double-commit its round.
-        Snapshot retention and replay idempotence are independent."""
+        Snapshot retention and replay idempotence are independent.
+
+        ``dry_run=True`` (SQL: ``VACUUM DRY RUN``) reports exactly what
+        a real run would reclaim — version manifests and staged dirs —
+        deleting nothing (Delta's VACUUM DRY RUN; at 100 TB you audit
+        the blast radius before shrinking the time-travel horizon)."""
         if self._pending is not None:
             raise RuntimeError("cannot vacuum inside an open transaction")
         retain_versions = max(1, retain_versions)
@@ -4572,7 +4580,8 @@ class TransactionalCatalog(Catalog):
                         for rel in e.get("dirs", [])
                     }
                 else:
-                    os.remove(vpath)
+                    if not dry_run:
+                        os.remove(vpath)
                     removed.append(os.path.join(_VERSIONS, fname))
         loads_root = os.path.join(self.root, _LOADS)
         if not os.path.isdir(loads_root):
@@ -4585,8 +4594,9 @@ class TransactionalCatalog(Catalog):
                 if rel not in live and (
                     now - os.path.getmtime(full) >= min_age_seconds
                 ):
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     removed.append(rel)
-            if not os.listdir(load_dir):
+            if not dry_run and not os.listdir(load_dir):
                 os.rmdir(load_dir)
         return removed

@@ -1287,3 +1287,37 @@ def test_show_create_table_round_trips(spark, tmp_path):
     out3 = execute_dml(a, "SHOW CREATE TABLE bt")
     assert "CLUSTERED BY (k) INTO 8 BUCKETS" in out3["create"]
     assert "_kb" not in out3["create"]
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN lists exactly what the real run then
+    reclaims, deleting nothing itself — audit the blast radius before
+    shrinking the time-travel horizon."""
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.collect_stats = False
+    cat.overwrite(spark.range(5).toDF("k"), "t")
+    for i in range(3):
+        cat.overwrite(spark.range(5 + i).toDF("k"), "t")
+    dry = execute_dml(cat, "VACUUM RETAIN 1 VERSIONS DRY RUN")
+    assert dry["dry_run"] and dry["would_remove"]
+    # nothing was deleted: every listed path still exists (version
+    # manifests live under _versions/, staged dirs under _loads/)
+    for rel in dry["would_remove"]:
+        assert os.path.exists(os.path.join(cat.root, rel)), rel
+    assert cat.read("t").count() == 7
+    # min_age guards the real run's staged-dir deletion, so compare
+    # against the real call at age 0 (the dry run mirrors it)
+    real = sorted(cat.vacuum(retain_versions=1, min_age_seconds=0.0))
+    dry_age0 = sorted(
+        r
+        for r in dry["would_remove"]
+        if r.startswith("_versions")
+    )
+    assert [r for r in real if r.startswith("_versions")] == dry_age0
+    for rel in real:
+        assert not os.path.exists(os.path.join(cat.root, rel)), rel
