@@ -699,6 +699,16 @@ def _explain(catalog, inner: str):
                     f"ALWAYS and cannot be inserted explicitly; "
                     f"{_GRAMMAR}"
                 )
+            # the real run (_insert_computed) refuses computed columns
+            # on bucketed targets — the dry run must refuse identically,
+            # not report a plan for an INSERT the real run rejects
+            if getattr(catalog, "bucket_meta", lambda _t: None)(table):
+                raise ValueError(
+                    f"INSERT with engine-computed columns into the "
+                    f"bucketed table {table!r} is not supported; drop "
+                    f"the bucket layout or the computed columns; "
+                    f"{_GRAMMAR}"
+                )
             if cols is None:
                 cols = [
                     n for n in schema.fieldNames() if n not in computed
@@ -1273,17 +1283,24 @@ def execute_dml(catalog, sql: str) -> dict | None:
         # BIGINT remains for the DDL parser) and register the column
         # in the SAME create commit
         identity_col = None
-        idm = re.search(
+        id_cols = re.findall(
             r"(\w+)\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY",
             ddl,
             re.I,
         )
-        if idm:
-            identity_col = idm.group(1)
+        if len(id_cols) > 1:
+            raise ValueError(
+                f"CREATE TABLE {table!r}: multiple IDENTITY columns "
+                f"{id_cols} — a table mints from ONE identity sequence; "
+                f"{_GRAMMAR}"
+            )
+        if id_cols:
+            identity_col = id_cols[0]
             ddl = re.sub(
                 r"(\w+\s+BIGINT)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY",
                 r"\1",
                 ddl,
+                count=1,
                 flags=re.I,
             )
         # GENERATED ALWAYS AS (expr): computed columns — strip each

@@ -690,10 +690,20 @@ class TransactionalCatalog(Catalog):
             {d for d in os.listdir(stage) if d.startswith("_kb=")}
             | {f"_kb={b}" for b in (replaced or ())}
         )
-        # checks run BEFORE hardlinking untouched partitions in: merge
-        # enforcement reads only the touched partitions' rows (a merge
-        # re-states existing keys by construction — intra-stage only)
-        self._enforce_checks(table, stage, cross_table=False)
+        # checks run BEFORE hardlinking untouched partitions in. A merge
+        # re-states the touched buckets' keys by construction, so the
+        # cross probe is scoped to the CARRIED buckets only (via
+        # exclude_buckets): that is exactly where an upserted row with a
+        # UNIQUE value on a non-bucket-key column could otherwise land a
+        # silent duplicate.
+        self._enforce_checks(
+            table,
+            stage,
+            cross_table=False,
+            exclude_buckets=[
+                int(d.split("=", 1)[1]) for d in touched_buckets
+            ],
+        )
         reuse = None
         bloom_reuse = None
         if prev:
@@ -3036,7 +3046,12 @@ class TransactionalCatalog(Catalog):
             self._commit_tail(manifest)
 
     def _enforce_checks(
-        self, table: str, stage_path: str, cross_table: bool = True
+        self,
+        table: str,
+        stage_path: str,
+        cross_table: bool = True,
+        exclude_buckets: list[int] | None = None,
+        existing_where=None,
     ) -> None:
         """Validate a freshly staged dir against the table's committed
         constraints. Row CHECKs read back only the staged files, so
@@ -3044,8 +3059,17 @@ class TransactionalCatalog(Catalog):
         constraints additionally probe the EXISTING keys with one
         column-pruned semi-join (bucket-pruned when co-bucketed) —
         skipped under ``cross_table=False`` for content-REPLACING
-        writes (overwrite, bucketed merge), whose staged output
-        legitimately re-states existing keys."""
+        writes (overwrite), whose staged output legitimately re-states
+        existing keys. A bucketed merge replaces only the TOUCHED
+        buckets and hardlink-carries the rest, so it passes
+        ``exclude_buckets`` instead: the cross probe then runs against
+        the CARRIED buckets only — the one place an upserted row can
+        silently duplicate a UNIQUE value it didn't restate.
+        ``existing_where`` (a Column) likewise narrows the probed
+        committed rows for partial-rewrite writers whose staged rows
+        legitimately restate the slice they replace
+        (:meth:`replace_partitions` probes only SURVIVING
+        partitions)."""
         from pyspark.sql import functions as F
 
         chk = self._read_manifest(strict=False).get("checks", {}).get(table)
@@ -3058,7 +3082,13 @@ class TransactionalCatalog(Catalog):
         for name, expr in chk.items():
             if isinstance(expr, dict) and "unique" in expr:
                 self._enforce_unique(
-                    table, name, expr["unique"], df, cross_table
+                    table,
+                    name,
+                    expr["unique"],
+                    df,
+                    cross_table,
+                    exclude_buckets,
+                    existing_where,
                 )
                 continue
             bad = df.filter(self._violates(expr)).count()
@@ -3069,7 +3099,14 @@ class TransactionalCatalog(Catalog):
                 )
 
     def _enforce_unique(
-        self, table: str, name: str, cols: list[str], staged, cross: bool
+        self,
+        table: str,
+        name: str,
+        cols: list[str],
+        staged,
+        cross: bool,
+        exclude_buckets: list[int] | None = None,
+        existing_where=None,
     ) -> None:
         from pyspark.sql import functions as F
 
@@ -3088,12 +3125,28 @@ class TransactionalCatalog(Catalog):
                 f"{cols}: {dups} staged key(s) duplicated within the "
                 "write"
             )
-        if not cross or not self.exists(table):
+        partial = exclude_buckets is not None or existing_where is not None
+        if not (cross or partial) or not self.exists(table):
             return
         if not self._read_manifest(strict=False)["tables"].get(table):
             return  # freshly created, no committed data yet
         existing = self.read(table)
+        if existing_where is not None:
+            existing = existing.where(existing_where)
         meta = self.bucket_meta(table)
+        if exclude_buckets is not None:
+            if meta is not None and list(meta["key_cols"]) == list(cols):
+                # the constraint IS the bucket key: staged keys hash into
+                # the rewritten buckets by construction, so the carried
+                # buckets cannot hold them — disjoint, nothing to probe
+                return
+            # bucketed merge: the touched buckets are fully re-stated in
+            # the stage (the intra-stage groupBy covered them); probe
+            # only the CARRIED buckets, where an upserted NEW value can
+            # collide with a row this write never saw
+            existing = existing.where(
+                ~F.col("_kb").isin(list(exclude_buckets))
+            )
         if meta is not None and list(meta["key_cols"]) == list(cols):
             buckets = [
                 r["_kb"]
@@ -3106,12 +3159,17 @@ class TransactionalCatalog(Catalog):
             existing = existing.where(F.col("_kb").isin(buckets))
         # AQE sizes the join: a small staged write broadcasts itself, a
         # bulk load shuffles honestly — never force a broadcast of an
-        # unbounded write
-        hits = (
-            existing.select(*cols)
-            .join(keys.distinct(), cols, "left_semi")
-            .count()
-        )
+        # unbounded write. NULL keys group like values (the intra-stage
+        # groupBy already treats them so), hence eqNullSafe — a plain
+        # equi-join would let a second NULL-valued key slip past the
+        # probe and land a row the constraint then refuses on restore.
+        ex = existing.select(*cols).alias("ex")
+        st = keys.distinct().alias("st")
+        cond = None
+        for c in cols:
+            leg = F.col(f"ex.{c}").eqNullSafe(F.col(f"st.{c}"))
+            cond = leg if cond is None else cond & leg
+        hits = ex.join(st, cond, "left_semi").count()
         if hits:
             raise CheckViolation(
                 f"write to {table!r} violates UNIQUE {name!r} over "
@@ -4240,11 +4298,30 @@ class TransactionalCatalog(Catalog):
         snapshot = self._committed_rels(table)
         if snapshot is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
-        add_df = self._to_physical_frame(add_df, self.colmap(table))
+        cmap = self.colmap(table)
+        add_df = self._to_physical_frame(add_df, cmap)
         dropped_parts = {f"{part_col}={v}" for v in dropped}
         rel = self._stage_dir(table)
         stage = os.path.join(self.root, rel)
         add_df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        # constraint enforcement: row CHECKs + intra-stage UNIQUE over
+        # the staged adds, plus a UNIQUE probe against the SURVIVING
+        # partitions only — a moved row legitimately restates a row of a
+        # dropped partition, but a new value colliding with a partition
+        # this write never touched is a genuine duplicate
+        from pyspark.sql import functions as F
+
+        logical_part = (cmap or {}).get("renames", {}).get(
+            part_col, part_col
+        )
+        self._enforce_checks(
+            table,
+            stage,
+            cross_table=False,
+            existing_where=F.coalesce(
+                ~F.col(logical_part).isin(list(dropped)), F.lit(True)
+            ),
+        )
         reuse: dict = {}
         bloom_reuse: dict = {}
         for rel_dir in snapshot:

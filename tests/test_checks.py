@@ -249,3 +249,139 @@ def test_unique_constraint_bucket_pruned_probe(spark, tmp_path):
         tcat, "ALTER TABLE bt ADD CONSTRAINT pk PRIMARY KEY (k)"
     )
     assert out["added_unique"] == "pk"
+
+
+# -- round-13 constraint-soundness regressions --------------------------------
+
+
+def test_unique_null_key_cross_probe_null_safe(spark, tmp_path):
+    """NULL keys group like values (the intra-stage groupBy contract):
+    a second NULL-key append must collide with an existing NULL key —
+    the probe joins with eqNullSafe, not a plain equi-join."""
+    tcat = _cat(spark, tmp_path)
+    tcat.overwrite(
+        spark.createDataFrame([(1, "a"), (None, "n")], "k long, v string"),
+        "t",
+    )
+    tcat.add_unique_constraint("t", "uk", ["k"])
+    # fresh non-null key still lands
+    tcat.append(spark.createDataFrame([(2, "b")], "k long, v string"), "t")
+    with pytest.raises(CheckViolation, match="already exist"):
+        tcat.append(
+            spark.createDataFrame([(None, "n2")], "k long, v string"), "t"
+        )
+    # and the table still validates under restore_table's check replay
+    v = tcat.versions()[-1]["version"]
+    tcat.restore_table("t", v, validate_checks=True)
+
+
+def test_bucketed_merge_unique_nonkey_cross_probe(spark, tmp_path):
+    """A bucketed merge restates only the TOUCHED buckets; a UNIQUE
+    constraint on a NON-bucket-key column must still probe the carried
+    buckets — an upserted new key may not duplicate a value held by a
+    row the merge never rewrote."""
+    from gcp_datalake_pipeline_spark.storage import kb_col
+
+    tcat = _cat(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(10)], "k long, u long"
+    )
+    tcat.overwrite_bucketed(base, "bt", 16, ["k"])
+    tcat.add_unique_constraint("bt", "uniq_u", ["u"])
+
+    # pick a new key landing in a DIFFERENT bucket than k=5 (whose
+    # u=50 we will try to duplicate), so bucket 5's files are carried
+    # by hardlink, not restated
+    def bucket_of(k):
+        return tcat.spark.createDataFrame([(k,)], "k long").select(
+            kb_col(["k"], 16).alias("b")
+        ).first()["b"]
+
+    vic = bucket_of(5)
+    newk = next(k for k in range(1000, 1100) if bucket_of(k) != vic)
+
+    src_dup = spark.createDataFrame([(newk, 50)], "k long, u long")
+    with pytest.raises(CheckViolation, match="already exist"):
+        tcat.merge_upsert_bucketed(
+            src_dup, "bt", ["k"], 16, audit_cols=False
+        )
+    # table unchanged
+    assert tcat.read("bt").count() == 10
+
+    # a merge restating an EXISTING key's own value is legitimate
+    # (its bucket is touched, hence excluded from the carried probe)
+    tcat.merge_upsert_bucketed(
+        spark.createDataFrame([(5, 50)], "k long, u long"),
+        "bt", ["k"], 16, audit_cols=False,
+    )
+    # and a new key with a fresh unique value lands
+    tcat.merge_upsert_bucketed(
+        spark.createDataFrame([(newk, 999)], "k long, u long"),
+        "bt", ["k"], 16, audit_cols=False,
+    )
+    assert tcat.read("bt").count() == 11
+    # moving k=5's value while restating it stays fine; duplicating a
+    # carried bucket's value via UPDATE-shaped merge refuses
+    other = next(
+        k for k in range(10) if bucket_of(k) != bucket_of(5) and k != 5
+    )
+    with pytest.raises(CheckViolation, match="already exist"):
+        tcat.merge_upsert_bucketed(
+            spark.createDataFrame([(5, other * 10)], "k long, u long"),
+            "bt", ["k"], 16, audit_cols=False,
+        )
+
+
+def test_bucketed_merge_unique_on_key_skips_probe(spark, tmp_path):
+    """UNIQUE over exactly the bucket keys: staged keys hash into the
+    rewritten buckets by construction — a merge restating keys must
+    NOT false-collide."""
+    tcat = _cat(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(10)], "k long, u long"
+    )
+    tcat.overwrite_bucketed(base, "bt", 16, ["k"])
+    tcat.add_unique_constraint("bt", "pk", ["k"])
+    tcat.merge_upsert_bucketed(
+        spark.createDataFrame([(5, 555), (77, 770)], "k long, u long"),
+        "bt", ["k"], 16, audit_cols=False,
+    )
+    got = {(r["k"], r["u"]) for r in tcat.read("bt").collect()}
+    assert (5, 555) in got and (77, 770) in got and len(got) == 11
+
+
+def test_replace_partitions_enforces_checks(spark, tmp_path):
+    """replace_partitions is a public write path: row CHECKs and UNIQUE
+    run on the staged adds; the UNIQUE cross probe covers SURVIVING
+    partitions only (a moved row restates a dropped partition's row)."""
+    tcat = _cat(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")],
+        "id long, v long, p string",
+    )
+    tcat.overwrite(df, "t", partition_cols=["p"])
+    tcat.add_check("t", "v_nonneg", "v >= 0")
+    tcat.add_unique_constraint("t", "uid", ["id"])
+    ver = tcat.versions()[-1]["version"]
+
+    # row CHECK enforced on the staged adds
+    with pytest.raises(CheckViolation, match="v_nonneg"):
+        tcat.replace_partitions(
+            "t", "p", ["b"],
+            spark.createDataFrame([(3, -1, "c")], "id long, v long, p string"),
+        )
+    assert tcat.versions()[-1]["version"] == ver
+
+    # UNIQUE: a new id colliding with a SURVIVING partition refuses
+    with pytest.raises(CheckViolation, match="already exist"):
+        tcat.replace_partitions(
+            "t", "p", ["b"],
+            spark.createDataFrame([(1, 99, "c")], "id long, v long, p string"),
+        )
+    # ...but MOVING a row out of the dropped partition is legitimate
+    tcat.replace_partitions(
+        "t", "p", ["b"],
+        spark.createDataFrame([(3, 30, "c")], "id long, v long, p string"),
+    )
+    got = {(r["id"], r["p"]) for r in tcat.read("t").collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "c")}

@@ -1321,3 +1321,47 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert [r for r in real if r.startswith("_versions")] == dry_age0
     for rel in real:
         assert not os.path.exists(os.path.join(cat.root, rel)), rel
+
+
+def test_create_table_two_identity_columns_refuses(spark, tmp_path):
+    """Two IDENTITY clauses: the strip used to remove BOTH while
+    registering only the FIRST, silently degrading the second to a
+    plain nullable BIGINT — now a loud refusal."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="multiple IDENTITY"):
+        execute_dml(
+            cat,
+            "CREATE TABLE t (a BIGINT GENERATED ALWAYS AS IDENTITY, "
+            "k BIGINT, b BIGINT GENERATED ALWAYS AS IDENTITY)",
+        )
+    assert not cat.exists("t")
+
+
+def test_explain_insert_computed_bucketed_matches_real_refusal(
+    spark, tmp_path
+):
+    """EXPLAIN INSERT must refuse exactly where the real INSERT does:
+    after ALTER TABLE ... CLUSTERED BY on a table with computed
+    columns, both paths raise the same bucketed-target error."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(
+        cat,
+        "CREATE TABLE t (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "k BIGINT, v DOUBLE)",
+    )
+    execute_dml(cat, "INSERT INTO t (k, v) VALUES (1, 1.0)")
+    execute_dml(cat, "ALTER TABLE t CLUSTERED BY (k) INTO 4 BUCKETS")
+    with pytest.raises(ValueError, match="engine-computed"):
+        execute_dml(cat, "INSERT INTO t (k, v) VALUES (2, 2.0)")
+    with pytest.raises(ValueError, match="engine-computed"):
+        execute_dml(cat, "EXPLAIN INSERT INTO t (k, v) VALUES (2, 2.0)")
