@@ -36,6 +36,8 @@ statement):
     ALTER TABLE <table> RENAME TO <new-table>          -- metadata-only
     ALTER TABLE <table> DROP COLUMN <name>             -- metadata-only
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
+    ALTER TABLE <child> ADD CONSTRAINT <name> FOREIGN KEY (<cols>)
+        REFERENCES <parent> (<cols>)   -- write-enforced, RESTRICT
     ALTER TABLE <table> DROP CONSTRAINT <name>
     ALTER TABLE <table> SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')
     ALTER TABLE <table> UNSET TBLPROPERTIES ('dml.mode')
@@ -92,7 +94,9 @@ _GRAMMAR = (
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "RENAME COLUMN a TO b | DROP COLUMN c | "
     "ADD CONSTRAINT n CHECK (expr) | UNIQUE|PRIMARY KEY (cols) "
-    "(write-enforced) | DROP CONSTRAINT n | "
+    "(write-enforced) | FOREIGN KEY (cols) REFERENCES p (pcols) "
+    "(write-enforced, RESTRICT; p needs UNIQUE/PK on pcols) | "
+    "DROP CONSTRAINT n | "
     "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
     "ALTER COLUMN c [SET DATA] TYPE t (metadata-only widening) | "
     "CLUSTERED BY (keys) INTO m BUCKETS (online re-bucketing); "
@@ -245,6 +249,13 @@ def _show_create(catalog, table: str) -> str:
             stmts.append(
                 f"ALTER TABLE {table} ADD CONSTRAINT {name} "
                 f"UNIQUE ({', '.join(expr['unique'])})"
+            )
+        elif isinstance(expr, dict) and "fk" in expr:
+            fk = expr["fk"]
+            stmts.append(
+                f"ALTER TABLE {table} ADD CONSTRAINT {name} "
+                f"FOREIGN KEY ({', '.join(fk['cols'])}) REFERENCES "
+                f"{fk['parent']} ({', '.join(fk['parent_cols'])})"
             )
         else:
             stmts.append(
@@ -1452,6 +1463,25 @@ def execute_dml(catalog, sql: str) -> dict | None:
         return {
             "table": m.group(1), "added_unique": m.group(2),
             "columns": cols,
+        }
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"FOREIGN\s+KEY\s*\(([^)]+)\)\s*REFERENCES\s+(\w+)\s*"
+        r"\(([^)]+)\)",
+        s,
+        re.I,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(3).split(",")]
+        pcols = [c.strip() for c in m.group(5).split(",")]
+        catalog.add_fk_constraint(
+            m.group(1), m.group(2), cols, m.group(4), pcols
+        )
+        return {
+            "table": m.group(1),
+            "added_fk": m.group(2),
+            "columns": cols,
+            "references": {"table": m.group(4), "columns": pcols},
         }
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)", s, re.I

@@ -2533,3 +2533,113 @@ def etl_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "etl_fk_constraint",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey < 600
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="""Write-enforced FOREIGN KEY (transactions add_fk_constraint +
+    _fk_misses / _refuse_fk_orphans; SQL ALTER TABLE ... ADD CONSTRAINT
+    ... FOREIGN KEY ... REFERENCES): nation becomes the parent (UNIQUE
+    n_nationkey + one synthetic unreferenced key), customers < 500 the
+    child. A valid append lands, an orphan append REFUSES and publishes
+    nothing, deleting a referenced parent key REFUSES (RESTRICT), and
+    deleting the unreferenced synthetic key proceeds — all asserted
+    in-query. The child-side probe is one column-pruned anti-join
+    (bucket-pruned when the parent is bucketed on the key); the
+    parent-side guard probes children for exactly the removed keys
+    (O(changes), sound because the referenced columns are UNIQUE).
+    Generalizes the reference ETL's FK-miss -> reject
+    (etl-gcs-cloudsql/src/services/conductor.ts:90-98) to declared DDL.
+    Oracle = the surviving child rows joined back to nation.""",
+)
+def etl_fk_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        CheckViolation,
+        TransactionalCatalog,
+    )
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_fk_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("nation_fk"):
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        cat.overwrite(
+            nation.unionByName(
+                spark.createDataFrame(
+                    [(999, "ATLANTIS")], "n_nationkey long, n_name string"
+                ).select(
+                    F.col("n_nationkey"),
+                    F.col("n_name"),
+                )
+            ),
+            "nation_fk",
+        )
+        cat.add_unique_constraint("nation_fk", "pk", ["n_nationkey"])
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        cat.overwrite(cust.where(F.col("c_custkey") < 500), "customer_fk")
+        execute_dml(
+            cat,
+            "ALTER TABLE customer_fk ADD CONSTRAINT cfk "
+            "FOREIGN KEY (c_nationkey) REFERENCES nation_fk (n_nationkey)",
+        )
+        # a valid second batch lands
+        cat.append(
+            cust.where(
+                (F.col("c_custkey") >= 500) & (F.col("c_custkey") < 600)
+            ),
+            "customer_fk",
+        )
+        # deleting the synthetic unreferenced key proceeds (RESTRICT
+        # only guards referenced keys)
+        if execute_dml(
+            cat, "DELETE FROM nation_fk WHERE n_nationkey = 999"
+        )["deleted"] != 1:
+            raise RuntimeError("unreferenced parent delete did not land")
+    # EVERY run: an orphan child write refuses and publishes nothing
+    v = cat._read_manifest(strict=False)["version"]
+    try:
+        execute_dml(
+            cat, "INSERT INTO customer_fk VALUES (999999, 777, 0.0)"
+        )
+    except CheckViolation:
+        pass
+    else:
+        raise RuntimeError("orphan child insert did not refuse")
+    # EVERY run: deleting a referenced parent key refuses
+    try:
+        execute_dml(cat, "DELETE FROM nation_fk WHERE n_nationkey = 1")
+    except CheckViolation:
+        pass
+    else:
+        raise RuntimeError("referenced parent delete did not refuse")
+    if cat._read_manifest(strict=False)["version"] != v:
+        raise RuntimeError("refused writes published a version")
+    return (
+        cat.read("customer_fk")
+        .join(
+            cat.read("nation_fk"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )

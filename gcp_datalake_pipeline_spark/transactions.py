@@ -599,6 +599,18 @@ class TransactionalCatalog(Catalog):
             with auto:
                 self.overwrite(df, table, partition_cols)
             return
+        # parent-side FK RESTRICT: a content replace may remove keys —
+        # keys present now but absent from the new content must not be
+        # referenced by any child row (O(distinct keys), not O(child))
+        if self.exists(table):
+            for pcols in self._fk_parent_specs(table):
+                removed = (
+                    self.read(table)
+                    .select(*pcols)
+                    .distinct()
+                    .join(df.select(*pcols).distinct(), pcols, "left_anti")
+                )
+                self._refuse_fk_orphans(table, removed, pcols, "OVERWRITE")
         df = self._to_physical_frame(df, self.colmap(table))
         rel = self._stage_dir(table)
         w = df.write.mode("overwrite")
@@ -704,6 +716,32 @@ class TransactionalCatalog(Catalog):
                 int(d.split("=", 1)[1]) for d in touched_buckets
             ],
         )
+        # parent-side FK RESTRICT: a merge (or bucketed merge-delete)
+        # may RETIRE keys from the touched buckets — keys present there
+        # now but absent from the staged replacement must not be
+        # referenced by children. O(touched buckets), never the table.
+        pspecs = self._fk_parent_specs(table) if prev else []
+        if pspecs:
+            from pyspark.sql import functions as F
+
+            tb = [int(d.split("=", 1)[1]) for d in touched_buckets]
+            old_touched = self.read(table).where(F.col("_kb").isin(tb))
+            staged_df = self._to_logical(
+                self.spark.read.parquet(stage), self.colmap(table)
+            )
+            for pcols in pspecs:
+                removed = (
+                    old_touched.select(*pcols)
+                    .distinct()
+                    .join(
+                        staged_df.select(*pcols).distinct(),
+                        pcols,
+                        "left_anti",
+                    )
+                )
+                self._refuse_fk_orphans(
+                    table, removed, pcols, "merge into"
+                )
         reuse = None
         bloom_reuse = None
         if prev:
@@ -1246,11 +1284,46 @@ class TransactionalCatalog(Catalog):
             )
         if validate_checks:
             chk = self.checks(table)
+            pspecs = self._fk_parent_specs(table)
+            if pspecs:
+                # the table is an FK PARENT: restoring must not remove
+                # keys that child rows reference now
+                restored_p = self.read_at(table, version)
+                for pcols in pspecs:
+                    removed = (
+                        self.read(table)
+                        .select(*pcols)
+                        .distinct()
+                        .join(
+                            restored_p.select(*pcols).distinct(),
+                            pcols,
+                            "left_anti",
+                        )
+                    )
+                    self._refuse_fk_orphans(
+                        table, removed, pcols, f"restore (v{version})"
+                    )
             if chk:
                 from pyspark.sql import functions as F
 
                 restored = self.read_at(table, version)
                 for name, expr in chk.items():
+                    if isinstance(expr, dict) and "fk" in expr:
+                        spec = expr["fk"]
+                        bad = self._fk_misses(
+                            table, spec, restored
+                        ).count()
+                        if bad:
+                            raise CheckViolation(
+                                f"restoring {table!r} to v{version} "
+                                f"would reintroduce {bad} key(s) with "
+                                f"no match in {spec['parent']}"
+                                f"{tuple(spec['parent_cols'])} under "
+                                f"FOREIGN KEY {name!r}; drop the "
+                                "constraint or pass "
+                                "validate_checks=False"
+                            )
+                        continue
                     if isinstance(expr, dict) and "unique" in expr:
                         cols = expr["unique"]
                         bad = (
@@ -1468,6 +1541,12 @@ class TransactionalCatalog(Catalog):
         base = self._committed_rels(table)
         if base is None:
             raise FileNotFoundError(f"{table!r} not in manifest")
+        # RESTRICT: truncating removes EVERY key — refuse while any
+        # child row references one
+        for pcols in self._fk_parent_specs(table):
+            self._refuse_fk_orphans(
+                table, self.read(table).select(*pcols), pcols, "TRUNCATE"
+            )
         n = self.count_rows(table)
         schema = self._stored_schema(table)
         if schema is None:
@@ -1498,6 +1577,15 @@ class TransactionalCatalog(Catalog):
             raise RuntimeError("drop_table inside an open transaction")
         if not self.exists(table):
             raise FileNotFoundError(f"{table!r} not in manifest")
+        children = [
+            (c, n) for c, n, _s in self._fk_children(table) if c != table
+        ]
+        if children:
+            raise ValueError(
+                f"cannot DROP {table!r}: FOREIGN KEY constraint(s) "
+                f"{children!r} reference it; drop the constraint(s) "
+                "first"
+            )
 
         def mutate(m):
             m["tables"].pop(table, None)
@@ -1738,6 +1826,22 @@ class TransactionalCatalog(Catalog):
         sidecar that readers subtract and the next :meth:`compact`
         folds. At 100 TB the vector path turns a point delete from
         O(candidate files rewritten) into O(matched rows written)."""
+        pspecs = self._fk_parent_specs(table)
+        if pspecs:
+            from pyspark.sql import functions as F
+
+            # RESTRICT: the doomed rows' keys are exact removals (the
+            # referenced columns are UNIQUE), so probing children for
+            # just those keys is sound and O(changes)
+            cond = F.coalesce(
+                filestats.dnf_condition(self._as_dnf(predicates)),
+                F.lit(False),
+            )
+            doomed = self.read(table).filter(cond)
+            for pcols in pspecs:
+                self._refuse_fk_orphans(
+                    table, doomed.select(*pcols), pcols, "DELETE FROM"
+                )
         if mode == "dv":
             return self._delete_where_dv(table, predicates)
         if mode != "rewrite":
@@ -2509,6 +2613,11 @@ class TransactionalCatalog(Catalog):
                         f"cannot {verb} {name!r}: UNIQUE constraint "
                         f"{cname!r} covers it; drop the constraint first"
                     )
+                if name in expr.get("fk", {}).get("cols", ()):
+                    raise ValueError(
+                        f"cannot {verb} {name!r}: FOREIGN KEY "
+                        f"{cname!r} covers it; drop the constraint first"
+                    )
                 continue
             if _re.search(rf"\b{_re.escape(name)}\b", expr):
                 raise ValueError(
@@ -2523,6 +2632,14 @@ class TransactionalCatalog(Catalog):
             )
         if name == "_kb":
             raise ValueError("'_kb' is the reserved bucket-layout column")
+        # a column REFERENCED by another table's FOREIGN KEY must not
+        # be re-labeled out from under the child
+        for child, cname, spec in self._fk_children(table):
+            if name in spec["parent_cols"]:
+                raise ValueError(
+                    f"cannot {verb} {name!r}: FOREIGN KEY {cname!r} of "
+                    f"{child!r} references it; drop the constraint first"
+                )
         views = self._read_manifest(strict=False).get("views", {})
         for vname, spec in views.items():
             if vname == table:
@@ -3015,6 +3132,222 @@ class TransactionalCatalog(Catalog):
 
         self._publish_meta(mutate, f"add-unique-{table}-{name}")
 
+    def add_fk_constraint(
+        self,
+        child: str,
+        name: str,
+        cols: list[str],
+        parent: str,
+        parent_cols: list[str],
+    ) -> None:
+        """Register a WRITE-ENFORCED FOREIGN KEY: every later write into
+        ``child`` must reference an existing ``parent`` key (rows whose
+        FK columns are ALL non-null — SQL MATCH SIMPLE semantics), and
+        parent-side removals that would orphan a referencing child row
+        refuse (RESTRICT) — :class:`CheckViolation` either way. This
+        generalizes the ETL pipelines' FK-miss -> reject behavior
+        (reference etl-gcs-cloudsql/src/services/conductor.ts:90-98,
+        model.sql's REFERENCES clauses) to declared DDL.
+
+        The referenced columns must already carry a UNIQUE / PRIMARY
+        KEY constraint on ``parent`` (standard SQL): that is what makes
+        the parent-side guard exact — a deleted key is GONE, so probing
+        children for exactly the removed keys is sound and O(changes).
+        Existing child rows are validated now. Enforcement cost is
+        O(write): the staged FK values probe the parent with one
+        column-pruned anti-join, partition-pruned to the staged keys'
+        buckets when the parent is bucketed on the referenced columns."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "add_fk_constraint inside an open transaction"
+            )
+        from pyspark.sql import functions as F
+
+        cols, parent_cols = list(cols), list(parent_cols)
+        if not cols or len(cols) != len(parent_cols):
+            raise ValueError(
+                "FOREIGN KEY needs 1+ columns and the same number of "
+                "referenced columns"
+            )
+        if not self.exists(parent):
+            raise FileNotFoundError(
+                f"FOREIGN KEY references missing table {parent!r}"
+            )
+        pschema = self.logical_schema(parent)
+        missing = [c for c in parent_cols if c not in pschema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"referenced column(s) {missing!r} not in {parent!r}"
+            )
+        covered = any(
+            isinstance(e, dict)
+            and set(e.get("unique", ())) == set(parent_cols)
+            for e in self.checks(parent).values()
+        )
+        if not covered:
+            raise ValueError(
+                f"FOREIGN KEY requires a UNIQUE/PRIMARY KEY on "
+                f"{parent!r}{tuple(parent_cols)} first (ALTER TABLE "
+                f"{parent} ADD CONSTRAINT ... UNIQUE ({', '.join(parent_cols)}))"
+            )
+        if self.exists(child):
+            cschema = self.logical_schema(child)
+            missing = [c for c in cols if c not in cschema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"FOREIGN KEY column(s) {missing!r} not in {child!r}"
+                )
+            spec = {"cols": cols, "parent": parent,
+                    "parent_cols": parent_cols}
+            bad = self._fk_misses(child, spec, self.read(child)).count()
+            if bad:
+                raise CheckViolation(
+                    f"cannot add FOREIGN KEY {name!r} to {child!r}: "
+                    f"{bad} existing key(s) over {cols} have no match "
+                    f"in {parent}{tuple(parent_cols)}"
+                )
+
+        def mutate(m):
+            m.setdefault("checks", {}).setdefault(child, {})[name] = {
+                "fk": {
+                    "cols": cols,
+                    "parent": parent,
+                    "parent_cols": parent_cols,
+                }
+            }
+
+        self._publish_meta(mutate, f"add-fk-{child}-{name}")
+
+    def _fk_children(self, parent: str) -> list[tuple[str, str, dict]]:
+        """Every (child_table, constraint_name, fk_spec) referencing
+        ``parent`` — the reverse index the parent-side RESTRICT guards
+        scan (one manifest read, zero data)."""
+        out = []
+        for child, chks in (
+            self._read_manifest(strict=False).get("checks", {}).items()
+        ):
+            for name, expr in chks.items():
+                if isinstance(expr, dict) and "fk" in expr:
+                    if expr["fk"]["parent"] == parent:
+                        out.append((child, name, expr["fk"]))
+        return out
+
+    def _fk_misses(self, child: str, spec: dict, rows):
+        """The distinct FK keys in ``rows`` (all components non-null)
+        that have NO matching parent key — the violation set. One
+        column-pruned anti-join; partition-pruned to the probed keys'
+        buckets when the parent is bucketed on exactly the referenced
+        columns (same-type columns only: xxhash64 is type-dependent)."""
+        from pyspark.sql import functions as F
+
+        from gcp_datalake_pipeline_spark.storage import kb_col
+
+        cols = spec["cols"]
+        parent, pcols = spec["parent"], spec["parent_cols"]
+        nn = None
+        for c in cols:
+            leg = F.col(c).isNotNull()
+            nn = leg if nn is None else nn & leg
+        # keys speak the PARENT's column names from here on
+        keys = (
+            rows.where(nn)
+            .select(
+                *[F.col(c).alias(p) for c, p in zip(cols, pcols)]
+            )
+            .distinct()
+        )
+        pread = self.read(parent)
+        meta = self.bucket_meta(parent)
+        if meta is not None and list(meta["key_cols"]) == list(pcols):
+            pschema = {f.name: f.dataType for f in pread.schema.fields}
+            kschema = {f.name: f.dataType for f in keys.schema.fields}
+            if all(pschema.get(p) == kschema[p] for p in pcols):
+                buckets = [
+                    r["_kb"]
+                    for r in keys.select(
+                        kb_col(pcols, meta["num_buckets"]).alias("_kb")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                pread = pread.where(F.col("_kb").isin(buckets))
+        return keys.join(pread.select(*pcols), pcols, "left_anti")
+
+    def _refuse_fk_orphans(
+        self, parent: str, removed_keys, pcols: list[str], verb: str
+    ) -> None:
+        """Parent-side RESTRICT guard: ``removed_keys`` (distinct
+        ``pcols`` values this operation removes from ``parent`` — exact
+        because the referenced columns are UNIQUE) must not be
+        referenced by any child row. One probe per child whose FK
+        targets exactly these columns; child scans partition-prune to
+        the removed keys' buckets when the child is bucketed on its FK
+        columns. Children referencing a DIFFERENT column set of this
+        parent are untouched by construction."""
+        from pyspark.sql import functions as F
+
+        from gcp_datalake_pipeline_spark.storage import kb_col
+
+        children = [
+            (c, n, s)
+            for c, n, s in self._fk_children(parent)
+            if list(s["parent_cols"]) == list(pcols)
+        ]
+        if not children:
+            return
+        removed_keys = removed_keys.distinct()
+        for child, name, spec in children:
+            if not self.exists(child):
+                continue
+            cols = spec["cols"]
+            cread = self.read(child)
+            meta = self.bucket_meta(child)
+            if meta is not None and list(meta["key_cols"]) == list(cols):
+                cschema = {f.name: f.dataType for f in cread.schema.fields}
+                rschema = {
+                    f.name: f.dataType for f in removed_keys.schema.fields
+                }
+                if all(
+                    cschema.get(c) == rschema[p]
+                    for c, p in zip(cols, pcols)
+                ):
+                    rk = removed_keys.select(
+                        *[
+                            F.col(p).alias(c)
+                            for p, c in zip(pcols, cols)
+                        ]
+                    )
+                    buckets = [
+                        r["_kb"]
+                        for r in rk.select(
+                            kb_col(cols, meta["num_buckets"]).alias("_kb")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    cread = cread.where(F.col("_kb").isin(buckets))
+            refs = cread.select(
+                *[F.col(c).alias(p) for c, p in zip(cols, pcols)]
+            ).join(removed_keys.select(*pcols), pcols, "left_semi")
+            n = refs.count()
+            if n:
+                raise CheckViolation(
+                    f"cannot {verb} {parent!r}: {n} row(s) of {child!r} "
+                    f"reference the removed key(s) via FOREIGN KEY "
+                    f"{name!r} ({spec['cols']} -> "
+                    f"{parent}{tuple(pcols)}); delete the referencing "
+                    "rows first"
+                )
+
+    def _fk_parent_specs(self, parent: str) -> list[list[str]]:
+        """The DISTINCT referenced-column lists of FKs targeting
+        ``parent`` (usually zero or one)."""
+        seen: list[list[str]] = []
+        for _c, _n, s in self._fk_children(parent):
+            if list(s["parent_cols"]) not in seen:
+                seen.append(list(s["parent_cols"]))
+        return seen
+
     def drop_check(self, table: str, name: str) -> None:
         """Remove a CHECK constraint; raises KeyError if absent."""
         if self._pending is not None:
@@ -3090,6 +3423,24 @@ class TransactionalCatalog(Catalog):
                     exclude_buckets,
                     existing_where,
                 )
+                continue
+            if isinstance(expr, dict) and "fk" in expr:
+                # child-side FK: every staged row with a fully non-null
+                # key must reference a parent key. NO restatement
+                # exemption (the probe targets the PARENT, never the
+                # written table), so this runs on every write path.
+                # Inside a transaction the parent read sees same-commit
+                # staged parent rows (read-your-writes), so
+                # parent-then-child multi-table loads pass.
+                spec = expr["fk"]
+                bad = self._fk_misses(table, spec, df).count()
+                if bad:
+                    raise CheckViolation(
+                        f"write to {table!r} violates FOREIGN KEY "
+                        f"{name!r}: {bad} staged key(s) over "
+                        f"{spec['cols']} have no match in "
+                        f"{spec['parent']}{tuple(spec['parent_cols'])}"
+                    )
                 continue
             bad = df.filter(self._violates(expr)).count()
             if bad:
@@ -3451,6 +3802,14 @@ class TransactionalCatalog(Catalog):
                 sub = m.get(key)
                 if sub and old in sub:
                     sub[new] = sub.pop(old)
+            # FOREIGN KEYs referencing the renamed table follow it —
+            # the constraint is identity-keyed metadata, not name-keyed
+            # history like the change feed
+            for chks in m.get("checks", {}).values():
+                for e in chks.values():
+                    if isinstance(e, dict) and "fk" in e:
+                        if e["fk"]["parent"] == old:
+                            e["fk"]["parent"] = new
             moved = m.get("moved")
             if moved is not None:
                 moved.pop(old, None)
@@ -4322,6 +4681,29 @@ class TransactionalCatalog(Catalog):
                 ~F.col(logical_part).isin(list(dropped)), F.lit(True)
             ),
         )
+        # parent-side FK RESTRICT: dropped partitions' keys vanish
+        # unless the adds restate them — referenced removals refuse
+        pspecs = self._fk_parent_specs(table)
+        if pspecs:
+            old_dropped = self.read(table).where(
+                F.col(logical_part).isin(list(dropped))
+            )
+            staged_df = self._to_logical(
+                self.spark.read.parquet(stage), cmap
+            )
+            for pcols in pspecs:
+                removed = (
+                    old_dropped.select(*pcols)
+                    .distinct()
+                    .join(
+                        staged_df.select(*pcols).distinct(),
+                        pcols,
+                        "left_anti",
+                    )
+                )
+                self._refuse_fk_orphans(
+                    table, removed, pcols, "replace partitions of"
+                )
         reuse: dict = {}
         bloom_reuse: dict = {}
         for rel_dir in snapshot:

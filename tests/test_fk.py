@@ -1,0 +1,278 @@
+"""Write-enforced FOREIGN KEY constraints (round 13): child-side probe
+on every write path, parent-side RESTRICT guards on every key-removing
+path, DDL lifecycle (rename/drop/restore/SHOW CREATE), and the
+read-your-writes behavior inside multi-table transactions.
+
+Reference semantics generalized: the ETL pipelines' FK-miss -> reject
+behavior (/root/reference/etl-gcs-cloudsql/src/services/conductor.ts:
+90-98) and model.sql's REFERENCES clauses, declared via DDL."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+from gcp_datalake_pipeline_spark.transactions import (
+    CheckViolation,
+    TransactionalCatalog,
+)
+
+
+def _cat(spark, tmp_path):
+    return TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+
+
+def _lake(spark, tmp_path):
+    """parent(k UNIQUE) <- child(fk) with one NULL-fk child row."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        "parent",
+    )
+    cat.add_unique_constraint("parent", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame(
+            [(10, 1), (11, 2), (12, None)], "cid long, fk long"
+        ),
+        "child",
+    )
+    out = execute_dml(
+        cat,
+        "ALTER TABLE child ADD CONSTRAINT cfk "
+        "FOREIGN KEY (fk) REFERENCES parent (k)",
+    )
+    assert out == {
+        "table": "child",
+        "added_fk": "cfk",
+        "columns": ["fk"],
+        "references": {"table": "parent", "columns": ["k"]},
+    }
+    return cat
+
+
+def test_add_fk_requires_parent_unique_and_validates(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "parent"
+    )
+    cat.overwrite(spark.createDataFrame([(10, 9)], "cid long, fk long"), "c")
+    # no UNIQUE on the referenced columns -> refuse
+    with pytest.raises(ValueError, match="UNIQUE/PRIMARY KEY"):
+        cat.add_fk_constraint("c", "cfk", ["fk"], "parent", ["k"])
+    cat.add_unique_constraint("parent", "pk", ["k"])
+    # existing child rows violate -> refuse, nothing registered
+    with pytest.raises(CheckViolation, match="no match"):
+        cat.add_fk_constraint("c", "cfk", ["fk"], "parent", ["k"])
+    assert cat.checks("c") == {}
+    # missing parent table / column refuse loudly
+    with pytest.raises(FileNotFoundError):
+        cat.add_fk_constraint("c", "cfk", ["fk"], "ghost", ["k"])
+    with pytest.raises(ValueError, match="not in 'parent'"):
+        cat.add_fk_constraint("c", "cfk", ["fk"], "parent", ["zz"])
+
+
+def test_child_insert_enforced(spark, tmp_path):
+    cat = _lake(spark, tmp_path)
+    # valid key and NULL key (MATCH SIMPLE) both land
+    execute_dml(cat, "INSERT INTO child VALUES (13, 3)")
+    execute_dml(cat, "INSERT INTO child VALUES (14, NULL)")
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="FOREIGN KEY 'cfk'"):
+        execute_dml(cat, "INSERT INTO child VALUES (15, 99)")
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert cat.read("child").count() == 5
+    # overwrite of the child is enforced too
+    with pytest.raises(CheckViolation, match="FOREIGN KEY"):
+        cat.overwrite(
+            spark.createDataFrame([(1, 77)], "cid long, fk long"), "child"
+        )
+    # UPDATE rewriting the fk column probes the parent
+    with pytest.raises(CheckViolation, match="FOREIGN KEY"):
+        execute_dml(cat, "UPDATE child SET fk = 42 WHERE cid = 10")
+    execute_dml(cat, "UPDATE child SET fk = 2 WHERE cid = 10")
+    assert (
+        cat.read("child").where(F.col("cid") == 10).first()["fk"] == 2
+    )
+
+
+def test_parent_delete_restrict(spark, tmp_path):
+    cat = _lake(spark, tmp_path)
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(cat, "DELETE FROM parent WHERE k = 1")
+    assert cat._read_manifest(strict=False)["version"] == v
+    # the dv path hits the same guard
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        cat.delete_where("parent", [("k", "=", 2)], mode="dv")
+    # an unreferenced key deletes fine
+    assert execute_dml(cat, "DELETE FROM parent WHERE k = 3")["deleted"] == 1
+    # merge-delete funnels through the same RESTRICT
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(
+            cat,
+            "MERGE INTO parent USING (SELECT 1 AS k) ON k = k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    # TRUNCATE / DROP of a referenced parent refuse
+    with pytest.raises(CheckViolation, match="TRUNCATE"):
+        cat.truncate("parent")
+    with pytest.raises(ValueError, match="cannot DROP"):
+        cat.drop_table("parent")
+    # ...until the constraint is dropped
+    execute_dml(cat, "ALTER TABLE child DROP CONSTRAINT cfk")
+    cat.truncate("parent")
+    assert cat.read("parent").count() == 0
+
+
+def test_parent_overwrite_restrict(spark, tmp_path):
+    cat = _lake(spark, tmp_path)
+    # dropping referenced key 1 from the content refuses
+    with pytest.raises(CheckViolation, match="OVERWRITE"):
+        cat.overwrite(
+            spark.createDataFrame([(2, "b")], "k long, v string"), "parent"
+        )
+    # dropping only the unreferenced key 3 passes
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a2"), (2, "b2")], "k long, v string"
+        ),
+        "parent",
+    )
+    assert cat.read("parent").count() == 2
+
+
+def test_fk_bucket_pruned_parent_probe(spark, tmp_path):
+    """Parent bucketed on the referenced column: the child-side probe
+    partition-prunes the parent scan to the staged keys' buckets."""
+    cat = _cat(spark, tmp_path)
+    parent = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cat.overwrite_bucketed(parent, "p", 16, ["k"])
+    cat.add_unique_constraint("p", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(1, 7)], "cid long, fk long"), "c"
+    )
+    cat.add_fk_constraint("c", "cfk", ["fk"], "p", ["k"])
+    execute_dml(cat, "INSERT INTO c VALUES (2, 199)")
+    with pytest.raises(CheckViolation, match="FOREIGN KEY"):
+        execute_dml(cat, "INSERT INTO c VALUES (3, 777)")
+    # bucketed merge-delete of a referenced parent key refuses; of an
+    # unreferenced key proceeds (only touched buckets probed)
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(
+            cat,
+            "MERGE INTO p USING (SELECT 7 AS k) ON k = k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    out = execute_dml(
+        cat,
+        "MERGE INTO p USING (SELECT 55 AS k) ON k = k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out["merge_deleted"] == 1
+
+
+def test_fk_rename_and_show_create(spark, tmp_path):
+    cat = _lake(spark, tmp_path)
+    # covered columns cannot be renamed/dropped on either side
+    with pytest.raises(ValueError, match="FOREIGN KEY"):
+        cat.rename_column("child", "fk", "fk2")
+    # the parent's referenced column is UNIQUE-covered by prerequisite,
+    # so its guard fires first — either constraint refusing is correct
+    with pytest.raises(ValueError, match="constraint"):
+        cat.rename_column("parent", "k", "k2")
+    with pytest.raises(ValueError, match="constraint"):
+        cat.drop_column("parent", "k")
+    # a parent column referenced by an FK but NOT itself unique (extra
+    # column scenario) still refuses via the FK leg: drop the unique
+    # guard's precedence by checking the FK guard directly
+    # the child's own fk column is covered only by the FK
+    with pytest.raises(ValueError, match="FOREIGN KEY"):
+        cat.drop_column("child", "fk")
+    # renaming the parent TABLE carries the constraint's reference
+    cat.rename_table("parent", "parent2")
+    with pytest.raises(CheckViolation, match="parent2"):
+        execute_dml(cat, "INSERT INTO child VALUES (15, 99)")
+    execute_dml(cat, "INSERT INTO child VALUES (15, 3)")
+    out = execute_dml(cat, "SHOW CREATE TABLE child")
+    assert (
+        "ADD CONSTRAINT cfk FOREIGN KEY (fk) REFERENCES parent2 (k)"
+        in out["create"]
+    )
+
+
+def test_fk_restore_validates_both_sides(spark, tmp_path):
+    cat = _lake(spark, tmp_path)
+    # take a parent snapshot, add a key, reference it, then try to
+    # restore the parent to before the key existed
+    v_pre = cat.versions()[-1]["version"]
+    execute_dml(cat, "INSERT INTO parent VALUES (4, 'd')")
+    execute_dml(cat, "INSERT INTO child VALUES (13, 4)")
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        cat.restore_table("parent", v_pre)
+    # child-side: restore the child to a state that predates a parent
+    # key removal -> the restored rows must validate against the
+    # CURRENT parent
+    v_child = cat.versions()[-1]["version"]
+    execute_dml(cat, "DELETE FROM child WHERE cid = 13")
+    execute_dml(cat, "DELETE FROM parent WHERE k = 4")
+    with pytest.raises(CheckViolation, match="reintroduce"):
+        cat.restore_table("child", v_child)
+    cat.restore_table("child", v_child, validate_checks=False)
+
+
+def test_fk_same_transaction_parent_then_child(spark, tmp_path):
+    """Read-your-writes: a multi-table transaction staging the parent
+    rows FIRST may reference them from the child in the same commit."""
+    cat = _lake(spark, tmp_path)
+    with cat.transaction("load-both"):
+        cat.append(
+            spark.createDataFrame([(9, "i")], "k long, v string"), "parent"
+        )
+        cat.append(
+            spark.createDataFrame([(20, 9)], "cid long, fk long"), "child"
+        )
+    assert cat.read("child").where(F.col("fk") == 9).count() == 1
+    # and a failing child write rolls back the whole load
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation):
+        with cat.transaction("load-bad"):
+            cat.append(
+                spark.createDataFrame([(8, "h")], "k long, v string"),
+                "parent",
+            )
+            cat.append(
+                spark.createDataFrame([(21, 404)], "cid long, fk long"),
+                "child",
+            )
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert cat.read("parent").where(F.col("k") == 8).count() == 0
+
+
+def test_fk_composite_and_null_components(spark, tmp_path):
+    """Composite FK: a key with ANY null component passes (SQL MATCH
+    SIMPLE); fully non-null keys must match."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame(
+            [("m1", "b1", 1), ("m2", "b2", 2)], "mk string, bk string, x long"
+        ),
+        "dim",
+    )
+    cat.add_unique_constraint("dim", "pk", ["mk", "bk"])
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "m1", "b1")], "id long, fmk string, fbk string"
+        ),
+        "fact",
+    )
+    cat.add_fk_constraint(
+        "fact", "ffk", ["fmk", "fbk"], "dim", ["mk", "bk"]
+    )
+    execute_dml(cat, "INSERT INTO fact VALUES (2, 'm2', 'b2')")
+    execute_dml(cat, "INSERT INTO fact VALUES (3, 'm1', NULL)")
+    with pytest.raises(CheckViolation, match="FOREIGN KEY"):
+        execute_dml(cat, "INSERT INTO fact VALUES (4, 'm1', 'b2')")
+    assert cat.read("fact").count() == 3
