@@ -666,6 +666,18 @@ def _explain(catalog, inner: str):
                 f"UPDATE SET column(s) {missing!r} not in {table!r}; "
                 f"{_GRAMMAR}"
             )
+        # mirror the real run's static bucket-key refusal — the dry run
+        # must never report a plan for an UPDATE the real run rejects
+        bmeta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
+        if bmeta is not None:
+            hit = sorted((set(bmeta["key_cols"]) | {"_kb"}) & set(sets))
+            if hit:
+                raise ValueError(
+                    f"UPDATE SET on bucket-key column(s) {hit!r} of "
+                    f"{table!r} refused: rows would stay in their old "
+                    "_kb bucket and bucket-pruned reads would miss "
+                    "them; DELETE + INSERT the new key instead"
+                )
         return _explain_rewrite(
             catalog,
             table,

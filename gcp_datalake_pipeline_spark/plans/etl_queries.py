@@ -2410,8 +2410,11 @@ def etl_identity_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-colliding insert and an intra-batch-duplicate insert must
     refuse WITHOUT publishing a version (asserted in-query; the probe
     is one column-pruned semi-join, bucket-pruned when co-bucketed).
-    Oracle = the surviving rows straight off parquet — n_rows ==
-    n_keys is the enforced invariant.""",
+    UPDATE on the constrained column is CHECKED, not refused (r13,
+    _check_update_keys): a post-SET collision with an unrewritten key
+    refuses, a fresh key value lands (round-tripped in-query so the
+    state stays oracle-stable). Oracle = the surviving rows straight
+    off parquet — n_rows == n_keys is the enforced invariant.""",
 )
 def etl_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -2453,8 +2456,29 @@ def etl_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         else:
             raise RuntimeError(f"{what} landed through UNIQUE")
+    # EVERY run: UPDATE on the constrained column is CHECKED (r13) —
+    # a collision with an unrewritten key refuses and publishes
+    # nothing...
+    try:
+        cat.update_where(
+            "orders_u", [("o_orderkey", "=", 5)], {"o_orderkey": "6"}
+        )
+    except CheckViolation:
+        pass
+    else:
+        raise RuntimeError("colliding checked UPDATE landed")
     if cat._read_manifest(strict=False)["version"] != v:
         raise RuntimeError("a refused write still published a version")
+    # ...while a fresh key value round-trips (state restored for the
+    # oracle)
+    if cat.update_where(
+        "orders_u", [("o_orderkey", "=", 5)], {"o_orderkey": "1000000"}
+    ) != 1:
+        raise RuntimeError("checked UPDATE to a fresh key did not land")
+    if cat.update_where(
+        "orders_u", [("o_orderkey", "=", 1000000)], {"o_orderkey": "5"}
+    ) != 1:
+        raise RuntimeError("checked UPDATE round-trip did not land")
     return cat.read("orders_u").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("o_orderkey").alias("n_keys"),
