@@ -274,9 +274,21 @@ def build_dir_blooms(
         )
         cols = [c for c in columns if c in df.columns]
         if cols:
+            # hash under the recorded FAMILY type, not the file's
+            # physical type: after a metadata type widening the old
+            # files still hold the narrow physical values, and
+            # xxhash64 is type-dependent — the explicit cast keeps
+            # build and probe (spark_hash(value, family)) in the same
+            # hash space regardless of per-file physical width. For
+            # un-widened tables the cast is the identity (Spark hashes
+            # byte/short/int identically), so existing sidecars stay
+            # valid.
             sel = df.select(
                 F.input_file_name().alias("_f"),
-                *[F.xxhash64(F.col(c)).alias(c) for c in cols],
+                *[
+                    F.xxhash64(F.col(c).cast(columns[c])).alias(c)
+                    for c in cols
+                ],
             )
             sizes_b = dict(sizes)
 

@@ -98,7 +98,9 @@ _GRAMMAR = (
     "(write-enforced, RESTRICT; p needs UNIQUE/PK on pcols) | "
     "DROP CONSTRAINT n | "
     "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
-    "ALTER COLUMN c [SET DATA] TYPE t (metadata-only widening) | "
+    "ALTER COLUMN c [SET DATA] TYPE t [REBUILD] (metadata-only "
+    "widening; REBUILD re-places bucket keys / re-indexes bloom "
+    "columns instead of refusing) | "
     "CLUSTERED BY (keys) INTO m BUCKETS (online re-bucketing); "
     "OPTIMIZE t [CLUSTER BY (cols) | ZORDER BY (cols)]; "
     "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (cols) "
@@ -1362,21 +1364,25 @@ def execute_dml(catalog, sql: str) -> dict | None:
         return catalog.recluster(m.group(1), int(m.group(3)), keys)
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
-        r"(?:SET\s+DATA\s+)?TYPE\s+(.+)",
+        r"(?:SET\s+DATA\s+)?TYPE\s+(.+?)(\s+REBUILD)?",
         s,
         re.I | re.S,
     )
     if m:
         table, col, dtype = m.group(1), m.group(2), m.group(3).strip()
+        rebuild = m.group(4) is not None
         try:
-            catalog.widen_column(table, col, dtype)
+            catalog.widen_column(table, col, dtype, rebuild=rebuild)
         except (ValueError, FileNotFoundError):
             raise
         except Exception as e:  # unparseable DDL type
             raise ValueError(
                 f"bad ALTER COLUMN type {dtype!r}: {e}; {_GRAMMAR}"
             ) from None
-        return {"table": table, "widened_column": col, "type": dtype}
+        out = {"table": table, "widened_column": col, "type": dtype}
+        if rebuild:
+            out["rebuilt"] = True
+        return out
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+)", s, re.I | re.S
     )

@@ -2937,7 +2937,9 @@ class TransactionalCatalog(Catalog):
             )
         return False
 
-    def widen_column(self, table: str, name: str, dtype) -> None:
+    def widen_column(
+        self, table: str, name: str, dtype, rebuild: bool = False
+    ) -> None:
         """``ALTER TABLE ... ALTER COLUMN c TYPE <wider>`` — type
         widening as a PURE METADATA commit (Delta's type-widening
         feature): the committed schema's field changes type, zero files
@@ -2951,10 +2953,18 @@ class TransactionalCatalog(Catalog):
         - BUCKET KEY columns — ``xxhash64`` is type-dependent, so the
           same logical value would hash to a DIFFERENT ``_kb`` bucket
           under the new type and every pruned read would miss rows;
-          recluster to new keys instead;
         - BLOOM-INDEXED columns — the sidecar bitmaps hold old-type
-          hashes and probes under the new type would false-skip files;
-          drop the index first, widen, re-create.
+          hashes and probes under the new type would false-skip files.
+
+        ``rebuild=True`` (``ALTER COLUMN ... TYPE ... REBUILD``) lifts
+        both refusals by paying the honest cost instead of corrupting:
+        a bucket-key widening rewrites the table ONCE with the column
+        cast and ``_kb`` recomputed under the new type — schema, data,
+        and placement land in ONE commit, so there is no window where
+        pruned probes hash the wrong type; a bloom-only widening drops
+        the sidecars, commits the metadata widen, and re-indexes under
+        the new type (sidecars are pure acceleration, so the brief
+        index-less window is merely slower, never wrong).
         A ``table_changes`` window crossing the widening refuses like
         any type change (the feed contract); start consumers at or
         after it."""
@@ -2987,14 +2997,16 @@ class TransactionalCatalog(Catalog):
                 "of the point)"
             )
         meta = self.bucket_meta(table)
-        if meta is not None and (
+        is_key = meta is not None and (
             name in meta["key_cols"] or physical in meta["key_cols"]
-        ):
+        )
+        if is_key and not rebuild:
             raise ValueError(
                 f"cannot widen {name!r}: it is a bucket key of "
                 f"{table!r} and xxhash64 placement is type-dependent — "
                 "the same value would land in a different _kb bucket; "
-                "recluster the table instead"
+                "ALTER COLUMN ... TYPE ... REBUILD rewrites placement "
+                "in one commit"
             )
         ident = self.identity_spec(table)
         if ident is not None and name == ident["col"]:
@@ -3003,16 +3015,47 @@ class TransactionalCatalog(Catalog):
                 f"IDENTITY column of {table!r} (ids mint as BIGINT)"
             )
         bloom = self.bloom_index(table)
-        if bloom is not None and (
+        is_bloom = bloom is not None and (
             name in bloom.get("columns", ())
             or physical in bloom.get("columns", ())
-        ):
+        )
+        if is_bloom and not rebuild:
             raise ValueError(
                 f"cannot widen {name!r}: a bloom index covers it and "
                 "its bitmaps hold old-type hashes (probes would "
-                "false-skip files); DROP BLOOMFILTER INDEX, widen, "
-                "then re-create"
+                "false-skip files); ALTER COLUMN ... TYPE ... REBUILD "
+                "re-indexes under the new type"
             )
+        if is_key:
+            if self.view_spec(table) is not None:
+                raise ValueError(
+                    f"cannot REBUILD-widen {name!r}: {table!r} is a "
+                    "materialized view; drop and recreate the view"
+                )
+            # ONE commit: column cast + _kb recomputed under the new
+            # type + schema recorded from the staged frame — no window
+            # where a pruned probe hashes the wrong type. Bloom
+            # sidecars (if any) rebuild from the new files on the
+            # write path.
+            from pyspark.sql import functions as F
+
+            ren = (self.colmap(table) or {}).get("renames", {})
+            logical_keys = [ren.get(k, k) for k in meta["key_cols"]]
+            df = (
+                self.read(table)
+                .drop("_kb")
+                .withColumn(name, F.col(name).cast(dtype))
+            )
+            self.overwrite_bucketed(
+                df, table, meta["num_buckets"], logical_keys
+            )
+            return
+        if is_bloom:
+            # sidecars are pure acceleration: drop -> widen -> rebuild
+            # under the new type; the index-less window is slower,
+            # never wrong
+            cfg = dict(bloom)
+            self.drop_bloom_index(table)
         new_field = T.StructField(physical, dtype, True).jsonValue()
 
         def mutate(m):
@@ -3027,6 +3070,16 @@ class TransactionalCatalog(Catalog):
             )
 
         self._publish_meta(mutate, f"widen-column-{table}-{name}")
+        if is_bloom:
+            self.set_bloom_index(
+                table,
+                list(cfg["columns"]),
+                bits_per_row=cfg.get("bits_per_row", 10),
+                max_bitmap_bytes=cfg.get(
+                    "max_bitmap_bytes", 256 * 1024 * 1024
+                ),
+                backfill=True,
+            )
 
     def view_spec(self, name: str) -> dict | None:
         """A materialized view's recorded spec (see

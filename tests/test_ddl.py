@@ -541,3 +541,112 @@ def test_explain_insert_mirrors_computed_columns(spark, tcat):
     assert tcat.identity_spec("x")["next"] == 1
     with pytest.raises(ValueError, match="IDENTITY"):
         tcat.widen_column("x", "id", "decimal(38,0)")
+
+
+# -- ALTER COLUMN TYPE ... REBUILD (r13) ---------------------------------------
+
+
+def test_widen_rebuild_bucket_key(spark, tcat):
+    """REBUILD on a bucket key: ONE commit rewrites the table with the
+    column cast and _kb recomputed under the new type — values
+    identical, placement consistent (bucket-pruned paths keep finding
+    every row), plain widening still refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.storage import kb_col
+
+    tcat.overwrite_bucketed(
+        spark.range(50).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        "bk", 8, ["k"],
+    )
+    with pytest.raises(ValueError, match="REBUILD"):
+        execute_dml(tcat, "ALTER TABLE bk ALTER COLUMN k TYPE BIGINT")
+    pre = {(r["k"], r["v"]) for r in tcat.read("bk").collect()}
+    v_pre = tcat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        tcat, "ALTER TABLE bk ALTER COLUMN k TYPE BIGINT REBUILD"
+    )
+    assert out["rebuilt"] is True
+    # exactly ONE commit — no window with stale placement
+    assert tcat._read_manifest(strict=False)["version"] == v_pre + 1
+    got = tcat.read("bk")
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert {(r["k"], r["v"]) for r in got.collect()} == pre
+    # placement is consistent under the NEW type: every row's _kb
+    # equals the long-hash bucket
+    bad = got.where(
+        F.col("_kb") != kb_col(["k"], 8)
+    ).count()
+    assert bad == 0
+    # and a bucket-pruned merge (which hashes long values) updates the
+    # row it targets — would MISS under stale placement
+    tcat.merge_upsert_bucketed(
+        spark.createDataFrame([(3, 999)], "k long, v long"),
+        "bk", ["k"], 8, audit_cols=False,
+    )
+    assert tcat.read("bk").where(F.col("k") == 3).first()["v"] == 999
+    assert tcat.read("bk").count() == 50
+
+
+def test_widen_rebuild_bloom_column(spark, tcat):
+    """REBUILD on a bloom-indexed column: drop -> metadata widen ->
+    re-index under the new type; config survives, point probes stay
+    correct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    tcat.overwrite(
+        spark.range(100).select(
+            F.col("id").cast("int").alias("x"),
+            (F.col("id") % 7).alias("g"),
+        ).repartition(4),
+        "bl",
+    )
+    tcat.set_bloom_index("bl", ["x"], bits_per_row=12)
+    with pytest.raises(ValueError, match="REBUILD"):
+        execute_dml(tcat, "ALTER TABLE bl ALTER COLUMN x TYPE BIGINT")
+    execute_dml(
+        tcat, "ALTER TABLE bl ALTER COLUMN x SET DATA TYPE BIGINT REBUILD"
+    )
+    cfg = tcat.bloom_index("bl")
+    assert cfg is not None and "x" in cfg["columns"]
+    assert cfg["bits_per_row"] == 12
+    assert dict(tcat.read("bl").dtypes)["x"] == "bigint"
+    # bloom-accelerated point reads stay exact under the new type
+    assert tcat.read("bl", predicates=[("x", "=", 42)]).count() == 1
+    assert tcat.read("bl", predicates=[("x", "=", 424242)]).count() == 0
+
+
+def test_widen_rebuild_consumers_resume_after(spark, tcat):
+    """A feed window CROSSING the rebuild refuses (type-change
+    contract), and a consumer re-registered at the rebuild commit
+    resumes cleanly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    tcat.overwrite_bucketed(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("k"), F.col("id").alias("v")
+        ),
+        "bk", 4, ["k"],
+    )
+    v0 = tcat._read_manifest(strict=False)["version"]
+    tcat.widen_column("bk", "k", "bigint", rebuild=True)
+    v1 = tcat._read_manifest(strict=False)["version"]
+    with pytest.raises(Exception):
+        tcat.table_changes("bk", v0, v1).collect()
+    # a post-rebuild window works
+    tcat.merge_upsert_bucketed(
+        spark.createDataFrame([(100, 100)], "k long, v long"),
+        "bk", ["k"], 4, audit_cols=False,
+    )
+    v2 = tcat._read_manifest(strict=False)["version"]
+    chg = tcat.table_changes("bk", v1, v2)
+    assert chg.where(F.col("k") == 100).count() >= 1
