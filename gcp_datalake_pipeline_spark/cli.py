@@ -511,6 +511,7 @@ def cmd_cdf_pump(args) -> None:
                 args.source,
                 args.consumer,
                 start_version=args.start_version,
+                follow_renames=args.follow_renames,
             )
         else:
             # bootstrap BEFORE registering, watermark pinned to the
@@ -532,12 +533,20 @@ def cmd_cdf_pump(args) -> None:
                     num_buckets=args.buckets,
                 )
             out = pump_table_changes(
-                cat, args.source, args.consumer, start_version=v0
+                cat, args.source, args.consumer, start_version=v0,
+                follow_renames=args.follow_renames,
             )
             out["bootstrapped"] = True
         print(json.dumps(out))
         return
-    print(json.dumps(pump_table_changes(cat, args.source, args.consumer, apply)))
+    print(
+        json.dumps(
+            pump_table_changes(
+                cat, args.source, args.consumer, apply,
+                follow_renames=args.follow_renames,
+            )
+        )
+    )
 
 
 def cmd_tables(args) -> None:
@@ -1224,6 +1233,12 @@ def main(argv: list[str] | None = None) -> None:
         "--buckets", type=int, default=64,
         help="replica _kb bucket count (bootstrap only; pumps rewrite "
         "only touched buckets)",
+    )
+    pcp.add_argument(
+        "--follow-renames", action="store_true",
+        help="opt the consumer into the source's rename lineage: pumps "
+        "cross ALTER TABLE ... RENAME TO and the watermark carries "
+        "onto the new name (default: a rename strands loudly)",
     )
     pcp.add_argument(
         "--scd2", action="store_true",

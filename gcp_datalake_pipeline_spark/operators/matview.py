@@ -91,6 +91,7 @@ def create_materialized_view(
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     insert_only: bool = False,
+    follow_renames: bool = False,
 ) -> dict:
     """Full first materialization of ``name`` over ``source``: one
     aggregate over a CONSISTENT snapshot (``read_at`` the current
@@ -111,7 +112,14 @@ def create_materialized_view(
     triggers a bucket-scoped exact recompute of ONLY the retracted
     groups' extremes at refresh time (see module docstring).
     ``insert_only`` is retained for API compatibility and no longer
-    gates anything — deletes are handled, not refused."""
+    gates anything — deletes are handled, not refused.
+
+    ``follow_renames=True`` opts the view into the source's rename
+    lineage: an ``ALTER TABLE ... RENAME TO`` of the source no longer
+    refuses, and the next refresh re-finds it via ``resolve_renamed``,
+    reads the window with ``table_changes(..., follow_renames=True)``
+    (crossing the rename commit), and carries the spec onto the new
+    name. Default stays the loud refusal."""
     _validate_spec(
         keys, sums, count_col, mins, maxs, insert_only,
         bucketed=bool(num_buckets),
@@ -135,6 +143,8 @@ def create_materialized_view(
     if mins or maxs:
         spec["mins"] = dict(mins or {})
         spec["maxs"] = dict(maxs or {})
+    if follow_renames:
+        spec["follow_renames"] = True
     with catalog.transaction(f"matview-create-{name}"):
         if num_buckets:
             catalog.overwrite(
@@ -160,16 +170,28 @@ def refresh_materialized_view(catalog, name: str) -> dict:
         raise FileNotFoundError(f"no materialized view {name!r}")
     keys, sums = spec["keys"], spec["sums"]
     count_col, as_of = spec["count_col"], spec["as_of"]
+    follow = bool(spec.get("follow_renames"))
+    if follow:
+        # re-find the source across ALTER TABLE ... RENAME TO; the
+        # refreshed spec carries the new name forward
+        cur_source = catalog.resolve_renamed(spec["source"])
+        crossed = cur_source != spec["source"]
+        spec = {**spec, "source": cur_source}
+    else:
+        crossed = False
     v1 = catalog._read_manifest(strict=False)["version"]
     if v1 <= as_of:
         return {"view": name, "as_of": as_of, "applied": 0}
     # manifest-only fast path: if no commit in the window moved the
     # source's dir list, nothing changed — no feed, no Spark job, no
     # version published (the watermark stays; re-walking these cheap
-    # JSON manifests next time beats spending a commit on a no-op)
-    if not catalog.source_moved(spec["source"], as_of, v1):
+    # JSON manifests next time beats spending a commit on a no-op).
+    # A window crossing a rename always reads the feed (exact lineage).
+    if not crossed and not catalog.source_moved(spec["source"], as_of, v1):
         return {"view": name, "as_of": as_of, "applied": 0}
-    feed = catalog.table_changes(spec["source"], as_of, v1)
+    feed = catalog.table_changes(
+        spec["source"], as_of, v1, follow_renames=follow
+    )
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )

@@ -2667,3 +2667,94 @@ def etl_fk_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "etl_consumer_across_rename",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_orderkey < 1600 AND o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+    doc="""Change-feed consumers FOLLOWING the rename lineage (r13:
+    pump_table_changes(follow_renames=True) + resolve_renamed): a keyed
+    replica consumer registers opted-in, the source takes an append,
+    is RENAMED (allowed because every follower opted in), then takes a
+    DELETE under its new name — and ONE pump folds the whole window,
+    crossing the rename commit, carrying the watermark onto the new
+    name (asserted in-query, plus: pumping by the STALE old name still
+    resolves). Previously the rename refused while any consumer
+    followed the table, stranding long-lived CDC pipelines on routine
+    lake renames. Oracle = the source's logical final state; invariant
+    replica == source across the identity change.""",
+)
+def etl_consumer_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_into,
+        bootstrap_changes_target,
+        pump_table_changes,
+    )
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_cons_rename_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+
+    def apply(feed):
+        return apply_changes_into(cat, feed, "orders_fr_rep", ["o_orderkey"])
+
+    if not cat.exists("orders_fr_dst"):  # warm rerun reuses the lake
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat.overwrite(
+            orders.where(F.col("o_orderkey") < 800).coalesce(2),
+            "orders_fr_src",
+        )
+        v0 = cat._read_manifest(strict=False)["version"]
+        pump_table_changes(
+            cat, "orders_fr_src", "fr_cons",
+            start_version=v0, follow_renames=True,
+        )
+        bootstrap_changes_target(
+            cat, "orders_fr_src", "orders_fr_rep", ["o_orderkey"],
+            num_buckets=8,
+        )
+        cat.append(
+            orders.where(
+                (F.col("o_orderkey") >= 800) & (F.col("o_orderkey") < 1600)
+            ).coalesce(2),
+            "orders_fr_src",
+        )
+        cat.rename_table("orders_fr_src", "orders_fr_dst")
+        if cat.delete_where(
+            "orders_fr_dst", [("o_orderstatus", "=", "F")]
+        ) <= 0:
+            raise RuntimeError("post-rename delete removed nothing")
+        # ONE pump, by the STALE name, crossing append+rename+delete
+        out = pump_table_changes(cat, "orders_fr_src", "fr_cons", apply)
+        if out["applied"] in (0, None) or out["source"] != "orders_fr_dst":
+            raise RuntimeError(f"follow-renames pump did not cross: {out}")
+        wm = cat.stream_watermark("fr_cons")
+        if wm["source"] != "orders_fr_dst" or not wm.get("follow_renames"):
+            raise RuntimeError(f"watermark not carried across rename: {wm}")
+    # EVERY run: a caught-up pump by the NEW name is a zero-commit no-op
+    v = cat._read_manifest(strict=False)["version"]
+    out = pump_table_changes(cat, "orders_fr_dst", "fr_cons", apply)
+    if out["from"] != out["to"] or cat._read_manifest(
+        strict=False
+    )["version"] != v:
+        raise RuntimeError(f"caught-up pump was not a no-op: {out}")
+    return (
+        cat.read("orders_fr_rep")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+    )

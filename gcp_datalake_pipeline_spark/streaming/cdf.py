@@ -75,6 +75,7 @@ def pump_table_changes(
     consumer: str,
     apply_fn=None,
     start_version: int | None = None,
+    follow_renames: bool = False,
 ) -> dict:
     """Run one exactly-once round of change-feed consumption.
 
@@ -99,6 +100,17 @@ def pump_table_changes(
     itself by copying the source's current snapshot right after
     registering, then pumps — or registers with ``start_version`` at a
     retained version it already reflects.
+
+    ``follow_renames=True`` (recorded in the watermark at registration,
+    or passed on any later pump) opts the consumer into the rename
+    lineage: a pump after ``ALTER TABLE ... RENAME TO`` re-finds the
+    source via :meth:`resolve_renamed`, reads the window with
+    ``table_changes(..., follow_renames=True)`` so it may CROSS the
+    rename commit, and carries the watermark onto the new name — the
+    consumer survives instead of stranding. The default remains the
+    loud refusal (a name-keyed consumer must opt into treating the
+    renamed table as the same identity), and ``rename_table`` keeps
+    refusing while any NON-opted-in consumer follows the table.
     """
     from gcp_datalake_pipeline_spark.transactions import (
         ConcurrentWriteError,
@@ -129,7 +141,10 @@ def pump_table_changes(
                     f"change-feed consumer {consumer!r} was registered "
                     "by another pump; retry from a fresh read"
                 )
-            ms[consumer] = {"source": source, "as_of": as_of}
+            rec = {"source": source, "as_of": as_of}
+            if follow_renames:
+                rec["follow_renames"] = True
+            ms[consumer] = rec
 
         catalog._publish_meta(register, f"cdf-register-{consumer}")
         return {
@@ -139,27 +154,45 @@ def pump_table_changes(
             "to": as_of,
             "applied": 0,
         }
-    if wm["source"] != source:
+    follow = bool(follow_renames or wm.get("follow_renames"))
+    cur_source = wm["source"]
+    if follow:
+        # re-find the source across ALTER TABLE ... RENAME TO: both
+        # the caller's name and the recorded name may be stale
+        cur_source = catalog.resolve_renamed(wm["source"])
+        if source not in (wm["source"], cur_source):
+            if catalog.resolve_renamed(source) != cur_source:
+                raise ValueError(
+                    f"consumer {consumer!r} is registered on source "
+                    f"{wm['source']!r} (now {cur_source!r}), not "
+                    f"{source!r}"
+                )
+    elif wm["source"] != source:
         raise ValueError(
             f"consumer {consumer!r} is registered on source "
             f"{wm['source']!r}, not {source!r}"
         )
     prev = wm["as_of"]
-    if prev >= current or not catalog.source_moved(
-        source, prev, current
+    crossed = cur_source != wm["source"]
+    if prev >= current or (
+        # the idle shortcut probes by CURRENT name; a window crossing
+        # a rename always reads the feed (the lineage walk is exact)
+        not crossed
+        and not catalog.source_moved(cur_source, prev, current)
     ):
-        # idle source: zero-commit no-op (the watermark deliberately
-        # stays — re-walking the cheap JSON manifests next pump beats
-        # spending a commit per idle round, same stance as matview)
         return {
             "consumer": consumer,
-            "source": source,
+            "source": cur_source,
             "from": prev,
             "to": prev,
             "applied": 0,
         }
-    feed = catalog.table_changes(source, prev, current)
-    new_wm = {"source": source, "as_of": current}
+    feed = catalog.table_changes(
+        cur_source, prev, current, follow_renames=follow
+    )
+    new_wm = {"source": cur_source, "as_of": current}
+    if follow:
+        new_wm["follow_renames"] = True
     applied = None
     lid = f"cdf-pump-{consumer}-{prev}-{current}"
     if apply_fn is None:
@@ -187,7 +220,7 @@ def pump_table_changes(
                 raise
             return {
                 "consumer": consumer,
-                "source": source,
+                "source": cur_source,
                 "from": prev,
                 "to": current,
                 "applied": applied,
@@ -210,7 +243,7 @@ def pump_table_changes(
     catalog._publish_meta(advance, lid)
     return {
         "consumer": consumer,
-        "source": source,
+        "source": cur_source,
         "from": prev,
         "to": current,
         "applied": applied,

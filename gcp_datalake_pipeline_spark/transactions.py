@@ -3971,16 +3971,20 @@ class TransactionalCatalog(Catalog):
                 "cannot rename a materialized view; drop and recreate it"
             )
         for vname, spec in m0.get("views", {}).items():
-            if spec.get("source") == old:
+            if spec.get("source") == old and not spec.get(
+                "follow_renames"
+            ):
                 raise ValueError(
                     f"cannot rename {old!r}: materialized view {vname!r} "
-                    "sources it; drop the view first"
+                    "sources it; drop the view first, or recreate it "
+                    "with follow_renames=True"
                 )
         for cname, wm in m0.get("streams", {}).items():
-            if wm.get("source") == old:
+            if wm.get("source") == old and not wm.get("follow_renames"):
                 raise ValueError(
                     f"cannot rename {old!r}: change-feed consumer "
-                    f"{cname!r} follows it; drop the consumer first"
+                    f"{cname!r} follows it; drop the consumer first, or "
+                    "re-register it with follow_renames=True"
                 )
 
         def mutate(m):
@@ -4114,6 +4118,34 @@ class TransactionalCatalog(Catalog):
     # an empty feed. At 100 TB this is what lets downstream consumers
     # (index maintenance, replication, incremental gold views) follow a
     # table without re-scanning it.
+
+    def resolve_renamed(self, name: str) -> str:
+        """The CURRENT name of the table once known as ``name``,
+        following the manifest's ``renamed[new] = old`` lineage chain
+        forward (a -> b -> c resolves a to c). A name that still
+        exists resolves to itself; an unknown name with no lineage
+        raises. One manifest read, zero data — this is how opted-in
+        consumers (``follow_renames``) re-find their source after an
+        ``ALTER TABLE ... RENAME TO``."""
+        if self.exists(name):
+            return name
+        renamed = self._read_manifest(strict=False).get("renamed", {})
+        cur = name
+        seen = {cur}
+        while True:
+            nxt = next(
+                (new for new, old in renamed.items() if old == cur), None
+            )
+            if nxt is None or nxt in seen:
+                break
+            cur = nxt
+            seen.add(cur)
+        if cur == name or not self.exists(cur):
+            raise FileNotFoundError(
+                f"no table {name!r} and no rename lineage leads to a "
+                "live table"
+            )
+        return cur
 
     def source_moved(
         self, table: str, v_from: int, v_to: int

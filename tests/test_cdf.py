@@ -386,3 +386,86 @@ def test_followed_feed_refuses_across_a_broken_lineage(spark, tcat):
     v1 = tcat._read_manifest(strict=False)["version"]
     with pytest.raises(ValueError, match="lineage marker"):
         tcat.table_changes("b", v0, v1, follow_renames=True).count()
+
+
+# -- consumers following the rename lineage (r13) ------------------------------
+
+
+def test_pump_follows_rename(spark, tcat):
+    """A follow_renames consumer survives ALTER TABLE ... RENAME TO:
+    rename_table no longer refuses, the next pump crosses the rename
+    commit, folds the post-rename changes, and carries the watermark
+    onto the new name — by either the old or the new source name."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_into,
+        bootstrap_changes_target,
+        pump_table_changes,
+    )
+
+    tcat.overwrite(_base(spark, 20), "src")
+    v0 = tcat._read_manifest(strict=False)["version"]
+    bootstrap_changes_target(tcat, "src", "rep", ["k"], num_buckets=4)
+    pump_table_changes(
+        tcat, "src", "cons", start_version=v0, follow_renames=True
+    )
+    apply = lambda feed: apply_changes_into(tcat, feed, "rep", ["k"])  # noqa: E731
+    # a non-opted consumer on the same source still BLOCKS the rename
+    pump_table_changes(tcat, "src", "strict", start_version=v0)
+    with pytest.raises(ValueError, match="strict"):
+        tcat.rename_table("src", "src2")
+    # drop the strict consumer (metadata) and rename
+    def drop(m):
+        m["streams"].pop("strict")
+    tcat._publish_meta(drop, "drop-strict")
+    tcat.rename_table("src", "src2")
+    tcat.append(
+        spark.createDataFrame([(1000, 0)], "k long, g long"), "src2"
+    )
+    tcat.delete_where("src2", [("k", "=", 3)])
+    # pump by the OLD name: resolves, crosses, applies
+    out = pump_table_changes(tcat, "src", "cons", apply)
+    assert out["source"] == "src2" and out["applied"] > 0
+    got = {r["k"] for r in tcat.read("rep").select("k").collect()}
+    assert 1000 in got and 3 not in got and 2 in got
+    # watermark carried onto the new name
+    wm = tcat.stream_watermark("cons")
+    assert wm["source"] == "src2" and wm["follow_renames"] is True
+    # a second rename: pump by the NEW name works too
+    tcat.rename_table("src2", "src3")
+    tcat.append(
+        spark.createDataFrame([(2000, 0)], "k long, g long"), "src3"
+    )
+    out = pump_table_changes(tcat, "src3", "cons", apply)
+    assert out["source"] == "src3" and out["applied"] > 0
+    assert tcat.read("rep").where(F.col("k") == 2000).count() == 1
+    # a WRONG name still refuses
+    tcat.overwrite(_base(spark, 3), "unrelated")
+    with pytest.raises(ValueError, match="registered on source"):
+        pump_table_changes(tcat, "unrelated", "cons", apply)
+
+
+def test_scd2_pump_follows_rename(spark, tcat):
+    """The SCD2 consumer rides the same pump: history keeps growing
+    across the source rename."""
+    from gcp_datalake_pipeline_spark.streaming.cdf import (
+        apply_changes_scd2,
+        bootstrap_scd2_target,
+        pump_table_changes,
+    )
+
+    tcat.overwrite(_base(spark, 5), "s")
+    v0 = tcat._read_manifest(strict=False)["version"]
+    bootstrap_scd2_target(tcat, "s", "hist", ["k"], num_buckets=4)
+    pump_table_changes(
+        tcat, "s", "h", start_version=v0, follow_renames=True
+    )
+    tcat.rename_table("s", "s2")
+    tcat.update_where("s2", [("k", "=", 1)], {"g": "77"})
+    out = pump_table_changes(
+        tcat, "s2", "h",
+        lambda feed: apply_changes_scd2(tcat, feed, "hist", ["k"]),
+    )
+    assert out["applied"] > 0
+    rows = tcat.read("hist").where(F.col("k") == 1).collect()
+    assert {r["g"] for r in rows} == {1, 77}
+    assert sum(1 for r in rows if r["is_current"]) == 1

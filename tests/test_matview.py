@@ -631,3 +631,58 @@ def test_refresh_folds_merge_on_read_source_dml(spark, tcat):
     )
     assert got == want
     assert not any(g == 1 for g, _t, _n in got)  # group fully deleted
+
+
+def test_matview_refresh_follows_rename(spark, tcat):
+    """A follow_renames view survives its source's rename: the rename
+    commits, the next refresh crosses it via the lineage, and the spec
+    carries the new source name (r13 — previously the rename refused
+    while any view sourced the table)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_pipeline_spark.operators.matview import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    src = spark.range(40).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    tcat.overwrite(src, "src")
+    create_materialized_view(
+        tcat, "mv", "src", ["g"], {"total": "v"}, follow_renames=True
+    )
+    # a NON-opted view still blocks the rename
+    create_materialized_view(
+        tcat, "mv_strict", "src", ["g"], {"total2": "v"}
+    )
+    with pytest.raises(ValueError, match="mv_strict"):
+        tcat.rename_table("src", "src2")
+    from gcp_datalake_pipeline_spark.operators.matview import (
+        drop_materialized_view,
+    )
+
+    drop_materialized_view(tcat, "mv_strict")
+    tcat.rename_table("src", "src2")
+    tcat.append(
+        spark.createDataFrame([(0, 1000)], "g long, v long"), "src2"
+    )
+    tcat.delete_where("src2", [("v", "=", 1)])
+    out = refresh_materialized_view(tcat, "mv")
+    assert out["applied"] > 0
+    spec = tcat.view_spec("mv")
+    assert spec["source"] == "src2"
+    got = {r["g"]: r["total"] for r in tcat.read("mv").collect()}
+    # group 0: ids 0,4,...,36 sum=180, +1000 = 1180; group 1 lost v=1
+    assert got[0] == 180 + 1000
+    assert got[1] == sum(i for i in range(40) if i % 4 == 1) - 1
+    # parity with a full recompute off the renamed source
+    full = {
+        r["g"]: r["total"]
+        for r in tcat.read("src2")
+        .groupBy("g")
+        .agg(F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == full
