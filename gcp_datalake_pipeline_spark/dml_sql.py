@@ -90,6 +90,8 @@ _GRAMMAR = (
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
     "| WHEN MATCHED THEN DELETE]; "
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols) [CLUSTERED BY (keys) INTO n BUCKETS] | [CLUSTERED BY ...] AS SELECT ...; "
+    "BEGIN [TRANSACTION]; <INSERT|MERGE>; ...; COMMIT|ROLLBACK "
+    "(one atomic multi-table commit); "
     "TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "RENAME COLUMN a TO b | DROP COLUMN c | "
@@ -1086,6 +1088,96 @@ def _create_clustered(
     }
 
 
+def _split_statements(block: str) -> list[str]:
+    """Split a multi-statement block on semicolons OUTSIDE single-quoted
+    strings (``''`` escapes toggle the state twice — harmless)."""
+    out, buf, in_q = [], [], False
+    for ch in block:
+        if ch == "'":
+            in_q = not in_q
+            buf.append(ch)
+        elif ch == ";" and not in_q:
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def _execute_transaction(catalog, block: str) -> dict:
+    """``BEGIN; <INSERT|MERGE>...; COMMIT|ROLLBACK`` — the SQL face of
+    the engine's atomic multi-table commit: every statement stages into
+    ONE TransactionalCatalog transaction and the whole block becomes
+    visible in a single manifest swap (or not at all). This is the
+    reference's per-row BEGIN/COMMIT (etl-gcs-cloudsql/src/services/
+    empresa.ts:60,108) at the engine's natural granularity.
+
+    Constraint probes inside the block see the staged state
+    (read-your-writes), so a parent INSERT followed by a child INSERT
+    under a FOREIGN KEY commits atomically. A failing statement — or a
+    crash — rolls the whole block back: nothing is visible, staged
+    dirs are deleted. Only INSERT and MERGE may appear inside the
+    block: DDL publishes through its own immediate metadata commit and
+    DELETE/UPDATE rewrites are single-statement atomic already — both
+    refuse loudly here rather than feigning transactionality."""
+    if not hasattr(catalog, "begin"):
+        raise ValueError(
+            "BEGIN needs a transactional catalog (plain catalogs have "
+            "no staged commit)"
+        )
+    stmts = _split_statements(block)
+    head = stmts[0]
+    if not re.fullmatch(r"BEGIN(\s+TRANSACTION)?", head, re.I):
+        raise ValueError(
+            f"bad transaction opener {head!r}: BEGIN [TRANSACTION]; "
+            f"{_GRAMMAR}"
+        )
+    if len(stmts) < 2 or not re.fullmatch(
+        r"COMMIT|ROLLBACK", stmts[-1], re.I
+    ):
+        raise ValueError(
+            "a BEGIN block must end with COMMIT or ROLLBACK; "
+            f"{_GRAMMAR}"
+        )
+    commit = stmts[-1].upper() == "COMMIT"
+    body = stmts[1:-1]
+    for stmt in body:
+        if not re.match(r"(INSERT|MERGE)\b", stmt, re.I):
+            raise ValueError(
+                f"only INSERT and MERGE may appear inside BEGIN ... "
+                f"COMMIT (got {stmt.split()[0].upper() if stmt else ''!r}"
+                "); DDL and DELETE/UPDATE rewrites are single-statement "
+                f"atomic already; {_GRAMMAR}"
+            )
+    results = []
+    catalog.begin(None)
+    try:
+        for stmt in body:
+            results.append(execute_dml(catalog, stmt))
+    except BaseException:
+        catalog.rollback()
+        raise
+    if commit and catalog._pending:
+        try:
+            catalog.commit()
+        except BaseException:
+            catalog.rollback()
+            raise
+    else:
+        # ROLLBACK, or a COMMIT with nothing staged (don't burn a
+        # version on an empty commit)
+        catalog.rollback()
+    return {
+        "transaction": "committed" if commit else "rolled_back",
+        "statements": results,
+    }
+
+
 def execute_dml(catalog, sql: str) -> dict | None:
     """Run a DELETE/UPDATE/INSERT/MERGE statement through the catalog's
     engine and return a result dict — or ``None`` when the statement is
@@ -1107,6 +1199,8 @@ def execute_dml(catalog, sql: str) -> dict | None:
     contract; a rand()-dependent source may pass the probe on rows the
     write never produces)."""
     s = sql.strip().rstrip(";").strip()
+    if re.match(r"BEGIN\b", s, re.I):
+        return _execute_transaction(catalog, s)
     m = re.fullmatch(r"EXPLAIN\s+(.+)", s, re.I | re.S)
     if m:
         return _explain(catalog, m.group(1))

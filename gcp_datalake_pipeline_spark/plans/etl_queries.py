@@ -2758,3 +2758,121 @@ def etl_consumer_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "etl_sql_transaction",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey < 300
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="""Multi-statement SQL transactions (dml_sql
+    _execute_transaction -> TransactionalCatalog.begin/commit): a
+    BEGIN; INSERT parent; INSERT child; COMMIT block stages every
+    statement into ONE transaction and publishes in ONE manifest swap
+    — the FK probe sees the intra-block staged parent rows, a failing
+    block (orphan child key) leaves NOTHING visible and burns no
+    version, and ROLLBACK discards cleanly (all asserted in-query).
+    The reference's per-row BEGIN/COMMIT (etl-gcs-cloudsql/src/
+    services/empresa.ts:60,108) at the engine's natural granularity.
+    Oracle = the committed child rows joined to the parent.""",
+)
+def etl_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        CheckViolation,
+        TransactionalCatalog,
+    )
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_sqltxn_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("nation_tx"):
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        # stage the lake WITHOUT the last nation: the txn inserts it
+        # together with its suppliers atomically
+        last = nation.agg(F.max("n_nationkey")).first()[0]
+        cat.overwrite(
+            nation.where(F.col("n_nationkey") < last), "nation_tx"
+        )
+        cat.add_unique_constraint("nation_tx", "pk", ["n_nationkey"])
+        cat.overwrite(
+            supp.where(
+                (F.col("s_suppkey") < 300)
+                & (F.col("s_nationkey") < last)
+            ),
+            "supplier_tx",
+        )
+        execute_dml(
+            cat,
+            "ALTER TABLE supplier_tx ADD CONSTRAINT sfk FOREIGN KEY "
+            "(s_nationkey) REFERENCES nation_tx (n_nationkey)",
+        )
+        last_name = nation.where(
+            F.col("n_nationkey") == last
+        ).first()["n_name"]
+        rows = supp.where(
+            (F.col("s_suppkey") < 300) & (F.col("s_nationkey") == last)
+        ).collect()
+        values = ", ".join(
+            f"({r['s_suppkey']}, {r['s_nationkey']}, {r['s_acctbal']})"
+            for r in rows
+        )
+        v0 = cat._read_manifest(strict=False)["version"]
+        out = execute_dml(
+            cat,
+            f"BEGIN; INSERT INTO nation_tx VALUES ({last}, "
+            f"'{last_name}'); INSERT INTO supplier_tx (s_suppkey, "
+            f"s_nationkey, s_acctbal) VALUES {values}; COMMIT",
+        )
+        if out["transaction"] != "committed":
+            raise RuntimeError(f"txn block did not commit: {out}")
+        if cat._read_manifest(strict=False)["version"] != v0 + 1:
+            raise RuntimeError("txn block burned more than one commit")
+    # EVERY run: a failing block publishes nothing...
+    v = cat._read_manifest(strict=False)["version"]
+    try:
+        execute_dml(
+            cat,
+            "BEGIN; INSERT INTO nation_tx VALUES (998, 'NOWHERE'); "
+            "INSERT INTO supplier_tx (s_suppkey, s_nationkey, "
+            "s_acctbal) VALUES (999001, 997, 0.0); COMMIT",
+        )
+    except CheckViolation:
+        pass
+    else:
+        raise RuntimeError("orphan child insert inside txn did not refuse")
+    # ...and ROLLBACK discards cleanly
+    out = execute_dml(
+        cat,
+        "BEGIN; INSERT INTO nation_tx VALUES (999, 'LIMBO'); ROLLBACK",
+    )
+    if out["transaction"] != "rolled_back":
+        raise RuntimeError(f"ROLLBACK block misreported: {out}")
+    if cat._read_manifest(strict=False)["version"] != v:
+        raise RuntimeError("a refused/rolled-back block published")
+    return (
+        cat.read("supplier_tx")
+        .join(
+            cat.read("nation_tx"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -1365,3 +1365,97 @@ def test_explain_insert_computed_bucketed_matches_real_refusal(
         execute_dml(cat, "INSERT INTO t (k, v) VALUES (2, 2.0)")
     with pytest.raises(ValueError, match="engine-computed"):
         execute_dml(cat, "EXPLAIN INSERT INTO t (k, v) VALUES (2, 2.0)")
+
+
+# -- multi-statement SQL transactions (r13) ------------------------------------
+
+
+def test_begin_commit_multi_table_atomic(spark, tmp_path):
+    """BEGIN; INSERT...; INSERT...; COMMIT — every statement stages
+    into ONE transaction, the whole block publishes in ONE manifest
+    swap, and constraint probes see the intra-block staged state (a
+    parent row inserted first satisfies the child's FOREIGN KEY in the
+    same commit)."""
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        CheckViolation,
+        TransactionalCatalog,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(cat, "CREATE TABLE p (k BIGINT, v STRING)")
+    execute_dml(cat, "CREATE TABLE c (id BIGINT, fk BIGINT)")
+    execute_dml(cat, "ALTER TABLE p ADD CONSTRAINT pk UNIQUE (k)")
+    execute_dml(
+        cat,
+        "ALTER TABLE c ADD CONSTRAINT cfk FOREIGN KEY (fk) "
+        "REFERENCES p (k)",
+    )
+    v0 = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        cat,
+        "BEGIN; INSERT INTO p VALUES (1, 'a'); "
+        "INSERT INTO c VALUES (10, 1); COMMIT",
+    )
+    assert out["transaction"] == "committed"
+    assert [r["inserted"] for r in out["statements"]] == [1, 1]
+    # ONE commit for the whole block
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert cat.read("p").count() == 1 and cat.read("c").count() == 1
+
+    # a failing statement mid-block leaves NOTHING visible
+    with pytest.raises(CheckViolation):
+        execute_dml(
+            cat,
+            "BEGIN; INSERT INTO p VALUES (2, 'b'); "
+            "INSERT INTO c VALUES (11, 404); COMMIT",
+        )
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert cat.read("p").count() == 1 and cat.read("c").count() == 1
+
+    # ROLLBACK discards a clean block
+    out = execute_dml(
+        cat, "BEGIN; INSERT INTO p VALUES (3, 'c'); ROLLBACK"
+    )
+    assert out["transaction"] == "rolled_back"
+    assert cat.read("p").count() == 1
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+
+    # MERGE inside a block; string literal with a semicolon survives
+    out = execute_dml(
+        cat,
+        "BEGIN; MERGE INTO p USING (SELECT 1 AS k, 'x;y' AS v) "
+        "ON k = k WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *; COMMIT",
+    )
+    assert out["transaction"] == "committed"
+    assert cat.read("p").first()["v"] == "x;y"
+
+
+def test_begin_block_refusals(spark, tmp_path):
+    import pytest
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        TransactionalCatalog,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(cat, "CREATE TABLE t (k BIGINT)")
+    with pytest.raises(ValueError, match="COMMIT or ROLLBACK"):
+        execute_dml(cat, "BEGIN; INSERT INTO t VALUES (1)")
+    with pytest.raises(ValueError, match="only INSERT and MERGE"):
+        execute_dml(
+            cat, "BEGIN; DELETE FROM t WHERE k = 1; COMMIT"
+        )
+    with pytest.raises(ValueError, match="only INSERT and MERGE"):
+        execute_dml(
+            cat, "BEGIN; CREATE TABLE z (a BIGINT); COMMIT"
+        )
+    # empty COMMIT burns no version
+    v = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(cat, "BEGIN; COMMIT")
+    assert out == {"transaction": "committed", "statements": []}
+    assert cat._read_manifest(strict=False)["version"] == v
