@@ -378,6 +378,140 @@ def minhash_bands(
     ).select("doc_id", "band_id", band_hash.alias("band_hash"))
 
 
+def near_dup_clusters_lsh(
+    df: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+    max_iter: int = 15,
+    method: str = "label_prop",
+) -> DataFrame:
+    """LSH near-dup clustering, DUPLICATION-COLLAPSED — the skew-safe
+    100 TB path (r13 skew drill). The naive pipeline's band self-join
+    is quadratic in the hottest band bucket: a corpus where one text
+    owns 50% of the rows (boilerplate pages, license headers — the
+    NORM in web data) puts every copy in the same bucket of every
+    band, so candidates blow up as ``bands * D^2 / 2`` and one join
+    partition stragglers the stage. Identical texts carry zero new
+    information for banding, so:
+
+    1. collapse to one REPRESENTATIVE per distinct text (min doc_id,
+       grouped on md5(text) so document bodies never ride the
+       shuffle — same stance as :func:`exact_dedup`);
+    2. band + candidate-join + exact-Jaccard-verify over the
+       representatives only (bucket size is now bounded by DISTINCT
+       near-identical texts, not copies);
+    3. cluster the representative graph (:func:`near_dup_clusters`);
+    4. attach every copy to its representative's cluster with ONE
+       linear join.
+
+    The labels are IDENTICAL to clustering the full LSH pair graph:
+    identical texts collide on every band (same signature), so each
+    copy is an edge away from its representative, and the component's
+    minimum doc_id is always a representative (it is the minimum of
+    its own text group by construction) — pinned against the
+    uncollapsed pipeline in tests. Output: (doc_id, cluster_id,
+    is_canonical), linear in the corpus."""
+    key = F.md5(F.col("text")).alias("_th")
+    reps = df.select(key, "doc_id").groupBy("_th").agg(
+        F.min("doc_id").alias("_rep")
+    )
+    rep_docs = df.join(
+        reps.select(F.col("_rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    rep_pairs = minhash_lsh_pairs(
+        rep_docs, num_perm, bands, threshold, hash_mode
+    )
+    rep_clusters = near_dup_clusters(
+        rep_docs, rep_pairs, max_iter, method=method
+    )
+    membership = df.select("doc_id", key).join(reps, "_th").drop("_th")
+    return (
+        membership.join(
+            rep_clusters.select(
+                F.col("doc_id").alias("_rep"), "cluster_id"
+            ),
+            "_rep",
+        )
+        .select("doc_id", "cluster_id")
+        .withColumn(
+            "is_canonical", F.col("cluster_id") == F.col("doc_id")
+        )
+    )
+
+
+def near_dup_clusters_lsh_oracle_sql(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB oracle for near_dup_clusters_lsh(hash_mode="md5"):
+    transitive closure over the FULL md5-LSH pair graph (the collapse
+    is an equivalence-preserving optimization, so the uncollapsed
+    closure is the semantic ground truth)."""
+    rows_per_band = num_perm // bands
+    param_rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    {_HASH60_CTE},
+    params(i, a, b) AS (VALUES {param_rows}),
+    sigel AS (
+      SELECT doc_id, p.i AS seed,
+             MIN((p.a * (h % {MINHASH_P}) + p.b) % {MINHASH_P}) AS mh
+      FROM hvals CROSS JOIN params p GROUP BY doc_id, p.i
+    ),
+    bandhash AS (
+      SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band_id,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_hash
+      FROM sigel GROUP BY doc_id, seed // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandhash a JOIN bandhash b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
+      UNION
+      -- identical texts are duplicates BY DEFINITION (the collapse's
+      -- contract), including degenerate texts too short to shingle
+      SELECT a.doc_id, b.doc_id
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
 def incremental_near_dups(
     existing: DataFrame,
     new: DataFrame,

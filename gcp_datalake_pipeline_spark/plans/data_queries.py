@@ -314,6 +314,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_lsh",
+    dedup.near_dup_clusters_lsh_oracle_sql(threshold=0.8),
+    doc="""Duplication-collapsed LSH clustering (r13 skew drill,
+    dedup.near_dup_clusters_lsh): exact-duplicate texts collapse to one
+    representative BEFORE banding, so the band self-join's hottest
+    bucket is bounded by DISTINCT texts — a corpus where one
+    boilerplate page owns 50% of rows no longer turns the candidate
+    join quadratic (bands*D^2/2) with a single straggler partition.
+    Copies attach to their representative's cluster with one linear
+    join; labels are provably identical to clustering the full LSH
+    pair graph (the component minimum is always a representative) —
+    oracle = the uncollapsed md5-LSH closure plus the definitional
+    identical-text edges, value-level.""",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters_lsh(
+        docs, threshold=0.8, hash_mode="md5"
+    )
+
+
+@register(
     "chunk_boilerplate",
     dedup.chunk_boilerplate_oracle_sql(chunk_tokens=10, min_docs=2),
     doc="""Cross-document chunk-level dedup (C4-style line dedup over
