@@ -670,24 +670,24 @@ def _explain(catalog, inner: str):
                 f"UPDATE SET column(s) {missing!r} not in {table!r}; "
                 f"{_GRAMMAR}"
             )
-        # mirror the real run's static bucket-key refusal — the dry run
-        # must never report a plan for an UPDATE the real run rejects
+        # mirror the real run: SET on _kb refuses (derived column);
+        # SET on a bucket KEY is allowed and moves the matched rows to
+        # their recomputed _kb placement — the dry run reports which
+        # keys trigger the re-placement so the plan is honest about it
         bmeta = getattr(catalog, "bucket_meta", lambda _t: None)(table)
+        rebucket: list[str] = []
         if bmeta is not None:
-            hit = sorted((set(bmeta["key_cols"]) | {"_kb"}) & set(sets))
-            if hit:
+            if "_kb" in sets:
                 raise ValueError(
-                    f"UPDATE SET on bucket-key column(s) {hit!r} of "
-                    f"{table!r} refused: rows would stay in their old "
-                    "_kb bucket and bucket-pruned reads would miss "
-                    "them; DELETE + INSERT the new key instead"
+                    "'_kb' is the reserved bucket-layout column; SET "
+                    "the bucket KEY columns and placement follows"
                 )
+            rebucket = sorted(set(bmeta["key_cols"]) & set(sets))
+        extra = {"set_columns": list(sets), "mode": _dml_mode(catalog, table)}
+        if rebucket:
+            extra["rebucket_keys"] = rebucket
         return _explain_rewrite(
-            catalog,
-            table,
-            parse_where(where),
-            "UPDATE",
-            {"set_columns": list(sets), "mode": _dml_mode(catalog, table)},
+            catalog, table, parse_where(where), "UPDATE", extra
         )
     m = _INSERT_RE.fullmatch(s)
     if m:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 from dataclasses import dataclass
 
 import duckdb
@@ -46,9 +47,13 @@ def duckdb_connection(
         return con
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Driver testdata is one file per table; derived scale-ups
+        # (benchdata.derive_scaled_dir) are Spark-written DIRECTORIES
+        # of part files — glob those so the same oracle runs on both.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

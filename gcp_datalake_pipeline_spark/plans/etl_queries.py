@@ -2222,6 +2222,90 @@ def etl_changes_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_update_rebucket",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN o_orderkey + 1000000
+                         WHEN o_orderstatus = 'O'
+                         THEN o_orderkey + 2000000
+                         ELSE o_orderkey END) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey < 6000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="""UPDATE on a BUCKET-KEY column moves the matched rows to
+    their recomputed _kb placement in the same commit (transactions.py
+    update_where): a bounded orders subset lands bucketed on
+    o_orderkey INTO 6, a copy-on-write UPDATE shifts the 'F' keys by
+    +1e6 and a merge-on-read (DV) UPDATE shifts the 'O' keys by +2e6 —
+    both re-derive placement, asserted in-query by the invariant
+    _kb == pmod(xxhash64(o_orderkey), 6) over every surviving row, so
+    bucket-pruned merges/probes keep finding the moved rows. Oracle =
+    the same key shifts recomputed straight off parquet. At 100 TB
+    this is the difference between an in-place key fix and a
+    DELETE+INSERT outage on a bucketed fact table.""",
+)
+def etl_update_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.transactions import TransactionalCatalog
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_upd_rebucket_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("orders_ur"):  # warm rerun reuses the lake
+        from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 6000)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+        cat.overwrite_bucketed(orders, "orders_ur", 6, ["o_orderkey"])
+        got = execute_dml(
+            cat,
+            "UPDATE orders_ur SET o_orderkey = o_orderkey + 1000000 "
+            "WHERE o_orderstatus = 'F'",
+        )
+        if got["updated"] <= 0:
+            raise RuntimeError("rewrite-mode key move matched nothing")
+        if cat.update_where(
+            "orders_ur",
+            [("o_orderstatus", "=", "O")],
+            {"o_orderkey": "o_orderkey + 2000000"},
+            mode="dv",
+        ) <= 0:
+            raise RuntimeError("dv-mode key move matched nothing")
+    # EVERY run: placement invariant over every surviving row (_kb is
+    # hive-derived from the path, so this checks the physical layout)
+    strays = (
+        cat.read("orders_ur")
+        .filter(
+            F.col("_kb")
+            != F.pmod(F.xxhash64("o_orderkey"), F.lit(6)).cast("int")
+        )
+        .count()
+    )
+    if strays:
+        raise RuntimeError(f"{strays} rows stranded in a stale bucket")
+    return (
+        cat.read("orders_ur")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 

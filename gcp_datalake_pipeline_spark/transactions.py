@@ -1877,25 +1877,36 @@ class TransactionalCatalog(Catalog):
         does NOT retire — sound because the constraint makes the old
         matched keys the exact retired set. A SET touching columns a
         child FOREIGN KEY references additionally refuses when the
-        rewritten-away key values are still referenced (RESTRICT)."""
+        rewritten-away key values are still referenced (RESTRICT).
+
+        A SET touching a BUCKET KEY column moves the matched rows to
+        their new ``_kb`` placement in the same commit (rewrite: the
+        partitioned stage write routes them; dv: the appended images
+        re-derive ``_kb``), so bucket-pruned reads keep finding them.
+        SET on ``_kb`` itself refuses — it is derived."""
         from pyspark.sql import functions as F
 
-        # SET on a bucket-key column would leave rows in their OLD _kb
-        # partition while their key hash changed — every bucket-pruned
-        # path (merge, UNIQUE/FK probes, bucketed merge-delete) would
-        # then silently MISS them. Refuse loudly (DELETE + INSERT the
-        # new key, or drop the bucket layout first).
+        # SET on a bucket-key column changes the row's placement hash —
+        # the row must MOVE to its new _kb partition or every
+        # bucket-pruned path (merge, UNIQUE/FK probes, bucketed
+        # merge-delete) would silently miss it. The rewrite recomputes
+        # _kb for the matched rows post-SET, so the partitioned stage
+        # write routes them into their new bucket dirs in the same
+        # commit (untouched files still hardlink-carry). SET on ``_kb``
+        # itself stays refused — it is derived, never user-writable.
         meta = self.bucket_meta(table)
+        rekb = None
         if meta is not None:
-            hit = sorted(
-                (set(meta["key_cols"]) | {"_kb"}) & set(set_exprs)
-            )
-            if hit:
+            if "_kb" in set_exprs:
                 raise ValueError(
-                    f"UPDATE SET on bucket-key column(s) {hit!r} of "
-                    f"{table!r} refused: rows would stay in their old "
-                    "_kb bucket and bucket-pruned reads would miss "
-                    "them; DELETE + INSERT the new key instead"
+                    "'_kb' is the reserved bucket-layout column; SET "
+                    "the bucket KEY columns and placement follows"
+                )
+            if set(meta["key_cols"]) & set(set_exprs):
+                from gcp_datalake_pipeline_spark.storage import kb_col
+
+                rekb = kb_col(
+                    list(meta["key_cols"]), meta["num_buckets"]
                 )
         self._check_update_keys(table, predicates, set_exprs)
         if mode == "dv":
@@ -1905,14 +1916,32 @@ class TransactionalCatalog(Catalog):
 
         def transform(df, match):
             self._probe_set_casts(df, match, set_exprs, table)
-            out = df
-            for col, expr in set_exprs.items():
+            # ONE select, every expression bound to the ORIGINAL row:
+            # SQL's simultaneous SET semantics (SET a=b, b=a swaps), and
+            # the predicate never re-resolves against post-SET values —
+            # a withColumn chain would mis-scope later SETs (and the
+            # _kb re-derivation) to the wrong rows. _check_update_keys'
+            # probe computes post-images the same way; they must agree.
+            new = {
+                c: F.when(match, F.expr(e).cast(df.schema[c].dataType))
+                .otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+            out = df.select(
+                *[new.get(c, F.col(c)).alias(c) for c in df.columns],
+                match.alias("__upd_match"),
+            )
+            if rekb is not None:
+                # post-SET key values are in place — re-derive placement
+                # for matched rows only (unmatched keys are unchanged,
+                # so their recomputed hash would be identical anyway)
                 out = out.withColumn(
-                    col,
-                    F.when(match, F.expr(expr).cast(df.schema[col].dataType))
-                    .otherwise(F.col(col)),
+                    "_kb",
+                    F.when(F.col("__upd_match"), rekb).otherwise(
+                        F.col("_kb")
+                    ),
                 )
-            return out
+            return out.drop("__upd_match")
 
         return self._rewrite_where(
             table, predicates, "update", transform, enforce_checks=True
@@ -2337,9 +2366,25 @@ class TransactionalCatalog(Catalog):
         # translates the images back to physical staging names
         images = self._to_logical(matched, self.colmap(table))
         self._probe_set_casts(images, F.lit(True), set_exprs, table)
-        for col, expr in set_exprs.items():
+        # one select = simultaneous SET semantics (see update_where's
+        # rewrite transform — the two paths must produce identical rows)
+        new = {
+            c: F.expr(e).cast(images.schema[c].dataType)
+            for c, e in set_exprs.items()
+        }
+        images = images.select(
+            *[new.get(c, F.col(c)).alias(c) for c in images.columns]
+        )
+        meta = self.bucket_meta(table)
+        if meta is not None and set(meta["key_cols"]) & set(set_exprs):
+            # SET moved a bucket key: the appended images re-derive
+            # their placement hash so the partitioned append routes
+            # them into their NEW _kb dirs (the old positions retire
+            # via the deletion vector in the same commit)
+            from gcp_datalake_pipeline_spark.storage import kb_col
+
             images = images.withColumn(
-                col, F.expr(expr).cast(images.schema[col].dataType)
+                "_kb", kb_col(list(meta["key_cols"]), meta["num_buckets"])
             )
         images = images.drop(self._DV_FILE, self._DV_POS)
         with self.transaction(f"dv-update-{table}"):

@@ -433,10 +433,22 @@ def test_checked_update_on_unique_columns(spark, tmp_path):
     assert {r["k"] for r in tcat.read("t").collect()} == {1, 2, 30, 44}
 
 
-def test_update_on_bucket_key_refuses(spark, tmp_path):
-    """SET on a bucket-key column would strand rows in their old _kb
-    partition (bucket-pruned reads would miss them) — refused on both
-    modes, and EXPLAIN UPDATE mirrors the refusal."""
+def _assert_kb_placement(tcat, table, key, n):
+    """Every PHYSICAL row sits in the _kb dir its key hashes to. _kb is
+    a hive partition column (never stored in the data files), so its
+    read-back value IS the directory the row's file lives under."""
+    bad = tcat.read(table).filter(
+        F.col("_kb") != F.pmod(F.xxhash64(key), F.lit(n)).cast("int")
+    )
+    assert bad.count() == 0
+
+
+def test_update_on_bucket_key_moves_rows(spark, tmp_path):
+    """SET on a bucket-key column re-places the matched rows: they land
+    in their NEW _kb partition in the same commit (rewrite and DV
+    modes), so bucket-pruned paths keep finding them. SET on _kb itself
+    refuses; EXPLAIN reports the re-placement instead of a plan the
+    real run would reject."""
     from gcp_datalake_pipeline_spark.dml_sql import execute_dml
 
     tcat = _cat(spark, tmp_path)
@@ -446,16 +458,38 @@ def test_update_on_bucket_key_refuses(spark, tmp_path):
         ),
         "bt", 4, ["k"],
     )
-    for stmt in (
-        "UPDATE bt SET k = 300 WHERE k = 3",
-        "EXPLAIN UPDATE bt SET k = 300 WHERE k = 3",
-    ):
-        with pytest.raises(ValueError, match="bucket-key"):
-            execute_dml(tcat, stmt)
-    with pytest.raises(ValueError, match="bucket-key"):
-        tcat.update_where("bt", [("k", "=", 3)], {"k": "300"}, mode="dv")
+    got = execute_dml(tcat, "UPDATE bt SET k = 300 WHERE k = 3")
+    assert got["updated"] == 1
+    assert {r["k"] for r in tcat.read("bt").collect()} == (
+        set(range(20)) - {3}
+    ) | {300}
+    _assert_kb_placement(tcat, "bt", "k", 4)
+    # a bucket-pruned MERGE on the moved key finds it (no duplicate)
+    tcat.merge_upsert_bucketed(
+        spark.createDataFrame([(300, -1)], "k long, v long"),
+        "bt", ["k"], 4, audit_cols=False,
+    )
+    rows = tcat.read("bt").filter(F.col("k") == 300).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(300, -1)]
+    _assert_kb_placement(tcat, "bt", "k", 4)
+    # DV mode: images re-derive placement; old position retires via
+    # the vector in the same commit
+    assert (
+        tcat.update_where("bt", [("k", "=", 5)], {"k": "500"}, mode="dv")
+        == 1
+    )
+    assert tcat.read("bt").filter(F.col("k") == 5).count() == 0
+    assert tcat.read("bt").filter(F.col("k") == 500).count() == 1
+    _assert_kb_placement(tcat, "bt", "k", 4)
+    # EXPLAIN mirrors: reports the re-placement keys, refuses SET _kb
+    plan = execute_dml(tcat, "EXPLAIN UPDATE bt SET k = 9 WHERE k = 300")
+    assert plan["rebucket_keys"] == ["k"]
+    with pytest.raises(ValueError, match="_kb"):
+        execute_dml(tcat, "UPDATE bt SET _kb = 0 WHERE k = 1")
+    with pytest.raises(ValueError, match="_kb"):
+        execute_dml(tcat, "EXPLAIN UPDATE bt SET _kb = 0 WHERE k = 1")
     # non-key columns still update fine on bucketed tables
-    assert execute_dml(tcat, "UPDATE bt SET v = 0 WHERE k = 3")["updated"] == 1
+    assert execute_dml(tcat, "UPDATE bt SET v = 0 WHERE k = 4")["updated"] == 1
 
 
 def test_checked_update_fk_restrict(spark, tmp_path):

@@ -114,6 +114,45 @@ def test_update_set_expr_with_function_commas(spark, tmp_path):
     assert got[2] == 2 * 1.111
 
 
+def test_update_set_is_simultaneous(spark, tmp_path):
+    """SQL SET semantics: every right-hand side evaluates against the
+    OLD row — SET a = b, b = a swaps, and the WHERE predicate never
+    re-resolves against a column an earlier assignment rewrote (a
+    sequential withColumn chain gets both wrong). Both modes."""
+    for mode in ("rewrite", "dv"):
+        cat = TransactionalCatalog(
+            spark=spark, root=str(tmp_path / f"lake_{mode}")
+        )
+        cat.append(
+            spark.createDataFrame(
+                [(1, 10, 20), (2, 30, 40)], "k long, a long, b long"
+            ),
+            "t",
+        )
+        assert (
+            cat.update_where(
+                "t", [("k", "=", 1)], {"a": "b", "b": "a"}, mode=mode
+            )
+            == 1
+        )
+        got = {
+            r["k"]: (r["a"], r["b"]) for r in cat.read("t").collect()
+        }
+        assert got == {1: (20, 10), 2: (30, 40)}
+        # predicate column rewritten by the FIRST assignment: the
+        # second assignment must still see the row as matched
+        assert (
+            cat.update_where(
+                "t", [("a", "=", 20)], {"a": "0", "b": "99"}, mode=mode
+            )
+            == 1
+        )
+        got = {
+            r["k"]: (r["a"], r["b"]) for r in cat.read("t").collect()
+        }
+        assert got == {1: (0, 99), 2: (30, 40)}
+
+
 def test_string_literals_containing_keywords(spark, tmp_path):
     """Review fixes: the AND split and the SET/WHERE split are quote
     aware — literals containing ' AND ' / ' WHERE ' parse correctly."""
