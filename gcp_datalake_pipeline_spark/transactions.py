@@ -610,16 +610,25 @@ class TransactionalCatalog(Catalog):
                     .distinct()
                     .join(df.select(*pcols).distinct(), pcols, "left_anti")
                 )
-                self._refuse_fk_orphans(table, removed, pcols, "OVERWRITE")
+                # self-FK: old referencing rows die with the old
+                # content; the new content validates against itself
+                self._refuse_fk_orphans(
+                    table, removed, pcols, "OVERWRITE", self_rows=None
+                )
         df = self._to_physical_frame(df, self.colmap(table))
         rel = self._stage_dir(table)
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(os.path.join(self.root, rel))
-        # content replace: staged rows ARE the table — no cross-key probe
+        # content replace: staged rows ARE the table — no cross-key
+        # probe, and a self-FK probes staged-vs-staged (old keys die
+        # with the old content)
         self._enforce_checks(
-            table, os.path.join(self.root, rel), cross_table=False
+            table,
+            os.path.join(self.root, rel),
+            cross_table=False,
+            fk_staged_only=True,
         )
         self._write_stage_stats(rel, table=table)
         self._pending[table] = [rel]
@@ -729,6 +738,12 @@ class TransactionalCatalog(Catalog):
             staged_df = self._to_logical(
                 self.spark.read.parquet(stage), self.colmap(table)
             )
+            # self-FK post-state children: staged restatement of the
+            # touched buckets ∪ hardlink-carried (untouched) buckets
+            post_self = staged_df.unionByName(
+                self.read(table).where(~F.col("_kb").isin(tb)),
+                allowMissingColumns=True,
+            )
             for pcols in pspecs:
                 removed = (
                     old_touched.select(*pcols)
@@ -740,7 +755,11 @@ class TransactionalCatalog(Catalog):
                     )
                 )
                 self._refuse_fk_orphans(
-                    table, removed, pcols, "merge into"
+                    table,
+                    removed,
+                    pcols,
+                    "merge into",
+                    self_rows=post_self,
                 )
         reuse = None
         bloom_reuse = None
@@ -1300,8 +1319,14 @@ class TransactionalCatalog(Catalog):
                             "left_anti",
                         )
                     )
+                    # self-FK: current referencing rows die with the
+                    # restore; the restored content validates below
                     self._refuse_fk_orphans(
-                        table, removed, pcols, f"restore (v{version})"
+                        table,
+                        removed,
+                        pcols,
+                        f"restore (v{version})",
+                        self_rows=None,
                     )
             if chk:
                 from pyspark.sql import functions as F
@@ -1310,8 +1335,13 @@ class TransactionalCatalog(Catalog):
                 for name, expr in chk.items():
                     if isinstance(expr, dict) and "fk" in expr:
                         spec = expr["fk"]
+                        selffk = spec["parent"] == table
                         bad = self._fk_misses(
-                            table, spec, restored
+                            table,
+                            spec,
+                            restored,
+                            extra_parent=restored if selffk else None,
+                            replace_parent=selffk,
                         ).count()
                         if bad:
                             raise CheckViolation(
@@ -1544,8 +1574,13 @@ class TransactionalCatalog(Catalog):
         # RESTRICT: truncating removes EVERY key — refuse while any
         # child row references one
         for pcols in self._fk_parent_specs(table):
+            # self-FK: the referencing rows are truncated too
             self._refuse_fk_orphans(
-                table, self.read(table).select(*pcols), pcols, "TRUNCATE"
+                table,
+                self.read(table).select(*pcols),
+                pcols,
+                "TRUNCATE",
+                self_rows=None,
             )
         n = self.count_rows(table)
         schema = self._stored_schema(table)
@@ -1838,9 +1873,16 @@ class TransactionalCatalog(Catalog):
                 F.lit(False),
             )
             doomed = self.read(table).filter(cond)
+            # self-FK: deleting a node and its referencing rows in ONE
+            # statement is consistent — probe only the SURVIVORS
+            survivors = self.read(table).filter(~cond)
             for pcols in pspecs:
                 self._refuse_fk_orphans(
-                    table, doomed.select(*pcols), pcols, "DELETE FROM"
+                    table,
+                    doomed.select(*pcols),
+                    pcols,
+                    "DELETE FROM",
+                    self_rows=survivors,
                 )
         if mode == "dv":
             return self._delete_where_dv(table, predicates)
@@ -2071,7 +2113,15 @@ class TransactionalCatalog(Catalog):
             removed = matched.select(*pcols).join(
                 post.select(*pcols).distinct(), pcols, "left_anti"
             )
-            self._refuse_fk_orphans(table, removed, pcols, "UPDATE")
+            # self-FK: the referencing rows the probe must see are the
+            # POST-state ones (unmatched rows as-is ∪ post-SET images)
+            self._refuse_fk_orphans(
+                table,
+                removed,
+                pcols,
+                "UPDATE",
+                self_rows=t.filter(~cond).unionByName(post),
+            )
 
     def _probe_set_casts(self, df, match, set_exprs: dict, table: str) -> None:
         """ANSI-style cast safety shared by both UPDATE paths: Spark's
@@ -3470,12 +3520,29 @@ class TransactionalCatalog(Catalog):
                         out.append((child, name, expr["fk"]))
         return out
 
-    def _fk_misses(self, child: str, spec: dict, rows):
+    def _fk_misses(
+        self,
+        child: str,
+        spec: dict,
+        rows,
+        extra_parent=None,
+        replace_parent: bool = False,
+    ):
         """The distinct FK keys in ``rows`` (all components non-null)
         that have NO matching parent key — the violation set. One
         column-pruned anti-join; partition-pruned to the probed keys'
         buckets when the parent is bucketed on exactly the referenced
-        columns (same-type columns only: xxhash64 is type-dependent)."""
+        columns (same-type columns only: xxhash64 is type-dependent).
+
+        SELF-referential FKs (parent == child) make the probed parent
+        key set write-dependent: ``extra_parent`` unions the staged
+        rows' keys into the committed set (append/merge — a batch may
+        carry a node AND the node it references, which SQL's
+        end-of-statement check accepts), and ``replace_parent=True``
+        probes ONLY ``extra_parent`` (content-replacing writes, where
+        the staged rows ARE the post-state table). Keys the operation
+        REMOVES are the parent-side orphan probes' job, never this
+        one's."""
         from pyspark.sql import functions as F
 
         from gcp_datalake_pipeline_spark.storage import kb_col
@@ -3494,6 +3561,10 @@ class TransactionalCatalog(Catalog):
             )
             .distinct()
         )
+        if replace_parent:
+            return keys.join(
+                extra_parent.select(*pcols), pcols, "left_anti"
+            )
         pread = self.read(parent)
         meta = self.bucket_meta(parent)
         if meta is not None and list(meta["key_cols"]) == list(pcols):
@@ -3509,10 +3580,21 @@ class TransactionalCatalog(Catalog):
                     .collect()
                 ]
                 pread = pread.where(F.col("_kb").isin(buckets))
-        return keys.join(pread.select(*pcols), pcols, "left_anti")
+        probe = pread.select(*pcols)
+        if extra_parent is not None:
+            probe = probe.unionByName(extra_parent.select(*pcols))
+        return keys.join(probe, pcols, "left_anti")
+
+    # sentinel: "scan self.read(child)" — distinct from None ("skip")
+    _SELF_READ = object()
 
     def _refuse_fk_orphans(
-        self, parent: str, removed_keys, pcols: list[str], verb: str
+        self,
+        parent: str,
+        removed_keys,
+        pcols: list[str],
+        verb: str,
+        self_rows=_SELF_READ,
     ) -> None:
         """Parent-side RESTRICT guard: ``removed_keys`` (distinct
         ``pcols`` values this operation removes from ``parent`` — exact
@@ -3521,7 +3603,17 @@ class TransactionalCatalog(Catalog):
         targets exactly these columns; child scans partition-prune to
         the removed keys' buckets when the child is bucketed on its FK
         columns. Children referencing a DIFFERENT column set of this
-        parent are untouched by construction."""
+        parent are untouched by construction.
+
+        For a SELF-referential FK the referencing rows live in the
+        table being written, so the committed scan would count rows
+        this very operation removes or rewrites. ``self_rows`` names
+        the POST-state child frame to probe instead when child ==
+        parent: a DataFrame (delete survivors, update post-images,
+        replace/merge staged ∪ carried), or ``None`` to skip the self
+        probe entirely (TRUNCATE/OVERWRITE/RESTORE — the old
+        referencing rows die with the old content, and the staged
+        content is separately validated against itself)."""
         from pyspark.sql import functions as F
 
         from gcp_datalake_pipeline_spark.storage import kb_col
@@ -3538,6 +3630,23 @@ class TransactionalCatalog(Catalog):
             if not self.exists(child):
                 continue
             cols = spec["cols"]
+            if child == parent and self_rows is not self._SELF_READ:
+                if self_rows is None:
+                    continue
+                # post-state frame: already planned, no bucket pruning
+                refs = self_rows.select(
+                    *[F.col(c).alias(p) for c, p in zip(cols, pcols)]
+                ).join(removed_keys.select(*pcols), pcols, "left_semi")
+                n = refs.count()
+                if n:
+                    raise CheckViolation(
+                        f"cannot {verb} {parent!r}: {n} surviving "
+                        f"row(s) of {child!r} reference the removed "
+                        f"key(s) via FOREIGN KEY {name!r} "
+                        f"({spec['cols']} -> {parent}{tuple(pcols)}); "
+                        "delete the referencing rows first"
+                    )
+                continue
             cread = self.read(child)
             meta = self.bucket_meta(child)
             if meta is not None and list(meta["key_cols"]) == list(cols):
@@ -3623,6 +3732,7 @@ class TransactionalCatalog(Catalog):
         cross_table: bool = True,
         exclude_buckets: list[int] | None = None,
         existing_where=None,
+        fk_staged_only: bool = False,
     ) -> None:
         """Validate a freshly staged dir against the table's committed
         constraints. Row CHECKs read back only the staged files, so
@@ -3669,9 +3779,19 @@ class TransactionalCatalog(Catalog):
                 # written table), so this runs on every write path.
                 # Inside a transaction the parent read sees same-commit
                 # staged parent rows (read-your-writes), so
-                # parent-then-child multi-table loads pass.
+                # parent-then-child multi-table loads pass. A SELF-
+                # referential FK probes against the post-write parent
+                # set: committed ∪ staged normally, staged only for
+                # content-replacing writes (``fk_staged_only``).
                 spec = expr["fk"]
-                bad = self._fk_misses(table, spec, df).count()
+                selffk = spec["parent"] == table
+                bad = self._fk_misses(
+                    table,
+                    spec,
+                    df,
+                    extra_parent=df if selffk else None,
+                    replace_parent=selffk and fk_staged_only,
+                ).count()
                 if bad:
                     raise CheckViolation(
                         f"write to {table!r} violates FOREIGN KEY "
@@ -4961,6 +5081,17 @@ class TransactionalCatalog(Catalog):
             staged_df = self._to_logical(
                 self.spark.read.parquet(stage), cmap
             )
+            # self-FK post-state children: staged adds ∪ surviving
+            # (non-dropped) partitions
+            post_self = staged_df.unionByName(
+                self.read(table).where(
+                    F.coalesce(
+                        ~F.col(logical_part).isin(list(dropped)),
+                        F.lit(True),
+                    )
+                ),
+                allowMissingColumns=True,
+            )
             for pcols in pspecs:
                 removed = (
                     old_dropped.select(*pcols)
@@ -4972,7 +5103,11 @@ class TransactionalCatalog(Catalog):
                     )
                 )
                 self._refuse_fk_orphans(
-                    table, removed, pcols, "replace partitions of"
+                    table,
+                    removed,
+                    pcols,
+                    "replace partitions of",
+                    self_rows=post_self,
                 )
         reuse: dict = {}
         bloom_reuse: dict = {}

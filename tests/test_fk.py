@@ -276,3 +276,104 @@ def test_fk_composite_and_null_components(spark, tmp_path):
     with pytest.raises(CheckViolation, match="FOREIGN KEY"):
         execute_dml(cat, "INSERT INTO fact VALUES (4, 'm1', 'b2')")
     assert cat.read("fact").count() == 3
+
+
+def _org(spark, tmp_path, name="lake_self"):
+    """Self-referential FK: emp(id UNIQUE) <- emp(mgr)."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / name))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, None), (2, 1), (3, 2)], "id long, mgr long"
+        ),
+        "emp",
+    )
+    cat.add_unique_constraint("emp", "epk", ["id"])
+    cat.add_fk_constraint("emp", "efk", ["mgr"], "emp", ["id"])
+    return cat
+
+
+def test_self_fk_intra_batch_append(spark, tmp_path):
+    """A batch may carry a node AND the node it references — SQL checks
+    the FK at end of statement, so the staged rows count as parents.
+    A genuinely dangling reference still refuses."""
+    cat = _org(spark, tmp_path)
+    cat.append(
+        spark.createDataFrame([(5, None), (6, 5)], "id long, mgr long"),
+        "emp",
+    )
+    assert cat.read("emp").count() == 5
+    with pytest.raises(CheckViolation, match="FOREIGN KEY"):
+        cat.append(
+            spark.createDataFrame([(7, 99)], "id long, mgr long"), "emp"
+        )
+
+
+def test_self_fk_overwrite_and_truncate(spark, tmp_path):
+    """Content-replacing writes probe the staged rows against
+    THEMSELVES: old keys die with the old content, so a self-consistent
+    replacement passes even when it shares no keys with the old table;
+    an internally dangling one refuses. TRUNCATE always passes a
+    self-FK (the referencing rows are truncated too)."""
+    cat = _org(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame(
+            [(100, None), (101, 100)], "id long, mgr long"
+        ),
+        "emp",
+    )
+    assert {r["id"] for r in cat.read("emp").collect()} == {100, 101}
+    with pytest.raises(CheckViolation, match="FOREIGN KEY"):
+        cat.overwrite(
+            spark.createDataFrame([(200, 999)], "id long, mgr long"),
+            "emp",
+        )
+    execute_dml(cat, "TRUNCATE TABLE emp")
+    assert cat.read("emp").count() == 0
+
+
+def test_self_fk_delete_subtree_in_one_statement(spark, tmp_path):
+    """Deleting a node and every row referencing it in ONE statement
+    is consistent (the probe sees only the SURVIVORS); deleting just
+    the referenced node refuses."""
+    cat = _org(spark, tmp_path)
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(cat, "DELETE FROM emp WHERE id = 2")
+    execute_dml(cat, "DELETE FROM emp WHERE id = 2 OR id = 3")
+    assert {r["id"] for r in cat.read("emp").collect()} == {1}
+
+
+def test_self_fk_update_rewrites_subtree(spark, tmp_path):
+    """An UPDATE that moves a referenced key AND rewrites its
+    referencing rows in the same statement passes (post-state is
+    consistent); moving the key alone refuses."""
+    cat = _org(spark, tmp_path)
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(cat, "UPDATE emp SET id = 20 WHERE id = 2")
+    execute_dml(
+        cat,
+        "UPDATE emp SET id = id + 10, "
+        "mgr = CASE WHEN mgr = 1 THEN 1 ELSE mgr + 10 END "
+        "WHERE id >= 2",
+    )
+    got = {(r["id"], r["mgr"]) for r in cat.read("emp").collect()}
+    assert got == {(1, None), (12, 1), (13, 12)}
+
+
+def test_self_fk_restore(spark, tmp_path):
+    """RESTORE validates the restored content against ITSELF for a
+    self-FK: current referencing rows die with the restore, so a
+    self-consistent earlier version always restores."""
+    cat = _org(spark, tmp_path)
+    v = cat.versions()[-1]["version"]
+    cat.append(
+        spark.createDataFrame([(4, 3)], "id long, mgr long"), "emp"
+    )
+    cat.restore_table("emp", v, validate_checks=True)
+    assert cat.read("emp").count() == 3
+
+
+def test_self_fk_drop_table(spark, tmp_path):
+    """A table whose only FK child is itself drops cleanly."""
+    cat = _org(spark, tmp_path)
+    cat.drop_table("emp")
+    assert not cat.exists("emp")
