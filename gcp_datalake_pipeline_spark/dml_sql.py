@@ -37,7 +37,8 @@ statement):
     ALTER TABLE <table> DROP COLUMN <name>             -- metadata-only
     ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<sql-bool>)
     ALTER TABLE <child> ADD CONSTRAINT <name> FOREIGN KEY (<cols>)
-        REFERENCES <parent> (<cols>)   -- write-enforced, RESTRICT
+        REFERENCES <parent> (<cols>)
+        [ON DELETE RESTRICT|CASCADE|SET NULL]   -- write-enforced
     ALTER TABLE <table> DROP CONSTRAINT <name>
     ALTER TABLE <table> SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')
     ALTER TABLE <table> UNSET TBLPROPERTIES ('dml.mode')
@@ -96,7 +97,7 @@ _GRAMMAR = (
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "RENAME COLUMN a TO b | DROP COLUMN c | "
     "ADD CONSTRAINT n CHECK (expr) | UNIQUE|PRIMARY KEY (cols) "
-    "(write-enforced) | FOREIGN KEY (cols) REFERENCES p (pcols) "
+    "(write-enforced) | FOREIGN KEY (cols) REFERENCES p (pcols) [ON DELETE RESTRICT|CASCADE|SET NULL] "
     "(write-enforced, RESTRICT; p needs UNIQUE/PK on pcols) | "
     "DROP CONSTRAINT n | "
     "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
@@ -256,10 +257,12 @@ def _show_create(catalog, table: str) -> str:
             )
         elif isinstance(expr, dict) and "fk" in expr:
             fk = expr["fk"]
+            act = fk.get("on_delete", "restrict")
             stmts.append(
                 f"ALTER TABLE {table} ADD CONSTRAINT {name} "
                 f"FOREIGN KEY ({', '.join(fk['cols'])}) REFERENCES "
                 f"{fk['parent']} ({', '.join(fk['parent_cols'])})"
+                + ("" if act == "restrict" else f" ON DELETE {act.upper()}")
             )
         else:
             stmts.append(
@@ -652,9 +655,22 @@ def _explain(catalog, inner: str):
     if m:
         # mirror the real run exactly: same refusals, same error types
         _refuse_matview_target(catalog, m.group(1), "DELETE")
+        extra = {"mode": _dml_mode(catalog, m.group(1))}
+        # the real run fans ON DELETE CASCADE/SET NULL out to child
+        # tables — a dry run that omitted that would under-report the
+        # blast radius (metadata-only: one manifest read)
+        acts = [
+            {"child": c, "action": s["on_delete"]}
+            for c, _n, s in getattr(
+                catalog, "_fk_children", lambda _t: []
+            )(m.group(1))
+            if s.get("on_delete", "restrict") != "restrict"
+        ]
+        if acts:
+            extra["fk_delete_actions"] = acts
         return _explain_rewrite(
             catalog, m.group(1), parse_where(m.group(2)), "DELETE",
-            extra={"mode": _dml_mode(catalog, m.group(1))},
+            extra=extra,
         )
     m = re.fullmatch(r"UPDATE\s+(\w+)\s+SET\s+(.+)", s, re.I | re.S)
     if m:
@@ -1579,22 +1595,28 @@ def execute_dml(catalog, sql: str) -> dict | None:
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
         r"FOREIGN\s+KEY\s*\(([^)]+)\)\s*REFERENCES\s+(\w+)\s*"
-        r"\(([^)]+)\)",
+        r"\(([^)]+)\)"
+        r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE|SET\s+NULL))?",
         s,
         re.I,
     )
     if m:
         cols = [c.strip() for c in m.group(3).split(",")]
         pcols = [c.strip() for c in m.group(5).split(",")]
+        on_delete = re.sub(r"\s+", " ", (m.group(6) or "restrict")).lower()
         catalog.add_fk_constraint(
-            m.group(1), m.group(2), cols, m.group(4), pcols
+            m.group(1), m.group(2), cols, m.group(4), pcols,
+            on_delete=on_delete,
         )
-        return {
+        out = {
             "table": m.group(1),
             "added_fk": m.group(2),
             "columns": cols,
             "references": {"table": m.group(4), "columns": pcols},
         }
+        if on_delete != "restrict":
+            out["on_delete"] = on_delete
+        return out
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)", s, re.I
     )

@@ -1861,22 +1861,30 @@ class TransactionalCatalog(Catalog):
         sidecar that readers subtract and the next :meth:`compact`
         folds. At 100 TB the vector path turns a point delete from
         O(candidate files rewritten) into O(matched rows written)."""
-        pspecs = self._fk_parent_specs(table)
-        if pspecs:
+        if self._fk_children(table):
             from pyspark.sql import functions as F
 
-            # RESTRICT: the doomed rows' keys are exact removals (the
-            # referenced columns are UNIQUE), so probing children for
-            # just those keys is sound and O(changes)
             cond = F.coalesce(
                 filestats.dnf_condition(self._as_dnf(predicates)),
                 F.lit(False),
             )
+            # ON DELETE CASCADE / SET NULL children act FIRST (child-
+            # before-parent commit order: a crash mid-chain leaves a
+            # constraint-CONSISTENT lake — some referencing rows gone,
+            # parent rows still present — and rerunning the DELETE
+            # finishes the job)
+            self._apply_fk_delete_actions(table, cond)
+            # RESTRICT: the doomed rows' keys are exact removals (the
+            # referenced columns are UNIQUE), so probing children for
+            # just those keys is sound and O(changes). Frames built
+            # FRESH here — the actions above may have committed new
+            # versions of the children (including this very table,
+            # for a self-referential cascade).
             doomed = self.read(table).filter(cond)
             # self-FK: deleting a node and its referencing rows in ONE
             # statement is consistent — probe only the SURVIVORS
             survivors = self.read(table).filter(~cond)
-            for pcols in pspecs:
+            for pcols in self._fk_parent_specs(table):
                 self._refuse_fk_orphans(
                     table,
                     doomed.select(*pcols),
@@ -3427,6 +3435,7 @@ class TransactionalCatalog(Catalog):
         cols: list[str],
         parent: str,
         parent_cols: list[str],
+        on_delete: str = "restrict",
     ) -> None:
         """Register a WRITE-ENFORCED FOREIGN KEY: every later write into
         ``child`` must reference an existing ``parent`` key (rows whose
@@ -3444,7 +3453,21 @@ class TransactionalCatalog(Catalog):
         Existing child rows are validated now. Enforcement cost is
         O(write): the staged FK values probe the parent with one
         column-pruned anti-join, partition-pruned to the staged keys'
-        buckets when the parent is bucketed on the referenced columns."""
+        buckets when the parent is bucketed on the referenced columns.
+
+        ``on_delete`` picks the parent-DELETE rule: ``"restrict"``
+        (default), ``"cascade"`` (:meth:`delete_where` on the parent
+        first deletes the referencing child rows — recursively, so a
+        grandchild CASCADE chains and a grandchild RESTRICT refuses
+        the whole thing before anything commits at that level), or
+        ``"set null"`` (referencing rows get their FK column NULLed).
+        Single-column FKs only for the non-restrict actions (the
+        child-side predicate is a bucket-prunable ``IN`` list). Only
+        DELETE honors the action; every other removal verb (TRUNCATE /
+        OVERWRITE / RESTORE / merge-delete / replace_partitions /
+        key-retiring UPDATE) always RESTRICTs — an ON DELETE rule is a
+        delete-time rule, and silently fanning a TRUNCATE out to child
+        tables is how lakes get emptied by accident."""
         if self._pending is not None:
             raise RuntimeError(
                 "add_fk_constraint inside an open transaction"
@@ -3456,6 +3479,17 @@ class TransactionalCatalog(Catalog):
             raise ValueError(
                 "FOREIGN KEY needs 1+ columns and the same number of "
                 "referenced columns"
+            )
+        on_delete = on_delete.lower()
+        if on_delete not in ("restrict", "cascade", "set null"):
+            raise ValueError(
+                f"ON DELETE {on_delete!r}: RESTRICT, CASCADE or SET NULL"
+            )
+        if on_delete != "restrict" and len(cols) != 1:
+            raise ValueError(
+                "ON DELETE CASCADE/SET NULL supports single-column "
+                "FOREIGN KEYs only (the child-side delete predicate "
+                "must stay a prunable IN list)"
             )
         if not self.exists(parent):
             raise FileNotFoundError(
@@ -3501,10 +3535,68 @@ class TransactionalCatalog(Catalog):
                     "cols": cols,
                     "parent": parent,
                     "parent_cols": parent_cols,
+                    "on_delete": on_delete,
                 }
             }
 
         self._publish_meta(mutate, f"add-fk-{child}-{name}")
+
+    # a cascade collects the doomed parent keys to the driver (they
+    # become the child delete's prunable IN predicate) — a removal set
+    # past this size should be a partition drop, not a keyed cascade
+    _CASCADE_KEY_CAP = 100_000
+
+    def _apply_fk_delete_actions(self, parent: str, cond) -> None:
+        """Run the ON DELETE CASCADE / SET NULL legs for a parent
+        DELETE whose matched rows satisfy ``cond``: each non-restrict
+        child gets ONE keyed statement (``DELETE FROM child WHERE fk
+        IN (doomed keys)`` / ``UPDATE child SET fk = NULL WHERE ...``)
+        through the normal DML front — bucket-pruned on the child when
+        it is bucketed on its FK column, recursive by construction
+        (the child delete re-enters :meth:`delete_where`, so a
+        grandchild CASCADE chains and a grandchild RESTRICT refuses
+        before that level commits anything). NULL parent keys are
+        never cascaded: a NULL-FK child row references nothing (MATCH
+        SIMPLE) and cannot be orphaned."""
+        from pyspark.sql import functions as F
+
+        actions = [
+            (c, n, s)
+            for c, n, s in self._fk_children(parent)
+            if s.get("on_delete", "restrict") != "restrict"
+        ]
+        if not actions:
+            return
+        for child, name, spec in actions:
+            if not self.exists(child):
+                continue
+            pcol = spec["parent_cols"][0]  # single-col by construction
+            fkcol = spec["cols"][0]
+            rows = (
+                self.read(parent)
+                .filter(cond)
+                .select(pcol)
+                .where(F.col(pcol).isNotNull())
+                .distinct()
+                .limit(self._CASCADE_KEY_CAP + 1)
+                .collect()
+            )
+            if len(rows) > self._CASCADE_KEY_CAP:
+                raise ValueError(
+                    f"ON DELETE {spec['on_delete'].upper()} from "
+                    f"{parent!r} would fan {self._CASCADE_KEY_CAP}+ "
+                    f"keys into {child!r}; run the child statement "
+                    "yourself (or drop whole partitions) for removals "
+                    "this large"
+                )
+            keys = [r[pcol] for r in rows]
+            if not keys:
+                continue
+            pred = [(fkcol, "in", keys)]
+            if spec["on_delete"] == "cascade":
+                self.delete_where(child, pred)
+            else:  # set null
+                self.update_where(child, pred, {fkcol: "NULL"})
 
     def _fk_children(self, parent: str) -> list[tuple[str, str, dict]]:
         """Every (child_table, constraint_name, fk_spec) referencing

@@ -377,3 +377,139 @@ def test_self_fk_drop_table(spark, tmp_path):
     cat = _org(spark, tmp_path)
     cat.drop_table("emp")
     assert not cat.exists("emp")
+
+
+def test_fk_on_delete_cascade_chain(spark, tmp_path):
+    """ON DELETE CASCADE: deleting a parent key deletes the referencing
+    child rows — recursively through a grandchild CASCADE — while a
+    grandchild RESTRICT refuses the whole chain before that level
+    commits. Child-first commit order keeps every intermediate state
+    constraint-consistent."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        "p",
+    )
+    cat.add_unique_constraint("p", "ppk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(10, 1), (11, 1), (12, 2)], "ck long, fk long"),
+        "c",
+    )
+    cat.add_unique_constraint("c", "cpk", ["ck"])
+    out = execute_dml(
+        cat,
+        "ALTER TABLE c ADD CONSTRAINT cfk FOREIGN KEY (fk) "
+        "REFERENCES p (k) ON DELETE CASCADE",
+    )
+    assert out["on_delete"] == "cascade"
+    cat.overwrite(
+        spark.createDataFrame([(100, 10), (101, 12)], "gk long, gfk long"),
+        "g",
+    )
+    cat.add_fk_constraint("g", "gfk_fk", ["gfk"], "c", ["ck"])  # RESTRICT
+    # grandchild g references c(10) -> cascade from p would orphan it
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(cat, "DELETE FROM p WHERE k = 1")
+    # nothing committed at any level
+    assert cat.read("c").count() == 3 and cat.read("p").count() == 2
+    # retarget the grandchild rows, then the cascade goes through
+    execute_dml(cat, "DELETE FROM g WHERE gk = 100")
+    execute_dml(cat, "DELETE FROM p WHERE k = 1")
+    assert {r["ck"] for r in cat.read("c").collect()} == {12}
+    assert {r["k"] for r in cat.read("p").collect()} == {2}
+    # SHOW CREATE round-trips the action
+    shown = execute_dml(cat, "SHOW CREATE TABLE c")
+    assert "ON DELETE CASCADE" in shown["create"]
+
+
+def test_fk_on_delete_set_null(spark, tmp_path):
+    """ON DELETE SET NULL: referencing rows survive with a NULLed FK
+    (MATCH SIMPLE — a NULL reference is never an orphan)."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        "p",
+    )
+    cat.add_unique_constraint("p", "ppk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(10, 1), (11, 2)], "ck long, fk long"), "c"
+    )
+    execute_dml(
+        cat,
+        "ALTER TABLE c ADD CONSTRAINT cfk FOREIGN KEY (fk) "
+        "REFERENCES p (k) ON DELETE SET NULL",
+    )
+    execute_dml(cat, "DELETE FROM p WHERE k = 1")
+    got = {(r["ck"], r["fk"]) for r in cat.read("c").collect()}
+    assert got == {(10, None), (11, 2)}
+
+
+def test_fk_on_delete_validation(spark, tmp_path):
+    """Non-restrict actions refuse composite FKs at DDL time; only
+    DELETE honors the action — TRUNCATE still RESTRICTs."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, 2, "a")], "k1 long, k2 long, v string"),
+        "p",
+    )
+    cat.add_unique_constraint("p", "ppk", ["k1", "k2"])
+    cat.overwrite(
+        spark.createDataFrame([(10, 1, 2)], "ck long, f1 long, f2 long"),
+        "c",
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        execute_dml(
+            cat,
+            "ALTER TABLE c ADD CONSTRAINT cfk FOREIGN KEY (f1, f2) "
+            "REFERENCES p (k1, k2) ON DELETE CASCADE",
+        )
+    # single-col cascade registered, but TRUNCATE parent still refuses
+    cat.overwrite(
+        spark.createDataFrame([(7, "x")], "k long, v string"), "p1"
+    )
+    cat.add_unique_constraint("p1", "p1pk", ["k"])
+    cat.overwrite(spark.createDataFrame([(20, 7)], "ck long, fk long"), "c1")
+    execute_dml(
+        cat,
+        "ALTER TABLE c1 ADD CONSTRAINT c1fk FOREIGN KEY (fk) "
+        "REFERENCES p1 (k) ON DELETE CASCADE",
+    )
+    with pytest.raises(CheckViolation, match="TRUNCATE"):
+        execute_dml(cat, "TRUNCATE TABLE p1")
+
+
+def test_self_fk_on_delete_cascade_subtree(spark, tmp_path):
+    """Self-referential CASCADE: deleting a root recursively deletes
+    the whole subtree (each level one keyed, prunable child delete)."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake_sc"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, None), (2, 1), (3, 2), (4, 2), (5, None)],
+            "id long, mgr long",
+        ),
+        "emp",
+    )
+    cat.add_unique_constraint("emp", "epk", ["id"])
+    cat.add_fk_constraint(
+        "emp", "efk", ["mgr"], "emp", ["id"], on_delete="cascade"
+    )
+    execute_dml(cat, "DELETE FROM emp WHERE id = 1")
+    assert {r["id"] for r in cat.read("emp").collect()} == {5}
+
+
+def test_fk_on_delete_explain_reports_fanout(spark, tmp_path):
+    """EXPLAIN DELETE on a parent with non-restrict children reports
+    the fan-out (dry run must not under-state the blast radius)."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "p"
+    )
+    cat.add_unique_constraint("p", "ppk", ["k"])
+    cat.overwrite(spark.createDataFrame([(10, 1)], "ck long, fk long"), "c")
+    cat.add_fk_constraint(
+        "c", "cfk", ["fk"], "p", ["k"], on_delete="set null"
+    )
+    plan = execute_dml(cat, "EXPLAIN DELETE FROM p WHERE k = 1")
+    assert plan["fk_delete_actions"] == [
+        {"child": "c", "action": "set null"}
+    ]
