@@ -887,12 +887,24 @@ def _insert_computed(
                 for c, expr in gen.items()
             ],
         )
+    # inside a BEGIN block a transaction is already open: stage into
+    # it instead of opening a nested one, and mint identity ids from
+    # the BLOCK's staged high-water mark (a second identity INSERT in
+    # the same block continues the range; the commit-time expect stays
+    # anchored to the mark the block started from)
+    in_block = getattr(catalog, "_pending", None) is not None
     if icol is not None:
         from gcp_datalake_pipeline_spark.operators.dims import (
             assign_dense_ids,
         )
 
         start = int(ident["next"])
+        expect = start
+        if in_block:
+            staged = catalog._intents.get(table, {}).get("identity")
+            if staged is not None:
+                start = int(staged["next"])
+                expect = int(staged["expect_next"])
         value_cols = [c for c in aligned.columns if c not in computed]
         # assign_dense_ids yields start + 1-based rank: anchor one below
         aligned = assign_dense_ids(
@@ -900,15 +912,22 @@ def _insert_computed(
         )
     assigned = aligned.select(*[f.name for f in schema.fields])
     verb = "overwritten" if overwrite else "inserted"
-    with catalog.transaction(f"insert-computed-{table}"):
+
+    def _stage():
         if overwrite:
             catalog.overwrite(assigned, table)
         else:
             catalog.append(assigned, table)
         if icol is not None:
             catalog._intents[table]["identity"] = {
-                "col": icol, "next": start + n, "expect_next": start,
+                "col": icol, "next": start + n, "expect_next": expect,
             }
+
+    if in_block:
+        _stage()
+    else:
+        with catalog.transaction(f"insert-computed-{table}"):
+            _stage()
     out = {"table": table, verb: n}
     if icol is not None:
         out["identity_range"] = [start, start + n - 1] if n else []

@@ -68,47 +68,63 @@ def main() -> int:
             ok = skipped = 0
             for qname, q in QUERIES.items():
                 tq = time.time()
-                df = q.fn(spark, sf)
-                if q.oracle is None or qname in skip:
-                    n = df.count()
-                    tag = "rows-only" if q.oracle is None else "skip-listed"
-                    print(
-                        f"  {qname}: {tag} n={n} "
-                        f"({time.time() - tq:.1f}s)",
-                        flush=True,
-                    )
-                    if n >= 0:
-                        ok += 1
-                    skipped += qname in skip
-                    continue
-                # watchdog: interrupt the ORACLE side past the budget
+                # watchdog guards BOTH sides past the budget: the
+                # oracle via con.interrupt(), a Spark-side bomb via
+                # cancelAllJobs — either way the query downgrades
+                # instead of hanging or killing the sweep
                 done = threading.Event()
 
                 def _watch():
                     if not done.wait(budget):
-                        con.interrupt()
+                        try:
+                            con.interrupt()
+                        except Exception:
+                            pass
+                        try:
+                            spark.sparkContext.cancelAllJobs()
+                        except Exception:
+                            pass
 
                 w = threading.Thread(target=_watch, daemon=True)
                 w.start()
                 try:
+                    df = q.fn(spark, sf)
+                    if q.oracle is None or qname in skip:
+                        n = df.count()
+                        tag = (
+                            "rows-only" if q.oracle is None
+                            else "skip-listed"
+                        )
+                        print(
+                            f"  {qname}: {tag} n={n} "
+                            f"({time.time() - tq:.1f}s)",
+                            flush=True,
+                        )
+                        ok += 1
+                        skipped += qname in skip
+                        continue
                     r = compare_query(
                         spark, con, qname, df, q.oracle,
                         pandas_canon=(canon == "pandas"),
                     )
-                except Exception as e:  # interrupted / spilled-out oracle
-                    done.set()
-                    n = df.count()
+                except Exception as e:  # interrupted / OOM / spill-cap
                     print(
-                        f"  {qname}: oracle-skipped at this sf "
+                        f"  {qname}: skipped at this sf "
                         f"({type(e).__name__}: {str(e)[:120]}) "
-                        f"rows-only n={n} ({time.time() - tq:.1f}s)",
+                        f"({time.time() - tq:.1f}s)",
                         flush=True,
                     )
                     skipped += 1
-                    if n >= 0:
-                        ok += 1
                     continue
-                done.set()
+                finally:
+                    done.set()
+                    # release per-query caches and localCheckpoints:
+                    # 163 heavy queries in one JVM otherwise accumulate
+                    # into a driver-heap OOM two queries later
+                    import gc
+
+                    spark.catalog.clearCache()
+                    gc.collect()
                 if r.ok:
                     ok += 1
                     print(
@@ -119,8 +135,9 @@ def main() -> int:
                     failures.append((sf, canon, qname))
                     print(f"  FAIL {qname}: {r.detail[:500]}", flush=True)
             print(
-                f"{sf} canon={canon}: {ok}/{len(QUERIES)} ok "
-                f"({skipped} oracle-skipped, rows-only checked) "
+                f"{sf} canon={canon}: {ok}/{len(QUERIES)} ok, "
+                f"{skipped} skipped (over budget/cap at this sf), "
+                f"{len(QUERIES) - ok - skipped} FAILED "
                 f"in {time.time() - t0:.0f}s",
                 flush=True,
             )

@@ -1473,6 +1473,49 @@ def test_begin_commit_multi_table_atomic(spark, tmp_path):
     assert cat.read("p").first()["v"] == "x;y"
 
 
+def test_begin_block_identity_and_generated(spark, tmp_path):
+    """Engine-computed columns work inside BEGIN blocks: the insert
+    stages into the OPEN transaction (no nested-transaction error), a
+    second identity INSERT in the same block continues the block's
+    staged range, the whole block is one commit, and a ROLLBACK leaves
+    the high-water mark untouched."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        TransactionalCatalog,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(
+        cat,
+        "CREATE TABLE t (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "v STRING)",
+    )
+    v0 = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        cat,
+        "BEGIN; INSERT INTO t (v) VALUES ('a'); "
+        "INSERT INTO t (v) VALUES ('b'), ('c'); COMMIT",
+    )
+    assert [r["identity_range"] for r in out["statements"]] == [
+        [1, 1], [2, 3],
+    ]
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert sorted(
+        (r["id"], r["v"]) for r in cat.read("t").collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    # rolled-back block never advances the mark
+    execute_dml(cat, "BEGIN; INSERT INTO t (v) VALUES ('x'); ROLLBACK")
+    out = execute_dml(cat, "INSERT INTO t (v) VALUES ('d')")
+    assert out["identity_range"] == [4, 4]
+    # GENERATED ALWAYS AS (expr) stages into the block too
+    execute_dml(
+        cat,
+        "CREATE TABLE g (a BIGINT, b BIGINT GENERATED ALWAYS AS (a * 2))",
+    )
+    execute_dml(cat, "BEGIN; INSERT INTO g (a) VALUES (5); COMMIT")
+    assert [(r["a"], r["b"]) for r in cat.read("g").collect()] == [(5, 10)]
+
+
 def test_begin_block_refusals(spark, tmp_path):
     import pytest
 
