@@ -91,7 +91,7 @@ _GRAMMAR = (
     "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
     "| WHEN MATCHED THEN DELETE]; "
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols) [CLUSTERED BY (keys) INTO n BUCKETS] | [CLUSTERED BY ...] AS SELECT ...; "
-    "BEGIN [TRANSACTION]; <INSERT|MERGE>; ...; COMMIT|ROLLBACK "
+    "BEGIN [TRANSACTION]; <INSERT|MERGE|DELETE|UPDATE>; ...; COMMIT|ROLLBACK "
     "(one atomic multi-table commit); "
     "TRUNCATE TABLE t; "
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
@@ -1145,7 +1145,7 @@ def _split_statements(block: str) -> list[str]:
 
 
 def _execute_transaction(catalog, block: str) -> dict:
-    """``BEGIN; <INSERT|MERGE>...; COMMIT|ROLLBACK`` — the SQL face of
+    """``BEGIN; <INSERT|MERGE|DELETE|UPDATE>...; COMMIT|ROLLBACK`` — the SQL face of
     the engine's atomic multi-table commit: every statement stages into
     ONE TransactionalCatalog transaction and the whole block becomes
     visible in a single manifest swap (or not at all). This is the
@@ -1156,10 +1156,12 @@ def _execute_transaction(catalog, block: str) -> dict:
     (read-your-writes), so a parent INSERT followed by a child INSERT
     under a FOREIGN KEY commits atomically. A failing statement — or a
     crash — rolls the whole block back: nothing is visible, staged
-    dirs are deleted. Only INSERT and MERGE may appear inside the
-    block: DDL publishes through its own immediate metadata commit and
-    DELETE/UPDATE rewrites are single-statement atomic already — both
-    refuse loudly here rather than feigning transactionality."""
+    dirs are deleted. INSERT, MERGE, DELETE and UPDATE may appear
+    inside the block (copy-on-write DELETE/UPDATE join the open
+    transaction; a rewrite of a table the block already staged refuses,
+    as does merge-on-read DML — its deletion vectors publish outside
+    the staged-dir protocol). DDL still refuses: it publishes through
+    its own immediate metadata commit."""
     if not hasattr(catalog, "begin"):
         raise ValueError(
             "BEGIN needs a transactional catalog (plain catalogs have "
@@ -1182,12 +1184,12 @@ def _execute_transaction(catalog, block: str) -> dict:
     commit = stmts[-1].upper() == "COMMIT"
     body = stmts[1:-1]
     for stmt in body:
-        if not re.match(r"(INSERT|MERGE)\b", stmt, re.I):
+        if not re.match(r"(INSERT|MERGE|DELETE|UPDATE)\b", stmt, re.I):
             raise ValueError(
-                f"only INSERT and MERGE may appear inside BEGIN ... "
-                f"COMMIT (got {stmt.split()[0].upper() if stmt else ''!r}"
-                "); DDL and DELETE/UPDATE rewrites are single-statement "
-                f"atomic already; {_GRAMMAR}"
+                f"only INSERT, MERGE, DELETE and UPDATE may appear "
+                f"inside BEGIN ... COMMIT (got "
+                f"{stmt.split()[0].upper() if stmt else ''!r}); DDL "
+                f"publishes through its own metadata commit; {_GRAMMAR}"
             )
     results = []
     catalog.begin(None)

@@ -1854,6 +1854,46 @@ class TransactionalCatalog(Catalog):
         of rows deleted; a no-match delete returns 0 WITHOUT publishing
         a new version.
 
+        A copy-on-write DELETE whose FK children carry ON DELETE
+        CASCADE / SET NULL runs the whole chain — every child leg plus
+        its own rewrite — inside ONE transaction (one manifest swap,
+        all-or-nothing), except for SELF-referential cascades, whose
+        per-level recursion must observe the previous level's result
+        and therefore commits child-first sequentially (each
+        intermediate state constraint-consistent)."""
+        actions = [
+            c
+            for c, _n, s in self._fk_children(table)
+            if s.get("on_delete", "restrict") != "restrict"
+        ]
+        if (
+            actions
+            and mode == "rewrite"
+            and self._pending is None
+            and table not in actions
+        ):
+            self.begin(f"delete-cascade-{table}")
+            try:
+                n = self._delete_where_body(table, predicates, mode)
+            except BaseException:
+                self.rollback()
+                raise
+            if self._pending:
+                try:
+                    self.commit()
+                except BaseException:
+                    self.rollback()
+                    raise
+            else:
+                self.rollback()  # nothing staged: don't burn a version
+            return n
+        return self._delete_where_body(table, predicates, mode)
+
+    def _delete_where_body(
+        self, table: str, predicates, mode: str = "rewrite"
+    ) -> int:
+        """:meth:`delete_where` minus the cascade-transaction wrapper.
+
         ``mode="rewrite"`` (default) is copy-on-write: candidate files
         are rewritten without the matched rows, everything else carries
         by hardlink. ``mode="dv"`` is merge-on-read: NO data file is
@@ -2172,8 +2212,18 @@ class TransactionalCatalog(Catalog):
     ) -> int:
         from pyspark.sql import functions as F
 
-        if self._pending is not None:
-            raise RuntimeError(f"{tag}_where inside an open transaction")
+        # A copy-on-write rewrite JOINS an open transaction (that is
+        # what makes cascading FK deletes and BEGIN-block DML atomic)
+        # — but only for a table this transaction has NOT yet staged:
+        # candidate discovery anchors to the committed snapshot, so a
+        # rewrite over a table with pending staged dirs would silently
+        # drop them from the replace list.
+        if self._pending is not None and table in self._pending:
+            raise RuntimeError(
+                f"{tag}_where on {table!r}: this transaction already "
+                "staged writes to it; commit first (a rewrite anchors "
+                "to the committed snapshot and would drop them)"
+            )
         cmap = self.colmap(table)
         dnf_logical = self._as_dnf(predicates)
         dnf = self._phys_dnf(cmap, dnf_logical)  # pruning + carry checks
@@ -2259,7 +2309,7 @@ class TransactionalCatalog(Catalog):
         if spec is not None:
             n_out = sum(len(fs) for fs in touched.values())
             new_df = self._apply_layout(new_df, spec, max(1, n_out))
-        with self.transaction(f"{tag}-{table}"):
+        def _stage_rewrite():
             rel = self._stage_dir(table)
             stage = os.path.join(self.root, rel)
             w = new_df.write.mode("overwrite")
@@ -2282,8 +2332,8 @@ class TransactionalCatalog(Catalog):
                 if entry is not None:
                     # the transient attach_blooms annotation must not
                     # leak into the persisted stats sidecar
-                    entry = {k: v for k, v in entry.items() if k != "bloom"}
-                    reuse[f] = entry
+                    e = {k: v for k, v in entry.items() if k != "bloom"}
+                    reuse[f] = e
                 if bentry is not None:
                     bloom_reuse[f] = bentry
             self._write_stage_stats(
@@ -2296,6 +2346,13 @@ class TransactionalCatalog(Catalog):
             # compact() precedent): a write landing between the snapshot
             # read and this commit must conflict, never vanish
             self._intents[table]["base"] = snapshot
+
+        auto = self._require_txn()
+        if auto is not None:
+            with auto:
+                _stage_rewrite()
+        else:
+            _stage_rewrite()  # joins the caller's open transaction
         return n_matched
 
     def _dv_matched(self, table: str, predicates):

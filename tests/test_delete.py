@@ -129,14 +129,45 @@ def test_delete_conflicts_with_racing_append(spark, tmp_path):
     assert reader.read("t").filter(F.col("id") == 9999).count() == 1
 
 
-def test_delete_refused_inside_transaction(spark, tmp_path):
-    cat, _df = _striped(spark, str(tmp_path / "lake"), stripes=2, rows=20)
+def test_delete_joins_open_transaction(spark, tmp_path):
+    """A copy-on-write DELETE inside an open transaction JOINS it (one
+    atomic commit with the other writes; rollback discards both) — but
+    refuses on a table the transaction has already staged writes to
+    (the rewrite anchors to the committed snapshot and would silently
+    drop them)."""
+    cat, df = _striped(spark, str(tmp_path / "lake"), stripes=2, rows=20)
+    v0 = cat._read_manifest(strict=False)["version"]
     with cat.transaction("x"):
-        with pytest.raises(RuntimeError, match="inside an open transaction"):
-            cat.delete_where("t", [("k", "=", 0)])
+        n = cat.delete_where("t", [("k", "=", 0)])
+        assert n > 0
         cat.append(
-            spark.createDataFrame([(50, 0, 1)], "id long, k long, v long"),
+            spark.createDataFrame([(990, 7, 1)], "id long, k long, v long"),
+            "u",
+        )
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert cat.read("t").where(F.col("k") == 0).count() == 0
+    assert cat.read("u").count() == 1
+    # rollback discards the joined delete too
+    n_before = cat.read("t").count()
+    try:
+        with cat.transaction("y"):
+            assert cat.delete_where("t", [("k", "=", 1)]) > 0
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert cat.read("t").count() == n_before
+    # same-table re-staging refuses
+    with cat.transaction("z"):
+        cat.append(
+            spark.createDataFrame([(991, 0, 1)], "id long, k long, v long"),
             "t",
+        )
+        with pytest.raises(RuntimeError, match="already staged"):
+            cat.delete_where("t", [("k", "=", 1)])
+        # the failed DML must not have poisoned the open txn
+        cat.append(
+            spark.createDataFrame([(992, 0, 1)], "id long, k long, v long"),
+            "u",
         )
 
 

@@ -1528,11 +1528,7 @@ def test_begin_block_refusals(spark, tmp_path):
     execute_dml(cat, "CREATE TABLE t (k BIGINT)")
     with pytest.raises(ValueError, match="COMMIT or ROLLBACK"):
         execute_dml(cat, "BEGIN; INSERT INTO t VALUES (1)")
-    with pytest.raises(ValueError, match="only INSERT and MERGE"):
-        execute_dml(
-            cat, "BEGIN; DELETE FROM t WHERE k = 1; COMMIT"
-        )
-    with pytest.raises(ValueError, match="only INSERT and MERGE"):
+    with pytest.raises(ValueError, match="only INSERT"):
         execute_dml(
             cat, "BEGIN; CREATE TABLE z (a BIGINT); COMMIT"
         )
@@ -1541,3 +1537,48 @@ def test_begin_block_refusals(spark, tmp_path):
     out = execute_dml(cat, "BEGIN; COMMIT")
     assert out == {"transaction": "committed", "statements": []}
     assert cat._read_manifest(strict=False)["version"] == v
+
+
+def test_begin_block_delete_update_distinct_tables(spark, tmp_path):
+    """Copy-on-write DELETE/UPDATE inside a BEGIN block join the open
+    transaction: one commit with the block's other writes, rollback
+    discards everything, and a rewrite of a table the block already
+    staged refuses (rolling the block back)."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        TransactionalCatalog,
+    )
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(cat, "CREATE TABLE t (k BIGINT, v BIGINT)")
+    execute_dml(cat, "CREATE TABLE s (k BIGINT, v BIGINT)")
+    execute_dml(cat, "CREATE TABLE u (k BIGINT)")
+    execute_dml(cat, "INSERT INTO t VALUES (1, 10), (2, 20)")
+    execute_dml(cat, "INSERT INTO s VALUES (5, 50)")
+    v0 = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        cat,
+        "BEGIN; DELETE FROM t WHERE k = 1; "
+        "UPDATE s SET v = 99 WHERE k = 5; "
+        "INSERT INTO u VALUES (7); COMMIT",
+    )
+    assert out["transaction"] == "committed"
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert {r["k"] for r in cat.read("t").collect()} == {2}
+    assert cat.read("s").first()["v"] == 99
+    assert cat.read("u").count() == 1
+    # rollback discards the DML legs
+    execute_dml(
+        cat, "BEGIN; DELETE FROM t WHERE k = 2; ROLLBACK"
+    )
+    assert {r["k"] for r in cat.read("t").collect()} == {2}
+    # same-table INSERT-then-DELETE refuses and rolls the block back
+    import pytest
+
+    with pytest.raises(RuntimeError, match="already staged"):
+        execute_dml(
+            cat,
+            "BEGIN; INSERT INTO t VALUES (9, 90); "
+            "DELETE FROM t WHERE k = 9; COMMIT",
+        )
+    assert {r["k"] for r in cat.read("t").collect()} == {2}

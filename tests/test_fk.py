@@ -513,3 +513,33 @@ def test_fk_on_delete_explain_reports_fanout(spark, tmp_path):
     assert plan["fk_delete_actions"] == [
         {"child": "c", "action": "set null"}
     ]
+
+
+def test_fk_on_delete_cascade_is_atomic(spark, tmp_path):
+    """A non-self cascade chain (parent + child + grandchild legs)
+    commits in ONE manifest swap — all-or-nothing."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        "p",
+    )
+    cat.add_unique_constraint("p", "ppk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(10, 1), (12, 2)], "ck long, fk long"), "c"
+    )
+    cat.add_unique_constraint("c", "cpk", ["ck"])
+    cat.add_fk_constraint("c", "cfk", ["fk"], "p", ["k"], on_delete="cascade")
+    cat.overwrite(
+        spark.createDataFrame([(100, 10)], "gk long, gfk long"), "g"
+    )
+    cat.add_fk_constraint(
+        "g", "gfk_fk", ["gfk"], "c", ["ck"], on_delete="set null"
+    )
+    v0 = cat._read_manifest(strict=False)["version"]
+    execute_dml(cat, "DELETE FROM p WHERE k = 1")
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert {r["k"] for r in cat.read("p").collect()} == {2}
+    assert {r["ck"] for r in cat.read("c").collect()} == {12}
+    assert [(r["gk"], r["gfk"]) for r in cat.read("g").collect()] == [
+        (100, None)
+    ]
