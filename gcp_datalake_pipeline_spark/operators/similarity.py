@@ -441,6 +441,7 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     backend: str = "arrow",
+    max_candidates: int | None = 50_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs for UNLABELED corpora: hyperplane-LSH
     buckets replace the label column as the self-join blocker.
@@ -496,6 +497,37 @@ def embedding_near_dup_lsh(
             )
         ).alias("bucket"),
     )
+    if max_candidates is not None:
+        # Candidate volume is quadratic in bucket occupancy: planes
+        # sized for one corpus silently degrade toward all-pairs on a
+        # 10x one (the round-13 sf1 sweep killed a 24g JVM exactly this
+        # way). Estimate sum(occ_a * occ_b) over the XOR-probed bucket
+        # pairs — one tiny job over the occupancy histogram (rows =
+        # non-empty buckets, never vectors) — and refuse LOUDLY past
+        # the cap, naming the knob, instead of dying mid-checkpoint.
+        occ = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
+        est = (
+            occ.select(
+                F.col("c").alias("c1"),
+                F.explode(
+                    F.transform(
+                        F.array(*[F.lit(m) for m in masks]),
+                        lambda m: F.col("bucket").bitwiseXOR(m),
+                    )
+                ).alias("bucket"),
+            )
+            .join(occ, "bucket")
+            .agg((F.sum(F.col("c1") * F.col("c")) / 2).alias("est"))
+            .first()["est"]
+        )
+        if est and est > max_candidates:
+            raise ValueError(
+                f"embedding_near_dup_lsh: ~{int(est):,} candidate "
+                f"pairs at n_planes={n_planes} exceed "
+                f"max_candidates={max_candidates:,}; raise n_planes "
+                "(size 2^n_planes ~ corpus_size / 16) or pass a "
+                "higher/None max_candidates"
+            )
     cand = (
         probes.join(
             bucketed.select(F.col("vid").alias("vec_b"), "bucket"), "bucket"

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+from gcp_datalake_pipeline_spark.plans.queries import (
+    cents,
+    load_table,
+    money_2dp,
+    register,
+)
 
 _SCRATCH: dict[str, str] = {}
 
@@ -2648,7 +2653,7 @@ def etl_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_custkey < 600
     GROUP BY n_name
@@ -2747,7 +2752,7 @@ def etl_fk_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_2dp(cents("c_acctbal"), 100).alias("total_acctbal"),
         )
         .orderBy("n_name")
     )
@@ -2849,7 +2854,7 @@ def etl_consumer_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(SUM(s_acctbal), 2) AS total_acctbal
+           SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE s_suppkey < 300
     GROUP BY n_name
@@ -2956,7 +2961,7 @@ def etl_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            money_2dp(cents("s_acctbal"), 100).alias("total_acctbal"),
         )
         .orderBy("n_name")
     )

@@ -83,6 +83,102 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # --------------------------------------------------------------------------
+# Exact money arithmetic.
+#
+# TPC-H money columns are exact CENTS and discount/tax exact PERCENTS,
+# stored as doubles. A double SUM over them is partition-order-
+# dependent: at 10x the driver's bench scale the accumulated FP error
+# crosses a ROUND(x, 2) boundary (caught by the round-13 sf1
+# certification — q7 off by one cent vs the oracle), and on a real
+# cluster it makes the same report differ run to run. So every
+# revenue-style aggregate sums in INTEGER units: the per-row factor is
+# a long (max ~1.1e11 — price_cents x 100 x 108), the SUM is a
+# decimal(30,0) (exact far beyond int64 — overflow would need ~1e19
+# rows), and the single division back to dollars is one double op per
+# GROUP. DuckDB oracles mirror the shape (SUM(BIGINT) is HUGEINT,
+# exact): both engines reduce the same integers, so results are
+# identical at every scale and deterministic under any partitioning.
+# --------------------------------------------------------------------------
+
+
+def cents(col: str):
+    """Exact integer cents of a 2-decimal money double column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def rev_micro():
+    """l_extendedprice * (1 - l_discount) in EXACT 1e-4-dollar units."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+_LIMB_BITS = 21
+
+
+def exact_int_sum(unit_expr):
+    """EXACT sum of an integer-unit LONG expression at plain-long
+    aggregation speed: two limb sums (low 21 bits / arithmetic-shift
+    high part — the split identity ``v = (v >> b)*2^b + (v & mask)``
+    holds for negative values too) recombined in decimal ONCE per
+    group. A direct decimal sum measures ~1.5x slower per aggregate on
+    the scan-heavy q1; a direct long sum silently overflows. Bound:
+    per-row units < 2^42, up to 2^41 (~2.2e12) rows per group — a
+    100 TB lineitem group is ~2^39."""
+    lo = F.sum(unit_expr.bitwiseAND(F.lit((1 << _LIMB_BITS) - 1)))
+    hi = F.sum(F.shiftright(unit_expr, _LIMB_BITS))
+    return hi.cast("decimal(30,0)") * F.lit(1 << _LIMB_BITS) + lo
+
+
+def sum_money(unit_expr, scale: float):
+    """EXACT integer sum of ``unit_expr``, back to dollars (one double
+    division per group; ``scale`` = units per dollar). For a
+    2-decimal OUTPUT use :func:`money_2dp` instead — this division is
+    for values that feed further arithmetic (averages, ratios)."""
+    return exact_int_sum(unit_expr) / F.lit(float(scale))
+
+
+def money_2dp(unit_expr, scale: int):
+    """EXACT money sum rendered at 2 decimals with NO round-of-double
+    anywhere: the sum reduces integers (limb-split longs — see
+    :func:`exact_int_sum`), the half-away-from-zero rounding to cents
+    happens in integers, and the single final ``cents / 100.0`` is the
+    same IEEE op on the same integer in both engines. ``ROUND(double,
+    2)`` is NOT that: Spark rounds the shortest decimal repr
+    (BigDecimal HALF_UP) while DuckDB rounds the raw binary double,
+    and an exact half-cent total — common, ~1% of groups — lands on
+    different sides (the round-13 sf1 q7 cent)."""
+    s = exact_int_sum(unit_expr)
+    per_cent = int(scale) // 100
+    if per_cent == 1:
+        cents = s
+    else:
+        cents = F.floor(
+            (F.abs(s) + F.lit(per_cent // 2)) / F.lit(per_cent)
+        ) * F.when(s < 0, F.lit(-1)).otherwise(F.lit(1))
+    return cents.cast("double") / F.lit(100.0)
+
+
+def sql_money_2dp(unit_sql: str, scale: int) -> str:
+    """The DuckDB spelling of :func:`money_2dp` (SUM(BIGINT) is
+    HUGEINT, exact; ``//`` is integer division)."""
+    per_cent = int(scale) // 100
+    if per_cent == 1:
+        return f"SUM({unit_sql}) / 100.0"
+    return (
+        f"((ABS(SUM({unit_sql})) + {per_cent // 2}) // {per_cent})"
+        f" * (CASE WHEN SUM({unit_sql}) < 0 THEN -1 ELSE 1 END)"
+        " / 100.0"
+    )
+
+
+# the oracle-side spellings of the same integer units
+SQL_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
+SQL_REV_MICRO = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+# --------------------------------------------------------------------------
 # Relational core (TPC-H-style) — the generic-query obligation of SURVEY §2.
 # --------------------------------------------------------------------------
 
@@ -92,36 +188,54 @@ def register(name: str, oracle: str | None, doc: str = ""):
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0  AS sum_base_price,
+           ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100)
+             / 100.0                                                        AS sum_disc_price,
+           ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))) + 5000) // 10000)
+             / 100.0                                                        AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / COUNT(*), 4)                                     AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                 / 100.0 / COUNT(*), 4)                                     AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="""TPC-H Q1 shape: scan-heavy partial aggregation.
+    doc="""TPC-H Q1 shape: scan-heavy partial aggregation. Money
+    aggregates reduce EXACT integer cents (see the module header), so
+    the result is identical at every scale and run.
     Scale: map-side combine on 2 low-cardinality keys; the shuffle carries
     only |flags|x|status| partial rows per task. Projection/filter push to
     the parquet scan.""",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_2dp(cents("l_extendedprice"), 100).alias(
+                "sum_base_price"
+            ),
+            money_2dp(rev_micro(), 10000).alias("sum_disc_price"),
+            money_2dp(
+                rev_micro() * (100 + cents("l_tax")), 1000000
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                sum_money(cents("l_extendedprice"), 100)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                sum_money(cents("l_discount"), 100) / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -131,7 +245,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100) * (CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) < 0 THEN -1 ELSE 1 END) / 100.0 AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -162,9 +276,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_2dp(rev_micro(), 10000).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -175,7 +287,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100) * (CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) < 0 THEN -1 ELSE 1 END) / 100.0 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -214,9 +326,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_2dp(rev_micro(), 10000).alias("revenue")
         )
     )
 
@@ -225,7 +335,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_top_returning_customers",
     """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100) * (CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) < 0 THEN -1 ELSE 1 END) / 100.0 AS revenue,
            ROUND(c_acctbal, 2) AS acctbal, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -250,9 +360,7 @@ def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_2dp(rev_micro(), 10000).alias("revenue")
         )
         .select(
             "c_custkey",
@@ -351,7 +459,7 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_balance_by_nation",
     """
     SELECT n_name, COUNT(*) AS n_suppliers,
-           ROUND(SUM(s_acctbal), 2) AS total_balance,
+           SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_balance,
            ROUND(MAX(s_acctbal), 2) AS max_balance
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -366,7 +474,7 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            money_2dp(cents("s_acctbal"), 100).alias("total_balance"),
             F.round(F.max("s_acctbal"), 2).alias("max_balance"),
         )
     )

@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+from gcp_datalake_pipeline_spark.plans.queries import (
+    cents,
+    load_table,
+    money_2dp,
+    register,
+    rev_micro,
+    sum_money,
+)
 
 
 @register(
@@ -44,9 +51,12 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_red_part_revenue_share",
     """
     SELECT ROUND(100.0 * SUM(CASE WHEN p_name LIKE 'red%'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS red_share_pct
+                 / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))),
+                 4) AS red_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-07-01'
@@ -60,12 +70,21 @@ def q14_red_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    red = F.when(F.col("p_name").like("red%"), rev).otherwise(F.lit(0.0))
+    rev = rev_micro().cast("decimal(30,0)")
+    red = F.when(F.col("p_name").like("red%"), rev).otherwise(
+        F.lit(0).cast("decimal(30,0)")
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(red) / F.sum(rev), 4).alias("red_share_pct")
+            # exact integer sums; the ratio is the only double op, so
+            # it is bit-identical to the oracle's HUGEINT ratio
+            F.round(
+                F.lit(100.0)
+                * F.sum(red).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("red_share_pct")
         )
     )
 
@@ -116,7 +135,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100) * (CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) < 0 THEN -1 ELSE 1 END) / 100.0 AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity >= 5)
@@ -146,9 +165,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_2dp(rev_micro(), 10000).alias("revenue")
         )
     )
 
@@ -157,7 +174,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_wealthy_inactive_customers",
     """
     SELECT c_mktsegment, COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_balance
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_balance
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -186,7 +203,7 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            money_2dp(cents("c_acctbal"), 100).alias("total_balance"),
         )
     )
 
@@ -194,7 +211,9 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "q6_revenue_forecast",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    SELECT ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100)
+             / 100.0 AS revenue_delta
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -212,9 +231,9 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_delta"
-        )
+        money_2dp(
+            cents("l_extendedprice") * cents("l_discount"), 10000
+        ).alias("revenue_delta")
     )
 
 

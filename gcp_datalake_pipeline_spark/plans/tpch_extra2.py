@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+from gcp_datalake_pipeline_spark.plans.queries import (
+    cents,
+    load_table,
+    money_2dp,
+    register,
+    rev_micro,
+    sum_money,
+)
 
 
 @register(
@@ -16,7 +23,7 @@ from gcp_datalake_pipeline_spark.plans.queries import load_table, register
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            EXTRACT(YEAR FROM l_shipdate) AS ship_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100) * (CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) < 0 THEN -1 ELSE 1 END) / 100.0 AS revenue
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -62,9 +69,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_2dp(rev_micro(), 10000).alias("revenue")
         )
     )
 
@@ -73,8 +78,10 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation_year",
     """
     SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS order_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
-             AS profit_proxy
+           ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     * (100 - CAST(ROUND(l_tax * 100) AS BIGINT)))) + 5000) // 10000)
+             / 100.0 AS profit_proxy
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -95,13 +102,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 - F.col("l_tax"))
-                ),
-                2,
+            money_2dp(
+                rev_micro() * (100 - cents("l_tax")), 1000000
             ).alias("profit_proxy")
         )
     )
@@ -139,7 +141,7 @@ def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     """
     WITH rev AS (
-      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+      SELECT l_suppkey, ((ABS(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) + 50) // 100) * (CASE WHEN SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) < 0 THEN -1 ELSE 1 END) / 100.0
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -162,7 +164,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            sum_money(rev_micro(), 1e4), 2
         ).alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue")).first()[0]
@@ -257,7 +259,7 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 7) // 14) / 100.0 AS avg_yearly
     FROM lineitem JOIN (
       SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS threshold
       FROM lineitem GROUP BY l_partkey
@@ -278,5 +280,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(thresholds, li.l_partkey == thresholds.pk)
         .filter(F.col("l_quantity") < F.col("threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor(
+            (2 * F.sum(cents("l_extendedprice").cast("decimal(30,0)")) + 7) / F.lit(14)
+        ).cast("double") / F.lit(100.0)).alias("avg_yearly"))
     )

@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+from gcp_datalake_pipeline_spark.plans.queries import (
+    cents,
+    load_table,
+    money_2dp,
+    register,
+    rev_micro,
+    sum_money,
+)
 
 
 @register(
@@ -24,9 +31,12 @@ from gcp_datalake_pipeline_spark.plans.queries import load_table, register
     """
     SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
            ROUND(SUM(CASE WHEN sn.n_name = 'NATION_1'
-                          THEN l_extendedprice * (1 - l_discount)
+                          THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
                           ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+                 / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))),
+                 4) AS mkt_share
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -63,7 +73,7 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = rev_micro().cast("decimal(30,0)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -75,10 +85,10 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
-                        F.lit(0.0)
+                        F.lit(0).cast("decimal(30,0)")
                     )
-                )
-                / F.sum(rev),
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -90,7 +100,7 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
       SELECT l_partkey AS p_partkey,
-             SUM(l_extendedprice) AS raw_value
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS raw_cents
       FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -98,9 +108,9 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA'
       GROUP BY 1
     )
-    SELECT p_partkey, ROUND(raw_value, 2) AS part_value
+    SELECT p_partkey, ROUND(raw_cents / 100.0, 2) AS part_value
     FROM pv
-    WHERE raw_value > (SELECT AVG(raw_value) FROM pv) * 1.25
+    WHERE raw_cents > (SELECT AVG(raw_cents) FROM pv) * 1.25
     """,
     doc="""TPC-H Q11 shape (no partsupp table, so part value is the
     lineitem revenue shipped by ASIA-region suppliers): parts whose value
@@ -126,13 +136,16 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = (
         li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(F.sum("l_extendedprice").alias("raw_value"))
+        .agg(F.sum(cents("l_extendedprice").cast("decimal(30,0)")).alias("raw_cents"))
     )
-    total = pv.agg(F.avg("raw_value").alias("_avg"))
+    total = pv.agg(F.avg(F.col("raw_cents").cast("double")).alias("_avg"))
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("_avg") * 1.25)
-        .select("p_partkey", F.round("raw_value", 2).alias("part_value"))
+        .filter(F.col("raw_cents").cast("double") > F.col("_avg") * 1.25)
+        .select(
+            "p_partkey",
+            F.round(F.col("raw_cents") / F.lit(100.0), 2).alias("part_value"),
+        )
     )
 
 

@@ -14,7 +14,12 @@ from gcp_datalake_pipeline_spark.operators.incremental import (
     partial_aggregate,
     refresh_aggregate,
 )
-from gcp_datalake_pipeline_spark.plans.queries import load_table, register
+from gcp_datalake_pipeline_spark.plans.queries import (
+    cents,
+    load_table,
+    money_2dp,
+    register,
+)
 
 _MIX_SHARES = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
 
@@ -133,7 +138,7 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT l_returnflag, l_linestatus,
              ROUND(SUM(l_quantity), 2)      AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
              CAST(COUNT(*) AS DOUBLE)       AS n_items
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     )
@@ -153,7 +158,7 @@ def pricing_summary_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        money_2dp(cents("l_extendedprice"), 100).alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_items"),
     )
     return agg.unpivot(

@@ -1083,3 +1083,26 @@ def test_strip_repeated_spans_keeps_first_occurrence(spark):
     assert out[5] == "untouched document stays put"
     # row count and other columns preserved
     assert strip_repeated_spans(docs, window=5).count() == 5
+
+
+def test_embedding_near_dup_lsh_candidate_cap_refuses(spark):
+    """Planes sized for one corpus silently degrade toward all-pairs on
+    a bigger one — the operator estimates candidate volume from the
+    bucket-occupancy histogram and refuses LOUDLY past max_candidates,
+    naming n_planes as the knob (instead of dying mid-materialization,
+    as the sf1 sweep showed a 24g JVM doing). The default cap admits
+    the gate's corpora; an absurdly low cap trips on any corpus."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="n_planes"):
+        similarity.embedding_near_dup_lsh(
+            emb, threshold=0.3, max_candidates=10
+        )
+    # cap=None disables the guard entirely
+    assert (
+        similarity.embedding_near_dup_lsh(
+            emb, threshold=0.3, max_candidates=None
+        ).count()
+        > 0
+    )
