@@ -502,9 +502,12 @@ def embedding_near_dup_lsh(
         # sized for one corpus silently degrade toward all-pairs on a
         # 10x one (the round-13 sf1 sweep killed a 24g JVM exactly this
         # way). Estimate sum(occ_a * occ_b) over the XOR-probed bucket
-        # pairs — one tiny job over the occupancy histogram (rows =
-        # non-empty buckets, never vectors) — and refuse LOUDLY past
-        # the cap, naming the knob, instead of dying mid-checkpoint.
+        # pairs and refuse LOUDLY past the cap, naming the knob,
+        # instead of dying mid-checkpoint. The histogram fold itself
+        # needs one corpus pass over the bucket fold — persist the
+        # narrow (vid, bucket) frame so the candidate generator below
+        # reuses it instead of recomputing the n_planes x dim HOF scan.
+        bucketed = bucketed.persist()
         occ = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
         est = (
             occ.select(

@@ -550,7 +550,7 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -606,7 +606,7 @@ def etl_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -617,7 +617,7 @@ def etl_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     WHERE o_orderkey < 6000
       AND o_totalprice < 30000
@@ -680,7 +680,7 @@ def etl_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -691,7 +691,7 @@ def etl_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     WHERE o_orderkey < 6000
     GROUP BY o_orderstatus
@@ -738,7 +738,7 @@ def etl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -749,7 +749,7 @@ def etl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     WHERE o_orderkey < 6000
       AND NOT (o_orderdate >= TIMESTAMP '1996-01-01'
@@ -825,7 +825,7 @@ def etl_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -930,7 +930,7 @@ def etl_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     doc="""The SQL front door end to end, from an EMPTY catalog: every
@@ -1016,7 +1016,7 @@ def etl_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -1103,7 +1103,7 @@ def etl_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1178,11 +1178,11 @@ def etl_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_table_changes",
     """
     SELECT CAST(2 AS INTEGER) AS commit_version, 'insert' AS change_type,
-           count(*) AS n_rows, round(sum(o_totalprice), 2) AS total_price
+           count(*) AS n_rows, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders WHERE o_orderkey < 6000 AND year(o_orderdate) >= 1997
     UNION ALL
     SELECT CAST(3 AS INTEGER), 'delete',
-           count(*), round(sum(o_totalprice), 2)
+           count(*), SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
     FROM orders WHERE o_orderkey < 6000 AND o_orderpriority = '1-URGENT'
     ORDER BY commit_version
     """,
@@ -1248,7 +1248,7 @@ def etl_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("commit_version")
     )
@@ -1266,7 +1266,7 @@ def etl_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'update_postimage', count(*), round(sum(o_totalprice * 2), 2)
     FROM orders WHERE o_orderkey < 6000 AND o_orderpriority = '1-URGENT'
     UNION ALL
-    SELECT 'update_preimage', count(*), round(sum(o_totalprice), 2)
+    SELECT 'update_preimage', count(*), SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
     FROM orders WHERE o_orderkey < 6000 AND o_orderpriority = '1-URGENT'
     ORDER BY change_type
     """,
@@ -1314,7 +1314,7 @@ def etl_table_changes_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_change_type").alias("change_type"))
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("change_type")
     )
@@ -1577,7 +1577,7 @@ def etl_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
     )
     SELECT o_orderpriority,
-           round(sum(o_totalprice), 2) AS total_price,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
            count(*) AS n_orders,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
@@ -1871,7 +1871,7 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM after_upd
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1967,7 +1967,7 @@ def etl_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1978,7 +1978,7 @@ def etl_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_usd
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_usd
     FROM orders
     WHERE o_orderkey < 6000
       AND NOT (o_orderdate >= TIMESTAMP '1996-01-01'
@@ -2076,7 +2076,7 @@ def etl_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_recluster",
     """
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     WHERE o_orderkey < 8000 AND o_orderstatus <> 'F'
     GROUP BY o_orderpriority
@@ -2133,7 +2133,7 @@ def etl_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2144,12 +2144,12 @@ def etl_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'delete' AS change_type,
            count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders WHERE o_orderkey < 700 AND o_orderstatus = 'F'
     UNION ALL
     SELECT 'insert',
            count(*),
-           round(sum(o_totalprice), 2)
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
     FROM orders WHERE o_orderkey >= 700 AND o_orderkey < 1400
     ORDER BY change_type
     """,
@@ -2221,7 +2221,7 @@ def etl_changes_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.groupBy(F.col("_change_type").alias("change_type"))
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("change_type")
     )
@@ -2236,7 +2236,7 @@ def etl_changes_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHEN o_orderstatus = 'O'
                          THEN o_orderkey + 2000000
                          ELSE o_orderkey END) AS BIGINT) AS key_sum,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders WHERE o_orderkey < 6000
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -2305,7 +2305,7 @@ def etl_update_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum("o_orderkey").alias("key_sum"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2343,7 +2343,7 @@ def dq_orders_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_orders,
            max(o_orderkey) AS max_key,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM base
     """,
     doc="""Metadata-only type widening (ALTER TABLE ... ALTER COLUMN c
@@ -2402,7 +2402,7 @@ def etl_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read("orders_w").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.max("o_orderkey").alias("max_key"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        money_2dp(cents("o_totalprice"), 100).alias("total_price"),
     )
 
 
@@ -2489,7 +2489,7 @@ def etl_identity_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS n_rows,
            count(DISTINCT o_orderkey) AS n_keys,
-           round(sum(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders WHERE o_orderkey < 1400
     """,
     doc="""Write-enforced UNIQUE / PRIMARY KEY (transactions.py
@@ -2571,7 +2571,7 @@ def etl_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read("orders_u").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("o_orderkey").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        money_2dp(cents("o_totalprice"), 100).alias("total_price"),
     )
 
 

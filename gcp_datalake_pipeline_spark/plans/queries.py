@@ -157,25 +157,11 @@ def money_2dp(unit_expr, scale: int):
     return cents.cast("double") / F.lit(100.0)
 
 
-def sql_money_2dp(unit_sql: str, scale: int) -> str:
-    """The DuckDB spelling of :func:`money_2dp` (SUM(BIGINT) is
-    HUGEINT, exact; ``//`` is integer division)."""
-    per_cent = int(scale) // 100
-    if per_cent == 1:
-        return f"SUM({unit_sql}) / 100.0"
-    return (
-        f"((ABS(SUM({unit_sql})) + {per_cent // 2}) // {per_cent})"
-        f" * (CASE WHEN SUM({unit_sql}) < 0 THEN -1 ELSE 1 END)"
-        " / 100.0"
-    )
-
-
-# the oracle-side spellings of the same integer units
-SQL_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
-SQL_REV_MICRO = (
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
-)
+# The DuckDB spelling of the same shapes is inlined in each oracle
+# string (SUM(BIGINT) is HUGEINT, exact; ``//`` is integer division;
+# the 2dp output form is ((ABS(SUM(u)) + half) // per_cent) * sign
+# / 100.0). Oracles are static literals by design — the driver reads
+# them without importing this module's helpers.
 
 
 # --------------------------------------------------------------------------
@@ -380,7 +366,7 @@ def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            o_orderstatus,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -398,7 +384,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
     )
 
@@ -576,7 +562,7 @@ def lineitem_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_rollup",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -588,7 +574,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_2dp(cents("o_totalprice"), 100).alias("total_price"),
         )
     )
 

@@ -14,7 +14,6 @@ from gcp_datalake_pipeline_spark.plans.queries import (
     money_2dp,
     register,
     rev_micro,
-    sum_money,
 )
 
 

@@ -14,7 +14,6 @@ from gcp_datalake_pipeline_spark.plans.queries import (
     money_2dp,
     register,
     rev_micro,
-    sum_money,
 )
 
 
@@ -163,9 +162,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            sum_money(rev_micro(), 1e4), 2
-        ).alias("total_revenue")
+        money_2dp(rev_micro(), 10000).alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue")).first()[0]
     return (

@@ -19,10 +19,8 @@ from pyspark.sql import functions as F
 from gcp_datalake_pipeline_spark.plans.queries import (
     cents,
     load_table,
-    money_2dp,
     register,
     rev_micro,
-    sum_money,
 )
 
 

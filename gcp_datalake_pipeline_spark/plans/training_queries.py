@@ -173,7 +173,7 @@ def pricing_summary_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_orders_by_month",
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-           ROUND(SUM(o_totalprice), 2)      AS revenue,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0      AS revenue,
            COUNT(*)                         AS n_orders
     FROM orders
     GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)

@@ -1900,19 +1900,54 @@ class TransactionalCatalog(Catalog):
         touched — the matched row positions land in a deletion-vector
         sidecar that readers subtract and the next :meth:`compact`
         folds. At 100 TB the vector path turns a point delete from
-        O(candidate files rewritten) into O(matched rows written)."""
-        if self._fk_children(table):
+        O(matched rows written) instead of candidate files."""
+        if mode == "dv" and self._pending is not None:
+            # refuse BEFORE any cascade leg stages or any candidate
+            # scan runs — vectors publish outside the staged-dir
+            # protocol, so this can never join a transaction
+            raise RuntimeError(
+                "merge-on-read DELETE cannot join an open transaction "
+                "(deletion vectors publish outside the staged-dir "
+                "protocol); use copy-on-write mode or commit first"
+            )
+        children = self._fk_children(table)
+        if children:
             from pyspark.sql import functions as F
 
             cond = F.coalesce(
                 filestats.dnf_condition(self._as_dnf(predicates)),
                 F.lit(False),
             )
+            has_actions = any(
+                s.get("on_delete", "restrict") != "restrict"
+                for _c, _n, s in children
+            )
+            if has_actions and self._pending is None:
+                # UNWRAPPED chain (dv-mode parent or self-cascade):
+                # each cascade leg COMMITS, so a RESTRICT refusal after
+                # the legs would leave child rows deleted for a
+                # statement that never succeeded — and reruns refuse
+                # forever. Pre-probe the RESTRICT constraints over the
+                # CURRENT state before anything commits. (Conservative
+                # on the rare child holding both a cascade and a
+                # restrict FK to this parent: the pre-probe sees rows
+                # the cascade would remove — over-refusal, never loss.)
+                doomed0 = self.read(table).filter(cond)
+                survivors0 = self.read(table).filter(~cond)
+                for pcols in self._fk_parent_specs(table):
+                    self._refuse_fk_orphans(
+                        table,
+                        doomed0.select(*pcols),
+                        pcols,
+                        "DELETE FROM",
+                        self_rows=survivors0,
+                        restrict_only=True,
+                    )
             # ON DELETE CASCADE / SET NULL children act FIRST (child-
-            # before-parent commit order: a crash mid-chain leaves a
-            # constraint-CONSISTENT lake — some referencing rows gone,
-            # parent rows still present — and rerunning the DELETE
-            # finishes the job)
+            # before-parent commit order inside one transaction for
+            # non-self chains; sequential commits otherwise — a crash
+            # mid-chain leaves a constraint-CONSISTENT lake and
+            # rerunning the DELETE finishes the job)
             self._apply_fk_delete_actions(table, cond)
             # RESTRICT: the doomed rows' keys are exact removals (the
             # referenced columns are UNIQUE), so probing children for
@@ -1976,6 +2011,14 @@ class TransactionalCatalog(Catalog):
         SET on ``_kb`` itself refuses — it is derived."""
         from pyspark.sql import functions as F
 
+        if mode == "dv" and self._pending is not None:
+            # refuse BEFORE the probes/casts run — vectors publish
+            # outside the staged-dir protocol and can't join a txn
+            raise RuntimeError(
+                "merge-on-read UPDATE cannot join an open transaction "
+                "(deletion vectors publish outside the staged-dir "
+                "protocol); use copy-on-write mode or commit first"
+            )
         # SET on a bucket-key column changes the row's placement hash —
         # the row must MOVE to its new _kb partition or every
         # bucket-pruned path (merge, UNIQUE/FK probes, bucketed
@@ -3649,11 +3692,34 @@ class TransactionalCatalog(Catalog):
             keys = [r[pcol] for r in rows]
             if not keys:
                 continue
-            pred = [(fkcol, "in", keys)]
-            if spec["on_delete"] == "cascade":
-                self.delete_where(child, pred)
-            else:  # set null
-                self.update_where(child, pred, {fkcol: "NULL"})
+            # cycle guard: a self-loop (a row referencing itself) or a
+            # mutual reference makes the recursion re-derive the SAME
+            # (child, keys) leg forever — nothing is deleted until the
+            # stack unwinds, so the predicate never empties. A repeated
+            # leg means an enclosing call is already deleting exactly
+            # these keys' referencers: skip it. A depth cap backstops
+            # shrinking-but-cyclic key sets.
+            leg = (child, spec["on_delete"], frozenset(keys))
+            stack = getattr(self, "_cascade_stack", None)
+            if stack is None:
+                stack = self._cascade_stack = []
+            if leg in stack:
+                continue
+            if len(stack) >= 50:
+                raise ValueError(
+                    f"ON DELETE cascade from {parent!r} exceeded 50 "
+                    "chained levels (reference cycle?); delete the "
+                    "deepest descendants first"
+                )
+            stack.append(leg)
+            try:
+                pred = [(fkcol, "in", keys)]
+                if spec["on_delete"] == "cascade":
+                    self.delete_where(child, pred)
+                else:  # set null
+                    self.update_where(child, pred, {fkcol: "NULL"})
+            finally:
+                stack.pop()
 
     def _fk_children(self, parent: str) -> list[tuple[str, str, dict]]:
         """Every (child_table, constraint_name, fk_spec) referencing
@@ -3744,6 +3810,7 @@ class TransactionalCatalog(Catalog):
         pcols: list[str],
         verb: str,
         self_rows=_SELF_READ,
+        restrict_only: bool = False,
     ) -> None:
         """Parent-side RESTRICT guard: ``removed_keys`` (distinct
         ``pcols`` values this operation removes from ``parent`` — exact
@@ -3771,6 +3838,10 @@ class TransactionalCatalog(Catalog):
             (c, n, s)
             for c, n, s in self._fk_children(parent)
             if list(s["parent_cols"]) == list(pcols)
+            and not (
+                restrict_only
+                and s.get("on_delete", "restrict") != "restrict"
+            )
         ]
         if not children:
             return

@@ -10,10 +10,12 @@ as pairwise joins (exact-Jaccard, brute-force ANN ground truth) whose
 DuckDB side is O(n²) in corpus size — fine at the driver's sf0.01,
 unbounded at 10× sf0.1 — and an unbounded DuckDB spill can fill the
 host disk and take unrelated processes down with it. So: the
-connection gets a temp-directory cap and a memory cap, every oracle
-runs under a watchdog that ``con.interrupt()``s it at ``--budget``
-seconds, and an interrupted/failed oracle DOWNGRADES to the rows-only
-check (recorded as ``oracle-skipped``, never silently counted as ok).
+connection gets a temp-directory cap and a memory cap, and every
+query runs under a watchdog that interrupts BOTH engines at
+``--budget`` seconds. RESOURCE exhaustion (interrupt, OOM/cap, an
+operator's own volume refusal) records as a skip; any OTHER
+exception is a FAILURE — the sweep must never let a broken query
+masquerade as over-budget.
 
 Usage: python scripts/certify.py [sf_dir ...]
            [--canons=fetchall,pandas] [--budget=SECONDS] [--skip=a,b]
@@ -91,30 +93,61 @@ def main() -> int:
                     df = q.fn(spark, sf)
                     if q.oracle is None or qname in skip:
                         n = df.count()
-                        tag = (
-                            "rows-only" if q.oracle is None
-                            else "skip-listed"
-                        )
-                        print(
-                            f"  {qname}: {tag} n={n} "
-                            f"({time.time() - tq:.1f}s)",
-                            flush=True,
-                        )
-                        ok += 1
-                        skipped += qname in skip
+                        if q.oracle is None:
+                            print(
+                                f"  {qname}: rows-only n={n} "
+                                f"({time.time() - tq:.1f}s)",
+                                flush=True,
+                            )
+                            ok += 1
+                        else:
+                            print(
+                                f"  {qname}: skip-listed n={n} "
+                                f"({time.time() - tq:.1f}s)",
+                                flush=True,
+                            )
+                            skipped += 1
                         continue
                     r = compare_query(
                         spark, con, qname, df, q.oracle,
                         pandas_canon=(canon == "pandas"),
                     )
-                except Exception as e:  # interrupted / OOM / spill-cap
-                    print(
-                        f"  {qname}: skipped at this sf "
-                        f"({type(e).__name__}: {str(e)[:120]}) "
-                        f"({time.time() - tq:.1f}s)",
-                        flush=True,
+                except Exception as e:
+                    # only RESOURCE exhaustion downgrades to a skip:
+                    # the watchdog's interrupts/cancels, the DuckDB
+                    # temp/memory caps, and the operators' own loud
+                    # volume refusals. Anything else is a REAL failure
+                    # — counting a broken query as "skipped" would let
+                    # CERTIFY PASS mask a regression.
+                    msg = f"{type(e).__name__}: {e}"
+                    budget_like = any(
+                        pat in msg
+                        for pat in (
+                            "InterruptException",
+                            "INTERRUPT Error",
+                            "OutOfMemoryException",
+                            "Out of Memory Error",
+                            "OutOfMemoryError",
+                            "cancelled",
+                            "SparkException: Job",  # cancelAllJobs
+                            "max_candidates",
+                            "max_temp_directory_size",
+                        )
                     )
-                    skipped += 1
+                    if budget_like:
+                        print(
+                            f"  {qname}: skipped at this sf "
+                            f"({msg[:140]}) ({time.time() - tq:.1f}s)",
+                            flush=True,
+                        )
+                        skipped += 1
+                    else:
+                        failures.append((sf, canon, qname))
+                        print(
+                            f"  FAIL {qname}: {msg[:400]} "
+                            f"({time.time() - tq:.1f}s)",
+                            flush=True,
+                        )
                     continue
                 finally:
                     done.set()

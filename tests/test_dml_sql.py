@@ -1582,3 +1582,14 @@ def test_begin_block_delete_update_distinct_tables(spark, tmp_path):
             "DELETE FROM t WHERE k = 9; COMMIT",
         )
     assert {r["k"] for r in cat.read("t").collect()} == {2}
+    # merge-on-read DML refuses EARLY in a block (vectors publish
+    # outside the staged-dir protocol) with the documented message —
+    # never a late nested-transaction error after paying for scans
+    execute_dml(
+        cat,
+        "ALTER TABLE s SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')",
+    )
+    for stmt in ("DELETE FROM s WHERE k = 5", "UPDATE s SET v = 1 WHERE k = 5"):
+        with pytest.raises(RuntimeError, match="staged-dir protocol"):
+            execute_dml(cat, f"BEGIN; {stmt}; COMMIT")
+    assert cat.read("s").first()["v"] == 99

@@ -543,3 +543,53 @@ def test_fk_on_delete_cascade_is_atomic(spark, tmp_path):
     assert [(r["gk"], r["gfk"]) for r in cat.read("g").collect()] == [
         (100, None)
     ]
+
+
+def test_self_fk_cascade_self_loop_terminates(spark, tmp_path):
+    """A row referencing ITSELF (or a mutual cycle) must not recurse
+    the cascade forever: a repeated (child, keys) leg is skipped — an
+    enclosing call already deletes those keys' referencers."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake_sl"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, 1), (2, 1), (5, None)], "id long, mgr long"
+        ),
+        "emp",
+    )
+    cat.add_unique_constraint("emp", "epk", ["id"])
+    cat.add_fk_constraint(
+        "emp", "efk", ["mgr"], "emp", ["id"], on_delete="cascade"
+    )
+    execute_dml(cat, "DELETE FROM emp WHERE id = 1")
+    assert {r["id"] for r in cat.read("emp").collect()} == {5}
+
+
+def test_fk_cascade_preprobe_protects_unwrapped_chains(spark, tmp_path):
+    """On an UNWRAPPED chain (dv-mode parent), each cascade leg
+    commits — so a RESTRICT refusal must fire BEFORE the legs, or a
+    statement that never succeeded permanently deletes child rows and
+    every rerun refuses forever."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "p"
+    )
+    cat.add_unique_constraint("p", "ppk", ["k"])
+    execute_dml(
+        cat,
+        "ALTER TABLE p SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')",
+    )
+    cat.overwrite(spark.createDataFrame([(10, 1)], "ck long, fk long"), "c1")
+    cat.add_fk_constraint(
+        "c1", "c1fk", ["fk"], "p", ["k"], on_delete="cascade"
+    )
+    cat.overwrite(spark.createDataFrame([(20, 1)], "ck long, fk long"), "c2")
+    cat.add_fk_constraint("c2", "c2fk", ["fk"], "p", ["k"])  # RESTRICT
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(cat, "DELETE FROM p WHERE k = 1")
+    # NOTHING committed anywhere — the cascade child is intact
+    assert cat.read("c1").count() == 1
+    assert cat.read("p").count() == 1
+    # retire the restrict reference; the dv-parent cascade then works
+    execute_dml(cat, "DELETE FROM c2 WHERE ck = 20")
+    execute_dml(cat, "DELETE FROM p WHERE k = 1")
+    assert cat.read("c1").count() == 0 and cat.read("p").count() == 0
