@@ -39,6 +39,7 @@ statement):
     ALTER TABLE <child> ADD CONSTRAINT <name> FOREIGN KEY (<cols>)
         REFERENCES <parent> (<cols>)
         [ON DELETE RESTRICT|CASCADE|SET NULL]   -- write-enforced
+        [ON UPDATE RESTRICT|CASCADE|SET NULL]   -- (either order)
     ALTER TABLE <table> DROP CONSTRAINT <name>
     ALTER TABLE <table> SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')
     ALTER TABLE <table> UNSET TBLPROPERTIES ('dml.mode')
@@ -97,7 +98,7 @@ _GRAMMAR = (
     "DROP TABLE [IF EXISTS] t; ALTER TABLE t ADD COLUMN c type | "
     "RENAME COLUMN a TO b | DROP COLUMN c | "
     "ADD CONSTRAINT n CHECK (expr) | UNIQUE|PRIMARY KEY (cols) "
-    "(write-enforced) | FOREIGN KEY (cols) REFERENCES p (pcols) [ON DELETE RESTRICT|CASCADE|SET NULL] "
+    "(write-enforced) | FOREIGN KEY (cols) REFERENCES p (pcols) [ON DELETE RESTRICT|CASCADE|SET NULL] [ON UPDATE RESTRICT|CASCADE|SET NULL] "
     "(write-enforced, RESTRICT; p needs UNIQUE/PK on pcols) | "
     "DROP CONSTRAINT n | "
     "SET|UNSET TBLPROPERTIES ('k' [= 'v']) | "
@@ -258,11 +259,13 @@ def _show_create(catalog, table: str) -> str:
         elif isinstance(expr, dict) and "fk" in expr:
             fk = expr["fk"]
             act = fk.get("on_delete", "restrict")
+            uact = fk.get("on_update", "restrict")
             stmts.append(
                 f"ALTER TABLE {table} ADD CONSTRAINT {name} "
                 f"FOREIGN KEY ({', '.join(fk['cols'])}) REFERENCES "
                 f"{fk['parent']} ({', '.join(fk['parent_cols'])})"
                 + ("" if act == "restrict" else f" ON DELETE {act.upper()}")
+                + ("" if uact == "restrict" else f" ON UPDATE {uact.upper()}")
             )
         else:
             stmts.append(
@@ -702,6 +705,31 @@ def _explain(catalog, inner: str):
         extra = {"set_columns": list(sets), "mode": _dml_mode(catalog, table)}
         if rebucket:
             extra["rebucket_keys"] = rebucket
+        # mirror the real run: ON UPDATE CASCADE/SET NULL legs fan out
+        # to child tables (and refuse on the merge-on-read path) — a
+        # dry run omitting either would misreport the blast radius
+        uacts = [
+            {
+                "child": c,
+                "action": spec["on_update"],
+                "column": spec["parent_cols"][0],
+            }
+            for c, _n, spec in getattr(
+                catalog, "_fk_children", lambda _t: []
+            )(table)
+            if spec.get("on_update", "restrict") != "restrict"
+            and spec["parent_cols"][0] in sets
+        ]
+        if uacts:
+            if extra["mode"] == "dv":
+                raise RuntimeError(
+                    "merge-on-read UPDATE cannot run ON UPDATE "
+                    "CASCADE/SET NULL legs atomically (deletion "
+                    "vectors publish outside the staged-dir "
+                    "protocol); use copy-on-write mode for "
+                    "key-changing updates"
+                )
+            extra["fk_update_actions"] = uacts
         return _explain_rewrite(
             catalog, table, parse_where(where), "UPDATE", extra
         )
@@ -1617,17 +1645,30 @@ def execute_dml(catalog, sql: str) -> dict | None:
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
         r"FOREIGN\s+KEY\s*\(([^)]+)\)\s*REFERENCES\s+(\w+)\s*"
         r"\(([^)]+)\)"
-        r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE|SET\s+NULL))?",
+        r"((?:\s+ON\s+(?:DELETE|UPDATE)\s+(?:RESTRICT|CASCADE|SET\s+NULL))*)",
         s,
         re.I,
     )
     if m:
         cols = [c.strip() for c in m.group(3).split(",")]
         pcols = [c.strip() for c in m.group(5).split(",")]
-        on_delete = re.sub(r"\s+", " ", (m.group(6) or "restrict")).lower()
+        acts = {"delete": "restrict", "update": "restrict"}
+        seen: set[str] = set()
+        for verb, act in re.findall(
+            r"ON\s+(DELETE|UPDATE)\s+(RESTRICT|CASCADE|SET\s+NULL)",
+            m.group(6) or "",
+            re.I,
+        ):
+            v = verb.lower()
+            if v in seen:
+                raise ValueError(
+                    f"duplicate ON {verb.upper()} clause; {_GRAMMAR}"
+                )
+            seen.add(v)
+            acts[v] = re.sub(r"\s+", " ", act).lower()
         catalog.add_fk_constraint(
             m.group(1), m.group(2), cols, m.group(4), pcols,
-            on_delete=on_delete,
+            on_delete=acts["delete"], on_update=acts["update"],
         )
         out = {
             "table": m.group(1),
@@ -1635,8 +1676,10 @@ def execute_dml(catalog, sql: str) -> dict | None:
             "columns": cols,
             "references": {"table": m.group(4), "columns": pcols},
         }
-        if on_delete != "restrict":
-            out["on_delete"] = on_delete
+        if acts["delete"] != "restrict":
+            out["on_delete"] = acts["delete"]
+        if acts["update"] != "restrict":
+            out["on_update"] = acts["update"]
         return out
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)", s, re.I

@@ -2759,6 +2759,106 @@ def etl_fk_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_fk_on_update",
+    """
+    WITH cas AS (
+      SELECT CASE WHEN c_nationkey < 5 THEN c_nationkey + 100
+                  ELSE c_nationkey END AS fk
+      FROM customer WHERE c_custkey < 500),
+    nul AS (
+      SELECT CASE WHEN c_nationkey < 5 THEN NULL
+                  ELSE c_nationkey END AS fk
+      FROM customer WHERE c_custkey < 500)
+    SELECT 'cascade' AS src, fk, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM cas GROUP BY fk
+    UNION ALL
+    SELECT 'set_null' AS src, fk, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM nul GROUP BY fk
+    ORDER BY src, fk
+    """,
+    doc="""FOREIGN KEY ON UPDATE CASCADE / SET NULL (transactions
+    _plan_fk_update_actions + update_where cascade wrapper; SQL ... ON
+    UPDATE CASCADE|SET NULL): nation is the parent, two customer-derived
+    children declare opposite actions, and ONE parent UPDATE rewrites
+    every n_nationkey < 5 to +100. The cascade child's fk values follow
+    the keys (a per-column CASE over the collected old->new map, the
+    child rewrite bucket-prunable on fk IN (old keys)); the set-null
+    child's matching fks null out; parent + both legs publish as ONE
+    atomic version, staged parent-first so the legs' own FK probes see
+    the new keys (read-your-writes). EXPLAIN UPDATE reports the leg
+    fan-out (asserted every run, metadata-only). Oracle = the final
+    child states recomputed declaratively from the base tables.""",
+)
+def etl_fk_on_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        TransactionalCatalog,
+    )
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_fk_upd_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("nation_u"):
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        cat.overwrite(nation, "nation_u")
+        cat.add_unique_constraint("nation_u", "pk", ["n_nationkey"])
+        cust = (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") < 500)
+            .select("c_custkey", F.col("c_nationkey").alias("fk"))
+        )
+        cat.overwrite(cust, "cust_cas")
+        cat.overwrite(cust, "cust_null")
+        execute_dml(
+            cat,
+            "ALTER TABLE cust_cas ADD CONSTRAINT fc FOREIGN KEY (fk) "
+            "REFERENCES nation_u (n_nationkey) ON UPDATE CASCADE",
+        )
+        execute_dml(
+            cat,
+            "ALTER TABLE cust_null ADD CONSTRAINT fn FOREIGN KEY (fk) "
+            "REFERENCES nation_u (n_nationkey) ON UPDATE SET NULL",
+        )
+        v = cat._read_manifest(strict=False)["version"]
+        execute_dml(
+            cat,
+            "UPDATE nation_u SET n_nationkey = n_nationkey + 100 "
+            "WHERE n_nationkey < 5",
+        )
+        if cat._read_manifest(strict=False)["version"] != v + 1:
+            raise RuntimeError(
+                "parent update + cascade legs did not publish as one "
+                "atomic version"
+            )
+    # EVERY run: the dry run reports the leg fan-out (metadata-only)
+    plan = execute_dml(
+        cat,
+        "EXPLAIN UPDATE nation_u SET n_nationkey = 999 "
+        "WHERE n_nationkey = 104",
+    )
+    legs = {(a["child"], a["action"]) for a in plan["fk_update_actions"]}
+    if legs != {("cust_cas", "cascade"), ("cust_null", "set null")}:
+        raise RuntimeError(f"EXPLAIN UPDATE mis-reported legs: {legs}")
+    return (
+        cat.read("cust_cas")
+        .groupBy("fk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(F.lit("cascade").alias("src"), "fk", "n_rows")
+        .unionByName(
+            cat.read("cust_null")
+            .groupBy("fk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(F.lit("set_null").alias("src"), "fk", "n_rows")
+        )
+        .orderBy("src", "fk")
+    )
+
+
+@register(
     "etl_consumer_across_rename",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -59,6 +59,34 @@ _VERSIONS = "_versions"
 _LOAD_IDS = "_load_ids"
 
 
+def _sql_literal(v) -> str:
+    """Render one collected key value as a Spark SQL literal that
+    round-trips through ``F.expr`` (the ON UPDATE cascade legs embed
+    old/new keys in a CASE expression). Key-typed scalars only —
+    anything else refuses loudly rather than mis-quote."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        # shortest-repr round-trips through Double.parseDouble
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise ValueError(
+        f"unsupported key literal type {type(v).__name__} for an "
+        "ON UPDATE cascade leg"
+    )
+
+
 def _merge_schema_json(old: dict | None, new: dict | None) -> dict | None:
     """Additive schema evolution over schema ``jsonValue()`` dicts: new
     columns append after existing ones; an existing column arriving with
@@ -2008,9 +2036,73 @@ class TransactionalCatalog(Catalog):
         their new ``_kb`` placement in the same commit (rewrite: the
         partitioned stage write routes them; dv: the appended images
         re-derive ``_kb``), so bucket-pruned reads keep finding them.
-        SET on ``_kb`` itself refuses — it is derived."""
+        SET on ``_kb`` itself refuses — it is derived.
+
+        A SET touching columns a child FOREIGN KEY references with an
+        ``ON UPDATE CASCADE`` / ``SET NULL`` action fans the key change
+        out to the referencing rows: the parent rewrite stages FIRST
+        (so the child legs' own FK probes see the new keys), then each
+        child gets ONE keyed statement (``SET fk = CASE old THEN new
+        ...`` / ``SET fk = NULL`` over ``fk IN (changed old keys)``)
+        through the normal DML front, and everything publishes in ONE
+        atomic commit — parent-only or child-only intermediate states
+        would both orphan rows, so merge-on-read UPDATE refuses when
+        an action leg applies (vectors publish outside the staged-dir
+        protocol and cannot join the transaction)."""
+        # ON UPDATE action legs + parent rewrite must publish together
+        # — wrap statement and legs in one transaction (inside a user
+        # BEGIN block the enclosing transaction already provides this)
+        acts = self._fk_update_action_children(table, set_exprs)
+        if acts and mode == "rewrite" and self._pending is None:
+            self.begin(f"update-cascade-{table}")
+            try:
+                n = self._update_where_body(
+                    table, predicates, set_exprs, mode
+                )
+            except BaseException:
+                self.rollback()
+                raise
+            if self._pending:
+                try:
+                    self.commit()
+                except BaseException:
+                    self.rollback()
+                    raise
+            else:
+                self.rollback()  # nothing staged: don't burn a version
+            return n
+        return self._update_where_body(table, predicates, set_exprs, mode)
+
+    def _fk_update_action_children(
+        self, table: str, set_exprs: dict
+    ) -> list[tuple[str, str, dict]]:
+        """The (child, name, spec) FKs whose ``ON UPDATE`` action fires
+        for this SET: non-restrict action AND the referenced column is
+        being assigned. One manifest read, zero data."""
+        return [
+            (c, n, s)
+            for c, n, s in self._fk_children(table)
+            if s.get("on_update", "restrict") != "restrict"
+            and s["parent_cols"][0] in set_exprs
+        ]
+
+    def _update_where_body(
+        self, table: str, predicates, set_exprs: dict, mode: str = "rewrite"
+    ) -> int:
+        """:meth:`update_where` minus the cascade-transaction wrapper."""
         from pyspark.sql import functions as F
 
+        acts = self._fk_update_action_children(table, set_exprs)
+        if mode == "dv" and acts:
+            # refuse BEFORE any probe runs: the action legs commit
+            # through the staged-dir protocol, the parent's vectors
+            # outside it — they cannot publish atomically together
+            raise RuntimeError(
+                "merge-on-read UPDATE cannot run ON UPDATE CASCADE/"
+                "SET NULL legs atomically (deletion vectors publish "
+                "outside the staged-dir protocol); use copy-on-write "
+                "mode for key-changing updates"
+            )
         if mode == "dv" and self._pending is not None:
             # refuse BEFORE the probes/casts run — vectors publish
             # outside the staged-dir protocol and can't join a txn
@@ -2046,6 +2138,15 @@ class TransactionalCatalog(Catalog):
             return self._update_where_dv(table, predicates, set_exprs)
         if mode != "rewrite":
             raise ValueError(f"update_where mode {mode!r}: 'rewrite' or 'dv'")
+        # plan the ON UPDATE legs from the PRE-update state (the old ->
+        # new key maps must be read before the rewrite stages), apply
+        # them AFTER it (the child legs' FK probes then see the staged
+        # parent carrying the new keys — read-your-writes)
+        legs = (
+            self._plan_fk_update_actions(table, predicates, set_exprs)
+            if acts
+            else []
+        )
 
         def transform(df, match):
             self._probe_set_casts(df, match, set_exprs, table)
@@ -2076,9 +2177,87 @@ class TransactionalCatalog(Catalog):
                 )
             return out.drop("__upd_match")
 
-        return self._rewrite_where(
+        n = self._rewrite_where(
             table, predicates, "update", transform, enforce_checks=True
         )
+        for child, leg in legs:
+            self.update_where(child, leg["preds"], leg["sets"])
+        return n
+
+    def _plan_fk_update_actions(
+        self, table: str, predicates, set_exprs: dict
+    ) -> list[tuple[str, dict]]:
+        """Driver-side plan for the ON UPDATE CASCADE / SET NULL legs
+        of one parent UPDATE: per referenced column, the distinct
+        (old key -> new key) map over the matched rows (NULL old keys
+        reference nothing under MATCH SIMPLE and no-op assignments fan
+        nothing out); per child, ONE keyed statement — predicate
+        ``fk IN (changed old keys)`` (a DNF branch per FK column, so
+        two action FKs into the same child merge instead of colliding
+        on the one-rewrite-per-transaction rule), SET a per-column
+        ``CASE`` that remaps (CASCADE) or nulls (SET NULL) and keeps
+        every other value. Key maps collect to the driver capped at
+        :attr:`_CASCADE_KEY_CAP` — a fan-out past that should be an
+        explicit child statement, mirroring the DELETE cascade cap."""
+        from pyspark.sql import functions as F
+
+        specs = self._fk_update_action_children(table, set_exprs)
+        if not specs:
+            return []
+        cond = F.coalesce(
+            filestats.dnf_condition(self._as_dnf(predicates)), F.lit(False)
+        )
+        t = self.read(table)
+        schema = {f.name: f.dataType for f in t.schema.fields}
+        maps: dict[str, list[tuple]] = {}
+        for pcol in sorted({s["parent_cols"][0] for _c, _n, s in specs}):
+            new = F.expr(set_exprs[pcol]).cast(schema[pcol])
+            rows = (
+                t.filter(cond)
+                .select(F.col(pcol).alias("o"), new.alias("n"))
+                .where(
+                    F.col("o").isNotNull()
+                    & ~F.col("o").eqNullSafe(F.col("n"))
+                )
+                .distinct()
+                .limit(self._CASCADE_KEY_CAP + 1)
+                .collect()
+            )
+            if len(rows) > self._CASCADE_KEY_CAP:
+                raise ValueError(
+                    f"ON UPDATE cascade from {table!r} would fan "
+                    f"{self._CASCADE_KEY_CAP}+ changed keys over "
+                    f"{pcol!r} into child tables; run the child "
+                    "statement yourself for key rewrites this large"
+                )
+            maps[pcol] = [(r["o"], r["n"]) for r in rows]
+        by_child: dict[str, dict] = {}
+        for child, name, s in specs:
+            m = maps[s["parent_cols"][0]]
+            if not m or not self.exists(child):
+                continue
+            leg = by_child.setdefault(child, {"preds": [], "sets": {}})
+            fk = s["cols"][0]
+            if fk in leg["sets"]:
+                raise ValueError(
+                    f"two ON UPDATE action FOREIGN KEYs fan into "
+                    f"{child}.{fk}; drop one constraint"
+                )
+            olds = [o for o, _ in m]
+            leg["preds"].append([(fk, "in", olds)])
+            if s["on_update"] == "cascade":
+                whens = " ".join(
+                    f"WHEN {_sql_literal(o)} THEN {_sql_literal(n)}"
+                    for o, n in m
+                )
+                leg["sets"][fk] = f"CASE {fk} {whens} ELSE {fk} END"
+            else:  # set null
+                inlist = ", ".join(_sql_literal(o) for o in olds)
+                leg["sets"][fk] = (
+                    f"CASE WHEN {fk} IN ({inlist}) THEN NULL "
+                    f"ELSE {fk} END"
+                )
+        return sorted(by_child.items())
 
     def _check_update_keys(
         self, table: str, predicates, set_exprs: dict
@@ -2205,13 +2384,17 @@ class TransactionalCatalog(Catalog):
                 post.select(*pcols).distinct(), pcols, "left_anti"
             )
             # self-FK: the referencing rows the probe must see are the
-            # POST-state ones (unmatched rows as-is ∪ post-SET images)
+            # POST-state ones (unmatched rows as-is ∪ post-SET images).
+            # Children with an ON UPDATE action are handled by the
+            # cascade legs instead of the RESTRICT probe.
             self._refuse_fk_orphans(
                 table,
                 removed,
                 pcols,
                 "UPDATE",
                 self_rows=t.filter(~cond).unionByName(post),
+                restrict_only=True,
+                action_field="on_update",
             )
 
     def _probe_set_casts(self, df, match, set_exprs: dict, table: str) -> None:
@@ -3536,6 +3719,7 @@ class TransactionalCatalog(Catalog):
         parent: str,
         parent_cols: list[str],
         on_delete: str = "restrict",
+        on_update: str = "restrict",
     ) -> None:
         """Register a WRITE-ENFORCED FOREIGN KEY: every later write into
         ``child`` must reference an existing ``parent`` key (rows whose
@@ -3564,10 +3748,19 @@ class TransactionalCatalog(Catalog):
         Single-column FKs only for the non-restrict actions (the
         child-side predicate is a bucket-prunable ``IN`` list). Only
         DELETE honors the action; every other removal verb (TRUNCATE /
-        OVERWRITE / RESTORE / merge-delete / replace_partitions /
-        key-retiring UPDATE) always RESTRICTs — an ON DELETE rule is a
-        delete-time rule, and silently fanning a TRUNCATE out to child
-        tables is how lakes get emptied by accident."""
+        OVERWRITE / RESTORE / merge-delete / replace_partitions)
+        always RESTRICTs — an ON DELETE rule is a delete-time rule,
+        and silently fanning a TRUNCATE out to child tables is how
+        lakes get emptied by accident.
+
+        ``on_update`` picks the parent key-REWRITE rule the same way:
+        ``"restrict"`` (default — an UPDATE rewriting a referenced key
+        away refuses while a child row references it), ``"cascade"``
+        (referencing rows follow the key to its new value), or ``"set
+        null"``. Only UPDATE honors it; single-column FKs only;
+        self-referential FKs take RESTRICT only (rewrite the node and
+        its referencing rows in ONE UPDATE statement instead — the
+        statement-level probe already accepts that)."""
         if self._pending is not None:
             raise RuntimeError(
                 "add_fk_constraint inside an open transaction"
@@ -3591,6 +3784,26 @@ class TransactionalCatalog(Catalog):
                 "FOREIGN KEYs only (the child-side delete predicate "
                 "must stay a prunable IN list)"
             )
+        on_update = on_update.lower()
+        if on_update not in ("restrict", "cascade", "set null"):
+            raise ValueError(
+                f"ON UPDATE {on_update!r}: RESTRICT, CASCADE or SET NULL"
+            )
+        if on_update != "restrict":
+            if len(cols) != 1:
+                raise ValueError(
+                    "ON UPDATE CASCADE/SET NULL supports single-column "
+                    "FOREIGN KEYs only (the child-side predicate must "
+                    "stay a prunable IN list)"
+                )
+            if child == parent:
+                raise ValueError(
+                    "self-referential ON UPDATE CASCADE/SET NULL is "
+                    "not supported (the leg would rewrite the table "
+                    "its own statement is rewriting); update the node "
+                    "and its referencing rows in ONE statement — the "
+                    "statement-level probe accepts that"
+                )
         if not self.exists(parent):
             raise FileNotFoundError(
                 f"FOREIGN KEY references missing table {parent!r}"
@@ -3636,6 +3849,7 @@ class TransactionalCatalog(Catalog):
                     "parent": parent,
                     "parent_cols": parent_cols,
                     "on_delete": on_delete,
+                    "on_update": on_update,
                 }
             }
 
@@ -3811,6 +4025,7 @@ class TransactionalCatalog(Catalog):
         verb: str,
         self_rows=_SELF_READ,
         restrict_only: bool = False,
+        action_field: str = "on_delete",
     ) -> None:
         """Parent-side RESTRICT guard: ``removed_keys`` (distinct
         ``pcols`` values this operation removes from ``parent`` — exact
@@ -3840,7 +4055,7 @@ class TransactionalCatalog(Catalog):
             if list(s["parent_cols"]) == list(pcols)
             and not (
                 restrict_only
-                and s.get("on_delete", "restrict") != "restrict"
+                and s.get(action_field, "restrict") != "restrict"
             )
         ]
         if not children:

@@ -593,3 +593,359 @@ def test_fk_cascade_preprobe_protects_unwrapped_chains(spark, tmp_path):
     execute_dml(cat, "DELETE FROM c2 WHERE ck = 20")
     execute_dml(cat, "DELETE FROM p WHERE k = 1")
     assert cat.read("c1").count() == 0 and cat.read("p").count() == 0
+
+
+# -- ON UPDATE CASCADE / SET NULL (round 13, second wave) ---------------
+
+
+def _upd_lake(spark, tmp_path, action="CASCADE"):
+    """parent(k UNIQUE) <- child(fk, ON UPDATE <action>), one NULL fk."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        "parent",
+    )
+    cat.add_unique_constraint("parent", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 2), (13, None)], "cid long, fk long"
+        ),
+        "child",
+    )
+    out = execute_dml(
+        cat,
+        "ALTER TABLE child ADD CONSTRAINT cfk FOREIGN KEY (fk) "
+        f"REFERENCES parent (k) ON UPDATE {action}",
+    )
+    assert out["on_update"] == action.lower()
+    return cat
+
+
+def test_fk_on_update_cascade_basic(spark, tmp_path):
+    cat = _upd_lake(spark, tmp_path)
+    v = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(cat, "UPDATE parent SET k = k + 100 WHERE k <= 2")
+    assert out["updated"] == 2
+    # parent rewrite + both child legs publish as ONE version
+    assert cat._read_manifest(strict=False)["version"] == v + 1
+    assert sorted(r["k"] for r in cat.read("parent").collect()) == [
+        3, 101, 102,
+    ]
+    # referencing rows followed their keys; NULL fk untouched
+    assert sorted(
+        (r["cid"], r["fk"]) for r in cat.read("child").collect()
+    ) == [(10, 101), (11, 101), (12, 102), (13, None)]
+
+
+def test_fk_on_update_set_null(spark, tmp_path):
+    cat = _upd_lake(spark, tmp_path, action="SET NULL")
+    execute_dml(cat, "UPDATE parent SET k = 500 WHERE k = 1")
+    assert sorted(
+        (r["cid"], r["fk"]) for r in cat.read("child").collect()
+    ) == [(10, None), (11, None), (12, 2), (13, None)]
+
+
+def test_fk_on_update_key_swap_one_statement(spark, tmp_path):
+    """SQL's statement-level check: swapping two keys in one UPDATE is
+    legal on the parent, and the cascade map must carry BOTH remaps
+    (1->2 and 2->1) without collapsing them."""
+    cat = _upd_lake(spark, tmp_path)
+    execute_dml(
+        cat,
+        "UPDATE parent SET k = CASE k WHEN 1 THEN 2 ELSE 1 END "
+        "WHERE k IN (1, 2)",
+    )
+    assert sorted(
+        (r["cid"], r["fk"]) for r in cat.read("child").collect()
+    ) == [(10, 2), (11, 2), (12, 1), (13, None)]
+
+
+def test_fk_on_update_string_keys(spark, tmp_path):
+    """CASE literals round-trip string keys (incl. quote escaping)."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([("o'k", 1), ("b", 2)], "k string, x long"),
+        "p",
+    )
+    cat.add_unique_constraint("p", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(1, "o'k"), (2, "b")], "id long, fk string"),
+        "c",
+    )
+    cat.add_fk_constraint("c", "f", ["fk"], "p", ["k"], on_update="cascade")
+    cat.update_where("p", [("x", "=", 1)], {"k": "'new''s'"})
+    assert sorted(r["fk"] for r in cat.read("c").collect()) == [
+        "b", "new's",
+    ]
+
+
+def test_fk_on_update_chain_and_atomic_rollback(spark, tmp_path):
+    """p2 <- c2 (cascade) <- g (cascade on c2.fk, which is UNIQUE):
+    the key change chains two levels. A RESTRICT grandchild refuses
+    the WHOLE statement — no level publishes."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(spark.createDataFrame([(1,), (2,)], "k long"), "p2")
+    cat.add_unique_constraint("p2", "pk2", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(100, 1), (200, 2)], "id long, fk long"),
+        "c2",
+    )
+    cat.add_unique_constraint("c2", "u_fk", ["fk"])
+    cat.add_fk_constraint(
+        "c2", "fc", ["fk"], "p2", ["k"], on_update="cascade"
+    )
+    cat.overwrite(
+        spark.createDataFrame([(7, 1), (8, 2)], "gid long, gfk long"), "g"
+    )
+    cat.add_fk_constraint(
+        "g", "fg", ["gfk"], "c2", ["fk"], on_update="cascade"
+    )
+    execute_dml(cat, "UPDATE p2 SET k = 50 WHERE k = 1")
+    assert sorted(r["fk"] for r in cat.read("c2").collect()) == [2, 50]
+    assert sorted(r["gfk"] for r in cat.read("g").collect()) == [2, 50]
+    # a RESTRICT grandchild blocks the chain atomically
+    cat.overwrite(spark.createDataFrame([(9, 2)], "hid long, hfk long"), "h")
+    cat.add_fk_constraint("h", "fh", ["hfk"], "c2", ["fk"])
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(cat, "UPDATE p2 SET k = 60 WHERE k = 2")
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert sorted(r["k"] for r in cat.read("p2").collect()) == [2, 50]
+    assert sorted(r["fk"] for r in cat.read("c2").collect()) == [2, 50]
+
+
+def test_fk_on_update_validation(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(1, 1)], "a long, b long"), "p"
+    )
+    cat.add_unique_constraint("p", "pk", ["a", "b"])
+    cat.overwrite(
+        spark.createDataFrame([(1, 1, 1)], "id long, fa long, fb long"),
+        "c",
+    )
+    with pytest.raises(ValueError, match="ON UPDATE 'purge'"):
+        cat.add_fk_constraint(
+            "c", "f", ["fa", "fb"], "p", ["a", "b"], on_update="purge"
+        )
+    # composite FKs take RESTRICT only
+    with pytest.raises(ValueError, match="single-column"):
+        cat.add_fk_constraint(
+            "c", "f", ["fa", "fb"], "p", ["a", "b"], on_update="cascade"
+        )
+    # self-referential ON UPDATE actions refuse at registration
+    cat.overwrite(
+        spark.createDataFrame([(1, None)], "id long, mgr long"), "emp"
+    )
+    cat.add_unique_constraint("emp", "epk", ["id"])
+    with pytest.raises(ValueError, match="self-referential ON UPDATE"):
+        cat.add_fk_constraint(
+            "emp", "ef", ["mgr"], "emp", ["id"], on_update="set null"
+        )
+    # duplicate clause refuses in DDL
+    cat.overwrite(spark.createDataFrame([(1,)], "k long"), "pp")
+    cat.add_unique_constraint("pp", "ppk", ["k"])
+    cat.overwrite(spark.createDataFrame([(1, 1)], "id long, fk long"), "cc")
+    with pytest.raises(ValueError, match="duplicate ON UPDATE"):
+        execute_dml(
+            cat,
+            "ALTER TABLE cc ADD CONSTRAINT f FOREIGN KEY (fk) "
+            "REFERENCES pp (k) ON UPDATE CASCADE ON UPDATE SET NULL",
+        )
+    # both clauses, either order, and SHOW CREATE round-trips them
+    out = execute_dml(
+        cat,
+        "ALTER TABLE cc ADD CONSTRAINT f FOREIGN KEY (fk) "
+        "REFERENCES pp (k) ON UPDATE SET NULL ON DELETE CASCADE",
+    )
+    assert out["on_delete"] == "cascade"
+    assert out["on_update"] == "set null"
+    ddl = execute_dml(cat, "SHOW CREATE TABLE cc")["create"]
+    assert "ON DELETE CASCADE ON UPDATE SET NULL" in ddl
+
+
+def test_fk_on_update_dv_mode_refuses(spark, tmp_path):
+    """Deletion vectors publish outside the staged-dir protocol — the
+    action legs cannot join them atomically. Real run AND EXPLAIN
+    refuse identically; a SET not touching the referenced column
+    stays allowed."""
+    cat = _upd_lake(spark, tmp_path)
+    execute_dml(
+        cat,
+        "ALTER TABLE parent SET TBLPROPERTIES "
+        "('dml.mode' = 'merge-on-read')",
+    )
+    with pytest.raises(RuntimeError, match="merge-on-read UPDATE"):
+        execute_dml(cat, "UPDATE parent SET k = 99 WHERE k = 1")
+    with pytest.raises(RuntimeError, match="merge-on-read UPDATE"):
+        execute_dml(cat, "EXPLAIN UPDATE parent SET k = 99 WHERE k = 1")
+    out = execute_dml(cat, "UPDATE parent SET v = 'z' WHERE k = 1")
+    assert out["updated"] == 1
+
+
+def test_fk_on_update_explain_reports_legs(spark, tmp_path):
+    cat = _upd_lake(spark, tmp_path)
+    plan = execute_dml(cat, "EXPLAIN UPDATE parent SET k = 9 WHERE k = 1")
+    assert plan["fk_update_actions"] == [
+        {"child": "child", "action": "cascade", "column": "k"}
+    ]
+    # a SET not touching the referenced column reports no legs
+    plan = execute_dml(cat, "EXPLAIN UPDATE parent SET v = 'x' WHERE k = 1")
+    assert "fk_update_actions" not in plan
+
+
+def test_fk_on_update_noop_set_fans_nothing(spark, tmp_path):
+    """SET that leaves every key value unchanged plans an empty map —
+    the child is never rewritten (its version stays put)."""
+    cat = _upd_lake(spark, tmp_path)
+    before = cat.table_versions("child") if hasattr(
+        cat, "table_versions"
+    ) else None
+    cdirs = cat._data_dirs("child")
+    execute_dml(cat, "UPDATE parent SET k = k WHERE k = 1")
+    assert cat._data_dirs("child") == cdirs
+    assert sorted(
+        (r["cid"], r["fk"]) for r in cat.read("child").collect()
+    ) == [(10, 1), (11, 1), (12, 2), (13, None)]
+
+
+def test_fk_on_update_cap(spark, tmp_path, monkeypatch):
+    cat = _upd_lake(spark, tmp_path)
+    monkeypatch.setattr(
+        type(cat), "_CASCADE_KEY_CAP", 1, raising=True
+    )
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(ValueError, match="ON UPDATE cascade"):
+        execute_dml(cat, "UPDATE parent SET k = k + 100 WHERE k <= 2")
+    assert cat._read_manifest(strict=False)["version"] == v
+
+
+def test_fk_on_update_two_fks_same_child_merge(spark, tmp_path):
+    """Two action FKs into the same child merge into ONE child
+    statement (a DNF branch per FK column) — naively running two legs
+    would trip the one-rewrite-per-transaction rule."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(spark.createDataFrame([(1,), (2,)], "k long"), "p")
+    cat.add_unique_constraint("p", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, 1, 2), (2, 2, None)], "id long, f1 long, f2 long"
+        ),
+        "c",
+    )
+    cat.add_fk_constraint("c", "a", ["f1"], "p", ["k"], on_update="cascade")
+    cat.add_fk_constraint(
+        "c", "b", ["f2"], "p", ["k"], on_update="set null"
+    )
+    execute_dml(cat, "UPDATE p SET k = k + 10 WHERE k >= 1")
+    assert sorted(
+        (r["id"], r["f1"], r["f2"]) for r in cat.read("c").collect()
+    ) == [(1, 11, None), (2, 12, None)]
+
+
+def test_fk_on_update_restrict_sibling_blocks(spark, tmp_path):
+    """One cascade child + one RESTRICT child: the restrict constraint
+    wins — the statement refuses BEFORE any leg stages."""
+    cat = _upd_lake(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(30, 1)], "rid long, fk long"), "strict"
+    )
+    cat.add_fk_constraint("strict", "sf", ["fk"], "parent", ["k"])
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="'strict'"):
+        execute_dml(cat, "UPDATE parent SET k = 99 WHERE k = 1")
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert sorted(r["fk"] for r in cat.read("child").collect() if r["fk"]
+                  ) == [1, 1, 2]
+
+
+def test_fk_on_update_inside_begin_block(spark, tmp_path):
+    """A key-changing UPDATE inside BEGIN ... COMMIT stages its legs
+    into the enclosing block; ROLLBACK discards parent AND children."""
+    cat = _upd_lake(spark, tmp_path)
+    execute_dml(
+        cat,
+        "BEGIN; UPDATE parent SET k = 201 WHERE k = 1; "
+        "INSERT INTO child VALUES (14, 201); COMMIT",
+    )
+    assert sorted(
+        r["fk"] for r in cat.read("child").collect() if r["fk"] is not None
+    ) == [2, 201, 201, 201]
+    execute_dml(
+        cat, "BEGIN; UPDATE parent SET k = 300 WHERE k = 2; ROLLBACK"
+    )
+    assert sorted(r["k"] for r in cat.read("parent").collect()) == [
+        2, 3, 201,
+    ]
+    assert sorted(
+        r["fk"] for r in cat.read("child").collect() if r["fk"] is not None
+    ) == [2, 201, 201, 201]
+
+
+def test_fk_on_update_leg_moves_bucketed_child_rows(spark, tmp_path):
+    """The cascade leg SETs the child's own bucket key — the
+    update-on-bucket-key machinery must re-place the moved rows so
+    every bucket-pruned path keeps finding them."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame([(i,) for i in range(1, 9)], "k long"), "p"
+    )
+    cat.add_unique_constraint("p", "pk", ["k"])
+    execute_dml(
+        cat,
+        "CREATE TABLE c (id LONG, fk LONG) "
+        "CLUSTERED BY (fk) INTO 4 BUCKETS",
+    )
+    execute_dml(
+        cat,
+        "INSERT INTO c SELECT id, fk FROM "
+        "(VALUES (10, 3), (11, 5)) AS t(id, fk)",
+    )
+    cat.add_fk_constraint("c", "f", ["fk"], "p", ["k"], on_update="cascade")
+    execute_dml(cat, "UPDATE p SET k = k + 100 WHERE k = 3")
+    assert sorted(
+        (r["id"], r["fk"]) for r in cat.read("c").collect()
+    ) == [(10, 103), (11, 5)]
+    # a bucket-pruned read finds the moved row at its NEW placement
+    assert [
+        (r["id"], r["fk"])
+        for r in cat.read("c", predicates=[("fk", "=", 103)]).collect()
+    ] == [(10, 103)]
+    from gcp_datalake_pipeline_spark.storage import kb_col
+
+    want = (
+        spark.createDataFrame([(103,)], "fk long")
+        .select(kb_col(["fk"], 4).alias("kb"))
+        .first()["kb"]
+    )
+    got = {
+        r["_kb"]
+        for r in cat.read("c").where(F.col("fk") == 103).collect()
+    }
+    assert got == {want}
+
+
+def test_fk_on_update_leg_on_merge_on_read_child(spark, tmp_path):
+    """A dv-mode CHILD takes the leg copy-on-write (the PARENT's mode
+    is what the atomicity refusal guards); existing deletion vectors
+    on the child survive the leg rewrite."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(spark.createDataFrame([(1,), (2,)], "k long"), "p")
+    cat.add_unique_constraint("p", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 2)], "id long, fk long"
+        ),
+        "c",
+    )
+    execute_dml(
+        cat, "ALTER TABLE c SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')"
+    )
+    execute_dml(cat, "DELETE FROM c WHERE id = 11")  # leaves a DV
+    cat.add_fk_constraint("c", "f", ["fk"], "p", ["k"], on_update="cascade")
+    execute_dml(cat, "UPDATE p SET k = 7 WHERE k = 1")
+    assert sorted(
+        (r["id"], r["fk"]) for r in cat.read("c").collect()
+    ) == [(10, 7), (12, 2)]
