@@ -24,9 +24,12 @@ statement):
         VALUES (<literal|NULL>, ...), ... | SELECT ...
     MERGE INTO <table> USING <src-table | (SELECT ...) [alias]>
         ON [q.]k = [q.]k [AND ...]
-        [WHEN MATCHED THEN UPDATE SET *
-         WHEN NOT MATCHED THEN INSERT *
-         | WHEN MATCHED THEN DELETE]
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE]
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+        -- conds: Spark SQL over src.col / tgt.col; no clauses = the
+        -- classic upsert pair; conditional / BY SOURCE shapes need a
+        -- transactional catalog
     CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
         [CLUSTERED BY (keys) INTO n BUCKETS]
     CREATE TABLE [IF NOT EXISTS] <table>
@@ -89,8 +92,11 @@ _GRAMMAR = (
     "UPDATE t SET col = expr[, ...] WHERE <where>; "
     "INSERT INTO|OVERWRITE t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
-    "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
-    "| WHEN MATCHED THEN DELETE]; "
+    "[WHEN MATCHED [AND cond] THEN UPDATE SET *|DELETE] "
+    "[WHEN NOT MATCHED [AND cond] THEN INSERT *] "
+    "[WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE] "
+    "(conds are Spark SQL over src.col/tgt.col; no clauses = the "
+    "classic upsert pair); "
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols) [CLUSTERED BY (keys) INTO n BUCKETS] | [CLUSTERED BY ...] AS SELECT ...; "
     "BEGIN [TRANSACTION]; <INSERT|MERGE|DELETE|UPDATE>; ...; COMMIT|ROLLBACK "
     "(one atomic multi-table commit); "
@@ -576,11 +582,6 @@ def _parse_on_keys(on_clause: str) -> list[str]:
     return keys
 
 
-_CANONICAL_WHEN = (
-    "MATCHED THEN UPDATE SET *",
-    "NOT MATCHED THEN INSERT *",
-)
-_CANONICAL_WHEN_DELETE = ("MATCHED THEN DELETE",)
 
 
 def _parse_update_tail(tail: str) -> tuple[dict, str]:
@@ -800,44 +801,77 @@ def _explain(catalog, inner: str):
     m = _MERGE_RE.fullmatch(s)
     if m:
         table, rest = m.group(1), m.group(2)
-        source_spec, keys, canon, schema, meta = _parse_merge(
+        source_spec, keys, clauses, schema, meta = _parse_merge(
             catalog, table, rest
         )
         src = _resolve_source(catalog, source_spec)
+        shape = _merge_shape(clauses)
+        # mirror the real run's refusal: generalized clause sets need
+        # the transactional engine — a dry run must not report a plan
+        # for a statement the real run rejects
+        if shape == "merge_when" and getattr(
+            catalog, "merge_when", None
+        ) is None:
+            raise ValueError(
+                "conditional / NOT MATCHED BY SOURCE MERGE clauses "
+                "need a transactional catalog (ingest --atomic); "
+                f"{_GRAMMAR}"
+            )
         types = {f.name: f.dataType for f in schema.fields}
         # same columns the real run's _align_merge_source would probe:
-        # type-mismatched shared columns (keys only for matched-delete)
-        is_delete = canon == _CANONICAL_WHEN_DELETE
+        # type-mismatched shared columns (keys only when no clause
+        # carries source values into the target)
+        need_full = shape == "upsert" or (
+            shape == "merge_when"
+            and (
+                (clauses["matched"] or {}).get("action") == "update"
+                or clauses["not_matched"]
+            )
+        )
         probe_cols = [
             c
             for c in src.columns
             if c in types
-            and (not is_delete or c in keys)
+            and (need_full or c in keys)
             and src.schema[c].dataType != types[c]
         ]
         n, losses = _cast_loss_counts(src, types, probe_cols)
         out = {
             "explain": "MERGE",
             "table": table,
-            "mode": "merge_delete" if is_delete else "upsert",
+            "mode": shape,
             "source_rows": n,
             "cast_loss": {c: v for c, v in losses.items() if v},
             "would_refuse": any(losses.values()),
         }
+        if shape == "merge_when":
+            out["clauses"] = {
+                k: v for k, v in clauses.items() if v is not None
+            }
         if meta is not None:
-            # the write blast radius under the bucketed route: which
-            # key-hash buckets the source would force a re-stage of
-            from gcp_datalake_pipeline_spark.storage import kb_col
-
             nb = meta["num_buckets"]
-            out["buckets_rewritten"] = (
-                src.select(*keys)
-                .dropDuplicates(keys)
-                .select(kb_col(keys, nb).alias("_kb"))
-                .distinct()
-                .count()
-            )
-            out["buckets_total"] = nb
+            if clauses["by_source"] is not None:
+                # every target row must prove a source match — the
+                # full-sync clause reads and rewrites ALL buckets
+                out["buckets_rewritten"] = nb
+                out["buckets_total"] = nb
+                out["rewrite"] = (
+                    "full-sync (NOT MATCHED BY SOURCE scans the whole "
+                    "target)"
+                )
+            else:
+                # the write blast radius under the bucketed route:
+                # which key-hash buckets the source forces a re-stage of
+                from gcp_datalake_pipeline_spark.storage import kb_col
+
+                out["buckets_rewritten"] = (
+                    src.select(*keys)
+                    .dropDuplicates(keys)
+                    .select(kb_col(keys, nb).alias("_kb"))
+                    .distinct()
+                    .count()
+                )
+                out["buckets_total"] = nb
         else:
             out["rewrite"] = "full-table (no _kb bucket layout recorded)"
         return out
@@ -1010,10 +1044,79 @@ def _parse_insert_source(catalog, table, col_list, tail, overwrite):
     return cols, src, schema
 
 
+_WHEN_RE = re.compile(
+    r"(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*$",
+    re.I | re.S,
+)
+
+
+def _parse_when_clauses(whens) -> dict:
+    """The MERGE WHEN clause set: at most one each of MATCHED (UPDATE
+    SET * / DELETE), NOT MATCHED (INSERT *), NOT MATCHED BY SOURCE
+    (DELETE), each with an optional ``AND <cond>`` over ``src.col`` /
+    ``tgt.col``. Returns ``{"matched"|"not_matched"|"by_source":
+    {"action", "cond"} | None}``."""
+    clauses: dict = {"matched": None, "not_matched": None, "by_source": None}
+    for w in whens:
+        m = _WHEN_RE.fullmatch(w.strip())
+        if not m:
+            raise ValueError(
+                f"unsupported MERGE WHEN clause {w.strip()!r}; {_GRAMMAR}"
+            )
+        neg, bys, cond, act_txt = m.groups()
+        act = re.sub(r"\s+", " ", act_txt.upper())
+        if bys and not neg:
+            raise ValueError(
+                f"'MATCHED BY SOURCE' is not a MERGE clause (did you "
+                f"mean NOT MATCHED BY SOURCE?); {_GRAMMAR}"
+            )
+        kind = "by_source" if bys else ("not_matched" if neg else "matched")
+        allowed = {
+            "matched": {"UPDATE SET *": "update", "DELETE": "delete"},
+            "not_matched": {"INSERT *": "insert"},
+            "by_source": {"DELETE": "delete"},
+        }[kind]
+        if act not in allowed:
+            raise ValueError(
+                f"MERGE WHEN {'NOT ' if neg else ''}MATCHED"
+                f"{' BY SOURCE' if bys else ''} supports "
+                f"{sorted(allowed)} only (got {act!r}); {_GRAMMAR}"
+            )
+        if clauses[kind] is not None:
+            raise ValueError(
+                f"duplicate MERGE WHEN "
+                f"{'NOT MATCHED BY SOURCE' if bys else ('NOT MATCHED' if neg else 'MATCHED')} "
+                f"clause; {_GRAMMAR}"
+            )
+        clauses[kind] = {
+            "action": allowed[act],
+            "cond": cond.strip() if cond else None,
+        }
+    return clauses
+
+
+def _merge_shape(clauses: dict) -> str:
+    """'upsert' / 'merge_delete' (the classic fast paths) or
+    'merge_when' (the generalized clause set)."""
+    m, i, b = (
+        clauses["matched"], clauses["not_matched"], clauses["by_source"],
+    )
+    if (
+        b is None
+        and m == {"action": "update", "cond": None}
+        and i == {"action": "insert", "cond": None}
+    ):
+        return "upsert"
+    if b is None and i is None and m == {"action": "delete", "cond": None}:
+        return "merge_delete"
+    return "merge_when"
+
+
 def _parse_merge(catalog, table, rest):
     """The MERGE grammar's shared body (real run AND EXPLAIN): WHEN
-    canonicalization, ON keys, target refusals, bucket-layout key
-    check. Returns ``(source_spec, keys, canon, schema, bucket_meta)``."""
+    clause parsing, ON keys, target refusals, bucket-layout key
+    check. Returns ``(source_spec, keys, clauses, schema, bucket_meta)``."""
     _refuse_matview_target(catalog, table, "MERGE")
     pieces = _split_keyword(rest, "ON")
     if len(pieces) != 2:
@@ -1021,14 +1124,16 @@ def _parse_merge(catalog, table, rest):
     source_spec, on_tail = pieces
     when_parts = _split_keyword(on_tail, "WHEN")
     on_clause, whens = when_parts[0], when_parts[1:]
-    canon = tuple(re.sub(r"\s+", " ", w.strip().upper()) for w in whens)
-    if whens and canon not in (_CANONICAL_WHEN, _CANONICAL_WHEN_DELETE):
-        raise ValueError(
-            "unsupported MERGE WHEN clauses (routable: the full "
-            "upsert pair 'WHEN MATCHED THEN UPDATE SET * WHEN NOT "
-            "MATCHED THEN INSERT *' or the matched-delete 'WHEN "
-            f"MATCHED THEN DELETE' alone); {_GRAMMAR}"
-        )
+    if whens:
+        clauses = _parse_when_clauses(whens)
+    else:
+        # clause-less MERGE keeps its historical meaning: the full
+        # upsert pair
+        clauses = {
+            "matched": {"action": "update", "cond": None},
+            "not_matched": {"action": "insert", "cond": None},
+            "by_source": None,
+        }
     keys = _parse_on_keys(on_clause)
     schema = _target_schema(catalog, table)
     names = {f.name for f in schema.fields}
@@ -1051,7 +1156,7 @@ def _parse_merge(catalog, table, rest):
             f"those (got {keys}) — a mismatched merge would turn "
             "updates into silent duplicate inserts"
         )
-    return source_spec, keys, canon, schema, meta
+    return source_spec, keys, clauses, schema, meta
 
 
 def _refuse_matview_target(catalog, table: str, verb: str) -> None:
@@ -1343,11 +1448,12 @@ def execute_dml(catalog, sql: str) -> dict | None:
     m = _MERGE_RE.fullmatch(s)
     if m:
         table, rest = m.group(1), m.group(2)
-        source_spec, keys, canon, schema, meta = _parse_merge(
+        source_spec, keys, clauses, schema, meta = _parse_merge(
             catalog, table, rest
         )
         src = _resolve_source(catalog, source_spec)
-        if canon == _CANONICAL_WHEN_DELETE:
+        shape = _merge_shape(clauses)
+        if shape == "merge_delete":
             # only the keys matter: probe/align just those (a mismatch
             # on a non-key source column must not block a delete)
             from pyspark.sql import types as T
@@ -1364,6 +1470,35 @@ def execute_dml(catalog, sql: str) -> dict | None:
             else:
                 n = catalog.merge_delete(src, table, key_cols=keys)
             return {"table": table, "merge_deleted": n}
+        if shape == "merge_when":
+            mw = getattr(catalog, "merge_when", None)
+            if mw is None:
+                raise ValueError(
+                    "conditional / NOT MATCHED BY SOURCE MERGE clauses "
+                    "need a transactional catalog (ingest --atomic); "
+                    f"{_GRAMMAR}"
+                )
+            need_full = (
+                clauses["matched"] or {}
+            ).get("action") == "update" or clauses["not_matched"]
+            if need_full:
+                src, _ = _align_merge_source(catalog, src, schema)
+            else:
+                from pyspark.sql import types as T
+
+                key_schema = T.StructType(
+                    [f for f in schema.fields if f.name in keys]
+                )
+                src, _ = _align_merge_source(catalog, src, key_schema)
+            counts = mw(
+                src,
+                table,
+                key_cols=keys,
+                matched=clauses["matched"],
+                not_matched=clauses["not_matched"],
+                by_source=clauses["by_source"],
+            )
+            return {"table": table, **counts}
         src, n = _align_merge_source(catalog, src, schema)
         if meta is not None:
             catalog.merge_upsert_bucketed(

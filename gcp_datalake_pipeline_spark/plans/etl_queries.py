@@ -2859,6 +2859,110 @@ def etl_fk_on_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_merge_when",
+    """
+    WITH t0 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 800),
+    s0 AS (
+      SELECT o_orderkey AS k, 'S' AS st,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 5 AS cents
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1200),
+    final AS (
+      SELECT CASE WHEN s0.cents % 2 = 0 THEN s0.st ELSE t0.st END AS st,
+             CASE WHEN s0.cents % 2 = 0 THEN s0.cents ELSE t0.cents END
+               AS cents
+      FROM t0 JOIN s0 ON t0.k = s0.k
+      UNION ALL
+      SELECT st, cents FROM t0
+      WHERE k NOT IN (SELECT k FROM s0) AND st <> 'F'
+      UNION ALL
+      SELECT st, cents FROM s0
+      WHERE k NOT IN (SELECT k FROM t0) AND cents % 3 = 0)
+    SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(cents) AS total_cents
+    FROM final GROUP BY st ORDER BY st
+    """,
+    doc="""Generalized MERGE WHEN clause set (transactions merge_when;
+    SQL conditional + NOT MATCHED BY SOURCE clauses): a snapshot sync
+    of an orders-derived state table in ONE atomic statement — matched
+    rows take the source when src.cents is even, unmatched source rows
+    insert when divisible by 3, and target rows absent from the source
+    drop when their status is 'F'. One full-outer shuffle join computes
+    the post-image; the write rides the checked overwrite path (parent
+    FK probes / UNIQUE / CHECKs); on bucketed targets the same operator
+    prunes to the source keys' buckets via replace_partitions unless a
+    BY SOURCE clause forces the honest full-sync scan. EXPLAIN MERGE
+    reports the clause set and blast radius (asserted every run).
+    Oracle = the clause semantics recomputed declaratively.""",
+)
+def etl_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+    from gcp_datalake_pipeline_spark.transactions import (
+        TransactionalCatalog,
+    )
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    root = _scratch_root(f"etl_merge_when_{tag}")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    if not cat.exists("state_sync"):
+        orders = load_table(spark, sf_dir, "orders")
+        cat.overwrite(
+            orders.where(F.col("o_orderkey") < 800).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("st"),
+                cents("o_totalprice").alias("cents"),
+            ),
+            "state_sync",
+        )
+        orders.where(
+            (F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 1200)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("S").alias("st"),
+            (cents("o_totalprice") + F.lit(5)).alias("cents"),
+        ).createOrReplaceTempView("snap_src")
+        v = cat._read_manifest(strict=False)["version"]
+        execute_dml(
+            cat,
+            "MERGE INTO state_sync USING snap_src ON k = k "
+            "WHEN MATCHED AND src.cents % 2 = 0 THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND src.cents % 3 = 0 THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND tgt.st = 'F' THEN DELETE",
+        )
+        if cat._read_manifest(strict=False)["version"] != v + 1:
+            raise RuntimeError(
+                "three-clause merge did not publish as one version"
+            )
+    # EVERY run: the dry run names the clause set (metadata + one
+    # source count, no write)
+    spark.createDataFrame([(1, "S", 0)], "k long, st string, cents long"
+                          ).createOrReplaceTempView("probe_src")
+    plan = execute_dml(
+        cat,
+        "EXPLAIN MERGE INTO state_sync USING probe_src ON k = k "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    if plan["mode"] != "merge_when" or set(plan["clauses"]) != {
+        "matched", "by_source",
+    }:
+        raise RuntimeError(f"EXPLAIN MERGE mis-reported: {plan}")
+    return (
+        cat.read("state_sync")
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("st")
+    )
+
+
+@register(
     "etl_consumer_across_rename",
     """
     SELECT o_orderkey, o_orderstatus,

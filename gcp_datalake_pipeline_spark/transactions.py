@@ -5578,6 +5578,195 @@ class TransactionalCatalog(Catalog):
         self._note_replace(table, rel, schema=add_df.schema)
         self._intents[table]["base"] = snapshot
 
+    def merge_when(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        matched: dict | None = None,
+        not_matched: dict | None = None,
+        by_source: dict | None = None,
+        order_col: str | None = None,
+    ) -> dict:
+        """Generalized three-way MERGE (Delta's conditional / BY SOURCE
+        clause set), as ONE post-image computation routed through the
+        existing checked write paths:
+
+        - ``matched``: ``{"action": "update"|"delete", "cond": sql|None}``
+          — target rows with a source match take the source row (SET *)
+          or drop, when ``cond`` holds (else they keep);
+        - ``not_matched``: ``{"action": "insert", "cond": sql|None}`` —
+          source rows with no target match insert when ``cond`` holds;
+        - ``by_source``: ``{"action": "delete", "cond": sql|None}`` —
+          target rows with NO source match drop when ``cond`` holds
+          (the full-snapshot-sync clause).
+
+        Conditions are Spark SQL over ``src.col`` / ``tgt.col``
+        (``source.`` / ``target.`` also accepted); unqualified names
+        refuse at analysis. Duplicate source keys collapse last-wins
+        first (same contract as :meth:`~.storage.Catalog.merge_upsert`);
+        NULL join keys never match (standard SQL equi-join).
+
+        Execution = ONE shuffle join on the keys + one write, atomic:
+        - plain table: full-outer join against the whole target, result
+          lands via :meth:`overwrite` (content replace — the same cost
+          shape as the classic upsert on an unbucketed table), with its
+          CHECK/UNIQUE enforcement and parent-FK removed-key probes;
+        - bucketed, no ``by_source``: the target scan PRUNES to the
+          buckets holding source keys and only those ``_kb`` partitions
+          rewrite via :meth:`replace_partitions` (untouched buckets
+          hardlink-carry; its survivor-scoped UNIQUE probe and
+          dropped-key FK guards apply) — the Delta-MERGE blast radius;
+        - bucketed with ``by_source``: inherently O(target) (every
+          target row must prove it has a source match), one partitioned
+          full rewrite that keeps the ``_kb`` layout.
+
+        Returns ``{"merge_updated": u, "merge_inserted": i,
+        "merge_deleted": d}`` (counts ride one aggregate pass; the
+        write re-evaluates the join — deterministic sources are the
+        front door's documented contract)."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from gcp_datalake_pipeline_spark.storage import (
+            dedup_last_wins,
+            kb_col,
+        )
+
+        def _act(clause, kinds, label):
+            if clause is None:
+                return None
+            a = clause.get("action")
+            if a not in kinds:
+                raise ValueError(
+                    f"merge_when {label} action {a!r}: supported "
+                    f"{sorted(kinds)}"
+                )
+            return a
+
+        m_act = _act(matched, {"update", "delete"}, "matched")
+        i_act = _act(not_matched, {"insert"}, "not_matched")
+        b_act = _act(by_source, {"delete"}, "by_source")
+        if not (m_act or i_act or b_act):
+            raise ValueError("merge_when needs at least one WHEN clause")
+        tschema = self.logical_schema(table)
+        if tschema is None:
+            raise FileNotFoundError(f"{table!r} not in manifest")
+        tcols = [f.name for f in tschema.fields if f.name != "_kb"]
+        ttypes = {f.name: f.dataType for f in tschema.fields}
+        missing = [k for k in key_cols if k not in tcols]
+        if missing:
+            raise ValueError(f"merge keys {missing!r} not in {table!r}")
+        src = dedup_last_wins(source, key_cols, order_col)
+        src = src.drop("_row_idx", "_source_file")
+        need_full = m_act == "update" or i_act is not None
+        need_cols = list(tcols) if need_full else list(key_cols)
+        absent = [c for c in need_cols if c not in src.columns]
+        if absent:
+            raise ValueError(
+                f"merge_when source lacks column(s) {absent!r} needed "
+                f"by the UPDATE SET * / INSERT * clauses"
+            )
+        target = self.read(table)
+        meta = self.bucket_meta(table)
+        touched: list | None = None
+        if meta is not None:
+            if list(meta["key_cols"]) != list(key_cols):
+                raise ValueError(
+                    f"merge target {table!r} is bucketed on "
+                    f"{meta['key_cols']}; merge keys must match"
+                )
+            if by_source is None:
+                touched = [
+                    r["_kb"]
+                    for r in src.select(*key_cols)
+                    .distinct()
+                    .select(
+                        kb_col(key_cols, meta["num_buckets"]).alias("_kb")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if not touched and i_act is None:
+                    return {
+                        "merge_updated": 0,
+                        "merge_inserted": 0,
+                        "merge_deleted": 0,
+                    }
+                target = target.where(F.col("_kb").isin(touched))
+        t_pref = target.select(
+            *[F.col(c).alias(f"__t_{c}") for c in tcols],
+            F.lit(True).alias("__tf"),
+        )
+        s_pref = src.select(
+            *[F.col(c).alias(f"__s_{c}") for c in src.columns],
+            F.lit(True).alias("__sf"),
+        )
+        on = None
+        for k in key_cols:
+            leg = F.col(f"__t_{k}") == F.col(f"__s_{k}")
+            on = leg if on is None else on & leg
+        j = t_pref.join(s_pref, on, "full_outer")
+
+        def _cx(clause):
+            cond = (clause or {}).get("cond")
+            if cond is None:
+                return F.lit(True)
+            e = _re.sub(
+                r"\b(?:src|source)\s*\.\s*(\w+)", r"__s_\1", cond,
+                flags=_re.I,
+            )
+            e = _re.sub(
+                r"\b(?:tgt|target)\s*\.\s*(\w+)", r"__t_\1", e,
+                flags=_re.I,
+            )
+            return F.coalesce(F.expr(e), F.lit(False))
+
+        tf = F.coalesce(F.col("__tf"), F.lit(False))
+        sf = F.coalesce(F.col("__sf"), F.lit(False))
+        is_m, t_only, s_only = tf & sf, tf & ~sf, ~tf & sf
+        false = F.lit(False)
+        upd = is_m & _cx(matched) if m_act == "update" else false
+        mdel = is_m & _cx(matched) if m_act == "delete" else false
+        ins = s_only & _cx(not_matched) if i_act else false
+        bdel = t_only & _cx(by_source) if b_act else false
+        keep = (is_m & ~mdel) | (t_only & ~bdel) | ins
+        counts = j.agg(
+            F.sum(upd.cast("long")).alias("u"),
+            F.sum(ins.cast("long")).alias("i"),
+            F.sum((mdel | bdel).cast("long")).alias("d"),
+        ).first()
+        use_src = upd | ins if need_full else None
+        out = j.filter(keep).select(
+            *[
+                (
+                    F.when(use_src, F.col(f"__s_{c}"))
+                    .otherwise(F.col(f"__t_{c}"))
+                    if need_full
+                    else F.col(f"__t_{c}")
+                )
+                .cast(ttypes[c])
+                .alias(c)
+                for c in tcols
+            ]
+        )
+        if meta is None:
+            self.overwrite(out, table)
+        else:
+            out = out.withColumn(
+                "_kb", kb_col(key_cols, meta["num_buckets"])
+            )
+            if by_source is not None:
+                self.overwrite(out, table, partition_cols=["_kb"])
+            else:
+                self.replace_partitions(table, "_kb", touched, out)
+        return {
+            "merge_updated": counts["u"] or 0,
+            "merge_inserted": counts["i"] or 0,
+            "merge_deleted": counts["d"] or 0,
+        }
+
     def compact(
         self,
         table: str,

@@ -529,13 +529,17 @@ def test_merge_refusals(spark, tmp_path):
         execute_dml(cat, "MERGE INTO t USING s ON t.k = s.j")
     with pytest.raises(ValueError, match="unsupported MERGE ON term"):
         execute_dml(cat, "MERGE INTO t USING s ON k < k")
-    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
-        # insert-only merges are not the routable full-upsert pair
-        execute_dml(
-            cat,
-            "MERGE INTO t USING s ON k = k "
-            "WHEN NOT MATCHED THEN INSERT *",
-        )
+    # insert-only merges route through the generalized clause set now:
+    # matched rows KEEP (no matched clause), unmatched source inserts
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING s ON k = k WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {
+        "table": "t", "merge_updated": 0, "merge_inserted": 0,
+        "merge_deleted": 0,
+    }
+    assert cat.read("t").first()["v"] == 2.0  # matched row kept, not updated
     with pytest.raises(ValueError, match="not in target table"):
         execute_dml(cat, "MERGE INTO t USING s ON ghost = ghost")
     with pytest.raises(ValueError, match="unsupported DML shape"):
@@ -645,13 +649,24 @@ def test_merge_when_matched_delete(spark, tmp_path):
         "WHEN MATCHED THEN DELETE",
     )
     assert out == {"table": "t", "merge_deleted": 1}
-    # a DELETE combined with other WHEN clauses stays refused
-    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
+    # DELETE combined with INSERT now routes through the generalized
+    # clause set — and its INSERT * leg demands the full source schema
+    with pytest.raises(ValueError, match="source lacks column"):
         execute_dml(
             cat,
             "MERGE INTO t USING del_src ON t.k = del_src.k "
             "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
         )
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 70 AS k, 'g' AS s) z ON t.k = z.k "
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {
+        "table": "t", "merge_updated": 0, "merge_inserted": 1,
+        "merge_deleted": 0,
+    }
+    assert 70 in {r["k"] for r in cat.read("t").collect()}
 
 
 def test_create_table_as_select(spark, tmp_path):
@@ -1593,3 +1608,286 @@ def test_begin_block_delete_update_distinct_tables(spark, tmp_path):
         with pytest.raises(RuntimeError, match="staged-dir protocol"):
             execute_dml(cat, f"BEGIN; {stmt}; COMMIT")
     assert cat.read("s").first()["v"] == 99
+
+
+# -- generalized MERGE WHEN clauses (conditional / BY SOURCE) -----------
+
+
+def _merge_cat(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, v string, amt double",
+        ),
+        "t",
+    )
+    return cat
+
+
+def test_merge_matched_cond_update(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE SET *: only rows passing
+    the condition take the source values; conds see both sides via
+    src./tgt. qualification."""
+    cat = _merge_cat(spark, tmp_path)
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT k, 'U' AS v, amt FROM (VALUES "
+        "(1, 1.0), (2, 2.0), (3, 3.0)) AS x(k, amt)) ON k = k "
+        "WHEN MATCHED AND tgt.amt < 25 THEN UPDATE SET *",
+    )
+    assert out == {
+        "table": "t", "merge_updated": 2, "merge_inserted": 0,
+        "merge_deleted": 0,
+    }
+    assert sorted(
+        (r["k"], r["v"], r["amt"]) for r in cat.read("t").collect()
+    ) == [(1, "U", 1.0), (2, "U", 2.0), (3, "c", 30.0)]
+
+
+def test_merge_matched_cond_delete_plus_insert(spark, tmp_path):
+    cat = _merge_cat(spark, tmp_path)
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT k, v, amt FROM (VALUES "
+        "(1, 'x', 1.0), (9, 'new', 90.0)) AS x(k, v, amt)) ON k = k "
+        "WHEN MATCHED AND src.amt < 5 THEN DELETE "
+        "WHEN NOT MATCHED AND src.amt > 50 THEN INSERT *",
+    )
+    assert out == {
+        "table": "t", "merge_updated": 0, "merge_inserted": 1,
+        "merge_deleted": 1,
+    }
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [2, 3, 9]
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
+    """All three clauses = snapshot sync: the target converges to the
+    source in ONE atomic statement."""
+    cat = _merge_cat(spark, tmp_path)
+    v = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT k, v, amt FROM (VALUES "
+        "(2, 'b2', 21.0), (7, 'g', 70.0)) AS x(k, v, amt)) ON k = k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert out == {
+        "table": "t", "merge_updated": 1, "merge_inserted": 1,
+        "merge_deleted": 2,
+    }
+    assert cat._read_manifest(strict=False)["version"] == v + 1
+    assert sorted(
+        (r["k"], r["v"]) for r in cat.read("t").collect()
+    ) == [(2, "b2"), (7, "g")]
+
+
+def test_merge_by_source_cond(spark, tmp_path):
+    cat = _merge_cat(spark, tmp_path)
+    execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.v = 'b' THEN DELETE",
+    )
+    assert sorted(r["k"] for r in cat.read("t").collect()) == [1, 3]
+
+
+def test_merge_when_bucketed_prunes_to_touched_buckets(spark, tmp_path):
+    """Bucketed target, no BY SOURCE: only the source keys' _kb
+    partitions rewrite; every other bucket's files hardlink-carry
+    (inode-pinned via the CURRENT manifest)."""
+    import os
+
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(
+        cat,
+        "CREATE TABLE b (k BIGINT, v STRING) "
+        "CLUSTERED BY (k) INTO 8 BUCKETS",
+    )
+    execute_dml(
+        cat,
+        "INSERT INTO b SELECT k, v FROM (VALUES "
+        + ", ".join(f"({i}, 'r{i}')" for i in range(40))
+        + ") AS x(k, v)",
+    )
+
+    def inodes():
+        out = {}
+        for d in cat._data_dirs("b"):
+            for dirpath, _dn, fns in os.walk(d):
+                part = os.path.basename(dirpath)
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        out.setdefault(part, set()).add(
+                            os.stat(os.path.join(dirpath, fn)).st_ino
+                        )
+        return out
+
+    plan = execute_dml(
+        cat,
+        "EXPLAIN MERGE INTO b USING (SELECT 5 AS k, 'UPD' AS v) "
+        "ON k = k WHEN MATCHED AND tgt.v != 'UPD' THEN UPDATE SET *",
+    )
+    assert plan["mode"] == "merge_when"
+    assert plan["buckets_rewritten"] == 1
+    before = inodes()
+    out = execute_dml(
+        cat,
+        "MERGE INTO b USING (SELECT 5 AS k, 'UPD' AS v) ON k = k "
+        "WHEN MATCHED AND tgt.v != 'UPD' THEN UPDATE SET *",
+    )
+    assert out["merge_updated"] == 1
+    after = inodes()
+    from gcp_datalake_pipeline_spark.storage import kb_col
+
+    hot = (
+        spark.createDataFrame([(5,)], "k long")
+        .select(kb_col(["k"], 8).alias("kb"))
+        .first()["kb"]
+    )
+    for part, inos in before.items():
+        if part == f"_kb={hot}":
+            assert not (inos & after.get(part, set())), (
+                "touched bucket must rewrite"
+            )
+        else:
+            assert inos <= after.get(part, set()), (
+                f"untouched bucket {part} must hardlink-carry"
+            )
+    assert cat.read("b").count() == 40
+    assert (
+        cat.read("b").where(F.col("k") == 5).first()["v"] == "UPD"
+    )
+
+
+def test_merge_when_bucketed_by_source_keeps_layout(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(
+        cat,
+        "CREATE TABLE b (k BIGINT, v STRING) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS",
+    )
+    execute_dml(
+        cat,
+        "INSERT INTO b SELECT k, v FROM (VALUES (1, 'a'), (2, 'b'), "
+        "(3, 'c')) AS x(k, v)",
+    )
+    plan = execute_dml(
+        cat,
+        "EXPLAIN MERGE INTO b USING (SELECT 1 AS k, 'a' AS v) ON k = k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert plan["buckets_rewritten"] == plan["buckets_total"] == 4
+    assert "full-sync" in plan["rewrite"]
+    execute_dml(
+        cat,
+        "MERGE INTO b USING (SELECT k, v FROM (VALUES (1, 'a1'), "
+        "(9, 'i')) AS x(k, v)) ON k = k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert cat.bucket_meta("b") == {"num_buckets": 4, "key_cols": ["k"]}
+    assert sorted(
+        (r["k"], r["v"]) for r in cat.read("b").collect()
+    ) == [(1, "a1"), (9, "i")]
+    # pruned point reads keep working on the re-synced layout
+    assert [
+        r["v"] for r in cat.read("b", predicates=[("k", "=", 9)]).collect()
+    ] == ["i"]
+
+
+def test_merge_by_source_fk_restrict(spark, tmp_path):
+    """A BY SOURCE delete that would orphan a child FK row refuses and
+    publishes nothing."""
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    cat = _merge_cat(spark, tmp_path)
+    cat.add_unique_constraint("t", "pk", ["k"])
+    cat.overwrite(
+        spark.createDataFrame([(100, 2)], "id long, fk long"), "child"
+    )
+    cat.add_fk_constraint("child", "cf", ["fk"], "t", ["k"])
+    v = cat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="reference the removed"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+    assert cat._read_manifest(strict=False)["version"] == v
+    assert cat.read("t").count() == 3
+
+
+def test_merge_when_unique_enforced(spark, tmp_path):
+    """A conditional UPDATE SET * that lands duplicate UNIQUE values
+    refuses via the write path's constraint probe."""
+    from gcp_datalake_pipeline_spark.transactions import CheckViolation
+
+    cat = _merge_cat(spark, tmp_path)
+    cat.add_unique_constraint("t", "uv", ["v"])
+    with pytest.raises(CheckViolation):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k, 'b' AS v, 0.0 AS amt) "
+            "ON k = k WHEN MATCHED THEN UPDATE SET *",
+        )
+    assert sorted(r["v"] for r in cat.read("t").collect()) == [
+        "a", "b", "c",
+    ]
+
+
+def test_merge_when_grammar_refusals(spark, tmp_path):
+    cat = _merge_cat(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a MERGE clause"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN MATCHED BY SOURCE THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="supports \\['DELETE'\\]"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="duplicate MERGE WHEN MATCHED"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="supports"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN NOT MATCHED THEN DELETE",
+        )
+
+
+def test_merge_when_classic_shapes_unchanged(spark, tmp_path):
+    """The canonical pair and matched-delete still route through the
+    fast paths (result keys unchanged: merged / merge_deleted)."""
+    cat = _merge_cat(spark, tmp_path)
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k, 'a2' AS v, 11.0 AS amt) "
+        "ON k = k WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {"table": "t", "merged": 1}
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 3 AS k) ON k = k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "t", "merge_deleted": 1}
+    # clause-less MERGE keeps its historical upsert meaning
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 8 AS k, 'h' AS v, 1.0 AS amt) "
+        "ON k = k",
+    )
+    assert out == {"table": "t", "merged": 1}
