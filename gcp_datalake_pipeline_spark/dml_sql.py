@@ -806,6 +806,7 @@ def _explain(catalog, inner: str):
         )
         src = _resolve_source(catalog, source_spec)
         shape = _merge_shape(clauses)
+        shape, computed = _merge_computed(catalog, table, shape)
         # mirror the real run's refusal: generalized clause sets need
         # the transactional engine — a dry run must not report a plan
         # for a statement the real run rejects
@@ -827,6 +828,9 @@ def _explain(catalog, inner: str):
                 (clauses["matched"] or {}).get("action") == "update"
                 or clauses["not_matched"]
             )
+        )
+        _merge_computed_guards(
+            table, computed, src.columns, keys, meta, need_full
         )
         probe_cols = [
             c
@@ -1111,6 +1115,51 @@ def _merge_shape(clauses: dict) -> str:
     if b is None and i is None and m == {"action": "delete", "cond": None}:
         return "merge_delete"
     return "merge_when"
+
+
+def _merge_computed(catalog, table, shape: str) -> tuple[str, set]:
+    """Engine-computed (GENERATED ALWAYS) columns reroute every WRITING
+    merge shape through ``merge_when`` — matched rows must KEEP their
+    identity, inserts must MINT from the high-water mark, and generated
+    expressions must recompute (the classic upsert would land explicit
+    values that bypass the mark — a later INSERT then mints a duplicate
+    id). Returns ``(shape, computed_cols)``."""
+    ident = getattr(catalog, "identity_spec", lambda _t: None)(table)
+    gen = getattr(catalog, "generated_spec", lambda _t: None)(table) or {}
+    computed = set(gen) | ({ident["col"]} if ident else set())
+    if computed and shape == "upsert":
+        shape = "merge_when"
+    return shape, computed
+
+
+def _merge_computed_guards(
+    table, computed: set, src_cols, keys, meta, need_full: bool
+) -> None:
+    """The EXPLAIN mirror of merge_when's computed-column refusals —
+    the dry run must refuse exactly where the real run does."""
+    if not (need_full and computed):
+        return
+    hit = sorted(computed & set(src_cols))
+    if hit:
+        raise ValueError(
+            f"column(s) {hit!r} of {table!r} are GENERATED ALWAYS and "
+            "cannot be merged from the source; omit them (matched rows "
+            "keep their values, inserted rows mint/compute)"
+        )
+    hit = sorted(computed & set(keys))
+    if hit:
+        raise ValueError(
+            f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} needs "
+            "the source to carry them, which a writing merge refuses; "
+            "merge on a natural key (or use WHEN MATCHED THEN DELETE, "
+            "which never writes)"
+        )
+    if meta is not None:
+        raise ValueError(
+            f"MERGE with engine-computed columns into the bucketed "
+            f"table {table!r} is not supported; drop the bucket "
+            "layout or the computed columns"
+        )
 
 
 def _parse_merge(catalog, table, rest):
@@ -1453,6 +1502,7 @@ def execute_dml(catalog, sql: str) -> dict | None:
         )
         src = _resolve_source(catalog, source_spec)
         shape = _merge_shape(clauses)
+        shape, _computed = _merge_computed(catalog, table, shape)
         if shape == "merge_delete":
             # only the keys matter: probe/align just those (a mismatch
             # on a non-key source column must not block a delete)

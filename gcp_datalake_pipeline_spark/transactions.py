@@ -5658,10 +5658,47 @@ class TransactionalCatalog(Catalog):
         missing = [k for k in key_cols if k not in tcols]
         if missing:
             raise ValueError(f"merge keys {missing!r} not in {table!r}")
+        need_full = m_act == "update" or i_act is not None
+        # engine-computed columns (GENERATED ALWAYS AS IDENTITY /
+        # (expr)): a merge that writes source values must never supply
+        # them — matched rows KEEP their identity, inserted rows MINT
+        # from the high-water mark, and generated expressions recompute
+        # over the post-image row (the INSERT path's Delta semantics;
+        # without this a merge-landed explicit id silently bypasses the
+        # mark and a later INSERT mints a DUPLICATE)
+        ident = self.identity_spec(table)
+        gen = self.generated_spec(table) or {}
+        icol = ident["col"] if ident else None
+        computed = set(gen) | ({icol} if icol else set())
+        if need_full and computed:
+            hit = sorted(computed & set(source.columns))
+            if hit:
+                raise ValueError(
+                    f"column(s) {hit!r} of {table!r} are GENERATED "
+                    "ALWAYS and cannot be merged from the source; "
+                    "omit them (matched rows keep their values, "
+                    "inserted rows mint/compute)"
+                )
+            hit = sorted(computed & set(key_cols))
+            if hit:
+                raise ValueError(
+                    f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} "
+                    "needs the source to carry them, which a writing "
+                    "merge refuses; merge on a natural key (or use "
+                    "WHEN MATCHED THEN DELETE, which never writes)"
+                )
+        absent = [k for k in key_cols if k not in source.columns]
+        if absent:
+            raise ValueError(
+                f"merge_when source lacks merge key column(s) {absent!r}"
+            )
         src = dedup_last_wins(source, key_cols, order_col)
         src = src.drop("_row_idx", "_source_file")
-        need_full = m_act == "update" or i_act is not None
-        need_cols = list(tcols) if need_full else list(key_cols)
+        need_cols = (
+            [c for c in tcols if c not in computed]
+            if need_full
+            else list(key_cols)
+        )
         absent = [c for c in need_cols if c not in src.columns]
         if absent:
             raise ValueError(
@@ -5670,6 +5707,12 @@ class TransactionalCatalog(Catalog):
             )
         target = self.read(table)
         meta = self.bucket_meta(table)
+        if meta is not None and need_full and computed:
+            raise ValueError(
+                f"MERGE with engine-computed columns into the bucketed "
+                f"table {table!r} is not supported; drop the bucket "
+                "layout or the computed columns"
+            )
         touched: list | None = None
         if meta is not None:
             if list(meta["key_cols"]) != list(key_cols):
@@ -5743,7 +5786,7 @@ class TransactionalCatalog(Catalog):
                 (
                     F.when(use_src, F.col(f"__s_{c}"))
                     .otherwise(F.col(f"__t_{c}"))
-                    if need_full
+                    if need_full and c not in computed
                     else F.col(f"__t_{c}")
                 )
                 .cast(ttypes[c])
@@ -5751,19 +5794,74 @@ class TransactionalCatalog(Catalog):
                 for c in tcols
             ]
         )
-        if meta is None:
-            self.overwrite(out, table)
-        else:
-            out = out.withColumn(
-                "_kb", kb_col(key_cols, meta["num_buckets"])
+        n_ins = counts["i"] or 0
+        ident_intent = None
+        if need_full and gen:
+            # generated expressions recompute over the post-image row —
+            # deterministic, so kept rows re-derive their own values
+            out = out.select(
+                *[
+                    (
+                        F.expr(gen[c]).cast(ttypes[c]).alias(c)
+                        if c in gen
+                        else F.col(c)
+                    )
+                    for c in tcols
+                ]
             )
-            if by_source is not None:
-                self.overwrite(out, table, partition_cols=["_kb"])
+        if need_full and icol is not None and i_act is not None:
+            from gcp_datalake_pipeline_spark.operators.dims import (
+                assign_dense_ids,
+            )
+
+            start = int(ident["next"])
+            expect = start
+            if self._pending is not None:
+                staged = self._intents.get(table, {}).get("identity")
+                if staged is not None:
+                    start = int(staged["next"])
+                    expect = int(staged["expect_next"])
+            keep_rows = out.where(F.col(icol).isNotNull())
+            ins_rows = out.where(F.col(icol).isNull()).drop(icol)
+            value_cols = [
+                c for c in ins_rows.columns if c not in computed
+            ]
+            ins_rows = assign_dense_ids(
+                ins_rows, value_cols, icol, start=start - 1
+            ).select(
+                *[
+                    F.col(c).cast(ttypes[c]).alias(c)
+                    for c in keep_rows.columns
+                ]
+            )
+            out = keep_rows.unionByName(ins_rows)
+            ident_intent = {
+                "col": icol, "next": start + n_ins, "expect_next": expect,
+            }
+
+        def _write():
+            if meta is None:
+                self.overwrite(out, table)
             else:
-                self.replace_partitions(table, "_kb", touched, out)
+                okb = out.withColumn(
+                    "_kb", kb_col(key_cols, meta["num_buckets"])
+                )
+                if by_source is not None:
+                    self.overwrite(okb, table, partition_cols=["_kb"])
+                else:
+                    self.replace_partitions(table, "_kb", touched, okb)
+            if ident_intent is not None:
+                self._intents[table]["identity"] = ident_intent
+
+        if ident_intent is not None and self._pending is None:
+            # the advanced mark must commit ATOMICALLY with the rows
+            with self.transaction(f"merge-when-{table}"):
+                _write()
+        else:
+            _write()
         return {
             "merge_updated": counts["u"] or 0,
-            "merge_inserted": counts["i"] or 0,
+            "merge_inserted": n_ins,
             "merge_deleted": counts["d"] or 0,
         }
 

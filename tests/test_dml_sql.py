@@ -1891,3 +1891,82 @@ def test_merge_when_classic_shapes_unchanged(spark, tmp_path):
         "ON k = k",
     )
     assert out == {"table": "t", "merged": 1}
+
+
+def test_merge_identity_keeps_mints_and_refuses(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY under MERGE: a source carrying the
+    identity column refuses (real run AND EXPLAIN — the classic upsert
+    used to land explicit ids that bypassed the high-water mark, so a
+    later INSERT minted a DUPLICATE); ON the identity column refuses
+    for writing merges; a natural-key merge keeps matched ids, mints
+    inserted ids from the mark, and the mark advances atomically."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(
+        cat,
+        "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "nk STRING, v STRING)",
+    )
+    execute_dml(cat, "INSERT INTO idt (nk, v) VALUES ('a', 'x'), ('b', 'y')")
+    for stmt in (
+        "MERGE INTO idt USING (SELECT 3 AS id, 'c' AS nk, 'z' AS v) "
+        "ON nk = nk",
+        "EXPLAIN MERGE INTO idt USING (SELECT 3 AS id, 'c' AS nk, "
+        "'z' AS v) ON nk = nk",
+    ):
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            execute_dml(cat, stmt)
+    with pytest.raises(ValueError, match="natural key"):
+        execute_dml(
+            cat, "MERGE INTO idt USING (SELECT 'c' AS nk, 'z' AS v) "
+            "ON id = id",
+        )
+    out = execute_dml(
+        cat,
+        "MERGE INTO idt USING (SELECT nk, v FROM (VALUES ('a', 'X2'), "
+        "('c', 'new')) AS s(nk, v)) ON nk = nk",
+    )
+    assert out == {
+        "table": "idt", "merge_updated": 1, "merge_inserted": 1,
+        "merge_deleted": 0,
+    }
+    # the later INSERT continues the mark — no duplicate id
+    execute_dml(cat, "INSERT INTO idt (nk, v) VALUES ('d', 'w')")
+    rows = sorted(
+        (r["id"], r["nk"], r["v"]) for r in cat.read("idt").collect()
+    )
+    assert rows == [
+        (1, "a", "X2"), (2, "b", "y"), (3, "c", "new"), (4, "d", "w"),
+    ]
+    # matched-delete BY id stays allowed — it never writes id values
+    out = execute_dml(
+        cat,
+        "MERGE INTO idt USING (SELECT 2 AS id) ON id = id "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out == {"table": "idt", "merge_deleted": 1}
+
+
+def test_merge_generated_columns_recompute(spark, tmp_path):
+    """GENERATED ALWAYS AS (expr) recomputes over the post-image: an
+    updated row's expression tracks the NEW source values, inserts
+    compute, kept rows re-derive their own value."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    execute_dml(
+        cat,
+        "CREATE TABLE g (k BIGINT, a BIGINT, "
+        "tot BIGINT GENERATED ALWAYS AS (a * 2))",
+    )
+    execute_dml(cat, "INSERT INTO g (k, a) VALUES (1, 10), (2, 20)")
+    out = execute_dml(
+        cat,
+        "MERGE INTO g USING (SELECT k, a FROM (VALUES (1, 50), (9, 5)) "
+        "AS s(k, a)) ON k = k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out == {
+        "table": "g", "merge_updated": 1, "merge_inserted": 1,
+        "merge_deleted": 0,
+    }
+    assert sorted(
+        (r["k"], r["a"], r["tot"]) for r in cat.read("g").collect()
+    ) == [(1, 50, 100), (2, 20, 40), (9, 5, 10)]
