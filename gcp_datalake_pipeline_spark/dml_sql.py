@@ -24,12 +24,17 @@ statement):
         VALUES (<literal|NULL>, ...), ... | SELECT ...
     MERGE INTO <table> USING <src-table | (SELECT ...) [alias]>
         ON [q.]k = [q.]k [AND ...]
-        [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE]
-        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
-        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
-        -- conds: Spark SQL over src.col / tgt.col; no clauses = the
-        -- classic upsert pair; conditional / BY SOURCE shapes need a
-        -- transactional catalog
+        [WHEN MATCHED [AND <cond>] THEN
+            UPDATE SET * | UPDATE SET col = <expr>[, ...] | DELETE]
+        [WHEN NOT MATCHED [AND <cond>] THEN
+            INSERT * | INSERT (cols) VALUES (<expr>, ...)]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+            DELETE | UPDATE SET col = <expr>[, ...]]
+        -- conds and exprs: Spark SQL over src.col / tgt.col (BY
+        -- SOURCE sees tgt. only); SET/INSERT lists may not name merge
+        -- keys or GENERATED ALWAYS columns; no clauses = the classic
+        -- upsert pair; conditional / column-level / BY SOURCE shapes
+        -- need a transactional catalog
     CREATE TABLE [IF NOT EXISTS] <table> (<spark-ddl-columns>)
         [CLUSTERED BY (keys) INTO n BUCKETS]
     CREATE TABLE [IF NOT EXISTS] <table>
@@ -92,10 +97,10 @@ _GRAMMAR = (
     "UPDATE t SET col = expr[, ...] WHERE <where>; "
     "INSERT INTO|OVERWRITE t [(cols)] VALUES (lit, ...), ... | SELECT ...; "
     "MERGE INTO t USING s|(SELECT ...) ON k = k [AND ...] "
-    "[WHEN MATCHED [AND cond] THEN UPDATE SET *|DELETE] "
-    "[WHEN NOT MATCHED [AND cond] THEN INSERT *] "
-    "[WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE] "
-    "(conds are Spark SQL over src.col/tgt.col; no clauses = the "
+    "[WHEN MATCHED [AND cond] THEN UPDATE SET *|UPDATE SET c = expr, ...|DELETE] "
+    "[WHEN NOT MATCHED [AND cond] THEN INSERT *|INSERT (cols) VALUES (exprs)] "
+    "[WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET c = expr, ...] "
+    "(conds/exprs are Spark SQL over src.col/tgt.col; no clauses = the "
     "classic upsert pair); "
     "CREATE TABLE [IF NOT EXISTS] t (ddl cols) [CLUSTERED BY (keys) INTO n BUCKETS] | [CLUSTERED BY ...] AS SELECT ...; "
     "BEGIN [TRANSACTION]; <INSERT|MERGE|DELETE|UPDATE>; ...; COMMIT|ROLLBACK "
@@ -820,17 +825,14 @@ def _explain(catalog, inner: str):
             )
         types = {f.name: f.dataType for f in schema.fields}
         # same columns the real run's _align_merge_source would probe:
-        # type-mismatched shared columns (keys only when no clause
-        # carries source values into the target)
+        # type-mismatched shared columns (keys only when no star clause
+        # carries whole source rows into the target)
         need_full = shape == "upsert" or (
-            shape == "merge_when"
-            and (
-                (clauses["matched"] or {}).get("action") == "update"
-                or clauses["not_matched"]
-            )
+            shape == "merge_when" and _merge_star(clauses)
         )
         _merge_computed_guards(
-            table, computed, src.columns, keys, meta, need_full
+            table, computed, src.columns, keys, meta, need_full,
+            clauses if shape == "merge_when" else None,
         )
         probe_cols = [
             c
@@ -1050,17 +1052,66 @@ def _parse_insert_source(catalog, table, col_list, tail, overwrite):
 
 _WHEN_RE = re.compile(
     r"(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
-    r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*$",
+    r"(UPDATE\s+SET\s+.+|INSERT\s*\*|INSERT\s*\(.+|DELETE)\s*$",
     re.I | re.S,
 )
 
 
+def _parse_when_action(act_txt: str) -> dict:
+    """One WHEN clause's action tail: ``UPDATE SET *`` / ``UPDATE SET
+    a = expr, ...`` / ``INSERT *`` / ``INSERT (cols) VALUES (exprs)``
+    / ``DELETE`` — parsed into the merge_when clause fields."""
+    act = act_txt.strip()
+    if re.fullmatch(r"DELETE", act, re.I):
+        return {"action": "delete"}
+    if re.fullmatch(r"UPDATE\s+SET\s+\*", act, re.I):
+        return {"action": "update", "sets": None}
+    m = re.fullmatch(r"UPDATE\s+SET\s+(.+)", act, re.I | re.S)
+    if m:
+        sets: dict[str, str] = {}
+        for assign in _split_top(m.group(1)):
+            col, eq, expr = assign.partition("=")
+            col = col.strip()
+            if not eq or not re.fullmatch(r"\w+", col) or not expr.strip():
+                raise ValueError(
+                    f"bad MERGE SET assignment {assign.strip()!r}; "
+                    f"{_GRAMMAR}"
+                )
+            if col in sets:
+                raise ValueError(
+                    f"duplicate MERGE SET column {col!r}; {_GRAMMAR}"
+                )
+            sets[col] = expr.strip()
+        return {"action": "update", "sets": sets}
+    if re.fullmatch(r"INSERT\s*\*", act, re.I):
+        return {"action": "insert", "cols": None, "vals": None}
+    m = re.fullmatch(
+        r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)", act, re.I | re.S
+    )
+    if m:
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        vals = [v.strip() for v in _split_top(m.group(2))]
+        if not cols or len(cols) != len(vals):
+            raise ValueError(
+                f"MERGE INSERT column/value lists disagree "
+                f"({len(cols)} vs {len(vals)}); {_GRAMMAR}"
+            )
+        if len(set(cols)) != len(cols):
+            raise ValueError(
+                f"duplicate MERGE INSERT column; {_GRAMMAR}"
+            )
+        return {"action": "insert", "cols": cols, "vals": vals}
+    raise ValueError(
+        f"unsupported MERGE WHEN action {act!r}; {_GRAMMAR}"
+    )
+
+
 def _parse_when_clauses(whens) -> dict:
     """The MERGE WHEN clause set: at most one each of MATCHED (UPDATE
-    SET * / DELETE), NOT MATCHED (INSERT *), NOT MATCHED BY SOURCE
-    (DELETE), each with an optional ``AND <cond>`` over ``src.col`` /
-    ``tgt.col``. Returns ``{"matched"|"not_matched"|"by_source":
-    {"action", "cond"} | None}``."""
+    SET */col-level / DELETE), NOT MATCHED (INSERT */(cols) VALUES),
+    NOT MATCHED BY SOURCE (DELETE / col-level UPDATE SET), each with
+    an optional ``AND <cond>`` over ``src.col`` / ``tgt.col``.
+    Returns ``{"matched"|"not_matched"|"by_source": {...} | None}``."""
     clauses: dict = {"matched": None, "not_matched": None, "by_source": None}
     for w in whens:
         m = _WHEN_RE.fullmatch(w.strip())
@@ -1069,34 +1120,42 @@ def _parse_when_clauses(whens) -> dict:
                 f"unsupported MERGE WHEN clause {w.strip()!r}; {_GRAMMAR}"
             )
         neg, bys, cond, act_txt = m.groups()
-        act = re.sub(r"\s+", " ", act_txt.upper())
         if bys and not neg:
             raise ValueError(
                 f"'MATCHED BY SOURCE' is not a MERGE clause (did you "
                 f"mean NOT MATCHED BY SOURCE?); {_GRAMMAR}"
             )
         kind = "by_source" if bys else ("not_matched" if neg else "matched")
+        spec = _parse_when_action(act_txt)
         allowed = {
-            "matched": {"UPDATE SET *": "update", "DELETE": "delete"},
-            "not_matched": {"INSERT *": "insert"},
-            "by_source": {"DELETE": "delete"},
+            "matched": {"update", "delete"},
+            "not_matched": {"insert"},
+            "by_source": {"delete", "update"},
         }[kind]
-        if act not in allowed:
+        label = (
+            "NOT MATCHED BY SOURCE" if bys
+            else ("NOT MATCHED" if neg else "MATCHED")
+        )
+        if spec["action"] not in allowed:
             raise ValueError(
-                f"MERGE WHEN {'NOT ' if neg else ''}MATCHED"
-                f"{' BY SOURCE' if bys else ''} supports "
-                f"{sorted(allowed)} only (got {act!r}); {_GRAMMAR}"
+                f"MERGE WHEN {label} supports "
+                f"{sorted(a.upper() for a in allowed)} only "
+                f"(got {spec['action'].upper()!r}); {_GRAMMAR}"
+            )
+        if kind == "by_source" and spec.get("sets") is None and (
+            spec["action"] == "update"
+        ):
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs a "
+                f"column-level SET (no source row to SET * from); "
+                f"{_GRAMMAR}"
             )
         if clauses[kind] is not None:
             raise ValueError(
-                f"duplicate MERGE WHEN "
-                f"{'NOT MATCHED BY SOURCE' if bys else ('NOT MATCHED' if neg else 'MATCHED')} "
-                f"clause; {_GRAMMAR}"
+                f"duplicate MERGE WHEN {label} clause; {_GRAMMAR}"
             )
-        clauses[kind] = {
-            "action": allowed[act],
-            "cond": cond.strip() if cond else None,
-        }
+        spec["cond"] = cond.strip() if cond else None
+        clauses[kind] = spec
     return clauses
 
 
@@ -1108,13 +1167,36 @@ def _merge_shape(clauses: dict) -> str:
     )
     if (
         b is None
-        and m == {"action": "update", "cond": None}
-        and i == {"action": "insert", "cond": None}
+        and m is not None
+        and m.get("action") == "update"
+        and m.get("cond") is None
+        and m.get("sets") is None
+        and i is not None
+        and i.get("action") == "insert"
+        and i.get("cond") is None
+        and i.get("cols") is None
     ):
         return "upsert"
-    if b is None and i is None and m == {"action": "delete", "cond": None}:
+    if (
+        b is None
+        and i is None
+        and m is not None
+        and m.get("action") == "delete"
+        and m.get("cond") is None
+    ):
         return "merge_delete"
     return "merge_when"
+
+
+def _merge_star(clauses: dict) -> bool:
+    """True when a star clause (UPDATE SET * / INSERT *) carries whole
+    source rows into the target — the shapes needing full source-schema
+    alignment."""
+    m, i = clauses["matched"], clauses["not_matched"]
+    return bool(
+        (m and m.get("action") == "update" and m.get("sets") is None)
+        or (i and i.get("cols") is None)
+    )
 
 
 def _merge_computed(catalog, table, shape: str) -> tuple[str, set]:
@@ -1133,33 +1215,74 @@ def _merge_computed(catalog, table, shape: str) -> tuple[str, set]:
 
 
 def _merge_computed_guards(
-    table, computed: set, src_cols, keys, meta, need_full: bool
+    table, computed: set, src_cols, keys, meta, need_full: bool,
+    clauses: dict | None = None,
 ) -> None:
-    """The EXPLAIN mirror of merge_when's computed-column refusals —
-    the dry run must refuse exactly where the real run does."""
-    if not (need_full and computed):
+    """The EXPLAIN mirror of merge_when's computed-column and
+    column-list refusals — the dry run must refuse exactly where the
+    real run does."""
+    named = []
+    if clauses is not None:
+        m, i, b = (
+            clauses["matched"], clauses["not_matched"],
+            clauses["by_source"],
+        )
+        named = [
+            ("UPDATE SET", list((m or {}).get("sets") or ()), False),
+            ("INSERT", list((i or {}).get("cols") or ()), True),
+            ("BY SOURCE SET", list((b or {}).get("sets") or ()), False),
+        ]
+        writes = bool(
+            (m and m.get("action") == "update")
+            or i
+            or (b and b.get("action") == "update")
+        )
+    else:
+        writes = need_full
+    for label, cols_l, key_ok in named:
+        if not cols_l:
+            continue
+        if not key_ok:
+            bad = sorted(set(cols_l) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"merge {label} may not assign merge key column(s) "
+                    f"{bad!r} (keys define the match; rewrite keys with "
+                    "UPDATE)"
+                )
+        if computed:
+            bad = sorted(set(cols_l) & computed)
+            if bad:
+                raise ValueError(
+                    f"merge {label} column(s) {bad!r} of {table!r} "
+                    "are GENERATED ALWAYS and cannot be assigned"
+                )
+    if not computed:
         return
-    hit = sorted(computed & set(src_cols))
-    if hit:
-        raise ValueError(
-            f"column(s) {hit!r} of {table!r} are GENERATED ALWAYS and "
-            "cannot be merged from the source; omit them (matched rows "
-            "keep their values, inserted rows mint/compute)"
-        )
-    hit = sorted(computed & set(keys))
-    if hit:
-        raise ValueError(
-            f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} needs "
-            "the source to carry them, which a writing merge refuses; "
-            "merge on a natural key (or use WHEN MATCHED THEN DELETE, "
-            "which never writes)"
-        )
-    if meta is not None:
-        raise ValueError(
-            f"MERGE with engine-computed columns into the bucketed "
-            f"table {table!r} is not supported; drop the bucket "
-            "layout or the computed columns"
-        )
+    if need_full:
+        hit = sorted(computed & set(src_cols))
+        if hit:
+            raise ValueError(
+                f"column(s) {hit!r} of {table!r} are GENERATED ALWAYS "
+                "and cannot be merged from the source; omit them "
+                "(matched rows keep their values, inserted rows "
+                "mint/compute)"
+            )
+    if writes:
+        hit = sorted(computed & set(keys))
+        if hit:
+            raise ValueError(
+                f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} "
+                "needs the source to carry them, which a writing "
+                "merge refuses; merge on a natural key (or use WHEN "
+                "MATCHED THEN DELETE, which never writes)"
+            )
+        if meta is not None:
+            raise ValueError(
+                f"MERGE with engine-computed columns into the "
+                f"bucketed table {table!r} is not supported; drop the "
+                "bucket layout or the computed columns"
+            )
 
 
 def _parse_merge(catalog, table, rest):
@@ -1179,8 +1302,11 @@ def _parse_merge(catalog, table, rest):
         # clause-less MERGE keeps its historical meaning: the full
         # upsert pair
         clauses = {
-            "matched": {"action": "update", "cond": None},
-            "not_matched": {"action": "insert", "cond": None},
+            "matched": {"action": "update", "cond": None, "sets": None},
+            "not_matched": {
+                "action": "insert", "cond": None,
+                "cols": None, "vals": None,
+            },
             "by_source": None,
         }
     keys = _parse_on_keys(on_clause)
@@ -1528,12 +1654,12 @@ def execute_dml(catalog, sql: str) -> dict | None:
                     "need a transactional catalog (ingest --atomic); "
                     f"{_GRAMMAR}"
                 )
-            need_full = (
-                clauses["matched"] or {}
-            ).get("action") == "update" or clauses["not_matched"]
-            if need_full:
+            if _merge_star(clauses):
                 src, _ = _align_merge_source(catalog, src, schema)
             else:
+                # column-level / delete-only clauses: align keys; other
+                # source columns stay as-is (conds and SET exprs read
+                # them via src. qualification)
                 from pyspark.sql import types as T
 
                 key_schema = T.StructType(

@@ -5592,20 +5592,29 @@ class TransactionalCatalog(Catalog):
         clause set), as ONE post-image computation routed through the
         existing checked write paths:
 
-        - ``matched``: ``{"action": "update"|"delete", "cond": sql|None}``
-          — target rows with a source match take the source row (SET *)
-          or drop, when ``cond`` holds (else they keep);
-        - ``not_matched``: ``{"action": "insert", "cond": sql|None}`` —
-          source rows with no target match insert when ``cond`` holds;
-        - ``by_source``: ``{"action": "delete", "cond": sql|None}`` —
-          target rows with NO source match drop when ``cond`` holds
-          (the full-snapshot-sync clause).
+        - ``matched``: ``{"action": "update"|"delete", "cond":
+          sql|None, "sets": {col: expr}|None}`` — target rows with a
+          source match take the source row (``sets=None`` = SET *),
+          update only the listed columns (column-level SET, exprs over
+          ``src.``/``tgt.``), or drop, when ``cond`` holds;
+        - ``not_matched``: ``{"action": "insert", "cond": sql|None,
+          "cols": [...]|None, "vals": [expr...]|None}`` — source rows
+          with no target match insert the whole source row
+          (``cols=None`` = INSERT *) or the listed columns from the
+          value exprs (unlisted columns NULL), when ``cond`` holds;
+        - ``by_source``: ``{"action": "delete"|"update", "cond":
+          sql|None, "sets": {col: expr}}`` — target rows with NO
+          source match drop, or take the column-level SET (exprs see
+          ``tgt.`` only — every ``src.`` value is NULL here), when
+          ``cond`` holds (the full-snapshot-sync clauses).
 
-        Conditions are Spark SQL over ``src.col`` / ``tgt.col``
-        (``source.`` / ``target.`` also accepted); unqualified names
-        refuse at analysis. Duplicate source keys collapse last-wins
-        first (same contract as :meth:`~.storage.Catalog.merge_upsert`);
-        NULL join keys never match (standard SQL equi-join).
+        Conditions and value exprs are Spark SQL over ``src.col`` /
+        ``tgt.col`` (``source.`` / ``target.`` also accepted);
+        unqualified names refuse at analysis. SET/INSERT column lists
+        may not name merge keys or GENERATED ALWAYS columns. Duplicate
+        source keys collapse last-wins first (same contract as
+        :meth:`~.storage.Catalog.merge_upsert`); NULL join keys never
+        match (standard SQL equi-join).
 
         Execution = ONE shuffle join on the keys + one write, atomic:
         - plain table: full-outer join against the whole target, result
@@ -5647,7 +5656,7 @@ class TransactionalCatalog(Catalog):
 
         m_act = _act(matched, {"update", "delete"}, "matched")
         i_act = _act(not_matched, {"insert"}, "not_matched")
-        b_act = _act(by_source, {"delete"}, "by_source")
+        b_act = _act(by_source, {"delete", "update"}, "by_source")
         if not (m_act or i_act or b_act):
             raise ValueError("merge_when needs at least one WHEN clause")
         tschema = self.logical_schema(table)
@@ -5658,7 +5667,50 @@ class TransactionalCatalog(Catalog):
         missing = [k for k in key_cols if k not in tcols]
         if missing:
             raise ValueError(f"merge keys {missing!r} not in {table!r}")
-        need_full = m_act == "update" or i_act is not None
+        m_sets = (matched or {}).get("sets") if m_act == "update" else None
+        i_cols = (not_matched or {}).get("cols") if i_act else None
+        i_vals = (not_matched or {}).get("vals") if i_act else None
+        b_sets = (by_source or {}).get("sets") if b_act == "update" else None
+        if b_act == "update" and not b_sets:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs a "
+                "column-level SET (there is no source row to SET * "
+                "from)"
+            )
+        if i_act and (i_cols is None) != (i_vals is None) or (
+            i_cols is not None and len(i_cols) != len(i_vals)
+        ):
+            raise ValueError(
+                "merge_when not_matched needs matching cols/vals lists "
+                "(or neither, for INSERT *)"
+            )
+        writes = m_act == "update" or i_act is not None or b_sets
+        star = (m_act == "update" and m_sets is None) or (
+            i_act is not None and i_cols is None
+        )
+        for label, named, key_ok in (
+            ("UPDATE SET", m_sets, False), ("INSERT", i_cols, True),
+            ("BY SOURCE SET", b_sets, False),
+        ):
+            if not named:
+                continue
+            cols_l = list(named)
+            bad = [c for c in cols_l if c not in tcols]
+            if bad:
+                raise ValueError(
+                    f"merge {label} column(s) {bad!r} not in {table!r}"
+                )
+            if not key_ok:
+                # an INSERT list MUST be able to supply the new row's
+                # key; an UPDATE SET must not move a matched row's
+                bad = sorted(set(cols_l) & set(key_cols))
+                if bad:
+                    raise ValueError(
+                        f"merge {label} may not assign merge key "
+                        f"column(s) {bad!r} (keys define the match; "
+                        "rewrite keys with UPDATE)"
+                    )
+        need_full = star
         # engine-computed columns (GENERATED ALWAYS AS IDENTITY /
         # (expr)): a merge that writes source values must never supply
         # them — matched rows KEEP their identity, inserted rows MINT
@@ -5670,7 +5722,7 @@ class TransactionalCatalog(Catalog):
         gen = self.generated_spec(table) or {}
         icol = ident["col"] if ident else None
         computed = set(gen) | ({icol} if icol else set())
-        if need_full and computed:
+        if star and computed:
             hit = sorted(computed & set(source.columns))
             if hit:
                 raise ValueError(
@@ -5679,6 +5731,17 @@ class TransactionalCatalog(Catalog):
                     "omit them (matched rows keep their values, "
                     "inserted rows mint/compute)"
                 )
+        if writes and computed:
+            for label, named in (
+                ("UPDATE SET", m_sets), ("INSERT", i_cols),
+                ("BY SOURCE SET", b_sets),
+            ):
+                hit = sorted(set(named or ()) & computed)
+                if hit:
+                    raise ValueError(
+                        f"merge {label} column(s) {hit!r} of {table!r} "
+                        "are GENERATED ALWAYS and cannot be assigned"
+                    )
             hit = sorted(computed & set(key_cols))
             if hit:
                 raise ValueError(
@@ -5696,7 +5759,7 @@ class TransactionalCatalog(Catalog):
         src = src.drop("_row_idx", "_source_file")
         need_cols = (
             [c for c in tcols if c not in computed]
-            if need_full
+            if star
             else list(key_cols)
         )
         absent = [c for c in need_cols if c not in src.columns]
@@ -5707,7 +5770,7 @@ class TransactionalCatalog(Catalog):
             )
         target = self.read(table)
         meta = self.bucket_meta(table)
-        if meta is not None and need_full and computed:
+        if meta is not None and writes and computed:
             raise ValueError(
                 f"MERGE with engine-computed columns into the bucketed "
                 f"table {table!r} is not supported; drop the bucket "
@@ -5752,19 +5815,21 @@ class TransactionalCatalog(Catalog):
             on = leg if on is None else on & leg
         j = t_pref.join(s_pref, on, "full_outer")
 
+        def _tx(e: str) -> str:
+            e = _re.sub(
+                r"\b(?:src|source)\s*\.\s*(\w+)", r"__s_\1", e,
+                flags=_re.I,
+            )
+            return _re.sub(
+                r"\b(?:tgt|target)\s*\.\s*(\w+)", r"__t_\1", e,
+                flags=_re.I,
+            )
+
         def _cx(clause):
             cond = (clause or {}).get("cond")
             if cond is None:
                 return F.lit(True)
-            e = _re.sub(
-                r"\b(?:src|source)\s*\.\s*(\w+)", r"__s_\1", cond,
-                flags=_re.I,
-            )
-            e = _re.sub(
-                r"\b(?:tgt|target)\s*\.\s*(\w+)", r"__t_\1", e,
-                flags=_re.I,
-            )
-            return F.coalesce(F.expr(e), F.lit(False))
+            return F.coalesce(F.expr(_tx(cond)), F.lit(False))
 
         tf = F.coalesce(F.col("__tf"), F.lit(False))
         sf = F.coalesce(F.col("__sf"), F.lit(False))
@@ -5773,30 +5838,46 @@ class TransactionalCatalog(Catalog):
         upd = is_m & _cx(matched) if m_act == "update" else false
         mdel = is_m & _cx(matched) if m_act == "delete" else false
         ins = s_only & _cx(not_matched) if i_act else false
-        bdel = t_only & _cx(by_source) if b_act else false
+        bdel = t_only & _cx(by_source) if b_act == "delete" else false
+        bupd = t_only & _cx(by_source) if b_act == "update" else false
         keep = (is_m & ~mdel) | (t_only & ~bdel) | ins
         counts = j.agg(
-            F.sum(upd.cast("long")).alias("u"),
+            F.sum((upd | bupd).cast("long")).alias("u"),
             F.sum(ins.cast("long")).alias("i"),
             F.sum((mdel | bdel).cast("long")).alias("d"),
         ).first()
-        use_src = upd | ins if need_full else None
+
+        def _val(c):
+            """Per-column post-image value: each firing clause installs
+            its value, everything else keeps the target's (NULL for
+            inserted rows' unlisted columns — __t_ is NULL there)."""
+            tcol = F.col(f"__t_{c}")
+            col = None
+
+            def when(flag, v):
+                nonlocal col
+                col = F.when(flag, v) if col is None else col.when(flag, v)
+
+            if m_act == "update" and c not in computed:
+                if m_sets is None:
+                    when(upd, F.col(f"__s_{c}"))
+                elif c in m_sets:
+                    when(upd, F.expr(_tx(m_sets[c])))
+            if i_act and c not in computed:
+                if i_cols is None:
+                    when(ins, F.col(f"__s_{c}"))
+                elif c in i_cols:
+                    when(ins, F.expr(_tx(i_vals[i_cols.index(c)])))
+            if b_sets and c in b_sets:
+                when(bupd, F.expr(_tx(b_sets[c])))
+            return (col.otherwise(tcol) if col is not None else tcol)
+
         out = j.filter(keep).select(
-            *[
-                (
-                    F.when(use_src, F.col(f"__s_{c}"))
-                    .otherwise(F.col(f"__t_{c}"))
-                    if need_full and c not in computed
-                    else F.col(f"__t_{c}")
-                )
-                .cast(ttypes[c])
-                .alias(c)
-                for c in tcols
-            ]
+            *[_val(c).cast(ttypes[c]).alias(c) for c in tcols]
         )
         n_ins = counts["i"] or 0
         ident_intent = None
-        if need_full and gen:
+        if writes and gen:
             # generated expressions recompute over the post-image row —
             # deterministic, so kept rows re-derive their own values
             out = out.select(
@@ -5809,7 +5890,7 @@ class TransactionalCatalog(Catalog):
                     for c in tcols
                 ]
             )
-        if need_full and icol is not None and i_act is not None:
+        if writes and icol is not None and i_act is not None:
             from gcp_datalake_pipeline_spark.operators.dims import (
                 assign_dense_ids,
             )

@@ -1016,12 +1016,14 @@ def test_explain_merge_reports_blast_radius(spark, tmp_path):
             "EXPLAIN MERGE INTO bt USING (SELECT 1 AS v, 2 AS k) s "
             "ON v = v WHEN MATCHED THEN DELETE",
         )
-    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
-        execute_dml(
-            cat,
-            "EXPLAIN MERGE INTO plain USING (SELECT 1 AS k) s ON k = k "
-            "WHEN MATCHED THEN UPDATE SET v = 1",
-        )
+    # column-level SET now routes through the generalized clause set
+    out = execute_dml(
+        cat,
+        "EXPLAIN MERGE INTO plain USING (SELECT 1 AS k) s ON k = k "
+        "WHEN MATCHED THEN UPDATE SET v = 1",
+    )
+    assert out["mode"] == "merge_when"
+    assert out["clauses"]["matched"]["sets"] == {"v": "1"}
 
 
 def test_clustered_by_ddl_full_lifecycle(spark, tmp_path):
@@ -1847,7 +1849,7 @@ def test_merge_when_grammar_refusals(spark, tmp_path):
             "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
             "WHEN MATCHED BY SOURCE THEN DELETE",
         )
-    with pytest.raises(ValueError, match="supports \\['DELETE'\\]"):
+    with pytest.raises(ValueError, match="column-level SET"):
         execute_dml(
             cat,
             "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
@@ -1970,3 +1972,104 @@ def test_merge_generated_columns_recompute(spark, tmp_path):
     assert sorted(
         (r["k"], r["a"], r["tot"]) for r in cat.read("g").collect()
     ) == [(1, 50, 100), (2, 20, 40), (9, 5, 10)]
+
+
+def test_merge_column_level_set_and_insert(spark, tmp_path):
+    """Column-level MERGE clauses: SET col = expr touches only the
+    listed columns (exprs see src./tgt.), INSERT (cols) VALUES fills
+    the listed columns and NULLs the rest, and BY SOURCE UPDATE marks
+    unmatched target rows without deleting them."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0, "live"), (2, "b", 20.0, "live")],
+            "k long, v string, amt double, status string",
+        ),
+        "t",
+    )
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k, 5.0 AS delta) ON k = k "
+        "WHEN MATCHED THEN UPDATE SET amt = tgt.amt + src.delta, "
+        "status = 'bumped'",
+    )
+    assert out["merge_updated"] == 1
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 9 AS k, 'zz' AS nm) ON k = k "
+        "WHEN NOT MATCHED THEN INSERT (k, v, status) "
+        "VALUES (src.k, upper(src.nm), 'new')",
+    )
+    assert out["merge_inserted"] == 1
+    assert sorted(
+        (r["k"], r["v"], r["amt"], r["status"])
+        for r in cat.read("t").collect()
+    ) == [
+        (1, "a", 15.0, "bumped"),
+        (2, "b", 20.0, "live"),
+        (9, "ZZ", None, "new"),
+    ]
+    # BY SOURCE UPDATE: unmatched target rows take the SET, keep rows
+    out = execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.status != 'new' "
+        "THEN UPDATE SET status = 'stale'",
+    )
+    assert out["merge_updated"] == 1
+    assert sorted(
+        (r["k"], r["status"]) for r in cat.read("t").collect()
+    ) == [(1, "bumped"), (2, "stale"), (9, "new")]
+
+
+def test_merge_column_level_refusals_and_identity(spark, tmp_path):
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "t"
+    )
+    with pytest.raises(ValueError, match="merge key"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN MATCHED THEN UPDATE SET k = 2",
+        )
+    with pytest.raises(ValueError, match="column-level SET"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="duplicate MERGE SET"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN MATCHED THEN UPDATE SET v = 'x', v = 'y'",
+        )
+    with pytest.raises(ValueError, match="disagree"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (1)",
+        )
+    # identity: column-level INSERT mints; SET on the id refuses
+    execute_dml(
+        cat,
+        "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "nk STRING, v STRING)",
+    )
+    execute_dml(cat, "INSERT INTO idt (nk, v) VALUES ('a', 'x')")
+    out = execute_dml(
+        cat,
+        "MERGE INTO idt USING (SELECT 'b' AS nk) ON nk = nk "
+        "WHEN NOT MATCHED THEN INSERT (nk, v) VALUES (src.nk, 'ins')",
+    )
+    assert out["merge_inserted"] == 1
+    assert sorted(
+        (r["id"], r["nk"], r["v"]) for r in cat.read("idt").collect()
+    ) == [(1, "a", "x"), (2, "b", "ins")]
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        execute_dml(
+            cat,
+            "MERGE INTO idt USING (SELECT 'a' AS nk) ON nk = nk "
+            "WHEN MATCHED THEN UPDATE SET id = 5",
+        )
