@@ -830,10 +830,10 @@ def _explain(catalog, inner: str):
         need_full = shape == "upsert" or (
             shape == "merge_when" and _merge_star(clauses)
         )
-        _merge_computed_guards(
-            table, computed, src.columns, keys, meta, need_full,
-            clauses if shape == "merge_when" else None,
-        )
+        if shape == "merge_when":
+            _merge_when_mirror_guards(
+                table, schema, computed, src.columns, keys, meta, clauses
+            )
         probe_cols = [
             c
             for c in src.columns
@@ -1214,75 +1214,36 @@ def _merge_computed(catalog, table, shape: str) -> tuple[str, set]:
     return shape, computed
 
 
-def _merge_computed_guards(
-    table, computed: set, src_cols, keys, meta, need_full: bool,
-    clauses: dict | None = None,
+def _merge_when_mirror_guards(
+    table, schema, computed: set, src_cols, keys, meta, clauses: dict
 ) -> None:
-    """The EXPLAIN mirror of merge_when's computed-column and
-    column-list refusals — the dry run must refuse exactly where the
-    real run does."""
-    named = []
-    if clauses is not None:
-        m, i, b = (
-            clauses["matched"], clauses["not_matched"],
-            clauses["by_source"],
-        )
-        named = [
-            ("UPDATE SET", list((m or {}).get("sets") or ()), False),
-            ("INSERT", list((i or {}).get("cols") or ()), True),
-            ("BY SOURCE SET", list((b or {}).get("sets") or ()), False),
-        ]
-        writes = bool(
+    """EXPLAIN's mirror of the generalized-merge input refusals — ONE
+    shared body (transactions.merge_when_guards) does the checking, so
+    the dry run refuses exactly where the real run does."""
+    from gcp_datalake_pipeline_spark.transactions import (
+        merge_when_guards,
+    )
+
+    m, i, b = (
+        clauses["matched"], clauses["not_matched"], clauses["by_source"],
+    )
+    merge_when_guards(
+        table,
+        [f.name for f in schema.fields if f.name != "_kb"],
+        keys,
+        computed,
+        list(src_cols),
+        (m or {}).get("sets"),
+        (i or {}).get("cols"),
+        (b or {}).get("sets"),
+        _merge_star(clauses),
+        bool(
             (m and m.get("action") == "update")
             or i
             or (b and b.get("action") == "update")
-        )
-    else:
-        writes = need_full
-    for label, cols_l, key_ok in named:
-        if not cols_l:
-            continue
-        if not key_ok:
-            bad = sorted(set(cols_l) & set(keys))
-            if bad:
-                raise ValueError(
-                    f"merge {label} may not assign merge key column(s) "
-                    f"{bad!r} (keys define the match; rewrite keys with "
-                    "UPDATE)"
-                )
-        if computed:
-            bad = sorted(set(cols_l) & computed)
-            if bad:
-                raise ValueError(
-                    f"merge {label} column(s) {bad!r} of {table!r} "
-                    "are GENERATED ALWAYS and cannot be assigned"
-                )
-    if not computed:
-        return
-    if need_full:
-        hit = sorted(computed & set(src_cols))
-        if hit:
-            raise ValueError(
-                f"column(s) {hit!r} of {table!r} are GENERATED ALWAYS "
-                "and cannot be merged from the source; omit them "
-                "(matched rows keep their values, inserted rows "
-                "mint/compute)"
-            )
-    if writes:
-        hit = sorted(computed & set(keys))
-        if hit:
-            raise ValueError(
-                f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} "
-                "needs the source to carry them, which a writing "
-                "merge refuses; merge on a natural key (or use WHEN "
-                "MATCHED THEN DELETE, which never writes)"
-            )
-        if meta is not None:
-            raise ValueError(
-                f"MERGE with engine-computed columns into the "
-                f"bucketed table {table!r} is not supported; drop the "
-                "bucket layout or the computed columns"
-            )
+        ),
+        meta is not None,
+    )
 
 
 def _parse_merge(catalog, table, rest):
@@ -1295,7 +1256,20 @@ def _parse_merge(catalog, table, rest):
         raise ValueError(f"unsupported DML shape; {_GRAMMAR}")
     source_spec, on_tail = pieces
     when_parts = _split_keyword(on_tail, "WHEN")
-    on_clause, whens = when_parts[0], when_parts[1:]
+    on_clause, raw_whens = when_parts[0], when_parts[1:]
+    # a MERGE clause always continues [NOT] MATCHED; any other WHEN is
+    # a CASE WHEN inside a condition or SET/VALUES expression — stitch
+    # it back onto the clause it belongs to
+    whens: list[str] = []
+    for w in raw_whens:
+        if re.match(r"\s*(NOT\s+)?MATCHED\b", w, re.I):
+            whens.append(w)
+        elif whens:
+            whens[-1] = f"{whens[-1]} WHEN {w}"
+        else:
+            raise ValueError(
+                f"unsupported MERGE WHEN clause {w.strip()!r}; {_GRAMMAR}"
+            )
     if whens:
         clauses = _parse_when_clauses(whens)
     else:

@@ -73,6 +73,13 @@ def _sql_literal(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
+        import math
+
+        # bare 'inf'/'nan' tokens would parse as COLUMN names
+        if math.isinf(v):
+            return f"double('{'-' if v < 0 else ''}Infinity')"
+        if math.isnan(v):
+            return "double('NaN')"
         # shortest-repr round-trips through Double.parseDouble
         return repr(v)
     if isinstance(v, str):
@@ -85,6 +92,92 @@ def _sql_literal(v) -> str:
         f"unsupported key literal type {type(v).__name__} for an "
         "ON UPDATE cascade leg"
     )
+
+
+def merge_when_guards(
+    table: str,
+    tcols: list,
+    key_cols: list,
+    computed: set,
+    src_cols: list,
+    m_sets,
+    i_cols,
+    b_sets,
+    star: bool,
+    writes: bool,
+    bucketed: bool,
+) -> None:
+    """The generalized-MERGE input refusals, in ONE body shared by the
+    engine's real run (:meth:`TransactionalCatalog.merge_when`) and
+    the SQL front door's EXPLAIN dry run — so the two can never
+    diverge on what refuses. Pure-name checks only (no data read)."""
+    for label, named, key_ok in (
+        ("UPDATE SET", m_sets, False),
+        ("INSERT", i_cols, True),
+        ("BY SOURCE SET", b_sets, False),
+    ):
+        if not named:
+            continue
+        cols_l = list(named)
+        bad = [c for c in cols_l if c not in tcols]
+        if bad:
+            raise ValueError(
+                f"merge {label} column(s) {bad!r} not in {table!r}"
+            )
+        if not key_ok:
+            # an INSERT list MUST be able to supply the new row's key;
+            # an UPDATE SET must not move a matched row's
+            bad = sorted(set(cols_l) & set(key_cols))
+            if bad:
+                raise ValueError(
+                    f"merge {label} may not assign merge key "
+                    f"column(s) {bad!r} (keys define the match; "
+                    "rewrite keys with UPDATE)"
+                )
+        if computed:
+            bad = sorted(set(cols_l) & computed)
+            if bad:
+                raise ValueError(
+                    f"merge {label} column(s) {bad!r} of {table!r} "
+                    "are GENERATED ALWAYS and cannot be assigned"
+                )
+    if star and computed:
+        hit = sorted(computed & set(src_cols))
+        if hit:
+            raise ValueError(
+                f"column(s) {hit!r} of {table!r} are GENERATED "
+                "ALWAYS and cannot be merged from the source; "
+                "omit them (matched rows keep their values, "
+                "inserted rows mint/compute)"
+            )
+    if writes and computed:
+        hit = sorted(computed & set(key_cols))
+        if hit:
+            raise ValueError(
+                f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} "
+                "needs the source to carry them, which a writing "
+                "merge refuses; merge on a natural key (or use "
+                "WHEN MATCHED THEN DELETE, which never writes)"
+            )
+        if bucketed:
+            raise ValueError(
+                f"MERGE with engine-computed columns into the bucketed "
+                f"table {table!r} is not supported; drop the bucket "
+                "layout or the computed columns"
+            )
+    absent = [k for k in key_cols if k not in src_cols]
+    if absent:
+        raise ValueError(
+            f"merge_when source lacks merge key column(s) {absent!r}"
+        )
+    if star:
+        need = [c for c in tcols if c not in computed]
+        absent = [c for c in need if c not in src_cols]
+        if absent:
+            raise ValueError(
+                f"merge_when source lacks column(s) {absent!r} needed "
+                f"by the UPDATE SET * / INSERT * clauses"
+            )
 
 
 def _merge_schema_json(old: dict | None, new: dict | None) -> dict | None:
@@ -2057,7 +2150,7 @@ class TransactionalCatalog(Catalog):
             self.begin(f"update-cascade-{table}")
             try:
                 n = self._update_where_body(
-                    table, predicates, set_exprs, mode
+                    table, predicates, set_exprs, mode, acts
                 )
             except BaseException:
                 self.rollback()
@@ -2071,7 +2164,9 @@ class TransactionalCatalog(Catalog):
             else:
                 self.rollback()  # nothing staged: don't burn a version
             return n
-        return self._update_where_body(table, predicates, set_exprs, mode)
+        return self._update_where_body(
+            table, predicates, set_exprs, mode, acts
+        )
 
     def _fk_update_action_children(
         self, table: str, set_exprs: dict
@@ -2087,12 +2182,20 @@ class TransactionalCatalog(Catalog):
         ]
 
     def _update_where_body(
-        self, table: str, predicates, set_exprs: dict, mode: str = "rewrite"
+        self,
+        table: str,
+        predicates,
+        set_exprs: dict,
+        mode: str = "rewrite",
+        acts: list | None = None,
     ) -> int:
-        """:meth:`update_where` minus the cascade-transaction wrapper."""
+        """:meth:`update_where` minus the cascade-transaction wrapper.
+        ``acts`` is the wrapper's :meth:`_fk_update_action_children`
+        result, threaded through so the manifest is read once."""
         from pyspark.sql import functions as F
 
-        acts = self._fk_update_action_children(table, set_exprs)
+        if acts is None:
+            acts = self._fk_update_action_children(table, set_exprs)
         if mode == "dv" and acts:
             # refuse BEFORE any probe runs: the action legs commit
             # through the staged-dir protocol, the parent's vectors
@@ -2143,7 +2246,9 @@ class TransactionalCatalog(Catalog):
         # them AFTER it (the child legs' FK probes then see the staged
         # parent carrying the new keys — read-your-writes)
         legs = (
-            self._plan_fk_update_actions(table, predicates, set_exprs)
+            self._plan_fk_update_actions(
+                table, predicates, set_exprs, acts
+            )
             if acts
             else []
         )
@@ -2185,7 +2290,11 @@ class TransactionalCatalog(Catalog):
         return n
 
     def _plan_fk_update_actions(
-        self, table: str, predicates, set_exprs: dict
+        self,
+        table: str,
+        predicates,
+        set_exprs: dict,
+        specs: list | None = None,
     ) -> list[tuple[str, dict]]:
         """Driver-side plan for the ON UPDATE CASCADE / SET NULL legs
         of one parent UPDATE: per referenced column, the distinct
@@ -2201,7 +2310,8 @@ class TransactionalCatalog(Catalog):
         explicit child statement, mirroring the DELETE cascade cap."""
         from pyspark.sql import functions as F
 
-        specs = self._fk_update_action_children(table, set_exprs)
+        if specs is None:
+            specs = self._fk_update_action_children(table, set_exprs)
         if not specs:
             return []
         cond = F.coalesce(
@@ -5688,28 +5798,6 @@ class TransactionalCatalog(Catalog):
         star = (m_act == "update" and m_sets is None) or (
             i_act is not None and i_cols is None
         )
-        for label, named, key_ok in (
-            ("UPDATE SET", m_sets, False), ("INSERT", i_cols, True),
-            ("BY SOURCE SET", b_sets, False),
-        ):
-            if not named:
-                continue
-            cols_l = list(named)
-            bad = [c for c in cols_l if c not in tcols]
-            if bad:
-                raise ValueError(
-                    f"merge {label} column(s) {bad!r} not in {table!r}"
-                )
-            if not key_ok:
-                # an INSERT list MUST be able to supply the new row's
-                # key; an UPDATE SET must not move a matched row's
-                bad = sorted(set(cols_l) & set(key_cols))
-                if bad:
-                    raise ValueError(
-                        f"merge {label} may not assign merge key "
-                        f"column(s) {bad!r} (keys define the match; "
-                        "rewrite keys with UPDATE)"
-                    )
         need_full = star
         # engine-computed columns (GENERATED ALWAYS AS IDENTITY /
         # (expr)): a merge that writes source values must never supply
@@ -5722,60 +5810,15 @@ class TransactionalCatalog(Catalog):
         gen = self.generated_spec(table) or {}
         icol = ident["col"] if ident else None
         computed = set(gen) | ({icol} if icol else set())
-        if star and computed:
-            hit = sorted(computed & set(source.columns))
-            if hit:
-                raise ValueError(
-                    f"column(s) {hit!r} of {table!r} are GENERATED "
-                    "ALWAYS and cannot be merged from the source; "
-                    "omit them (matched rows keep their values, "
-                    "inserted rows mint/compute)"
-                )
-        if writes and computed:
-            for label, named in (
-                ("UPDATE SET", m_sets), ("INSERT", i_cols),
-                ("BY SOURCE SET", b_sets),
-            ):
-                hit = sorted(set(named or ()) & computed)
-                if hit:
-                    raise ValueError(
-                        f"merge {label} column(s) {hit!r} of {table!r} "
-                        "are GENERATED ALWAYS and cannot be assigned"
-                    )
-            hit = sorted(computed & set(key_cols))
-            if hit:
-                raise ValueError(
-                    f"MERGE ON the GENERATED ALWAYS column(s) {hit!r} "
-                    "needs the source to carry them, which a writing "
-                    "merge refuses; merge on a natural key (or use "
-                    "WHEN MATCHED THEN DELETE, which never writes)"
-                )
-        absent = [k for k in key_cols if k not in source.columns]
-        if absent:
-            raise ValueError(
-                f"merge_when source lacks merge key column(s) {absent!r}"
-            )
-        src = dedup_last_wins(source, key_cols, order_col)
-        src = src.drop("_row_idx", "_source_file")
-        need_cols = (
-            [c for c in tcols if c not in computed]
-            if star
-            else list(key_cols)
-        )
-        absent = [c for c in need_cols if c not in src.columns]
-        if absent:
-            raise ValueError(
-                f"merge_when source lacks column(s) {absent!r} needed "
-                f"by the UPDATE SET * / INSERT * clauses"
-            )
         target = self.read(table)
         meta = self.bucket_meta(table)
-        if meta is not None and writes and computed:
-            raise ValueError(
-                f"MERGE with engine-computed columns into the bucketed "
-                f"table {table!r} is not supported; drop the bucket "
-                "layout or the computed columns"
-            )
+        merge_when_guards(
+            table, tcols, key_cols, computed, source.columns,
+            m_sets, i_cols, b_sets, star, bool(writes),
+            meta is not None,
+        )
+        src = dedup_last_wins(source, key_cols, order_col)
+        src = src.drop("_row_idx", "_source_file")
         touched: list | None = None
         if meta is not None:
             if list(meta["key_cols"]) != list(key_cols):
@@ -5816,14 +5859,23 @@ class TransactionalCatalog(Catalog):
         j = t_pref.join(s_pref, on, "full_outer")
 
         def _tx(e: str) -> str:
-            e = _re.sub(
-                r"\b(?:src|source)\s*\.\s*(\w+)", r"__s_\1", e,
-                flags=_re.I,
-            )
-            return _re.sub(
-                r"\b(?:tgt|target)\s*\.\s*(\w+)", r"__t_\1", e,
-                flags=_re.I,
-            )
+            # rewrite src./tgt. qualifiers OUTSIDE string literals only
+            # ('see src.feed' must stay a literal) — split on quoted
+            # segments ('' and \' escapes) and substitute the rest
+            parts = _re.split(r"('(?:[^'\\]|\\.|'')*')", e)
+            out = []
+            for idx, p in enumerate(parts):
+                if idx % 2 == 0:
+                    p = _re.sub(
+                        r"\b(?:src|source)\s*\.\s*(\w+)", r"__s_\1", p,
+                        flags=_re.I,
+                    )
+                    p = _re.sub(
+                        r"\b(?:tgt|target)\s*\.\s*(\w+)", r"__t_\1", p,
+                        flags=_re.I,
+                    )
+                out.append(p)
+            return "".join(out)
 
         def _cx(clause):
             cond = (clause or {}).get("cond")
@@ -5841,11 +5893,74 @@ class TransactionalCatalog(Catalog):
         bdel = t_only & _cx(by_source) if b_act == "delete" else false
         bupd = t_only & _cx(by_source) if b_act == "update" else false
         keep = (is_m & ~mdel) | (t_only & ~bdel) | ins
+        # cast-loss probe, riding the SAME aggregate pass as the
+        # counts: a SET/VALUES expression (or a star-copied column of a
+        # type-mismatched engine-level source) whose cast to the target
+        # type loses a non-null value must refuse — every other write
+        # path does (_probe_set_casts, _align_merge_source), and a
+        # silent NULL here would corrupt matched rows
+        probes: list[tuple[str, object]] = []
+
+        def _probe(label, flag, value, c):
+            # try_cast: under ANSI mode a plain cast THROWS mid-job on
+            # the first bad value — the probe must count losses and
+            # refuse cleanly instead
+            e = value.try_cast(ttypes[c])
+            probes.append(
+                (
+                    label,
+                    F.sum(
+                        (flag & value.isNotNull() & e.isNull()).cast(
+                            "long"
+                        )
+                    ),
+                )
+            )
+
+        for c in tcols:
+            if c in computed:
+                continue
+            if m_act == "update":
+                if m_sets and c in m_sets:
+                    _probe(
+                        f"SET {c} = {m_sets[c]}", upd,
+                        F.expr(_tx(m_sets[c])), c,
+                    )
+                elif m_sets is None and c in src.columns and (
+                    src.schema[c].dataType != ttypes[c]
+                ):
+                    _probe(f"SET * column {c}", upd, F.col(f"__s_{c}"), c)
+            if i_act:
+                if i_cols is not None and c in i_cols:
+                    v = i_vals[i_cols.index(c)]
+                    _probe(
+                        f"INSERT {c} = {v}", ins, F.expr(_tx(v)), c
+                    )
+                elif i_cols is None and c in src.columns and (
+                    src.schema[c].dataType != ttypes[c]
+                ):
+                    _probe(
+                        f"INSERT * column {c}", ins, F.col(f"__s_{c}"), c
+                    )
+            if b_sets and c in b_sets:
+                _probe(
+                    f"BY SOURCE SET {c} = {b_sets[c]}", bupd,
+                    F.expr(_tx(b_sets[c])), c,
+                )
         counts = j.agg(
             F.sum((upd | bupd).cast("long")).alias("u"),
             F.sum(ins.cast("long")).alias("i"),
             F.sum((mdel | bdel).cast("long")).alias("d"),
+            *[p.alias(f"__cl_{i2}") for i2, (_l, p) in enumerate(probes)],
         ).first()
+        for i2, (label, _p) in enumerate(probes):
+            lost = counts[f"__cl_{i2}"]
+            if lost:
+                raise ValueError(
+                    f"merge {label} does not cast to the target type "
+                    f"for {lost} row(s) — refusing to null them "
+                    "silently"
+                )
 
         def _val(c):
             """Per-column post-image value: each firing clause installs

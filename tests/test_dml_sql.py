@@ -2073,3 +2073,69 @@ def test_merge_column_level_refusals_and_identity(spark, tmp_path):
             "MERGE INTO idt USING (SELECT 'a' AS nk) ON nk = nk "
             "WHEN MATCHED THEN UPDATE SET id = 5",
         )
+
+
+def test_merge_review_fixes(spark, tmp_path):
+    """Self-review regressions: cast-loss probe on column-level exprs,
+    src./tgt. untouched inside string literals, EXPLAIN mirrors the
+    missing-source-column refusal, CASE WHEN parses inside conditions
+    and SET expressions."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0, "live")],
+            "k long, v string, amt double, note string",
+        ),
+        "t",
+    )
+    # a SET expression whose cast loses refuses cleanly (not a raw
+    # ANSI NumberFormatException, never a silent NULL)
+    with pytest.raises(ValueError, match="does not cast"):
+        execute_dml(
+            cat,
+            "MERGE INTO t USING (SELECT 1 AS k, 'abc' AS txt) ON k = k "
+            "WHEN MATCHED THEN UPDATE SET amt = src.txt",
+        )
+    # src./tgt. qualifiers inside string literals stay literal
+    execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k) ON k = k "
+        "WHEN MATCHED THEN UPDATE SET note = 'see src.feed'",
+    )
+    assert cat.read("t").first()["note"] == "see src.feed"
+    # EXPLAIN refuses a source lacking the merge key exactly like the
+    # real run (dry run never reports a plan the real run rejects)
+    for prefix in ("EXPLAIN ", ""):
+        with pytest.raises(ValueError, match="lacks merge key"):
+            execute_dml(
+                cat,
+                f"{prefix}MERGE INTO t USING (SELECT 1 AS zz) ON k = k "
+                "WHEN MATCHED THEN UPDATE SET note = 'x'",
+            )
+    # CASE WHEN inside SET expressions and conditions is not split
+    # into bogus MERGE WHEN clauses
+    execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k) ON k = k WHEN MATCHED "
+        "THEN UPDATE SET amt = CASE WHEN tgt.amt > 5 THEN 0.0 "
+        "ELSE tgt.amt END",
+    )
+    assert cat.read("t").first()["amt"] == 0.0
+    execute_dml(
+        cat,
+        "MERGE INTO t USING (SELECT 1 AS k) ON k = k WHEN MATCHED "
+        "AND CASE WHEN tgt.amt = 0.0 THEN true ELSE false END "
+        "THEN UPDATE SET note = 'zeroed'",
+    )
+    assert cat.read("t").first()["note"] == "zeroed"
+
+
+def test_sql_literal_special_floats():
+    """inf/nan keys render as typed literals, not bare tokens that
+    would resolve as column names."""
+    from gcp_datalake_pipeline_spark.transactions import _sql_literal
+
+    assert _sql_literal(float("inf")) == "double('Infinity')"
+    assert _sql_literal(float("-inf")) == "double('-Infinity')"
+    assert _sql_literal(float("nan")) == "double('NaN')"
+    assert _sql_literal(1.5) == "1.5"
