@@ -972,7 +972,9 @@ def _insert_computed(
             staged = catalog._intents.get(table, {}).get("identity")
             if staged is not None:
                 start = int(staged["next"])
-                expect = int(staged["expect_next"])
+                # None = the table was CREATEd in this very block (the
+                # commit-time CAS then expects "no identity existed")
+                expect = staged["expect_next"]
         value_cols = [c for c in aligned.columns if c not in computed]
         # assign_dense_ids yields start + 1-based rank: anchor one below
         aligned = assign_dense_ids(
@@ -1438,12 +1440,15 @@ def _execute_transaction(catalog, block: str) -> dict:
     (read-your-writes), so a parent INSERT followed by a child INSERT
     under a FOREIGN KEY commits atomically. A failing statement — or a
     crash — rolls the whole block back: nothing is visible, staged
-    dirs are deleted. INSERT, MERGE, DELETE and UPDATE may appear
-    inside the block (copy-on-write DELETE/UPDATE join the open
-    transaction; a rewrite of a table the block already staged refuses,
-    as does merge-on-read DML — its deletion vectors publish outside
-    the staged-dir protocol). DDL still refuses: it publishes through
-    its own immediate metadata commit."""
+    dirs are deleted. INSERT, MERGE, DELETE, UPDATE and CREATE TABLE
+    may appear inside the block (copy-on-write DELETE/UPDATE join the
+    open transaction; a rewrite of a table the block already staged
+    refuses, as does merge-on-read DML — its deletion vectors publish
+    outside the staged-dir protocol; CREATE TABLE stages the new
+    table so create-and-load publishes atomically and a ROLLBACK
+    leaves no table — identity marks and CLUSTERED BY layouts ride
+    the same staged intents). Other DDL still refuses: it publishes
+    through its own immediate metadata commit."""
     if not hasattr(catalog, "begin"):
         raise ValueError(
             "BEGIN needs a transactional catalog (plain catalogs have "
@@ -1466,12 +1471,15 @@ def _execute_transaction(catalog, block: str) -> dict:
     commit = stmts[-1].upper() == "COMMIT"
     body = stmts[1:-1]
     for stmt in body:
-        if not re.match(r"(INSERT|MERGE|DELETE|UPDATE)\b", stmt, re.I):
+        if not re.match(
+            r"(INSERT|MERGE|DELETE|UPDATE|CREATE\s+TABLE)\b", stmt, re.I
+        ):
             raise ValueError(
-                f"only INSERT, MERGE, DELETE and UPDATE may appear "
-                f"inside BEGIN ... COMMIT (got "
-                f"{stmt.split()[0].upper() if stmt else ''!r}); DDL "
-                f"publishes through its own metadata commit; {_GRAMMAR}"
+                f"only INSERT, MERGE, DELETE, UPDATE and CREATE TABLE "
+                f"may appear inside BEGIN ... COMMIT (got "
+                f"{stmt.split()[0].upper() if stmt else ''!r}); other "
+                f"DDL publishes through its own metadata commit; "
+                f"{_GRAMMAR}"
             )
     results = []
     catalog.begin(None)

@@ -1535,7 +1535,13 @@ class TransactionalCatalog(Catalog):
         high-water mark the next identity INSERT starts at — advanced
         atomically with the rows it minted and never reused, even
         across deletes or INSERT OVERWRITE (Delta identity
-        semantics)."""
+        semantics). A spec staged by THIS open transaction (a table
+        CREATEd inside a BEGIN block) is already visible to its own
+        later writes (read-your-writes, like ``_pending``)."""
+        if self._pending is not None and table in self._intents:
+            staged = self._intents[table].get("identity")
+            if staged is not None:
+                return staged
         return (
             self._read_manifest(strict=False)
             .get("identity", {})
@@ -1546,7 +1552,12 @@ class TransactionalCatalog(Catalog):
         """The table's GENERATED ALWAYS AS (expr) computed columns
         (``{col: sql_expr}``) or None — filled by the engine on every
         INSERT (Delta generated-column semantics; supplying one
-        explicitly refuses)."""
+        explicitly refuses). Staged-by-this-transaction specs are
+        visible (read-your-writes), like :meth:`identity_spec`."""
+        if self._pending is not None and table in self._intents:
+            staged = self._intents[table].get("generated")
+            if staged is not None:
+                return staged
         return (
             self._read_manifest(strict=False)
             .get("generated", {})
@@ -1567,11 +1578,16 @@ class TransactionalCatalog(Catalog):
         ``bucket_meta=(num_buckets, key_cols)`` records the ``_kb``
         layout sidecar IN THE SAME COMMIT (CLUSTERED BY ... INTO n
         BUCKETS) — a separate write would leave a crash window that
-        silently strands the table unbucketed."""
+        silently strands the table unbucketed.
+
+        Inside an OPEN transaction (a BEGIN block) the create STAGES
+        into it instead of committing: the table becomes visible to
+        the block's own later statements (read-your-writes — INSERTs
+        land, identity marks continue from the staged record) and
+        publishes with the block's single manifest swap, so
+        create-and-load is atomic and a ROLLBACK leaves no table."""
         from pyspark.sql import types as T
 
-        if self._pending is not None:
-            raise RuntimeError("create_table inside an open transaction")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if self.exists(table):
@@ -1620,7 +1636,8 @@ class TransactionalCatalog(Catalog):
                         f"({expr!r}): {e}"
                     ) from None
         base = self._committed_rels(table)  # None: conflicts if created
-        with self.transaction(f"create-{table}"):
+
+        def _stage():
             self._pending[table] = []
             self._intents[table] = {
                 "mode": "replace",
@@ -1639,6 +1656,12 @@ class TransactionalCatalog(Catalog):
             if bucket_meta is not None:
                 nb, kc = bucket_meta
                 self._write_bucket_meta(table, int(nb), list(kc))
+
+        if self._pending is not None:
+            _stage()
+        else:
+            with self.transaction(f"create-{table}"):
+                _stage()
 
     def add_column(self, table: str, name: str, dtype) -> None:
         """ALTER TABLE ... ADD COLUMN: additive schema evolution as a
@@ -6016,7 +6039,9 @@ class TransactionalCatalog(Catalog):
                 staged = self._intents.get(table, {}).get("identity")
                 if staged is not None:
                     start = int(staged["next"])
-                    expect = int(staged["expect_next"])
+                    # None = table CREATEd in this very block (the
+                    # commit CAS then expects "no identity existed")
+                    expect = staged["expect_next"]
             keep_rows = out.where(F.col(icol).isNotNull())
             ins_rows = out.where(F.col(icol).isNull()).drop(icol)
             value_cols = [

@@ -1545,10 +1545,9 @@ def test_begin_block_refusals(spark, tmp_path):
     execute_dml(cat, "CREATE TABLE t (k BIGINT)")
     with pytest.raises(ValueError, match="COMMIT or ROLLBACK"):
         execute_dml(cat, "BEGIN; INSERT INTO t VALUES (1)")
+    # CREATE TABLE now stages into the block; other DDL still refuses
     with pytest.raises(ValueError, match="only INSERT"):
-        execute_dml(
-            cat, "BEGIN; CREATE TABLE z (a BIGINT); COMMIT"
-        )
+        execute_dml(cat, "BEGIN; TRUNCATE TABLE t; COMMIT")
     # empty COMMIT burns no version
     v = cat._read_manifest(strict=False)["version"]
     out = execute_dml(cat, "BEGIN; COMMIT")
@@ -2139,3 +2138,90 @@ def test_sql_literal_special_floats():
     assert _sql_literal(float("-inf")) == "double('-Infinity')"
     assert _sql_literal(float("nan")) == "double('NaN')"
     assert _sql_literal(1.5) == "1.5"
+
+
+def test_begin_block_create_table(spark, tmp_path):
+    """CREATE TABLE inside BEGIN ... COMMIT stages the table: create +
+    load publish as ONE version, ROLLBACK leaves no table, identity
+    marks continue across the block's inserts, CLUSTERED BY layouts
+    ride the same staged intents, CTAS works."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.createDataFrame([(0,)], "z long"), "seed")
+    v0 = cat._read_manifest(strict=False)["version"]
+    out = execute_dml(
+        cat,
+        "BEGIN; CREATE TABLE p (k BIGINT, v STRING); "
+        "INSERT INTO p VALUES (1, 'a'), (2, 'b'); "
+        "CREATE TABLE c (id BIGINT, fk BIGINT); "
+        "INSERT INTO c SELECT id, fk FROM (VALUES (10, 1)) AS x(id, fk); "
+        "COMMIT",
+    )
+    assert out["transaction"] == "committed"
+    assert cat._read_manifest(strict=False)["version"] == v0 + 1
+    assert sorted(r["k"] for r in cat.read("p").collect()) == [1, 2]
+    assert cat.read("c").count() == 1
+    # ROLLBACK: the created table never existed
+    execute_dml(
+        cat,
+        "BEGIN; CREATE TABLE ghost (x BIGINT); "
+        "INSERT INTO ghost VALUES (1); ROLLBACK",
+    )
+    assert not cat.exists("ghost")
+    # identity: block-created mark continues across in-block inserts
+    # and into later standalone inserts — no duplicate ids
+    out = execute_dml(
+        cat,
+        "BEGIN; CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS "
+        "IDENTITY, v STRING); "
+        "INSERT INTO idt (v) VALUES ('a'), ('b'); "
+        "INSERT INTO idt (v) VALUES ('c'); COMMIT",
+    )
+    assert [
+        s.get("identity_range") for s in out["statements"][1:]
+    ] == [[1, 2], [3, 3]]
+    execute_dml(cat, "INSERT INTO idt (v) VALUES ('d')")
+    assert sorted(r["id"] for r in cat.read("idt").collect()) == [
+        1, 2, 3, 4,
+    ]
+    # bucketed create-and-load: layout live after commit
+    execute_dml(
+        cat,
+        "BEGIN; CREATE TABLE bk (k BIGINT, v STRING) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS; "
+        "INSERT INTO bk SELECT k, v FROM (VALUES (1, 'x'), (2, 'y')) "
+        "AS t(k, v); COMMIT",
+    )
+    assert cat.bucket_meta("bk") == {"num_buckets": 4, "key_cols": ["k"]}
+    assert [
+        r["v"] for r in cat.read("bk", predicates=[("k", "=", 2)]).collect()
+    ] == ["y"]
+    # CTAS in a block
+    execute_dml(cat, "BEGIN; CREATE TABLE agg AS SELECT 1 AS one; COMMIT")
+    assert cat.read("agg").first()["one"] == 1
+    # other DDL still refuses
+    with pytest.raises(ValueError, match="CREATE TABLE"):
+        execute_dml(cat, "BEGIN; DROP TABLE p; COMMIT")
+
+
+def test_begin_block_create_conflicts(spark, tmp_path):
+    """A concurrent standalone CREATE of the same table between BEGIN
+    and COMMIT conflicts the block instead of silently clobbering."""
+    from gcp_datalake_pipeline_spark.transactions import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "lake")
+    cat = TransactionalCatalog(spark=spark, root=root)
+    cat.overwrite(spark.createDataFrame([(0,)], "z long"), "seed")
+    other = TransactionalCatalog(spark=spark, root=root)
+    cat.begin("block")
+    try:
+        cat.create_table("t", "k bigint")
+        other.create_table("t", "k bigint")  # lands first
+        with pytest.raises(ConcurrentWriteError):
+            cat.commit()
+    finally:
+        if cat._pending is not None:
+            cat.rollback()
+    # the standalone create survives
+    assert other.exists("t")
