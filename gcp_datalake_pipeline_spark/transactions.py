@@ -654,6 +654,16 @@ class TransactionalCatalog(Catalog):
             "added": [rel],
             "schema": schema.jsonValue() if schema is not None else None,
         }
+        if prior:
+            # create-time registrations staged EARLIER IN THIS TXN
+            # (a table CREATEd in a BEGIN block, then content-replaced
+            # by a merge) must survive the new intent — for a
+            # block-created table they exist nowhere else, and losing
+            # them silently publishes the table without its identity /
+            # generated columns
+            for k in ("identity", "generated"):
+                if k in prior and k not in self._intents[table]:
+                    self._intents[table][k] = prior[k]
 
     def _note_append(self, table: str, rel: str, schema=None) -> None:
         sj = schema.jsonValue() if schema is not None else None

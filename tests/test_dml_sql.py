@@ -2225,3 +2225,41 @@ def test_begin_block_create_conflicts(spark, tmp_path):
             cat.rollback()
     # the standalone create survives
     assert other.exists("t")
+
+
+def test_begin_block_replace_keeps_created_registrations(spark, tmp_path):
+    """A content-replacing write inside the block (a merge routed
+    through overwrite) must not clobber the block-created table's
+    staged identity/generated registrations — they exist nowhere
+    else, and losing them published the table as plain columns."""
+    cat = TransactionalCatalog(spark=spark, root=str(tmp_path / "lake"))
+    cat.overwrite(spark.createDataFrame([(0,)], "z long"), "seed")
+    execute_dml(
+        cat,
+        "BEGIN; "
+        "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "nk STRING, v STRING, "
+        "tot BIGINT GENERATED ALWAYS AS (length(v))); "
+        "INSERT INTO idt (nk, v) VALUES ('a', 'x'); "
+        "MERGE INTO idt USING (SELECT 'a' AS nk, 'V2' AS vv) "
+        "ON nk = nk WHEN MATCHED THEN UPDATE SET v = src.vv; "
+        "COMMIT",
+    )
+    assert cat.identity_spec("idt") == {"col": "id", "next": 2}
+    assert cat.generated_spec("idt") == {"tot": "length(v)"}
+    out = execute_dml(cat, "INSERT INTO idt (nk, v) VALUES ('b', 'y')")
+    assert out["identity_range"] == [2, 2]
+    assert sorted(
+        (r["id"], r["nk"], r["v"], r["tot"])
+        for r in cat.read("idt").collect()
+    ) == [(1, "a", "V2", 2), (2, "b", "y", 1)]
+    # the advanced mark of an in-block identity INSERT also survives a
+    # later in-block INSERT OVERWRITE — ids never reuse
+    execute_dml(
+        cat,
+        "BEGIN; INSERT INTO idt (nk, v) VALUES ('c', 'z'); "
+        "INSERT OVERWRITE idt (nk, v) VALUES ('only', 'row'); COMMIT",
+    )
+    out = execute_dml(cat, "INSERT INTO idt (nk, v) VALUES ('d', 'w')")
+    # marks advanced past every minted id, even the overwritten ones
+    assert out["identity_range"][0] >= 4
