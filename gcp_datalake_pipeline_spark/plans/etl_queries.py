@@ -2881,7 +2881,7 @@ def etl_fk_on_update(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT st, cents FROM s0
       WHERE k NOT IN (SELECT k FROM t0) AND cents % 3 = 0)
     SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(cents) AS total_cents
+           CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM final GROUP BY st ORDER BY st
     """,
     doc="""Generalized MERGE WHEN clause set (transactions merge_when;
