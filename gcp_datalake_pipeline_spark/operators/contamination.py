@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gcp_datalake_pipeline_spark.operators.dedup import shingle_array
+from gcp_datalake_pipeline_spark.parallelism import ensure_scan_parallelism
 
 CONTAM_N = 5
 
@@ -33,7 +34,12 @@ def ngram_contamination(
     n_hit_ngrams, contaminated) — one row per corpus document, including
     clean ones and documents too short to have any n-gram.
     """
-    doc_grams = corpus.select(
+    # The n-gram build + md5 is the compute-DENSE stage of this pass, so
+    # spread a tiny local input across the machine before it (no-op on
+    # cluster-scale inputs — see parallelism.py). Without this the whole
+    # 5-gram explode of the corpus binds to the scan's one or two splits
+    # (r13: measured 7.0s -> ~1s at sf0.1 on local[32]).
+    doc_grams = ensure_scan_parallelism(corpus).select(
         "doc_id",
         F.explode_outer(shingle_array(F.col("text"), n)).alias("gram"),
     ).select("doc_id", F.md5("gram").alias("h"))

@@ -38,6 +38,7 @@ def main() -> int:
     canons = ["fetchall", "pandas"]
     budget = 300.0
     skip: set[str] = set()
+    only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--canons"):
             canons = a.split("=", 1)[1].split(",")
@@ -45,6 +46,8 @@ def main() -> int:
             budget = float(a.split("=", 1)[1])
         elif a.startswith("--skip"):
             skip = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
     sf_dirs = args or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
@@ -69,6 +72,8 @@ def main() -> int:
             t0 = time.time()
             ok = skipped = 0
             for qname, q in QUERIES.items():
+                if only is not None and qname not in only:
+                    continue
                 tq = time.time()
                 # watchdog guards BOTH sides past the budget: the
                 # oracle via con.interrupt(), a Spark-side bomb via
@@ -167,10 +172,13 @@ def main() -> int:
                 else:
                     failures.append((sf, canon, qname))
                     print(f"  FAIL {qname}: {r.detail[:500]}", flush=True)
+            n_run = len(QUERIES) if only is None else len(
+                [q for q in QUERIES if q in only]
+            )
             print(
-                f"{sf} canon={canon}: {ok}/{len(QUERIES)} ok, "
+                f"{sf} canon={canon}: {ok}/{n_run} ok, "
                 f"{skipped} skipped (over budget/cap at this sf), "
-                f"{len(QUERIES) - ok - skipped} FAILED "
+                f"{n_run - ok - skipped} FAILED "
                 f"in {time.time() - t0:.0f}s",
                 flush=True,
             )

@@ -1106,3 +1106,60 @@ def test_embedding_near_dup_lsh_candidate_cap_refuses(spark):
         ).count()
         > 0
     )
+
+
+def test_arrow_backends_match_jvm_md5(spark, docs):
+    """r13 optimization pin: the Arrow/numpy kernels for the md5-parity
+    modes (simhash fingerprints, minhash signatures, minhash band index)
+    must produce IDENTICAL values to the JVM codegen shapes they
+    replaced as the default — tokenization (re.ASCII \\s+ == Java \\s+),
+    md5 arithmetic, permutation math, and band hashing are all exact
+    integer paths, so equality is bitwise, not approximate."""
+    jvm_sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, hash_mode="md5", backend="jvm").collect()
+    }
+    arrow_sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, hash_mode="md5").collect()
+    }
+    assert arrow_sh == jvm_sh and arrow_sh
+
+    jvm_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(
+            docs, hash_mode="md5", backend="jvm"
+        ).collect()
+    }
+    arrow_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(docs, hash_mode="md5").collect()
+    }
+    assert arrow_sig == jvm_sig and arrow_sig
+
+    jvm_b = {
+        (r["doc_id"], int(r["band_id"]), r["band_hash"])
+        for r in dedup.minhash_bands(
+            docs, hash_mode="md5", backend="jvm"
+        ).collect()
+    }
+    arrow_b = {
+        (r["doc_id"], int(r["band_id"]), r["band_hash"])
+        for r in dedup.minhash_bands(docs, hash_mode="md5").collect()
+    }
+    assert arrow_b == jvm_b and arrow_b
+
+
+def test_arrow_backends_drop_shingleless_docs(spark):
+    """Documents with no shingles (under 3 tokens, empty, or NULL text)
+    must yield NO fingerprint/signature row — the explode+groupBy
+    contract of the JVM shape."""
+    d = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    assert [r["doc_id"] for r in dedup.simhash(d, hash_mode="md5").collect()] == [4]
+    assert [
+        r["doc_id"]
+        for r in dedup.minhash_signatures(d, hash_mode="md5").collect()
+    ] == [4]

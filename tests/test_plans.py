@@ -233,3 +233,17 @@ def test_scratch_root_is_cached_and_removed_at_exit(monkeypatch, tmp_path):
     fn, a, kw = registered[0]
     fn(*a, **kw)
     assert not os.path.exists(d1)
+
+
+@pytest.mark.parametrize("name", ["doc_text_stats", "doc_lang_id"])
+def test_text_stats_langid_zero_shuffle(spark, name):
+    """r13 optimization pin: per-document text stats and stopword-vote
+    language ID are NARROW per-row folds — no aggregation shuffle, no
+    window, no join survives in the plan. (ensure_scan_parallelism may
+    add one round-robin exchange on tiny local inputs; no
+    hash/range-partitioned exchange is allowed.)"""
+    plan = _plan(spark, name)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
