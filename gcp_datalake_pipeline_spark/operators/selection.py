@@ -54,6 +54,14 @@ def _doc_bucket_counts(
     id_col: str,
 ) -> DataFrame:
     """(doc_id, bucket, cnt): hashed unigram+bigram counts per doc."""
+    from gcp_datalake_pipeline_spark.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # unigram+bigram explode + hash is the compute-dense stage shared
+    # by DSIR and the NB classifier: spread tiny local scans (cluster
+    # no-op — see parallelism.py)
+    df = ensure_scan_parallelism(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
@@ -94,7 +102,14 @@ def dsir_weights(
     sum, one correctly-rounded division — never display-rounded),
     probabilities Laplace-smoothed with ``alpha`` over the ``buckets``
     space and log-ratios quantized to integer micro-units."""
-    raw_bc = _doc_bucket_counts(raw, buckets, hash_mode, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # raw_bc feeds BOTH the bucket totals and the final scoring join —
+    # persist it so the (expensive at 100 TB) corpus featurize explode
+    # runs once, not twice (the perplexity_bands discipline)
+    raw_bc = _doc_bucket_counts(
+        raw, buckets, hash_mode, text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tgt_bc = _doc_bucket_counts(
         target, buckets, hash_mode, text_col, id_col
     )

@@ -1888,7 +1888,12 @@ def sq8_topk(
     micro-units before summing, so the distance is association-proof
     across engines. Output: (query_id, neighbor_id, sq8_dist, rank),
     rank ascending by (sq8_dist, neighbor_id), self-pairs excluded."""
-    e = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    # encode + the N x Q scoring fold are interpreted HOFs per row —
+    # compute-dense: spread tiny local scans (cluster no-op; r13:
+    # 4.2s -> ~0.5s at sf0.1, previously bound to 1-2 scan splits)
+    e = ensure_scan_parallelism(df).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    )
     dim = len(e.select("v").first()["v"])
     row = e.agg(
         *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(dim)],

@@ -316,19 +316,49 @@ def bm25_term_scores(
     document-length normalization (b). Returns ``(id_col, tok, bm25)``
     for documents containing at least one query term.
 
-    Scale: the tf aggregation FILTERS to the query terms before its
-    shuffle (the only corpus-sized stage is the token explode); df,
-    N, and avgdl are scalars/tiny frames that broadcast."""
-    toks = tokens(df, text_col, id_col)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-        F.count(F.lit(1)).alias("n_docs"),
+    Scale (r13 optimization): NO corpus token explode at all — the
+    query bag is a compile-time literal list, so per-document length
+    and per-term frequencies are NARROW per-row folds over the token
+    array (``dl = size(tokens)``, ``tf_t = size(filter(tokens, =t))``);
+    only documents containing a query term emit (doc, term, tf) rows
+    (bounded by |terms| per doc). The previous shape exploded every
+    token of the corpus and paid a corpus-wide groupBy for dl. Values
+    identical: the same integer counts feed the same float formula.
+    df, N, and avgdl are scalars/tiny frames that broadcast."""
+    base = ensure_scan_parallelism(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(
+        id_col, F.split(F.col(text_col), TOKEN_SPLIT_RE).alias("_toks")
+    )
+    dl = F.size(F.col("_toks")).cast("long")
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tok"),
+                F.size(
+                    F.filter(F.col("_toks"), lambda x: x == F.lit(t))
+                )
+                .cast("long")
+                .alias("tf"),
+            )
+            for t in query_terms
+        ]
     )
     tf = (
-        toks.where(F.col("tok").isin(list(query_terms)))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        base.select(
+            id_col,
+            dl.alias("dl"),
+            F.explode(
+                F.filter(per_term, lambda s: s["tf"] > 0)
+            ).alias("_s"),
+        )
+        .select(
+            id_col, "dl", F.col("_s.tok").alias("tok"), F.col("_s.tf").alias("tf")
+        )
+    )
+    stats = base.agg(
+        F.avg(dl.cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     dfreq = tf.groupBy("tok").agg(
         F.countDistinct(id_col).alias("dfreq")
@@ -344,7 +374,6 @@ def bm25_term_scores(
     )
     return (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(id_col, "tok", (idf * norm).alias("bm25"))
     )
@@ -408,6 +437,11 @@ def gopher_quality(
     bullet; <= 30% of lines end with an ellipsis; >= 80% of words
     contain an alphabetic character; >= 2 of the 8 required English
     stopwords present."""
+    # The rule folds are compute-DENSE per row (several regex + HOF
+    # passes over every word/line): spread tiny local scans so the work
+    # uses the whole machine (cluster no-op — r13: 3.1s -> ~0.3s at
+    # sf0.1 on local[32], previously bound to the input's single split).
+    df = ensure_scan_parallelism(df)
     text = F.col(text_col)
     words = F.filter(
         F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")

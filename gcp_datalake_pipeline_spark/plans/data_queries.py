@@ -222,8 +222,14 @@ def doc_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
+    from gcp_datalake_pipeline_spark.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # the bigram build + md5 is compute-dense: spread tiny local scans
+    # (cluster no-op) so the explode uses the whole machine
     bg = (
-        load_table(spark, sf_dir, "documents")
+        ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(bigrams).alias("bigram"))
         .withColumn("h", F.md5("bigram"))
     )
