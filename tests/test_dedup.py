@@ -1163,3 +1163,30 @@ def test_arrow_backends_drop_shingleless_docs(spark):
         r["doc_id"]
         for r in dedup.minhash_signatures(d, hash_mode="md5").collect()
     ] == [4]
+
+
+def test_lsh_bucket_arrow_matches_hof(spark):
+    """r13 optimization pin: the vectorized hyperplane-bucket kernel
+    must produce bitwise-identical buckets to the interpreted HOF fold
+    (per-dimension accumulation replays the fold's exact left-to-right
+    IEEE addition order, so every sign bit matches), and the arrow/hof
+    backends of lsh_topk and semdedup must agree row-for-row."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {(r.vid, r.bucket) for r in similarity.embedding_buckets(emb).collect()}
+    b = {
+        (r.vid, r.bucket)
+        for r in similarity.embedding_buckets(emb, backend="hof").collect()
+    }
+    assert a == b and a
+
+    ta = similarity.lsh_topk(emb, [0, 1, 2], k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    tb = similarity.lsh_topk(emb, [0, 1, 2], k=5, backend="hof").orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert ta == tb and ta
+
+    sa = similarity.semdedup(emb, threshold=0.3).collect()
+    sb = similarity.semdedup(emb, threshold=0.3, backend="hof").collect()
+    assert sa == sb
