@@ -52,6 +52,13 @@ def token_cooccurrence_edges(
     """(u, v, w): the undirected token adjacency graph — one row per
     direction, weight = adjacency count, self-loops dropped. Tokens
     follow the engine-wide lower/trim whitespace convention."""
+    from gcp_datalake_pipeline_spark.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # the adjacency explode is compute-dense: spread tiny local scans
+    # (cluster no-op — see parallelism.py)
+    docs = ensure_scan_parallelism(docs)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     bg = docs.select(toks.alias("tokens")).select(
         F.explode(

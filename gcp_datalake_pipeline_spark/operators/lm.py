@@ -67,6 +67,13 @@ def _doc_bigrams(
 ) -> DataFrame:
     """(doc_id, w1, w2): one row per bigram POSITION (not distinct) —
     lower/trim + whitespace tokenization, the engine-wide convention."""
+    from gcp_datalake_pipeline_spark.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # the bigram explode is the compute-dense stage of LM training and
+    # scoring: spread tiny local scans (cluster no-op)
+    df = ensure_scan_parallelism(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
