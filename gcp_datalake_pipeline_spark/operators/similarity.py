@@ -375,7 +375,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    backend: str = "arrow",
+    backend: str = "hof",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
@@ -390,11 +390,16 @@ def lsh_topk(
     so work is proportional to bucket occupancy, not corpus^2. Planes are a
     deterministic literal array (seeded) — no data-dependent fitting step.
 
-    ``backend="arrow"`` (default) buckets with the vectorized kernel and
-    verifies candidates with the einsum pandas-UDF cosine — identical
-    values (see :func:`_bucket_bits_arrow_udf`; round-6 absorbs the
-    cosine's summation-order difference, the embedding_near_dup_lsh
-    precedent); ``backend="hof"`` keeps everything JVM-side.
+    ``backend``: "hof" (default) keeps everything JVM-side; "arrow"
+    buckets with the vectorized kernel and verifies with the einsum
+    pandas-UDF cosine — identical values (pinned in tests). The default
+    is MEASURED, not assumed (r13): interleaved A/B at sf0.1 AND the
+    derived sf1 put hof ahead (0.89 vs 1.32 s; 1.16 vs 1.57 s) — this
+    query's bucketed frame feeds two consumers (query side + corpus
+    side), so the arrow path pays two Python stage round-trips plus
+    Arrow-shipping (qv, v) pairs per candidate, which outweighs the
+    interpreted fold at realistic row counts; embedding_near_dup_lsh
+    keeps arrow because its single verify stage measured 1.4x faster.
     """
     if backend not in ("hof", "arrow"):
         raise ValueError(f"unknown backend {backend!r}; use 'hof' or 'arrow'")
