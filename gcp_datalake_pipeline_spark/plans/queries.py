@@ -102,8 +102,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def cents(col: str):
-    """Exact integer cents of a 2-decimal money double column."""
-    return F.round(F.col(col) * 100).cast("long")
+    """Exact integer cents of a 2-decimal money double column.
+
+    ``floor(x*100 + 0.5)`` instead of ``round(x*100)``: Spark's ROUND on
+    a double routes through BigDecimal.valueOf(...).setScale(HALF_UP) —
+    one BigDecimal + String allocation per row — while FLOOR is a single
+    Math.floor. The two are provably equal here: x is an exact 2-decimal
+    money value, so x*100 lands within ~4e-9 of its integer (measured
+    across every money column at sf0.1/sf1; the IEEE error bound for
+    |x| < 1e6 is ~1e-7), never at the 0.5 boundary where HALF_UP and
+    floor(+0.5) could disagree. Both forms map NULL -> NULL. The DuckDB
+    oracles keep ROUND(x*100) — same integer, either spelling."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
 def rev_micro():
@@ -201,26 +211,38 @@ def money_2dp(unit_expr, scale: int):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    # Per-row integer units are projected ONCE before the aggregate: the
+    # two limb sums of each exact money aggregate otherwise re-evaluate
+    # their shared unit expression per row (codegen subexpression
+    # elimination does not reach across aggregate update expressions —
+    # measured ~1.2x on the whole query at sf1).
+    pre = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            cents("l_extendedprice").alias("_price_c"),
+            rev_micro().alias("_rev_u"),
+            cents("l_discount").alias("_disc_c"),
+            cents("l_tax").alias("_tax_c"),
+        )
+        .withColumn("_charge_u", F.col("_rev_u") * (100 + F.col("_tax_c")))
+    )
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            money_2dp(cents("l_extendedprice"), 100).alias(
-                "sum_base_price"
-            ),
-            money_2dp(rev_micro(), 10000).alias("sum_disc_price"),
-            money_2dp(
-                rev_micro() * (100 + cents("l_tax")), 1000000
-            ).alias("sum_charge"),
+            money_2dp(F.col("_price_c"), 100).alias("sum_base_price"),
+            money_2dp(F.col("_rev_u"), 10000).alias("sum_disc_price"),
+            money_2dp(F.col("_charge_u"), 1000000).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
-                sum_money(cents("l_extendedprice"), 100)
-                / F.count(F.lit(1)),
+                sum_money(F.col("_price_c"), 100) / F.count(F.lit(1)),
                 4,
             ).alias("avg_price"),
             F.round(
-                sum_money(cents("l_discount"), 100) / F.count(F.lit(1)), 4
+                sum_money(F.col("_disc_c"), 100) / F.count(F.lit(1)), 4
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -254,7 +276,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # Project the exact revenue unit BEFORE the orderkey shuffle: the
+    # join then carries one long instead of two doubles per lineitem row
+    # (guide §2.3), and the unit expression is evaluated once per row.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", rev_micro().alias("_rev_u"))
+    )
     return (
         li.join(
             orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
@@ -262,7 +291,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            money_2dp(rev_micro(), 10000).alias("revenue")
+            money_2dp(F.col("_rev_u"), 10000).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -299,7 +328,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # One long revenue unit rides the orderkey shuffle instead of two
+    # doubles (guide §2.3); evaluated once per row.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev_micro().alias("_rev_u")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -312,7 +345,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            money_2dp(rev_micro(), 10000).alias("revenue")
+            money_2dp(F.col("_rev_u"), 10000).alias("revenue")
         )
     )
 
@@ -339,14 +372,20 @@ def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # Post-filter projection to (orderkey, unit): one long rides the
+    # orderkey shuffle instead of two doubles (guide §2.3).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev_micro().alias("_rev_u"))
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            money_2dp(rev_micro(), 10000).alias("revenue")
+            money_2dp(F.col("_rev_u"), 10000).alias("revenue")
         )
         .select(
             "c_custkey",

@@ -69,22 +69,27 @@ def q14_red_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = rev_micro().cast("decimal(30,0)")
-    red = F.when(F.col("p_name").like("red%"), rev).otherwise(
-        F.lit(0).cast("decimal(30,0)")
+    # Limb sums (plain long aggregation) instead of two decimal sums:
+    # the per-row revenue unit is projected once, and the red share is
+    # still an exact-integer ratio — the recombined limb totals are the
+    # same integers the decimal sums produced, so the single double
+    # division is bit-identical to the oracle's HUGEINT ratio.
+    from gcp_datalake_pipeline_spark.plans.queries import exact_int_sum
+
+    pre = li.select("l_partkey", rev_micro().alias("_rev_u")).join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        F.col("l_partkey") == F.col("p_partkey"),
     )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            # exact integer sums; the ratio is the only double op, so
-            # it is bit-identical to the oracle's HUGEINT ratio
-            F.round(
-                F.lit(100.0)
-                * F.sum(red).cast("double")
-                / F.sum(rev).cast("double"),
-                4,
-            ).alias("red_share_pct")
-        )
+    red_u = F.when(F.col("p_name").like("red%"), F.col("_rev_u")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return pre.select(F.col("_rev_u"), red_u.alias("_red_u")).agg(
+        F.round(
+            F.lit(100.0)
+            * exact_int_sum(F.col("_red_u")).cast("double")
+            / exact_int_sum(F.col("_rev_u")).cast("double"),
+            4,
+        ).alias("red_share_pct")
     )
 
 
@@ -163,9 +168,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(
-            money_2dp(rev_micro(), 10000).alias("revenue")
-        )
+        # single evaluation of the unit expression per surviving row
+        .select(rev_micro().alias("_rev_u"))
+        .agg(money_2dp(F.col("_rev_u"), 10000).alias("revenue"))
     )
 
 

@@ -39,7 +39,11 @@ from gcp_datalake_pipeline_spark.plans.queries import (
     one orderkey shuffle.""",
 )
 def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # One long unit (projected once) rides the orderkey shuffle instead
+    # of two doubles (guide §2.3).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", rev_micro().alias("_rev_u")
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -68,7 +72,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            money_2dp(rev_micro(), 10000).alias("revenue")
+            money_2dp(F.col("_rev_u"), 10000).alias("revenue")
         )
     )
 
@@ -91,7 +95,13 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax-based proxy): profit per supplier nation per order year.""",
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Project the exact profit unit before the orderkey shuffle: one
+    # long instead of three doubles per lineitem row (guide §2.3).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (rev_micro() * (100 - cents("l_tax"))).alias("_profit_u"),
+    )
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -101,9 +111,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            money_2dp(
-                rev_micro() * (100 - cents("l_tax")), 1000000
-            ).alias("profit_proxy")
+            money_2dp(F.col("_profit_u"), 1000000).alias("profit_proxy")
         )
     )
 
@@ -161,8 +169,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        money_2dp(rev_micro(), 10000).alias("total_revenue")
+    rev = (
+        li.select("l_suppkey", rev_micro().alias("_rev_u"))
+        .groupBy("l_suppkey")
+        .agg(money_2dp(F.col("_rev_u"), 10000).alias("total_revenue"))
     )
     max_rev = rev.agg(F.max("total_revenue")).first()[0]
     return (

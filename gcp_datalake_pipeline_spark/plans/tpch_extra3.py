@@ -55,7 +55,11 @@ from gcp_datalake_pipeline_spark.plans.queries import (
     partial agg on ~7 year groups.""",
 )
 def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # One long revenue unit rides the orderkey shuffle instead of two
+    # doubles (guide §2.3); limb sums below replace the decimal sums.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev_micro().alias("_rev_u")
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -71,22 +75,30 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
-    rev = rev_micro().cast("decimal(30,0)")
+    # Limb sums at plain-long speed; the recombined totals are the same
+    # exact integers the decimal sums produced, so the single double
+    # division matches the oracle's HUGEINT ratio bit-for-bit.
+    from gcp_datalake_pipeline_spark.plans.queries import exact_int_sum
+
+    n1_u = F.when(
+        F.col("supp_nation") == "NATION_1", F.col("_rev_u")
+    ).otherwise(F.lit(0).cast("long"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
-        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("_rev_u"),
+            n1_u.alias("_n1_u"),
+        )
+        .groupBy("order_year")
         .agg(
             F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
-                        F.lit(0).cast("decimal(30,0)")
-                    )
-                ).cast("double")
-                / F.sum(rev).cast("double"),
+                exact_int_sum(F.col("_n1_u")).cast("double")
+                / exact_int_sum(F.col("_rev_u")).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -121,7 +133,11 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as a 1-row cross join — no second pass over lineitem.""",
 )
 def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # One long cents unit per row into the partkey shuffle; limb sums
+    # below replace the decimal sum (same exact integers recombined).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", cents("l_extendedprice").alias("_price_c")
+    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -131,10 +147,12 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .select("s_suppkey")
     )
+    from gcp_datalake_pipeline_spark.plans.queries import exact_int_sum
+
     pv = (
         li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(F.sum(cents("l_extendedprice").cast("decimal(30,0)")).alias("raw_cents"))
+        .agg(exact_int_sum(F.col("_price_c")).alias("raw_cents"))
     )
     total = pv.agg(F.avg(F.col("raw_cents").cast("double")).alias("_avg"))
     return (
