@@ -58,6 +58,31 @@ _LOADS = "_loads"
 _VERSIONS = "_versions"
 _LOAD_IDS = "_load_ids"
 
+# Constraint probes switch from join-shaped to literal-predicate-shaped
+# below this many distinct staged keys: the keys are collected in one
+# tiny job and the committed side is scanned with pushed-down equality
+# predicates (row-group/stats pruned — probe cost scales with matching
+# files, not table size). Above it, the original AQE-sized semi/anti
+# joins run unchanged.
+_SMALL_PROBE_KEYS = 64
+
+
+def _literal_key_cond(cols: list[str], key_rows):
+    """OR-of-ANDs literal predicate matching any of ``key_rows`` on
+    ``cols``, with eqNullSafe semantics (a NULL key component matches
+    via IS NULL). Pushes to the parquet scan, unlike a join."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for r in key_rows:
+        leg = None
+        for c in cols:
+            v = r[c]
+            piece = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            leg = piece if leg is None else leg & piece
+        cond = leg if cond is None else cond | leg
+    return F.lit(False) if cond is None else cond
+
 
 def _sql_literal(v) -> str:
     """Render one collected key value as a Spark SQL literal that
@@ -2269,7 +2294,7 @@ class TransactionalCatalog(Catalog):
                 rekb = kb_col(
                     list(meta["key_cols"]), meta["num_buckets"]
                 )
-        self._check_update_keys(table, predicates, set_exprs)
+        known = self._check_update_keys(table, predicates, set_exprs)
         if mode == "dv":
             return self._update_where_dv(table, predicates, set_exprs)
         if mode != "rewrite":
@@ -2316,7 +2341,12 @@ class TransactionalCatalog(Catalog):
             return out.drop("__upd_match")
 
         n = self._rewrite_where(
-            table, predicates, "update", transform, enforce_checks=True
+            table,
+            predicates,
+            "update",
+            transform,
+            enforce_checks=True,
+            known_matched=known,
         )
         for child, leg in legs:
             self.update_where(child, leg["preds"], leg["sets"])
@@ -2404,7 +2434,7 @@ class TransactionalCatalog(Catalog):
 
     def _check_update_keys(
         self, table: str, predicates, set_exprs: dict
-    ) -> None:
+    ) -> int | None:
         """Constraint pre-probe for UPDATE ... SET touching UNIQUE- or
         FK-referenced columns — replaces the old blanket refusal with
         the complete checked behavior, shared by the rewrite and DV
@@ -2425,7 +2455,11 @@ class TransactionalCatalog(Catalog):
         For each child FOREIGN KEY referencing SET-touched columns of
         this table: key values rewritten AWAY (old keys absent from
         the post-SET keys) are removals — RESTRICT refuses while a
-        child row references them."""
+        child row references them.
+
+        Returns the number of matched rows when the small-update fast
+        path determined it exactly (so the rewrite can skip its own
+        gate count), else None."""
         from pyspark.sql import functions as F
 
         fk_specs = [
@@ -2440,14 +2474,15 @@ class TransactionalCatalog(Catalog):
             and set(expr.get("unique", ())) & set(set_exprs)
         ]
         if not (fk_specs or ucons):
-            return
+            return None
         cond = F.coalesce(
             filestats.dnf_condition(self._as_dnf(predicates)), F.lit(False)
         )
         t = self.read(table)
         matched = t.filter(cond)
-        if matched.limit(1).count() == 0:
-            return  # no-match update publishes nothing — nothing to probe
+        if not ucons and matched.limit(1).count() == 0:
+            return 0  # no-match update publishes nothing — nothing to probe
+        n_matched: int | None = None
         schema = {f.name: f.dataType for f in t.schema.fields}
         post = matched.select(
             *[
@@ -2467,8 +2502,74 @@ class TransactionalCatalog(Catalog):
                 c = leg if c is None else c & leg
             return c
 
+        gated = bool(ucons)  # the first small collect below settles the
+        # no-match gate for the whole method (matched rows are bounded
+        # by the constraint's key uniqueness, so the collect is tiny)
         for cname, ucols in ucons:
             new_keys = post.select(*ucols)
+            # Small-update fast path: ONE collect yields the matched
+            # rows' (old -> new) key images (bounded: t is UNIQUE on
+            # ucols, so matched rows == distinct old keys), settling the
+            # no-match gate and the post-SET dup check in Python; the
+            # collision probe then scans t with literal predicates
+            # (stats/row-group pruned, no joins). Bulk updates overflow
+            # the limit and take the original join path.
+            pairs = matched.select(
+                *[F.col(c).alias(f"_old_{c}") for c in ucols],
+                *[
+                    (
+                        F.expr(set_exprs[c]).cast(schema[c])
+                        if c in set_exprs
+                        else F.col(c)
+                    ).alias(f"_new_{c}")
+                    for c in ucols
+                ],
+            ).limit(_SMALL_PROBE_KEYS + 1).collect()
+            if len(pairs) <= _SMALL_PROBE_KEYS:
+                if not pairs:
+                    return 0  # no-match update publishes nothing
+                gated = False
+                n_matched = len(pairs)
+                new_rows = [
+                    {c: r[f"_new_{c}"] for c in ucols} for r in pairs
+                ]
+                seen: dict[tuple, int] = {}
+                for r in new_rows:
+                    k = tuple(r[c] for c in ucols)
+                    seen[k] = seen.get(k, 0) + 1
+                dups = sum(1 for v in seen.values() if v > 1)
+                if dups:
+                    raise CheckViolation(
+                        f"UPDATE on {table!r} violates UNIQUE {cname!r} "
+                        f"over {ucols}: {dups} post-SET key(s) duplicated "
+                        "among the matched rows"
+                    )
+                old_rows = [
+                    {c: r[f"_old_{c}"] for c in ucols} for r in pairs
+                ]
+                hits = (
+                    t.select(*ucols)
+                    .where(
+                        F.coalesce(
+                            _literal_key_cond(ucols, new_rows), F.lit(False)
+                        )
+                        & ~F.coalesce(
+                            _literal_key_cond(ucols, old_rows), F.lit(False)
+                        )
+                    )
+                    .count()
+                )
+                if hits:
+                    raise CheckViolation(
+                        f"UPDATE on {table!r} violates UNIQUE {cname!r} "
+                        f"over {ucols}: {hits} post-SET key(s) collide "
+                        "with keys the update does not rewrite"
+                    )
+                continue
+            if gated:
+                gated = False
+                if matched.limit(1).count() == 0:
+                    return 0
             dups = (
                 new_keys.groupBy(*ucols)
                 .agg(F.count(F.lit(1)).alias("__c"))
@@ -2539,6 +2640,7 @@ class TransactionalCatalog(Catalog):
                 restrict_only=True,
                 action_field="on_update",
             )
+        return n_matched
 
     def _probe_set_casts(self, df, match, set_exprs: dict, table: str) -> None:
         """ANSI-style cast safety shared by both UPDATE paths: Spark's
@@ -2578,6 +2680,7 @@ class TransactionalCatalog(Catalog):
         tag: str,
         transform,
         enforce_checks: bool = False,
+        known_matched: int | None = None,
     ) -> int:
         from pyspark.sql import functions as F
 
@@ -2663,7 +2766,13 @@ class TransactionalCatalog(Catalog):
         match = F.coalesce(
             filestats.dnf_condition(dnf_logical), F.lit(False)
         )  # NULL never matches
-        n_matched = cand_df.filter(match).count()
+        # the UPDATE pre-probe's small path already counted the matched
+        # rows over the same predicate and snapshot — skip the gate scan
+        n_matched = (
+            known_matched
+            if known_matched is not None
+            else cand_df.filter(match).count()
+        )
         if n_matched == 0:
             # conservative candidates held no true matches: still no
             # rewrite, no version
@@ -4092,6 +4201,56 @@ class TransactionalCatalog(Catalog):
                         out.append((child, name, expr["fk"]))
         return out
 
+    def _fk_miss_count(
+        self,
+        child: str,
+        spec: dict,
+        rows,
+        extra_parent=None,
+        replace_parent: bool = False,
+    ) -> int:
+        """``_fk_misses(...).count()`` with a small-write fast path: a
+        staged write with at most _SMALL_PROBE_KEYS distinct FK keys
+        collects them in one tiny job and probes the parent with
+        LITERAL predicates — a stats/row-group-pruned scan instead of
+        an anti-join, so a 1-row insert against a 100 TB parent touches
+        only the parent files whose min/max cover the key. Bulk writes
+        fall back to the anti-join unchanged."""
+        from pyspark.sql import functions as F
+
+        cols = spec["cols"]
+        pcols = spec["parent_cols"]
+        nn = None
+        for c in cols:
+            leg = F.col(c).isNotNull()
+            nn = leg if nn is None else nn & leg
+        key_rows = (
+            rows.where(nn)
+            .select(*[F.col(c).alias(p) for c, p in zip(cols, pcols)])
+            .distinct()
+            .limit(_SMALL_PROBE_KEYS + 1)
+            .collect()
+        )
+        if len(key_rows) > _SMALL_PROBE_KEYS:
+            return self._fk_misses(
+                child, spec, rows, extra_parent, replace_parent
+            ).count()
+        if not key_rows:
+            return 0
+        keyset = {tuple(r[p] for p in pcols) for r in key_rows}
+        cond = _literal_key_cond(list(pcols), key_rows)
+        if replace_parent:
+            probe = extra_parent.select(*pcols)
+        else:
+            probe = self.read(spec["parent"]).select(*pcols)
+            if extra_parent is not None:
+                probe = probe.unionByName(extra_parent.select(*pcols))
+        found = {
+            tuple(r[p] for p in pcols)
+            for r in probe.where(cond).distinct().collect()
+        }
+        return len(keyset - found)
+
     def _fk_misses(
         self,
         child: str,
@@ -4363,13 +4522,13 @@ class TransactionalCatalog(Catalog):
                 # content-replacing writes (``fk_staged_only``).
                 spec = expr["fk"]
                 selffk = spec["parent"] == table
-                bad = self._fk_misses(
+                bad = self._fk_miss_count(
                     table,
                     spec,
                     df,
                     extra_parent=df if selffk else None,
                     replace_parent=selffk and fk_staged_only,
-                ).count()
+                )
                 if bad:
                     raise CheckViolation(
                         f"write to {table!r} violates FOREIGN KEY "
@@ -4400,23 +4559,42 @@ class TransactionalCatalog(Catalog):
         from gcp_datalake_pipeline_spark.storage import kb_col
 
         keys = staged.select(*cols)
-        dups = (
-            keys.groupBy(*cols)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .where(F.col("__c") > 1)
-            .count()
+        # Small-write fast path (guide §1.2/§6): when a cross probe
+        # will run, a write with at most _SMALL_PROBE_KEYS distinct
+        # keys collects them in ONE tiny job (which simultaneously
+        # settles the intra-write dup check) and probes the committed
+        # rows with LITERAL predicates — a stats/row-group-pruned scan,
+        # no join, no shuffle. On a 100 TB table the probe then touches
+        # only the files whose min/max ranges cover the staged keys
+        # instead of semi-joining the full key column. Bulk writes
+        # (more keys, unknown up front) take the original groupBy +
+        # AQE-sized semi-join path unchanged, as do probe-free writes
+        # (content replaces), which keep the single dup-count job.
+        partial = exclude_buckets is not None or existing_where is not None
+        will_probe = (
+            (cross or partial)
+            and self.exists(table)
+            and bool(self._read_manifest(strict=False)["tables"].get(table))
         )
+        per_key = keys.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+        sample = (
+            per_key.limit(_SMALL_PROBE_KEYS + 1).collect()
+            if will_probe
+            else None
+        )
+        small = sample is not None and len(sample) <= _SMALL_PROBE_KEYS
+        if small:
+            dups = sum(1 for r in sample if r["__c"] > 1)
+        else:
+            dups = per_key.where(F.col("__c") > 1).count()
         if dups:
             raise CheckViolation(
                 f"write to {table!r} violates UNIQUE {name!r} over "
                 f"{cols}: {dups} staged key(s) duplicated within the "
                 "write"
             )
-        partial = exclude_buckets is not None or existing_where is not None
-        if not (cross or partial) or not self.exists(table):
+        if not will_probe:
             return
-        if not self._read_manifest(strict=False)["tables"].get(table):
-            return  # freshly created, no committed data yet
         existing = self.read(table)
         if existing_where is not None:
             existing = existing.where(existing_where)
@@ -4434,6 +4612,21 @@ class TransactionalCatalog(Catalog):
             existing = existing.where(
                 ~F.col("_kb").isin(list(exclude_buckets))
             )
+        if small:
+            # literal-predicate probe: same NULL-safe semantics as the
+            # eqNullSafe semi-join (NULL keys match via IS NULL), counts
+            # the same existing rows, and pushes to the parquet scan.
+            hits = (
+                existing.select(*cols)
+                .where(_literal_key_cond(cols, sample))
+                .count()
+            )
+            if hits:
+                raise CheckViolation(
+                    f"write to {table!r} violates UNIQUE {name!r} over "
+                    f"{cols}: {hits} staged key(s) already exist"
+                )
+            return
         if meta is not None and list(meta["key_cols"]) == list(cols):
             buckets = [
                 r["_kb"]

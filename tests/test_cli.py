@@ -1,13 +1,22 @@
-"""End-to-end CLI smoke: ingest fixtures into a catalog via subprocess,
-then list tables and run a SQL query."""
+"""End-to-end CLI smoke: drive the argparse entry point in-process
+(same argv surface the shell sees; the warm test SparkSession is reused
+instead of booting a ~12s JVM per invocation — the full-file wall time
+dropped ~10x). One subprocess test remains
+(test_cli_subprocess_entry) to pin the real `python -m` process
+behavior: exit codes, module entry, stdout framing."""
 
+import contextlib
+import io
 import json
 import shutil
 import subprocess
 import sys
 import tempfile
+import types
 
 import pytest
+
+from gcp_datalake_pipeline_spark import cli as _cli
 
 
 @pytest.fixture(scope="module")
@@ -18,8 +27,39 @@ def workdir():
 
 
 def run_cli(*args):
-    return subprocess.run(
-        [sys.executable, "-m", "gcp_datalake_pipeline_spark.cli", *args],
+    """Invoke the CLI entry in-process: same argv parsing, same output
+    text, same exit-code contract (SystemExit with a message -> rc 1 +
+    stderr, argparse errors -> rc 2)."""
+    out, err = io.StringIO(), io.StringIO()
+    rc = 0
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        try:
+            _cli.main(list(args))
+        except SystemExit as e:  # sys.exit(msg) or argparse exit
+            if e.code is None:
+                rc = 0
+            elif isinstance(e.code, int):
+                rc = e.code
+            else:
+                rc = 1
+                print(e.code, file=err)
+        except Exception:  # noqa: BLE001 — subprocess parity: traceback to stderr, rc 1
+            import traceback
+
+            traceback.print_exc(file=err)
+            rc = 1
+    return types.SimpleNamespace(
+        returncode=rc, stdout=out.getvalue(), stderr=err.getvalue()
+    )
+
+
+def test_cli_subprocess_entry(workdir):
+    """The one true-subprocess test: `python -m` module entry boots its
+    own JVM, ingests, and exits 0 with the JSON payload on stdout."""
+    cat = f"{workdir}/subproc_lake"
+    r = subprocess.run(
+        [sys.executable, "-m", "gcp_datalake_pipeline_spark.cli",
+         "ingest", "--catalog", cat, "tests/fixtures/*.csv"],
         capture_output=True,
         text=True,
         timeout=300,
@@ -27,6 +67,9 @@ def run_cli(*args):
              "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
         cwd="/root/repo",
     )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout[r.stdout.index("{"):])
+    assert len(payload) == 3
 
 
 def test_cli_ingest_tables_query(workdir):

@@ -51,10 +51,20 @@ def test_q1_scan_prunes_columns(spark):
 def test_no_accidental_cartesian_products(spark):
     """Only deliberate broadcast nested loops (tiny query/centroid sides in
     the ANN family, scalar-count crossJoins) may appear; a plain
-    CartesianProduct anywhere is a regression."""
-    for name in QUERIES:
+    CartesianProduct anywhere is a regression.
+
+    Plan-building all 165 registry queries is driver-side work that
+    mostly waits on py4j — a thread pool overlaps it (the builders use
+    per-query scratch roots, so concurrent building is safe); this was
+    the single slowest test in the suite (150s serial)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(check, list(QUERIES)))
 
 
 def test_surrogate_assignment_not_single_partition(spark):
