@@ -102,6 +102,7 @@ def bpe_train(
     ).select("syms", "n")
     words = words.localCheckpoint(eager=True)
     merges: list[dict] = []
+    pending = 0
     for rank in range(n_merges):
         pairs = words.select(
             F.explode(
@@ -140,7 +141,16 @@ def bpe_train(
         )
         words = words.withColumn(
             "syms", _fold_pair(F.col("syms"), left, right)
-        ).localCheckpoint(eager=True)  # keep the plan O(1) deep
+        )
+        # Checkpoint every 5th round, not every round: one materialize
+        # job per merge was over half the loop's job count, and a plan
+        # at most 5 folds deep re-evaluates cheaply against the
+        # checkpointed dictionary (the folds are narrow codegen'd
+        # array ops). Still O(1) depth over the whole run.
+        pending += 1
+        if pending == 5:
+            words = words.localCheckpoint(eager=True)
+            pending = 0
     return merges
 
 

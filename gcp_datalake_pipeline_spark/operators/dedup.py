@@ -486,7 +486,14 @@ def minhash_lsh_pairs(
     the exploded result (the filter ran above the expensive Generate;
     guide §2.3: project/filter before the heavy work).
     """
-    band = minhash_bands(df, num_perm, bands, hash_mode)
+    # Materialize the band index ONCE before the self-join: both join
+    # sides otherwise re-run the whole signature pipeline (corpus
+    # tokenize + shingle + hash per side — the kernel is opaque to
+    # Spark's common-subexpression reuse). The index is 8 small rows
+    # per document, bounded at any scale.
+    band = minhash_bands(df, num_perm, bands, hash_mode).localCheckpoint(
+        eager=True
+    )
     a, b = band.alias("a"), band.alias("b")
     candidates = (
         a.join(
@@ -944,6 +951,7 @@ def near_dup_clusters(
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    cached = None  # the materialized frame behind `labels`, for unpersist
     for it in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -956,11 +964,16 @@ def near_dup_clusters(
             .agg(F.min("dlabel").alias("nmin"))
             .select(F.col("src").alias("doc_id"), "nmin")
         )
+        # the OLD label rides along as _prev so the per-round
+        # convergence count is a projection of the materialized frame,
+        # not a second join of old-vs-new label tables (one join and
+        # its shuffle removed per round)
         candidate = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(
                 F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
             ).alias("label"),
+            F.col("label").alias("_prev"),
         )
         if method == "pointer_doubling":
             # label-of-label jump: L(v) <- min(L(v), L(L(v))). L(v) is a
@@ -973,6 +986,7 @@ def near_dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
+                "_prev",
             )
         # cache() alone leaves the LOGICAL plan growing ~3 joins deeper
         # per round, so Catalyst re-analysis cost climbs superlinearly on
@@ -985,14 +999,11 @@ def near_dup_clusters(
             new_labels = candidate.localCheckpoint(eager=True)
         else:
             new_labels = candidate.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        if cached is not None:
+            cached.unpersist()
+        cached = new_labels
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     else:
