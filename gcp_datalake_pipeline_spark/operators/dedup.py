@@ -726,7 +726,12 @@ def incremental_near_dups(
     """
     if existing_bands is None:
         existing_bands = minhash_bands(existing, num_perm, bands, hash_mode)
-    new_bands = minhash_bands(new, num_perm, bands, hash_mode)
+    # materialized: the probe union AND the join's b side both consume
+    # the new batch's bands — unmaterialized, the signature kernel would
+    # run twice over the batch (opaque to plan-level reuse)
+    new_bands = minhash_bands(new, num_perm, bands, hash_mode).localCheckpoint(
+        eager=True
+    )
     probe = existing_bands.unionByName(new_bands).alias("a")
     cand = (
         probe.join(
