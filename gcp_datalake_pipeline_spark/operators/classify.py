@@ -129,17 +129,22 @@ def nb_classify(
         .groupBy("doc_id", "label", "lp6")
         .agg((F.col("lp6") + F.sum("term6")).alias("score6"))
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score6"), F.asc("label")
+    # argmax(score desc, label asc) as ONE aggregate: min over
+    # struct(-score6, label) picks the largest score, smallest label on
+    # ties — exactly the old row_number window's order, without the
+    # window's per-doc sort (the scores are exact longs, so negation is
+    # lossless and the argmax stays deterministic cross-engine).
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score6")).alias("_ns"), F.col("label").alias("_lb")
+            )
+        ).alias("_m")
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id",
-            F.col("label").alias("pred"),
-            (F.col("score6") / F.lit(1e6)).alias("score"),
-        )
+    return best.select(
+        "doc_id",
+        F.col("_m._lb").alias("pred"),
+        (-F.col("_m._ns") / F.lit(1e6)).alias("score"),
     )
 
 
