@@ -73,16 +73,32 @@ def token_cooccurrence_edges(
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 10, node_col: str = "token"
+    edges: DataFrame,
+    iters: int = 10,
+    node_col: str = "token",
+    complete_inedges: bool = False,
 ) -> DataFrame:
     """(token, r): integer-nano PageRank after exactly ``iters``
     iterations over directed weighted ``edges`` (u, v, w). Callers with
     undirected graphs pass both directions (see
-    :func:`token_cooccurrence_edges`)."""
+    :func:`token_cooccurrence_edges`).
+
+    ``complete_inedges=True`` promises every node with out-edges also
+    has at least one IN-edge (true for any symmetrized graph): the
+    per-iteration left join back to the node set — whose only job is to
+    keep in-degree-0 nodes on the teleport term — is then a no-op and
+    is skipped, removing one join + one shuffle of the node set per
+    iteration. The edge relation is hash-partitioned on the join key
+    once before persisting, so every iteration's rank-to-edge join
+    reuses that layout instead of re-exchanging the edges."""
     from pyspark.storagelevel import StorageLevel
 
     wout = edges.groupBy("u").agg(F.sum("w").alias("wu"))
-    ej = edges.join(wout, "u").persist(StorageLevel.MEMORY_AND_DISK)
+    ej = (
+        edges.join(wout, "u")
+        .repartition("u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = ej.select(F.col("u").alias(node_col)).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -100,17 +116,23 @@ def pagerank(
                 ).alias("c")
             )
         )
-        ranks = (
-            nodes.join(contrib, nodes[node_col] == contrib["v"], "left")
-            .select(
-                node_col,
-                (
-                    F.lit(TELEPORT).cast("long")
-                    + F.coalesce(F.col("c"), F.lit(0))
-                ).alias("r"),
+        if complete_inedges:
+            ranks = contrib.select(
+                F.col("v").alias(node_col),
+                (F.lit(TELEPORT).cast("long") + F.col("c")).alias("r"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            ranks = (
+                nodes.join(contrib, nodes[node_col] == contrib["v"], "left")
+                .select(
+                    node_col,
+                    (
+                        F.lit(TELEPORT).cast("long")
+                        + F.coalesce(F.col("c"), F.lit(0))
+                    ).alias("r"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
         if prev is not None:
             prev.unpersist()
         prev = ranks
@@ -122,7 +144,13 @@ def textrank_topk(
 ) -> DataFrame:
     """Top-``k`` corpus keywords by TextRank: (token, r), rank desc with
     token tiebreak — a TakeOrdered, never a global sort."""
-    ranks = pagerank(token_cooccurrence_edges(docs, text_col), iters)
+    # the co-occurrence graph is symmetric, so every ranked node has
+    # in-edges — the isolated-node left join is skippable (see pagerank)
+    ranks = pagerank(
+        token_cooccurrence_edges(docs, text_col),
+        iters,
+        complete_inedges=True,
+    )
     return ranks.orderBy(F.desc("r"), "token").limit(k)
 
 
