@@ -37,11 +37,22 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # EXISTS(item with l_shipdate > o_orderdate) == the order's MAX
+    # l_shipdate exceeds o_orderdate (the comparand is constant per
+    # order), so pre-aggregate lineitem to one (orderkey, max_shipdate)
+    # row before the join: map-side combine collapses the ~4 items/order
+    # BEFORE the exchange (guide §2.3 — aggregate before you shuffle),
+    # and each order matches at most one row, so the inner join is
+    # duplication-free and value-identical to the left_semi.
+    li_max = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    )
     late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
+        li_max,
+        (orders.o_orderkey == li_max.l_orderkey)
+        & (li_max._max_ship > orders.o_orderdate),
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
