@@ -1197,7 +1197,11 @@ def simhash_near_pairs(
     """
     width = 15 if hash_mode == "md5" else 16
     mask = (1 << width) - 1
-    sh = simhash(df, hash_mode=hash_mode)
+    # materialized: the chunk self-join below consumes the fingerprints
+    # twice, and unmaterialized both sides re-run the whole simhash
+    # kernel (corpus tokenize+shingle+hash — opaque to plan-level
+    # reuse). One long per document, bounded at any scale.
+    sh = simhash(df, hash_mode=hash_mode).localCheckpoint(eager=True)
     chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_id")
     chunks = sh.select("doc_id", "simhash", chunk).select(
         "doc_id",
