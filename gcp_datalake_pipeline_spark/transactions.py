@@ -67,10 +67,26 @@ _LOAD_IDS = "_load_ids"
 _SMALL_PROBE_KEYS = 64
 
 
+def _literal_probe_safe(cols: list[str], key_rows) -> bool:
+    """False when any key component is a float NaN: Spark's joins and
+    groupBy normalize NaN (NaN groups/joins as equal to NaN), but a
+    literal ``col == NaN`` comparison is false — the literal fast path
+    would diverge, so such writes take the join path."""
+    import math
+
+    for r in key_rows:
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float) and math.isnan(v):
+                return False
+    return True
+
+
 def _literal_key_cond(cols: list[str], key_rows):
     """OR-of-ANDs literal predicate matching any of ``key_rows`` on
     ``cols``, with eqNullSafe semantics (a NULL key component matches
-    via IS NULL). Pushes to the parquet scan, unlike a join."""
+    via IS NULL). Pushes to the parquet scan, unlike a join. Callers
+    must gate on :func:`_literal_probe_safe` first (NaN keys)."""
     from pyspark.sql import functions as F
 
     cond = None
@@ -2525,7 +2541,10 @@ class TransactionalCatalog(Catalog):
                     for c in ucols
                 ],
             ).limit(_SMALL_PROBE_KEYS + 1).collect()
-            if len(pairs) <= _SMALL_PROBE_KEYS:
+            if len(pairs) <= _SMALL_PROBE_KEYS and _literal_probe_safe(
+                [f"_old_{c}" for c in ucols] + [f"_new_{c}" for c in ucols],
+                pairs,
+            ):
                 if not pairs:
                     return 0  # no-match update publishes nothing
                 gated = False
@@ -4231,7 +4250,9 @@ class TransactionalCatalog(Catalog):
             .limit(_SMALL_PROBE_KEYS + 1)
             .collect()
         )
-        if len(key_rows) > _SMALL_PROBE_KEYS:
+        if len(key_rows) > _SMALL_PROBE_KEYS or not _literal_probe_safe(
+            list(pcols), key_rows
+        ):
             return self._fk_misses(
                 child, spec, rows, extra_parent, replace_parent
             ).count()
@@ -4582,7 +4603,11 @@ class TransactionalCatalog(Catalog):
             if will_probe
             else None
         )
-        small = sample is not None and len(sample) <= _SMALL_PROBE_KEYS
+        small = (
+            sample is not None
+            and len(sample) <= _SMALL_PROBE_KEYS
+            and _literal_probe_safe(cols, sample)
+        )
         if small:
             dups = sum(1 for r in sample if r["__c"] > 1)
         else:

@@ -512,3 +512,93 @@ def test_checked_update_fk_restrict(spark, tmp_path):
         execute_dml(tcat, "UPDATE p SET k = 5 WHERE k = 1")
     execute_dml(tcat, "UPDATE p SET k = 5 WHERE k = 2")
     assert {r["k"] for r in tcat.read("p").collect()} == {1, 5}
+
+
+# -- round-14 small-write literal-probe internals ------------------------------
+
+
+def test_unique_probe_nan_key_falls_back_and_still_refuses(spark, tmp_path):
+    """A float-NaN key must still collide: Spark's joins/groupBy treat
+    NaN as equal to NaN, but a literal == NaN predicate is false — so
+    the small-write literal fast path must detect NaN keys and take the
+    join path (transactions._literal_probe_safe)."""
+    tcat = _cat(spark, tmp_path)
+    tcat.overwrite(
+        spark.createDataFrame(
+            [(float("nan"), "a"), (1.0, "b")], "k double, v string"
+        ),
+        "t",
+    )
+    tcat.add_unique_constraint("t", "uk", ["k"])
+    with pytest.raises(CheckViolation, match="already exist"):
+        tcat.append(
+            spark.createDataFrame([(float("nan"), "x")], "k double, v string"),
+            "t",
+        )
+    # intra-write NaN duplicate refuses too (groupBy groups NaN)
+    with pytest.raises(CheckViolation, match="duplicated within"):
+        tcat.append(
+            spark.createDataFrame(
+                [(float("nan"), "x"), (float("nan"), "y")],
+                "k double, v string",
+            ),
+            "t",
+        )
+    # a fresh non-NaN key still lands
+    tcat.append(spark.createDataFrame([(2.0, "c")], "k double, v string"), "t")
+
+
+def test_unique_probe_bulk_boundary_matches_small_path(spark, tmp_path):
+    """Writes just over _SMALL_PROBE_KEYS distinct keys take the join
+    path and must behave identically to the literal path: collision
+    refuses, disjoint bulk lands."""
+    from gcp_datalake_pipeline_spark.transactions import _SMALL_PROBE_KEYS
+
+    n = _SMALL_PROBE_KEYS + 5
+    tcat = _cat(spark, tmp_path)
+    tcat.overwrite(
+        spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+        "t",
+    )
+    tcat.add_unique_constraint("t", "uk", ["k"])
+    # bulk disjoint append lands
+    tcat.append(
+        spark.range(1000, 1000 + n).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        ),
+        "t",
+    )
+    # bulk append with ONE colliding key refuses and publishes nothing
+    ver = tcat._read_manifest(strict=False)["version"]
+    with pytest.raises(CheckViolation, match="already exist"):
+        tcat.append(
+            spark.range(2000, 2000 + n - 1)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .unionAll(
+                spark.createDataFrame([(50, "dup")], "k long, v string")
+            ),
+            "t",
+        )
+    assert tcat._read_manifest(strict=False)["version"] == ver
+
+
+def test_checked_update_key_swap_passes_small_path(spark, tmp_path):
+    """SQL statement-level UNIQUE semantics: a swap (1->2, 2->1) inside
+    one UPDATE must pass — the small literal path's new-minus-old
+    predicate must reproduce the join path's retired-key exemption."""
+    from gcp_datalake_pipeline_spark.dml_sql import execute_dml
+
+    tcat = _cat(spark, tmp_path)
+    tcat.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        "t",
+    )
+    tcat.add_unique_constraint("t", "uk", ["k"])
+    # swap via one statement: post-SET keys {3-k} collide only with
+    # keys the update itself retires -> allowed
+    out = execute_dml(tcat, "UPDATE t SET k = 3 - k WHERE k != 3")
+    assert out["updated"] == 2
+    assert {r["k"] for r in tcat.read("t").collect()} == {1, 2, 3}
+    # while a collision with an UNrewritten key still refuses
+    with pytest.raises(CheckViolation, match="collide"):
+        tcat.update_where("t", [("k", "=", 1)], {"k": "3"})
